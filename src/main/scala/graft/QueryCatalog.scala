@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark-side builder and (when SQL-expressible) an
+  * equivalent DuckDB oracle statement over the same parquet tables. The
+  * driver hash-compares both sides with columns sorted by name, so builders
+  * and oracles must agree on output column NAMES exactly.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** Included in the per-round Bench headline set. */
+    bench: Boolean = false)
+
+/** Aggregates every query family into the driver-facing registry. */
+object QueryCatalog {
+  lazy val all: Seq[Q] =
+    RelationalQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      SimilarityQueries.queries ++
+      EventQueries.queries ++
+      DmlQueries.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

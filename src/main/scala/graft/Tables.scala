@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated parquet star schema
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md §B).
+  *
+  * Plays the role of the reference's hard-coded catalog
+  * (`/root/reference/src/context.rs:17-34` seeds table → column-name map at
+  * construction) — but backed by real typed parquet sources instead of a
+  * name-only `HashMap`. Registering as temp views lets both the DataFrame
+  * API and `spark.sql` resolve the same relations, and Catalyst prunes
+  * columns / pushes predicates into the parquet scan for real (the
+  * reference's `projected_schema` never pruned anything,
+  * `/root/reference/tmp/select.rs:357-363`).
+  *
+  * Scale note: these are plain parquet reads — at 100 TB each table is a
+  * multi-file partitioned dataset and the same `spark.read.parquet(dir)`
+  * call distributes splits across executors; nothing here materializes on
+  * the driver.
+  */
+object Tables {
+  val starSchema: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extended: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = starSchema ++ extended
+
+  /** Small dimension tables that are safe to broadcast at any realistic
+    * scale factor (region has 5 rows, nation 25 — fixed-size in TPC-H). */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(path(sfDir, name))
+    df
+  }
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
+    * vectorized reader does not map to TimestampType directly; read nanos
+    * as long (legacy flag) and convert to a microsecond timestamp column
+    * with the same name/semantics. */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path(sfDir, "events"))
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Register every table of `sfDir` as a temp view (idempotent). */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { name =>
+      load(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+
+  /** Convenience accessor used by the query builders. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name)
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Deduplication operators for document corpora (driver north star).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup is a hash-groupBy: one shuffle on a 128-bit content hash,
+  *    map-side partial aggregation, no driver materialization.
+  *  - Near-dup is MinHash + LSH banding: signatures are per-row expression
+  *    work (one scan); candidate generation explodes each doc into `bands`
+  *    rows and shuffles on the band key — cost O(docs × bands), never
+  *    O(docs²). The exact-jaccard verify joins shingle sets back in only for
+  *    candidate pairs. Band-key hot spots (boilerplate docs) are the classic
+  *    skew risk; AQE skew-join handles moderate skew, and a count-based
+  *    bucket cap (`maxBucket`) drops degenerate buckets the way production
+  *    dedup pipelines do.
+  *  - SimHash near-dup uses the pigeonhole banding on bit-chunks: hamming
+  *    distance ≤ k implies at least one of (k+1) chunks is equal, so
+  *    candidates come from equality joins on chunks — again O(docs × chunks).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 of the raw text. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .select(md5(col("text")).as("h"), col("keep_id"), col("n"))
+
+  /** Exact dedup after whitespace/case normalization. */
+  def normalizedGroups(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs.groupBy(norm.as("ntext"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .select(md5(col("ntext")).as("h"), col("keep_id"), col("n"))
+  }
+
+  /** (doc_id, shingles, sig) prepared frame: per-row expression work only. */
+  def minhashPrep(docs: DataFrame, shingleN: Int, k: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      shingles(tokens(col("text")), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+  /** Candidate pairs from LSH banding, verified with exact jaccard over the
+    * shingle sets; returns pairs (a, b, jac) with jac >= threshold.
+    * maxBucket drops degenerate buckets (identical boilerplate exploding a
+    * band key) — at 100 TB this cap is what keeps worst-case skew bounded. */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = k / bands
+    val prep = minhashPrep(docs, shingleN, k)
+    val banded = prep
+      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cands = capped.alias("l")
+      .join(capped.alias("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val sets = prep.select(col("doc_id"), col("sh"))
+    cands
+      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
+    * via equality on (maxHamming+1 or more) bit-chunks (pigeonhole). */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      maxHamming: Int = 7,
+      chunks: Int = 8): DataFrame = {
+    val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
+    val withSig = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("simhash", simhash64("toks"))
+      .select(col("doc_id"), col("simhash"))
+    // carry the chunk index via posexplode for a precise join key
+    val pos = withSig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        j => shiftright(col("simhash"), j * bitsPer).bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
+    pos.alias("l").join(pos.alias("r"),
+        col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Embedding cosine near-dup: LSH sign-bucket candidates + exact cosine
+    * verify (see [[Similarity.signBucket]]); pairs with cos >= threshold. */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      signBits: Int = 4): DataFrame = {
+    val withB = emb
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v"), signBits))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+    withB.alias("l").join(withB.alias("r"),
+        col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos",
+        round(Similarity.dot(col("l.v"), col("r.v")) /
+          (col("l.norm") * col("r.norm")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
+  }
+}
+
+/** Driver-facing dedup queries over `documents` / `embeddings`. */
+object DedupQueries {
+  val queries: Seq[Q] = Seq(
+
+    Q("d01_dedup_exact",
+      (s, d) => Dedup.exactGroups(Tables.t(s, d, "documents")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+             |FROM documents GROUP BY text"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    Q("d02_dedup_normalized",
+      (s, d) => Dedup.normalizedGroups(Tables.t(s, d, "documents")),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             |min(doc_id) AS keep_id, count(*) AS n FROM documents
+             |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MinHash-LSH near-dup: hash-seeded signatures are not reproducible in
+    // DuckDB → rows-only driver check; exact-jaccard recall is asserted in
+    // DedupSpec against a brute-force oracle on sf0.001.
+    Q("d03_minhash_pairs",
+      (s, d) => Dedup.minhashNearDupPairs(Tables.t(s, d, "documents"),
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5),
+      None,
+      bench = true),
+
+    Q("d04_simhash_pairs",
+      (s, d) => Dedup.simhashNearDupPairs(Tables.t(s, d, "documents"),
+        maxHamming = 7, chunks = 8),
+      None),
+
+    // Exact n-gram jaccard for LSH candidates at a high threshold — the
+    // "verify" stage of near-dedup as its own operator.
+    Q("d05_ngram_jaccard_pairs",
+      (s, d) => Dedup.minhashNearDupPairs(Tables.t(s, d, "documents"),
+        shingleN = 3, k = 16, bands = 8, threshold = 0.9),
+      None),
+
+    Q("d06_embedding_neardup",
+      (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
+        threshold = 0.35, signBits = 2),
+      None)
+  )
+}

@@ -1,0 +1,450 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's full declared SELECT surface (SURVEY.md §2.1–2.8), executed
+  * for real with the DataFrame API (or `spark.sql` where the construct is
+  * inherently SQL-shaped — CTEs, scalar subqueries), letting Catalyst do the
+  * optimization the reference never had (predicate pushdown, column pruning,
+  * join selection; `/root/reference/` has no optimizer at all, SURVEY §4).
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - Monetary sums go through `CAST(x AS DECIMAL(18,2))` so both engines sum
+  *    exactly (double summation order differs between engines).
+  *  - `length`/`year`/`month` results are cast to BIGINT (DuckDB returns
+  *    BIGINT, Spark INT).
+  *  - ORDER BY used with LIMIT/OFFSET always carries a unique tie-break key.
+  *
+  * Scale notes: `nation`/`region` are fixed-size dimensions → explicit
+  * [[broadcast]]; larger joins shuffle on their keys and AQE (enabled in the
+  * session) handles skew/coalescing. No query collects to the driver.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** sum(CAST(x AS DECIMAL(18,2))) — exact, order-independent. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)"))
+
+  val queries: Seq[Q] = Seq(
+    Q("q01_scan_projection",
+      (s, d) => t(s, d, "customer").select("c_name", "c_acctbal"),
+      Some("SELECT c_name, c_acctbal FROM customer")),
+
+    Q("q02_filter_predicates",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(col("o_totalprice") > 1000 && col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |o_orderpriority FROM orders
+             |WHERE o_totalprice > 1000 AND o_orderstatus = 'O'"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q03_alias_wildcard",
+      (s, d) =>
+        t(s, d, "region").alias("r")
+          .select(col("r.*"), col("r_name").as("region_name")),
+      Some("SELECT r.*, r_name AS region_name FROM region r")),
+
+    Q("q04_join_inner",
+      (s, d) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "c_name", "o_totalprice"),
+      Some("""SELECT o_orderkey, c_name, o_totalprice FROM orders
+             |JOIN customer ON o_custkey = c_custkey"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    Q("q05_join_left",
+      (s, d) =>
+        broadcast(t(s, d, "nation"))
+          .join(t(s, d, "supplier"),
+            col("n_nationkey") === col("s_nationkey"), "left")
+          .select("n_name", "s_name", "s_acctbal"),
+      Some("""SELECT n_name, s_name, s_acctbal FROM nation
+             |LEFT JOIN supplier ON n_nationkey = s_nationkey"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q06_join_right",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"), "right")
+          .select("n_name", "c_name"),
+      Some("""SELECT n_name, c_name FROM customer
+             |RIGHT JOIN nation ON c_nationkey = n_nationkey"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q07_join_full",
+      (s, d) =>
+        t(s, d, "nation")
+          .join(t(s, d, "supplier"),
+            col("n_nationkey") === col("s_nationkey"), "full")
+          .select("n_name", "s_name"),
+      Some("""SELECT n_name, s_name FROM nation
+             |FULL JOIN supplier ON n_nationkey = s_nationkey"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q08_join_cross",
+      (s, d) =>
+        t(s, d, "region").crossJoin(t(s, d, "nation"))
+          .select("r_name", "n_name"),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    // Implicit comma cross-join + WHERE equi-predicate — the reference plans
+    // this as Cross+Filter (tmp/select.rs:295-303); Catalyst rewrites ours
+    // into a real equi-join.
+    Q("q09_join_implicit_cross",
+      (s, d) =>
+        t(s, d, "region").crossJoin(t(s, d, "nation"))
+          .filter(col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region, nation
+             |WHERE n_regionkey = r_regionkey"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Theta join: reference join constraints are arbitrary exprs
+    // (tmp/select.rs:449-471).
+    Q("q10_join_theta",
+      (s, d) => {
+        val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        rich.alias("c1").join(rich.alias("c2"),
+            col("c1.c_nationkey") === col("c2.c_nationkey") &&
+              col("c1.c_custkey") < col("c2.c_custkey"))
+          .select(col("c1.c_custkey").as("a"), col("c2.c_custkey").as("b"),
+            col("c1.c_nationkey").as("nk"))
+      },
+      Some("""SELECT c1.c_custkey AS a, c2.c_custkey AS b,
+             |c1.c_nationkey AS nk
+             |FROM customer c1 JOIN customer c2
+             |ON c1.c_nationkey = c2.c_nationkey
+             |AND c1.c_custkey < c2.c_custkey
+             |WHERE c1.c_acctbal > 9000 AND c2.c_acctbal > 9000"""
+        .stripMargin.replace('\n', ' '))),
+
+    // All 5 aggregate functions + DISTINCT flag (SURVEY §2.4 #13-19).
+    Q("q11_agg_groupby",
+      (s, d) =>
+        t(s, d, "customer").groupBy("c_nationkey").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("nseg"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal")),
+      Some("""SELECT c_nationkey, count(*) AS n,
+             |count(DISTINCT c_mktsegment) AS nseg,
+             |sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+             |min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+             |round(avg(c_acctbal),4) AS avg_bal
+             |FROM customer GROUP BY c_nationkey"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    // Global aggregate without GROUP BY — done with correct SQL semantics,
+    // deliberately NOT replicating the reference's IR quirk (SURVEY §2.4 ⚠).
+    Q("q12_agg_global",
+      (s, d) =>
+        t(s, d, "lineitem").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty,
+             |min(l_extendedprice) AS min_price,
+             |max(l_extendedprice) AS max_price,
+             |count(DISTINCT l_orderkey) AS n_orders FROM lineitem"""
+        .stripMargin.replace('\n', ' '))),
+
+    // HAVING = Filter above Aggregate, same shape as the reference
+    // (tmp/select.rs:213-220).
+    Q("q13_having",
+      (s, d) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .filter(col("n_orders") > 20),
+      Some("""SELECT n_name, count(*) AS n_orders,
+             |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name HAVING count(*) > 20"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    Q("q14_sort_limit_offset",
+      (s, d) =>
+        t(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .offset(5).limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Explicit null placement (SURVEY §7.4-5: the reference's declared sort
+    // defaults differ from Spark's, so placement is always emitted).
+    Q("q15_sort_nulls",
+      (s, d) =>
+        broadcast(t(s, d, "nation"))
+          .join(t(s, d, "supplier"),
+            col("n_nationkey") === col("s_nationkey"), "left")
+          .select("n_name", "s_name", "s_suppkey")
+          .orderBy(col("s_suppkey").desc_nulls_first, col("n_nationkey").asc)
+          .limit(30),
+      Some("""SELECT n_name, s_name, s_suppkey FROM nation
+             |LEFT JOIN supplier ON n_nationkey = s_nationkey
+             |ORDER BY s_suppkey DESC NULLS FIRST, n_nationkey ASC LIMIT 30"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CTE + derived table (SURVEY §2.8 #22-23): SQL-shaped, so it goes
+    // through the spark.sql path — the same statement runs on both engines.
+    Q("q16_cte_derived",
+      (s, d) => { Tables.register(s, d); s.sql(Sql.cteDerived) },
+      Some(Sql.cteDerived)),
+
+    // Scalar subquery in a predicate (SURVEY §2.8 #24).
+    Q("q17_subquery_scalar",
+      (s, d) => { Tables.register(s, d); s.sql(Sql.scalarSubquery) },
+      Some(Sql.scalarSubquery)),
+
+    // Scalar-function passthrough (SURVEY §2.9 #28) resolved against Spark's
+    // real FunctionRegistry instead of the reference's unvalidated strings.
+    Q("q18_scalar_functions",
+      (s, d) =>
+        t(s, d, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          length(col("c_name")).cast("long").as("len"),
+          abs(col("c_acctbal")).as("aabs"),
+          round(col("c_acctbal"), 1).as("rb"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("ccat")),
+      Some("""SELECT c_custkey, upper(c_name) AS uname,
+             |lower(c_mktsegment) AS lseg, substr(c_name,1,8) AS pre,
+             |CAST(length(c_name) AS BIGINT) AS len, abs(c_acctbal) AS aabs,
+             |round(c_acctbal,1) AS rb,
+             |concat(c_name,'-',c_mktsegment) AS ccat FROM customer"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q19_distinct",
+      (s, d) =>
+        t(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct(),
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")),
+
+    // Set operations (SURVEY §2.7 — declared-but-todo!() in the reference;
+    // first-class here).
+    Q("q20_setop_union",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("k"))
+          .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+          .distinct(),
+      Some("""SELECT c_nationkey AS k FROM customer
+             |UNION SELECT s_nationkey AS k FROM supplier"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q21_setop_intersect",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("k"))
+          .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
+      Some("""SELECT c_nationkey AS k FROM customer
+             |INTERSECT SELECT s_nationkey AS k FROM supplier"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q22_setop_except",
+      (s, d) =>
+        t(s, d, "nation").select(col("n_nationkey").as("k"))
+          .except(t(s, d, "supplier").select(col("s_nationkey").as("k"))),
+      Some("""SELECT n_nationkey AS k FROM nation
+             |EXCEPT SELECT s_nationkey AS k FROM supplier"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q23_date_functions",
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
+          .select(
+            col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            date_add(to_date(col("o_orderdate")), 30).as("due")),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             |CAST(year(o_orderdate) AS BIGINT) AS y,
+             |CAST(month(o_orderdate) AS BIGINT) AS m,
+             |CAST(o_orderdate AS DATE) + 30 AS due FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q24_case_when",
+      (s, d) =>
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 400000, "big")
+            .when(col("o_totalprice") > 200000, "mid")
+            .otherwise("small").as("bucket")),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_totalprice > 400000 THEN 'big'
+             |WHEN o_totalprice > 200000 THEN 'mid'
+             |ELSE 'small' END AS bucket FROM orders"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Window function (extension beyond the reference; SURVEY §2.5).
+    Q("q25_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |FROM orders) t WHERE rn <= 3"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    // Semi/anti joins (Spark-native forms of IN / NOT EXISTS).
+    Q("q26_semi_in",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("q27_anti_not_exists",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |WHERE o_custkey = c.c_custkey)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // TPC-H-style headline queries (bench set).
+    Q("q28_pricing_summary",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-09-02 00:00:00'"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |sum(l_quantity) AS sum_qty,
+             |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS sum_disc_price,
+             |sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,2))) AS sum_charge,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |round(avg(l_extendedprice),4) AS avg_price,
+             |round(avg(l_discount),4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    Q("q29_shipping_priority",
+      (s, d) =>
+        t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"),
+            col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10),
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+             |o_orderpriority,
+             |sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    Q("q30_local_supplier_volume",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey") &&
+              col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc),
+      Some("""SELECT n_name,
+             |sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
+  )
+
+  /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
+  private object Sql {
+    val cteDerived: String =
+      """WITH big AS (SELECT o_custkey,
+        |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |FROM orders GROUP BY o_custkey)
+        |SELECT c_name, s FROM (SELECT * FROM big) b
+        |JOIN customer ON b.o_custkey = c_custkey"""
+        .stripMargin.replace('\n', ' ')
+
+    val scalarSubquery: String =
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)"""
+        .stripMargin.replace('\n', ' ')
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the baseline is brute-force top-k — a broadcast of the
+  * (small) query set against a full scan of the corpus, per-row dot
+  * products in native higher-order expressions, then a per-query top-k.
+  * That is exactly the right plan at 100 TB when the query set is small:
+  * one scan, no shuffle of the corpus, top-k via partial aggregation.
+  * The scale path for big query sets is [[annTopK]]: random-hyperplane
+  * sign buckets prune the corpus to candidates sharing the query's bucket
+  * (multi-probe over 1-bit flips), turning O(Q×N) into O(Q×N/2^bits)
+  * with an equality join that shuffles on the bucket key.
+  */
+object Similarity {
+
+  /** array<float> → array<double> (all math in double for determinism). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Deterministic pseudo-random hyperplane sign bucket: bit i is the sign
+    * of a dot product with hyperplane i whose components are derived from
+    * xxhash64(i, dim) — no stored model, reproducible across runs/engines
+    * that share the hash. */
+  def signBucket(v: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      // component_d = (hash(i, d) mod 2001 - 1000) / 1000  ∈ [-1, 1]
+      val comp = zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, dIdx) => x * ((pmod(xxhash64(lit(i), dIdx), lit(2001L)) - 1000L)
+          .cast("double") / 1000.0))
+      val d = aggregate(comp, lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries` and `corpus` both carry (idCol, embedding). */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", l2norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("cv"))
+      .withColumn("cnorm", l2norm(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
+
+  /** Approximate top-k: both sides bucketed by [[signBucket]]; queries probe
+    * their own bucket plus all 1-bit-flip neighbors (multi-probe) and rank
+    * exactly within candidates. */
+  def annTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bits: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      toDouble(col("embedding")).as("cv"))
+      .withColumn("cnorm", l2norm(col("cv")))
+      .withColumn("bucket", signBucket(col("cv"), bits))
+    val probes = array(
+      (lit(0L) +: (0 until bits).map(b => lit(1L << b).cast("long"))): _*)
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", l2norm(col("qv")))
+      .withColumn("qbucket", signBucket(col("qv"), bits))
+      .withColumn("probe", explode(probes))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
+}
+
+/** Driver-facing similarity queries over `embeddings`. */
+object SimilarityQueries {
+  import Similarity._
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact brute-force KNN — oracle via DuckDB list_cosine_similarity
+    // (both sides compute in double; sim rounded to 4 to absorb summation
+    // order). Query set: vec_id < 5; k=10.
+    Q("e01_knn_brute",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |round(list_cosine_similarity(q.embedding, c.embedding), 4) AS sim,
+             |CAST(row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |c.vec_id ASC) AS INTEGER) AS rn
+             |FROM embeddings q, embeddings c
+             |WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+             |QUALIFY rn <= 10"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    Q("e02_embedding_norms",
+      (s, d) =>
+        Tables.t(s, d, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(l2norm(toDouble(col("embedding"))), 4).as("norm")),
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |round(sqrt(list_sum(list_transform(embedding,
+             |x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+             |FROM embeddings""".stripMargin.replace('\n', ' '))),
+
+    // LSH-bucketed ANN (the 100 TB path) — recall vs brute force asserted
+    // in SimilaritySpec; rows-only driver check here.
+    Q("e03_ann_lsh",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        annTopK(emb.filter(col("vec_id") < 20), emb, 5, bits = 4)
+      },
+      None),
+
+    Q("e04_label_centroid_norm",
+      (s, d) =>
+        Tables.t(s, d, "embeddings")
+          .select(col("label"),
+            l2norm(toDouble(col("embedding"))).as("norm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg(col("norm")), 4).as("avg_norm")),
+      Some("""SELECT label, count(*) AS n_vecs,
+             |round(avg(sqrt(list_sum(list_transform(embedding,
+             |x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+             |FROM embeddings GROUP BY label"""
+        .stripMargin.replace('\n', ' ')))
+  )
+}
