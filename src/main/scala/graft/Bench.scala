@@ -1,23 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs the `bench = true` headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * Each query is forced through a `noop`-format write — unlike `.count()`,
+  * which lets Catalyst prune every projection to a row-count scan, the noop
+  * sink evaluates every output column (full codegen pipeline) and discards
+  * rows at the sink, so the timing covers the real operator work. One
+  * untimed warm-up run per query absorbs JIT/codegen compilation and file
+  * listing so timings reflect steady-state execution. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    Tables.ensureRegistered(spark, sfDir)
+
+    def force(name: String): Unit =
+      QueryCatalog.byName(name).build(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = QueryCatalog.all.filter(_.bench).map(_.name)
+    val results = names.map { name =>
+      try {
+        force(name) // warm-up: JIT + codegen + file listing
+        val t0 = System.nanoTime()
+        force(name)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

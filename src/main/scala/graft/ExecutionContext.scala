@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** One index registry entry (CREATE INDEX is metadata-only — Spark has no
+  * secondary-index analog; see SURVEY §2.11 #34). */
+final case class IndexDef(
+    name: String,
+    table: String,
+    columns: Seq[String],
+    unique: Boolean)
+
+/** The engine's public API — parity with the reference's `ExecutionContext`
+  * (`/root/reference/src/context.rs:10-56`): construct with a dialect,
+  * register tables, execute SQL, render plans. Differences are deliberate
+  * improvements (SURVEY §7.1): `execute` returns real rows (the reference
+  * prints the plan and returns `Ok(())`), the catalog is typed parquet
+  * rather than a name-only map, and unknown functions fail at analysis
+  * instead of being silently carried (`tmp/select.rs:583-611`).
+  *
+  * SQL goes straight to `spark.sql` — Catalyst is the planner/optimizer/
+  * executor; only CREATE/DROP INDEX (which Spark SQL cannot parse) is
+  * intercepted and routed to the metadata registry.
+  */
+class ExecutionContext(
+    val spark: SparkSession,
+    val dialect: String = "postgres") {
+
+  require(
+    ExecutionContext.dialects.contains(dialect.toLowerCase),
+    s"Unsupported dialect: $dialect")
+
+  // ---- catalog ----------------------------------------------------------
+
+  /** Register a parquet dataset as a queryable table (replaces the
+    * hard-coded 3-table seed at `/root/reference/src/context.rs:17-34`). */
+  def registerParquet(name: String, path: String): ExecutionContext = {
+    spark.read.parquet(path).createOrReplaceTempView(name)
+    this
+  }
+
+  /** Register the driver test-data star schema of `sfDir`. */
+  def registerTestData(sfDir: String): ExecutionContext = {
+    Tables.ensureRegistered(spark, sfDir)
+    this
+  }
+
+  def tableExists(name: String): Boolean = spark.catalog.tableExists(name)
+
+  /** Catalog lookup with the reference's exact error contract
+    * (`tmp/select.rs:357-364`). */
+  def table(name: String): DataFrame = {
+    requireTable(name)
+    spark.table(name)
+  }
+
+  private def requireTable(name: String): Unit =
+    if (!tableExists(name))
+      throw new IllegalArgumentException(
+        s"Table: $name does not exist in database")
+
+  // ---- execute / explain ------------------------------------------------
+
+  /** Execute the FIRST statement of `sql` (the reference only ever plans
+    * `ast[0]`, `src/context.rs:49`) and return its result. Unknown tables
+    * surface the reference's error message. */
+  def execute(sql: String): DataFrame = {
+    val stmt = ExecutionContext.firstStatement(sql)
+    stmt match {
+      case ExecutionContext.CreateIndexRe(unique, ifNot, idxName, tbl, cols) =>
+        createIndex(
+          Option(idxName).map(_.trim).filter(_.nonEmpty),
+          tbl,
+          cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          unique = unique != null,
+          ifNotExists = ifNot != null)
+        spark.emptyDataFrame
+      case ExecutionContext.DropIndexRe(ifExists, names) =>
+        dropIndex(
+          names.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          ifExists = ifExists != null)
+        spark.emptyDataFrame
+      case _ =>
+        try spark.sql(stmt)
+        catch {
+          case e: AnalysisException
+              if e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") =>
+            val missing = "`\\.?([^`]+)`".r.findFirstMatchIn(e.getMessage)
+              .map(_.group(1)).getOrElse("?")
+            throw new IllegalArgumentException(
+              s"Table: $missing does not exist in database", e)
+        }
+    }
+  }
+
+  /** Execute every statement; returns the last non-empty result — the
+    * `executeAll` extension recommended in SURVEY §7.4-6. */
+  def executeAll(sql: String): DataFrame =
+    ExecutionContext.statements(sql).map(execute)
+      .lastOption.getOrElse(spark.emptyDataFrame)
+
+  /** Render the analyzed logical plan — parity with the reference's only
+    * observable output, `format_plan` (`tmp/select.rs:625-746`). */
+  def explain(sql: String): String =
+    spark.sql(ExecutionContext.firstStatement(sql))
+      .queryExecution.analyzed.treeString
+
+  /** Full plan dump (parsed → analyzed → optimized → physical). */
+  def explainExtended(sql: String): String =
+    spark.sql(ExecutionContext.firstStatement(sql))
+      .queryExecution.toString
+
+  // ---- DDL: tables ------------------------------------------------------
+
+  /** CREATE TABLE with a typed schema at an explicit parquet location
+    * (`tmp/crud.txt:281-310`; type mapping per SURVEY §1). Constraints are
+    * recorded-not-enforced, matching both the reference and Spark. */
+  def createTable(
+      name: String,
+      schema: StructType,
+      location: String,
+      ifNotExists: Boolean = false): Unit = {
+    if (tableExists(name)) {
+      if (!ifNotExists)
+        throw new IllegalArgumentException(s"Table: $name already exists")
+    } else {
+      val ddl = schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+      spark.sql(
+        s"CREATE TABLE $ine$name ($ddl) USING parquet LOCATION '$location'")
+    }
+  }
+
+  /** DROP TABLE [IF EXISTS] name[, ...] [CASCADE] — multi-name with
+    * existence validation (`tmp/crud.txt:349-371`); CASCADE also drops the
+    * table's registered indexes. */
+  def dropTable(
+      names: Seq[String],
+      ifExists: Boolean = false,
+      cascade: Boolean = false): Unit =
+    names.foreach { n =>
+      if (!tableExists(n)) {
+        if (!ifExists) requireTable(n)
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        if (cascade) indexRegistry.filterInPlace((_, ix) => ix.table != n)
+      }
+    }
+
+  // ---- DDL: indexes (metadata registry) ---------------------------------
+
+  private val indexRegistry =
+    scala.collection.mutable.LinkedHashMap.empty[String, IndexDef]
+
+  /** CREATE [UNIQUE] INDEX [name] ON table (cols) [IF NOT EXISTS] —
+    * metadata-only (`tmp/crud.txt:312-347`). Auto-name is the deterministic
+    * `idx_<table>_<cols>` (SURVEY §7.4-2; the reference derives it from a
+    * raw pointer address, `tmp/crud.txt:316` — a bug we do not replicate). */
+  def createIndex(
+      name: Option[String],
+      table: String,
+      columns: Seq[String],
+      unique: Boolean = false,
+      ifNotExists: Boolean = false): IndexDef = {
+    requireTable(table)
+    val idxName = name.getOrElse(s"idx_${table}_${columns.mkString("_")}")
+    if (indexRegistry.contains(idxName)) {
+      if (!ifNotExists)
+        throw new IllegalArgumentException(s"Index: $idxName already exists")
+      indexRegistry(idxName)
+    } else {
+      val ix = IndexDef(idxName, table, columns, unique)
+      indexRegistry += idxName -> ix
+      ix
+    }
+  }
+
+  /** DROP INDEX [IF EXISTS] name[, ...] (`tmp/crud.txt:372-383`). */
+  def dropIndex(names: Seq[String], ifExists: Boolean = false): Unit =
+    names.foreach { n =>
+      if (!indexRegistry.contains(n)) {
+        if (!ifExists)
+          throw new IllegalArgumentException(
+            s"Index: $n does not exist in database")
+      } else indexRegistry -= n
+    }
+
+  def indexes: Seq[IndexDef] = indexRegistry.values.toSeq
+}
+
+object ExecutionContext {
+
+  /** The reference's 11 accepted dialect keys (`src/lib.rs:9-23`). Spark
+    * parses one dialect; the parameter is validated for API parity and
+    * otherwise advisory (SURVEY §7.4-3). */
+  val dialects: Set[String] = Set(
+    "ansi", "bigquery", "clickhouse", "duckdb", "generic", "hive", "mssql",
+    "postgres", "redshift", "sqlite", "snowflake")
+
+  private[graft] val CreateIndexRe =
+    ("""(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([A-Za-z_][\w]*\s+)?ON\s+([A-Za-z_][\w]*)\s*\(([^)]*)\)\s*$""").r
+
+  private[graft] val DropIndexRe =
+    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([\w\s,]+?)\s*$""".r
+
+  /** Split on statement-separating semicolons (quote-aware). */
+  private[graft] def statements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    sql.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private[graft] def firstStatement(sql: String): String =
+    statements(sql).headOption.getOrElse(
+      throw new IllegalArgumentException("Empty SQL statement"))
+}

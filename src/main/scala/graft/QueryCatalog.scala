@@ -22,7 +22,8 @@ object QueryCatalog {
       DedupQueries.queries ++
       SimilarityQueries.queries ++
       EventQueries.queries ++
-      DmlQueries.queries
+      DmlQueries.queries ++
+      MultimodalQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

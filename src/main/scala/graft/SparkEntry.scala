@@ -2,12 +2,19 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-style pricing summary: scan → pushed filter → partial+final
+    * hash agg → sort (q28 in the catalog). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    QueryCatalog.byName("q28_pricing_summary")
+      .build(spark, "/root/testdata/sf0.001")
+  /** One entry per implemented operator from SURVEY.md §2 (+ extended ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.all.map(q => q.name -> q.build).toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (minhash/
+    * simhash/ANN internals) → driver records a rows-only check; their
+    * quality is asserted in ScalaTest suites instead. */
+  def oracleSql: Map[String, String] =
+    QueryCatalog.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -37,7 +37,7 @@ object TextFunctions {
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
   /** k-permutation MinHash signature over a (distinct) shingle array.
     * Permutation i is xxhash64 seeded by mixing in the literal i; the
@@ -55,7 +55,8 @@ object TextFunctions {
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      j => struct(j.as("band"), xxhash64(slice(sig, j * rows + 1, rows)).as("bh")))
+      j => struct(j.as("band"),
+        xxhash64(slice(sig, j * lit(rows) + lit(1), lit(rows))).as("bh")))
 
   /** 64-bit SimHash over tokens: per-token xxhash64 bit votes (+1/-1)
     * accumulated into 64 counters in one pass, then folded to a BIGINT.

@@ -56,16 +56,23 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
+    // Persisted: the shingle/signature scan feeds banding AND the verify
+    // join; without the persist the whole signature pipeline computes twice
+    // (once per self-join side) — the round-1 cost bug.
     val prep = minhashPrep(docs, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = prep
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val capped = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Skew cap WITHOUT buffering the degenerate bucket: a window count over
+    // (band, bh) would sort the exact hot bucket it is guarding against into
+    // one task. Instead: tiny aggregate of over-cap keys → broadcast
+    // anti-join. The over-cap key set is by construction small (each key
+    // represents > maxBucket docs), so the broadcast is always safe.
+    val overCap = banded.groupBy("band", "bh").count()
+      .filter(col("count") > maxBucket)
+      .select("band", "bh")
+    val capped = banded.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
     val cands = capped.alias("l")
       .join(capped.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -99,7 +106,8 @@ object Dedup {
     val pos = withSig.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        j => shiftright(col("simhash"), j * bitsPer).bitwiseAND(lit(mask)))))
+        j => call_function("shiftright", col("simhash"), j * bitsPer)
+          .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
     pos.alias("l").join(pos.alias("r"),
         col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&

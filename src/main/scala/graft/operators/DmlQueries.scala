@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DML operators — INSERT (VALUES / SELECT), UPDATE, DELETE — executed for
+  * real as copy-on-write parquet versions (the reference only prints the
+  * plans: insert `/root/reference/tmp/crud.txt:178-221`, update `:223-279`,
+  * delete `:480-504`; nothing ever mutates state there).
+  *
+  * Model: each statement materializes a new immutable version directory
+  * (`v0` = base snapshot, `v1` = post-mutation). Readers always see a
+  * complete version — the copy-on-write discipline every lakehouse format
+  * (Delta/Iceberg/Hudi) uses, minus the transaction log. At 100 TB a real
+  * deployment adds the log for atomic commit + concurrent readers; the
+  * write path (rewrite-changed-files, never in-place) is the same, and
+  * UPDATE/DELETE stay O(table-rewrite) worst case / O(matched-files) with
+  * file-level pruning.
+  *
+  * Every query returns the FINAL TABLE STATE so the DuckDB oracle can
+  * express the same result purely relationally (UNION ALL for insert,
+  * CASE for update, negated WHERE for delete) over the original table.
+  */
+object Dml {
+
+  /** Re-runnable scratch root; versions are overwritten per invocation so
+    * repeated builder calls (bench warm-ups) stay idempotent. */
+  private[graft] def work(name: String, sfDir: String): String =
+    s"/root/repo/target/dmltmp/${math.abs(sfDir.hashCode).toString}/$name"
+
+  private def snapshot(df: DataFrame, dir: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
+  /** INSERT INTO t VALUES (...), (...): append rows to the v0 snapshot. */
+  def insertValues(base: DataFrame, rows: DataFrame, dir: String): DataFrame = {
+    val v0 = snapshot(base, s"$dir/v0")
+    rows.select(v0.columns.map(col): _*) // align column order with the table
+      .write.mode(SaveMode.Append).parquet(s"$dir/v0")
+    v0.sparkSession.read.parquet(s"$dir/v0")
+  }
+
+  /** UPDATE t SET assignments WHERE pred — read v0, rewrite matching rows
+    * via CASE-style projection, publish as v1. */
+  def update(
+      base: DataFrame,
+      dir: String,
+      pred: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val v0 = snapshot(base, s"$dir/v0")
+    val updated = v0.select(v0.columns.map { c =>
+      assignments.get(c) match {
+        case Some(newVal) => when(pred, newVal).otherwise(col(c)).as(c)
+        case None         => col(c)
+      }
+    }: _*)
+    updated.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
+    v0.sparkSession.read.parquet(s"$dir/v1")
+  }
+
+  /** DELETE FROM t WHERE pred — keep the complement, publish as v1. */
+  def delete(
+      base: DataFrame,
+      dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val v0 = snapshot(base, s"$dir/v0")
+    val kept = v0.filter(!coalesce(pred, lit(false)))
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
+    v0.sparkSession.read.parquet(s"$dir/v1")
+  }
+}
+
+/** Driver-facing DML queries; each returns the post-statement table state.
+  * Matches the reference's planned forms (`tmp/crud.txt` tests at :871-909,
+  * :993-1008) but with real effects and oracle-checked results. */
+object DmlQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    Q("m01_insert_values",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val base = Tables.t(s, d, "nation")
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(base, rows, Dml.work("m01", d))
+      },
+      Some("""SELECT * FROM nation UNION ALL
+             |SELECT * FROM (VALUES (CAST(25 AS INTEGER), 'LEMURIA', CAST(2 AS INTEGER)),
+             |(26, 'ZEALANDIA', 3)) t(n_nationkey, n_name, n_regionkey)"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("m02_insert_select",
+      (s, d) => {
+        val base = Tables.t(s, d, "supplier")
+        val src = base.filter(col("s_acctbal") > 5000).select(
+          (col("s_suppkey") + 100L).as("s_suppkey"),
+          concat(col("s_name"), lit("-copy")).as("s_name"),
+          col("s_nationkey"),
+          col("s_acctbal"))
+        Dml.insertValues(base, src, Dml.work("m02", d))
+      },
+      Some("""SELECT * FROM supplier UNION ALL
+             |SELECT s_suppkey + 100 AS s_suppkey, s_name || '-copy' AS s_name,
+             |s_nationkey, s_acctbal FROM supplier WHERE s_acctbal > 5000"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("m03_update_where",
+      (s, d) =>
+        Dml.update(
+          Tables.t(s, d, "supplier"),
+          Dml.work("m03", d),
+          col("s_acctbal") < 0,
+          Map("s_acctbal" -> (col("s_acctbal") + 500.0))),
+      Some("""SELECT s_suppkey, s_name, s_nationkey,
+             |CASE WHEN s_acctbal < 0 THEN s_acctbal + 500.0
+             |ELSE s_acctbal END AS s_acctbal FROM supplier"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("m04_delete_where",
+      (s, d) =>
+        Dml.delete(
+          Tables.t(s, d, "customer"),
+          Dml.work("m04", d),
+          col("c_acctbal") < 0),
+      Some("SELECT * FROM customer WHERE NOT (c_acctbal < 0)")),
+
+    // Full DDL round trip through ExecutionContext: CREATE TABLE (typed,
+    // parquet-backed) → INSERT OVERWRITE (idempotent re-runs) → CREATE
+    // INDEX (metadata registry) → SELECT final state.
+    Q("m05_ddl_roundtrip",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        val loc = Dml.work("m05", d) + "/items"
+        ctx.execute("DROP TABLE IF EXISTS g_ddl_items")
+        ctx.execute(
+          s"""CREATE TABLE g_ddl_items (id BIGINT, name STRING, score DOUBLE)
+             |USING parquet LOCATION '$loc'""".stripMargin.replace('\n', ' '))
+        ctx.execute(
+          """INSERT OVERWRITE g_ddl_items
+            |VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5)"""
+            .stripMargin.replace('\n', ' '))
+        ctx.execute("CREATE INDEX ON g_ddl_items (id)")
+        ctx.execute("SELECT * FROM g_ddl_items")
+      },
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE)),
+             |(2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, name, score)"""
+        .stripMargin.replace('\n', ' ')))
+  )
+}

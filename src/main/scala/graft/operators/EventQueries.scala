@@ -56,7 +56,10 @@ object EventQueries {
     // running sum = session id → per-user session stats.
     Q("s04_sessionize",
       (s, d) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        // event_id tie-break: duplicate ts per user would otherwise let the
+        // lag/running-sum split sessions differently between Spark and DuckDB.
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
         val newSession =
           when(col("ts").cast("long") -
             lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1L)
@@ -71,17 +74,17 @@ object EventQueries {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_sessions"),
             max(col("n_events")).as("longest_session"),
-            sum(col("n_events")).as("n_events")),
+            sum(col("n_events")).as("n_events"))
       },
       Some("""WITH flagged AS (
-             |SELECT user_id, ts,
+             |SELECT user_id, ts, event_id,
              |CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
-             |(PARTITION BY user_id ORDER BY ts))) > 1800
+             |(PARTITION BY user_id ORDER BY ts, event_id))) > 1800
              |THEN 1 ELSE 0 END AS is_new
              |FROM events),
              |sess AS (
              |SELECT user_id,
-             |sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |ROWS UNBOUNDED PRECEDING) AS session_id
              |FROM flagged),
              |per AS (SELECT user_id, session_id, count(*) AS n_events

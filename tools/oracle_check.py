@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare against the Spark parquet dump
+(columns sorted by name, rows sorted), report per-query match. Usage:
+  python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).fetchdf()
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files]) if files else None
+        if got is None:
+            bad.append((name, "no spark output")); continue
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)]
+        if list(exp.columns) != list(got.columns):
+            bad.append((name, f"cols exp={list(exp.columns)} got={list(got.columns)}")); continue
+        if len(exp) != len(got):
+            bad.append((name, f"rows exp={len(exp)} got={len(got)}")); continue
+        # normalize: sort rows, reset index, compare with exact equality
+        def norm(df):
+            d = df.copy()
+            for c in d.columns:
+                if d[c].dtype == object:
+                    d[c] = d[c].astype(str)
+            return d.sort_values(by=list(d.columns)).reset_index(drop=True)
+        e, g = norm(exp), norm(got)
+        try:
+            pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=True)
+            ok.append(name)
+        except AssertionError as ex:
+            # retry with tolerance to distinguish float jitter from real bugs
+            try:
+                pd.testing.assert_frame_equal(e, g, check_dtype=False, rtol=1e-9)
+                bad.append((name, "float-jitter-only (hash would MISMATCH)"))
+            except AssertionError:
+                bad.append((name, str(ex).split("\n")[0][:200]))
+    except Exception as ex:
+        bad.append((name, f"oracle error: {str(ex)[:200]}"))
+
+print(f"PASS {len(ok)}/{len(oracle)}")
+for n, why in bad:
+    print(f"FAIL {n}: {why}")
