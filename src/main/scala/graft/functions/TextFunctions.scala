@@ -31,21 +31,53 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
       lit(0))).cast("long")
 
-  /** Contiguous token n-gram shingles (distinct), the unit for near-dup
-    * jaccard. For docs shorter than n the whole token list is one shingle. */
-  def shingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  /** PERFORMANCE RULE for every function below: Spark's higher-order array
+    * functions evaluate interpreted (outside whole-stage codegen) and
+    * re-evaluate any expression referenced INSIDE a lambda on every outer
+    * iteration — there is no cross-iteration CSE, and CollapseProject
+    * re-inlines "materialized" columns straight back into lambda bodies.
+    * So expensive arrays may appear only as TOP-LEVEL HOF arguments
+    * (evaluated once per row); per-element work walks the array exactly
+    * once via `aggregate`/`zip_with`. Violating this cost 40× on the
+    * minhash pipeline (79s → ~2s over the sf0.1 corpus). */
 
-  /** k-permutation MinHash signature over a (distinct) shingle array.
-    * Permutation i is xxhash64 seeded by mixing in the literal i; the
-    * signature is array<bigint> of length k. Per-row, no shuffle. */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(s, i))))
+  /** Contiguous token n-gram shingles (distinct), the unit for near-dup
+    * jaccard. For docs shorter than n the whole token list is one shingle.
+    * (String form — reference semantics; the dedup pipeline uses
+    * [[shingleHashes]], which never builds the strings.) */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(slice(grams, lit(1), greatest(size(toks) - (n - 1), lit(1))))
+  }
+
+  /** Distinct 64-bit n-gram shingle hashes computed directly from token
+    * hashes — shingle (t_i..t_{i+n-1}) hashes as the xxhash64-fold of the
+    * tokens' own hashes, so no n-gram string is ever materialized. `toks`
+    * is hashed once per zip_with slot (n small), never per shingle. */
+  def shingleHashes(toks: Column, n: Int): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    val folded = (1 until n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
+        (a, b) => xxhash64(a, b))
+    }
+    array_distinct(slice(folded, lit(1), greatest(size(th) - (n - 1), lit(1))))
+  }
+
+  /** k-permutation MinHash signature over pre-hashed shingles: ONE walk of
+    * the hash array; the accumulator carries all k running minima, and
+    * permutation i of element h is xxhash64(h, i) — pure long math.
+    * Signature is array<bigint> of length k; per-row, no shuffle. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(h, i)),
+        (a, b) => least(a, b)))
 
   /** LSH band keys for a minhash signature: `bands` hashes, each over a
     * contiguous slice of `rows` signature entries. Docs sharing ANY band key
@@ -58,22 +90,32 @@ object TextFunctions {
       j => struct(j.as("band"),
         xxhash64(slice(sig, j * lit(rows) + lit(1), lit(rows))).as("bh")))
 
-  /** 64-bit SimHash over tokens: per-token xxhash64 bit votes (+1/-1)
-    * accumulated into 64 counters in one pass, then folded to a BIGINT.
-    * Built as a SQL expression because per-bit variable shifts need
-    * column-arg shiftleft/shiftright. */
-  def simhash64(toksCol: String): Column = expr(
-    s"""aggregate(
-       |  zip_with(
-       |    aggregate($toksCol,
-       |      array_repeat(0L, 64),
-       |      (acc, tk) -> zip_with(acc,
-       |        transform(sequence(0, 63),
-       |          b -> bigint(shiftright(xxhash64(tk), b) & 1L) * 2L - 1L),
-       |        (x, y) -> x + y)),
-       |    sequence(0, 63),
-       |    (v, b) -> if(v > 0L, shiftleft(1L, b), 0L)),
-       |  0L, (acc, x) -> acc + x)""".stripMargin)
+  /** Per-token 64-bit hashes (top-level-arg discipline, see the rule
+    * above). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => xxhash64(t))
+
+  /** 64-bit SimHash over pre-hashed tokens in ONE walk: the accumulator
+    * carries (per-bit set-counts, token count); the finish lambda folds to
+    * a BIGINT whose bit b is set iff more than half the tokens have bit b
+    * set (majority vote; ties → 0 — identical to the +1/-1 vote-sum
+    * formulation). */
+  def simhash64(tokenHashes: Column): Column =
+    aggregate(
+      tokenHashes,
+      struct(array_repeat(lit(0L), 64).as("c"), lit(0L).as("n")),
+      (acc, h) => struct(
+        zip_with(
+          acc.getField("c"),
+          transform(sequence(lit(0), lit(63)),
+            b => call_function("shiftright", h, b).bitwiseAND(lit(1L))),
+          (a, b) => a + b).as("c"),
+        (acc.getField("n") + lit(1L)).as("n")),
+      acc => aggregate(
+        zip_with(acc.getField("c"), sequence(lit(0), lit(63)),
+          (c, b) => when(c * 2 > acc.getField("n"),
+            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x))
 
   /** Rolling polynomial fingerprint over the token stream (order-sensitive,
     * unlike the set-based minhash): acc = (acc*31 + h(tok)) mod 1e9+7. */

@@ -23,6 +23,17 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Unlock full parallelism before expensive per-row expression work:
+    * a small corpus file arrives as ONE scan partition (128 MB split
+    * granularity), serializing the whole signature computation on one
+    * core. At real scale the input has >= defaultParallelism splits and
+    * this is a no-op; the explicit partition count keeps AQE from
+    * coalescing the tiny shuffle back to one partition. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact duplicate groups keyed by md5 of the raw text. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
@@ -37,12 +48,18 @@ object Dedup {
       .select(md5(col("ntext")).as("h"), col("keep_id"), col("n"))
   }
 
-  /** (doc_id, shingles, sig) prepared frame: per-row expression work only. */
+  /** (doc_id, shh, sig) prepared frame: per-row expression work only.
+    * `shh` is the distinct shingle HASH set — the unit for both banding and
+    * the exact-jaccard verify (jaccard over 64-bit hash sets equals jaccard
+    * over the string sets up to negligible collision probability, and long
+    * comparisons beat string comparisons in the verify join). Each column
+    * is materialized so lambda bodies never re-derive it (HOFs evaluate
+    * interpreted, with no cross-iteration CSE). */
   def minhashPrep(docs: DataFrame, shingleN: Int, k: Int): DataFrame =
-    docs.select(
+    spread(docs).select(
       col("doc_id"),
-      shingles(tokens(col("text")), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      shingleHashes(tokens(col("text")), shingleN).as("shh"))
+      .withColumn("sig", minhashSignature(col("shh"), k))
 
   /** Candidate pairs from LSH banding, verified with exact jaccard over the
     * shingle sets; returns pairs (a, b, jac) with jac >= threshold.
@@ -72,17 +89,22 @@ object Dedup {
     val overCap = banded.groupBy("band", "bh").count()
       .filter(col("count") > maxBucket)
       .select("band", "bh")
+    // Also persisted: the self-join below reads `capped` from both sides —
+    // without it the explode + aggregate + anti-join chain runs twice.
+    // (doc_id, band, bh) is bands×docs rows of 3 longs — always small
+    // relative to the corpus.
     val capped = banded.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = capped.alias("l")
       .join(capped.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    val sets = prep.select(col("doc_id"), col("sh"))
+    val sets = prep.select(col("doc_id"), col("shh"))
     cands
-      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
-      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("shh", "sh_a"), "a")
+      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("shh", "sh_b"), "b")
       .withColumn("jac",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
@@ -98,10 +120,9 @@ object Dedup {
       chunks: Int = 8): DataFrame = {
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    val withSig = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("simhash", simhash64("toks"))
-      .select(col("doc_id"), col("simhash"))
+    val withSig = spread(docs)
+      .select(col("doc_id"),
+        simhash64(tokenHashes(tokens(col("text")))).as("simhash"))
     // carry the chunk index via posexplode for a precise join key
     val pos = withSig.select(
       col("doc_id"), col("simhash"),
@@ -127,7 +148,7 @@ object Dedup {
       emb: DataFrame,
       threshold: Double,
       signBits: Int = 4): DataFrame = {
-    val withB = emb
+    val withB = spread(emb)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), signBits))
       .withColumn("norm", Similarity.l2norm(col("v")))

@@ -52,7 +52,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", l2norm(col("qv")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("cv"))
       .withColumn("cnorm", l2norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -73,7 +73,7 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       bits: Int = 4): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("cv"))
       .withColumn("cnorm", l2norm(col("cv")))
       .withColumn("bucket", signBucket(col("cv"), bits))

@@ -11,15 +11,15 @@ class DedupSpec extends SparkSpec {
   private lazy val docs: DataFrame =
     Tables.t(spark, sf, "documents").limit(200).cache()
 
-  /** Brute-force all-pairs exact jaccard over 3-gram shingles (the oracle
-    * LSH must approximate). */
+  /** Brute-force all-pairs exact jaccard over 3-gram shingle hash sets
+    * (the oracle LSH must approximate). */
   private def brutePairs(minJac: Double): Set[(Long, Long)] = {
-    val sets = Dedup.minhashPrep(docs, 3, 16).select("doc_id", "sh")
+    val sets = Dedup.minhashPrep(docs, 3, 16).select("doc_id", "shh")
     sets.alias("l").join(sets.alias("r"),
         col("l.doc_id") < col("r.doc_id"))
       .withColumn("jac",
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))))
+        size(array_intersect(col("l.shh"), col("r.shh"))).cast("double") /
+          size(array_union(col("l.shh"), col("r.shh"))))
       .filter(col("jac") >= minJac)
       .select(col("l.doc_id"), col("r.doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
