@@ -469,7 +469,28 @@ object RelationalQueries {
     Q("q32_function_passthrough",
       (s, d) => new ExecutionContext(s).registerTestData(d)
         .execute(Sql.passthrough),
-      Some(Sql.passthrough))
+      Some(Sql.passthrough)),
+
+    // USING-constraint join — declared unsupported (todo!) in the reference
+    // (tmp/select.rs:459-461); first-class here. Shared SQL text runs
+    // verbatim on both engines.
+    Q("q33_join_using",
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.joinUsing) },
+      Some(Sql.joinUsing)),
+
+    // ROLLUP — the reference rejects complex GROUP BY
+    // ("Complex GROUP BY expressions not supported yet",
+    // tmp/select.rs:402); Spark and DuckDB both support it natively.
+    Q("q34_rollup",
+      (s, d) =>
+        t(s, d, "customer")
+          .rollup(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("c_acctbal")).as("sum_bal")),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
@@ -498,6 +519,12 @@ object RelationalQueries {
         |greatest(c_acctbal, 0.0) AS floor_bal,
         |least(c_acctbal, 1000.0) AS cap_bal,
         |repeat('x', 3) AS xxx FROM customer"""
+        .stripMargin.replace('\n', ' ')
+
+    val joinUsing: String =
+      """SELECT k, c_name, s_name FROM
+        |(SELECT c_nationkey AS k, c_name FROM customer) c JOIN
+        |(SELECT s_nationkey AS k, s_name FROM supplier) s USING (k)"""
         .stripMargin.replace('\n', ' ')
   }
 }

@@ -75,6 +75,38 @@ class RelationalSpec extends SparkSpec {
     assert(nseg >= 1 && nseg <= 5)
   }
 
+  test("filter is pushed into the parquet scan and columns are pruned " +
+    "(the reference's projected_schema never pruned, SURVEY §4)") {
+    val plan = q("q02_filter_predicates").build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_totalprice"), plan.take(500))
+    // pruned read schema: no columns beyond the 5 selected + filters
+    assert(!plan.contains("o_orderdate"))
+  }
+
+  test("fixed-size dims join as broadcasts, not shuffles (q30 plan)") {
+    val plan = q("q30_local_supplier_volume").build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("implicit comma cross-join + WHERE is rewritten to a real equi-join " +
+    "(no cartesian product survives in the physical plan)") {
+    val plan = q("q09_join_implicit_cross").build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("USING join and ROLLUP run beyond reference parity (q33, q34)") {
+    assert(q("q33_join_using").build(spark, sf).count() > 0)
+    val roll = q("q34_rollup").build(spark, sf)
+    // rollup: (nk, seg) groups + per-nk subtotals + grand total
+    val grand = roll.filter(col("c_nationkey").isNull &&
+      col("c_mktsegment").isNull).collect()
+    assert(grand.length == 1 && grand.head.getLong(2) == 150L)
+  }
+
   test("setops: union distinct <= union all; intersect <= either side") {
     val u = q("q20_setop_union").build(spark, sf).count()
     assert(u == 25L) // nation keys 0..24 on both sides
