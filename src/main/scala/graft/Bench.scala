@@ -31,7 +31,13 @@ object Bench {
     val names = QueryCatalog.all.filter(_.bench).map(_.name)
     val results = names.map { name =>
       try {
-        force(name) // warm-up: JIT + codegen + file listing
+        // Isolate queries from each other: drop caches persisted by earlier
+        // operators (a query may rebuild its OWN cache in the warm-up —
+        // that is part of its steady state) and clear garbage so one
+        // query's allocation churn doesn't tax the next one's timing.
+        spark.sharedState.cacheManager.clearCache()
+        force(name) // warm-up: JIT + codegen + file listing (+ own caches)
+        System.gc()
         val t0 = System.nanoTime()
         force(name)
         name -> (System.nanoTime() - t0) / 1e9
