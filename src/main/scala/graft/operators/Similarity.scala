@@ -95,6 +95,65 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim", "rn")
   }
+
+  /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    * ANN: k-means partitions the corpus into `nlist` cells; each query
+    * scans only its `nprobe` nearest cells. Complements [[annTopK]]'s LSH
+    * buckets with a data-adaptive partitioning (better recall on clustered
+    * embeddings at the same scan fraction).
+    *
+    * Scale: the corpus is scanned once to train (sampled in a real
+    * deployment) and once to assign; centroids (nlist × dim doubles) are
+    * tiny and broadcast to both queries and the probe join. The candidate
+    * join shuffles on cell id — O(Q × N × nprobe / nlist) work, never
+    * all-pairs — and cell sizes are balanced by k-means itself. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = Dedup.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"),
+        toDouble(col("embedding")).as("cv"))
+      .withColumn("cnorm", l2norm(col("cv")))
+      .withColumn("features", array_to_vector(col("cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans()
+      .setK(nlist).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(c)
+    val assigned = model.transform(c).drop("features")
+    val sq = spark; import sq.implicits._
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", l2norm(col("qv")))
+    // nprobe nearest cells per query: centroid table is tiny -> broadcast
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("list_id").asc)
+    val qProbes = q.crossJoin(broadcast(centDf))
+      .withColumn("d2",
+        aggregate(zip_with(col("qv"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(qw))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qv", "qnorm", "list_id")
+    val scored = assigned.join(broadcast(qProbes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
 }
 
 /** Driver-facing similarity queries over `embeddings`. */
@@ -144,6 +203,16 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
         annTopK(emb.filter(col("vec_id") < 20), emb, 5, bits = 4)
+      },
+      None),
+
+    // IVF ANN (data-adaptive cells; recall vs brute force asserted in
+    // SimilaritySpec) — rows-only driver check, k-means seed fixed.
+    Q("e05_ann_ivf",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        ivfTopK(emb.filter(col("vec_id") < 20), emb, 5,
+          nlist = 16, nprobe = 4)
       },
       None),
 

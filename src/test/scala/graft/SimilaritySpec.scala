@@ -37,6 +37,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.size <= exact.size)
   }
 
+  test("ivf recall@5 vs brute force beats random cell scanning") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // nprobe/nlist = 25% of cells scanned; data-adaptive cells should
+    // comfortably beat that scan fraction in recall
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
   test("ann results are exact cosines over its candidates (no approximate " +
     "scores, only approximate candidate sets)") {
     val emb = Tables.t(spark, sf, "embeddings")
