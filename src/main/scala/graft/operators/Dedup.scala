@@ -193,7 +193,8 @@ object DedupQueries {
     Q("d04_simhash_pairs",
       (s, d) => Dedup.simhashNearDupPairs(Tables.t(s, d, "documents"),
         maxHamming = 7, chunks = 8),
-      None),
+      None,
+      bench = true),
 
     // Exact n-gram jaccard for LSH candidates at a high threshold — the
     // "verify" stage of near-dedup as its own operator.

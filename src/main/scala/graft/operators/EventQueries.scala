@@ -92,6 +92,7 @@ object EventQueries {
              |SELECT user_id, count(*) AS n_sessions,
              |max(n_events) AS longest_session, sum(n_events) AS n_events
              |FROM per GROUP BY user_id"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

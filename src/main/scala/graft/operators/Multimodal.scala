@@ -87,7 +87,8 @@ object MultimodalQueries {
       Some("""SELECT doc_id,
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |left(hex(encode(text)), 8) AS magic
-             |FROM documents""".stripMargin.replace('\n', ' '))),
+             |FROM documents""".stripMargin.replace('\n', ' ')),
+      bench = true),
 
     Q("mm02_image_meta",
       (s, d) => {

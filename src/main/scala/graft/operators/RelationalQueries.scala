@@ -129,7 +129,13 @@ object RelationalQueries {
         .stripMargin.replace('\n', ' '))),
 
     // Theta join: reference join constraints are arbitrary exprs
-    // (tmp/select.rs:449-471).
+    // (tmp/select.rs:449-471). Scale note: a theta self-join is quadratic
+    // within each nation key BY DEFINITION; the discipline that keeps it
+    // usable at 100 TB is the selective pre-filter (acctbal > 9000 cuts
+    // each side ~10×, the pair count ~100×) applied BEFORE the join —
+    // pushed to the scan by Catalyst — exactly how production theta joins
+    // are written. An unfiltered all-pairs-per-key form does not scale and
+    // is not offered.
     Q("q10_join_theta",
       (s, d) => {
         val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
