@@ -31,6 +31,20 @@ class ExecutionContext(
     ExecutionContext.dialects.contains(dialect.toLowerCase),
     s"Unsupported dialect: $dialect")
 
+  // Engine-native function surface: the codegen'd cosine similarity is
+  // exposed to SQL as `cosine_sim(array<double>, array<double>)` (the
+  // reference's scalar-function passthrough accepts any name unvalidated;
+  // ours resolve against the registry, so engine extensions register here).
+  locally {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1)))
+  }
+
   // ---- catalog ----------------------------------------------------------
 
   /** Register a parquet dataset as a queryable table (replaces the

