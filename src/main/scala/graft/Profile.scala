@@ -25,6 +25,27 @@ object Profile {
 
     def ms(t0: Long): Long = (System.nanoTime() - t0) / 1000000
 
+    if (names.contains("_layouts")) {
+      // Drive the bucketed-layout co-located join end-to-end and show the
+      // plan a user of Layouts.writeBucketed would get.
+      import org.apache.spark.sql.functions._
+      Layouts.writeBucketed(
+        Tables.t(spark, sfDir, "orders"), "demo_orders", "o_orderkey", 8)
+      Layouts.writeBucketed(
+        Tables.t(spark, sfDir, "lineitem"), "demo_lineitem", "l_orderkey", 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("demo_orders")
+        .join(spark.table("demo_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_totalprice", "l_quantity")
+      println("LAYOUTS rows=" + j.count())
+      println("LAYOUTS exchange_free=" +
+        !j.queryExecution.executedPlan.toString.contains("Exchange"))
+      spark.sql("DROP TABLE IF EXISTS demo_orders")
+      spark.sql("DROP TABLE IF EXISTS demo_lineitem")
+      spark.stop(); return
+    }
+
     if (names.contains("_d03stages")) {
       val docs = Tables.t(spark, sfDir, "documents")
       def time(label: String)(f: => Long): Unit = {

@@ -1,7 +1,27 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the custom-state pipeline (matches the `events`
+  * table after [[Tables.loadEvents]]' timestamp conversion). */
+case class SessionEvent(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** One closed session emitted by [[EventStreams.sessionizeCustomState]]. */
+case class ClosedSession(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start: Long, lastTs: Long, n: Long)
 
 /** Structured Streaming twins of the batch event analytics in
   * [[graft.EventQueries]] (the reference has no streaming surface at all —
@@ -46,4 +66,63 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * hand-rolled form of [[sessionStats]] for when session semantics
+    * outgrow `session_window` (e.g. per-session custom payloads). State
+    * per user is ONE open session (constant size); closed sessions are
+    * emitted as soon as a gap is observed in-batch, and the final open
+    * session is flushed when the event-time watermark passes its
+    * timeout — so state is bounded and eventually drained, the property
+    * that keeps an unbounded 100 TB/day stream runnable.
+    *
+    * Caller must `withWatermark("ts", ...)` before `.as[SessionEvent]`.
+    * Batch execution note: Spark never fires timeouts in batch mode, so a
+    * batch run emits only gap-CLOSED sessions; each user's trailing open
+    * session is not emitted (use the batch s04 query for complete batch
+    * sessionization — this operator is the streaming form). */
+  def sessionizeCustomState(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          def close(s: SessionState): ClosedSession = ClosedSession(
+            userId,
+            new java.sql.Timestamp(s.start * 1000),
+            new java.sql.Timestamp(s.lastTs * 1000),
+            s.n)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session is final
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              open match {
+                case Some(s) if t - s.lastTs <= gapSeconds =>
+                  open = Some(s.copy(lastTs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapSeconds) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

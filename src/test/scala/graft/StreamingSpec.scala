@@ -65,6 +65,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("custom-state sessionization: in-batch gaps close sessions " +
+    "immediately; the watermark drains the final open session") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val stream = EventStreams.sessionizeCustomState(
+      ms.toDF.withWatermark("ts", "0 seconds").as[SessionEvent])
+    val query = stream.writeStream.format("memory").queryName("cs_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two sessions for user 1 (gap > 30 min splits in-batch)
+      ms.addData(
+        SessionEvent(1, t("2026-01-01 10:00:00"), 1, "c", 1.0),
+        SessionEvent(2, t("2026-01-01 10:10:00"), 1, "c", 1.0),
+        SessionEvent(3, t("2026-01-01 11:00:00"), 1, "c", 1.0))
+      query.processAllAvailable()
+      val early = spark.table("cs_out").as[ClosedSession].collect()
+      assert(early.length == 1 && early.head.n_events == 2)
+      // batch 2 advances max event time; batch 3 advances the watermark
+      // past 11:00 + 30 min -> the open session times out and flushes
+      ms.addData(SessionEvent(4, t("2026-01-01 13:00:00"), 2, "c", 1.0))
+      query.processAllAvailable()
+      ms.addData(SessionEvent(5, t("2026-01-01 13:05:00"), 2, "c", 1.0))
+      query.processAllAvailable()
+      val all = spark.table("cs_out").as[ClosedSession].collect()
+      val u1 = all.filter(_.user_id == 1)
+      assert(u1.length == 2, s"got ${all.toSeq}")
+      assert(u1.map(_.n_events).sorted.toSeq == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("custom-state sessionization in batch emits exactly the gap-closed " +
+    "sessions (batch never fires timeouts, so open tails stay in state)") {
+    val sq = spark; import sq.implicits._
+    val batch = EventStreams.sessionizeCustomState(
+      fixture.map(e =>
+        SessionEvent(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDS())
+    val perUser = batch.collect().groupBy(_.user_id)
+      .view.mapValues(_.map(_.n_events).sum).toMap
+    // user 1: 10:05/10:20 closed by the 11:10 gap (2 events); 11:10 stays
+    // open. user 2: 10:40 closed by the 12:00 gap; 12:00 stays open.
+    assert(perUser == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("user activity rollup is streaming-queryable (update-mode state)") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
