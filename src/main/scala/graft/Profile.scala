@@ -43,6 +43,21 @@ object Profile {
         !j.queryExecution.executedPlan.toString.contains("Exchange"))
       spark.sql("DROP TABLE IF EXISTS demo_orders")
       spark.sql("DROP TABLE IF EXISTS demo_lineitem")
+      // salted two-phase aggregation over the skewed-by-construction
+      // lineitem quantity (orderkey space is fine; demo uses returnflag
+      // which has 3 hot values — worst-case skew shape)
+      val salted = Skew.saltedAgg(
+        Tables.t(spark, sfDir, "lineitem"), "l_returnflag", "l_quantity",
+        salts = 16)
+      println("LAYOUTS salted_agg_rows=" + salted.count())
+      // partitioned write + pruned read
+      val p = Dml.work("profile_layout", sfDir) + "/orders_by_year"
+      Layouts.writePartitioned(
+        Tables.t(spark, sfDir, "orders")
+          .withColumn("y", year(col("o_orderdate"))), p, "y")
+      val pruned = spark.read.parquet(p).filter(col("y") === 1997)
+      println("LAYOUTS pruned_rows=" + pruned.count() + " partition_filtered=" +
+        pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
       spark.stop(); return
     }
 

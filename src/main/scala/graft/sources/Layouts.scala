@@ -30,4 +30,19 @@ object Layouts {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Write `df` hive-partitioned by `partCol` at `path`. Reads that filter
+    * on the partition column prune whole directories at planning time
+    * (static partition pruning) — at 100 TB, a date-partitioned fact table
+    * turns a time-range query from a full scan into a handful of
+    * partitions; joins against a filtered dim get the same effect at
+    * runtime via dynamic partition pruning. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(path)
 }

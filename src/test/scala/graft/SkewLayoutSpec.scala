@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Skew salting correctness + partition-pruning layout tests. */
+class SkewLayoutSpec extends SparkSpec {
+
+  test("salted aggregation equals the plain aggregation on a skewed frame") {
+    val sq = spark; import sq.implicits._
+    // 10k rows where key 0 holds 50% of the data — the skew shape
+    val skewed = spark.range(10000)
+      .select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50).as("k"),
+        (col("id") % 97).cast("double").as("v"))
+    val plain = skewed.groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedAgg(skewed, "k", "v", salts = 8)
+      .orderBy("k").collect()
+    assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+  }
+
+  test("salted join equals the plain join (row multiset) under skew") {
+    val sq = spark; import sq.implicits._
+    val big = spark.range(5000)
+      .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 20)
+        .as("bk"), col("id").as("payload"))
+    val small = spark.range(20).select(col("id").as("sk"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val plain = big.join(small, col("bk") === col("sk"))
+      .select("payload", "name").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val salted = Skew.saltedJoin(big, small, "bk", "sk", salts = 8)
+      .select("payload", "name").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(plain == salted)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val path = Dml.work("layout_part", sf) + "/orders_by_year"
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("y", year(col("o_orderdate")))
+    Layouts.writePartitioned(orders, path, "y")
+    val filtered = spark.read.parquet(path).filter(col("y") === 1997)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(400))
+    // pruning actually cut the data: one year's rows, not the table
+    val all = orders.count()
+    val one = filtered.count()
+    assert(one > 0 && one < all)
+  }
+}
