@@ -124,12 +124,17 @@ object Dedup {
       .select(col("doc_id"),
         simhash64(tokenHashes(tokens(col("text")))).as("simhash"))
     // carry the chunk index via posexplode for a precise join key
+    // Persisted for the same reason as d03's banding: the self-join below
+    // reads `pos` from both sides, and without the persist the whole
+    // simhash signature pipeline computes twice. (doc_id, simhash, ci, cv)
+    // is chunks×docs rows of 4 longs — always small vs the corpus.
     val pos = withSig.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         j => call_function("shiftright", col("simhash"), j * bitsPer)
           .bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pos.alias("l").join(pos.alias("r"),
         col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&
           col("l.doc_id") < col("r.doc_id"))
