@@ -206,6 +206,10 @@ object DedupQueries {
         shingleN = 3, k = 16, bands = 8, threshold = 0.9),
       None),
 
+    // signBits sizes the bucket count (2^bits): 2 bits suits the small
+    // fixture's recall; at corpus scale raise it (default 4 = 16 buckets;
+    // each +1 halves candidate pairs at some recall cost) — the knob
+    // trades exactly like LSH bands.
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
         threshold = 0.35, signBits = 2),
