@@ -62,7 +62,7 @@ object Tables {
     * all ten tables inside the timed region. */
   def ensureRegistered(spark: SparkSession, sfDir: String): Unit =
     synchronized {
-      val key = System.identityHashCode(spark) + ":" + sfDir
+      val key = s"${System.identityHashCode(spark)}:$sfDir"
       if (!registeredKeys.contains(key)) {
         register(spark, sfDir)
         registeredKeys += key

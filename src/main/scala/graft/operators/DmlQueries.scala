@@ -36,7 +36,7 @@ object Dml {
   /** INSERT INTO t VALUES (...), (...): append rows to the v0 snapshot. */
   def insertValues(base: DataFrame, rows: DataFrame, dir: String): DataFrame = {
     val v0 = snapshot(base, s"$dir/v0")
-    rows.select(v0.columns.map(col): _*) // align column order with the table
+    rows.select(v0.columns.toIndexedSeq.map(col): _*) // align column order
       .write.mode(SaveMode.Append).parquet(s"$dir/v0")
     v0.sparkSession.read.parquet(s"$dir/v0")
   }
@@ -49,7 +49,7 @@ object Dml {
       pred: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
     val v0 = snapshot(base, s"$dir/v0")
-    val updated = v0.select(v0.columns.map { c =>
+    val updated = v0.select(v0.columns.toIndexedSeq.map { c =>
       assignments.get(c) match {
         case Some(newVal) => when(pred, newVal).otherwise(col(c)).as(c)
         case None         => col(c)
