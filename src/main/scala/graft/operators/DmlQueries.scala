@@ -28,27 +28,56 @@ object Dml {
   private[graft] def work(name: String, sfDir: String): String =
     s"/root/repo/target/dmltmp/${math.abs(sfDir.hashCode).toString}/$name"
 
-  private def snapshot(df: DataFrame, dir: String): DataFrame = {
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
-    df.sparkSession.read.parquet(dir)
+  // ---- minimal commit protocol ------------------------------------------
+  // `<dir>/_latest` names the committed version directory. It is written
+  // via temp-file + atomic rename, so a reader resolving the pointer sees
+  // either the previous committed version or the new one — never a
+  // half-written directory. This is the kernel of every lakehouse
+  // transaction log (single-table, last-writer-wins; a real log adds
+  // multi-writer conflict detection on top of the same primitive).
+
+  private def commit(dir: String, version: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s"._latest.tmp.${Thread.currentThread.getId}")
+    Files.writeString(tmp, version)
+    Files.move(tmp, Paths.get(dir, "_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** INSERT INTO t VALUES (...), (...): append rows to the v0 snapshot. */
+  /** Read the committed version of the table at `dir`. */
+  def readLatest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val v = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim
+    spark.read.parquet(s"$dir/$v")
+  }
+
+  private def snapshot(df: DataFrame, dir: String, name: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    commit(dir, name)
+    df.sparkSession.read.parquet(s"$dir/$name")
+  }
+
+  /** INSERT INTO t VALUES (...), (...): append rows to the v0 snapshot,
+    * then re-commit it (append is the one in-place write; a real log
+    * would record the added files instead). */
   def insertValues(base: DataFrame, rows: DataFrame, dir: String): DataFrame = {
-    val v0 = snapshot(base, s"$dir/v0")
+    val v0 = snapshot(base, dir, "v0")
     rows.select(v0.columns.toIndexedSeq.map(col): _*) // align column order
       .write.mode(SaveMode.Append).parquet(s"$dir/v0")
-    v0.sparkSession.read.parquet(s"$dir/v0")
+    commit(dir, "v0")
+    readLatest(v0.sparkSession, dir)
   }
 
   /** UPDATE t SET assignments WHERE pred — read v0, rewrite matching rows
-    * via CASE-style projection, publish as v1. */
+    * via CASE-style projection, publish v1 via the commit pointer. */
   def update(
       base: DataFrame,
       dir: String,
       pred: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
-    val v0 = snapshot(base, s"$dir/v0")
+    val v0 = snapshot(base, dir, "v0")
     val updated = v0.select(v0.columns.toIndexedSeq.map { c =>
       assignments.get(c) match {
         case Some(newVal) => when(pred, newVal).otherwise(col(c)).as(c)
@@ -56,18 +85,21 @@ object Dml {
       }
     }: _*)
     updated.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
-    v0.sparkSession.read.parquet(s"$dir/v1")
+    commit(dir, "v1")
+    readLatest(v0.sparkSession, dir)
   }
 
-  /** DELETE FROM t WHERE pred — keep the complement, publish as v1. */
+  /** DELETE FROM t WHERE pred — keep the complement, publish v1 via the
+    * commit pointer. */
   def delete(
       base: DataFrame,
       dir: String,
       pred: org.apache.spark.sql.Column): DataFrame = {
-    val v0 = snapshot(base, s"$dir/v0")
+    val v0 = snapshot(base, dir, "v0")
     val kept = v0.filter(!coalesce(pred, lit(false)))
     kept.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
-    v0.sparkSession.read.parquet(s"$dir/v1")
+    commit(dir, "v1")
+    readLatest(v0.sparkSession, dir)
   }
 }
 

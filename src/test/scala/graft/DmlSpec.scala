@@ -59,4 +59,17 @@ class DmlSpec extends SparkSpec {
     val b = q("m01_insert_values").build(spark, sf).count()
     assert(a == b)
   }
+
+  test("commit pointer: readers resolve the committed version; the " +
+    "mutation flips it atomically from v0 to v1") {
+    import org.apache.spark.sql.functions._
+    val dir = Dml.work("spec_commit", sf)
+    val base = Tables.t(spark, sf, "supplier")
+    Dml.update(base, dir, col("s_acctbal") < 0,
+      Map("s_acctbal" -> (col("s_acctbal") + 500.0)))
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim
+    assert(latest == "v1")
+    assert(Dml.readLatest(spark, dir).count() == base.count())
+  }
 }
