@@ -38,15 +38,24 @@ object Tables {
     df
   }
 
+  /** Session conf required to read events.parquet; set it at
+    * `SparkSession.builder` time (Bench/Verify/Profile/tests all do). */
+  val nanosAsLongConf: (String, String) =
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
     * vectorized reader does not map to TimestampType directly; read nanos
     * as long (legacy flag) and convert to a microsecond timestamp column
-    * with the same name/semantics. */
+    * with the same name/semantics. `div` is exact integer division —
+    * `col / 1000L` would go through double, whose 256 ns ulp at current
+    * epoch nanos corrupts ~12% of microsecond values by ±1. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fallback for sessions not built through our mains; set once, not per call.
+    if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
+      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
     val raw = spark.read.parquet(path(sfDir, "events"))
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register every table of `sfDir` as a temp view (idempotent). */

@@ -54,6 +54,8 @@ object EventQueries {
 
     // Gap-based sessionization (30-min inactivity): lag → new-session flag →
     // running sum = session id → per-user session stats.
+    // Oracle note: DuckDB promotes sum(BIGINT) to HUGEINT (int128); the final
+    // sum must be cast back to BIGINT or the driver's type-aware hash fails.
     Q("s04_sessionize",
       (s, d) => {
         // event_id tie-break: duplicate ts per user would otherwise let the
@@ -90,7 +92,8 @@ object EventQueries {
              |per AS (SELECT user_id, session_id, count(*) AS n_events
              |FROM sess GROUP BY 1, 2)
              |SELECT user_id, count(*) AS n_sessions,
-             |max(n_events) AS longest_session, sum(n_events) AS n_events
+             |max(n_events) AS longest_session,
+             |CAST(sum(n_events) AS BIGINT) AS n_events
              |FROM per GROUP BY user_id"""
         .stripMargin.replace('\n', ' ')),
       bench = true)

@@ -10,6 +10,7 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -17,8 +17,24 @@ for f in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 ok, bad = [], []
+def hash_unsafe_types(rel):
+    """Driver-hash-unsafe DuckDB output types. The driver hashes the typed
+    representation, so a DuckDB HUGEINT (sum of BIGINT promotes!), DECIMAL
+    (width differs from Spark's) or DATE (fetched timestamp-promoted) fails
+    the hash even when pandas values compare equal."""
+    out = []
+    for cname, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        if ts in ("HUGEINT", "UHUGEINT", "DATE") or ts.startswith("DECIMAL"):
+            out.append(f"{cname}:{ts}")
+    return out
+
 for name, sql in sorted(oracle.items()):
     try:
+        rel = con.sql(sql)
+        unsafe = hash_unsafe_types(rel)
+        if unsafe:
+            bad.append((name, f"oracle output types unsafe for driver hash: {unsafe}")); continue
         exp = con.execute(sql).fetchdf()
         files = glob.glob(f"{out}/{name}/*.parquet")
         got = pd.concat([pq.read_table(f).to_pandas() for f in files]) if files else None
@@ -38,6 +54,15 @@ for name, sql in sorted(oracle.items()):
                     d[c] = d[c].astype(str)
             return d.sort_values(by=list(d.columns)).reset_index(drop=True)
         e, g = norm(exp), norm(got)
+        # integer columns must agree in KIND (int vs int) — check_dtype=False
+        # below is only meant to forgive int64-vs-Int64/float width noise on
+        # float columns, not an integer/float representation drift that the
+        # driver's typed hash would catch.
+        kind_bad = [c for c in e.columns
+                    if (e[c].dtype.kind in "iu") != (g[c].dtype.kind in "iu")]
+        if kind_bad:
+            bad.append((name, f"int-kind mismatch (driver hash would fail): "
+                              f"{[(c, str(e[c].dtype), str(g[c].dtype)) for c in kind_bad]}")); continue
         try:
             pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=True)
             ok.append(name)
