@@ -36,6 +36,7 @@ object Bench {
         // operators (a query may rebuild its OWN cache in the warm-up —
         // that is part of its steady state) and clear garbage so one
         // query's allocation churn doesn't tax the next one's timing.
+        ManagedCache.releaseAll()
         spark.sharedState.cacheManager.clearCache()
         force(name) // warm-up: JIT + codegen + file listing (+ own caches)
         System.gc()

@@ -31,18 +31,32 @@ class ExecutionContext(
     ExecutionContext.dialects.contains(dialect.toLowerCase),
     s"Unsupported dialect: $dialect")
 
-  // Engine-native function surface: the codegen'd cosine similarity is
-  // exposed to SQL as `cosine_sim(array<double>, array<double>)` (the
-  // reference's scalar-function passthrough accepts any name unvalidated;
-  // ours resolve against the registry, so engine extensions register here).
+  // Engine-native function surface: the codegen'd expressions are exposed
+  // to SQL — `cosine_sim(array<double>, array<double>)` and
+  // `simhash64(array<string>)` (the reference's scalar-function passthrough
+  // accepts any name unvalidated; ours resolve against the registry, so
+  // engine extensions register here). Arity is validated in the builder so
+  // a wrong-arg-count call fails analysis with a real message instead of an
+  // IndexOutOfBoundsException.
   locally {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1)))
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def register(
+        name: String, clazz: Class[_], arity: Int)(
+        build: Seq[Expression] => Expression): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          if (children.length != arity)
+            throw new IllegalArgumentException(
+              s"Invalid number of arguments for function $name: " +
+                s"expected $arity, got ${children.length}")
+          build(children)
+        })
+    register("cosine_sim", classOf[CosineSimilarity], 2)(
+      c => CosineSimilarity(c(0), c(1)))
+    register("simhash64", classOf[SimHash64], 1)(c => SimHash64(c(0)))
   }
 
   // ---- catalog ----------------------------------------------------------

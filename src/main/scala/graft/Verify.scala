@@ -46,6 +46,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the pipeline-persisted frames (minhash/simhash/IVF prep)
+      // so a 64-query session doesn't accumulate cache entries
+      finally ManagedCache.releaseAll()
     }
     spark.stop()
   }

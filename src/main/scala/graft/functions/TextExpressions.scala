@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression for 64-bit SimHash over a token array — the
+  * simhash twin of [[CosineSimilarity]] (SURVEY §7.3 preference order:
+  * native `Expression` before HOF composition for hot-path scalar work).
+  *
+  * The previous formulation ([[TextFunctions.simhash64]] over
+  * `transform(toks, xxhash64)`) expresses the same math but runs
+  * interpreted: higher-order array functions evaluate outside whole-stage
+  * codegen and walk three lambda trees per token (hash transform, 64-slot
+  * zip_with vote, final fold) — it was the slowest query in BENCH_r02
+  * (d04, 5.96 s at sf0.1). This compiles to one fused primitive loop
+  * (hash each token with the same `XXH64.hashUTF8String(_, 42)` Spark's
+  * `xxhash64` uses, accumulate 64 bit-counts, majority-vote fold) inside
+  * whole-stage codegen.
+  *
+  * Bit-identical to the HOF form (asserted in DedupSpec): bit b of the
+  * result is set iff strictly more than half of the tokens have bit b set
+  * (ties → 0); empty array → 0L; null array → null; a null token hashes to
+  * the seed (42), matching `xxhash64(NULL)`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (a.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(a.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b).toLong * 2 > n) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.isNullAt($i) ? 42L :
+         |    $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ((long) $counts[$b] * 2 > $n) ${ev.value} |= 1L << $b;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column-API entry point for [[SimHash64]]: 64-bit simhash of a token
+    * array (pass `TextFunctions.tokens(text)`). */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+}

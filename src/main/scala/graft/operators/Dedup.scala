@@ -73,11 +73,11 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    // Persisted: the shingle/signature scan feeds banding AND the verify
-    // join; without the persist the whole signature pipeline computes twice
-    // (once per self-join side) — the round-1 cost bug.
-    val prep = minhashPrep(docs, shingleN, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted (tracked — callers release via ManagedCache.releaseAll):
+    // the shingle/signature scan feeds banding AND the verify join; without
+    // the persist the whole signature pipeline computes twice (once per
+    // self-join side) — the round-1 cost bug.
+    val prep = ManagedCache.persist(minhashPrep(docs, shingleN, k))
     val banded = prep
       .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -93,8 +93,8 @@ object Dedup {
     // without it the explode + aggregate + anti-join chain runs twice.
     // (doc_id, band, bh) is bands×docs rows of 3 longs — always small
     // relative to the corpus.
-    val capped = banded.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = ManagedCache.persist(
+      banded.join(broadcast(overCap), Seq("band", "bh"), "left_anti"))
     val cands = capped.alias("l")
       .join(capped.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -120,21 +120,23 @@ object Dedup {
       chunks: Int = 8): DataFrame = {
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
+    // Native codegen'd expression (TextExpressions.SimHash64): one fused
+    // loop per row, bit-identical to the interpreted HOF formulation
+    // (TextFunctions.simhash64 — kept as the cross-check in DedupSpec).
     val withSig = spread(docs)
       .select(col("doc_id"),
-        simhash64(tokenHashes(tokens(col("text")))).as("simhash"))
+        TextExpressions.simhash64(tokens(col("text"))).as("simhash"))
     // carry the chunk index via posexplode for a precise join key
     // Persisted for the same reason as d03's banding: the self-join below
     // reads `pos` from both sides, and without the persist the whole
     // simhash signature pipeline computes twice. (doc_id, simhash, ci, cv)
     // is chunks×docs rows of 4 longs — always small vs the corpus.
-    val pos = withSig.select(
+    val pos = ManagedCache.persist(withSig.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         j => call_function("shiftright", col("simhash"), j * bitsPer)
           .bitwiseAND(lit(mask)))))
-      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv"))
     pos.alias("l").join(pos.alias("r"),
         col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -147,23 +149,49 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
-  /** Embedding cosine near-dup: LSH sign-bucket candidates + exact cosine
-    * verify (see [[Similarity.signBucket]]); pairs with cos >= threshold. */
-  def embeddingNearDupPairs(
+  /** Sign-bucket LSH candidate pairs for embedding near-dup: pairs whose
+    * buckets are equal — or, with `multiProbe`, differ in at most one bit
+    * (the left side probes its own bucket plus each 1-bit flip; a
+    * hamming≤1 pair matches exactly one probe, so no distinct needed).
+    *
+    * Scale: candidate fraction of all pairs ≈ 1/2^bits (exact) or
+    * (bits+1)/2^bits (multi-probe); every +1 bit halves it at some recall
+    * cost — multi-probe buys the recall of ~2 fewer bits at the cost of
+    * (bits+1)× candidate rows, so raise `signBits` aggressively when
+    * probing. Asserted sub-quadratic on the fixture in DedupSpec. */
+  private[graft] def signBucketCandidates(
       emb: DataFrame,
-      threshold: Double,
-      signBits: Int = 4): DataFrame = {
+      signBits: Int,
+      multiProbe: Boolean): DataFrame = {
     val withB = spread(emb)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), signBits))
-    withB.alias("l").join(withB.alias("r"),
-        col("l.bucket") === col("r.bucket") &&
+    val probed =
+      if (!multiProbe) withB.withColumn("jb", col("bucket"))
+      else withB
+        .withColumn("probe", explode(array(
+          (lit(0L) +: (0 until signBits).map(b => lit(1L << b))): _*)))
+        .withColumn("jb", col("bucket").bitwiseXOR(col("probe")))
+    probed.alias("l").join(withB.alias("r"),
+        col("l.jb") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos",
-        round(VectorExpressions.cosineSim(col("l.v"), col("r.v")), 4))
-      .filter(col("cos") >= threshold)
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
+      .select(col("l.vec_id").as("a"), col("l.v").as("va"),
+        col("r.vec_id").as("b"), col("r.v").as("vb"))
   }
+
+  /** Embedding cosine near-dup: LSH sign-bucket candidates (multi-probe
+    * over 1-bit flips — recall of coarse buckets at fine-bucket candidate
+    * cost) + exact cosine verify; pairs with cos >= threshold. */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      signBits: Int = 4,
+      multiProbe: Boolean = true): DataFrame =
+    signBucketCandidates(emb, signBits, multiProbe)
+      .withColumn("cos",
+        round(VectorExpressions.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
 }
 
 /** Driver-facing dedup queries over `documents` / `embeddings`. */
@@ -206,13 +234,14 @@ object DedupQueries {
         shingleN = 3, k = 16, bands = 8, threshold = 0.9),
       None),
 
-    // signBits sizes the bucket count (2^bits): 2 bits suits the small
-    // fixture's recall; at corpus scale raise it (default 4 = 16 buckets;
-    // each +1 halves candidate pairs at some recall cost) — the knob
-    // trades exactly like LSH bands.
+    // signBits sizes the bucket count (2^bits) and trades exactly like LSH
+    // bands: each +1 bit halves candidate pairs at some recall cost, and
+    // multi-probe (1-bit flips) buys back most of the recall. 4 bits +
+    // multi-probe keeps candidates sub-quadratic (asserted in DedupSpec)
+    // with near-2-bit recall; at corpus scale raise signBits further.
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
-        threshold = 0.35, signBits = 2),
+        threshold = 0.35, signBits = 4),
       None)
   )
 }

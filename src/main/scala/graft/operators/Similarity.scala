@@ -109,10 +109,14 @@ object Similarity {
   /** Session-scoped trained-index cache: the coarse quantizer is the IVF
     * INDEX — built once per (corpus, nlist) and reused across queries,
     * exactly as a deployed ANN service amortizes index construction.
-    * Keyed by the corpus's canonicalized plan so different tables/scale
-    * factors get their own model. */
-  private val ivfModels = scala.collection.mutable.Map
-    .empty[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]
+    * Keyed by the corpus's CANONICALIZED PLAN (structural equality, not
+    * its 32-bit hashCode — a hash collision between two corpora would
+    * silently reuse a model trained on the wrong data) and bounded: a
+    * LinkedHashMap evicts the oldest entry past `ivfModelCacheMax`. */
+  private val ivfModelCacheMax = 8
+  private val ivfModels = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      org.apache.spark.ml.clustering.KMeansModel]
 
   def ivfTopK(
       queries: DataFrame,
@@ -123,19 +127,20 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val c = Dedup.spread(corpus)
+    val c = ManagedCache.persist(Dedup.spread(corpus)
       .select(col("vec_id").as("neighbor_id"),
         toDouble(col("embedding")).as("cv"))
-      .withColumn("features", array_to_vector(col("cv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cacheKey =
-      (corpus.queryExecution.analyzed.canonicalized.hashCode(), nlist)
+      .withColumn("features", array_to_vector(col("cv"))))
+    val cacheKey = (corpus.queryExecution.analyzed.canonicalized, nlist)
     val model = ivfModels.synchronized {
-      ivfModels.getOrElseUpdate(cacheKey,
+      val m = ivfModels.getOrElseUpdate(cacheKey,
         new KMeans()
           .setK(nlist).setSeed(42).setMaxIter(5)
           .setFeaturesCol("features").setPredictionCol("list_id")
           .fit(c))
+      while (ivfModels.size > ivfModelCacheMax)
+        ivfModels -= ivfModels.head._1
+      m
     }
     val assigned = model.transform(c).drop("features")
     val sq = spark; import sq.implicits._

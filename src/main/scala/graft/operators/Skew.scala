@@ -17,23 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row salt in [0, salts): hashes a stable uniqueness
-    * source (here: all of the row's value column) — any spread works,
-    * determinism keeps tests and retries stable. */
-  private def saltOf(src: Column, salts: Int): Column =
-    pmod(xxhash64(src), lit(salts.toLong)).cast("int")
+  /** Two-phase salted SUM/COUNT aggregation of `valueCol` by `keyCol`.
+    * The salt MUST come from a per-ROW source (row position), never from
+    * the data: a hot key whose rows share one value — the classic skew
+    * shape — would hash that value into a single salt bucket and silently
+    * collapse phase one back to one reducer. The aggregate is algebraic,
+    * so the result is independent of how rows spread across salts. */
+  /** Phase one of [[saltedAgg]]: partial aggregate on (key, salt) —
+    * exposed for tests asserting the hot key really spreads. */
+  private[graft] def saltedPartials(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      salts: Int): DataFrame =
+    df.withColumn("_salt",
+        (monotonically_increasing_id() % salts).cast("int"))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
+        count(lit(1)).as("_pcnt"))
 
-  /** Two-phase salted SUM/COUNT aggregation of `valueCol` by `keyCol`. */
   def saltedAgg(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
       salts: Int = 16): DataFrame =
-    df.withColumn("_salt", saltOf(col(valueCol), salts))
-      .groupBy(col(keyCol), col("_salt"))
-      .agg(
-        sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
-        count(lit(1)).as("_pcnt"))
+    saltedPartials(df, keyCol, valueCol, salts)
       .groupBy(col(keyCol))
       .agg(
         sum(col("_psum")).cast("double").as("sum_value"),

@@ -72,12 +72,57 @@ class DedupSpec extends SparkSpec {
       assert(pairs.filter(col("hamming") === 0).count() > 0)
   }
 
+  test("native simhash64 expression is bit-identical to the HOF " +
+    "formulation on the full fixture") {
+    val all = Tables.t(spark, sf, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val diff = all.select(
+        TextExpressions.simhash64(toks).as("native"),
+        TextFunctions.simhash64(TextFunctions.tokenHashes(toks)).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // edge cases via the registered SQL name (ExecutionContext registry):
+    // empty token array -> 0; null array -> null
+    new ExecutionContext(spark)
+    val row = spark.sql(
+      "SELECT simhash64(CAST(array() AS ARRAY<STRING>)) AS e, " +
+        "simhash64(CAST(NULL AS ARRAY<STRING>)) AS n")
+      .collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above " +
     "threshold") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)
     val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.2,
-      signBits = 2)
+      signBits = 4)
     assert(pairs.filter(col("a") >= col("b")).count() == 0)
     assert(pairs.filter(col("cos") < 0.2).count() == 0)
+  }
+
+  test("embedding near-dup candidates are sub-quadratic: multi-probe " +
+    "fraction ~ (bits+1)/2^bits of all pairs, halving per +1 bit") {
+    val emb = Tables.t(spark, sf, "embeddings").limit(200)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2.0
+    val cand4 = Dedup.signBucketCandidates(emb, 4, multiProbe = true).count()
+    // expected 5/16 ~ 0.31; assert well below all-pairs (the d06 entry
+    // must never silently degrade to quadratic)
+    assert(cand4 / allPairs <= 0.45,
+      s"candidate fraction ${cand4 / allPairs} at 4 bits")
+    // the scale knob works: more bits => fewer candidates
+    val cand6 = Dedup.signBucketCandidates(emb, 6, multiProbe = true).count()
+    assert(cand6 < cand4,
+      s"6-bit candidates $cand6 not below 4-bit $cand4")
+  }
+
+  test("pipeline-persisted frames are tracked and released by " +
+    "ManagedCache.releaseAll") {
+    ManagedCache.releaseAll()
+    Dedup.minhashNearDupPairs(docs, 3, 16, 4, 0.5).count()
+    assert(ManagedCache.trackedCount > 0,
+      "minhash pipeline should register its persisted prep frames")
+    ManagedCache.releaseAll()
+    assert(ManagedCache.trackedCount == 0)
   }
 }

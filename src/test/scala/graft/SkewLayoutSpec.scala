@@ -21,6 +21,18 @@ class SkewLayoutSpec extends SparkSpec {
     assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("salt spreads a hot key even when all its rows share one value " +
+    "(the value-derived-salt degeneration)") {
+    val skewed = spark.range(10000)
+      .select(lit(0L).as("k"), lit(7.0).as("v")) // one key, one value
+    val partials = Skew.saltedPartials(skewed, "k", "v", salts = 8)
+    // value-derived salt would collapse this to ONE partial row
+    assert(partials.count() > 1, "hot key must spread across salt buckets")
+    // and the final result is still exact
+    val r = Skew.saltedAgg(skewed, "k", "v", salts = 8).collect().head
+    assert(r.getAs[Double]("sum_value") == 70000.0 && r.getAs[Long]("n") == 10000L)
+  }
+
   test("salted join equals the plain join (row multiset) under skew") {
     val sq = spark; import sq.implicits._
     val big = spark.range(5000)
