@@ -11,6 +11,32 @@ final case class IndexDef(
     columns: Seq[String],
     unique: Boolean)
 
+/** Column definition with the reference's recorded per-column options —
+  * nullable / DEFAULT / PRIMARY KEY (`tmp/crud.txt:388-421` converts these
+  * into its IR; a primary-key column is implicitly NOT NULL there too).
+  * `default` is the SQL expression text, recorded as metadata and applied
+  * by [[Dml.insertValues]] when the column is omitted from an insert. */
+final case class ColumnSpec(
+    name: String,
+    dataType: org.apache.spark.sql.types.DataType,
+    nullable: Boolean = true,
+    default: Option[String] = None,
+    primaryKey: Boolean = false)
+
+/** Table-level constraints (`tmp/crud.txt:439-479`) — recorded as table
+  * properties, not enforced, matching both the reference (IR-only) and
+  * Spark (no constraint enforcement on file-based tables). */
+sealed trait TableConstraintDef
+object TableConstraintDef {
+  final case class PrimaryKey(columns: Seq[String]) extends TableConstraintDef
+  final case class ForeignKey(
+      columns: Seq[String],
+      foreignTable: String,
+      foreignColumns: Seq[String]) extends TableConstraintDef
+  final case class Unique(columns: Seq[String]) extends TableConstraintDef
+  final case class Check(expr: String) extends TableConstraintDef
+}
+
 /** The engine's public API — parity with the reference's `ExecutionContext`
   * (`/root/reference/src/context.rs:10-56`): construct with a dialect,
   * register tables, execute SQL, render plans. Differences are deliberate
@@ -148,17 +174,54 @@ class ExecutionContext(
       name: String,
       schema: StructType,
       location: String,
-      ifNotExists: Boolean = false): Unit = {
+      ifNotExists: Boolean = false): Unit =
+    createTable(
+      name,
+      schema.fields.toIndexedSeq
+        .map(f => ColumnSpec(f.name, f.dataType, f.nullable)),
+      Seq.empty,
+      location,
+      ifNotExists)
+
+  /** CREATE TABLE with full column options and table constraints — the
+    * reference's `convert_column_def`/`convert_table_constraint` surface
+    * (`tmp/crud.txt:388-479`). NOT NULL goes into the real column DDL;
+    * everything else (primary key, defaults, FK/UNIQUE/CHECK) is recorded
+    * as `graft.*` table properties, round-trippable via
+    * [[tableProperties]]. A primary-key column is implicitly NOT NULL. */
+  def createTable(
+      name: String,
+      columns: Seq[ColumnSpec],
+      constraints: Seq[TableConstraintDef],
+      location: String,
+      ifNotExists: Boolean): Unit = {
     if (tableExists(name)) {
       if (!ifNotExists)
         throw new IllegalArgumentException(s"Table: $name already exists")
     } else {
-      val ddl = schema.fields
-        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      val colDdl = columns.map { c =>
+        val nn = if (!c.nullable || c.primaryKey) " NOT NULL" else ""
+        s"${c.name} ${c.dataType.sql}$nn"
+      }.mkString(", ")
+      def esc(s: String) = s.replace("'", "''")
+      val props = ExecutionContext.constraintProperties(columns, constraints)
+      val propsDdl =
+        if (props.isEmpty) ""
+        else props.map { case (k, v) => s"'${esc(k)}'='${esc(v)}'" }
+          .mkString(" TBLPROPERTIES (", ", ", ")")
       val ine = if (ifNotExists) "IF NOT EXISTS " else ""
       spark.sql(
-        s"CREATE TABLE $ine$name ($ddl) USING parquet LOCATION '$location'")
+        s"CREATE TABLE $ine$name ($colDdl) USING parquet " +
+          s"LOCATION '$location'$propsDdl")
     }
+  }
+
+  /** The table's properties (constraint/option metadata lives under
+    * `graft.*` keys). */
+  def tableProperties(name: String): Map[String, String] = {
+    requireTable(name)
+    spark.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
   /** DROP TABLE [IF EXISTS] name[, ...] [CASCADE] — multi-name with
@@ -253,4 +316,35 @@ object ExecutionContext {
   private[graft] def firstStatement(sql: String): String =
     statements(sql).headOption.getOrElse(
       throw new IllegalArgumentException("Empty SQL statement"))
+
+  /** Flatten column options + table constraints into `graft.*` property
+    * pairs (the metadata the reference keeps in its CreateTable IR,
+    * `tmp/crud.txt:388-479`). Column-level PRIMARY KEY and a table-level
+    * PrimaryKey constraint merge into one key list. */
+  private[graft] def constraintProperties(
+      columns: Seq[ColumnSpec],
+      constraints: Seq[TableConstraintDef]): Seq[(String, String)] = {
+    import TableConstraintDef._
+    val pkCols = (columns.filter(_.primaryKey).map(_.name) ++
+      constraints.collect { case PrimaryKey(cs) => cs }.flatten).distinct
+    val notNull = columns.filter(c => !c.nullable || c.primaryKey).map(_.name)
+    val defaults = columns.collect {
+      case c if c.default.isDefined => s"graft.default.${c.name}" -> c.default.get
+    }
+    val numbered = constraints.collect {
+      case ForeignKey(cs, ft, fcs) =>
+        "fk" -> s"(${cs.mkString(",")}) REFERENCES $ft (${fcs.mkString(",")})"
+      case Unique(cs) => "unique" -> cs.mkString(",")
+      case Check(expr) => "check" -> expr
+    }.groupBy(_._1).toSeq.flatMap { case (kind, entries) =>
+      entries.map(_._2).zipWithIndex.map { case (v, i) =>
+        s"graft.constraint.$kind.$i" -> v
+      }
+    }
+    (if (pkCols.nonEmpty) Seq("graft.primary_key" -> pkCols.mkString(","))
+     else Seq.empty) ++
+      (if (notNull.nonEmpty) Seq("graft.notnull" -> notNull.mkString(","))
+       else Seq.empty) ++
+      defaults ++ numbered.sortBy(_._1)
+  }
 }

@@ -59,13 +59,35 @@ object Dml {
     df.sparkSession.read.parquet(s"$dir/$name")
   }
 
-  /** INSERT INTO t VALUES (...), (...): append rows to the v0 snapshot,
-    * then re-commit it (append is the one in-place write; a real log
-    * would record the added files instead). */
-  def insertValues(base: DataFrame, rows: DataFrame, dir: String): DataFrame = {
+  /** INSERT INTO t [(cols)] VALUES (...), (...): append rows to the v0
+    * snapshot, then re-commit it (append is the one in-place write; a real
+    * log would record the added files instead).
+    *
+    * `rows` may carry a SUBSET of the base columns — the explicit-column-
+    * list form the reference plans (`tmp/crud.txt:186-188`); omitted
+    * columns fill from `defaults` (e.g. the recorded `graft.default.*`
+    * metadata) or typed NULL. Every inserted column is CAST to the base
+    * schema's type: appending parquet files with a drifted type (INT vs
+    * BIGINT) would poison the directory — later reads fail or silently
+    * pick a footer depending on which file Spark samples. */
+  def insertValues(
+      base: DataFrame,
+      rows: DataFrame,
+      dir: String,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : DataFrame = {
     val v0 = snapshot(base, dir, "v0")
-    rows.select(v0.columns.toIndexedSeq.map(col): _*) // align column order
-      .write.mode(SaveMode.Append).parquet(s"$dir/v0")
+    val have = rows.columns.toSet
+    val unknown = have -- v0.columns
+    require(unknown.isEmpty,
+      s"INSERT columns not in target table: ${unknown.mkString(", ")}")
+    val aligned = rows.select(v0.schema.fields.toIndexedSeq.map { f =>
+      val c =
+        if (have(f.name)) col(f.name)
+        else defaults.getOrElse(f.name, lit(null))
+      c.cast(f.dataType).as(f.name)
+    }: _*)
+    aligned.write.mode(SaveMode.Append).parquet(s"$dir/v0")
     commit(dir, "v0")
     readLatest(v0.sparkSession, dir)
   }
@@ -82,6 +104,41 @@ object Dml {
       assignments.get(c) match {
         case Some(newVal) => when(pred, newVal).otherwise(col(c)).as(c)
         case None         => col(c)
+      }
+    }: _*)
+    updated.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
+    commit(dir, "v1")
+    readLatest(v0.sparkSession, dir)
+  }
+
+  /** UPDATE t SET assignments FROM s WHERE cond — the join-form update the
+    * reference plans via its optional FROM subplan (`tmp/crud.txt:223-279`).
+    * The target is aliased `t`, the source `s`; `cond` and assignment
+    * values reference both (`col("t.x")`, `col("s.y")`). Rows with a
+    * match get the assignments; all others pass through unchanged.
+    *
+    * The source must be unique per matched target row (standard
+    * UPDATE…FROM contract — Postgres leaves multi-match unspecified;
+    * here a duplicate match would duplicate the target row).
+    *
+    * Scale: one left join (broadcast when the source is small, shuffled
+    * otherwise) + full rewrite to v1 — the same cost envelope as a
+    * lakehouse MERGE without file-level pruning. */
+  def updateFrom(
+      base: DataFrame,
+      dir: String,
+      source: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val v0 = snapshot(base, dir, "v0")
+    val marked = v0.alias("t").join(
+      source.withColumn("_matched", lit(true)).alias("s"), cond, "left")
+    val updated = marked.select(v0.columns.toIndexedSeq.map { c =>
+      assignments.get(c) match {
+        case Some(newVal) =>
+          when(coalesce(col("_matched"), lit(false)), newVal)
+            .otherwise(col(s"t.$c")).as(c)
+        case None => col(s"t.$c").as(c)
       }
     }: _*)
     updated.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
@@ -157,6 +214,38 @@ object DmlQueries {
           Dml.work("m04", d),
           col("c_acctbal") < 0),
       Some("SELECT * FROM customer WHERE NOT (c_acctbal < 0)")),
+
+    // UPDATE … FROM (join-form update, tmp/crud.txt:223-279): bump the
+    // balance of every customer in region 2, joining through nation.
+    // nation is unique on the join key, so the update is deterministic,
+    // and the oracle expresses the final state as a LEFT JOIN + CASE.
+    Q("m06_update_from",
+      (s, d) =>
+        Dml.updateFrom(
+          Tables.t(s, d, "customer"),
+          Dml.work("m06", d),
+          Tables.t(s, d, "nation"),
+          col("t.c_nationkey") === col("s.n_nationkey") &&
+            col("s.n_regionkey") === 2,
+          Map("c_acctbal" -> (col("t.c_acctbal") + 100.0))),
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+             |CASE WHEN n_regionkey = 2 THEN c_acctbal + 100.0
+             |ELSE c_acctbal END AS c_acctbal, c_mktsegment
+             |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey"""
+        .stripMargin.replace('\n', ' '))),
+
+    // INSERT with an explicit column subset (tmp/crud.txt:186-188): the
+    // omitted n_regionkey fills with typed NULL and every inserted column
+    // is cast to the base schema's type.
+    Q("m07_insert_subset",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val rows = Seq((27, "ATLANTIS")).toDF("n_nationkey", "n_name")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, Dml.work("m07", d))
+      },
+      Some("""SELECT * FROM nation UNION ALL
+             |SELECT CAST(27 AS INTEGER), 'ATLANTIS', CAST(NULL AS INTEGER)"""
+        .stripMargin.replace('\n', ' '))),
 
     // Full DDL round trip through ExecutionContext: CREATE TABLE (typed,
     // parquet-backed) → INSERT OVERWRITE (idempotent re-runs) → CREATE

@@ -47,6 +47,61 @@ class DmlSpec extends SparkSpec {
     assert(out.filter(col("c_acctbal") < 0).count() == 0)
   }
 
+  test("update FROM rewrites only join-matched rows (m06)") {
+    val base = Tables.t(spark, sf, "customer")
+    val nation = Tables.t(spark, sf, "nation")
+    val inRegion = base.join(
+      nation.filter(col("n_regionkey") === 2),
+      col("c_nationkey") === col("n_nationkey")).count()
+    val out = q("m06_update_from").build(spark, sf)
+    assert(out.count() == base.count(), "no row duplication from the join")
+    // exactly the matched rows changed, by exactly +100
+    val changed = out.alias("o").join(base.alias("b"), Seq("c_custkey"))
+      .filter(col("o.c_acctbal") =!= col("b.c_acctbal"))
+    assert(changed.count() == inRegion)
+    assert(changed
+      .filter(col("o.c_acctbal") =!= col("b.c_acctbal") + 100.0)
+      .count() == 0)
+  }
+
+  test("insert with a column subset fills omitted columns with typed " +
+    "NULL or the provided default (m07)") {
+    val sq = spark; import sq.implicits._
+    val out = q("m07_insert_subset").build(spark, sf)
+    val added = out.filter(col("n_nationkey") === 27).collect()
+    assert(added.length == 1)
+    assert(added.head.getString(1) == "ATLANTIS" && added.head.isNullAt(2))
+    // defaults map fills instead of NULL when provided
+    val withDefault = Dml.insertValues(
+      Tables.t(spark, sf, "nation"),
+      Seq((28, "MU")).toDF("n_nationkey", "n_name"),
+      Dml.work("spec_m07_default", sf),
+      defaults = Map("n_regionkey" -> lit(0)))
+    val r = withDefault.filter(col("n_nationkey") === 28).collect().head
+    assert(r.getInt(2) == 0)
+    // unknown insert column is rejected, not silently appended
+    intercept[IllegalArgumentException] {
+      Dml.insertValues(
+        Tables.t(spark, sf, "nation"),
+        Seq((29, "YREKA")).toDF("n_nationkey", "n_ghost"),
+        Dml.work("spec_m07_bad", sf))
+    }
+  }
+
+  test("insert casts drifted input types to the base schema (no " +
+    "mixed-schema parquet poisoning)") {
+    val sq = spark; import sq.implicits._
+    // nation keys are INT in the base; feed LONGs and a read-back must
+    // still see one consistent schema
+    val rows = Seq((30L, "HYBRASIL", 1L)).toDF(
+      "n_nationkey", "n_name", "n_regionkey")
+    val out = Dml.insertValues(
+      Tables.t(spark, sf, "nation"), rows, Dml.work("spec_cast", sf))
+    assert(out.schema("n_nationkey").dataType ==
+      Tables.t(spark, sf, "nation").schema("n_nationkey").dataType)
+    assert(out.filter(col("n_nationkey") === 30).count() == 1)
+  }
+
   test("ddl roundtrip: create + insert + index + select (m05)") {
     val rows = q("m05_ddl_roundtrip").build(spark, sf)
       .orderBy("id").collect()
