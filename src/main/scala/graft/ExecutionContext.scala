@@ -124,16 +124,19 @@ class ExecutionContext(
     stmt match {
       case ExecutionContext.CreateIndexRe(unique, ifNot, idxName, tbl, cols) =>
         createIndex(
-          Option(idxName).map(_.trim).filter(_.nonEmpty),
-          tbl,
-          cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          Option(idxName).map(ExecutionContext.unquote).filter(_.nonEmpty),
+          ExecutionContext.unquote(tbl),
+          cols.split(',').map(ExecutionContext.unquote)
+            .filter(_.nonEmpty).toSeq,
           unique = unique != null,
           ifNotExists = ifNot != null)
         spark.emptyDataFrame
-      case ExecutionContext.DropIndexRe(ifExists, names) =>
+      case ExecutionContext.DropIndexRe(ifExists, names, cascade) =>
         dropIndex(
-          names.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-          ifExists = ifExists != null)
+          names.split(',').map(ExecutionContext.unquote)
+            .filter(_.nonEmpty).toSeq,
+          ifExists = ifExists != null,
+          cascade = cascade != null)
         spark.emptyDataFrame
       case _ =>
         try spark.sql(stmt)
@@ -199,11 +202,16 @@ class ExecutionContext(
       if (!ifNotExists)
         throw new IllegalArgumentException(s"Table: $name already exists")
     } else {
+      // Backtick-quote every identifier (dotted table names quote per
+      // part) and single-quote-escape string payloads — a name with a
+      // quote/backtick or a path with a quote must not break the DDL.
+      def bq(id: String) = "`" + id.replace("`", "``") + "`"
+      def esc(s: String) = s.replace("'", "''")
+      val tblDdl = name.split('.').map(bq).mkString(".")
       val colDdl = columns.map { c =>
         val nn = if (!c.nullable || c.primaryKey) " NOT NULL" else ""
-        s"${c.name} ${c.dataType.sql}$nn"
+        s"${bq(c.name)} ${c.dataType.sql}$nn"
       }.mkString(", ")
-      def esc(s: String) = s.replace("'", "''")
       val props = ExecutionContext.constraintProperties(columns, constraints)
       val propsDdl =
         if (props.isEmpty) ""
@@ -211,8 +219,8 @@ class ExecutionContext(
           .mkString(" TBLPROPERTIES (", ", ", ")")
       val ine = if (ifNotExists) "IF NOT EXISTS " else ""
       spark.sql(
-        s"CREATE TABLE $ine$name ($colDdl) USING parquet " +
-          s"LOCATION '$location'$propsDdl")
+        s"CREATE TABLE $ine$tblDdl ($colDdl) USING parquet " +
+          s"LOCATION '${esc(location)}'$propsDdl")
     }
   }
 
@@ -268,8 +276,14 @@ class ExecutionContext(
     }
   }
 
-  /** DROP INDEX [IF EXISTS] name[, ...] (`tmp/crud.txt:372-383`). */
-  def dropIndex(names: Seq[String], ifExists: Boolean = false): Unit =
+  /** DROP INDEX [IF EXISTS] name[, ...] [CASCADE] (`tmp/crud.txt:372-383`;
+    * the reference's DropIndex IR carries a cascade flag,
+    * `src/planner/logical_plan.rs:80-84`). `cascade` is accepted for API
+    * parity and is a no-op: a metadata-only index has no dependents. */
+  def dropIndex(
+      names: Seq[String],
+      ifExists: Boolean = false,
+      cascade: Boolean = false): Unit =
     names.foreach { n =>
       if (!indexRegistry.contains(n)) {
         if (!ifExists)
@@ -290,12 +304,30 @@ object ExecutionContext {
     "ansi", "bigquery", "clickhouse", "duckdb", "generic", "hive", "mssql",
     "postgres", "redshift", "sqlite", "snowflake")
 
+  // One identifier part: bare word, `backticked`, or "double-quoted"
+  // (sqlparser accepts all three, `tmp/crud.txt:312-347`); a full
+  // identifier is one or more dot-separated parts (schema-qualified).
+  private val IdentPart = """(?:[A-Za-z_][\w]*|`(?:[^`]|``)+`|"(?:[^"]|"")+")"""
+  private val Ident = s"""$IdentPart(?:\\s*\\.\\s*$IdentPart)*"""
+  private val IdentPartRe = IdentPart.r
+
   private[graft] val CreateIndexRe =
-    ("""(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """([A-Za-z_][\w]*\s+)?ON\s+([A-Za-z_][\w]*)\s*\(([^)]*)\)\s*$""").r
+    (s"""(?is)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(IF\\s+NOT\\s+EXISTS\\s+)?""" +
+      s"""($Ident\\s+)?ON\\s+($Ident)\\s*\\(([^)]*)\\)\\s*$$""").r
 
   private[graft] val DropIndexRe =
-    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([\w\s,]+?)\s*$""".r
+    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([-`"\w\s,.]+?)\s*(CASCADE)?\s*$""".r
+
+  /** Normalize a possibly quoted / schema-qualified identifier to its
+    * unquoted dotted form (`` `my idx` `` → `my idx`; `s."t"` → `s.t`).
+    * Quoted parts keep dots intact (each quoted segment is one token). */
+  private[graft] def unquote(id: String): String =
+    IdentPartRe.findAllIn(id.trim).map { p =>
+      if (p.startsWith("`")) p.substring(1, p.length - 1).replace("``", "`")
+      else if (p.startsWith("\""))
+        p.substring(1, p.length - 1).replace("\"\"", "\"")
+      else p
+    }.mkString(".")
 
   /** Split on statement-separating semicolons (quote-aware). */
   private[graft] def statements(sql: String): Seq[String] = {

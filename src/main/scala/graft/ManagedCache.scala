@@ -15,20 +15,34 @@ import org.apache.spark.storage.StorageLevel
   * (Verify, Bench — and any library user running query-at-a-time) call
   * [[releaseAll]] between queries so a long session never accumulates
   * cache entries.
+  *
+  * CONTRACT: this is a process-global registry built for a single driver
+  * thread running queries sequentially (the Verify/Bench shape). Calling
+  * [[releaseAll]] while another thread's query is mid-execution is safe for
+  * correctness (Spark recomputes evicted blocks) but silently forfeits the
+  * cache; concurrent multi-query drivers should serialize around it.
   */
 object ManagedCache {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` at MEMORY_AND_DISK and track it for [[releaseAll]]. */
+  /** Persist `df` at MEMORY_AND_DISK and track it for [[releaseAll]].
+    * Idempotent per logical plan: if an equivalent plan is already cached
+    * (e.g. a benchmark loop rebuilding the same query), the existing cache
+    * is reused instead of re-registering — no duplicate tracking entries,
+    * no "already cached" churn. */
   def persist(df: DataFrame): DataFrame = synchronized {
-    tracked += df
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (df.storageLevel == StorageLevel.NONE) {
+      tracked += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    } else df
   }
 
-  /** Unpersist every tracked frame (non-blocking) and clear the registry. */
+  /** Unpersist every tracked frame and clear the registry. Blocking, so a
+    * caller timing the NEXT query never races block eviction (the round-3
+    * bench-noise post-mortem). */
   def releaseAll(): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking = false))
+    tracked.foreach(_.unpersist(blocking = true))
     tracked.clear()
   }
 

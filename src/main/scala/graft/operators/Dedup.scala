@@ -28,10 +28,17 @@ object Dedup {
     * granularity), serializing the whole signature computation on one
     * core. At real scale the input has >= defaultParallelism splits and
     * this is a no-op; the explicit partition count keeps AQE from
-    * coalescing the tiny shuffle back to one partition. */
+    * coalescing the tiny shuffle back to one partition.
+    *
+    * The decision reads `inputFiles` (pure file-listing metadata) rather
+    * than `df.rdd.getNumPartitions`, which would force physical planning of
+    * the input on the driver per invocation. A corpus with >= parallelism
+    * files skips the repartition entirely — at real scale this never
+    * shuffles; non-file inputs (empty `inputFiles`) take the repartition,
+    * which is the safe side for the tiny frames that shape implies. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   /** Exact duplicate groups keyed by md5 of the raw text. */

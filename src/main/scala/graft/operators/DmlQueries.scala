@@ -59,15 +59,18 @@ object Dml {
     df.sparkSession.read.parquet(s"$dir/$name")
   }
 
-  /** INSERT INTO t [(cols)] VALUES (...), (...): append rows to the v0
-    * snapshot, then re-commit it (append is the one in-place write; a real
-    * log would record the added files instead).
+  /** INSERT INTO t [(cols)] VALUES (...), (...): publish `v1 = v0 ∪ rows`
+    * and flip the commit pointer — the same copy-on-write discipline as
+    * update/delete. The committed v0 directory is never touched, so a
+    * concurrent reader resolving `_latest` can never observe half an
+    * insert. (A real log would record just the ADDED files instead of
+    * rewriting; the atomicity contract is identical.)
     *
     * `rows` may carry a SUBSET of the base columns — the explicit-column-
     * list form the reference plans (`tmp/crud.txt:186-188`); omitted
     * columns fill from `defaults` (e.g. the recorded `graft.default.*`
     * metadata) or typed NULL. Every inserted column is CAST to the base
-    * schema's type: appending parquet files with a drifted type (INT vs
+    * schema's type: mixing parquet files with a drifted type (INT vs
     * BIGINT) would poison the directory — later reads fail or silently
     * pick a footer depending on which file Spark samples. */
   def insertValues(
@@ -87,8 +90,8 @@ object Dml {
         else defaults.getOrElse(f.name, lit(null))
       c.cast(f.dataType).as(f.name)
     }: _*)
-    aligned.write.mode(SaveMode.Append).parquet(s"$dir/v0")
-    commit(dir, "v0")
+    v0.unionByName(aligned).write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
+    commit(dir, "v1")
     readLatest(v0.sparkSession, dir)
   }
 
@@ -131,12 +134,17 @@ object Dml {
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
     val v0 = snapshot(base, dir, "v0")
+    // Collision-proof match marker: an unqualified `_matched` would be
+    // ambiguous against a target table that already has that column.
+    val marker = "__graft_matched"
+    require(!v0.columns.contains(marker) && !source.columns.contains(marker),
+      s"updateFrom: reserved marker column $marker present in input")
     val marked = v0.alias("t").join(
-      source.withColumn("_matched", lit(true)).alias("s"), cond, "left")
+      source.withColumn(marker, lit(true)).alias("s"), cond, "left")
     val updated = marked.select(v0.columns.toIndexedSeq.map { c =>
       assignments.get(c) match {
         case Some(newVal) =>
-          when(coalesce(col("_matched"), lit(false)), newVal)
+          when(coalesce(col(marker), lit(false)), newVal)
             .otherwise(col(s"t.$c")).as(c)
         case None => col(s"t.$c").as(c)
       }

@@ -115,6 +115,25 @@ class DmlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("insert is copy-on-write: the committed v0 snapshot is immutable, " +
+    "the inserted row lands only in v1") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_cow_insert", sf)
+    val base = Tables.t(spark, sf, "nation")
+    val out = Dml.insertValues(
+      base,
+      Seq((40, "THULE", 1)).toDF("n_nationkey", "n_name", "n_regionkey"),
+      dir)
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim
+    assert(latest == "v1")
+    // v0 still holds exactly the pre-insert state — no in-place append
+    val v0 = spark.read.parquet(s"$dir/v0")
+    assert(v0.count() == base.count())
+    assert(v0.filter(col("n_nationkey") === 40).count() == 0)
+    assert(out.count() == base.count() + 1)
+  }
+
   test("commit pointer: readers resolve the committed version; the " +
     "mutation flips it atomically from v0 to v1") {
     import org.apache.spark.sql.functions._

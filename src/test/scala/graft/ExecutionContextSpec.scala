@@ -99,6 +99,91 @@ class ExecutionContextSpec extends SparkSpec {
     assert(!c.indexes.exists(_.name == "my_ix"))
   }
 
+  test("createTable records column options + table constraints as " +
+    "graft.* properties, round-tripped via tableProperties " +
+    "(tmp/crud.txt:388-479)") {
+    val c = ctx
+    import org.apache.spark.sql.types._
+    val loc = Dml.work("spec_ddl", sf) + "/t2"
+    c.execute("DROP TABLE IF EXISTS spec_t2")
+    c.createTable(
+      "spec_t2",
+      Seq(
+        ColumnSpec("id", LongType, nullable = false, primaryKey = true),
+        ColumnSpec("region", IntegerType, default = Some("0")),
+        ColumnSpec("name", StringType)),
+      Seq(
+        TableConstraintDef.ForeignKey(
+          Seq("region"), "region", Seq("r_regionkey")),
+        TableConstraintDef.Unique(Seq("name")),
+        TableConstraintDef.Check("id > 0")),
+      loc,
+      ifNotExists = false)
+    val props = c.tableProperties("spec_t2")
+    assert(props("graft.primary_key") == "id")
+    assert(props("graft.notnull") == "id")
+    assert(props("graft.default.region") == "0")
+    assert(props("graft.constraint.fk.0") ==
+      "(region) REFERENCES region (r_regionkey)")
+    assert(props("graft.constraint.unique.0") == "name")
+    assert(props("graft.constraint.check.0") == "id > 0")
+    // (NOT NULL is emitted into the CREATE TABLE DDL, but Spark relaxes
+    // file-source schemas to nullable on read — the authoritative record
+    // is the graft.notnull property asserted above.)
+    c.dropTable(Seq("spec_t2"))
+  }
+
+  test("recorded graft.default.* metadata drives Dml.insertValues " +
+    "defaults for omitted columns") {
+    val c = ctx
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr}
+    val loc = Dml.work("spec_ddl", sf) + "/t3"
+    c.execute("DROP TABLE IF EXISTS spec_t3")
+    c.createTable(
+      "spec_t3",
+      Seq(
+        ColumnSpec("id", LongType, nullable = false),
+        ColumnSpec("region", IntegerType, default = Some("7")),
+        ColumnSpec("name", StringType)),
+      Seq.empty, loc, ifNotExists = false)
+    c.execute("INSERT OVERWRITE spec_t3 VALUES (CAST(0 AS BIGINT), 5, 'seed')")
+    val defaults = c.tableProperties("spec_t3").collect {
+      case (k, v) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.") -> expr(v)
+    }.toMap
+    assert(defaults.keySet == Set("region"))
+    val sq = spark; import sq.implicits._
+    val out = Dml.insertValues(
+      c.table("spec_t3"),
+      Seq((1L, "a")).toDF("id", "name"),
+      Dml.work("spec_default_meta", sf),
+      defaults)
+    val added = out.filter(col("id") === 1L).collect()
+    assert(added.length == 1 && added.head.getInt(1) == 7)
+    // the seeded row is untouched
+    assert(out.filter(col("id") === 0L).collect().head.getInt(1) == 5)
+    c.dropTable(Seq("spec_t3"))
+  }
+
+  test("quoted / backticked / qualified identifiers parse through " +
+    "execute() index DDL (sqlparser accepts them, tmp/crud.txt:312-347)") {
+    val c = ctx
+    c.execute("CREATE INDEX `my idx` ON customer (`c_custkey`, c_name)")
+    assert(c.indexes.exists(ix =>
+      ix.name == "my idx" && ix.table == "customer" &&
+        ix.columns == Seq("c_custkey", "c_name")))
+    c.execute("DROP INDEX `my idx`")
+    assert(!c.indexes.exists(_.name == "my idx"))
+    c.execute("""CREATE UNIQUE INDEX "q ix" ON customer ("c_custkey")""")
+    assert(c.indexes.exists(ix =>
+      ix.name == "q ix" && ix.unique && ix.columns == Seq("c_custkey")))
+    // CASCADE accepted (reference DropIndex IR carries the flag,
+    // src/planner/logical_plan.rs:80-84) — no-op for metadata indexes
+    c.execute("""DROP INDEX "q ix" CASCADE""")
+    assert(!c.indexes.exists(_.name == "q ix"))
+  }
+
   test("drop table cascade removes the table's indexes " +
     "(tmp/crud.txt:349-371)") {
     val c = ctx
