@@ -168,6 +168,14 @@ class ExecutionContext(
     spark.sql(ExecutionContext.firstStatement(sql))
       .queryExecution.toString
 
+  /** Render the analyzed plan in the reference's own `format_plan` text
+    * shape (`tmp/select.rs:625-746`): `-> Node: detail` lines, one-space
+    * indent per level — the last §2.13 parity gap. [[explain]] stays the
+    * richer Catalyst `treeString`; this is the byte-shape twin. */
+  def explainReference(sql: String): String =
+    graft.plans.ReferencePlanFormat.format(
+      spark.sql(ExecutionContext.firstStatement(sql)).queryExecution.analyzed)
+
   // ---- DDL: tables ------------------------------------------------------
 
   /** CREATE TABLE with a typed schema at an explicit parquet location

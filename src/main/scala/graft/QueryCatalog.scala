@@ -23,7 +23,8 @@ object QueryCatalog {
       SimilarityQueries.queries ++
       EventQueries.queries ++
       DmlQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      SkewQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -334,7 +334,8 @@ object RelationalQueries {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         t(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-          .withColumn("rn", row_number().over(w))
+          // BIGINT for oracle width parity (DuckDB row_number is BIGINT)
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

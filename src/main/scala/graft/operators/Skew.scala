@@ -21,8 +21,16 @@ object Skew {
     * The salt MUST come from a per-ROW source (row position), never from
     * the data: a hot key whose rows share one value — the classic skew
     * shape — would hash that value into a single salt bucket and silently
-    * collapse phase one back to one reducer. The aggregate is algebraic,
-    * so the result is independent of how rows spread across salts. */
+    * collapse phase one back to one reducer. (Hashing the WHOLE row fails
+    * the same way on duplicate-heavy hot keys.) The aggregate is algebraic,
+    * so the result is independent of how rows spread across salts.
+    *
+    * INPUT CONTRACT: feed a deterministic scan (file source, cached frame).
+    * `monotonically_increasing_id` is position-derived, so if the input is
+    * itself a nondeterministic shuffle output, a partial-stage retry can
+    * re-salt rows between attempts (the SPARK-23207 hazard) — repartition
+    * deterministically (or persist) first in that case. Every engine query
+    * feeds file scans, which replay identically. */
   /** Phase one of [[saltedAgg]]: partial aggregate on (key, salt) —
     * exposed for tests asserting the hot key really spreads. */
   private[graft] def saltedPartials(
@@ -71,4 +79,19 @@ object Skew {
           spreadBig("_salt") === explodedSmall("_salt"))
       .drop("_salt")
   }
+}
+
+/** Oracle-checked twin for the skew machinery: a salted aggregate equals
+  * the plain GROUP BY it replaces, so the two-phase plan runs under the
+  * driver's DuckDB hash gate, not only under ScalaTest. */
+object SkewQueries {
+  val queries: Seq[Q] = Seq(
+    Q("k01_salted_agg",
+      (s, d) => Skew.saltedAgg(
+        Tables.t(s, d, "lineitem"), "l_returnflag", "l_quantity", salts = 16),
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |count(*) AS n FROM lineitem GROUP BY l_returnflag"""
+        .stripMargin.replace('\n', ' ')))
+  )
 }

@@ -53,15 +53,35 @@ object TextQueries {
              |/ greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 4) AS stop_ratio
              |FROM documents""".stripMargin.replace('\n', ' '))),
 
-    // Heuristic language-ID — not SQL-oracle-expressible in a sane way;
-    // determinism + accuracy asserted in TextSpec instead.
+    // Language-ID argmax: Spark side is array_max over struct(score, lang)
+    // — max score, ties to the lexicographically GREATEST code. The oracle
+    // states the same argmax as a nested CASE ordered zh > fr > es > en > de
+    // with >= comparisons (each branch wins its ties against every
+    // lexicographically smaller code). Accuracy on real prose is asserted
+    // in TextSpec (the synthetic lang label is random w.r.t. the text).
     Q("t04_lang_id",
       (s, d) => {
         val toks = tokens(col("text"))
         Tables.t(s, d, "documents").select(
           col("doc_id"), col("lang"), langId(toks).as("lang_pred"))
       },
-      None),
+      Some {
+        def hits(lang: String) = {
+          val words = stopwords(lang).map(w => s"'$w'").mkString(",")
+          s"len(list_filter(toks, tk -> list_contains([$words], tk)))"
+        }
+        """WITH tk AS (SELECT doc_id, lang,
+          |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+          |SELECT doc_id, lang, CASE
+          |WHEN @ZH@ >= @FR@ AND @ZH@ >= @ES@ AND @ZH@ >= @EN@ AND @ZH@ >= @DE@ THEN 'zh'
+          |WHEN @FR@ >= @ES@ AND @FR@ >= @EN@ AND @FR@ >= @DE@ THEN 'fr'
+          |WHEN @ES@ >= @EN@ AND @ES@ >= @DE@ THEN 'es'
+          |WHEN @EN@ >= @DE@ THEN 'en' ELSE 'de' END AS lang_pred FROM tk"""
+          .stripMargin.replace('\n', ' ')
+          .replace("@ZH@", hits("zh")).replace("@FR@", hits("fr"))
+          .replace("@ES@", hits("es")).replace("@EN@", hits("en"))
+          .replace("@DE@", hits("de"))
+      }),
 
     Q("t05_fingerprint",
       (s, d) =>
@@ -69,12 +89,28 @@ object TextQueries {
           col("doc_id"), fingerprint(tokens(col("text"))).as("fp")),
       None),
 
+    // Oracle restates qualityScore's exact arithmetic (same literals, same
+    // left-assoc blend order) so the unrounded doubles are IEEE-identical;
+    // round(x, 4) then agrees bit-for-bit (t03's proven pattern).
     Q("t06_quality_score",
       (s, d) => {
         val toks = tokens(col("text"))
         Tables.t(s, d, "documents").select(
           col("doc_id"), qualityScore(col("text"), toks).as("quality"))
       },
-      None)
+      Some("""WITH b AS (SELECT doc_id,
+             |CAST(length(text) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks,
+             |CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq
+             |FROM documents)
+             |SELECT doc_id, round(least(greatest(
+             |least(n_toks / 20.0, 1.0) * 0.3
+             |+ (n_alpha / greatest(n_chars, 1.0)) * 0.3
+             |+ (n_uniq / greatest(n_toks, 1.0)) * 0.2
+             |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
+             |THEN 1.0 ELSE 0.5 END) * 0.2,
+             |0.0), 1.0), 4) AS quality FROM b""".stripMargin
+        .replace('\n', ' ')))
   )
 }

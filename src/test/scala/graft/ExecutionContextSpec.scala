@@ -47,6 +47,49 @@ class ExecutionContextSpec extends SparkSpec {
     assert(plan.contains("Relation") || plan.contains("SubqueryAlias"))
   }
 
+  test("explainReference renders the reference's exact format_plan shape " +
+    "for the main.rs:7 query (tmp/select.rs:625-746)") {
+    val c = ctx
+    // the reference's seeded catalog: users(id, name, email)
+    // (src/context.rs:19-22); its only shipped query is main.rs:7
+    val sq = spark; import sq.implicits._
+    Seq((1L, "a", "a@x")).toDF("id", "name", "email")
+      .createOrReplaceTempView("users")
+    val plan = c.explainReference("SELECT email, name FROM users")
+    assert(plan ==
+      "-> Projection: [email, name]\n" +
+        " -> TableScan: users projection=[id, name, email]\n")
+    spark.catalog.dropTempView("users")
+  }
+
+  test("explainReference: filter + alias + sort + limit + join nodes carry " +
+    "the reference node labels and one-space-per-level indent") {
+    val c = ctx
+    val p1 = c.explainReference(
+      "SELECT c_name AS n FROM customer WHERE c_custkey > 5 " +
+        "ORDER BY c_name DESC LIMIT 3")
+    // Spark's analysis adds a sort-column projection + cleanup project
+    // around the Sort; the node labels and indent discipline are the
+    // parity target
+    assert(p1.startsWith(
+      "-> Limit: LIMIT 3\n -> Projection: [n]\n  -> Sort: [c_name DESC]\n"))
+    assert(p1.contains("-> Projection: [c_name AS n, c_name]\n"))
+    assert(p1.contains("-> Filter: c_custkey > 5\n"))
+    assert(p1.contains("-> TableScan: customer projection=["))
+    val p2 = c.explainReference(
+      "SELECT n_name FROM nation n JOIN region r " +
+        "ON n.n_regionkey = r.r_regionkey")
+    assert(p2.contains("-> Join: Inner ON n_regionkey = r_regionkey\n"))
+    assert(p2.contains("  -> TableScan: nation AS n projection=["))
+    assert(p2.contains("  -> TableScan: region AS r projection=["))
+    val p3 = c.explainReference(
+      "SELECT n_regionkey, count(*) AS c, sum(n_nationkey) AS s " +
+        "FROM nation GROUP BY n_regionkey")
+    assert(p3.contains(
+      "-> Aggregate: group=[n_regionkey] agg=[COUNT(*) AS c, " +
+        "SUM(n_nationkey) AS s]\n"))
+  }
+
   test("scalar-function passthrough resolves arbitrary registry functions " +
     "(tmp/select.rs:583-611)") {
     val row = ctx.execute(

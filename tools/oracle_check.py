@@ -63,6 +63,14 @@ for name, sql in sorted(oracle.items()):
         if kind_bad:
             bad.append((name, f"int-kind mismatch (driver hash would fail): "
                               f"{[(c, str(e[c].dtype), str(g[c].dtype)) for c in kind_bad]}")); continue
+        # same-kind WIDTH drift (Spark INT32 vs oracle BIGINT/int64) is just
+        # as fatal to the driver's typed hash — require the exact dtype
+        width_bad = [c for c in e.columns
+                     if e[c].dtype.kind in "iu" and g[c].dtype.kind in "iu"
+                     and str(e[c].dtype) != str(g[c].dtype)]
+        if width_bad:
+            bad.append((name, f"int-width mismatch (driver hash would fail): "
+                              f"{[(c, str(e[c].dtype), str(g[c].dtype)) for c in width_bad]}")); continue
         try:
             pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=True)
             ok.append(name)
