@@ -108,6 +108,16 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
+    verifyJaccard(cands, prep, threshold)
+  }
+
+  /** Exact-jaccard verify: join the candidate (a, b) pairs back to their
+    * shingle-hash sets and keep pairs at or above `threshold`. Shared by
+    * the banded (d03/d05) and exhaustive (d07) pipelines. */
+  private def verifyJaccard(
+      cands: DataFrame,
+      prep: DataFrame,
+      threshold: Double): DataFrame = {
     val sets = prep.select(col("doc_id"), col("shh"))
     cands
       .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("shh", "sh_a"), "a")
@@ -117,6 +127,33 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jac") >= threshold)
       .select("a", "b", "jac")
+  }
+
+  /** EXHAUSTIVE exact-jaccard near-dup pairs via a shingle inverted index:
+    * any pair with jaccard > 0 shares at least one shingle, so exploding
+    * (doc_id, shingle) and self-joining on the shingle hash enumerates
+    * every qualifying pair — no LSH, no probabilistic misses, which is what
+    * makes this the oracle-checkable twin of the banded pipelines.
+    *
+    * Scale: cost is Σ_s df(s)² over shingle document-frequencies — exact
+    * dedup's price. A boilerplate shingle shared by 1M docs makes its term
+    * 10¹²; at 100 TB use the banded d03/d05 (bounded by maxBucket) and
+    * keep this as the small-corpus / audit-sample verifier. */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val prep = ManagedCache.persist(
+      spread(docs).select(
+        col("doc_id"),
+        shingleHashes(tokens(col("text")), shingleN).as("shh")))
+    val inv = prep.select(col("doc_id"), explode(col("shh")).as("g"))
+    val cands = inv.alias("l")
+      .join(inv.alias("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cands, prep, threshold)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
@@ -240,6 +277,28 @@ object DedupQueries {
       (s, d) => Dedup.minhashNearDupPairs(Tables.t(s, d, "documents"),
         shingleN = 3, k = 16, bands = 8, threshold = 0.9),
       None),
+
+    // Exhaustive inverted-index exact jaccard — deterministic output (no
+    // LSH), so it runs under the full DuckDB hash gate. The oracle builds
+    // the STRING shingle sets; jaccard over 64-bit shingle hashes (Spark)
+    // equals jaccard over the strings up to negligible collision odds.
+    Q("d07_jaccard_exact",
+      (s, d) => Dedup.exactJaccardPairs(Tables.t(s, d, "documents"),
+        shingleN = 3, threshold = 0.8),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |p AS (SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+             |FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
+             |j AS (SELECT p.a, p.b,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b)
+             |SELECT a, b, jac FROM j WHERE jac >= 0.8"""
+        .stripMargin.replace('\n', ' '))),
 
     // signBits sizes the bucket count (2^bits) and trades exactly like LSH
     // bands: each +1 bit halves candidate pairs at some recall cost, and

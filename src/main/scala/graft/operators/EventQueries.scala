@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +15,46 @@ import org.apache.spark.sql.functions._
   * minimum (state per user), the same keying a streaming
   * mapGroupsWithState would use. */
 object EventQueries {
+
+  /** As-of join (inner): attach to each `probe` row the `dim` row with the
+    * greatest `ts` at or before the probe's, per `key`. Spark has no ASOF
+    * JOIN and a range join would explode, so this is the union +
+    * ordered-window formulation — dim rows tagged before probe rows at
+    * equal ts, ONE shuffle on `key`, last non-null dim value carried
+    * forward. Linear in rows: the 100 TB-safe shape (same keying as
+    * sessionization).
+    *
+    * CONTRACT: `dim` must be unique per (key, ts) — pre-aggregate it —
+    * or the matched payload is nondeterministic. `dimCols` are the dim
+    * payload columns to carry; they must not collide with probe columns. */
+  def asofJoin(
+      probe: DataFrame,
+      dim: DataFrame,
+      key: String,
+      ts: String,
+      tsOut: String,
+      dimCols: Seq[(String, String)]): DataFrame = {
+    // dim payload and the full probe row each travel as ONE struct, so the
+    // union needs no per-column NULL typing and the carry-forward is a
+    // single window expression
+    val dimStruct = struct(
+      col(ts).as(tsOut) +: dimCols.map { case (c, o) => col(c).as(o) }: _*)
+    val dimType = dim.select(dimStruct).schema.head.dataType
+    val d = dim.select(col(key).as("_k"), col(ts).as("_t"),
+      lit(0).as("_tag"), dimStruct.as("_dim"),
+      lit(null).cast(probe.schema).as("_row"))
+    val p = probe.select(col(key).as("_k"), col(ts).as("_t"),
+      lit(1).as("_tag"), lit(null).cast(dimType).as("_dim"),
+      struct(probe.columns.map(col).toIndexedSeq: _*).as("_row"))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.unionByName(p)
+      .withColumn("_m",
+        last(when(col("_tag") === 0, col("_dim")), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1 && col("_m").isNotNull)
+      .select(col("_row.*"), col("_m.*"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("s01_hourly_agg",
@@ -96,6 +137,45 @@ object EventQueries {
              |CAST(sum(n_events) AS BIGINT) AS n_events
              |FROM per GROUP BY user_id"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // As-of join (time-series point-in-time lookup — the operator a
+    // training-data pipeline uses to attach the latest prior context to an
+    // event). Spark has no ASOF JOIN; a range join would explode, so this
+    // uses the union + ordered-window formulation: tag dim rows before
+    // probe rows at equal ts, one shuffle on user_id, last non-null dim
+    // value at or before each probe. Linear in rows — the 100 TB-safe
+    // shape (same keying as sessionization). The dim side is deduped per
+    // (user_id, ts) so the matched value is deterministic on both engines.
+    // Oracle: DuckDB's native ASOF JOIN (inner; probe.ts >= dim.ts).
+    Q("s05_asof_join",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        // inner as-of semantics (DuckDB's ASOF JOIN default): probes with
+        // no prior click drop out — and the gated output carries no NULL
+        // timestamps, which pandas-based hash gates normalize unreliably
+        asofJoin(
+          probe = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          dim = ev.filter(col("event_type") === "click")
+            .groupBy(col("user_id"), col("ts"))
+            .agg(max(col("value")).as("dim_value")),
+          key = "user_id", ts = "ts", tsOut = "click_ts",
+          dimCols = Seq("dim_value" -> "click_value"))
+      },
+      // the oracle truncates ts to µs FIRST (CAST TIMESTAMP_NS→TIMESTAMP)
+      // so the as-of comparison and the (user_id, ts) dedup operate at the
+      // same precision Spark sees after its ns→µs load conversion
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+             |dim AS (SELECT user_id, ts, max(value) AS dim_value
+             |FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+             |probe AS (SELECT event_id, user_id, ts FROM ev
+             |WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.ts, d.ts AS click_ts,
+             |d.dim_value AS click_value
+             |FROM probe p ASOF JOIN dim d
+             |ON p.user_id = d.user_id AND p.ts >= d.ts"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

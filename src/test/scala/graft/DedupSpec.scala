@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("exact jaccard pairs (d07) EQUAL the brute-force all-pairs set — " +
+    "the inverted-index candidates are exhaustive, not probabilistic") {
+    val exact = brutePairs(0.8)
+    val got = Dedup.exactJaccardPairs(docs, 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact,
+      s"missing=${(exact -- got).take(3)} spurious=${(got -- exact).take(3)}")
+  }
+
   test("minhash plan: skew cap is aggregate+anti-join, NOT a window sort " +
     "over the hot bucket") {
     val plan = Dedup.minhashNearDupPairs(docs, 3, 16, 4, 0.5)

@@ -52,6 +52,11 @@ for name, sql in sorted(oracle.items()):
             for c in d.columns:
                 if d[c].dtype == object:
                     d[c] = d[c].astype(str)
+                # unify datetime unit: us-vs-ns frames with any NaT make
+                # assert_frame_equal fall back to raw int64 compare and
+                # false-fail even when every value is equal
+                elif str(d[c].dtype).startswith("datetime64"):
+                    d[c] = d[c].astype("datetime64[us]")
             return d.sort_values(by=list(d.columns)).reset_index(drop=True)
         e, g = norm(exp), norm(got)
         # integer columns must agree in KIND (int vs int) — check_dtype=False
