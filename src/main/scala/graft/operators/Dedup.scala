@@ -298,7 +298,8 @@ object DedupQueries {
              |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
              |FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b)
              |SELECT a, b, jac FROM j WHERE jac >= 0.8"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // signBits sizes the bucket count (2^bits) and trades exactly like LSH
     // bands: each +1 bit halves candidate pairs at some recall cost, and

@@ -176,6 +176,7 @@ object EventQueries {
              |d.dim_value AS click_value
              |FROM probe p ASOF JOIN dim d
              |ON p.user_id = d.user_id AND p.ts >= d.ts"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }
