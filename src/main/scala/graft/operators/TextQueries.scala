@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -111,6 +112,62 @@ object TextQueries {
              |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
              |THEN 1.0 ELSE 0.5 END) * 0.2,
              |0.0), 1.0), 4) AS quality FROM b""".stripMargin
-        .replace('\n', ' ')))
+        .replace('\n', ' '))),
+
+    // Corpus vocabulary head: global term frequencies, deterministic
+    // tie-break. Shape at 100 TB: explode + partial-agg groupBy on term —
+    // the map-side combine absorbs the per-doc repetition, and the top-k
+    // is a TakeOrdered, never a full sort to the driver.
+    Q("t07_top_terms",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc)
+          .limit(50),
+      Some("""WITH tok AS (SELECT
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |FROM documents)
+             |SELECT term, count(*) AS n FROM tok GROUP BY term
+             |ORDER BY n DESC, term ASC LIMIT 50"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Per-document TF-IDF top-3 terms. Two shuffles (tf on (doc, term);
+    // df on term) + a broadcast of the 1-row corpus count; ranking is the
+    // q25 window pattern ordered by the ROUNDED weight with a term
+    // tie-break, so cross-engine float jitter in ln() cannot reorder the
+    // cut. At 100 TB the df table is vocabulary-sized — still the shape
+    // you want (df join broadcasts or bucketed-joins on term).
+    Q("t08_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val nd = docs.agg(countDistinct("doc_id").as("nd"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("w").desc, col("term").asc)
+        tf.join(dfq, "term")
+          .crossJoin(broadcast(nd))
+          .withColumn("w",
+            round(col("tf") * log(col("nd").cast("double") / col("df")), 4))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "term", "w", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+             |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+             |wt AS (SELECT doc_id, term,
+             |round(tf * ln(CAST(nd AS DOUBLE) / df), 4) AS w
+             |FROM tf JOIN df USING (term) CROSS JOIN nd),
+             |rk AS (SELECT doc_id, term, w,
+             |row_number() OVER (PARTITION BY doc_id
+             |ORDER BY w DESC, term ASC) AS rk FROM wt)
+             |SELECT doc_id, term, w, rk FROM rk WHERE rk <= 3"""
+        .stripMargin.replace('\n', ' ')))
   )
 }
