@@ -115,15 +115,24 @@ object Similarity {
     * LinkedHashMap evicts the oldest entry past `ivfModelCacheMax`. */
   private val ivfModelCacheMax = 8
   private val ivfModels = scala.collection.mutable.LinkedHashMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
       org.apache.spark.ml.clustering.KMeansModel]
 
+  /** `trainCap` bounds the k-means TRAINING set: training scans a
+    * hash-thresholded sample of ~trainCap rows instead of the full corpus
+    * — at 100 TB the quantizer trains on a fixed-size subset while
+    * assignment still covers every row (one full scan, as it must).
+    * Hash-threshold sampling (`xxhash64(id) mod M < frac·M`) is
+    * content-deterministic: unlike `df.sample`, whose output depends on
+    * partition layout, the same ids train the same model on any cluster
+    * shape, keeping the index reproducible. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trainCap: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -131,13 +140,25 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"),
         toDouble(col("embedding")).as("cv"))
       .withColumn("features", array_to_vector(col("cv"))))
-    val cacheKey = (corpus.queryExecution.analyzed.canonicalized, nlist)
+    val cacheKey =
+      (corpus.queryExecution.analyzed.canonicalized, nlist, trainCap)
     val model = ivfModels.synchronized {
-      val m = ivfModels.getOrElseUpdate(cacheKey,
+      val m = ivfModels.getOrElseUpdate(cacheKey, {
+        // count() is one pass over the already-cached frame, paid once per
+        // cached model — it sizes the deterministic training sample
+        val n = c.count()
+        val train =
+          if (n <= trainCap) c
+          else {
+            val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
+            c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
+              < thresh)
+          }
         new KMeans()
           .setK(nlist).setSeed(42).setMaxIter(5)
           .setFeaturesCol("features").setPredictionCol("list_id")
-          .fit(c))
+          .fit(train)
+      })
       while (ivfModels.size > ivfModelCacheMax)
         ivfModels -= ivfModels.head._1
       m

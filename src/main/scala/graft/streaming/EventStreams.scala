@@ -67,6 +67,21 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
 
+  /** Streaming exact dedup — the streaming twin of [[Dedup.exactGroups]]
+    * (d01) for a document FIREHOSE: keep the first arrival of each distinct
+    * content hash, drop later duplicates. `dropDuplicatesWithinWatermark`
+    * keys state on the md5 hash and EVICTS entries once the watermark
+    * passes them — state is bounded by the lateness horizon × distinct-doc
+    * rate, not by stream length, which is what keeps an unbounded
+    * 100 TB/day ingest runnable. (Cross-horizon duplicates re-admit — the
+    * standard streaming-dedup contract; exact global dedup is the batch
+    * d01.) Input needs (ts, text); output is the surviving rows. */
+  def dedupStream(docs: DataFrame, lateness: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled form of [[sessionStats]] for when session semantics
     * outgrow `session_window` (e.g. per-session custom payloads). State

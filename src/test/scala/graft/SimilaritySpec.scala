@@ -52,6 +52,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf recall $recall")
   }
 
+  test("ivf with sample-bounded training (the 100 TB quantizer path) " +
+    "still recalls usefully and is deterministic across runs") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity
+      .ivfTopK(queries, emb, 5, nlist = 8, nprobe = 3, trainCap = 200)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3,
+      s"sample-trained ivf recall $recall (cap=200 of ${emb.count()} rows)")
+    assert(run() == a, "hash-threshold sampling must be deterministic")
+  }
+
   test("native CosineSimilarity expression matches the HOF composition " +
     "bit-for-bit and runs inside codegen") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)

@@ -110,6 +110,33 @@ class StreamingSpec extends SparkSpec {
     assert(perUser == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("streaming dedup keeps the first arrival of each content hash " +
+    "across micro-batches (d01's streaming twin)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val query = EventStreams.dedupStream(
+        ms.toDF.toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (1L, t("2026-01-01 10:00:00"), "alpha beta"),
+        (2L, t("2026-01-01 10:01:00"), "alpha beta"), // in-batch dup
+        (3L, t("2026-01-01 10:02:00"), "gamma")))
+      query.processAllAvailable()
+      ms.addData(Seq(
+        (4L, t("2026-01-01 10:30:00"), "gamma"), // cross-batch dup
+        (5L, t("2026-01-01 10:31:00"), "delta")))
+      query.processAllAvailable()
+      val survivors = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 3L, 5L),
+        s"got $survivors — duplicates 2 (in-batch) and 4 (cross-batch) " +
+          "must drop within the watermark horizon")
+    } finally query.stop()
+  }
+
   test("user activity rollup is streaming-queryable (update-mode state)") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
