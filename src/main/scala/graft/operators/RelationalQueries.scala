@@ -497,6 +497,39 @@ object RelationalQueries {
       Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
              |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
              |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CUBE — all 4 grouping combinations in ONE pass (Expand + single
+    // aggregate exchange), vs 4 separate scans a naive union would cost.
+    Q("q35_cube",
+      (s, d) =>
+        t(s, d, "customer")
+          .cube(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("c_acctbal")).as("sum_bal")),
+      Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PIVOT with an EXPLICIT value list: Spark's pivot(values) plans one
+    // aggregate pass; omitting the list costs an extra collect-distinct
+    // job — never acceptable on a 100 TB fact table. Oracle states the
+    // same thing as conditional aggregation (engine-portable PIVOT).
+    Q("q36_pivot",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .withColumnRenamed("F", "qty_f")
+          .withColumnRenamed("O", "qty_o"),
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CASE WHEN l_linestatus = 'F'
+             |THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+             |CAST(sum(CASE WHEN l_linestatus = 'O'
+             |THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag"""
         .stripMargin.replace('\n', ' ')))
   )
 

@@ -168,6 +168,29 @@ object TextQueries {
              |row_number() OVER (PARTITION BY doc_id
              |ORDER BY w DESC, term ASC) AS rk FROM wt)
              |SELECT doc_id, term, w, rk FROM rk WHERE rk <= 3"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Per-source length distribution — the pre-filter calibration stats a
+    // corpus pipeline computes before choosing quality cutoffs. EXACT
+    // interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`): one shuffle on the low-cardinality source key; at
+    // 100 TB swap to approx_percentile and drop the oracle, or pre-bin.
+    Q("t09_length_percentiles",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(percentile(col("n_chars"), lit(0.25)), 4).as("p25"),
+            round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("n_chars"), lit(0.75)), 4).as("p75"),
+            max(col("n_chars")).as("max_chars")),
+      Some("""SELECT source, count(*) AS n_docs,
+             |round(quantile_cont(n_chars, 0.25), 4) AS p25,
+             |round(quantile_cont(n_chars, 0.5), 4) AS p50,
+             |round(quantile_cont(n_chars, 0.75), 4) AS p75,
+             |max(n_chars) AS max_chars
+             |FROM documents GROUP BY source"""
         .stripMargin.replace('\n', ' ')))
   )
 }
