@@ -143,17 +143,33 @@ object Dedup {
       docs: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val prep = ManagedCache.persist(
+    // Persist the EXPLODED (doc_id, shingle-hash) pairs — two long columns,
+    // which the columnar cache re-reads almost for free. (Caching the
+    // array-of-hashes form instead made the warm runs SLOWER than cold:
+    // per-row array materialization out of the cache cost more than
+    // recomputing the shingles.)
+    val inv = ManagedCache.persist(
       spread(docs).select(
         col("doc_id"),
-        shingleHashes(tokens(col("text")), shingleN).as("shh")))
-    val inv = prep.select(col("doc_id"), explode(col("shh")).as("g"))
-    val cands = inv.alias("l")
+        explode(shingleHashes(tokens(col("text")), shingleN)).as("g")))
+    // set sizes |A| per doc (shingle hashes are pre-distinct), and
+    // |A∩B| directly as the matched-shingle count of the self-join —
+    // jaccard needs NO array intersect/union: c / (|A| + |B| - c).
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = inv.alias("l")
       .join(inv.alias("r"),
         col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cands, prep, threshold)
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("sz", "sb"), "b")
+      .withColumn("jac", round(
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
