@@ -177,6 +177,51 @@ object EventQueries {
              |FROM probe p ASOF JOIN dim d
              |ON p.user_id = d.user_id AND p.ts >= d.ts"""
         .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    // Range (interval) join — events within a ± window of each other.
+    // A naive |Δt| <= w theta join is a per-key cartesian; Spark would
+    // plan a BroadcastNestedLoopJoin at scale. Instead: BUCKETIZE time
+    // into w-sized cells, explode each probe to its cell and both
+    // neighbors, equi-join on (user, cell) — every qualifying pair lands
+    // in exactly one probe-cell × event-cell combination — then apply the
+    // exact |Δt| predicate. O(events × 3) shuffle rows, never cartesian.
+    // The oracle is the plain theta join (DuckDB handles it with its own
+    // IEJoin); counts must agree exactly.
+    Q("s06_interval_join",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        val w = 1800L // ±30 min
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"),
+            col("ts").cast("long").as("c_sec"))
+          .withColumn("cell", floor(col("c_sec") / w))
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .withColumn("p_sec", col("ts").cast("long"))
+          .withColumn("cell",
+            explode(array(floor(col("p_sec") / w) - 1,
+              floor(col("p_sec") / w), floor(col("p_sec") / w) + 1)))
+        probes.join(clicks,
+            probes("user_id") === clicks("c_user") &&
+              probes("cell") === clicks("cell") &&
+              abs(col("c_sec") - col("p_sec")) <= w, "left")
+          .groupBy("event_id", "user_id", "ts")
+          .agg(count(col("c_sec")).as("n_nearby_clicks"))
+      },
+      // ts truncates to µs on load; epoch() of a TIMESTAMP is exact here
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |CAST(ts AS TIMESTAMP) AS ts, event_type,
+             |CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+             |FROM events)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |count(c.sec) AS n_nearby_clicks
+             |FROM ev p LEFT JOIN ev c
+             |ON c.user_id = p.user_id AND c.event_type = 'click'
+             |AND abs(c.sec - p.sec) <= 1800
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id, p.user_id, p.ts"""
+        .stripMargin.replace('\n', ' ')),
       bench = true)
   )
 }

@@ -37,6 +37,43 @@ class EventSpec extends SparkSpec {
       (102L, ts("2024-01-01 12:00:00"), 12.0)))
   }
 
+  test("interval-join bucketization is exact at the window boundary and " +
+    "across cell borders (every qualifying pair in exactly one cell)") {
+    val sq = spark; import sq.implicits._
+    val w = 1800L
+    // probe at 10:00:00; clicks at exactly -w, -w-1, +w, +w+1, and one in
+    // a neighboring bucket cell but inside the window
+    val base = ts("2024-01-01 10:00:00").getTime / 1000
+    def at(off: Long) = new Timestamp((base + off) * 1000)
+    val ev = (Seq(
+      (1L, 1L, at(0), "purchase"),
+      (10L, 1L, at(-w), "click"), // |d| == w  -> counts
+      (11L, 1L, at(-w - 1), "click"), // just outside -> no
+      (12L, 1L, at(w), "click"), // |d| == w  -> counts
+      (13L, 1L, at(w + 1), "click"), // just outside -> no
+      (14L, 1L, at(1), "click"), // same cell -> counts
+      (15L, 2L, at(0), "click")) // other user -> no
+      ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    // run the s06 pipeline shape directly on the fixture
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").cast("long").as("c_sec"))
+      .withColumn("cell", floor(col("c_sec") / w))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("p_sec", col("ts").cast("long"))
+      .withColumn("cell", explode(array(floor(col("p_sec") / w) - 1,
+        floor(col("p_sec") / w), floor(col("p_sec") / w) + 1)))
+    val got = probes.join(clicks,
+        probes("user_id") === clicks("c_user") &&
+          probes("cell") === clicks("cell") &&
+          abs(col("c_sec") - col("p_sec")) <= w, "left")
+      .groupBy("event_id").agg(count(col("c_sec")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L),
+      s"expected clicks 10, 12, 14 to count exactly once each; got $got")
+  }
+
   test("asofJoin plan: one Exchange on the key — no range-join explosion, " +
     "no cartesian") {
     val sq = spark; import sq.implicits._
