@@ -83,6 +83,16 @@ class ExecutionContext(
     register("cosine_sim", classOf[CosineSimilarity], 2)(
       c => CosineSimilarity(c(0), c(1)))
     register("simhash64", classOf[SimHash64], 1)(c => SimHash64(c(0)))
+    register("minhash_sig", classOf[MinHashSig], 2) { c =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      c(1) match {
+        case Literal(k: Int, org.apache.spark.sql.types.IntegerType) =>
+          MinHashSig(c(0), k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(shingle_hashes, k): k must be an integer literal, " +
+            s"got $other")
+      }
+    }
   }
 
   // ---- catalog ----------------------------------------------------------

@@ -96,6 +96,90 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
+/** Native k-permutation MinHash signature over pre-hashed shingles — the
+  * minhash twin of [[SimHash64]]. The HOF formulation
+  * ([[TextFunctions.minhashSignature]]) walks an interpreted
+  * `aggregate` whose per-element step allocates a fresh k-slot permutation
+  * array (`transform(sequence(...))`) and a k-slot `zip_with` minimum —
+  * 2k short-lived arrays per shingle, outside codegen. This is one fused
+  * primitive loop (k running minima in a local long[], pure
+  * `XXH64.hashInt(i, XXH64.hashLong(h, 42))` math — the exact composition
+  * Spark's `xxhash64(h, i)` evaluates, so the signature is bit-identical;
+  * asserted in DedupSpec).
+  *
+  * Null shingle slots (cannot arise from [[TextFunctions.shingleHashes]],
+  * handled for safety) hash like `xxhash64(NULL, i)`: the null argument is
+  * skipped, leaving `hashInt(i, 42)`. Empty array → all Long.MaxValue,
+  * matching the HOF accumulator seed.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs k > 0, got $k")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base =
+        if (a.isNullAt(i)) 42L else XXH64.hashLong(a.getLong(i), 42L)
+      var j = 0
+      while (j < k) {
+        val p = XXH64.hashInt(j, base)
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val p = ctx.freshName("p")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $base = $a.isNullAt($i) ? 42L :
+         |    $xxh.hashLong($a.getLong($i), 42L);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $p = $xxh.hashInt($j, $base);
+         |    if ($p < $mins[$j]) $mins[$j] = $p;
+         |  }
+         |}
+         |${ev.value} = new $gad($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -103,4 +187,10 @@ object TextExpressions {
     * array (pass `TextFunctions.tokens(text)`). */
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** Column-API entry point for [[MinHashSig]]: k-permutation minhash
+    * signature of a pre-hashed shingle array
+    * (pass `TextFunctions.shingleHashes(tokens, n)`). */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingleHashes), k))
 }

@@ -66,7 +66,10 @@ object Dedup {
     spread(docs).select(
       col("doc_id"),
       shingleHashes(tokens(col("text")), shingleN).as("shh"))
-      .withColumn("sig", minhashSignature(col("shh"), k))
+      // native codegen'd signature (TextExpressions.MinHashSig): one fused
+      // loop, bit-identical to the interpreted HOF form
+      // (TextFunctions.minhashSignature — kept as the DedupSpec cross-check)
+      .withColumn("sig", TextExpressions.minhashSig(col("shh"), k))
 
   /** Candidate pairs from LSH banding, verified with exact jaccard over the
     * shingle sets; returns pairs (a, b, jac) with jac >= threshold.

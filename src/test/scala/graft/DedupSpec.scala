@@ -100,6 +100,26 @@ class DedupSpec extends SparkSpec {
     assert(row.getLong(0) == 0L && row.isNullAt(1))
   }
 
+  test("native minhash_sig expression is bit-identical to the HOF " +
+    "formulation on the full fixture (incl. empty/null arrays)") {
+    val all = Tables.t(spark, sf, "documents")
+    val shh = TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+    val diff = all.select(
+        TextExpressions.minhashSig(shh, 16).as("native"),
+        TextFunctions.minhashSignature(shh, 16).as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(diff.count() == 0)
+    val sq = spark; import sq.implicits._
+    val edge = Seq(Tuple1(Seq.empty[Long]))
+      .toDF("shh")
+      .select(
+        TextExpressions.minhashSig(col("shh"), 4).as("e"),
+        TextExpressions.minhashSig(lit(null).cast("array<bigint>"), 4).as("n"))
+      .collect().head
+    assert(edge.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+    assert(edge.isNullAt(1))
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above " +
     "threshold") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)

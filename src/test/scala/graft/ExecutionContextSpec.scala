@@ -99,6 +99,19 @@ class ExecutionContextSpec extends SparkSpec {
     assert(row.getDouble(1) == 1024.0)
   }
 
+  test("minhash_sig is callable from SQL with a literal k; non-literal k " +
+    "fails analysis with a real message") {
+    val c = ctx
+    val row = c.execute(
+      "SELECT minhash_sig(array(xxhash64('a'), xxhash64('b')), 4) AS s")
+      .collect().head
+    assert(row.getSeq[Long](0).length == 4)
+    val e = intercept[Exception](
+      c.execute("SELECT minhash_sig(array(1L), cast(rand()*4 as int))")
+        .collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("create index: deterministic auto-name, duplicate error, " +
     "IF NOT EXISTS, unique flag (tmp/crud.txt:312-347)") {
     val c = ctx
