@@ -83,16 +83,18 @@ class ExecutionContext(
     register("cosine_sim", classOf[CosineSimilarity], 2)(
       c => CosineSimilarity(c(0), c(1)))
     register("simhash64", classOf[SimHash64], 1)(c => SimHash64(c(0)))
-    register("minhash_sig", classOf[MinHashSig], 2) { c =>
+    def intLit(e: Expression, fn: String, arg: String): Int = {
       import org.apache.spark.sql.catalyst.expressions.Literal
-      c(1) match {
-        case Literal(k: Int, org.apache.spark.sql.types.IntegerType) =>
-          MinHashSig(c(0), k)
+      e match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
         case other => throw new IllegalArgumentException(
-          s"minhash_sig(shingle_hashes, k): k must be an integer literal, " +
-            s"got $other")
+          s"$fn: $arg must be an integer literal, got $other")
       }
     }
+    register("minhash_sig", classOf[MinHashSig], 2)(c =>
+      MinHashSig(c(0), intLit(c(1), "minhash_sig(shingle_hashes, k)", "k")))
+    register("shingle_hashes", classOf[ShingleHashes], 2)(c =>
+      ShingleHashes(c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n")))
   }
 
   // ---- catalog ----------------------------------------------------------

@@ -180,6 +180,95 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       newChild: Expression): MinHashSig = copy(child = newChild)
 }
 
+/** Native distinct n-gram shingle hashes over a token array — fuses the
+  * [[TextFunctions.shingleHashes]] HOF chain (string-hash `transform`,
+  * n-1 `zip_with` folds, `array_distinct`) into one pass: hash each token
+  * once (`XXH64.hashUTF8String(_, 42)`, null → 42 like `xxhash64(NULL)`),
+  * fold each n-window left-to-right with the exact composition Spark's
+  * 2-arg `xxhash64(a, b)` evaluates (`hashLong(b, hashLong(a, 42))`,
+  * skipping null/overrun slots exactly as `zip_with` padding does), then
+  * keep first occurrences in order (array_distinct semantics). For token
+  * counts below n the single partial window survives — identical to the
+  * HOF slice guard. Bit-identity with the HOF form asserted in DedupSpec.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes needs n > 0, got $n")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  /** Shared by eval and the generated code (codegen calls this static-ish
+    * helper instead of inlining the dedup set — the loop body is the hot
+    * part; distinct-keeping is one hash-set pass over the folded values). */
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashes.compute(a, n))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = ShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"${ev.value} = new $gad($helper.compute($a, $n));"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes = copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** One fused pass: token hashes → windowed folds → first-occurrence
+    * distinct. Public because generated code calls it. */
+  def compute(a: ArrayData, n: Int): Array[Long] = {
+    val len = a.numElements()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) =
+        if (a.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(a.getUTF8String(i), 42L)
+      i += 1
+    }
+    // number of (possibly partial) windows the HOF slice keeps
+    val m = math.max(len - (n - 1), math.min(len, 1))
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var w = 0
+    var outLen = 0
+    while (w < m) {
+      var f = th(w)
+      var s = 1
+      while (s < n) {
+        // zip_with pads the short side with null, and xxhash64(a, null)
+        // still folds the seed step: hashLong(a, 42). Only the lone
+        // sub-n-token window ever takes the out-of-range branch — full
+        // windows (the only survivors when len >= n) never do.
+        f =
+          if (w + s < len) XXH64.hashLong(th(w + s), XXH64.hashLong(f, 42L))
+          else XXH64.hashLong(f, 42L)
+        s += 1
+      }
+      if (seen.add(f)) { out(outLen) = f; outLen += 1 }
+      w += 1
+    }
+    if (outLen == m) out else java.util.Arrays.copyOf(out, outLen)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -190,7 +279,12 @@ object TextExpressions {
 
   /** Column-API entry point for [[MinHashSig]]: k-permutation minhash
     * signature of a pre-hashed shingle array
-    * (pass `TextFunctions.shingleHashes(tokens, n)`). */
+    * (pass `TextFunctions.shingleHashes(tokens, n)` or [[shingleHashes]]). */
   def minhashSig(shingleHashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingleHashes), k))
+
+  /** Column-API entry point for [[ShingleHashes]]: distinct n-gram shingle
+    * hashes of a token array. */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), n))
 }

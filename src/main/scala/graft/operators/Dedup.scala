@@ -65,7 +65,9 @@ object Dedup {
   def minhashPrep(docs: DataFrame, shingleN: Int, k: Int): DataFrame =
     spread(docs).select(
       col("doc_id"),
-      shingleHashes(tokens(col("text")), shingleN).as("shh"))
+      // native codegen'd shingling (TextExpressions.ShingleHashes): one
+      // fused hash+fold+distinct pass, bit-identical to the HOF chain
+      TextExpressions.shingleHashes(tokens(col("text")), shingleN).as("shh"))
       // native codegen'd signature (TextExpressions.MinHashSig): one fused
       // loop, bit-identical to the interpreted HOF form
       // (TextFunctions.minhashSignature — kept as the DedupSpec cross-check)
@@ -154,7 +156,8 @@ object Dedup {
     val inv = ManagedCache.persist(
       spread(docs).select(
         col("doc_id"),
-        explode(shingleHashes(tokens(col("text")), shingleN)).as("g")))
+        explode(TextExpressions.shingleHashes(
+          tokens(col("text")), shingleN)).as("g")))
     // set sizes |A| per doc (shingle hashes are pre-distinct), and
     // |A∩B| directly as the matched-shingle count of the self-join —
     // jaccard needs NO array intersect/union: c / (|A| + |B| - c).

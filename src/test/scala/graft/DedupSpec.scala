@@ -120,6 +120,29 @@ class DedupSpec extends SparkSpec {
     assert(edge.isNullAt(1))
   }
 
+  test("native shingle_hashes expression is bit-identical to the HOF " +
+    "formulation on the full fixture (incl. sub-n docs, empty, null)") {
+    val all = Tables.t(spark, sf, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val diff = all.select(
+        TextExpressions.shingleHashes(toks, 3).as("native"),
+        TextFunctions.shingleHashes(toks, 3).as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(diff.count() == 0)
+    val sq = spark; import sq.implicits._
+    // 1- and 2-token docs exercise the zip_with null-padding fold steps
+    val edges = Seq("one", "two words", "", "a b c d").toDF("text")
+    val ediff = edges.select(
+        TextExpressions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+          .as("native"),
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)
+          .as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(ediff.count() == 0)
+    assert(edges.limit(1).select(TextExpressions.shingleHashes(
+      lit(null).cast("array<string>"), 3)).collect().head.isNullAt(0))
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above " +
     "threshold") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)
