@@ -88,6 +88,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane sign bucket over an `array<double>` vector —
+  * the LSH bucketing hot path of ANN probing (e03) and embedding near-dup
+  * (d06). The HOF formulation ([[Similarity.signBucketHof]]) walks, PER
+  * BIT, an interpreted `zip_with` (hash-derived hyperplane component per
+  * dimension) plus an `aggregate` fold — bits × dims lambda evaluations
+  * per row. This is one fused loop using the identical math: component
+  * (i, d) = (pmod(hashInt(d, hashInt(i, 42)), 2001) - 1000) / 1000.0 —
+  * exactly what `xxhash64(lit(i), dIdx)` + `pmod`/cast evaluate — with the
+  * same ascending-dimension summation order, so buckets are bit-identical
+  * (asserted in SimilaritySpec). Empty vectors bucket to 0: the HOF's
+  * `zip_with` pads the empty side with nulls, the null product nulls the
+  * plane sum, and `when(null >= 0, bit)` falls to the 0 branch. */
+case class SignBucket(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) if bits > 0 && bits <= 63 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+        s"sign_bucket needs 0 < bits <= 63, got $bits")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_bucket expects array<double>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "sign_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignBucket.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = SignBucket.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.compute($a, $bits);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBucket = copy(child = newChild)
+}
+
+object SignBucket {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Public because generated code calls it. */
+  def compute(a: ArrayData, bits: Int): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L // HOF null-padding semantics (see scaladoc)
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      val planeSeed = XXH64.hashInt(i, 42L)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val h = XXH64.hashInt(d, planeSeed)
+        val m = ((h % 2001L) + 2001L) % 2001L
+        acc += a.getDouble(d) * ((m - 1000L).toDouble / 1000.0)
+        d += 1
+      }
+      if (acc >= 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -95,4 +167,8 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-API entry point for [[SignBucket]]. */
+  def signBucket(v: Column, bits: Int): Column =
+    GraftBridge.column(SignBucket(GraftBridge.expression(v), bits))
 }

@@ -30,8 +30,14 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane sign bucket: bit i is the sign
     * of a dot product with hyperplane i whose components are derived from
     * xxhash64(i, dim) — no stored model, reproducible across runs/engines
-    * that share the hash. */
-  def signBucket(v: Column, bits: Int): Column = {
+    * that share the hash. Native codegen'd expression
+    * ([[VectorExpressions.signBucket]]); the HOF form below is kept as the
+    * SimilaritySpec bit-identity cross-check. */
+  def signBucket(v: Column, bits: Int): Column =
+    VectorExpressions.signBucket(v, bits)
+
+  /** Interpreted HOF formulation of [[signBucket]] (cross-check only). */
+  private[graft] def signBucketHof(v: Column, bits: Int): Column = {
     val planes = (0 until bits).map { i =>
       // component_d = (hash(i, d) mod 2001 - 1000) / 1000  ∈ [-1, 1]
       val comp = zip_with(v, sequence(lit(0), size(v) - 1),

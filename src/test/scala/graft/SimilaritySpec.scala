@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == a, "hash-threshold sampling must be deterministic")
   }
 
+  test("native sign_bucket expression is bit-identical to the HOF " +
+    "formulation on the full fixture (incl. empty and null vectors)") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val v = Similarity.toDouble(col("embedding"))
+    val diff = emb.select(
+        Similarity.signBucket(v, 6).as("native"),
+        Similarity.signBucketHof(v, 6).as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(diff.count() == 0)
+    val sq = spark; import sq.implicits._
+    val edge = Seq(Tuple1(Seq.empty[Double])).toDF("v").select(
+      Similarity.signBucket(col("v"), 4).as("e"),
+      Similarity.signBucket(lit(null).cast("array<double>"), 4).as("n"),
+      Similarity.signBucketHof(col("v"), 4).as("ehof")).collect().head
+    // empty vector buckets to 0 in BOTH forms (the HOF's zip_with null
+    // padding nulls the plane sum; `when` falls through to 0)
+    assert(edge.getLong(0) == 0L && edge.getLong(0) == edge.getLong(2))
+    assert(edge.isNullAt(1))
+  }
+
   test("native CosineSimilarity expression matches the HOF composition " +
     "bit-for-bit and runs inside codegen") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)
