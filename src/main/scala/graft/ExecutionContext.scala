@@ -106,6 +106,35 @@ class ExecutionContext(
     this
   }
 
+  /** Register a CSV dataset as a queryable table. Pass an explicit
+    * `schema` at scale — inference (`schema = null`) costs one extra full
+    * scan of the files before the first query can plan. */
+  def registerCsv(
+      name: String,
+      path: String,
+      schema: StructType = null,
+      header: Boolean = true): ExecutionContext = {
+    val r = spark.read.option("header", header.toString)
+    val df =
+      if (schema != null) r.schema(schema).csv(path)
+      else r.option("inferSchema", "true").csv(path)
+    df.createOrReplaceTempView(name)
+    this
+  }
+
+  /** Register a JSON-lines dataset as a queryable table. Same schema
+    * guidance as [[registerCsv]]: inference scans the data once. */
+  def registerJson(
+      name: String,
+      path: String,
+      schema: StructType = null): ExecutionContext = {
+    val df =
+      if (schema != null) spark.read.schema(schema).json(path)
+      else spark.read.json(path)
+    df.createOrReplaceTempView(name)
+    this
+  }
+
   /** Register the driver test-data star schema of `sfDir`. */
   def registerTestData(sfDir: String): ExecutionContext = {
     Tables.ensureRegistered(spark, sfDir)

@@ -331,6 +331,7 @@ object DedupQueries {
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
         threshold = 0.35, signBits = 4),
-      None)
+      None,
+      bench = true)
   )
 }

@@ -168,7 +168,8 @@ object TextQueries {
              |row_number() OVER (PARTITION BY doc_id
              |ORDER BY w DESC, term ASC) AS rk FROM wt)
              |SELECT doc_id, term, w, rk FROM rk WHERE rk <= 3"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // Per-source length distribution — the pre-filter calibration stats a
     // corpus pipeline computes before choosing quality cutoffs. EXACT

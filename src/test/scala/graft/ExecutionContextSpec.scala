@@ -99,6 +99,28 @@ class ExecutionContextSpec extends SparkSpec {
     assert(row.getDouble(1) == 1024.0)
   }
 
+  test("csv and json sources register as queryable tables (explicit " +
+    "schema: no inference scan)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "t.csv"), "id,name\n1,ann\n2,bob\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "t.json"),
+      """{"id": 3, "name": "cec"}""" + "\n" + """{"id": 4, "name": "dee"}""")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val c = ctx
+      .registerCsv("src_csv", s"$dir/t.csv", schema)
+      .registerJson("src_json", s"$dir/t.json", schema)
+    val rows = c.execute(
+      "SELECT id, name FROM src_csv UNION ALL SELECT id, name FROM src_json")
+      .orderBy(org.apache.spark.sql.functions.col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq ==
+      Seq((1L, "ann"), (2L, "bob"), (3L, "cec"), (4L, "dee")))
+  }
+
   test("minhash_sig is callable from SQL with a literal k; non-literal k " +
     "fails analysis with a real message") {
     val c = ctx
