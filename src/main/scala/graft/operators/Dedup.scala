@@ -328,6 +328,54 @@ object DedupQueries {
     // multi-probe (1-bit flips) buys back most of the recall. 4 bits +
     // multi-probe keeps candidates sub-quadratic (asserted in DedupSpec)
     // with near-2-bit recall; at corpus scale raise signBits further.
+    // End-to-end training-data pipeline slice: quality-filter → exact
+    // content dedup (keep lowest doc_id) → per-language corpus stats. One
+    // composed plan: per-row scoring stays in the scan stage, dedup is one
+    // shuffle on the content hash, stats one tiny shuffle on lang. All
+    // aggregates are order-independent (exact integer sum ÷ count; min) so
+    // the whole pipeline hash-matches the oracle.
+    Q("p01_pipeline_quality_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = TextFunctions.tokens(col("text"))
+        val scored = Tables.t(s, d, "documents")
+          .withColumn("quality", TextFunctions.qualityScore(col("text"), toks))
+          .withColumn("n_tokens", TextFunctions.tokenCountWs(col("text")))
+          .filter(col("quality") >= 0.5)
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+              .as("avg_tokens"),
+            min(col("quality")).as("min_quality"))
+      },
+      Some("""WITH b AS (SELECT doc_id, lang, text,
+             |CAST(length(text) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks,
+             |CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq
+             |FROM documents),
+             |q AS (SELECT doc_id, lang, text,
+             |CAST(n_toks AS BIGINT) AS n_tokens,
+             |round(least(greatest(
+             |least(n_toks / 20.0, 1.0) * 0.3
+             |+ (n_alpha / greatest(n_chars, 1.0)) * 0.3
+             |+ (n_uniq / greatest(n_toks, 1.0)) * 0.2
+             |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
+             |THEN 1.0 ELSE 0.5 END) * 0.2,
+             |0.0), 1.0), 4) AS quality FROM b),
+             |k AS (SELECT lang, n_tokens, quality,
+             |row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |FROM q WHERE quality >= 0.5)
+             |SELECT lang, count(*) AS n_docs,
+             |round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
+             |min(quality) AS min_quality
+             |FROM k WHERE rn = 1 GROUP BY lang"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
         threshold = 0.35, signBits = 4),
