@@ -374,7 +374,8 @@ object DedupQueries {
              |round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
              |min(quality) AS min_quality
              |FROM k WHERE rn = 1 GROUP BY lang"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
