@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns — the one place in this engine where a custom
@@ -27,19 +27,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Both inputs must be array<double>; enforced here (ExpectsInputTypes'
-  // AbstractDataType is private[sql], so the check is spelled out).
+  // Each input may be array<double> OR array<float> — float elements are
+  // widened per element inside the fused loop (exact), so callers pass the
+  // raw parquet `array<float>` embedding directly. The previous
+  // `transform(v, cast)` pre-conversion was a CodegenFallback HOF that
+  // dragged the ENTIRE projection out of whole-stage codegen (caught by
+  // the DedupSpec codegen-span test) and allocated a converted array per
+  // row.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<double>, array<double>), got " +
+      s"cosine_sim expects array<double|float> args, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -49,11 +59,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -63,6 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, idx: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
@@ -74,8 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
+         |  double $xv = ${get(a, i, isFloat(left))};
+         |  double $yv = ${get(b, i, isFloat(right))};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |${ev.value} = $dot /
@@ -107,13 +121,20 @@ case class SignBucket(child: Expression, bits: Int)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     child.dataType match {
-      case ArrayType(DoubleType, _) if bits > 0 && bits <= 63 =>
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
+          if bits > 0 && bits <= 63 =>
         TypeCheckResult.TypeCheckSuccess
-      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
-        s"sign_bucket needs 0 < bits <= 63, got $bits")
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sign_bucket needs 0 < bits <= 63, got $bits")
       case other => TypeCheckResult.TypeCheckFailure(
-        s"sign_bucket expects array<double>, got ${other.simpleString}")
+        s"sign_bucket expects array<double|float>, got ${other.simpleString}")
     }
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -121,13 +142,13 @@ case class SignBucket(child: Expression, bits: Int)
   override def prettyName: String = "sign_bucket"
 
   override protected def nullSafeEval(input: Any): Any =
-    SignBucket.compute(input.asInstanceOf[ArrayData], bits)
+    SignBucket.compute(input.asInstanceOf[ArrayData], bits, isFloat)
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val helper = SignBucket.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $helper.compute($a, $bits);"
+      s"${ev.value} = $helper.compute($a, $bits, $isFloat);"
     })
 
   override protected def withNewChildInternal(
@@ -137,8 +158,9 @@ case class SignBucket(child: Expression, bits: Int)
 object SignBucket {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  /** Public because generated code calls it. */
-  def compute(a: ArrayData, bits: Int): Long = {
+  /** Public because generated code calls it. `isFloat` widens float
+    * elements per access (exact — identical to a pre-cast double array). */
+  def compute(a: ArrayData, bits: Int, isFloat: Boolean): Long = {
     val n = a.numElements()
     if (n == 0) return 0L // HOF null-padding semantics (see scaladoc)
     var out = 0L
@@ -150,7 +172,8 @@ object SignBucket {
       while (d < n) {
         val h = XXH64.hashInt(d, planeSeed)
         val m = ((h % 2001L) + 2001L) % 2001L
-        acc += a.getDouble(d) * ((m - 1000L).toDouble / 1000.0)
+        val x = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        acc += x * ((m - 1000L).toDouble / 1000.0)
         d += 1
       }
       if (acc >= 0) out |= 1L << i

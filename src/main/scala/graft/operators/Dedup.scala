@@ -230,7 +230,7 @@ object Dedup {
       signBits: Int,
       multiProbe: Boolean): DataFrame = {
     val withB = spread(emb)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), signBits))
     val probed =
       if (!multiProbe) withB.withColumn("jb", col("bucket"))

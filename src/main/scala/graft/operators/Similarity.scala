@@ -58,10 +58,14 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int): DataFrame = {
+    // raw float arrays straight into the native cosine (it widens per
+    // element): no `transform` cast HOF, so the scoring projection stays
+    // inside whole-stage codegen and no converted array is allocated per
+    // row — this is the |Q|×N hot loop
     val q = queries.select(col("vec_id").as("query_id"),
-      toDouble(col("embedding")).as("qv"))
+      col("embedding").as("qv"))
     val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
-      toDouble(col("embedding")).as("cv"))
+      col("embedding").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
@@ -81,12 +85,12 @@ object Similarity {
       k: Int,
       bits: Int = 4): DataFrame = {
     val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
-      toDouble(col("embedding")).as("cv"))
+      col("embedding").as("cv"))
       .withColumn("bucket", signBucket(col("cv"), bits))
     val probes = array(
       (lit(0L) +: (0 until bits).map(b => lit(1L << b).cast("long"))): _*)
     val q = queries.select(col("vec_id").as("query_id"),
-      toDouble(col("embedding")).as("qv"))
+      col("embedding").as("qv"))
       .withColumn("qbucket", signBucket(col("qv"), bits))
       .withColumn("probe", explode(probes))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))

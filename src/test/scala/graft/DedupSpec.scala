@@ -168,6 +168,29 @@ class DedupSpec extends SparkSpec {
       s"6-bit candidates $cand6 not below 4-bit $cand4")
   }
 
+  test("all five native expressions evaluate inside WholeStageCodegen " +
+    "spans (starred operators), not interpreted fallback") {
+    val docs = Tables.t(spark, sf, "documents").limit(10)
+    val emb = Tables.t(spark, sf, "embeddings").limit(10)
+    val toks = TextFunctions.tokens(col("text"))
+    val textPlan = docs.select(
+        TextExpressions.simhash64(toks),
+        TextExpressions.minhashSig(TextExpressions.shingleHashes(toks, 3), 8))
+      .queryExecution.executedPlan.toString
+    // raw float arrays: a toDouble (`transform`) wrapper is a
+    // CodegenFallback HOF that would break the projection out of codegen
+    val vecPlan = emb.select(
+        VectorExpressions.cosineSim(col("embedding"), col("embedding")),
+        Similarity.signBucket(col("embedding"), 4))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators compiled into a codegen stage
+    assert(textPlan.contains("*(1) Project") &&
+      textPlan.contains("simhash64") && textPlan.contains("minhash_sig") &&
+      textPlan.contains("shingle_hashes"), s"text plan:\n$textPlan")
+    assert(vecPlan.contains("*(1) Project") &&
+      vecPlan.contains("sign_bucket"), s"vec plan:\n$vecPlan")
+  }
+
   test("pipeline-persisted frames are tracked and released by " +
     "ManagedCache.releaseAll") {
     ManagedCache.releaseAll()

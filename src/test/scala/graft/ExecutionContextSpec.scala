@@ -90,6 +90,17 @@ class ExecutionContextSpec extends SparkSpec {
         "SUM(n_nationkey) AS s]\n"))
   }
 
+  test("explainReference: CTE renders the reference's With node and the " +
+    "CTE reference renders as a TableScan of the CTE name") {
+    val c = ctx
+    val plan = c.explainReference(
+      "WITH big AS (SELECT n_name FROM nation WHERE n_regionkey = 1) " +
+        "SELECT n_name FROM big LIMIT 2")
+    assert(plan.startsWith("-> With: [big]\n"), s"got:\n$plan")
+    assert(plan.contains("TableScan: big") ||
+      plan.contains("SubqueryAlias: big"), s"got:\n$plan")
+  }
+
   test("scalar-function passthrough resolves arbitrary registry functions " +
     "(tmp/select.rs:583-611)") {
     val row = ctx.execute(

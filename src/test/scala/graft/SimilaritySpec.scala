@@ -73,10 +73,12 @@ class SimilaritySpec extends SparkSpec {
   test("native sign_bucket expression is bit-identical to the HOF " +
     "formulation on the full fixture (incl. empty and null vectors)") {
     val emb = Tables.t(spark, sf, "embeddings")
-    val v = Similarity.toDouble(col("embedding"))
+    // native reads the RAW float array (per-element widening); the HOF
+    // needs the pre-cast double array — results must still agree exactly
     val diff = emb.select(
-        Similarity.signBucket(v, 6).as("native"),
-        Similarity.signBucketHof(v, 6).as("hof"))
+        Similarity.signBucket(col("embedding"), 6).as("native"),
+        Similarity.signBucketHof(
+          Similarity.toDouble(col("embedding")), 6).as("hof"))
       .filter(not(col("native") === col("hof")))
     assert(diff.count() == 0)
     val sq = spark; import sq.implicits._
