@@ -183,6 +183,71 @@ object SignBucket {
   }
 }
 
+/** Native L2 norm over an `array<double|float>` vector — same motivation
+  * and same exactness contract as [[CosineSimilarity]]: ascending-index
+  * `acc += x*x` fold (bit-identical to the `aggregate` HOF it replaces,
+  * asserted in SimilaritySpec), `sqrt` at the end, float elements widened
+  * per access. Empty array → 0.0, null → null. */
+case class NormL2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"norm_l2 expects array<double|float>, got ${other.simpleString}")
+    }
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "norm_l2"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val get =
+        if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormL2 = copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -194,4 +259,8 @@ object VectorExpressions {
   /** Column-API entry point for [[SignBucket]]. */
   def signBucket(v: Column, bits: Int): Column =
     GraftBridge.column(SignBucket(GraftBridge.expression(v), bits))
+
+  /** Column-API entry point for [[NormL2]]. */
+  def normL2(v: Column): Column =
+    GraftBridge.column(NormL2(GraftBridge.expression(v)))
 }

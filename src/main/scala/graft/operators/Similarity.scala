@@ -24,7 +24,12 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def l2norm(v: Column): Column =
+  /** Native codegen'd L2 norm ([[VectorExpressions.normL2]]); accepts raw
+    * float arrays. HOF form kept below as the bit-identity cross-check. */
+  def l2norm(v: Column): Column = VectorExpressions.normL2(v)
+
+  /** Interpreted HOF formulation of [[l2norm]] (cross-check only). */
+  private[graft] def l2normHof(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
   /** Deterministic pseudo-random hyperplane sign bucket: bit i is the sign
@@ -237,7 +242,7 @@ object SimilarityQueries {
         Tables.t(s, d, "embeddings").select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          round(l2norm(toDouble(col("embedding"))), 4).as("norm")),
+          round(l2norm(col("embedding")), 4).as("norm")),
       Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
              |round(sqrt(list_sum(list_transform(embedding,
              |x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
@@ -268,7 +273,7 @@ object SimilarityQueries {
       (s, d) =>
         Tables.t(s, d, "embeddings")
           .select(col("label"),
-            l2norm(toDouble(col("embedding"))).as("norm"))
+            l2norm(col("embedding")).as("norm"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_vecs"),
             round(avg(col("norm")), 4).as("avg_norm")),

@@ -101,8 +101,8 @@ class SimilaritySpec extends SparkSpec {
         Similarity.toDouble(col("embedding"))).as("native"),
       (Similarity.dot(Similarity.toDouble(col("embedding")),
         Similarity.toDouble(col("embedding"))) /
-        (Similarity.l2norm(Similarity.toDouble(col("embedding"))) *
-          Similarity.l2norm(Similarity.toDouble(col("embedding")))))
+        (Similarity.l2normHof(Similarity.toDouble(col("embedding"))) *
+          Similarity.l2normHof(Similarity.toDouble(col("embedding")))))
         .as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
     // self-similarity is exactly 1.0 up to fp; and codegen accepted the
@@ -110,6 +110,16 @@ class SimilaritySpec extends SparkSpec {
     val plan = both.queryExecution.executedPlan.toString
     assert(plan.contains("cosine_sim") || plan.contains("cosinesimilarity") ||
       plan.toLowerCase.contains("cosine"))
+  }
+
+  test("native norm_l2 on the raw float array is bit-identical to the HOF " +
+    "fold on the pre-cast double array") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val diff = emb.select(
+        Similarity.l2norm(col("embedding")).as("native"),
+        Similarity.l2normHof(Similarity.toDouble(col("embedding"))).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
   }
 
   test("cosine_sim is callable from SQL through ExecutionContext") {
