@@ -269,6 +269,72 @@ object ShingleHashes {
   }
 }
 
+/** Native count-of-tokens-in-word-list — the stopword scoring primitive
+  * behind quality stats (t03) and language-ID (t04, which evaluates one of
+  * these PER LANGUAGE). The HOF form
+  * (`size(filter(toks, tk => array_contains(words, tk)))`) walks an
+  * interpreted lambda per token per language; this is one hash-set probe
+  * per token inside codegen. Duplicates count (filter semantics); null
+  * tokens don't (a null lambda result drops the element). Value-identical
+  * to the HOF form — integer counts, asserted in TextSpec. */
+case class StopwordCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"stopword_count expects array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "stopword_count"
+
+  @transient private lazy val set: java.util.HashSet[
+    org.apache.spark.unsafe.types.UTF8String] = StopwordCount.buildSet(words)
+
+  override protected def nullSafeEval(input: Any): Any =
+    StopwordCount.count(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = StopwordCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val setRef = ctx.addReferenceObj("stopwords", set,
+        classOf[java.util.HashSet[_]].getName)
+      s"${ev.value} = $helper.count($a, $setRef);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StopwordCount = copy(child = newChild)
+}
+
+object StopwordCount {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def buildSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Public because generated code calls it. */
+  def count(a: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -287,4 +353,8 @@ object TextExpressions {
     * hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), n))
+
+  /** Column-API entry point for [[StopwordCount]]. */
+  def stopwordCount(tokens: Column, words: Seq[String]): Column =
+    GraftBridge.column(StopwordCount(GraftBridge.expression(tokens), words))
 }

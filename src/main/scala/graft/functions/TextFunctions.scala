@@ -133,8 +133,14 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "un", "pour", "dans", "ce", "une", "les", "des"),
     "zh" -> Seq("的", "一", "是", "不", "了", "在", "人", "有", "我", "他"))
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words` — native codegen'd hash-set
+    * probe ([[TextExpressions.stopwordCount]]); the HOF form below is the
+    * TextSpec cross-check. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
+    TextExpressions.stopwordCount(toks, words)
+
+  /** Interpreted HOF formulation of [[stopwordHits]] (cross-check only). */
+  private[graft] def stopwordHitsHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, tk => array_contains(typedLit(words), tk))).cast("long")
 
   /** Language-ID: argmax over per-language stopword hit counts; ties break

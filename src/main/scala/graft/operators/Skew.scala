@@ -92,6 +92,16 @@ object SkewQueries {
       Some("""SELECT l_returnflag,
              |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              |count(*) AS n FROM lineitem GROUP BY l_returnflag"""
+        .stripMargin.replace('\n', ' '))),
+
+    Q("k02_salted_join",
+      (s, d) => Skew.saltedJoin(
+          Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          Tables.t(s, d, "customer").select("c_custkey", "c_name"),
+          "o_custkey", "c_custkey", salts = 16)
+        .select("o_orderkey", "c_name"),
+      Some("""SELECT o_orderkey, c_name FROM orders
+             |JOIN customer ON o_custkey = c_custkey"""
         .stripMargin.replace('\n', ' ')))
   )
 }

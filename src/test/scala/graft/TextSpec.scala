@@ -82,4 +82,17 @@ class TextSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n == 3L) // the, and, the
   }
+
+  test("native stopword_count is value-identical to the HOF filter form " +
+    "on the full fixture, for every language list") {
+    val docs = Tables.t(spark, sf, "documents")
+    val toks = tokens(col("text"))
+    stopwords.foreach { case (lang, words) =>
+      val diff = docs.select(
+          stopwordHits(toks, words).as("native"),
+          stopwordHitsHof(toks, words).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() == 0, s"lang=$lang")
+    }
+  }
 }
