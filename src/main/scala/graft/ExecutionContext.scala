@@ -57,45 +57,11 @@ class ExecutionContext(
     ExecutionContext.dialects.contains(dialect.toLowerCase),
     s"Unsupported dialect: $dialect")
 
-  // Engine-native function surface: the codegen'd expressions are exposed
-  // to SQL — `cosine_sim(array<double>, array<double>)` and
-  // `simhash64(array<string>)` (the reference's scalar-function passthrough
-  // accepts any name unvalidated; ours resolve against the registry, so
-  // engine extensions register here). Arity is validated in the builder so
-  // a wrong-arg-count call fails analysis with a real message instead of an
-  // IndexOutOfBoundsException.
-  locally {
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-    def register(
-        name: String, clazz: Class[_], arity: Int)(
-        build: Seq[Expression] => Expression): Unit =
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name),
-        (children: Seq[Expression]) => {
-          if (children.length != arity)
-            throw new IllegalArgumentException(
-              s"Invalid number of arguments for function $name: " +
-                s"expected $arity, got ${children.length}")
-          build(children)
-        })
-    register("cosine_sim", classOf[CosineSimilarity], 2)(
-      c => CosineSimilarity(c(0), c(1)))
-    register("simhash64", classOf[SimHash64], 1)(c => SimHash64(c(0)))
-    def intLit(e: Expression, fn: String, arg: String): Int = {
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      e match {
-        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"$fn: $arg must be an integer literal, got $other")
-      }
-    }
-    register("minhash_sig", classOf[MinHashSig], 2)(c =>
-      MinHashSig(c(0), intLit(c(1), "minhash_sig(shingle_hashes, k)", "k")))
-    register("shingle_hashes", classOf[ShingleHashes], 2)(c =>
-      ShingleHashes(c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n")))
-  }
+  // Engine-native function surface (the reference's scalar-function
+  // passthrough accepts any name unvalidated; ours resolve against the
+  // registry). Defined once in GraftFunctions, shared with the
+  // SparkSessionExtensions path (graft.GraftExtensions).
+  GraftFunctions.install(spark.sessionState.functionRegistry)
 
   // ---- catalog ----------------------------------------------------------
 

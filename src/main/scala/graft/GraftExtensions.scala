@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** The engine's SQL function surface, defined once and installed two ways:
+  *  - [[ExecutionContext]] registers it on its session's registry;
+  *  - [[GraftExtensions]] injects it via `SparkSessionExtensions`, the
+  *    standard Spark library integration point — users who never touch
+  *    `ExecutionContext` get the functions with
+  *    `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`).
+  *
+  * Arity (and literal int parameters) are validated in the builder so a
+  * malformed call fails analysis with a real message instead of an
+  * IndexOutOfBoundsException. */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** (name, implementing class, arity, builder). */
+  val all: Seq[(String, Class[_], Int, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity], 2,
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    ("norm_l2", classOf[NormL2], 1,
+      (c: Seq[Expression]) => NormL2(c(0))),
+    ("sign_bucket", classOf[SignBucket], 2,
+      (c: Seq[Expression]) => SignBucket(
+        c(0), intLit(c(1), "sign_bucket(vec, bits)", "bits"))),
+    ("simhash64", classOf[SimHash64], 1,
+      (c: Seq[Expression]) => SimHash64(c(0))),
+    ("minhash_sig", classOf[MinHashSig], 2,
+      (c: Seq[Expression]) => MinHashSig(
+        c(0), intLit(c(1), "minhash_sig(shingle_hashes, k)", "k"))),
+    ("shingle_hashes", classOf[ShingleHashes], 2,
+      (c: Seq[Expression]) => ShingleHashes(
+        c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n"))))
+
+  /** One registry entry: (identifier, info, arity-checked builder). */
+  def entries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    all.map { case (name, clazz, arity, build) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          if (children.length != arity)
+            throw new IllegalArgumentException(
+              s"Invalid number of arguments for function $name: " +
+                s"expected $arity, got ${children.length}")
+          build(children)
+        })
+    }
+
+  /** Install on an existing session registry (the ExecutionContext path). */
+  def install(registry: FunctionRegistry): Unit =
+    entries.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+}
+
+/** `SparkSessionExtensions` installer — see [[GraftFunctions]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.entries.foreach(ext.injectFunction)
+}

@@ -67,6 +67,20 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
 
+  /** Stream-static enrichment: join the live stream against a static
+    * dimension, broadcast. Stream-static joins are STATELESS — each
+    * micro-batch joins against the dimension as re-planned for that batch,
+    * so no watermark and no state store are involved, and a dimension
+    * update (new files under the same path) is picked up on the next
+    * batch. The broadcast keeps the stream side shuffle-free — at a
+    * 100 TB/day ingest rate the event stream never repartitions just to
+    * pick up dimension attributes. */
+  def enrichStream(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup — the streaming twin of [[Dedup.exactGroups]]
     * (d01) for a document FIREHOSE: keep the first arrival of each distinct
     * content hash, drop later duplicates. `dropDuplicatesWithinWatermark`

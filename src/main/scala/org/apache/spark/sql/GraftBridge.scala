@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a `SparkSessionExtensions`' injected functions to a registry —
+    * `registerFunctions` is `private[sql]`; exposed so the GraftExtensions
+    * injection path is testable without tearing down the shared session. */
+  def applyInjectedFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : Unit = ext.registerFunctions(registry)
 }

@@ -110,6 +110,19 @@ class ExecutionContextSpec extends SparkSpec {
     assert(row.getDouble(1) == 1024.0)
   }
 
+  test("GraftExtensions injects the full engine function surface via " +
+    "SparkSessionExtensions (the spark.sql.extensions library path)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.GraftBridge.applyInjectedFunctions(ext, reg)
+    GraftFunctions.all.foreach { case (name, _, _, _) =>
+      assert(reg.functionExists(FunctionIdentifier(name)), name)
+    }
+  }
+
   test("csv and json sources register as queryable tables (explicit " +
     "schema: no inference scan)") {
     import org.apache.spark.sql.types._

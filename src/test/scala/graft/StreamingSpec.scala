@@ -137,6 +137,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the " +
+    "broadcast dimension, stateless (unmatched keys keep null attrs)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Evt]
+    val query = EventStreams.enrichStream(ms.toDF, dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(fixture :+ Evt(9, t("2026-01-01 12:30:00"), 7, "view", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+      assert(got(1L) == Some("gold") && got(3L) == Some("silver") &&
+        got(9L) == None)
+    } finally query.stop()
+  }
+
   test("user activity rollup is streaming-queryable (update-mode state)") {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
