@@ -24,7 +24,8 @@ object QueryCatalog {
       EventQueries.queries ++
       DmlQueries.queries ++
       MultimodalQueries.queries ++
-      SkewQueries.queries
+      SkewQueries.queries ++
+      SamplingQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
