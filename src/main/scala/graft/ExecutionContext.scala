@@ -344,17 +344,30 @@ object ExecutionContext {
       else p
     }.mkString(".")
 
-  /** Split on statement-separating semicolons (quote-aware). */
+  /** Split on statement-separating semicolons — quote-aware, and `--`
+    * line comments are opaque (a `;` inside one does not split). */
   private[graft] def statements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
-    sql.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote =>
-        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-        cur.clear()
-      case c => cur += c
+    var inComment = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inComment) {
+        cur += c
+        if (c == '\n') inComment = false
+      } else c match {
+        case '\'' => inQuote = !inQuote; cur += '\''
+        case '-' if !inQuote && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '-' =>
+          inComment = true; cur += '-'
+        case ';' if !inQuote =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case other => cur += other
+      }
+      i += 1
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString.trim
     out.result()

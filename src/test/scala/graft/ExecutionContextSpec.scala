@@ -39,6 +39,15 @@ class ExecutionContextSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("b"))
   }
 
+  test("statement splitter: semicolons inside quotes and -- comments do " +
+    "not split; quoted quotes survive") {
+    assert(ExecutionContext.statements(
+      "SELECT ';' AS x; -- trailing; comment\nSELECT 2") ==
+      Seq("SELECT ';' AS x", "-- trailing; comment\nSELECT 2"))
+    assert(ExecutionContext.statements("SELECT 'it''s; fine' AS y") ==
+      Seq("SELECT 'it''s; fine' AS y"))
+  }
+
   test("explain renders the analyzed logical plan (format_plan parity, " +
     "tmp/select.rs:625-746)") {
     val plan = ctx.explain("SELECT c_name FROM customer WHERE c_acctbal > 0")

@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Per-query timing trend across rounds: reads every BENCH_r*.json in the
+repo root and prints a query x round table (seconds). Usage:
+  python3 tools/bench_trend.py [repo_root]
+"""
+import glob, json, os, re, sys
+
+root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))
+rounds = {}
+for f in sorted(glob.glob(f"{root}/BENCH_r*.json")):
+    m = re.search(r"BENCH_r(\d+)\.json", f)
+    try:
+        data = json.load(open(f))
+        # driver wrapper format {"tail": "...{json line}..."} or plain
+        if "queries" not in data and "tail" in data:
+            for line in data["tail"].splitlines():
+                if '"metric"' in line:
+                    data = json.loads(line[line.index('{"metric"'):])
+                    break
+        if "queries" in data:
+            rounds[int(m.group(1))] = data
+    except Exception as e:
+        print(f"skip {f}: {e}", file=sys.stderr)
+
+if not rounds:
+    sys.exit("no parseable BENCH_r*.json found")
+names = sorted({q for d in rounds.values() for q in d["queries"]})
+cols = sorted(rounds)
+w = max(len(n) for n in names) + 1
+print("query".ljust(w) + "".join(f"r{c:>02}".rjust(8) for c in cols))
+for n in names:
+    row = "".join(
+        f"{rounds[c]['queries'][n]:8.2f}" if n in rounds[c]["queries"]
+        else "       -" for c in cols)
+    print(n.ljust(w) + row)
+print("TOTAL".ljust(w) + "".join(
+    f"{sum(rounds[c]['queries'].values()):8.2f}" for c in cols))
