@@ -26,32 +26,45 @@ object EventQueries {
     *
     * CONTRACT: `dim` must be unique per (key, ts) — pre-aggregate it —
     * or the matched payload is nondeterministic. `dimCols` are the dim
-    * payload columns to carry; they must not collide with probe columns. */
+    * payload columns to carry; they must not collide with probe columns.
+    *
+    * `forward = true` flips the direction: match the EARLIEST dim at or
+    * after the probe (next-event lookup) — dim rows sort after probes at
+    * equal ts and the window looks ahead instead of back, so equal-ts
+    * still matches. */
   def asofJoin(
       probe: DataFrame,
       dim: DataFrame,
       key: String,
       ts: String,
       tsOut: String,
-      dimCols: Seq[(String, String)]): DataFrame = {
+      dimCols: Seq[(String, String)],
+      forward: Boolean = false): DataFrame = {
     // dim payload and the full probe row each travel as ONE struct, so the
     // union needs no per-column NULL typing and the carry-forward is a
     // single window expression
     val dimStruct = struct(
       col(ts).as(tsOut) +: dimCols.map { case (c, o) => col(c).as(o) }: _*)
     val dimType = dim.select(dimStruct).schema.head.dataType
+    val dimTag = if (forward) 1 else 0
     val d = dim.select(col(key).as("_k"), col(ts).as("_t"),
-      lit(0).as("_tag"), dimStruct.as("_dim"),
+      lit(dimTag).as("_tag"), dimStruct.as("_dim"),
       lit(null).cast(probe.schema).as("_row"))
     val p = probe.select(col(key).as("_k"), col(ts).as("_t"),
-      lit(1).as("_tag"), lit(null).cast(dimType).as("_dim"),
+      lit(1 - dimTag).as("_tag"), lit(null).cast(dimType).as("_dim"),
       struct(probe.columns.map(col).toIndexedSeq: _*).as("_row"))
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
+    val w =
+      if (forward) base.rowsBetween(0, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, 0)
+    val carry =
+      if (forward) (c: org.apache.spark.sql.Column) =>
+        first(c, ignoreNulls = true).over(w)
+      else (c: org.apache.spark.sql.Column) =>
+        last(c, ignoreNulls = true).over(w)
     d.unionByName(p)
-      .withColumn("_m",
-        last(when(col("_tag") === 0, col("_dim")), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1 && col("_m").isNotNull)
+      .withColumn("_m", carry(when(col("_tag") === dimTag, col("_dim"))))
+      .filter(col("_tag") === (1 - dimTag) && col("_m").isNotNull)
       .select(col("_row.*"), col("_m.*"))
   }
 

@@ -67,6 +67,24 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
 
+  /** Streaming trending terms — the windowed twin of the batch vocabulary
+    * head (t07) over a DOCUMENT stream (ts, text): explode tokens, count
+    * per (tumbling window, term), watermark bounds the state to the
+    * lateness horizon × active-vocabulary size. Consumers rank per window
+    * downstream (top-k over an update-mode sink or the finalized append
+    * output). */
+  def trendingTerms(
+      docs: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("ts"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("h"), col("term"), col("n"))
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension, broadcast. Stream-static joins are STATELESS — each
     * micro-batch joins against the dimension as re-planned for that batch,

@@ -37,6 +37,31 @@ class EventSpec extends SparkSpec {
       (102L, ts("2024-01-01 12:00:00"), 12.0)))
   }
 
+  test("asofJoin forward direction matches the EARLIEST dim at or after " +
+    "the probe; probes after the last dim drop") {
+    val sq = spark; import sq.implicits._
+    val dim = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 12.0),
+      (2L, ts("2024-01-01 11:00:00"), 21.0))
+      .toDF("user_id", "ts", "dim_value")
+    val probe = Seq(
+      (100L, 1L, ts("2024-01-01 11:00:00")), // next dim -> 12.0
+      (101L, 1L, ts("2024-01-01 12:00:00")), // equal ts -> 12.0
+      (102L, 1L, ts("2024-01-01 13:00:00")), // after last -> drops
+      (103L, 2L, ts("2024-01-01 10:59:59"))) // next -> 21.0
+      .toDF("event_id", "user_id", "ts")
+    val out = EventQueries.asofJoin(
+      probe, dim, "user_id", "ts", "m_ts", Seq("dim_value" -> "m_val"),
+      forward = true)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (100L, ts("2024-01-01 12:00:00"), 12.0),
+      (101L, ts("2024-01-01 12:00:00"), 12.0),
+      (103L, ts("2024-01-01 11:00:00"), 21.0)))
+  }
+
   test("interval-join bucketization is exact at the window boundary and " +
     "across cell borders (every qualifying pair in exactly one cell)") {
     val sq = spark; import sq.implicits._

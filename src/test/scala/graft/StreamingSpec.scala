@@ -137,6 +137,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming trending terms matches the batch explode+count on the " +
+    "same data (t07's windowed twin)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val query = EventStreams.trendingTerms(ms.toDF.toDF("ts", "text"))
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(Seq(
+        (t("2026-01-01 10:05:00"), "spark spark scan"),
+        (t("2026-01-01 10:40:00"), "scan filter"),
+        (t("2026-01-01 11:10:00"), "spark")))
+      query.processAllAvailable()
+      val got = spark.table("trend_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set(
+        ("2026-01-01 10:00:00.0", "spark", 2L),
+        ("2026-01-01 10:00:00.0", "scan", 2L),
+        ("2026-01-01 10:00:00.0", "filter", 1L),
+        ("2026-01-01 11:00:00.0", "spark", 1L)))
+    } finally query.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the " +
     "broadcast dimension, stateless (unmatched keys keep null attrs)") {
     val sq = spark; import sq.implicits._
