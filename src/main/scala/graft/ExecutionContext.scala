@@ -331,25 +331,34 @@ object ExecutionContext {
       s"""($Ident\\s+)?ON\\s+($Ident)\\s*\\(([^)]*)\\)\\s*$$""").r
 
   private[graft] val DropIndexRe =
-    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([-`"\w\s,.]+?)\s*(CASCADE)?\s*$""".r
+    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)\s*(CASCADE)?\s*$""".r
+
+  private val FullIdentRe = Ident.r
 
   /** Normalize a possibly quoted / schema-qualified identifier to its
     * unquoted dotted form (`` `my idx` `` → `my idx`; `s."t"` → `s.t`).
-    * Quoted parts keep dots intact (each quoted segment is one token). */
-  private[graft] def unquote(id: String): String =
-    IdentPartRe.findAllIn(id.trim).map { p =>
+    * Quoted parts keep dots intact (each quoted segment is one token).
+    * Input that is NOT entirely an identifier (e.g. a column spec like
+    * `a DESC`) is passed through trimmed, never fragment-rejoined. */
+  private[graft] def unquote(id: String): String = {
+    val t = id.trim
+    if (!FullIdentRe.pattern.matcher(t).matches()) t
+    else IdentPartRe.findAllIn(t).map { p =>
       if (p.startsWith("`")) p.substring(1, p.length - 1).replace("``", "`")
       else if (p.startsWith("\""))
         p.substring(1, p.length - 1).replace("\"\"", "\"")
       else p
     }.mkString(".")
+  }
 
-  /** Split on statement-separating semicolons — quote-aware, and `--`
-    * line comments are opaque (a `;` inside one does not split). */
+  /** Split on statement-separating semicolons — quote-aware (single
+    * quotes, double-quoted literals, backticked identifiers), and `--`
+    * line comments are opaque (a `;` inside one does not split; a `--`
+    * inside any quoted region is NOT a comment). */
   private[graft] def statements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQuote = false
+    var quote: Char = 0 // 0 = outside; else the active quote char
     var inComment = false
     var i = 0
     while (i < sql.length) {
@@ -357,12 +366,14 @@ object ExecutionContext {
       if (inComment) {
         cur += c
         if (c == '\n') inComment = false
+      } else if (quote != 0) {
+        if (c == quote) quote = 0
+        cur += c
       } else c match {
-        case '\'' => inQuote = !inQuote; cur += '\''
-        case '-' if !inQuote && i + 1 < sql.length &&
-            sql.charAt(i + 1) == '-' =>
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           inComment = true; cur += '-'
-        case ';' if !inQuote =>
+        case ';' =>
           if (cur.toString.trim.nonEmpty) out += cur.toString.trim
           cur.clear()
         case other => cur += other

@@ -30,15 +30,38 @@ object Dedup {
     * this is a no-op; the explicit partition count keeps AQE from
     * coalescing the tiny shuffle back to one partition.
     *
-    * The decision reads `inputFiles` (pure file-listing metadata) rather
-    * than `df.rdd.getNumPartitions`, which would force physical planning of
-    * the input on the driver per invocation. A corpus with >= parallelism
-    * files skips the repartition entirely — at real scale this never
-    * shuffles; non-file inputs (empty `inputFiles`) take the repartition,
-    * which is the safe side for the tiny frames that shape implies. */
+    * The decision estimates the scan partition count from file-listing
+    * METADATA (sizes + Spark's own bin-packing arithmetic: ceil((Σ size +
+    * nFiles × openCost) / maxPartitionBytes)) rather than
+    * `df.rdd.getNumPartitions`, which would force physical planning per
+    * invocation. Raw file COUNT is not a proxy: Spark packs many tiny
+    * files into one split (count high, partitions 1) and splits one big
+    * file into many. The size walk short-circuits once the estimate
+    * reaches the target, so at real scale it touches a handful of file
+    * statuses; non-file inputs (empty `inputFiles`) take the repartition,
+    * the safe side for the tiny frames that shape implies. */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    val enough = files.nonEmpty && {
+      val conf = spark.sessionState.conf
+      val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+      val openCost = conf.filesOpenCostInBytes
+      val hconf = spark.sessionState.newHadoopConf()
+      var bytes = 0L
+      var i = 0
+      // short-circuit: stop summing once >= p partitions are implied
+      while (i < files.length && bytes < maxSplit.toDouble * p) {
+        val path = new org.apache.hadoop.fs.Path(files(i))
+        bytes += openCost +
+          (try path.getFileSystem(hconf).getFileStatus(path).getLen
+           catch { case _: java.io.IOException => 0L })
+        i += 1
+      }
+      math.ceil(bytes.toDouble / maxSplit) >= p
+    }
+    if (enough) df else df.repartition(p)
   }
 
   /** Exact duplicate groups keyed by md5 of the raw text. */

@@ -29,9 +29,12 @@ object EventQueries {
     * payload columns to carry; they must not collide with probe columns.
     *
     * `forward = true` flips the direction: match the EARLIEST dim at or
-    * after the probe (next-event lookup) — dim rows sort after probes at
-    * equal ts and the window looks ahead instead of back, so equal-ts
-    * still matches. */
+    * after the probe (next-event lookup). Both directions use the same
+    * O(n) RUNNING window frame (unboundedPreceding..current — Spark
+    * maintains it incrementally); forward simply sorts time DESCENDING,
+    * dims still first at equal ts. (A `first over
+    * (current..unboundedFollowing)` formulation would re-aggregate the
+    * tail per row — quadratic on a hot key.) */
   def asofJoin(
       probe: DataFrame,
       dim: DataFrame,
@@ -46,25 +49,21 @@ object EventQueries {
     val dimStruct = struct(
       col(ts).as(tsOut) +: dimCols.map { case (c, o) => col(c).as(o) }: _*)
     val dimType = dim.select(dimStruct).schema.head.dataType
-    val dimTag = if (forward) 1 else 0
     val d = dim.select(col(key).as("_k"), col(ts).as("_t"),
-      lit(dimTag).as("_tag"), dimStruct.as("_dim"),
+      lit(0).as("_tag"), dimStruct.as("_dim"),
       lit(null).cast(probe.schema).as("_row"))
     val p = probe.select(col(key).as("_k"), col(ts).as("_t"),
-      lit(1 - dimTag).as("_tag"), lit(null).cast(dimType).as("_dim"),
+      lit(1).as("_tag"), lit(null).cast(dimType).as("_dim"),
       struct(probe.columns.map(col).toIndexedSeq: _*).as("_row"))
-    val base = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
-    val w =
-      if (forward) base.rowsBetween(0, Window.unboundedFollowing)
-      else base.rowsBetween(Window.unboundedPreceding, 0)
-    val carry =
-      if (forward) (c: org.apache.spark.sql.Column) =>
-        first(c, ignoreNulls = true).over(w)
-      else (c: org.apache.spark.sql.Column) =>
-        last(c, ignoreNulls = true).over(w)
+    val w = Window.partitionBy("_k")
+      .orderBy(
+        (if (forward) col("_t").desc else col("_t").asc),
+        col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     d.unionByName(p)
-      .withColumn("_m", carry(when(col("_tag") === dimTag, col("_dim"))))
-      .filter(col("_tag") === (1 - dimTag) && col("_m").isNotNull)
+      .withColumn("_m",
+        last(when(col("_tag") === 0, col("_dim")), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1 && col("_m").isNotNull)
       .select(col("_row.*"), col("_m.*"))
   }
 

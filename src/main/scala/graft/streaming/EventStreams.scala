@@ -80,7 +80,7 @@ object EventStreams {
     docs
       .withWatermark("ts", lateness)
       .select(col("ts"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy(window(col("ts"), windowLen).as("w"), col("term"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("h"), col("term"), col("n"))

@@ -46,6 +46,19 @@ class ExecutionContextSpec extends SparkSpec {
       Seq("SELECT ';' AS x", "-- trailing; comment\nSELECT 2"))
     assert(ExecutionContext.statements("SELECT 'it''s; fine' AS y") ==
       Seq("SELECT 'it''s; fine' AS y"))
+    // `--` inside double-quoted literals / backticked identifiers is NOT
+    // a comment; the following semicolon must still split
+    assert(ExecutionContext.statements("SELECT \"--\" AS d; SELECT 2") ==
+      Seq("SELECT \"--\" AS d", "SELECT 2"))
+    assert(ExecutionContext.statements("SELECT `a--b` FROM t; SELECT 2") ==
+      Seq("SELECT `a--b` FROM t", "SELECT 2"))
+  }
+
+  test("unquote normalizes identifiers but passes non-identifier text " +
+    "through trimmed (never fragment-rejoined)") {
+    assert(ExecutionContext.unquote(" `my idx` ") == "my idx")
+    assert(ExecutionContext.unquote("s.\"t\"") == "s.t")
+    assert(ExecutionContext.unquote(" a DESC ") == "a DESC")
   }
 
   test("explain renders the analyzed logical plan (format_plan parity, " +
