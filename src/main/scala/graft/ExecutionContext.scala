@@ -133,15 +133,15 @@ class ExecutionContext(
         createIndex(
           Option(idxName).map(ExecutionContext.unquote).filter(_.nonEmpty),
           ExecutionContext.unquote(tbl),
-          cols.split(',').map(ExecutionContext.unquote)
-            .filter(_.nonEmpty).toSeq,
+          ExecutionContext.splitList(cols).map(ExecutionContext.unquote)
+            .filter(_.nonEmpty),
           unique = unique != null,
           ifNotExists = ifNot != null)
         spark.emptyDataFrame
       case ExecutionContext.DropIndexRe(ifExists, names, cascade) =>
         dropIndex(
-          names.split(',').map(ExecutionContext.unquote)
-            .filter(_.nonEmpty).toSeq,
+          ExecutionContext.splitList(names).map(ExecutionContext.unquote)
+            .filter(_.nonEmpty),
           ifExists = ifExists != null,
           cascade = cascade != null)
         spark.emptyDataFrame
@@ -330,8 +330,11 @@ object ExecutionContext {
     (s"""(?is)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(IF\\s+NOT\\s+EXISTS\\s+)?""" +
       s"""($Ident\\s+)?ON\\s+($Ident)\\s*\\(([^)]*)\\)\\s*$$""").r
 
+  // CASCADE must be preceded by whitespace AND optional as a UNIT: with a
+  // bare `(CASCADE)?`, the lazy name group donated its tail to the keyword
+  // group, so `DROP INDEX my_cascade` parsed as name `my_` + CASCADE.
   private[graft] val DropIndexRe =
-    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)\s*(CASCADE)?\s*$""".r
+    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
 
   private val FullIdentRe = Ident.r
 
@@ -352,27 +355,43 @@ object ExecutionContext {
   }
 
   /** Split on statement-separating semicolons — quote-aware (single
-    * quotes, double-quoted literals, backticked identifiers), and `--`
-    * line comments are opaque (a `;` inside one does not split; a `--`
-    * inside any quoted region is NOT a comment). */
+    * quotes, double-quoted literals, backticked identifiers; a backslash
+    * inside a '/" region escapes the next character, Spark's default
+    * string-literal behavior), and comments are opaque: `--` to end of
+    * line, and `/* ... */` block comments, which NEST (Spark's lexer
+    * accepts nested bracketed comments, SPARK-28880; sqlparser-rs strips
+    * them the same way). A `;`, quote, or `--` inside a comment neither
+    * splits nor changes state. */
   private[graft] def statements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0 // 0 = outside; else the active quote char
-    var inComment = false
+    var inLine = false // inside a -- line comment
+    var block = 0 // block-comment nesting depth
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inComment) {
+      def next = if (i + 1 < sql.length) sql.charAt(i + 1) else 0.toChar
+      if (inLine) {
         cur += c
-        if (c == '\n') inComment = false
+        if (c == '\n') inLine = false
+      } else if (block > 0) {
+        if (c == '*' && next == '/') { cur ++= "*/"; i += 1; block -= 1 }
+        else if (c == '/' && next == '*') { cur ++= "/*"; i += 1; block += 1 }
+        else cur += c
       } else if (quote != 0) {
-        if (c == quote) quote = 0
-        cur += c
+        // backtick identifiers have no backslash escapes (`` is the only
+        // escape there); ' and " literals honor \x
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          cur += c; cur += sql.charAt(i + 1); i += 1
+        } else {
+          if (c == quote) quote = 0
+          cur += c
+        }
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
-        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
-          inComment = true; cur += '-'
+        case '-' if next == '-' => inLine = true; cur += '-'
+        case '/' if next == '*' => block = 1; cur ++= "/*"; i += 1
         case ';' =>
           if (cur.toString.trim.nonEmpty) out += cur.toString.trim
           cur.clear()
@@ -381,6 +400,29 @@ object ExecutionContext {
       i += 1
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  /** Split a comma-separated identifier/column list on commas OUTSIDE
+    * quoted segments — a backticked or double-quoted name may itself
+    * contain a comma (`` `a,b` ``), which a raw `split(',')` fragments
+    * into two bogus entries. Doubled escape quotes (`` `` ``/`""`)
+    * close-and-reopen the quote state, which is comma-safe. */
+  private[graft] def splitList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        cur += c
+      } else c match {
+        case '`' | '"' => quote = c; cur += c
+        case ',' => out += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    out += cur.toString
     out.result()
   }
 

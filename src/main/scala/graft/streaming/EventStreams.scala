@@ -113,6 +113,9 @@ object EventStreams {
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("h")
+      // internal dedup key; "output is the surviving rows" means the
+      // INPUT schema (the state key is retained regardless of the drop)
+      .drop("h")
 
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled form of [[sessionStats]] for when session semantics

@@ -54,6 +54,40 @@ class ExecutionContextSpec extends SparkSpec {
       Seq("SELECT `a--b` FROM t", "SELECT 2"))
   }
 
+  test("statement splitter: block comments are opaque (; / quotes / -- " +
+    "inside do not change state) and nest, Spark-style") {
+    assert(ExecutionContext.statements(
+      "SELECT 1 /* not; a 'split */ AS a; SELECT 2") ==
+      Seq("SELECT 1 /* not; a 'split */ AS a", "SELECT 2"))
+    // nested block comment: the first */ closes only the INNER comment
+    assert(ExecutionContext.statements(
+      "SELECT /* outer /* inner; */ still; */ 3 AS n; SELECT 4") ==
+      Seq("SELECT /* outer /* inner; */ still; */ 3 AS n", "SELECT 4"))
+    // /* inside a quoted literal is NOT a comment opener
+    assert(ExecutionContext.statements("SELECT '/*' AS s; SELECT 5") ==
+      Seq("SELECT '/*' AS s", "SELECT 5"))
+    // unterminated block comment swallows the rest (lexer behavior)
+    assert(ExecutionContext.statements("SELECT 1 /* open; forever") ==
+      Seq("SELECT 1 /* open; forever"))
+  }
+
+  test("statement splitter: backslash-escaped quotes inside literals do " +
+    "not close the quote region (Spark default escape)") {
+    assert(ExecutionContext.statements("""SELECT 'a\';b' AS x; SELECT 2""") ==
+      Seq("""SELECT 'a\';b' AS x""", "SELECT 2"))
+    assert(ExecutionContext.statements("SELECT \"a\\\";b\" AS x; SELECT 2") ==
+      Seq("SELECT \"a\\\";b\" AS x", "SELECT 2"))
+    // a lone trailing backslash must not swallow the end of input
+    assert(ExecutionContext.statements("SELECT '\\") == Seq("SELECT '\\"))
+  }
+
+  test("splitList splits on commas only outside quoted segments") {
+    assert(ExecutionContext.splitList("a, b ,c") == Seq("a", " b ", "c"))
+    assert(ExecutionContext.splitList("`a,b`, c") == Seq("`a,b`", " c"))
+    assert(ExecutionContext.splitList("\"x,y\",`p,,q`") ==
+      Seq("\"x,y\"", "`p,,q`"))
+  }
+
   test("unquote normalizes identifiers but passes non-identifier text " +
     "through trimmed (never fragment-rejoined)") {
     assert(ExecutionContext.unquote(" `my idx` ") == "my idx")
@@ -306,6 +340,28 @@ class ExecutionContextSpec extends SparkSpec {
     // src/planner/logical_plan.rs:80-84) — no-op for metadata indexes
     c.execute("""DROP INDEX "q ix" CASCADE""")
     assert(!c.indexes.exists(_.name == "q ix"))
+  }
+
+  test("an unquoted index name ending in 'cascade' is dropped under its " +
+    "own name, not truncated by the CASCADE keyword group") {
+    val c = ctx
+    c.execute("CREATE INDEX my_cascade ON customer (c_custkey)")
+    assert(c.indexes.exists(_.name == "my_cascade"))
+    c.execute("DROP INDEX my_cascade")
+    assert(!c.indexes.exists(_.name == "my_cascade"))
+    // and the keyword still parses when genuinely present
+    c.execute("CREATE INDEX my_cascade ON customer (c_custkey)")
+    c.execute("DROP INDEX my_cascade CASCADE")
+    assert(!c.indexes.exists(_.name == "my_cascade"))
+  }
+
+  test("a quoted column name containing a comma stays one column through " +
+    "execute() index DDL") {
+    val c = ctx
+    c.execute("CREATE INDEX comma_ix ON customer (`a,b`, c_name)")
+    val ix = c.indexes.find(_.name == "comma_ix").get
+    assert(ix.columns == Seq("a,b", "c_name"))
+    c.execute("DROP INDEX comma_ix")
   }
 
   test("drop table cascade removes the table's indexes " +

@@ -115,8 +115,11 @@ class StreamingSpec extends SparkSpec {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, String)]
-    val query = EventStreams.dedupStream(
-        ms.toDF.toDF("doc_id", "ts", "text"))
+    val out = EventStreams.dedupStream(ms.toDF.toDF("doc_id", "ts", "text"))
+    // "output is the surviving rows": the internal md5 key column must
+    // not leak into the downstream schema
+    assert(out.columns.toSeq == Seq("doc_id", "ts", "text"))
+    val query = out
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     try {

@@ -36,3 +36,9 @@ for n in names:
     print(n.ljust(w) + row)
 print("TOTAL".ljust(w) + "".join(
     f"{sum(rounds[c]['queries'].values()):8.2f}" for c in cols))
+# Per-round totals are not comparable when the bench set grows between
+# rounds (a new query reads as a regression); the SHARED total over the
+# intersection of query names is the comparable trend line.
+shared = set.intersection(*(set(rounds[c]["queries"]) for c in cols))
+print(f"SHARED({len(shared)}q)".ljust(w) + "".join(
+    f"{sum(rounds[c]['queries'][n] for n in shared):8.2f}" for c in cols))
