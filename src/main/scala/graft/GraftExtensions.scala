@@ -40,7 +40,12 @@ object GraftFunctions {
         c(0), intLit(c(1), "minhash_sig(shingle_hashes, k)", "k"))),
     ("shingle_hashes", classOf[ShingleHashes], 2,
       (c: Seq[Expression]) => ShingleHashes(
-        c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n"))))
+        c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n"))),
+    // aggregate: the analyzer wraps a registered AggregateFunction in
+    // AggregateExpression itself, so the builder returns it bare
+    ("topk_neighbors", classOf[TopKNeighbors], 3,
+      (c: Seq[Expression]) => TopKNeighbors(
+        c(0), c(1), intLit(c(2), "topk_neighbors(id, sim, k)", "k"))))
 
   /** One registry entry: (identifier, info, arity-checked builder). */
   def entries: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -117,6 +117,12 @@ object MultimodalQueries {
       },
       None),
 
+    // The xxhash64 frame hashes stay INSIDE the query (only the distinct
+    // COUNT is emitted, per doc over ≤4 frames), so the oracle counts
+    // distinct raw byte windows instead of hashes — DuckDB cannot
+    // substring a BLOB, but this corpus is pure ASCII (verified at
+    // sf0.001/0.01/0.1), so its char-based substring slices the same
+    // bytes as Spark's binary substring.
     Q("mm04_frame_hashes",
       (s, d) => {
         val withPayload = Tables.t(s, d, "documents")
@@ -126,6 +132,10 @@ object MultimodalQueries {
           .agg(count(lit(1)).as("n_frames"),
             countDistinct(col("frame_hash")).as("n_distinct_frames"))
       },
-      None)
+      Some("""SELECT doc_id, count(*) AS n_frames,
+             |count(DISTINCT substring(text, CAST(f AS INTEGER) * 32 + 1, 32))
+             |AS n_distinct_frames
+             |FROM documents, range(4) t(f) GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -41,6 +40,40 @@ object Similarity {
   def signBucket(v: Column, bits: Int): Column =
     VectorExpressions.signBucket(v, bits)
 
+  /** Rank scored candidate rows down to the exact per-query top-k via the
+    * PARTIAL k-heap aggregate ([[TopKNeighbors]]): each map task reduces
+    * its candidates to at most k per query before the exchange, so the
+    * ranking shuffle carries O(|Q| × k × partitions) heap entries instead
+    * of every scored candidate row — at 100 TB that is the difference
+    * between shuffling |Q|×k rows and |Q|×N (brute) or |Q|×N/2^bits (ANN).
+    * Output order and tie-breaks ((sim DESC, neighbor_id ASC), Spark
+    * double semantics) are exactly what the previous
+    * `row_number().over(Window...)` ranking produced — equality asserted
+    * per-row in SimilaritySpec — but the plan is partial+final
+    * ObjectHashAggregate with NO Window and NO per-query sort. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(TopKAggregate.topkNeighbors(
+        col("neighbor_id"), col("sim"), k).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "nbr")))
+      .select(col("query_id"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+
+  /** The previous window-ranking formulation, kept ONLY as the
+    * SimilaritySpec cross-check oracle for [[rankTopK]] (it shuffles and
+    * sorts every scored candidate; never use it in a query path). */
+  private[graft] def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
+
   /** Interpreted HOF formulation of [[signBucket]] (cross-check only). */
   private[graft] def signBucketHof(v: Column, bits: Int): Column = {
     val planes = (0 until bits).map { i =>
@@ -74,11 +107,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim", "rn")
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: both sides bucketed by [[signBucket]]; queries probe
@@ -103,11 +132,11 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim", "rn")
+    // a multi-probed query can meet the same neighbor through several
+    // probe buckets only if their buckets differ — impossible for a
+    // fixed (query, neighbor) pair, so no distinct is needed before
+    // the heap ranking (same argument as signBucketCandidates)
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the classic coarse-quantizer
@@ -121,17 +150,28 @@ object Similarity {
     * tiny and broadcast to both queries and the probe join. The candidate
     * join shuffles on cell id — O(Q × N × nprobe / nlist) work, never
     * all-pairs — and cell sizes are balanced by k-means itself. */
-  /** Session-scoped trained-index cache: the coarse quantizer is the IVF
-    * INDEX — built once per (corpus, nlist) and reused across queries,
-    * exactly as a deployed ANN service amortizes index construction.
+  /** Session-scoped trained-index cache: the coarse quantizer PLUS the
+    * assigned corpus are the IVF INDEX — built once per (corpus, nlist,
+    * trainCap) and reused across queries, exactly as a deployed ANN
+    * service amortizes index construction. Caching the model alone (as
+    * round 4 did) left every repeated query re-running
+    * `model.transform` over a re-persisted corpus — the assignment scan
+    * is part of the index, so it lives in the same entry.
     * Keyed by the corpus's CANONICALIZED PLAN (structural equality, not
     * its 32-bit hashCode — a hash collision between two corpora would
-    * silently reuse a model trained on the wrong data) and bounded: a
-    * LinkedHashMap evicts the oldest entry past `ivfModelCacheMax`. */
-  private val ivfModelCacheMax = 8
-  private val ivfModels = scala.collection.mutable.LinkedHashMap
+    * silently reuse an index built on the wrong data) and bounded: a
+    * LinkedHashMap evicts the oldest entry past `ivfIndexCacheMax` (its
+    * persisted frame stays tracked by ManagedCache and is reclaimed at
+    * the caller's next releaseAll). */
+  private val ivfIndexCacheMax = 8
+  private val ivfIndexes = scala.collection.mutable.LinkedHashMap
     .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
-      org.apache.spark.ml.clustering.KMeansModel]
+      (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]
+
+  /** Index-build counter (train + assign happened) — lets SimilaritySpec
+    * assert a repeated query on the same corpus reuses the built index
+    * instead of re-scanning and re-assigning. */
+  private[graft] var ivfIndexBuilds = 0
 
   /** `trainCap` bounds the k-means TRAINING set: training scans a
     * hash-thresholded sample of ~trainCap rows instead of the full corpus
@@ -151,16 +191,17 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val c = ManagedCache.persist(Dedup.spread(corpus)
-      .select(col("vec_id").as("neighbor_id"),
-        toDouble(col("embedding")).as("cv"))
-      .withColumn("features", array_to_vector(col("cv"))))
     val cacheKey =
       (corpus.queryExecution.analyzed.canonicalized, nlist, trainCap)
-    val model = ivfModels.synchronized {
-      val m = ivfModels.getOrElseUpdate(cacheKey, {
-        // count() is one pass over the already-cached frame, paid once per
-        // cached model — it sizes the deterministic training sample
+    val (model, assigned) = ivfIndexes.synchronized {
+      val entry = ivfIndexes.getOrElseUpdate(cacheKey, {
+        ivfIndexBuilds += 1
+        val c = ManagedCache.persist(Dedup.spread(corpus)
+          .select(col("vec_id").as("neighbor_id"),
+            toDouble(col("embedding")).as("cv"))
+          .withColumn("features", array_to_vector(col("cv"))))
+        // count() is one pass over the just-cached frame, paid once per
+        // built index — it sizes the deterministic training sample
         val n = c.count()
         val train =
           if (n <= trainCap) c
@@ -169,41 +210,45 @@ object Similarity {
             c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
               < thresh)
           }
-        new KMeans()
+        val m = new KMeans()
           .setK(nlist).setSeed(42).setMaxIter(5)
           .setFeaturesCol("features").setPredictionCol("list_id")
           .fit(train)
+        (m, ManagedCache.persist(m.transform(c).drop("features")))
       })
-      while (ivfModels.size > ivfModelCacheMax)
-        ivfModels -= ivfModels.head._1
-      m
+      while (ivfIndexes.size > ivfIndexCacheMax)
+        ivfIndexes -= ivfIndexes.head._1
+      entry
     }
-    val assigned = model.transform(c).drop("features")
     val sq = spark; import sq.implicits._
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("list_id", "centroid")
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    // nprobe nearest cells per query: centroid table is tiny -> broadcast
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("list_id").asc)
+    // nprobe nearest cells per query: centroid table is tiny -> broadcast;
+    // cell ranking reuses the partial k-heap with NEGATED squared distance
+    // ((-d2) DESC, list_id ASC ≡ d2 ASC, list_id ASC — d2 is a sum of
+    // squares, so no -0.0/0.0 ordering edge exists) instead of a
+    // row_number window: no per-query sort, and the probe-selection
+    // shuffle carries nprobe cells per query, not all nlist
     val qProbes = q.crossJoin(broadcast(centDf))
       .withColumn("d2",
         aggregate(zip_with(col("qv"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
-      .withColumn("pr", row_number().over(qw))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "qv", "list_id")
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        TopKAggregate.topkNeighbors(
+          col("list_id").cast("long"), -col("d2"), nprobe).as("cells"))
+      .select(col("query_id"), col("qv"),
+        explode(col("cells.neighbor_id")).as("cell"))
+      .select(col("query_id"), col("qv"),
+        col("cell").cast("int").as("list_id"))
     val scored = assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim", "rn")
+    rankTopK(scored, k)
   }
 }
 

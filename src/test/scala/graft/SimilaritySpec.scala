@@ -129,6 +129,85 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("heap rankTopK equals the row_number window ranking row-for-row " +
+    "on real scored candidates (order, ties, and rn included)") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      // coarse rounding manufactures plenty of sim TIES, so the
+      // neighbor_id tie-break is genuinely exercised
+      .withColumn("sim",
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows(Similarity.rankTopK(scored, 7)) ==
+      rows(Similarity.rankTopKWindow(scored, 7)))
+  }
+
+  test("heap rankTopK keeps Spark's NaN-is-largest double ordering, same " +
+    "as the window sort (zero-norm vectors score NaN)") {
+    val sq = spark; import sq.implicits._
+    val scored = Seq(
+      (1L, 100L, 0.5), (1L, 101L, Double.NaN), (1L, 102L, 0.9),
+      (1L, 103L, Double.NaN), (1L, 104L, -0.2))
+      .toDF("query_id", "neighbor_id", "sim")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect()
+        .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    val heap = rows(Similarity.rankTopK(scored, 3))
+    assert(heap == rows(Similarity.rankTopKWindow(scored, 3)))
+    // NaNs rank FIRST (Spark treats NaN as larger than any double),
+    // tie-broken by neighbor_id
+    assert(heap == Seq((101L, 1), (103L, 2), (102L, 3)))
+  }
+
+  test("similarity ranking plans are partial+final aggregates with no " +
+    "Window and no per-query Sort (the shuffle carries k rows per query)") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    for (df <- Seq(
+        Similarity.bruteForceTopK(queries, emb, 10),
+        Similarity.annTopK(queries, emb, 5, bits = 4),
+        Similarity.ivfTopK(queries, emb, 5, nlist = 8, nprobe = 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window ranking survived:\n$plan")
+      assert(plan.contains("ObjectHashAggregate") &&
+        plan.contains("partial_topk_neighbors"),
+        s"expected partial topk_neighbors aggregation:\n$plan")
+    }
+  }
+
+  test("topk_neighbors is callable from SQL through ExecutionContext") {
+    val got = new ExecutionContext(spark).execute(
+      """SELECT topk_neighbors(id, sim, 2) AS nb FROM VALUES
+        |(10L, 0.5d), (11L, 0.9d), (12L, 0.9d), (13L, 0.1d) AS t(id, sim)"""
+        .stripMargin)
+      .selectExpr("inline(nb)").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ties (0.9, 0.9) break on the lower id first
+    assert(got == Seq((11L, 0.9), (12L, 0.9)))
+  }
+
+  test("a repeated ivfTopK on the same corpus reuses the built index " +
+    "(no re-train, no re-assignment scan of the corpus)") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    def run() = Similarity
+      .ivfTopK(queries, emb, 3, nlist = 4, nprobe = 2, trainCap = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    val buildsAfterFirst = Similarity.ivfIndexBuilds
+    val second = run()
+    assert(Similarity.ivfIndexBuilds == buildsAfterFirst,
+      "second identical query must not rebuild the IVF index")
+    assert(second == first)
+  }
+
   test("ann results are exact cosines over its candidates (no approximate " +
     "scores, only approximate candidate sets)") {
     val emb = Tables.t(spark, sf, "embeddings")
