@@ -234,6 +234,43 @@ object EventQueries {
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id, p.user_id, p.ts"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // EXECUTED streaming gate — the one entry where a Structured Streaming
+    // query actually runs under the driver's DuckDB hash check (the other
+    // streaming twins are MemoryStream-spec-asserted only): s01's hourly
+    // aggregation computed by EventStreams.hourlyAgg over a FILE-SOURCE
+    // stream of the same events parquet, drained with
+    // Trigger.AvailableNow. Complete-mode memory sink holds the full
+    // (window, type) aggregate — tiny (hours × event_types rows), the one
+    // place collecting to the driver is the documented test-sink contract;
+    // production swaps in a parquet/kafka sink with a real checkpoint.
+    // window(ts, '1 hour').start ≡ date_trunc('hour', ts), so the entry
+    // shares s01's oracle verbatim: streaming answer == batch answer,
+    // hash-checked.
+    Q("s07_stream_hourly_agg",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        // explicit schema from a batch footer read: readStream refuses
+        // inference, and at 100 TB you'd pin the schema anyway
+        val raw = s.read.parquet(Tables.path(d, "events"))
+        // the file stream source wants a DIRECTORY to watch (at 100 TB an
+        // ingest landing dir); the fixture is one file, so watch sfDir
+        // filtered down to it
+        val stream = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sink = s"s07_out_${java.util.UUID.randomUUID().toString.take(8)}"
+        val query = EventStreams.hourlyAgg(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        try query.awaitTermination() finally query.stop()
+        s.table(sink)
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -201,4 +201,17 @@ class StreamingSpec extends SparkSpec {
       assert(got(2L) == ((2L, 8.0)))
     } finally query.stop()
   }
+
+  test("EXECUTED gate: file-source streaming hourlyAgg (AvailableNow) " +
+    "equals the batch s01 answer on the real events fixture") {
+    // not MemoryStream synthetic rows: the s07 catalog entry streams the
+    // driver's events parquet through EventStreams.hourlyAgg and must
+    // reproduce the batch twin's result set exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val streamed = rows(q("s07_stream_hourly_agg").build(spark, sf))
+    val batch = rows(q("s01_hourly_agg").build(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
