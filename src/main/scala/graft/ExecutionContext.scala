@@ -146,7 +146,11 @@ class ExecutionContext(
           cascade = cascade != null)
         spark.emptyDataFrame
       case _ =>
-        try spark.sql(stmt)
+        // CREATE TABLE with constraint clauses: strip them into graft.*
+        // TBLPROPERTIES (the registry the typed createTable uses) so the
+        // SQL path and the API path record identical metadata
+        val toRun = ExecutionContext.rewriteCreateTable(stmt).getOrElse(stmt)
+        try spark.sql(toRun)
         catch {
           case e: AnalysisException
               if e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") =>
@@ -425,6 +429,215 @@ object ExecutionContext {
     out += cur.toString
     out.result()
   }
+
+  // ---- CREATE TABLE constraint rewriting --------------------------------
+
+  private val CreateTableHeadRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$Ident\\s*\\(""").r
+
+  // Table-level constraint items (`tmp/crud.txt:439-479` — the reference's
+  // convert_table_constraint surface); an optional leading CONSTRAINT name
+  // is accepted and not recorded, like the reference.
+  private val TcPkRe =
+    (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?PRIMARY\\s+KEY\\s*\\((.*)\\)\\s*$$""").r
+  private val TcFkRe =
+    (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s*""" +
+      s"""REFERENCES\\s+($Ident)\\s*\\(([^)]*)\\)\\s*$$""").r
+  private val TcUqRe =
+    (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?UNIQUE\\s*\\((.*)\\)\\s*$$""").r
+  private val TcCkRe =
+    (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?CHECK\\s*\\((.*)\\)\\s*$$""").r
+
+  /** Index of the `)` matching the `(` just before `from` — quote-aware
+    * (a paren inside a quoted identifier or string does not count). */
+  private def findMatchingParen(s: String, from: Int): Int = {
+    var depth = 1
+    var quote: Char = 0
+    var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on commas at paren depth 0 outside quotes — a column list item
+    * like `price DECIMAL(10,2) CHECK (x IN (1,2))` is ONE item. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var depth = 0
+    s.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Does a top-level keyword match start at position `i` of `s`?
+    * Requires a word boundary on the left (so `my_default INT` is not a
+    * DEFAULT clause) — the regex itself ends with `\b`. */
+  private def keywordAt(s: String, i: Int, re: scala.util.matching.Regex)
+      : Option[Int] = {
+    val prevOk = i == 0 || {
+      val p = s.charAt(i - 1)
+      !Character.isLetterOrDigit(p) && p != '_'
+    }
+    if (!prevOk) None
+    else re.findPrefixMatchOf(s.substring(i)).map(m => i + m.end)
+  }
+
+  private val NotNullRe = "(?is)^NOT\\s+NULL\\b".r
+  private val PkKwRe = "(?is)^PRIMARY\\s+KEY\\b".r
+  private val DefaultKwRe = "(?is)^DEFAULT\\b".r
+  private val CommentKwRe = "(?is)^COMMENT\\b".r
+
+  /** One parsed column item: raw (as-written) name, everything kept in the
+    * column DDL (type + unrecognized clauses like COMMENT, minus the
+    * stripped options), and the stripped option surface. */
+  private final case class ColItem(
+      rawName: String,
+      name: String,
+      kept: String,
+      notNull: Boolean,
+      primaryKey: Boolean,
+      default: Option[String])
+
+  /** Parse `name TYPE [NOT NULL] [PRIMARY KEY] [DEFAULT expr] [...]` with a
+    * quote/paren-aware scan (DECIMAL(10,2) stays in the type; a DEFAULT
+    * expression runs to the next top-level option keyword or end, so
+    * `DEFAULT concat('a', 'b') NOT NULL` parses both). Returns None when
+    * the item does not start with an identifier + type text. */
+  private def parseColumnItem(item: String): Option[ColItem] = {
+    val t = item.trim
+    IdentPartRe.findPrefixMatchOf(t).flatMap { m =>
+      val tail = t.substring(m.end)
+      val kept = new StringBuilder
+      val dflt = new StringBuilder
+      var inDefault = false
+      var notNull = false
+      var pk = false
+      var sawDefault = false
+      var quote: Char = 0
+      var depth = 0
+      var i = 0
+      def sink: StringBuilder = if (inDefault) dflt else kept
+      while (i < tail.length) {
+        val c = tail.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0; sink += c; i += 1 }
+        else if (c == '\'' || c == '"' || c == '`') {
+          quote = c; sink += c; i += 1
+        } else if (c == '(') { depth += 1; sink += c; i += 1 }
+        else if (c == ')') { depth -= 1; sink += c; i += 1 }
+        else if (depth == 0) {
+          keywordAt(tail, i, NotNullRe) match {
+            case Some(end) => inDefault = false; notNull = true; i = end
+            case None => keywordAt(tail, i, PkKwRe) match {
+              case Some(end) => inDefault = false; pk = true; i = end
+              case None => keywordAt(tail, i, DefaultKwRe) match {
+                case Some(end) if !inDefault =>
+                  inDefault = true; sawDefault = true; i = end
+                case _ =>
+                  // COMMENT ends a default expression and stays in kept
+                  if (inDefault && keywordAt(tail, i, CommentKwRe).isDefined)
+                    inDefault = false
+                  sink += c; i += 1
+              }
+            }
+          }
+        } else { sink += c; i += 1 }
+      }
+      val keptText = kept.toString.trim
+      if (keptText.isEmpty) None
+      else Some(ColItem(m.matched, unquote(m.matched), keptText, notNull, pk,
+        if (sawDefault) Some(dflt.toString.trim).filter(_.nonEmpty) else None))
+    }
+  }
+
+  /** Rewrite a `CREATE TABLE name (…)` statement whose column list carries
+    * constraint surface Spark SQL cannot parse — column-level PRIMARY KEY /
+    * DEFAULT and table-level PRIMARY KEY / FOREIGN KEY / UNIQUE / CHECK —
+    * into plain Spark DDL plus the same `graft.*` TBLPROPERTIES the typed
+    * [[ExecutionContext.createTable]] records (`tmp/crud.txt:388-479`):
+    * recorded-not-enforced, round-trippable via `tableProperties`, and
+    * DEFAULTs applied by [[Dml.insertValues]]. A primary-key column gains
+    * NOT NULL in the real DDL, matching the typed path. Everything after
+    * the column list (USING / LOCATION / PARTITIONED BY / …) passes through
+    * verbatim; an existing TBLPROPERTIES clause is merged into. Returns
+    * None — run the original statement — when no constraint surface is
+    * present (including CTAS, which has no column list). */
+  private[graft] def rewriteCreateTable(stmt: String): Option[String] =
+    CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
+      val close = findMatchingParen(stmt, m.end)
+      if (close < 0) None
+      else {
+        val body = stmt.substring(m.end, close)
+        val rest = stmt.substring(close + 1)
+        val items = splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
+        val cols = Seq.newBuilder[ColumnSpec]
+        val colDdl = Seq.newBuilder[String]
+        val cons = Seq.newBuilder[TableConstraintDef]
+        var stripped = false
+        def names(list: String): Seq[String] =
+          splitList(list).map(unquote).map(_.trim).filter(_.nonEmpty)
+        items.foreach {
+          case TcPkRe(list) =>
+            cons += TableConstraintDef.PrimaryKey(names(list)); stripped = true
+          case TcFkRe(fkCols, refTbl, refCols) =>
+            cons += TableConstraintDef.ForeignKey(
+              names(fkCols), unquote(refTbl), names(refCols))
+            stripped = true
+          case TcUqRe(list) =>
+            cons += TableConstraintDef.Unique(names(list)); stripped = true
+          case TcCkRe(expr) =>
+            cons += TableConstraintDef.Check(expr.trim); stripped = true
+          case item =>
+            parseColumnItem(item) match {
+              case Some(c) =>
+                if (c.primaryKey || c.default.isDefined) stripped = true
+                // dataType is NullType: constraintProperties only reads
+                // name / nullable / default / primaryKey, and the real
+                // type text stays in the passthrough DDL
+                cols += ColumnSpec(c.name, org.apache.spark.sql.types.NullType,
+                  nullable = !(c.notNull || c.primaryKey),
+                  default = c.default, primaryKey = c.primaryKey)
+                val nn = if (c.notNull || c.primaryKey) " NOT NULL" else ""
+                colDdl += s"${c.rawName} ${c.kept}$nn"
+              case None => colDdl += item
+            }
+        }
+        if (!stripped) None
+        else {
+          def esc(s: String) = s.replace("'", "''")
+          val pairs = constraintProperties(cols.result(), cons.result())
+            .map { case (k, v) => s"'${esc(k)}'='${esc(v)}'" }.mkString(", ")
+          val TblPropsRe = "(?is)(TBLPROPERTIES\\s*\\()".r
+          val restOut =
+            if (pairs.isEmpty) rest
+            else if (TblPropsRe.findFirstIn(rest).isDefined)
+              TblPropsRe.replaceFirstIn(rest, java.util.regex.Matcher
+                .quoteReplacement(s"TBLPROPERTIES ($pairs, "))
+            else s"$rest TBLPROPERTIES ($pairs)"
+          Some(stmt.substring(0, m.end) +
+            colDdl.result().mkString(", ") + ")" + restOut)
+        }
+      }
+    }
 
   private[graft] def firstStatement(sql: String): String =
     statements(sql).headOption.getOrElse(

@@ -291,6 +291,61 @@ class ExecutionContextSpec extends SparkSpec {
     c.dropTable(Seq("spec_t2"))
   }
 
+  test("execute(CREATE TABLE ...) strips constraint clauses into the same " +
+    "graft.* properties as the typed API (SQL path parity)") {
+    val c = ctx
+    val loc = Dml.work("spec_ddl", sf) + "/t4"
+    c.execute("DROP TABLE IF EXISTS spec_t4")
+    c.execute(
+      s"""CREATE TABLE spec_t4 (
+         |  id BIGINT PRIMARY KEY,
+         |  region INT DEFAULT 0,
+         |  price DECIMAL(10,2) NOT NULL DEFAULT round(1.5, 1),
+         |  name STRING,
+         |  FOREIGN KEY (region) REFERENCES region (r_regionkey),
+         |  CONSTRAINT uq_name UNIQUE (name),
+         |  CHECK (id > 0 AND region IN (0, 1))
+         |) USING parquet LOCATION '$loc'""".stripMargin)
+    val props = c.tableProperties("spec_t4")
+    assert(props("graft.primary_key") == "id")
+    assert(props("graft.notnull") == "id,price")
+    assert(props("graft.default.region") == "0")
+    // a DEFAULT expression with nested parens/commas survives intact
+    assert(props("graft.default.price") == "round(1.5, 1)")
+    assert(props("graft.constraint.fk.0") ==
+      "(region) REFERENCES region (r_regionkey)")
+    assert(props("graft.constraint.unique.0") == "name")
+    assert(props("graft.constraint.check.0") == "id > 0 AND region IN (0, 1)")
+    // the real relation exists with the real types (DECIMAL survived the
+    // option-stripping scan)
+    assert(c.table("spec_t4").schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    c.dropTable(Seq("spec_t4"))
+  }
+
+  test("rewriteCreateTable leaves constraint-free statements alone and " +
+    "is not fooled by look-alike column names") {
+    import ExecutionContext.rewriteCreateTable
+    // nothing to strip -> None (run the original text, CTAS included)
+    assert(rewriteCreateTable(
+      "CREATE TABLE t (a INT NOT NULL, b STRING) USING parquet").isEmpty)
+    assert(rewriteCreateTable(
+      "CREATE TABLE t USING parquet AS SELECT 1 AS a").isEmpty)
+    assert(rewriteCreateTable("SELECT 1").isEmpty)
+    // my_default / quoted names are identifiers, not DEFAULT clauses
+    assert(rewriteCreateTable(
+      "CREATE TABLE t (my_default INT, `default` STRING) USING parquet")
+      .isEmpty)
+    // stripping keeps the rest verbatim and appends TBLPROPERTIES
+    val got = rewriteCreateTable(
+      "CREATE TABLE t (id BIGINT PRIMARY KEY) USING parquet " +
+        "TBLPROPERTIES ('k'='v')").get
+    assert(got.contains("id BIGINT  NOT NULL") || // double space: kept text
+      got.contains("id BIGINT NOT NULL"))
+    assert(!got.toUpperCase.contains("PRIMARY KEY"))
+    assert(got.contains("'graft.primary_key'='id'") && got.contains("'k'='v'"))
+  }
+
   test("recorded graft.default.* metadata drives Dml.insertValues " +
     "defaults for omitted columns") {
     val c = ctx
