@@ -236,41 +236,71 @@ object EventQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
-    // EXECUTED streaming gate — the one entry where a Structured Streaming
+    // EXECUTED streaming gates — entries where a Structured Streaming
     // query actually runs under the driver's DuckDB hash check (the other
-    // streaming twins are MemoryStream-spec-asserted only): s01's hourly
-    // aggregation computed by EventStreams.hourlyAgg over a FILE-SOURCE
-    // stream of the same events parquet, drained with
-    // Trigger.AvailableNow. Complete-mode memory sink holds the full
-    // (window, type) aggregate — tiny (hours × event_types rows), the one
-    // place collecting to the driver is the documented test-sink contract;
-    // production swaps in a parquet/kafka sink with a real checkpoint.
-    // window(ts, '1 hour').start ≡ date_trunc('hour', ts), so the entry
-    // shares s01's oracle verbatim: streaming answer == batch answer,
-    // hash-checked.
+    // streaming twins are MemoryStream-spec-asserted only): the
+    // EventStreams pipelines over a FILE-SOURCE stream of the same events
+    // parquet, drained with Trigger.AvailableNow. Complete-mode memory
+    // sink holds the full aggregate — tiny (hours × types / per-session
+    // rows), the one place collecting to the driver is the documented
+    // test-sink contract; production swaps in a parquet/kafka sink with a
+    // real checkpoint.
+    //
+    // s07: window(ts, '1 hour').start ≡ date_trunc('hour', ts), so the
+    // entry shares s01's oracle verbatim: streaming == batch, hash-checked.
     Q("s07_stream_hourly_agg",
-      (s, d) => {
-        import org.apache.spark.sql.streaming.Trigger
-        // explicit schema from a batch footer read: readStream refuses
-        // inference, and at 100 TB you'd pin the schema anyway
-        val raw = s.read.parquet(Tables.path(d, "events"))
-        // the file stream source wants a DIRECTORY to watch (at 100 TB an
-        // ingest landing dir); the fixture is one file, so watch sfDir
-        // filtered down to it
-        val stream = s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val sink = s"s07_out_${java.util.UUID.randomUUID().toString.take(8)}"
-        val query = EventStreams.hourlyAgg(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        try query.awaitTermination() finally query.stop()
-        s.table(sink)
-      },
+      (s, d) => drainStream(s, EventStreams.hourlyAgg(eventStream(s, d))),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
              |event_type, count(*) AS n, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s08: STATEFUL session_window sessionization under the hash gate.
+    // session_window semantics in DuckDB terms: a new session starts when
+    // the exact event-time gap is >= the 30-minute window (Spark merges
+    // sessions only when they strictly overlap), computed on integer
+    // epoch MICROseconds — the precision Spark's µs timestamps use —
+    // never on floored seconds; session_end is last event + gap.
+    Q("s08_stream_sessionize",
+      (s, d) => drainStream(s, EventStreams.sessionStats(eventStream(s, d))),
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |f AS (SELECT user_id, ts, us, CASE WHEN us - lag(us) OVER
+             |(PARTITION BY user_id ORDER BY us) >= 1800000000
+             |THEN 1 ELSE 0 END AS is_new FROM ev),
+             |sess AS (SELECT user_id, ts, sum(is_new) OVER
+             |(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)
+             |AS sid FROM f)
+             |SELECT user_id, min(ts) AS session_start,
+             |max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid"""
         .stripMargin.replace('\n', ' ')))
   )
+
+  /** File-source stream over the events parquet: explicit schema from a
+    * batch footer read (readStream refuses inference, and at 100 TB you'd
+    * pin the schema anyway), watching the sfDir as the landing directory
+    * filtered to the events file, with [[Tables]]' ns→µs conversion
+    * applied to the stream. */
+  private def eventStream(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(Tables.path(d, "events"))
+    s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming aggregate with Trigger.AvailableNow into a
+    * complete-mode memory sink and return the settled table. */
+  private def drainStream(
+      s: org.apache.spark.sql.SparkSession, agg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = s"stream_out_${java.util.UUID.randomUUID().toString.take(8)}"
+    val query = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    s.table(sink)
+  }
 }

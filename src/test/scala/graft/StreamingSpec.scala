@@ -214,4 +214,19 @@ class StreamingSpec extends SparkSpec {
     val batch = rows(q("s01_hourly_agg").build(spark, sf))
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("EXECUTED gate: file-source streaming sessionization (AvailableNow) " +
+    "equals batch session_window on the real events fixture") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    val streamed = rows(q("s08_stream_sessionize").build(spark, sf))
+    // session_window is equally a batch aggregation — same operator, no
+    // stream: the executed stream must reproduce it exactly
+    val batch = rows(Tables.t(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n_events")))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
