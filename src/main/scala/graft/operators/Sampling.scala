@@ -40,6 +40,65 @@ object Sampling {
       .when(p < lit(valTo), "val")
       .otherwise("test")
   }
+
+  /** STRATIFIED deterministic sampling — per-stratum keep rates, the
+    * data-mixing primitive (downsample the dominant language / source,
+    * keep the rare ones whole) every pretraining corpus build needs.
+    * `rates` maps a stratum value to its 4-hex-digit threshold
+    * (kept fraction ≈ 0x<threshold>/0x10000); unlisted strata use
+    * `default`. Same contract as [[deterministicSample]]: content-keyed,
+    * so the decision is reproducible on any cluster shape and duplicate
+    * documents land on the same side of every stratum's cut — and still
+    * one scan, no shuffle, per-row expression only. */
+  def stratifiedSample(
+      key: Column,
+      stratum: Column,
+      rates: Map[String, String],
+      default: String = "ffff"): Column = {
+    val p = hexPrefix(key)
+    rates.toSeq.sortBy(_._1)
+      .foldLeft(null: Column) { case (acc, (value, threshold)) =>
+        val cond = stratum === lit(value)
+        if (acc == null) when(cond, p < lit(threshold))
+        else acc.when(cond, p < lit(threshold))
+      } match {
+      case null => p < lit(default)
+      case chain => chain.otherwise(p < lit(default))
+    }
+  }
+
+  /** Token-budget SEQUENCE PACKING — assign each document to a shard of
+    * ~`budgetTokens` tokens (the pretraining step that fills fixed-length
+    * contexts without truncating mid-corpus). Documents hash into
+    * `buckets` independent packing lanes on `idCol` (deterministic,
+    * layout-free); within a lane they order by `idCol` and a running
+    * token sum opens a new shard each time the budget fills: a document's
+    * shard is `floor(preceding-tokens / budget)` — first-fit in arrival
+    * order, never splitting a document.
+    *
+    * Scale: ONE shuffle on the lane key, then an O(n) incremental running
+    * frame per lane (the same shape as sessionization) — no global sort,
+    * no driver loop. Lanes are independent, so parallelism = `buckets`;
+    * size it to the cluster (at 100 TB, thousands of lanes) and each
+    * lane's window stays executor-local. Shard ids are (bucket, shard) —
+    * globally unique without any cross-lane coordination. */
+  def packIntoShards(
+      docs: org.apache.spark.sql.DataFrame,
+      tokenCount: Column,
+      idCol: Column,
+      budgetTokens: Long,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .withColumn("bucket", pmod(idCol, lit(buckets.toLong)).cast("int"))
+      .withColumn("n_tokens", tokenCount)
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          lit(budgetTokens)).cast("long"))
+  }
 }
 
 /** Driver-facing sampling queries over `documents`. */
@@ -61,6 +120,45 @@ object SamplingQueries {
              |ELSE 'test' END AS split,
              |count(*) AS n, min(doc_id) AS min_doc
              |FROM documents GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Data mixing: downsample dominant 'en' to ~1/4, keep 'de' whole,
+    // everything else at ~3/4 — per-(lang, source) counts of the KEPT set
+    // so the oracle hashes the whole stratified decision surface.
+    Q("t11_stratified_sample",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .filter(Sampling.stratifiedSample(col("text"), col("lang"),
+            Map("en" -> "4000", "de" -> "ffff"), default = "c000"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc")),
+      Some("""SELECT lang, source, count(*) AS n, min(doc_id) AS min_doc
+             |FROM documents
+             |WHERE CASE WHEN lang = 'de' THEN substr(md5(text),1,4) < 'ffff'
+             |WHEN lang = 'en' THEN substr(md5(text),1,4) < '4000'
+             |ELSE substr(md5(text),1,4) < 'c000' END
+             |GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Sequence packing: per-document (bucket, shard) assignment at a
+    // 4096-token budget across 16 lanes; the full assignment is
+    // deterministic, so the oracle hashes every row of it.
+    Q("t12_token_packing",
+      (s, d) =>
+        Sampling.packIntoShards(
+          Tables.t(s, d, "documents"),
+          TextFunctions.tokenCountWs(col("text")),
+          col("doc_id"), budgetTokens = 4096L, buckets = 16)
+          .select("doc_id", "bucket", "n_tokens", "shard_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |CAST(doc_id % 16 AS INTEGER) AS bucket,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+             |AS n_tokens FROM documents)
+             |SELECT doc_id, bucket, n_tokens,
+             |CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY bucket
+             |ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |1 PRECEDING), 0) / 4096) AS BIGINT) AS shard_id
+             |FROM t"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -38,4 +38,63 @@ class SamplingSpec extends SparkSpec {
       .count()
     assert(math.abs(kept / total - 0.1) < 0.05, s"kept $kept of $total")
   }
+
+  test("stratified sampling applies per-stratum rates (en down, de whole, " +
+    "default for the rest) and stays reproducible") {
+    val docs = Tables.t(spark, sf, "documents")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def keptCounts() = docs
+      .filter(Sampling.stratifiedSample(col("text"), col("lang"),
+        Map("en" -> "4000", "de" -> "ffff"), default = "c000"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = keptCounts()
+    // de: ffff keeps everything except the (measure-~0) 'ffff*' prefixes
+    assert(kept("de").toDouble / before("de") > 0.99)
+    // en: ~25% cut
+    assert(math.abs(kept("en").toDouble / before("en") - 0.25) < 0.1,
+      s"en kept ${kept("en")} of ${before("en")}")
+    // a default-rate stratum: ~75%
+    val other = (before.keySet - "en" - "de").head
+    assert(math.abs(kept(other).toDouble / before(other) - 0.75) < 0.15,
+      s"$other kept ${kept(other)} of ${before(other)}")
+    assert(keptCounts() == kept, "stratified cut must be reproducible")
+  }
+
+  test("token packing: shards respect the budget (first overflowing doc " +
+    "opens the next shard), cover every doc, and are deterministic") {
+    val docs = Tables.t(spark, sf, "documents")
+    val packed = Sampling.packIntoShards(docs,
+      TextFunctions.tokenCountWs(col("text")), col("doc_id"),
+      budgetTokens = 4096L, buckets = 16)
+      .select("doc_id", "bucket", "n_tokens", "shard_id")
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count())
+    // replay each lane in id order: the window's running-sum assignment
+    // must equal the sequential first-fit shard assignment
+    rows.groupBy(_._2).foreach { case (_, lane) =>
+      var cum = 0L
+      lane.sortBy(_._1).foreach { case (id, _, nTok, shard) =>
+        assert(shard == cum / 4096L,
+          s"doc $id expected shard ${cum / 4096} got $shard")
+        cum += nTok
+      }
+    }
+    // per-(bucket, shard) token totals exceed the budget only by the one
+    // document that opened the overflow (no shard starts past the budget)
+    val byShard = rows.groupBy(r => (r._2, r._4))
+    byShard.foreach { case ((b, sh), ds) =>
+      val tokens = ds.map(_._3).sum
+      val maxDoc = ds.map(_._3).max
+      assert(tokens < 4096L + maxDoc,
+        s"shard ($b,$sh) holds $tokens tokens (max doc $maxDoc)")
+    }
+    val again = Sampling.packIntoShards(docs,
+      TextFunctions.tokenCountWs(col("text")), col("doc_id"), 4096L, 16)
+      .select("doc_id", "bucket", "n_tokens", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == rows.toSet, "packing must be deterministic")
+  }
 }
