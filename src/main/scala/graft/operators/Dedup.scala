@@ -201,6 +201,60 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step a
+    * dedup pipeline needs between pair generation (d03/d05/d07) and
+    * "keep one per cluster": each doc's representative is the MINIMUM
+    * doc_id reachable through the pair graph (transitive closure), via
+    * min-label propagation: every round, label(v) ← min(label(v),
+    * min of neighbors' labels); converged when no label changes.
+    *
+    * Scale: each round is one equi-join of the edge list with the label
+    * table plus one groupBy-min — both shuffle on doc id, nothing
+    * quadratic, and the edge list after banding is far smaller than the
+    * corpus. Rounds = cluster graph DIAMETER: near-dup clusters are tiny
+    * cliques chained by transitivity (diameter 2–4 in practice), so the
+    * loop settles in a handful of rounds; `maxIter` caps pathological
+    * chains (for general large-diameter graphs, switch to the
+    * large-star/small-star alternation of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC'14), which trades more
+    * work per round for O(log²) rounds). The driver-side loop holds one
+    * converged-count Long per round — never rows. Per-round label frames
+    * are persisted (the next round reads each twice) and the previous
+    * round's cache is dropped as soon as the count action settles. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      docs: DataFrame,
+      maxIter: Int = 12): DataFrame = {
+    val edges = ManagedCache.persist(
+      pairs.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(pairs.select(col("b").as("x"), col("a").as("y"))))
+    var cached = ManagedCache.persist(
+      spread(docs).select(col("doc_id").as("id"), col("doc_id").as("rep")))
+    var labels = cached
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("y"), col("rep").as("nrep")), "y")
+        .groupBy(col("x")).agg(min(col("nrep")).as("nmin"))
+        .select(col("x").as("id"), col("nmin"))
+      val next = ManagedCache.persist(
+        labels.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+            col("rep").as("prev")))
+      changed = next.filter(col("rep") =!= col("prev")).count()
+      // the count materialized `next`; the prior round's label cache is
+      // dead weight now (a 100 TB label table must not accumulate a copy
+      // per round). releaseAll's later re-unpersist is a no-op.
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select("id", "rep")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
     * via equality on (maxHamming+1 or more) bit-chunks (pigeonhole). */
   def simhashNearDupPairs(
@@ -376,6 +430,39 @@ object DedupQueries {
              |SELECT a, b, jac FROM j WHERE jac >= 0.8"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
+
+    // Duplicate-cluster resolution: pairs → transitive clusters → keep
+    // min-id per cluster. Edges are the deterministic d07 exact-jaccard
+    // pairs, so the full (doc_id, rep, keep) assignment — singletons
+    // included — runs under the hash gate; the oracle computes the same
+    // closure with a recursive CTE (min reachable id per doc).
+    Q("d08_dup_clusters",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        Dedup.duplicateClusters(
+          Dedup.exactJaccardPairs(docs, shingleN = 3, threshold = 0.8),
+          docs)
+          .withColumn("keep", col("doc_id") === col("rep"))
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |p AS (SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+             |FROM e0 e1 JOIN e0 e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
+             |j AS (SELECT p.a, p.b,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b),
+             |pr AS (SELECT a, b FROM j WHERE jac >= 0.8),
+             |e AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+             |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+             |UNION SELECT r.id, e.y FROM r JOIN e ON e.x = r.reach)
+             |SELECT id AS doc_id, min(reach) AS rep,
+             |(id = min(reach)) AS keep FROM r GROUP BY id"""
+        .stripMargin.replace('\n', ' '))),
 
     // signBits sizes the bucket count (2^bits) and trades exactly like LSH
     // bands: each +1 bit halves candidate pairs at some recall cost, and

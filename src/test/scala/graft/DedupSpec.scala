@@ -62,6 +62,29 @@ class DedupSpec extends SparkSpec {
       s"missing=${(exact -- got).take(3)} spurious=${(got -- exact).take(3)}")
   }
 
+  test("duplicateClusters equals a sequential union-find transitive " +
+    "closure (singletons keep themselves; chains collapse to one rep)") {
+    val pairs = Dedup.exactJaccardPairs(docs, 3, 0.8)
+    val edgeList = pairs.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // driver-side union-find oracle on the tiny fixture
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.duplicateClusters(pairs, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.count { case (id, rep) => id == rep } ==
+      expected.values.toSet.size, "keepers = one per cluster")
+  }
+
   test("minhash plan: skew cap is aggregate+anti-join, NOT a window sort " +
     "over the hot bucket") {
     val plan = Dedup.minhashNearDupPairs(docs, 3, 16, 4, 0.5)
