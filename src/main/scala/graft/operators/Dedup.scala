@@ -475,6 +475,54 @@ object DedupQueries {
     // shuffle on the content hash, stats one tiny shuffle on lang. All
     // aggregates are order-independent (exact integer sum ÷ count; min) so
     // the whole pipeline hash-matches the oracle.
+    // Benchmark DECONTAMINATION — the release-gate check that a held-out
+    // test split shares no long n-grams with the training split: 8-gram
+    // shingle hashes per doc (native ShingleHashes — pre-distinct), train
+    // grams deduped, one equi-join on the gram key, per-test-doc overlap
+    // counts. Scale: the same inverted-index shape as d07 but only
+    // CROSS-SPLIT matches survive and both sides are deduped, so cost is
+    // Σ_g df_train(g)·df_test(g) — and the test split is the small side by
+    // construction. Spark joins 64-bit gram hashes; the oracle joins the
+    // string grams themselves (d07's established hash↔string parity:
+    // distinct-count equality up to negligible collision odds).
+    Q("p02_decontamination",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+          .withColumn("split", Sampling.deterministicSplit(col("text")))
+        def grams(df: DataFrame) = df.select(col("doc_id"),
+          explode(TextExpressions.shingleHashes(
+            tokens(col("text")), 8)).as("g"))
+        val train = grams(docs.filter(col("split") === "train"))
+          .select("g").distinct()
+        val counts = grams(docs.filter(col("split") === "test"))
+          .join(train, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        docs.filter(col("split") === "test").select("doc_id")
+          .join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some("""WITH sp AS (SELECT doc_id, text,
+             |CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+             |WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+             |ELSE 'test' END AS split FROM documents),
+             |tk AS (SELECT doc_id, split,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM sp),
+             |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+             |range(1, greatest(len(toks) - 7, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             |toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS g FROM tk),
+             |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+             |te AS (SELECT doc_id, g FROM g WHERE split = 'test'),
+             |c AS (SELECT te.doc_id, count(*) AS n_shared
+             |FROM te JOIN tr USING (g) GROUP BY te.doc_id)
+             |SELECT s.doc_id, COALESCE(c.n_shared, 0) AS n_shared,
+             |COALESCE(c.n_shared, 0) > 0 AS contaminated
+             |FROM sp s LEFT JOIN c ON c.doc_id = s.doc_id
+             |WHERE s.split = 'test'"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("p01_pipeline_quality_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

@@ -192,6 +192,78 @@ object TextQueries {
              |round(quantile_cont(n_chars, 0.75), 4) AS p75,
              |max(n_chars) AS max_chars
              |FROM documents GROUP BY source"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Document CHUNKING for embedding/RAG pipelines: fixed-size character
+    // windows (200 chars) with overlap (50), emitted as (doc_id, chunk_id,
+    // chunk) rows. Pure per-row explode — no shuffle, trivially parallel;
+    // the chunk table inherits the scan's partitioning, ready for the
+    // embedding stage. Start offsets are 1, 151, 301, … up to the last
+    // window that still reaches new text; the tail chunk is shorter.
+    Q("t13_doc_chunking",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            posexplode(sequence(lit(1),
+              greatest(length(col("text")) - 50, lit(1)), lit(150))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            expr("substring(text, col, 200)").as("chunk"))
+          .withColumn("chunk_len", length(col("chunk")).cast("long")),
+      Some("""SELECT doc_id,
+             |CAST((s - 1) // 150 AS BIGINT) AS chunk_id,
+             |substring(text, CAST(s AS INTEGER), 200) AS chunk,
+             |CAST(length(substring(text, CAST(s AS INTEGER), 200)) AS BIGINT)
+             |AS chunk_len
+             |FROM documents,
+             |unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) t(s)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Gopher/FineWeb-style REPETITION signals — the quality rules that
+    // catch boilerplate and degenerate generations: fraction of bigram
+    // mass in the single most-repeated bigram, and fraction of trigram
+    // occurrences that are repeats of an already-seen trigram. Shape:
+    // explode → (doc, gram) partial-agg → (doc) agg — two shuffles, both
+    // partial-aggregated map-side; at 100 TB identical to the tf stage
+    // of t08.
+    Q("t14_repetition_signals",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val toks = tokens(col("text"))
+        def grams(n: Int) = transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+        def perDoc(n: Int, outCols: Seq[org.apache.spark.sql.Column]) = docs
+          .select(col("doc_id"), explode(grams(n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(outCols.head, outCols.tail: _*)
+        perDoc(2, Seq(max(col("c")).as("top2"), sum(col("c")).as("n2")))
+          .join(perDoc(3, Seq(count(lit(1)).as("d3"), sum(col("c")).as("n3"))),
+            "doc_id")
+          .select(col("doc_id"),
+            round(col("top2").cast("double") / col("n2"), 4)
+              .as("top_bigram_frac"),
+            round(lit(1.0) - col("d3").cast("double") / col("n3"), 4)
+              .as("dup_trigram_frac"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |g2 AS (SELECT doc_id, unnest(list_transform(
+             |range(1, greatest(len(toks) - 1, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM tk),
+             |g3 AS (SELECT doc_id, unnest(list_transform(
+             |range(1, greatest(len(toks) - 2, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g FROM tk),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+             |a2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2
+             |FROM c2 GROUP BY 1),
+             |a3 AS (SELECT doc_id, count(*) AS d3, CAST(sum(c) AS BIGINT) AS n3
+             |FROM c3 GROUP BY 1)
+             |SELECT doc_id,
+             |round(CAST(top2 AS DOUBLE) / n2, 4) AS top_bigram_frac,
+             |round(1.0 - CAST(d3 AS DOUBLE) / n3, 4) AS dup_trigram_frac
+             |FROM a2 JOIN a3 USING (doc_id)"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -95,4 +95,74 @@ class TextSpec extends SparkSpec {
       assert(diff.count() == 0, s"lang=$lang")
     }
   }
+
+  test("chunking covers every character, chunks overlap by exactly 50, " +
+    "and reassembling the non-overlapped prefixes rebuilds the document") {
+    val chunks = q("t13_doc_chunking").build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val text = texts(id)
+      // step-sized prefixes of each chunk + the full tail chunk = document
+      val rebuilt = cs.init.map(_.take(150)).mkString + cs.last
+      assert(rebuilt == text, s"doc $id reassembly")
+      // consecutive chunks agree on the 50-char overlap
+      cs.sliding(2).foreach {
+        case Seq(a, b) if a.length == 200 =>
+          assert(a.takeRight(50) == b.take(math.min(50, b.length)))
+        case _ =>
+      }
+    }
+  }
+
+  test("repetition signals: a degenerate repeated-bigram doc maxes the " +
+    "scores; an all-distinct doc floors them") {
+    val sq = spark; import sq.implicits._
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // one bigram repeated
+      (2L, "a b c d e f g h")) // every bigram/trigram distinct
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("rep_docs")
+    val toks = tokens(col("text"))
+    // same computation as t14, inlined over the synthetic frame
+    def grams(n: Int) = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    val c2 = df.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: bigrams are (spam ham) x4 + (ham spam) x3 -> top frac 4/7
+    assert(math.abs(c2(1L) - 4.0 / 7) < 1e-12)
+    // doc 2: 7 distinct bigrams -> top frac 1/7
+    assert(math.abs(c2(2L) - 1.0 / 7) < 1e-12)
+  }
+
+  test("decontamination flags exactly the test docs sharing an 8-gram " +
+    "with some train doc (driver-recomputed ground truth)") {
+    val docs = Tables.t(spark, sf, "documents")
+      .withColumn("split", Sampling.deterministicSplit(col("text")))
+    // ground truth on the tiny fixture: string 8-gram sets per doc
+    def gramSet(text: String): Set[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      (if (t.length < 8) Seq(t.mkString(" "))
+       else t.sliding(8).map(_.mkString(" ")).toSeq).toSet
+    }
+    val rows = docs.select("doc_id", "text", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val trainGrams = rows.filter(_._3 == "train")
+      .flatMap(r => gramSet(r._2)).toSet
+    val expected = rows.filter(_._3 == "test")
+      .map(r => r._1 -> (gramSet(r._2) & trainGrams).size.toLong).toMap
+    val got = q("p02_decontamination").build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.values.exists(_ > 0),
+      "fixture should contain at least one contaminated test doc")
+  }
 }
