@@ -41,6 +41,10 @@ object GraftFunctions {
     ("shingle_hashes", classOf[ShingleHashes], 2,
       (c: Seq[Expression]) => ShingleHashes(
         c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n"))),
+    ("shingle_hashes_all", classOf[ShingleHashes], 2,
+      (c: Seq[Expression]) => ShingleHashes(
+        c(0), intLit(c(1), "shingle_hashes_all(tokens, n)", "n"),
+        distinct = false)),
     // aggregate: the analyzer wraps a registered AggregateFunction in
     // AggregateExpression itself, so the builder returns it bare
     ("topk_neighbors", classOf[TopKNeighbors], 3,

@@ -191,7 +191,15 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   * counts below n the single partial window survives — identical to the
   * HOF slice guard. Bit-identity with the HOF form asserted in DedupSpec.
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+/** `distinct = true` (the default, SQL `shingle_hashes`) emits each
+  * window's fold once, first-occurrence order — the set form the jaccard/
+  * minhash pipelines consume. `distinct = false` (SQL `shingle_hashes_all`)
+  * keeps EVERY window in position order — the multiset form frequency
+  * signals (t14 repetition) consume; an interpreted HOF transform of the
+  * same windows was CodegenFallback and 4× slower. */
+case class ShingleHashes(
+    child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -207,7 +215,8 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "shingle_hashes" else "shingle_hashes_all"
 
   /** Shared by eval and the generated code (codegen calls this static-ish
     * helper instead of inlining the dedup set — the loop body is the hot
@@ -215,7 +224,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      ShingleHashes.compute(a, n))
+      ShingleHashes.compute(a, n, distinct))
   }
 
   override protected def doGenCode(
@@ -223,7 +232,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val helper = ShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
       val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
-      s"${ev.value} = new $gad($helper.compute($a, $n));"
+      s"${ev.value} = new $gad($helper.compute($a, $n, $distinct));"
     })
 
   override protected def withNewChildInternal(
@@ -231,9 +240,9 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleHashes {
-  /** One fused pass: token hashes → windowed folds → first-occurrence
-    * distinct. Public because generated code calls it. */
-  def compute(a: ArrayData, n: Int): Array[Long] = {
+  /** One fused pass: token hashes → windowed folds → (optionally)
+    * first-occurrence distinct. Public because generated code calls it. */
+  def compute(a: ArrayData, n: Int, distinct: Boolean): Array[Long] = {
     val len = a.numElements()
     val th = new Array[Long](len)
     var i = 0
@@ -245,7 +254,8 @@ object ShingleHashes {
     }
     // number of (possibly partial) windows the HOF slice keeps
     val m = math.max(len - (n - 1), math.min(len, 1))
-    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val seen =
+      if (distinct) new java.util.HashSet[java.lang.Long](m * 2) else null
     val out = new Array[Long](m)
     var w = 0
     var outLen = 0
@@ -262,7 +272,7 @@ object ShingleHashes {
           else XXH64.hashLong(f, 42L)
         s += 1
       }
-      if (seen.add(f)) { out(outLen) = f; outLen += 1 }
+      if (seen == null || seen.add(f)) { out(outLen) = f; outLen += 1 }
       w += 1
     }
     if (outLen == m) out else java.util.Arrays.copyOf(out, outLen)
@@ -353,6 +363,13 @@ object TextExpressions {
     * hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(tokens), n))
+
+  /** Column-API entry point for the non-distinct [[ShingleHashes]] form:
+    * every window's hash in position order (multiset — for frequency
+    * signals, not set algebra). */
+  def shingleHashesAll(tokens: Column, n: Int): Column =
+    GraftBridge.column(
+      ShingleHashes(GraftBridge.expression(tokens), n, distinct = false))
 
   /** Column-API entry point for [[StopwordCount]]. */
   def stopwordCount(tokens: Column, words: Seq[String]): Column =

@@ -521,7 +521,8 @@ object DedupQueries {
              |COALESCE(c.n_shared, 0) > 0 AS contaminated
              |FROM sp s LEFT JOIN c ON c.doc_id = s.doc_id
              |WHERE s.split = 'test'"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     Q("p01_pipeline_quality_dedup",
       (s, d) => {

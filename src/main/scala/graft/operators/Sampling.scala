@@ -159,6 +159,7 @@ object SamplingQueries {
              |ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
              |1 PRECEDING), 0) / 4096) AS BIGINT) AS shard_id
              |FROM t"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

@@ -223,18 +223,21 @@ object TextQueries {
     // mass in the single most-repeated bigram, and fraction of trigram
     // occurrences that are repeats of an already-seen trigram. Shape:
     // explode → (doc, gram) partial-agg → (doc) agg — two shuffles, both
-    // partial-aggregated map-side; at 100 TB identical to the tf stage
-    // of t08.
+    // partial-aggregated map-side; at 100 TB identical to the tf stage of
+    // t08. The exploded gram is its 64-bit shingle FOLD (native
+    // shingle_hashes_all — every window, position order, codegen'd), not
+    // the gram string: the signals only need COUNTS, an interpreted HOF
+    // window transform was CodegenFallback, and carrying strings through
+    // the exchange buys nothing. A within-doc hash collision (odds
+    // ~n²/2⁶⁴) would merge two gram counts — the oracle computes exact
+    // string grams, so the gate itself verifies no collision bit.
     Q("t14_repetition_signals",
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
         val toks = tokens(col("text"))
-        def grams(n: Int) = transform(
-          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+        def gramHashes(n: Int) = TextExpressions.shingleHashesAll(toks, n)
         def perDoc(n: Int, outCols: Seq[org.apache.spark.sql.Column]) = docs
-          .select(col("doc_id"), explode(grams(n)).as("g"))
+          .select(col("doc_id"), explode(gramHashes(n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(outCols.head, outCols.tail: _*)
         perDoc(2, Seq(max(col("c")).as("top2"), sum(col("c")).as("n2")))
@@ -264,6 +267,7 @@ object TextQueries {
              |round(CAST(top2 AS DOUBLE) / n2, 4) AS top_bigram_frac,
              |round(1.0 - CAST(d3 AS DOUBLE) / n3, 4) AS dup_trigram_frac
              |FROM a2 JOIN a3 USING (doc_id)"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

@@ -166,6 +166,27 @@ class DedupSpec extends SparkSpec {
       lit(null).cast("array<string>"), 3)).collect().head.isNullAt(0))
   }
 
+  test("shingle_hashes_all keeps every window in position order; its " +
+    "first-occurrence distinct equals shingle_hashes; window count = " +
+    "greatest(len-n+1, 1)") {
+    val all = Tables.t(spark, sf, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val diff = all.select(
+        TextExpressions.shingleHashesAll(toks, 3).as("m"),
+        TextExpressions.shingleHashes(toks, 3).as("d"),
+        size(toks).as("n"))
+      .filter(not(array_distinct(col("m")) === col("d")) ||
+        size(col("m")) =!= greatest(size(toks) - 2, lit(1)))
+    assert(diff.count() == 0)
+    // SQL registration (both install paths share the registry entries)
+    val sq = new ExecutionContext(spark)
+    val viaSql = sq.execute(
+      "SELECT size(shingle_hashes_all(array('a','b','a','b'), 2)) AS n," +
+        " size(shingle_hashes(array('a','b','a','b'), 2)) AS nd")
+      .collect().head
+    assert(viaSql.getInt(0) == 3 && viaSql.getInt(1) == 2) // ab ba ab / ab ba
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above " +
     "threshold") {
     val emb = Tables.t(spark, sf, "embeddings").limit(200)
