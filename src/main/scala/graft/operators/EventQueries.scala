@@ -34,7 +34,13 @@ object EventQueries {
     * maintains it incrementally); forward simply sorts time DESCENDING,
     * dims still first at equal ts. (A `first over
     * (current..unboundedFollowing)` formulation would re-aggregate the
-    * tail per row — quadratic on a hot key.) */
+    * tail per row — quadratic on a hot key.)
+    *
+    * `leftOuter = true` keeps probes with NO matching dim (DuckDB's
+    * `ASOF LEFT JOIN`): their carried payload columns are NULL. The
+    * gated s05 entry stays inner — NULL timestamps in a hashed output
+    * are a cross-engine normalization trap — so the left form is
+    * spec-asserted instead. */
   def asofJoin(
       probe: DataFrame,
       dim: DataFrame,
@@ -42,7 +48,8 @@ object EventQueries {
       ts: String,
       tsOut: String,
       dimCols: Seq[(String, String)],
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      leftOuter: Boolean = false): DataFrame = {
     // dim payload and the full probe row each travel as ONE struct, so the
     // union needs no per-column NULL typing and the carry-forward is a
     // single window expression
@@ -60,11 +67,14 @@ object EventQueries {
         (if (forward) col("_t").desc else col("_t").asc),
         col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    d.unionByName(p)
+    val matched = d.unionByName(p)
       .withColumn("_m",
         last(when(col("_tag") === 0, col("_dim")), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1 && col("_m").isNotNull)
-      .select(col("_row.*"), col("_m.*"))
+      .filter(col("_tag") === 1 &&
+        (if (leftOuter) lit(true) else col("_m").isNotNull))
+    // unmatched left-outer rows surface the dim payload as typed NULLs
+    // (_m.* on a null struct yields null columns)
+    matched.select(col("_row.*"), col("_m.*"))
   }
 
   val queries: Seq[Q] = Seq(

@@ -37,6 +37,28 @@ class EventSpec extends SparkSpec {
       (102L, ts("2024-01-01 12:00:00"), 12.0)))
   }
 
+  test("asofJoin leftOuter keeps unmatched probes with typed-NULL dim " +
+    "payload (DuckDB ASOF LEFT JOIN semantics); matched rows equal inner") {
+    val sq = spark; import sq.implicits._
+    val dim = Seq((1L, ts("2024-01-01 10:00:00"), 10.0))
+      .toDF("user_id", "ts", "dim_value")
+    val probe = Seq(
+      (100L, 1L, ts("2024-01-01 11:00:00")), // matches
+      (103L, 1L, ts("2024-01-01 09:00:00")), // before the dim -> null
+      (104L, 3L, ts("2024-01-01 23:00:00"))) // keyless -> null
+      .toDF("event_id", "user_id", "ts")
+    val out = EventQueries.asofJoin(
+      probe, dim, "user_id", "ts", "m_ts", Seq("dim_value" -> "m_val"),
+      leftOuter = true)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      (100L, Some(ts("2024-01-01 10:00:00")), Some(10.0)),
+      (103L, None, None),
+      (104L, None, None)))
+  }
+
   test("asofJoin forward direction matches the EARLIEST dim at or after " +
     "the probe; probes after the last dim drop") {
     val sq = spark; import sq.implicits._
