@@ -464,17 +464,6 @@ object DedupQueries {
              |(id = min(reach)) AS keep FROM r GROUP BY id"""
         .stripMargin.replace('\n', ' '))),
 
-    // signBits sizes the bucket count (2^bits) and trades exactly like LSH
-    // bands: each +1 bit halves candidate pairs at some recall cost, and
-    // multi-probe (1-bit flips) buys back most of the recall. 4 bits +
-    // multi-probe keeps candidates sub-quadratic (asserted in DedupSpec)
-    // with near-2-bit recall; at corpus scale raise signBits further.
-    // End-to-end training-data pipeline slice: quality-filter → exact
-    // content dedup (keep lowest doc_id) → per-language corpus stats. One
-    // composed plan: per-row scoring stays in the scan stage, dedup is one
-    // shuffle on the content hash, stats one tiny shuffle on lang. All
-    // aggregates are order-independent (exact integer sum ÷ count; min) so
-    // the whole pipeline hash-matches the oracle.
     // Benchmark DECONTAMINATION — the release-gate check that a held-out
     // test split shares no long n-grams with the training split: 8-gram
     // shingle hashes per doc (native ShingleHashes — pre-distinct), train
@@ -524,6 +513,12 @@ object DedupQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // End-to-end training-data pipeline slice: quality-filter → exact
+    // content dedup (keep lowest doc_id) → per-language corpus stats. One
+    // composed plan: per-row scoring stays in the scan stage, dedup is one
+    // shuffle on the content hash, stats one tiny shuffle on lang. All
+    // aggregates are order-independent (exact integer sum ÷ count; min) so
+    // the whole pipeline hash-matches the oracle.
     Q("p01_pipeline_quality_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -567,6 +562,57 @@ object DedupQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // CALIBRATED quality filtering — the two-pass pattern every corpus
+    // pipeline uses when a fixed cutoff is wrong per slice: pass 1
+    // computes each source's own 25th-percentile quality (tiny result,
+    // one shuffle on the low-cardinality source key), pass 2 re-scans
+    // with the thresholds BROADCAST and keeps docs at or above their
+    // source's cut. No global sort, no driver round-trip of data rows —
+    // the threshold table is the only thing that leaves the cluster
+    // view. Quality arithmetic and exact interpolated percentile both
+    // have established bit parity (p01, t09 precedents).
+    Q("p03_calibrated_filter",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val scored = Tables.t(s, d, "documents")
+          .withColumn("quality",
+            TextFunctions.qualityScore(col("text"), toks))
+        val thresholds = scored.groupBy("source")
+          .agg(round(percentile(col("quality"), lit(0.25)), 4).as("q25"))
+        scored.join(broadcast(thresholds), "source")
+          .filter(col("quality") >= col("q25"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            max(col("q25")).as("q25"),
+            min(col("quality")).as("min_q"))
+      },
+      Some("""WITH b AS (SELECT doc_id, source, text,
+             |CAST(length(text) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks,
+             |CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq
+             |FROM documents),
+             |q AS (SELECT doc_id, source,
+             |round(least(greatest(
+             |least(n_toks / 20.0, 1.0) * 0.3
+             |+ (n_alpha / greatest(n_chars, 1.0)) * 0.3
+             |+ (n_uniq / greatest(n_toks, 1.0)) * 0.2
+             |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
+             |THEN 1.0 ELSE 0.5 END) * 0.2,
+             |0.0), 1.0), 4) AS quality FROM b),
+             |t AS (SELECT source, round(quantile_cont(quality, 0.25), 4) AS q25
+             |FROM q GROUP BY source)
+             |SELECT q.source, count(*) AS n_kept, max(t.q25) AS q25,
+             |min(q.quality) AS min_q
+             |FROM q JOIN t USING (source) WHERE q.quality >= t.q25
+             |GROUP BY q.source"""
+        .stripMargin.replace('\n', ' '))),
+
+    // signBits sizes the bucket count (2^bits) and trades exactly like LSH
+    // bands: each +1 bit halves candidate pairs at some recall cost, and
+    // multi-probe (1-bit flips) buys back most of the recall. 4 bits +
+    // multi-probe keeps candidates sub-quadratic (asserted in DedupSpec)
+    // with near-2-bit recall; at corpus scale raise signBits further.
     Q("d06_embedding_neardup",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
         threshold = 0.35, signBits = 4),
