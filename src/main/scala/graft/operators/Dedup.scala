@@ -562,6 +562,73 @@ object DedupQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // Keep-BEST dedup policy: clusters from d08's closure, but the
+    // survivor is the highest-QUALITY member (ties → lowest doc_id), not
+    // the lowest id — the policy real corpus dedup ships (drop the
+    // boilerplate copy, keep the clean one). Deterministic two-pass
+    // argmax (per-cluster max quality, then min id among the maximal),
+    // mirrored exactly in the oracle — no reliance on either engine's
+    // arg_max tie behavior. Cluster tables are tiny next to the corpus;
+    // both joins shuffle on the cluster key.
+    Q("d09_keep_best",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val clusters = Dedup.duplicateClusters(
+          Dedup.exactJaccardPairs(docs, shingleN = 3, threshold = 0.8), docs)
+        val scored = docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"),
+            TextFunctions.tokens(col("text"))).as("quality"))
+        val j = clusters.join(scored, "doc_id")
+        val m = j.groupBy("rep").agg(
+          max(col("quality")).as("best_quality"),
+          count(lit(1)).as("n_docs"))
+        m.join(j, "rep")
+          .filter(col("quality") === col("best_quality"))
+          .groupBy("rep", "n_docs", "best_quality")
+          .agg(min(col("doc_id")).as("keep_id"))
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |p AS (SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+             |FROM e0 e1 JOIN e0 e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
+             |jx AS (SELECT p.a, p.b,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b),
+             |pr AS (SELECT a, b FROM jx WHERE jac >= 0.8),
+             |e AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+             |r AS (SELECT doc_id AS id, doc_id AS reach FROM documents
+             |UNION SELECT r.id, e.y FROM r JOIN e ON e.x = r.reach),
+             |c AS (SELECT id AS doc_id, min(reach) AS rep FROM r GROUP BY id),
+             |b AS (SELECT doc_id,
+             |CAST(length(text) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_toks,
+             |CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_uniq
+             |FROM documents),
+             |q AS (SELECT doc_id,
+             |round(least(greatest(
+             |least(n_toks / 20.0, 1.0) * 0.3
+             |+ (n_alpha / greatest(n_chars, 1.0)) * 0.3
+             |+ (n_uniq / greatest(n_toks, 1.0)) * 0.2
+             |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
+             |THEN 1.0 ELSE 0.5 END) * 0.2,
+             |0.0), 1.0), 4) AS quality FROM b),
+             |jn AS (SELECT c.rep, c.doc_id, q.quality
+             |FROM c JOIN q USING (doc_id)),
+             |m AS (SELECT rep, max(quality) AS best_quality,
+             |count(*) AS n_docs FROM jn GROUP BY rep)
+             |SELECT m.rep, m.n_docs, m.best_quality,
+             |min(jn.doc_id) AS keep_id
+             |FROM m JOIN jn ON jn.rep = m.rep
+             |AND jn.quality = m.best_quality
+             |GROUP BY m.rep, m.n_docs, m.best_quality"""
+        .stripMargin.replace('\n', ' '))),
+
     // CALIBRATED quality filtering — the two-pass pattern every corpus
     // pipeline uses when a fixed cutoff is wrong per slice: pass 1
     // computes each source's own 25th-percentile quality (tiny result,

@@ -182,6 +182,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("TopKHeap serialize/deserialize roundtrips the exact heap layout " +
+    "and merge respects capacity (the shuffle path of the aggregate)") {
+    val agg = TopKNeighbors(null, null, 3)
+    val h = new TopKHeap(3)
+    Seq((1L, 0.5), (2L, 0.9), (3L, 0.1), (4L, 0.7), (5L, Double.NaN))
+      .foreach { case (id, s) => h.insert(id, s) }
+    val back = agg.deserialize(agg.serialize(h))
+    assert(back.k == h.k && back.size == h.size)
+    assert(back.ids.toSeq == h.ids.toSeq &&
+      back.sims.toSeq.map(java.lang.Double.doubleToLongBits) ==
+        h.sims.toSeq.map(java.lang.Double.doubleToLongBits))
+    // merging two partial heaps keeps the global best-3:
+    // NaN ranks largest, then 0.9, then 0.8
+    val other = new TopKHeap(3)
+    Seq((6L, 0.8), (7L, 0.2)).foreach { case (id, s) => other.insert(id, s) }
+    h.mergeFrom(other)
+    val kept = h.sortedIndices.map(i => h.ids(i)).toSeq
+    assert(kept == Seq(5L, 2L, 6L))
+  }
+
   test("topk_neighbors is callable from SQL through ExecutionContext") {
     val got = new ExecutionContext(spark).execute(
       """SELECT topk_neighbors(id, sim, 2) AS nb FROM VALUES
