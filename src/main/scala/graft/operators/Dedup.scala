@@ -213,18 +213,19 @@ object Dedup {
     * quadratic, and the edge list after banding is far smaller than the
     * corpus. Rounds = cluster graph DIAMETER: near-dup clusters are tiny
     * cliques chained by transitivity (diameter 2–4 in practice), so the
-    * loop settles in a handful of rounds; `maxIter` caps pathological
-    * chains (for general large-diameter graphs, switch to the
-    * large-star/small-star alternation of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond" (SoCC'14), which trades more
-    * work per round for O(log²) rounds). The driver-side loop holds one
+    * loop settles in a handful of rounds; a chain deeper than `maxIter`
+    * ABORTS with IllegalStateException rather than silently returning
+    * non-converged representatives (for general large-diameter graphs,
+    * switch to the large-star/small-star alternation of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14), which
+    * trades more work per round for O(log²) rounds). The driver-side loop holds one
     * converged-count Long per round — never rows. Per-round label frames
     * are persisted (the next round reads each twice) and the previous
     * round's cache is dropped as soon as the count action settles. */
   def duplicateClusters(
       pairs: DataFrame,
       docs: DataFrame,
-      maxIter: Int = 12): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val edges = ManagedCache.persist(
       pairs.select(col("a").as("x"), col("b").as("y"))
         .unionByName(pairs.select(col("b").as("x"), col("a").as("y"))))
@@ -252,6 +253,14 @@ object Dedup {
       labels = next.select("id", "rep")
       iter += 1
     }
+    if (changed > 0)
+      // silent truncation would hand downstream keep-one-per-cluster a
+      // WRONG representative set with nothing flagging it
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — the pair graph has a " +
+          "longer-than-expected duplicate chain; raise maxIter or switch " +
+          "to large-star/small-star for this corpus")
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 

@@ -303,7 +303,10 @@ object EventQueries {
   }
 
   /** Drain a streaming aggregate with Trigger.AvailableNow into a
-    * complete-mode memory sink and return the settled table. */
+    * complete-mode memory sink and return the settled table. The temp
+    * view is dropped before returning — the resolved plan keeps the sink
+    * relation alive for the caller, but repeated builds (hash-gate
+    * sweeps, specs) must not accumulate a view + result per run. */
   private def drainStream(
       s: org.apache.spark.sql.SparkSession, agg: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -311,6 +314,8 @@ object EventQueries {
     val query = agg.writeStream.format("memory").queryName(sink)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     try query.awaitTermination() finally query.stop()
-    s.table(sink)
+    val out = s.table(sink) // resolves the plan against the sink relation
+    s.catalog.dropTempView(sink)
+    out
   }
 }

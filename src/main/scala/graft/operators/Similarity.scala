@@ -218,7 +218,12 @@ object Similarity {
       })
       while (ivfIndexes.size > ivfIndexCacheMax)
         ivfIndexes -= ivfIndexes.head._1
-      entry
+      // a CACHE HIT after the caller's ManagedCache.releaseAll (the
+      // documented per-query isolation step) would otherwise return a
+      // permanently unpersisted frame that re-scans on every action —
+      // persist() is idempotent when the frame is still cached and
+      // re-registers it when it was released
+      (entry._1, ManagedCache.persist(entry._2))
     }
     val sq = spark; import sq.implicits._
     val centDf = model.clusterCenters.zipWithIndex

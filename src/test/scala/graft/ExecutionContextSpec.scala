@@ -326,9 +326,9 @@ class ExecutionContextSpec extends SparkSpec {
   test("rewriteCreateTable leaves constraint-free statements alone and " +
     "is not fooled by look-alike column names") {
     import ExecutionContext.rewriteCreateTable
-    // nothing to strip -> None (run the original text, CTAS included)
+    // nothing to strip/record -> None (run the original text, CTAS incl.)
     assert(rewriteCreateTable(
-      "CREATE TABLE t (a INT NOT NULL, b STRING) USING parquet").isEmpty)
+      "CREATE TABLE t (a INT, b STRING) USING parquet").isEmpty)
     assert(rewriteCreateTable(
       "CREATE TABLE t USING parquet AS SELECT 1 AS a").isEmpty)
     assert(rewriteCreateTable("SELECT 1").isEmpty)
@@ -336,6 +336,11 @@ class ExecutionContextSpec extends SparkSpec {
     assert(rewriteCreateTable(
       "CREATE TABLE t (my_default INT, `default` STRING) USING parquet")
       .isEmpty)
+    // NOT NULL parses natively but must register graft.notnull so the
+    // SQL path's metadata equals the typed API's
+    val nn = rewriteCreateTable(
+      "CREATE TABLE t (a INT NOT NULL, b STRING) USING parquet").get
+    assert(nn.contains("'graft.notnull'='a'"))
     // stripping keeps the rest verbatim and appends TBLPROPERTIES
     val got = rewriteCreateTable(
       "CREATE TABLE t (id BIGINT PRIMARY KEY) USING parquet " +
@@ -344,6 +349,27 @@ class ExecutionContextSpec extends SparkSpec {
       got.contains("id BIGINT NOT NULL"))
     assert(!got.toUpperCase.contains("PRIMARY KEY"))
     assert(got.contains("'graft.primary_key'='id'") && got.contains("'k'='v'"))
+  }
+
+  test("rewriteCreateTable keeps MAP<K,V>/STRUCT<...> type arguments " +
+    "intact: commas don't split, struct field names aren't keywords") {
+    import ExecutionContext.rewriteCreateTable
+    val got = rewriteCreateTable(
+      "CREATE TABLE t (m MAP<STRING,INT> DEFAULT map('a', 1), " +
+        "s STRUCT<default: INT, check: STRING>, id BIGINT PRIMARY KEY) " +
+        "USING parquet").get
+    assert(got.contains("m MAP<STRING,INT>"), got)
+    assert(got.contains("s STRUCT<default: INT, check: STRING>"), got)
+    assert(got.contains("'graft.default.m'='map('a', 1)'") ||
+      got.contains("graft.default.m"), got)
+    assert(got.contains("'graft.primary_key'='id'"), got)
+    // no phantom metadata for the struct's inner field names
+    assert(!got.contains("graft.default.s"), got)
+    // spaced comparison in a parenthesized DEFAULT stays balanced
+    val cmp = rewriteCreateTable(
+      "CREATE TABLE t (a INT DEFAULT (1 < 2), id BIGINT PRIMARY KEY) " +
+        "USING parquet").get
+    assert(cmp.contains("'graft.default.a'='(1 < 2)'"), cmp)
   }
 
   test("recorded graft.default.* metadata drives Dml.insertValues " +

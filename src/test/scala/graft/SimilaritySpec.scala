@@ -226,6 +226,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfIndexBuilds == buildsAfterFirst,
       "second identical query must not rebuild the IVF index")
     assert(second == first)
+    // a cache HIT after the caller's releaseAll must RE-persist the
+    // assigned frame (not hand back a permanently unpersisted plan)
+    ManagedCache.releaseAll()
+    val third = run()
+    assert(Similarity.ivfIndexBuilds == buildsAfterFirst,
+      "releaseAll must not force an index rebuild")
+    assert(third == first)
+    assert(ManagedCache.trackedCount > 0,
+      "the assigned frame must be re-registered for caching after a hit")
   }
 
   test("ann results are exact cosines over its candidates (no approximate " +

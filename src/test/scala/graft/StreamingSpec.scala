@@ -220,7 +220,11 @@ class StreamingSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
         r.getTimestamp(2).toString, r.getLong(3))).toSet
+    val viewsBefore = spark.catalog.listTables().count()
     val streamed = rows(q("s08_stream_sessionize").build(spark, sf))
+    // the internal memory-sink view must not leak into the catalog
+    assert(spark.catalog.listTables().count() == viewsBefore,
+      "drainStream leaked its sink temp view")
     // session_window is equally a batch aggregation — same operator, no
     // stream: the executed stream must reproduce it exactly
     val batch = rows(Tables.t(spark, sf, "events")

@@ -25,20 +25,26 @@ for f in sorted(glob.glob(f"{root}/BENCH_r*.json")):
 
 if not rounds:
     sys.exit("no parseable BENCH_r*.json found")
+# Bench records a failed query as the sentinel -1.0; treat it as MISSING
+# everywhere (a failure must not lower a total or survive into the
+# comparable intersection).
+ok = {c: {n: v for n, v in rounds[c]["queries"].items() if v >= 0}
+      for c in rounds}
 names = sorted({q for d in rounds.values() for q in d["queries"]})
 cols = sorted(rounds)
 w = max(len(n) for n in names) + 1
 print("query".ljust(w) + "".join(f"r{c:>02}".rjust(8) for c in cols))
 for n in names:
     row = "".join(
-        f"{rounds[c]['queries'][n]:8.2f}" if n in rounds[c]["queries"]
-        else "       -" for c in cols)
+        f"{ok[c][n]:8.2f}" if n in ok[c]
+        else ("    FAIL" if n in rounds[c]["queries"] else "       -")
+        for c in cols)
     print(n.ljust(w) + row)
 print("TOTAL".ljust(w) + "".join(
-    f"{sum(rounds[c]['queries'].values()):8.2f}" for c in cols))
+    f"{sum(ok[c].values()):8.2f}" for c in cols))
 # Per-round totals are not comparable when the bench set grows between
 # rounds (a new query reads as a regression); the SHARED total over the
 # intersection of query names is the comparable trend line.
-shared = set.intersection(*(set(rounds[c]["queries"]) for c in cols))
+shared = set.intersection(*(set(ok[c]) for c in cols))
 print(f"SHARED({len(shared)}q)".ljust(w) + "".join(
-    f"{sum(rounds[c]['queries'][n] for n in shared):8.2f}" for c in cols))
+    f"{sum(ok[c][n] for n in shared):8.2f}" for c in cols))
