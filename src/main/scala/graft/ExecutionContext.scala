@@ -448,16 +448,53 @@ object ExecutionContext {
   private val TcCkRe =
     (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?CHECK\\s*\\((.*)\\)\\s*$$""").r
 
+  /** Replace SQL comments with nothing (line `--`) or a space (block
+    * `/* */`, nested) — quote-aware with backslash escapes, mirroring
+    * [[statements]] — so the CREATE TABLE scanners below never see
+    * comment text. Applied only on the rewrite path; a passthrough
+    * statement runs with its comments intact. */
+  private[graft] def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var inLine = false
+    var block = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      def next = if (i + 1 < sql.length) sql.charAt(i + 1) else 0.toChar
+      if (inLine) { if (c == '\n') { inLine = false; out += c } }
+      else if (block > 0) {
+        if (c == '*' && next == '/') {
+          i += 1; block -= 1; if (block == 0) out += ' '
+        } else if (c == '/' && next == '*') { i += 1; block += 1 }
+      } else if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out += c; out += sql.charAt(i + 1); i += 1
+        } else { if (c == quote) quote = 0; out += c }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; out += c
+        case '-' if next == '-' => inLine = true
+        case '/' if next == '*' => block = 1; i += 1
+        case other => out += other
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Index of the `)` matching the `(` just before `from` — quote-aware
-    * (a paren inside a quoted identifier or string does not count). */
+    * (a paren inside a quoted identifier or string does not count; a
+    * backslash inside a '/" literal escapes the next character). */
   private def findMatchingParen(s: String, from: Int): Int = {
     var depth = 1
     var quote: Char = 0
     var i = from
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
@@ -498,8 +535,11 @@ object ExecutionContext {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0; cur += c }
-      else c match {
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          cur += c; cur += s.charAt(i + 1); i += 1
+        } else { if (c == quote) quote = 0; cur += c }
+      } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
@@ -568,8 +608,11 @@ object ExecutionContext {
       def sink: StringBuilder = if (inDefault) dflt else kept
       while (i < tail.length) {
         val c = tail.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0; sink += c; i += 1 }
-        else if (c == '\'' || c == '"' || c == '`') {
+        if (quote != 0) {
+          if (c == '\\' && quote != '`' && i + 1 < tail.length) {
+            sink += c; sink += tail.charAt(i + 1); i += 2
+          } else { if (c == quote) quote = 0; sink += c; i += 1 }
+        } else if (c == '\'' || c == '"' || c == '`') {
           quote = c; sink += c; i += 1
         } else if (c == '(') { depth += 1; sink += c; i += 1 }
         else if (c == ')') { depth -= 1; sink += c; i += 1 }
@@ -607,21 +650,25 @@ object ExecutionContext {
     * into plain Spark DDL plus the same `graft.*` TBLPROPERTIES the typed
     * [[ExecutionContext.createTable]] records (`tmp/crud.txt:388-479`):
     * recorded-not-enforced, round-trippable via `tableProperties`, and
-    * DEFAULTs applied by [[Dml.insertValues]]. A primary-key column gains
-    * NOT NULL in the real DDL, matching the typed path; a NOT NULL column
-    * (though Spark parses it natively) also triggers the rewrite so
-    * `graft.notnull` registers identically on both paths. Everything after
-    * the column list (USING / LOCATION / PARTITIONED BY / …) passes through
-    * verbatim; an existing TBLPROPERTIES clause is merged into. Returns
+    * A primary-key column gains NOT NULL in the real DDL, matching the
+    * typed path; NOT NULL and DEFAULT clauses (though Spark parses both
+    * natively) also trigger the rewrite so `graft.notnull`/
+    * `graft.default.*` register identically on both paths — DEFAULT stays
+    * in the emitted DDL, so plain SQL INSERTs keep Spark's native default
+    * application while [[Dml.insertValues]] reads the metadata twin.
+    * Everything after the column list (USING / LOCATION / PARTITIONED
+    * BY / …) passes through verbatim; an existing TBLPROPERTIES clause is
+    * merged into; comments are stripped from the rewritten text. Returns
     * None — run the original statement — when no constraint/option surface
     * is present (including CTAS, which has no column list). */
-  private[graft] def rewriteCreateTable(stmt: String): Option[String] =
-    CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
-      val close = findMatchingParen(stmt, m.end)
+  private[graft] def rewriteCreateTable(stmt: String): Option[String] = {
+    val clean = stripComments(stmt)
+    CreateTableHeadRe.findPrefixMatchOf(clean).flatMap { m =>
+      val close = findMatchingParen(clean, m.end)
       if (close < 0) None
       else {
-        val body = stmt.substring(m.end, close)
-        val rest = stmt.substring(close + 1)
+        val body = clean.substring(m.end, close)
+        val rest = clean.substring(close + 1)
         val items = splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
         val cols = Seq.newBuilder[ColumnSpec]
         val colDdl = Seq.newBuilder[String]
@@ -655,7 +702,12 @@ object ExecutionContext {
                   nullable = !(c.notNull || c.primaryKey),
                   default = c.default, primaryKey = c.primaryKey)
                 val nn = if (c.notNull || c.primaryKey) " NOT NULL" else ""
-                colDdl += s"${c.rawName} ${c.kept}$nn"
+                // DEFAULT stays in the real DDL — Spark 3.4+ parses and
+                // applies column defaults for plain SQL INSERTs natively;
+                // the graft.default.* property is the metadata twin the
+                // typed Dml.insertValues path reads
+                val df = c.default.map(e => s" DEFAULT $e").getOrElse("")
+                colDdl += s"${c.rawName} ${c.kept}$nn$df"
               case None => colDdl += item
             }
         }
@@ -671,11 +723,12 @@ object ExecutionContext {
               TblPropsRe.replaceFirstIn(rest, java.util.regex.Matcher
                 .quoteReplacement(s"TBLPROPERTIES ($pairs, "))
             else s"$rest TBLPROPERTIES ($pairs)"
-          Some(stmt.substring(0, m.end) +
+          Some(clean.substring(0, m.end) +
             colDdl.result().mkString(", ") + ")" + restOut)
         }
       }
     }
+  }
 
   private[graft] def firstStatement(sql: String): String =
     statements(sql).headOption.getOrElse(

@@ -43,19 +43,28 @@ object Tables {
   val nanosAsLongConf: (String, String) =
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
+  /** Fallback for sessions not built through our mains — events.parquet
+    * needs the legacy nanos flag before its footer can even be read. */
+  def ensureNanosConf(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
+      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
+
+  /** ns→µs conversion shared by the batch loader and the streaming
+    * source ([[EventQueries]]'s file stream). `div` is exact integer
+    * division — `col / 1000L` would go through double, whose 256 ns ulp
+    * at current epoch nanos corrupts ~12% of microsecond values by ±1. */
+  def eventsTsFromNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
     * vectorized reader does not map to TimestampType directly; read nanos
     * as long (legacy flag) and convert to a microsecond timestamp column
-    * with the same name/semantics. `div` is exact integer division —
-    * `col / 1000L` would go through double, whose 256 ns ulp at current
-    * epoch nanos corrupts ~12% of microsecond values by ±1. */
+    * with the same name/semantics. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // Fallback for sessions not built through our mains; set once, not per call.
-    if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
-      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
-    val raw = spark.read.parquet(path(sfDir, "events"))
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    ensureNanosConf(spark)
+    eventsTsFromNanos(spark.read.parquet(path(sfDir, "events")))
   }
 
   /** Register every table of `sfDir` as a temp view (idempotent). */

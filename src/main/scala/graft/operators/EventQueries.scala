@@ -295,11 +295,12 @@ object EventQueries {
     * applied to the stream. */
   private def eventStream(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    Tables.ensureNanosConf(s) // the schema read below needs it too
     val raw = s.read.parquet(Tables.path(d, "events"))
-    s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.eventsTsFromNanos(
+      s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   /** Drain a streaming aggregate with Trigger.AvailableNow into a

@@ -46,7 +46,10 @@ object Sampling {
     * keep the rare ones whole) every pretraining corpus build needs.
     * `rates` maps a stratum value to its 4-hex-digit threshold
     * (kept fraction ≈ 0x<threshold>/0x10000); unlisted strata use
-    * `default`. Same contract as [[deterministicSample]]: content-keyed,
+    * `default`. To keep a stratum WHOLE pass `"fffff"` (5 chars —
+    * lexicographically above every 4-hex prefix including `"ffff"`
+    * itself, which `"ffff"` alone would drop ~1/65536 of). Same
+    * contract as [[deterministicSample]]: content-keyed,
     * so the decision is reproducible on any cluster shape and duplicate
     * documents land on the same side of every stratum's cut — and still
     * one scan, no shuffle, per-row expression only. */
@@ -129,12 +132,12 @@ object SamplingQueries {
       (s, d) =>
         Tables.t(s, d, "documents")
           .filter(Sampling.stratifiedSample(col("text"), col("lang"),
-            Map("en" -> "4000", "de" -> "ffff"), default = "c000"))
+            Map("en" -> "4000", "de" -> "fffff"), default = "c000"))
           .groupBy("lang", "source")
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc")),
       Some("""SELECT lang, source, count(*) AS n, min(doc_id) AS min_doc
              |FROM documents
-             |WHERE CASE WHEN lang = 'de' THEN substr(md5(text),1,4) < 'ffff'
+             |WHERE CASE WHEN lang = 'de' THEN substr(md5(text),1,4) < 'fffff'
              |WHEN lang = 'en' THEN substr(md5(text),1,4) < '4000'
              |ELSE substr(md5(text),1,4) < 'c000' END
              |GROUP BY 1, 2"""

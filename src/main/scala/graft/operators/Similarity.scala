@@ -165,7 +165,7 @@ object Similarity {
     * the caller's next releaseAll). */
   private val ivfIndexCacheMax = 8
   private val ivfIndexes = scala.collection.mutable.LinkedHashMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
       (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]
 
   /** Index-build counter (train + assign happened) — lets SimilaritySpec
@@ -191,8 +191,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val cacheKey =
-      (corpus.queryExecution.analyzed.canonicalized, nlist, trainCap)
+    // the SESSION is part of the key: canonicalized plans of the same
+    // parquet read compare equal across sessions, but the cached assigned
+    // frame is bound to the session that persisted it — a cross-session
+    // hit would hand out a frame whose context may be stopped
+    val cacheKey = (System.identityHashCode(spark),
+      corpus.queryExecution.analyzed.canonicalized, nlist, trainCap)
     val (model, assigned) = ivfIndexes.synchronized {
       val entry = ivfIndexes.getOrElseUpdate(cacheKey, {
         ivfIndexBuilds += 1
@@ -241,6 +245,12 @@ object Similarity {
       .withColumn("d2",
         aggregate(zip_with(col("qv"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      // a NaN distance (corrupt/mismatched-dim embedding) must not win
+      // probe selection: the heap ranks by -d2 where NaN is LARGEST, the
+      // inverse of the row_number(d2 ASC) ordering this replaced — drop
+      // NaN cells outright (the old window only ever probed them when
+      // fewer than nprobe finite cells existed)
+      .filter(!isnan(col("d2")))
       .groupBy("query_id")
       .agg(first(col("qv")).as("qv"),
         TopKAggregate.topkNeighbors(

@@ -320,6 +320,14 @@ class ExecutionContextSpec extends SparkSpec {
     // option-stripping scan)
     assert(c.table("spec_t4").schema("price").dataType ==
       org.apache.spark.sql.types.DecimalType(10, 2))
+    // DEFAULT stays in the emitted DDL, so a plain SQL INSERT that omits
+    // the column gets Spark's native default application — not just the
+    // graft.* metadata twin
+    c.execute(
+      "INSERT INTO spec_t4 (id, price, name) VALUES (7, 2.50, 'x')")
+    val row = c.table("spec_t4").collect().head
+    assert(row.getInt(row.fieldIndex("region")) == 0,
+      "native DEFAULT must fill the omitted column")
     c.dropTable(Seq("spec_t4"))
   }
 

@@ -46,12 +46,13 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     def keptCounts() = docs
       .filter(Sampling.stratifiedSample(col("text"), col("lang"),
-        Map("en" -> "4000", "de" -> "ffff"), default = "c000"))
+        Map("en" -> "4000", "de" -> "fffff"), default = "c000"))
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val kept = keptCounts()
-    // de: ffff keeps everything except the (measure-~0) 'ffff*' prefixes
-    assert(kept("de").toDouble / before("de") > 0.99)
+    // de: the 'fffff' sentinel keeps the stratum EXACTLY whole ('ffff'
+    // alone would drop the ~1/65536 of docs whose md5 prefix is 'ffff')
+    assert(kept("de") == before("de"))
     // en: ~25% cut
     assert(math.abs(kept("en").toDouble / before("en") - 0.25) < 0.1,
       s"en kept ${kept("en")} of ${before("en")}")
