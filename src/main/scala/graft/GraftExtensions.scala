@@ -24,39 +24,57 @@ object GraftFunctions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
-  /** (name, implementing class, arity, builder). */
-  val all: Seq[(String, Class[_], Int, Seq[Expression] => Expression)] = Seq(
-    ("cosine_sim", classOf[CosineSimilarity], 2,
-      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
-    ("norm_l2", classOf[NormL2], 1,
-      (c: Seq[Expression]) => NormL2(c(0))),
-    ("sign_bucket", classOf[SignBucket], 2,
-      (c: Seq[Expression]) => SignBucket(
-        c(0), intLit(c(1), "sign_bucket(vec, bits)", "bits"))),
-    ("simhash64", classOf[SimHash64], 1,
-      (c: Seq[Expression]) => SimHash64(c(0))),
-    ("minhash_sig", classOf[MinHashSig], 2,
-      (c: Seq[Expression]) => MinHashSig(
-        c(0), intLit(c(1), "minhash_sig(shingle_hashes, k)", "k"))),
-    ("shingle_hashes", classOf[ShingleHashes], 2,
-      (c: Seq[Expression]) => ShingleHashes(
-        c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n"))),
-    ("shingle_hashes_all", classOf[ShingleHashes], 2,
-      (c: Seq[Expression]) => ShingleHashes(
-        c(0), intLit(c(1), "shingle_hashes_all(tokens, n)", "n"),
-        distinct = false)),
-    // aggregate: the analyzer wraps a registered AggregateFunction in
-    // AggregateExpression itself, so the builder returns it bare
-    ("topk_neighbors", classOf[TopKNeighbors], 3,
-      (c: Seq[Expression]) => TopKNeighbors(
-        c(0), c(1), intLit(c(2), "topk_neighbors(id, sim, k)", "k"))))
+  /** (name, implementing class, arity, DESCRIBE FUNCTION usage, builder). */
+  val all: Seq[(String, Class[_], Int, String, Seq[Expression] => Expression)] =
+    Seq(
+      ("cosine_sim", classOf[CosineSimilarity], 2,
+        "cosine_sim(a, b) - Cosine similarity of two array<float> " +
+          "embeddings (double; NaN when either norm is 0).",
+        (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+      ("norm_l2", classOf[NormL2], 1,
+        "norm_l2(v) - L2 norm of an array<float> embedding.",
+        (c: Seq[Expression]) => NormL2(c(0))),
+      ("sign_bucket", classOf[SignBucket], 2,
+        "sign_bucket(vec, bits) - LSH sign bucket: an int whose bit i is " +
+          "the sign of vec against deterministic random plane i.",
+        (c: Seq[Expression]) => SignBucket(
+          c(0), intLit(c(1), "sign_bucket(vec, bits)", "bits"))),
+      ("simhash64", classOf[SimHash64], 1,
+        "simhash64(tokens) - 64-bit SimHash of an array<string> token " +
+          "array (majority vote over xxhash64 token bits).",
+        (c: Seq[Expression]) => SimHash64(c(0))),
+      ("minhash_sig", classOf[MinHashSig], 2,
+        "minhash_sig(shingle_hashes, k) - k-permutation minhash " +
+          "signature (array<bigint>) of pre-hashed shingles.",
+        (c: Seq[Expression]) => MinHashSig(
+          c(0), intLit(c(1), "minhash_sig(shingle_hashes, k)", "k"))),
+      ("shingle_hashes", classOf[ShingleHashes], 2,
+        "shingle_hashes(tokens, n) - DISTINCT n-gram shingle hashes " +
+          "(array<bigint>, first-occurrence order) — the set form for " +
+          "jaccard/minhash.",
+        (c: Seq[Expression]) => ShingleHashes(
+          c(0), intLit(c(1), "shingle_hashes(tokens, n)", "n"))),
+      ("shingle_hashes_all", classOf[ShingleHashes], 2,
+        "shingle_hashes_all(tokens, n) - EVERY n-gram window hash in " +
+          "position order (multiset) — the form for frequency signals.",
+        (c: Seq[Expression]) => ShingleHashes(
+          c(0), intLit(c(1), "shingle_hashes_all(tokens, n)", "n"),
+          distinct = false)),
+      // aggregate: the analyzer wraps a registered AggregateFunction in
+      // AggregateExpression itself, so the builder returns it bare
+      ("topk_neighbors", classOf[TopKNeighbors], 3,
+        "topk_neighbors(id, sim, k) - AGGREGATE keeping the exact top-k " +
+          "(sim DESC, id ASC) per group as array<struct<neighbor_id," +
+          "sim>> via a bounded k-heap with map-side partials.",
+        (c: Seq[Expression]) => TopKNeighbors(
+          c(0), c(1), intLit(c(2), "topk_neighbors(id, sim, k)", "k"))))
 
   /** One registry entry: (identifier, info, arity-checked builder). */
   def entries: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] =
-    all.map { case (name, clazz, arity, build) =>
+    all.map { case (name, clazz, arity, usage, build) =>
       (FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name),
+        new ExpressionInfo(clazz.getName, null, name, usage, ""),
         (children: Seq[Expression]) => {
           if (children.length != arity)
             throw new IllegalArgumentException(

@@ -174,8 +174,17 @@ class ExecutionContextSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     val reg = FunctionRegistry.builtin.clone()
     org.apache.spark.sql.GraftBridge.applyInjectedFunctions(ext, reg)
-    GraftFunctions.all.foreach { case (name, _, _, _) =>
+    GraftFunctions.all.foreach { case (name, _, _, _, _) =>
       assert(reg.functionExists(FunctionIdentifier(name)), name)
+    }
+  }
+
+  test("DESCRIBE FUNCTION surfaces a usage line for every engine function") {
+    val c = ctx
+    GraftFunctions.all.foreach { case (name, _, _, usage, _) =>
+      val desc = c.execute(s"DESCRIBE FUNCTION $name")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains(usage.takeWhile(_ != '\n')), name)
     }
   }
 
