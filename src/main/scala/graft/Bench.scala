@@ -39,8 +39,13 @@ object Bench {
         // operators (a query may rebuild its OWN cache in the warm-up —
         // that is part of its steady state) and clear garbage so one
         // query's allocation churn doesn't tax the next one's timing.
-        ManagedCache.releaseAll() // blocking: eviction cannot overlap timing
+        // clearCache (async eviction of any frame cached OUTSIDE
+        // ManagedCache) goes first so the BLOCKING releaseAll — which
+        // covers every engine-persisted frame — is the last cache
+        // operation before timing, and the untimed warm-up absorbs any
+        // async-eviction stragglers.
         spark.sharedState.cacheManager.clearCache()
+        ManagedCache.releaseAll() // blocking: eviction cannot overlap timing
         force(name) // warm-up: JIT + codegen + file listing (+ own caches)
         val times = Seq.fill(3) {
           System.gc()
@@ -55,19 +60,24 @@ object Bench {
           name -> Seq(-1.0, -1.0, -1.0)
       }
     }
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + t(1) }
+    val qs = results.map { case (k, t) => JsonOut.str(k) + ":" + t(1) }
       .mkString("{", ",", "}")
     // Per-query {min,median,max} of the three timed runs: a max/median
     // ratio > 1.5 in the recorded artifact flags external interference
     // (GC storm, CPU contention) without a separate profiling run — the
     // round-3 phantom (one noisy iteration recorded as THE number) is
     // now self-diagnosing in the artifact itself. Drivers parse only
-    // the "queries" map; "spread" is additive.
+    // the "queries" map; "spread" and "failed" are additive.
     val spread = results.map { case (k, t) =>
-      "\"" + k + "\":" + s"""{"min":${t(0)},"median":${t(1)},"max":${t(2)}}"""
+      JsonOut.str(k) + ":" +
+        s"""{"min":${t(0)},"median":${t(1)},"max":${t(2)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // a failed query is -1 in "queries" and EXCLUDED from "value" — the
+    // top-level failed count keeps a shrunken total from reading as a
+    // speedup when a heavy query errors out
+    val failed = results.count(_._2(1) < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"spread":$spread,"sf":${JsonOut.str(sfDir)}}""")
     spark.stop()
   }
 }

@@ -12,12 +12,19 @@ for f in sorted(glob.glob(f"{root}/BENCH_r*.json")):
     m = re.search(r"BENCH_r(\d+)\.json", f)
     try:
         data = json.load(open(f))
-        # driver wrapper format {"tail": "...{json line}..."} or plain
+        # driver wrapper format {"tail": "...{json line}..."} or plain.
+        # Try EVERY candidate line and keep the LAST one that parses — a
+        # log line merely containing '"metric"' (or a truncated fragment)
+        # must not shadow the real metric line or drop the round.
         if "queries" not in data and "tail" in data:
             for line in data["tail"].splitlines():
-                if '"metric"' in line:
-                    data = json.loads(line[line.index('{"metric"'):])
-                    break
+                if '{"metric"' in line:
+                    try:
+                        cand = json.loads(line[line.index('{"metric"'):])
+                        if "queries" in cand:
+                            data = cand
+                    except ValueError:
+                        pass
         if "queries" in data:
             rounds[int(m.group(1))] = data
     except Exception as e:

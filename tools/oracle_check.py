@@ -25,7 +25,9 @@ def hash_unsafe_types(rel):
     out = []
     for cname, t in zip(rel.columns, rel.types):
         ts = str(t)
-        if ts in ("HUGEINT", "UHUGEINT", "DATE") or ts.startswith("DECIMAL"):
+        if (ts in ("HUGEINT", "UHUGEINT", "DATE")
+                or ts.startswith("DECIMAL")
+                or "TIME ZONE" in ts or ts == "TIMESTAMPTZ"):
             out.append(f"{cname}:{ts}")
     return out
 
@@ -54,8 +56,14 @@ for name, sql in sorted(oracle.items()):
                     d[c] = d[c].astype(str)
                 # unify datetime unit: us-vs-ns frames with any NaT make
                 # assert_frame_equal fall back to raw int64 compare and
-                # false-fail even when every value is equal
+                # false-fail even when every value is equal. tz-aware
+                # columns must be de-localized first: astype from tz-aware
+                # to naive raises TypeError in pandas 2.x (the unsafe-type
+                # gate above catches TIMESTAMPTZ oracles before this, but
+                # norm must not crash on a tz-aware Spark dump either)
                 elif str(d[c].dtype).startswith("datetime64"):
+                    if getattr(d[c].dtype, "tz", None) is not None:
+                        d[c] = d[c].dt.tz_convert("UTC").dt.tz_localize(None)
                     d[c] = d[c].astype("datetime64[us]")
             return d.sort_values(by=list(d.columns)).reset_index(drop=True)
         e, g = norm(exp), norm(got)
