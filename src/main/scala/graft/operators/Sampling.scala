@@ -70,6 +70,28 @@ object Sampling {
     }
   }
 
+  /** Exact-N-per-stratum EVAL-SET sampling — "take exactly 50 docs per
+    * language, deterministically": rank rows within each stratum by
+    * content hash (layout-free, reproducible; `idCol` tie-breaks
+    * byte-identical duplicates) and keep rank <= n.
+    *
+    * Scale: `rank <= n` over a window is exactly what Spark plans as
+    * WindowGroupLimit — each map task locally keeps at most n rows per
+    * stratum BEFORE the exchange (spec-asserted), so the shuffle carries
+    * O(strata × n × partitions) rows, not the corpus. No pre-filter
+    * needed; this is the same rank-limit pushdown shape as q25. */
+  def evalSample(
+      df: org.apache.spark.sql.DataFrame,
+      stratum: Column,
+      key: Column,
+      idCol: Column,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key), idCol)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+  }
+
   /** Token-budget SEQUENCE PACKING — assign each document to a shard of
     * ~`budgetTokens` tokens (the pretraining step that fills fixed-length
     * contexts without truncating mid-corpus). Documents hash into
@@ -141,6 +163,19 @@ object SamplingQueries {
              |WHEN lang = 'en' THEN substr(md5(text),1,4) < '4000'
              |ELSE substr(md5(text),1,4) < 'c000' END
              |GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Deterministic 50-per-language eval set; the full kept assignment
+    // (incl. ranks) is hashed by the oracle.
+    Q("t15_eval_sample",
+      (s, d) =>
+        Sampling.evalSample(Tables.t(s, d, "documents"),
+          col("lang"), col("text"), col("doc_id"), n = 50)
+          .select("doc_id", "lang", "rk"),
+      Some("""SELECT doc_id, lang, rk FROM (SELECT doc_id, lang,
+             |CAST(row_number() OVER (PARTITION BY lang
+             |ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+             |FROM documents) WHERE rk <= 50"""
         .stripMargin.replace('\n', ' '))),
 
     // Sequence packing: per-document (bucket, shard) assignment at a

@@ -63,6 +63,30 @@ class SamplingSpec extends SparkSpec {
     assert(keptCounts() == kept, "stratified cut must be reproducible")
   }
 
+  test("evalSample keeps exactly min(n, stratum size) rows per stratum, " +
+    "is layout-independent, and plans a WindowGroupLimit (partial top-n " +
+    "per map task, not a full per-stratum sort shuffle)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.evalSample(df, col("lang"), col("text"), col("doc_id"), 10)
+        .select("doc_id", "lang", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = sample(docs)
+    val perLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(10L, n), lang)
+    }
+    // layout independence: a different partitioning yields the same set
+    assert(sample(docs.repartition(7)) == got)
+    val plan = Sampling
+      .evalSample(docs, col("lang"), col("text"), col("doc_id"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n$plan")
+  }
+
   test("token packing: shards respect the budget (first overflowing doc " +
     "opens the next shard), cover every doc, and are deterministic") {
     val docs = Tables.t(spark, sf, "documents")
