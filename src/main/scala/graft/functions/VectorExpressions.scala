@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Result = dot / (sqrt(na) * sqrt(nb)) — the two-sqrt form, bit-identical
   * to the previous dot/l2norm composition and to the DuckDB oracle's
   * double-list cosine after 4-dp rounding. Null arrays propagate null;
-  * length mismatch uses the common prefix; zero-norm inputs yield NaN
-  * (same as the compositional form). Array elements must be non-null
-  * (embedding vectors are).
+  * a null ELEMENT in the common prefix also propagates null (the HOF's
+  * null product nulls the fold — reading it as 0.0 would fabricate a
+  * finite wrong similarity); length mismatch uses the common prefix;
+  * zero-norm inputs yield NaN (same as the compositional form).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,25 +48,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
+  // per-plan constants, hoisted so the interpreted path pays no per-row
+  // dataType pattern-match
+  @transient private lazy val leftFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val rightFloat: Boolean = right.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -87,13 +100,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${get(a, i, isFloat(left))};
-         |  double $yv = ${get(b, i, isFloat(right))};
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    double $xv = ${get(a, i, leftFloat)};
+         |    double $yv = ${get(b, i, rightFloat)};
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
@@ -111,9 +129,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (i, d) = (pmod(hashInt(d, hashInt(i, 42)), 2001) - 1000) / 1000.0 —
   * exactly what `xxhash64(lit(i), dIdx)` + `pmod`/cast evaluate — with the
   * same ascending-dimension summation order, so buckets are bit-identical
-  * (asserted in SimilaritySpec). Empty vectors bucket to 0: the HOF's
-  * `zip_with` pads the empty side with nulls, the null product nulls the
-  * plane sum, and `when(null >= 0, bit)` falls to the 0 branch. */
+  * (asserted in SimilaritySpec). Empty vectors — and vectors containing a
+  * null ELEMENT — bucket to 0: the HOF's `zip_with` null (padding or
+  * element) nulls the plane sum, and `when(null >= 0, bit)` falls to the
+  * 0 branch for every plane. */
 case class SignBucket(child: Expression, bits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -132,7 +151,7 @@ case class SignBucket(child: Expression, bits: Int)
     }
   }
 
-  private def isFloat: Boolean = child.dataType match {
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -163,6 +182,11 @@ object SignBucket {
   def compute(a: ArrayData, bits: Int, isFloat: Boolean): Long = {
     val n = a.numElements()
     if (n == 0) return 0L // HOF null-padding semantics (see scaladoc)
+    var d0 = 0
+    while (d0 < n) { // a null element nulls every plane sum -> bucket 0
+      if (a.isNullAt(d0)) return 0L
+      d0 += 1
+    }
     var out = 0L
     var i = 0
     while (i < bits) {
@@ -187,7 +211,8 @@ object SignBucket {
   * and same exactness contract as [[CosineSimilarity]]: ascending-index
   * `acc += x*x` fold (bit-identical to the `aggregate` HOF it replaces,
   * asserted in SimilaritySpec), `sqrt` at the end, float elements widened
-  * per access. Empty array → 0.0, null → null. */
+  * per access. Empty array → 0.0, null array → null, and a null ELEMENT
+  * → null (the HOF fold's null propagation — not a silent 0.0 read). */
 case class NormL2(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -202,21 +227,26 @@ case class NormL2(child: Expression)
     }
   }
 
-  private def isFloat: Boolean = child.dataType match {
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "norm_l2"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       acc += x * x
       i += 1
@@ -236,11 +266,14 @@ case class NormL2(child: Expression)
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $get;
-         |  $acc += $x * $x;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    double $x = $get;
+         |    $acc += $x * $x;
+         |  }
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
        """.stripMargin
     })
 

@@ -162,7 +162,15 @@ object ReferencePlanFormat {
     case Literal(null, _) => "NULL"
     case l @ Literal(_, org.apache.spark.sql.types.StringType) =>
       s"'${l.value}'"
-    case l: Literal => String.valueOf(l.value)
+    // numerics/booleans print their value; everything else (date,
+    // timestamp, interval, binary...) would print its INTERNAL encoding
+    // (days-since-epoch / epoch micros) — use the SQL form instead
+    case l: Literal => l.dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.BooleanType =>
+        String.valueOf(l.value)
+      case _ => l.sql
+    }
     case c: Cast => expr(c.child) // analysis-inserted; reference has no Cast
     case ae: AggregateExpression =>
       val d = if (ae.isDistinct) "DISTINCT " else ""
@@ -173,7 +181,14 @@ object ReferencePlanFormat {
         case _ => s"$name($d${fn.children.map(expr).mkString(", ")})"
       }
     case b: BinaryOperator =>
-      s"${expr(b.left)} ${b.sqlOperator} ${expr(b.right)}"
+      // parenthesize nested binary operands: without it, structurally
+      // different trees ((a AND b) OR c vs a AND (b OR c)) render to the
+      // same text, defeating a parity/golden format
+      def side(c: Expression): String = c match {
+        case nested: BinaryOperator => s"(${expr(nested)})"
+        case other => expr(other)
+      }
+      s"${side(b.left)} ${b.sqlOperator} ${side(b.right)}"
     case Not(c) => s"NOT ${expr(c)}"
     case IsNull(c) => s"${expr(c)} IS NULL"
     case IsNotNull(c) => s"${expr(c)} IS NOT NULL"

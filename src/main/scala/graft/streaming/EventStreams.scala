@@ -59,7 +59,13 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
-  /** Streaming s02: running per-user activity rollup (update-mode state). */
+  /** Streaming s02: running per-user activity rollup (update-mode state).
+    * NOTE on state: a global running rollup is keyed by user_id with no
+    * time dimension, so no watermark applies — state is bounded by USER
+    * CARDINALITY, not stream length. That is fine for a bounded user
+    * population; for an unbounded key space, window the rollup (as
+    * [[hourlyAgg]] does) so watermarks can evict, or move to
+    * `mapGroupsWithState` with a state TTL. */
   def userActivity(events: DataFrame): DataFrame =
     events
       .groupBy("user_id")
@@ -110,21 +116,27 @@ object EventStreams {
     * d01.) Input needs (ts, text); output is the surviving rows. */
   def dedupStream(docs: DataFrame, lateness: String = "2 hours"): DataFrame =
     docs
-      .withColumn("h", md5(col("text")))
+      // collision-proof internal key name: a user column named "h" must
+      // survive untouched ("output is the surviving rows" = INPUT schema)
+      .withColumn("__graft_dedup_h", md5(col("text")))
       .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark("h")
-      // internal dedup key; "output is the surviving rows" means the
-      // INPUT schema (the state key is retained regardless of the drop)
-      .drop("h")
+      .dropDuplicatesWithinWatermark("__graft_dedup_h")
+      .drop("__graft_dedup_h")
 
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled form of [[sessionStats]] for when session semantics
-    * outgrow `session_window` (e.g. per-session custom payloads). State
-    * per user is ONE open session (constant size); closed sessions are
-    * emitted as soon as a gap is observed in-batch, and the final open
-    * session is flushed when the event-time watermark passes its
-    * timeout — so state is bounded and eventually drained, the property
-    * that keeps an unbounded 100 TB/day stream runnable.
+    * outgrow `session_window` (e.g. per-session custom payloads). Gap
+    * semantics match session_window exactly: events merge iff their
+    * [t, t+gap) ranges strictly overlap. State per user is ONE open
+    * session (constant size); closed sessions are emitted as soon as a
+    * gap is observed in-batch, and the final open session is flushed
+    * when the event-time watermark passes its timeout — so state is
+    * bounded and eventually drained, the property that keeps an
+    * unbounded 100 TB/day stream runnable. Cross-batch out-of-order
+    * events within the watermark merge by EXTENDING the open session's
+    * bounds (min start / max last); an event older than the open
+    * session by a full gap emits as its own closed singleton — the
+    * constant-state approximation (exact reordering is the batch s04).
     *
     * Caller must `withWatermark("ts", ...)` before `.as[SessionEvent]`.
     * Batch execution note: Spark never fires timeouts in batch mode, so a
@@ -158,8 +170,30 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime / 1000
               open match {
-                case Some(s) if t - s.lastTs <= gapSeconds =>
-                  open = Some(s.copy(lastTs = t, n = s.n + 1))
+                // within the gap on EITHER side of the open session:
+                // merge, extending both bounds — a late-but-in-watermark
+                // event from a previous batch may precede the open
+                // session's start, and naively assigning lastTs = t would
+                // move lastTs BACKWARD, yielding end < start and a
+                // premature timeout (in-batch sorting cannot protect
+                // across batches). Strict < matches session_window, which
+                // merges only strictly-overlapping [t, t+gap) ranges.
+                case Some(s) if t > s.start - gapSeconds &&
+                    t - s.lastTs < gapSeconds =>
+                  open = Some(s.copy(
+                    start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
+                    n = s.n + 1))
+                case Some(s) if t <= s.start - gapSeconds =>
+                  // older than the open session by a full gap: its own
+                  // already-over session (anything that could still merge
+                  // with it is inside the watermark by at most the
+                  // lateness bound; emitting it closed is the constant-
+                  // state approximation — exact reordering needs the
+                  // batch s04 pipeline)
+                  closed += ClosedSession(
+                    userId, new java.sql.Timestamp(t * 1000),
+                    new java.sql.Timestamp(t * 1000), 1)
                 case Some(s) =>
                   closed += close(s)
                   open = Some(SessionState(t, t, 1))

@@ -182,6 +182,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("null array ELEMENTS propagate like the HOF twins: cosine/norm " +
+    "give NULL (not a silent 0.0 read), sign bucket gives 0") {
+    val sq = spark; import sq.implicits._
+    val df = Seq(1).toDF("x").select(
+      array(lit(1.0), lit(null).cast("double")).as("v"),
+      array(lit(1.0), lit(2.0)).as("w"))
+    val r = df.select(
+      VectorExpressions.cosineSim(col("v"), col("w")).as("c"),
+      VectorExpressions.normL2(col("v")).as("n"),
+      Similarity.signBucket(col("v"), 4).as("b"),
+      Similarity.signBucketHof(col("v"), 4).as("bh")).collect().head
+    assert(r.isNullAt(0), "cosine over a null element must be NULL")
+    assert(r.isNullAt(1), "norm over a null element must be NULL")
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+      "sign bucket over a null element must be 0, matching the HOF")
+    // non-null inputs are unaffected
+    val ok = df.select(
+      VectorExpressions.cosineSim(col("w"), col("w"))).collect().head
+    assert(math.abs(ok.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("TopKHeap serialize/deserialize roundtrips the exact heap layout " +
     "and merge respects capacity (the shuffle path of the aggregate)") {
     val agg = TopKNeighbors(null, null, 3)
