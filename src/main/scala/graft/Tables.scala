@@ -73,17 +73,21 @@ object Tables {
       load(spark, sfDir, name).createOrReplaceTempView(name)
     }
 
-  private val registeredKeys = scala.collection.mutable.Set[String]()
+  private val registeredFor = scala.collection.mutable.Map[Int, String]()
 
   /** Memoized [[register]] — query builders that need temp views call this
     * so repeated builder invocations (bench warm-ups, Verify) don't re-read
-    * all ten tables inside the timed region. */
+    * all ten tables inside the timed region. Memoization tracks the
+    * session's CURRENT sfDir, not a seen-set: temp views are
+    * session-global, so switching back to a previously-registered sfDir
+    * must re-register or the views silently keep serving the OTHER
+    * directory's data. */
   def ensureRegistered(spark: SparkSession, sfDir: String): Unit =
     synchronized {
-      val key = s"${System.identityHashCode(spark)}:$sfDir"
-      if (!registeredKeys.contains(key)) {
+      val key = System.identityHashCode(spark)
+      if (!registeredFor.get(key).contains(sfDir)) {
         register(spark, sfDir)
-        registeredKeys += key
+        registeredFor(key) = sfDir
       }
     }
 

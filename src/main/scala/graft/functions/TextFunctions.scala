@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased whitespace tokens. */
+  /** Lower-cased whitespace tokens. NOTE: empty/whitespace-only text
+    * yields `[""]` (split's empty-string artifact), so token counts read
+    * 1, not 0. DuckDB's `string_split_regex` does exactly the same — the
+    * quirk is cross-engine CONSISTENT, which is what every oracle in this
+    * repo relies on; "fixing" it here would have to be mirrored in ~15
+    * oracle statements for zero behavioral value on real corpora. */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
@@ -58,7 +63,7 @@ object TextFunctions {
     * tokens' own hashes, so no n-gram string is ever materialized. `toks`
     * is hashed once per zip_with slot (n small), never per shingle. */
   def shingleHashes(toks: Column, n: Int): Column = {
-    val th = transform(toks, t => xxhash64(t))
+    val th = tokenHashes(toks) // ONE token-hash definition for all pipelines
     val folded = (1 until n).foldLeft(th) { (acc, j) =>
       zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
         (a, b) => xxhash64(a, b))

@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
 object Dml {
 
   /** Re-runnable scratch root; versions are overwritten per invocation so
-    * repeated builder calls (bench warm-ups) stay idempotent. */
-  private[graft] def work(name: String, sfDir: String): String =
-    s"/root/repo/target/dmltmp/${math.abs(sfDir.hashCode).toString}/$name"
+    * repeated builder calls (bench warm-ups) stay idempotent. Keyed on the
+    * SANITIZED sfDir string, not its hashCode — hashCode collides across
+    * distinct paths (interleaved runs would overwrite each other's
+    * versions) and abs(Int.MinValue) is negative. */
+  private[graft] def work(name: String, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/root/repo/target/dmltmp/$key/$name"
+  }
 
   // ---- minimal commit protocol ------------------------------------------
   // `<dir>/_latest` names the committed version directory. It is written
@@ -90,9 +95,7 @@ object Dml {
         else defaults.getOrElse(f.name, lit(null))
       c.cast(f.dataType).as(f.name)
     }: _*)
-    v0.unionByName(aligned).write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
-    commit(dir, "v1")
-    readLatest(v0.sparkSession, dir)
+    snapshot(v0.unionByName(aligned), dir, "v1")
   }
 
   /** UPDATE t SET assignments WHERE pred — read v0, rewrite matching rows
@@ -109,9 +112,7 @@ object Dml {
         case None         => col(c)
       }
     }: _*)
-    updated.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
-    commit(dir, "v1")
-    readLatest(v0.sparkSession, dir)
+    snapshot(updated, dir, "v1")
   }
 
   /** UPDATE t SET assignments FROM s WHERE cond — the join-form update the
@@ -149,9 +150,7 @@ object Dml {
         case None => col(s"t.$c").as(c)
       }
     }: _*)
-    updated.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
-    commit(dir, "v1")
-    readLatest(v0.sparkSession, dir)
+    snapshot(updated, dir, "v1")
   }
 
   /** DELETE FROM t WHERE pred — keep the complement, publish v1 via the
@@ -162,9 +161,7 @@ object Dml {
       pred: org.apache.spark.sql.Column): DataFrame = {
     val v0 = snapshot(base, dir, "v0")
     val kept = v0.filter(!coalesce(pred, lit(false)))
-    kept.write.mode(SaveMode.Overwrite).parquet(s"$dir/v1")
-    commit(dir, "v1")
-    readLatest(v0.sparkSession, dir)
+    snapshot(kept, dir, "v1")
   }
 }
 
@@ -221,7 +218,9 @@ object DmlQueries {
           Tables.t(s, d, "customer"),
           Dml.work("m04", d),
           col("c_acctbal") < 0),
-      Some("SELECT * FROM customer WHERE NOT (c_acctbal < 0)")),
+      // NOT coalesce(...) mirrors Dml.delete's NULL-predicate
+      // semantics exactly (a NULL predicate does not delete the row)
+      Some("SELECT * FROM customer WHERE NOT coalesce(c_acctbal < 0, FALSE)")),
 
     // UPDATE … FROM (join-form update, tmp/crud.txt:223-279): bump the
     // balance of every customer in region 2, joining through nation.

@@ -80,9 +80,14 @@ object RelationalQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // No broadcast hint: nation is the PRESERVED side of the left join,
+    // and an outer join cannot broadcast its preserved side (unmatched
+    // build rows can't be tracked across partitions — Spark ignores the
+    // hint with a build-left warning). The shuffle join is the right
+    // plan for this dim-preserving shape.
     Q("q05_join_left",
       (s, d) =>
-        broadcast(t(s, d, "nation"))
+        t(s, d, "nation")
           .join(t(s, d, "supplier"),
             col("n_nationkey") === col("s_nationkey"), "left")
           .select("n_name", "s_name", "s_acctbal"),
@@ -221,7 +226,8 @@ object RelationalQueries {
     // defaults differ from Spark's, so placement is always emitted).
     Q("q15_sort_nulls",
       (s, d) =>
-        broadcast(t(s, d, "nation"))
+        // no broadcast hint — preserved side of an outer join (see q05)
+        t(s, d, "nation")
           .join(t(s, d, "supplier"),
             col("n_nationkey") === col("s_nationkey"), "left")
           .select("n_name", "s_name", "s_suppkey")
@@ -543,9 +549,14 @@ object RelationalQueries {
         |JOIN customer ON b.o_custkey = c_custkey"""
         .stripMargin.replace('\n', ' ')
 
+    // the threshold is a decimal-sum average (order-independent), not a
+    // raw avg(double): each engine sums doubles in its own order, and a
+    // customer within an ulp of the mean would flip sides of the cut
     val scalarSubquery: String =
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)"""
+        |WHERE c_acctbal > (SELECT
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |FROM customer)"""
         .stripMargin.replace('\n', ' ')
 
     val nestedBody: String =

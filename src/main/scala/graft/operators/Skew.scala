@@ -37,13 +37,16 @@ object Skew {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
-      salts: Int): DataFrame =
+      salts: Int): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "saltedAgg: reserved column _salt present in input")
     df.withColumn("_salt",
         (monotonically_increasing_id() % salts).cast("int"))
       .groupBy(col(keyCol), col("_salt"))
       .agg(
         sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
         count(lit(1)).as("_pcnt"))
+  }
 
   def saltedAgg(
       df: DataFrame,
@@ -65,6 +68,9 @@ object Skew {
       bigKey: String,
       smallKey: String,
       salts: Int = 16): DataFrame = {
+    require(!big.columns.contains("_salt") &&
+      !small.columns.contains("_salt"),
+      "saltedJoin: reserved column _salt present in input")
     // The salt must come from a PER-ROW source: salting on the key would
     // put every row of the hot key into one salt bucket, defeating the
     // point. Row position is fine — each big row joins its replicated
