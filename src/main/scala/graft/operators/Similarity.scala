@@ -74,6 +74,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
+  /** INT8 symmetric quantization stats over a (idCol, `embedding`) frame:
+    * per-vector scale = max|x| / 127, elements round(x / scale) ∈
+    * [-127, 127]. Pure per-row expression work, one scan, no shuffle —
+    * the quantized corpus writes out in the same pass (see e06). The
+    * output reduces the quantized vector through ORDER-INDEPENDENT
+    * integer folds (element sum, squared norm) plus the order-free scale,
+    * so the full quantization arithmetic is oracle-hashable. The 1e-12
+    * floor guards the all-zero vector. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val scale = greatest(
+      array_max(transform(v, x => abs(x))) / 127.0, lit(1e-12))
+    val qv = transform(v, x => round(x / scale).cast("long"))
+    emb.select(
+      col(idCol),
+      size(col("embedding")).cast("long").as("dim"),
+      round(scale, 6).as("qscale"),
+      aggregate(qv, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      aggregate(qv, lit(0L), (acc, x) => acc + x * x).as("q_norm2"))
+  }
+
   /** Interpreted HOF formulation of [[signBucket]] (cross-check only). */
   private[graft] def signBucketHof(v: Column, bits: Int): Column = {
     val planes = (0 until bits).map { i =>
@@ -328,6 +349,33 @@ object SimilarityQueries {
       },
       None,
       bench = true),
+
+    // INT8 SYMMETRIC QUANTIZATION — the embedding-storage compressor every
+    // 100 TB vector pipeline runs before serving (4x smaller than float32,
+    // 8x smaller than the double math). The oracle checks the full
+    // quantization arithmetic through order-independent integer
+    // reductions (see [[Similarity.quantizeInt8]]), so cross-engine
+    // float-fold order cannot wobble the hash. Round-half-up on x/scale
+    // agrees across engines (both round ties away from zero). HOF
+    // (interpreted) is fine here: not a bench path; promote to a native
+    // expression like NormL2 if it ever becomes one.
+    Q("e06_embedding_quantize",
+      (s, d) => quantizeInt8(Tables.t(s, d, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id, embedding,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, embedding, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id, embedding, scale,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc)
+             |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+             |round(scale, 6) AS qscale,
+             |CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+             |AS q_norm2 FROM q"""
+        .stripMargin.replace('\n', ' '))),
 
     Q("e04_label_centroid_norm",
       (s, d) =>

@@ -4,6 +4,71 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
+/** Corpus-level distribution statistics (phrase mining, mixture drift) —
+  * parameterized by a docs frame so specs can drive them on hand-built
+  * corpora; the t16/t17 catalog entries bind them to `documents`. */
+object CorpusStats {
+  import org.apache.spark.sql.DataFrame
+
+  /** Adjacent-bigram PMI over a `text` column; see t16 for the scale
+    * shape. Returns (w1, w2, c_ab, pmi) for bigrams with c_ab >= minCount. */
+  def bigramPmi(docs: DataFrame, minCount: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    // arrays_zip(slice(t,1,n-1), slice(t,2,n-1)) names its struct
+    // fields "0"/"1" for non-attribute inputs; size=1 docs yield
+    // length-0 slices -> empty zip -> no bogus pair rows
+    val pairs = docs.select(explode(arrays_zip(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1))).as("b"))
+      .select(col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+    // bi and uni are each read twice (count table + corpus total);
+    // persisting them caps the corpus-scale explode at two scans —
+    // totals derive from the small aggregates, never a third scan
+    val bi = ManagedCache.persist(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab")))
+    val uni = ManagedCache.persist(
+      docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val n2 = bi.agg(sum(col("c_ab")).as("n2"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))),
+        "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("n1") * col("n1")) /
+          (col("n2").cast("double") * col("ca") * col("cb"))), 4)
+          .as("pmi"))
+  }
+
+  /** Per-source KL divergence from the corpus term distribution over
+    * (`source`, `text`) columns; see t17 for the scale shape. Returns
+    * (source, n_terms, n_tokens, kl). */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val st = ManagedCache.persist(
+      docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c_st")))
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val glob = st.groupBy("w").agg(sum(col("c_st")).as("c_t"))
+    val n = st.agg(sum(col("c_st")).as("n"))
+    st.join(broadcast(srcTot), "source")
+      .join(broadcast(glob), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("term_kl",
+        (col("c_st").cast("double") / col("n_s")) *
+          log((col("c_st").cast("double") * col("n")) /
+            (col("n_s").cast("double") * col("c_t"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("n_s")).as("n_tokens"),
+        round(sum(col("term_kl")), 4).as("kl"))
+  }
+}
+
 /** Text-analysis queries over the `documents` table (doc_id, text, lang,
   * source, n_chars — FIXTURES.md §B). All single-scan, per-row expression
   * work: no shuffle, trivially parallel at 100 TB. */
@@ -268,6 +333,72 @@ object TextQueries {
              |round(1.0 - CAST(d3 AS DOUBLE) / n3, 4) AS dup_trigram_frac
              |FROM a2 JOIN a3 USING (doc_id)"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // PHRASE MINING via pointwise mutual information: for each adjacent
+    // bigram seen >= 5 times, PMI = ln(P(w1 w2) / (P(w1) P(w2))) — the
+    // word2vec-preprocessing / collocation-detection primitive that
+    // decides which token pairs a corpus pipeline should merge. Shape at
+    // 100 TB: one explode → (w1, w2) partial-agg shuffle (map-side combine
+    // absorbs per-doc repetition, exactly t08's tf stage) plus unigram
+    // counts on the vocabulary key; the unigram and corpus-total tables
+    // are vocabulary-/1-row-sized, so both joins broadcast. No window, no
+    // driver materialization. Bigram pairs come from a slice-zip per-row
+    // expression (positions i, i+1), never a self-join on position.
+    // Both engines state the PMI arithmetic with IDENTICAL left-assoc
+    // parenthesization so the unrounded doubles are IEEE-identical
+    // (t06's proven pattern); ln agrees cross-engine (t08 precedent).
+    Q("t16_bigram_pmi",
+      (s, d) => CorpusStats.bigramPmi(Tables.t(s, d, "documents"),
+        minCount = 5),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |pr AS (SELECT unnest(list_transform(
+             |range(1, greatest(len(toks) - 1, 0) + 1),
+             |i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b FROM tk),
+             |bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+             |FROM pr GROUP BY 1, 2),
+             |n2 AS (SELECT count(*) AS n2 FROM pr),
+             |un AS (SELECT unnest(toks) AS w FROM tk),
+             |uni AS (SELECT w, count(*) AS c FROM un GROUP BY 1),
+             |n1 AS (SELECT count(*) AS n1 FROM un)
+             |SELECT w1, w2, c_ab,
+             |round(ln((CAST(c_ab AS DOUBLE) * n1 * n1) /
+             |(CAST(n2 AS DOUBLE) * ca * cb)), 4) AS pmi
+             |FROM (SELECT bi.w1, bi.w2, bi.c_ab, u1.c AS ca, u2.c AS cb
+             |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+             |JOIN uni u2 ON bi.w2 = u2.w WHERE bi.c_ab >= 5)
+             |CROSS JOIN n1 CROSS JOIN n2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // DATA-MIXING DRIFT: per-source KL divergence of the source's term
+    // distribution from the corpus distribution — the diagnostic a
+    // pretraining mixture pipeline reads before setting per-source
+    // sampling weights (a source with high KL is distributionally far
+    // from the blend). KL(s ‖ corpus) = Σ_t p_t ln(p_t / q_t) over terms
+    // present in the source (p_t > 0; q_t > 0 whenever p_t > 0 since the
+    // corpus contains the source). Shape at 100 TB: ONE corpus-scale
+    // explode → (source, term) partial-agg shuffle; source totals, global
+    // term counts, and the grand total all derive from that small
+    // (sources × vocab) table, never from a second corpus scan. The final
+    // per-source sum is a 5-row aggregate. Cross-engine double summation
+    // order differs; round(., 4) absorbs it (q28/e04 precedent).
+    Q("t17_source_drift",
+      (s, d) => CorpusStats.sourceDrift(Tables.t(s, d, "documents")),
+      Some("""WITH un AS (SELECT source,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |FROM documents),
+             |st AS (SELECT source, w, count(*) AS c_st FROM un GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+             |FROM st GROUP BY 1),
+             |gl AS (SELECT w, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+             |n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st)
+             |SELECT source, count(*) AS n_terms, max(n_s) AS n_tokens,
+             |round(sum((CAST(c_st AS DOUBLE) / n_s) *
+             |ln((CAST(c_st AS DOUBLE) * n) /
+             |(CAST(n_s AS DOUBLE) * c_t))), 4) AS kl
+             |FROM st JOIN tot USING (source) JOIN gl USING (w) CROSS JOIN n
+             |GROUP BY source"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

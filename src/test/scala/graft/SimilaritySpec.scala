@@ -271,4 +271,36 @@ class SimilaritySpec extends SparkSpec {
       col("q") === col("query_id") && col("n") === col("neighbor_id"))
     assert(joined.filter(col("asim") =!= col("sim")).count() == 0)
   }
+
+  test("quantizeInt8: stats match a driver-side requantization of the " +
+    "fixture, elements stay in [-127,127], and the zero vector is safe") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val raw = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)
+    }
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, v) =>
+      val scale = math.max(v.map(math.abs).max / 127.0, 1e-12)
+      val q = v.map(x => BigDecimal(x / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(q.forall(e => e >= -127 && e <= 127))
+      // max dequantization error of symmetric int8 is scale/2 per element
+      assert(v.zip(q).forall { case (x, e) =>
+        math.abs(x - e * scale) <= scale / 2 + 1e-9 })
+      val (dim, qscale, qSum, qNorm2) = got(id)
+      assert(dim == v.length.toLong)
+      assert(qscale == BigDecimal(scale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(qSum == q.sum)
+      assert(qNorm2 == q.map(e => e * e).sum)
+    }
+    // all-zero vector: the 1e-12 scale floor keeps 0/0 out of the fold
+    val sq = spark; import sq.implicits._
+    val zero = Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.quantizeInt8(zero).collect().head
+    assert(zr.getLong(3) == 0L && zr.getLong(4) == 0L)
+  }
 }

@@ -165,4 +165,41 @@ class TextSpec extends SparkSpec {
     assert(expected.values.exists(_ > 0),
       "fixture should contain at least one contaminated test doc")
   }
+
+  test("bigramPmi matches the hand-computed PMI and applies minCount") {
+    val sq = spark; import sq.implicits._
+    // corpus: "a b" x5, "c c c" x1
+    //   bigrams: (a,b) x5, (c,c) x2   -> n2 = 7
+    //   unigrams: a=5, b=5, c=3       -> n1 = 13
+    //   PMI(a,b) = ln((5*13*13) / (7*5*5)) = ln(845/175)
+    val docs = (Seq.fill(5)("a b") :+ "c c c").toDF("text")
+    val rows = CorpusStats.bigramPmi(docs, minCount = 5).collect()
+    assert(rows.length == 1, "only (a,b) reaches minCount=5")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("a", "b", 5L))
+    val expected = BigDecimal(math.log(845.0 / 175.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expected)
+    ManagedCache.releaseAll()
+  }
+
+  test("sourceDrift: identically-distributed sources have KL 0; disjoint " +
+    "half-and-half sources have KL ln(2)") {
+    val sq = spark; import sq.implicits._
+    // same distribution as the blend -> p == q -> KL = 0 for both
+    val same = Seq(("sA", "x y"), ("sB", "x y x y")).toDF("source", "text")
+    val kl0 = CorpusStats.sourceDrift(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl0 == Map("sA" -> 0.0, "sB" -> 0.0))
+    ManagedCache.releaseAll()
+    // disjoint vocabularies, equal mass: q_t = 1/2 within each source's
+    // support -> KL = 1 * ln(1 / (1/2)) = ln 2 for both
+    val split = Seq(("sA", "x x"), ("sB", "y y")).toDF("source", "text")
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kl2 = CorpusStats.sourceDrift(split).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl2 == Map("sA" -> ln2, "sB" -> ln2))
+    ManagedCache.releaseAll()
+  }
 }
