@@ -83,16 +83,25 @@ object Similarity {
     * so the full quantization arithmetic is oracle-hashable. The 1e-12
     * floor guards the all-zero vector. */
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id"): DataFrame = {
-    val v = toDouble(col("embedding"))
-    val scale = greatest(
-      array_max(transform(v, x => abs(x))) / 127.0, lit(1e-12))
-    val qv = transform(v, x => round(x / scale).cast("long"))
-    emb.select(
-      col(idCol),
-      size(col("embedding")).cast("long").as("dim"),
-      round(scale, 6).as("qscale"),
-      aggregate(qv, lit(0L), (acc, x) => acc + x).as("q_sum"),
-      aggregate(qv, lit(0L), (acc, x) => acc + x * x).as("q_norm2"))
+    // scale and qv are STAGED through projections so each is computed once
+    // per row: reusing a shared Column val inside the quantize lambda
+    // would duplicate the array_max subtree into every per-element
+    // iteration (O(d²) per row — the first draft's plan did exactly
+    // that), and CollapseProject keeps multiply-referenced non-cheap
+    // aliases staged instead of re-inlining them
+    emb
+      .withColumn("__v", toDouble(col("embedding")))
+      .withColumn("__scale", greatest(
+        array_max(transform(col("__v"), x => abs(x))) / 127.0, lit(1e-12)))
+      .withColumn("__qv",
+        transform(col("__v"), x => round(x / col("__scale")).cast("long")))
+      .select(
+        col(idCol),
+        size(col("embedding")).cast("long").as("dim"),
+        round(col("__scale"), 6).as("qscale"),
+        aggregate(col("__qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("__qv"), lit(0L), (acc, x) => acc + x * x)
+          .as("q_norm2"))
   }
 
   /** Interpreted HOF formulation of [[signBucket]] (cross-check only). */
