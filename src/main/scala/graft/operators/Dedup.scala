@@ -201,6 +201,102 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
+  /** INCREMENTAL exact-jaccard near-dup: pairs (new_id, old_id, jac)
+    * between a DELTA batch and the EXISTING corpus via a cross-side
+    * shingle inverted index — the shape every production dedup pipeline
+    * actually runs (daily ingest vs accumulated corpus), where the full
+    * self-join d07 is the from-scratch rebuild. Sides must carry disjoint
+    * doc_ids (a delta is new documents by definition).
+    *
+    * Scale: cost is Σ_s df_new(s)·df_old(s) — LINEAR in the delta's
+    * shingle frequencies, not quadratic in the corpus. With a bounded
+    * delta this stays feasible at 100 TB where d07 cannot, which is the
+    * whole point of incremental ingestion; the corpus side still wants
+    * the banded [[incrementalMinhashPairs]] when boilerplate shingles
+    * make df_old degenerate. */
+  def incrementalExactJaccard(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    def inv(docs: DataFrame) = ManagedCache.persist(
+      spread(docs).select(
+        col("doc_id"),
+        explode(TextExpressions.shingleHashes(
+          tokens(col("text")), shingleN)).as("g")))
+    val ni = inv(newDocs)
+    val oi = inv(oldDocs)
+    val sn = ni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val so = oi.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // count-based jaccard, same as d07: c / (|A| + |B| - c), no array
+    // intersect/union materialization
+    val shared = ni.alias("l").join(oi.alias("r"), col("l.g") === col("r.g"))
+      .groupBy(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sn.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("sz", "sa"), "new_id")
+      .join(so.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("sz", "sb"), "old_id")
+      .withColumn("jac", round(
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")), 4))
+      .filter(col("jac") >= threshold)
+      .select("new_id", "old_id", "jac")
+  }
+
+  /** INCREMENTAL MinHash-LSH near-dup — the 100 TB twin of
+    * [[incrementalExactJaccard]]: band the delta AND the corpus, join
+    * across sides on the band key (never self-join the corpus), verify
+    * candidates with exact jaccard over the cross-side shingle sets.
+    * In production the corpus side's (doc_id, band, bh) table and shingle
+    * sets are the PRE-BUILT stored dedup index, appended to as batches
+    * commit — recomputing them here stands in for reading that index.
+    *
+    * The skew cap applies to the CORPUS side only: a boilerplate band key
+    * shared by >maxBucket corpus docs would pair every delta doc with all
+    * of them; the delta side is bounded by construction. Recall vs the
+    * exact incremental pairs is spec-asserted (DedupSpec). */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = k / bands
+    val prepNew = ManagedCache.persist(minhashPrep(newDocs, shingleN, k))
+    val prepOld = ManagedCache.persist(minhashPrep(oldDocs, shingleN, k))
+    def banded(prep: DataFrame) = prep
+      .select(col("doc_id"),
+        explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val bandedNew = banded(prepNew)
+    val bandedOld = banded(prepOld)
+    val overCap = bandedOld.groupBy("band", "bh").count()
+      .filter(col("count") > maxBucket)
+      .select("band", "bh")
+    val cappedOld = bandedOld
+      .join(broadcast(overCap), Seq("band", "bh"), "left_anti")
+    val cands = bandedNew.alias("l")
+      .join(cappedOld.alias("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
+      .distinct()
+    val sets = prepNew.select(col("doc_id"), col("shh"))
+      .unionByName(prepOld.select(col("doc_id"), col("shh")))
+    cands
+      .join(sets.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("shh", "sh_a"), "new_id")
+      .join(sets.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("shh", "sh_b"), "old_id")
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jac") >= threshold)
+      .select("new_id", "old_id", "jac")
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step a
     * dedup pipeline needs between pair generation (d03/d05/d07) and
     * "keep one per cluster": each doc's representative is the MINIMUM
@@ -636,6 +732,36 @@ object DedupQueries {
              |FROM m JOIN jn ON jn.rep = m.rep
              |AND jn.quality = m.best_quality
              |GROUP BY m.rep, m.n_docs, m.best_quality"""
+        .stripMargin.replace('\n', ' '))),
+
+    // INCREMENTAL ingest dedup — a delta batch (doc_id % 10 = 0 stands in
+    // for "today's arrivals") against the existing corpus, exact jaccard
+    // over the cross-side inverted index. Deterministic, so it runs under
+    // the full DuckDB hash gate; the banded incrementalMinhashPairs scale
+    // twin has its recall vs exactly these pairs asserted in DedupSpec.
+    Q("d10_incremental_jaccard",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        Dedup.incrementalExactJaccard(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          shingleN = 3, threshold = 0.8)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |en AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
+             |eo AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 0),
+             |p AS (SELECT DISTINCT en.doc_id AS new_id, eo.doc_id AS old_id
+             |FROM en JOIN eo ON en.g = eo.g),
+             |j AS (SELECT p.new_id, p.old_id,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM p JOIN s sa ON sa.doc_id = p.new_id
+             |JOIN s sb ON sb.doc_id = p.old_id)
+             |SELECT new_id, old_id, jac FROM j WHERE jac >= 0.8"""
         .stripMargin.replace('\n', ' '))),
 
     // CALIBRATED quality filtering — the two-pass pattern every corpus

@@ -244,4 +244,45 @@ class DedupSpec extends SparkSpec {
     ManagedCache.releaseAll()
     assert(ManagedCache.trackedCount == 0)
   }
+
+  test("incremental exact jaccard equals the full self-join's cross-split " +
+    "pairs (orientation-normalized) and finds nothing within-split") {
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.incrementalExactJaccard(delta, rest, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    ManagedCache.releaseAll()
+    // full all-pairs run, restricted to pairs that CROSS the split and
+    // re-oriented so the delta id comes first
+    val full = Dedup.exactJaccardPairs(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, j) => if (a % 10 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    ManagedCache.releaseAll()
+    assert(inc == full)
+    assert(full.nonEmpty,
+      "fixture should contain at least one cross-split near-dup pair")
+  }
+
+  test("incremental minhash recall vs incremental exact pairs, and every " +
+    "returned pair is verified-exact") {
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    val exact = Dedup.incrementalExactJaccard(delta, rest, 3, 0.5)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ManagedCache.releaseAll()
+    // bands=8 (rows=2): the same high-recall banding as the self-join spec
+    val got = Dedup.incrementalMinhashPairs(delta, rest, 3, 16,
+      bands = 8, threshold = 0.5)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ManagedCache.releaseAll()
+    assert(got.subsetOf(exact),
+      "verify stage must keep only pairs whose exact jaccard >= threshold")
+    assert(exact.nonEmpty)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall over ${exact.size} true pairs")
+  }
 }
