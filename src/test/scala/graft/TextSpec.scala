@@ -202,4 +202,31 @@ class TextSpec extends SparkSpec {
     assert(kl2 == Map("sA" -> ln2, "sB" -> ln2))
     ManagedCache.releaseAll()
   }
+
+  test("corpus-stats plans honor their scaladoc: every t16 join is a " +
+    "broadcast, and t17 explodes the corpus exactly once") {
+    val pmiPlan = CorpusStats.bigramPmi(docs, minCount = 5)
+      .queryExecution.executedPlan.toString
+    assert(pmiPlan.contains("BroadcastHashJoin") ||
+      pmiPlan.contains("BroadcastNestedLoopJoin"), s"plan:\n$pmiPlan")
+    assert(!pmiPlan.contains("SortMergeJoin") &&
+      !pmiPlan.contains("ShuffledHashJoin"),
+      s"vocab-sized sides must broadcast, plan:\n$pmiPlan")
+    ManagedCache.releaseAll()
+    val driftPlan = CorpusStats.sourceDrift(docs)
+      .queryExecution.executedPlan.toString
+    // The single persisted (source, term) aggregate feeds all four
+    // consumers, so its build plan — holding THE one corpus explode — is
+    // pretty-printed once per InMemoryTableScan. One distinct Generate
+    // line (same expression ids everywhere) = one cached explode; four
+    // independent re-derivations would carry four fresh expr-id sets.
+    val generateLines = driftPlan.linesIterator
+      .filter(_.contains("Generate explode"))
+      .map(l => l.substring(l.indexOf("Generate"))).toSet
+    assert(generateLines.size == 1,
+      s"one distinct corpus explode expected, got $generateLines")
+    assert(!driftPlan.contains("SortMergeJoin") &&
+      !driftPlan.contains("ShuffledHashJoin"), s"plan:\n$driftPlan")
+    ManagedCache.releaseAll()
+  }
 }
