@@ -136,26 +136,68 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    verifyJaccard(cands, prep, threshold)
+    verifyJaccard(cands, prep, prep, "a", "b", threshold)
   }
 
-  /** Exact-jaccard verify: join the candidate (a, b) pairs back to their
-    * shingle-hash sets and keep pairs at or above `threshold`. Shared by
-    * the banded (d03/d05) and exhaustive (d07) pipelines. */
+  /** Exact-jaccard verify: join each candidate pair column back to ITS
+    * side's shingle-hash sets and keep pairs at or above `threshold`.
+    * Shared by the banded self-join (d03/d05: both sides are the same
+    * prep) and the incremental cross-join (delta prep vs corpus prep —
+    * side-specific joins, so the delta column never scans the
+    * corpus-sized index and vice versa). */
   private def verifyJaccard(
       cands: DataFrame,
-      prep: DataFrame,
+      prepA: DataFrame,
+      prepB: DataFrame,
+      aCol: String,
+      bCol: String,
       threshold: Double): DataFrame = {
-    val sets = prep.select(col("doc_id"), col("shh"))
+    def sets(prep: DataFrame, idCol: String, shCol: String) =
+      prep.select(col("doc_id").as(idCol), col("shh").as(shCol))
     cands
-      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("shh", "sh_a"), "a")
-      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("shh", "sh_b"), "b")
+      .join(sets(prepA, aCol, "sh_a"), aCol)
+      .join(sets(prepB, bCol, "sh_b"), bCol)
       .withColumn("jac",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
+      .select(aCol, bCol, "jac")
   }
+
+  /** Persisted (doc_id, shingle-hash) inverted index — two long columns,
+    * which the columnar cache re-reads almost for free. (Caching the
+    * array-of-hashes form instead made the warm runs SLOWER than cold:
+    * per-row array materialization out of the cache cost more than
+    * recomputing the shingles.) Shared by the exhaustive (d07) and
+    * incremental (d10) exact-jaccard pipelines. */
+  private def shingleInvertedIndex(docs: DataFrame, shingleN: Int): DataFrame =
+    ManagedCache.persist(
+      spread(docs).select(
+        col("doc_id"),
+        explode(TextExpressions.shingleHashes(
+          tokens(col("text")), shingleN)).as("g")))
+
+  /** Count-based jaccard finalize over a matched-shingle-count frame:
+    * jaccard needs NO array intersect/union — c / (|A| + |B| - c), with
+    * |A|/|B| joined in from per-side set sizes (shingle hashes are
+    * pre-distinct). One formula, one rounding, one threshold for every
+    * exact twin (d07, d07_audit, d10). */
+  private def countJaccard(
+      shared: DataFrame,
+      sizesA: DataFrame,
+      sizesB: DataFrame,
+      aCol: String,
+      bCol: String,
+      threshold: Double): DataFrame =
+    shared
+      .join(sizesA.withColumnRenamed("doc_id", aCol)
+        .withColumnRenamed("sz", "sa"), aCol)
+      .join(sizesB.withColumnRenamed("doc_id", bCol)
+        .withColumnRenamed("sz", "sb"), bCol)
+      .withColumn("jac", round(
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")), 4))
+      .filter(col("jac") >= threshold)
+      .select(aCol, bCol, "jac")
 
   /** EXHAUSTIVE exact-jaccard near-dup pairs via a shingle inverted index:
     * any pair with jaccard > 0 shares at least one shingle, so exploding
@@ -171,34 +213,14 @@ object Dedup {
       docs: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // Persist the EXPLODED (doc_id, shingle-hash) pairs — two long columns,
-    // which the columnar cache re-reads almost for free. (Caching the
-    // array-of-hashes form instead made the warm runs SLOWER than cold:
-    // per-row array materialization out of the cache cost more than
-    // recomputing the shingles.)
-    val inv = ManagedCache.persist(
-      spread(docs).select(
-        col("doc_id"),
-        explode(TextExpressions.shingleHashes(
-          tokens(col("text")), shingleN)).as("g")))
-    // set sizes |A| per doc (shingle hashes are pre-distinct), and
-    // |A∩B| directly as the matched-shingle count of the self-join —
-    // jaccard needs NO array intersect/union: c / (|A| + |B| - c).
+    val inv = shingleInvertedIndex(docs, shingleN)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = inv.alias("l")
       .join(inv.alias("r"),
         col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("c"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("sz", "sb"), "b")
-      .withColumn("jac", round(
-        col("c").cast("double") / (col("sa") + col("sb") - col("c")), 4))
-      .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
+    countJaccard(shared, sizes, sizes, "a", "b", threshold)
   }
 
   /** INCREMENTAL exact-jaccard near-dup: pairs (new_id, old_id, jac)
@@ -219,29 +241,14 @@ object Dedup {
       oldDocs: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    def inv(docs: DataFrame) = ManagedCache.persist(
-      spread(docs).select(
-        col("doc_id"),
-        explode(TextExpressions.shingleHashes(
-          tokens(col("text")), shingleN)).as("g")))
-    val ni = inv(newDocs)
-    val oi = inv(oldDocs)
+    val ni = shingleInvertedIndex(newDocs, shingleN)
+    val oi = shingleInvertedIndex(oldDocs, shingleN)
     val sn = ni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val so = oi.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // count-based jaccard, same as d07: c / (|A| + |B| - c), no array
-    // intersect/union materialization
     val shared = ni.alias("l").join(oi.alias("r"), col("l.g") === col("r.g"))
       .groupBy(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
       .agg(count(lit(1)).as("c"))
-    shared
-      .join(sn.withColumnRenamed("doc_id", "new_id")
-        .withColumnRenamed("sz", "sa"), "new_id")
-      .join(so.withColumnRenamed("doc_id", "old_id")
-        .withColumnRenamed("sz", "sb"), "old_id")
-      .withColumn("jac", round(
-        col("c").cast("double") / (col("sa") + col("sb") - col("c")), 4))
-      .filter(col("jac") >= threshold)
-      .select("new_id", "old_id", "jac")
+    countJaccard(shared, sn, so, "new_id", "old_id", threshold)
   }
 
   /** INCREMENTAL MinHash-LSH near-dup — the 100 TB twin of
@@ -283,18 +290,10 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
       .distinct()
-    val sets = prepNew.select(col("doc_id"), col("shh"))
-      .unionByName(prepOld.select(col("doc_id"), col("shh")))
-    cands
-      .join(sets.withColumnRenamed("doc_id", "new_id")
-        .withColumnRenamed("shh", "sh_a"), "new_id")
-      .join(sets.withColumnRenamed("doc_id", "old_id")
-        .withColumnRenamed("shh", "sh_b"), "old_id")
-      .withColumn("jac",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jac") >= threshold)
-      .select("new_id", "old_id", "jac")
+    // side-specific verify joins: the delta column joins the delta's
+    // sets and the corpus column the corpus index — never a union that
+    // would scan the corpus-sized cache from both joins
+    verifyJaccard(cands, prepNew, prepOld, "new_id", "old_id", threshold)
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step a

@@ -32,11 +32,14 @@ object CorpusStats {
         .groupBy("w").agg(count(lit(1)).as("c")))
     val n2 = bi.agg(sum(col("c_ab")).as("n2"))
     val n1 = uni.agg(sum(col("c")).as("n1"))
+    // the unigram joins carry NO broadcast hint: the vocabulary of a
+    // web-scale corpus (typos, URLs, numbers) reaches 10^8+ terms, where
+    // an unconditional broadcast is a hard failure — let the planner/AQE
+    // broadcast when the vocab is actually small (t08's df-join
+    // precedent); only the 1-row totals are hinted
     bi.filter(col("c_ab") >= minCount)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))),
-        "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))),
-        "w2")
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
       .crossJoin(broadcast(n1))
       .crossJoin(broadcast(n2))
       .select(col("w1"), col("w2"), col("c_ab"),
@@ -55,8 +58,10 @@ object CorpusStats {
     val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val glob = st.groupBy("w").agg(sum(col("c_st")).as("c_t"))
     val n = st.agg(sum(col("c_st")).as("n"))
+    // srcTot is source-cardinality (small by construction) -> hinted;
+    // glob is VOCABULARY-sized -> unhinted, same reasoning as bigramPmi
     st.join(broadcast(srcTot), "source")
-      .join(broadcast(glob), "w")
+      .join(glob, "w")
       .crossJoin(broadcast(n))
       .withColumn("term_kl",
         (col("c_st").cast("double") / col("n_s")) *
@@ -341,10 +346,12 @@ object TextQueries {
     // decides which token pairs a corpus pipeline should merge. Shape at
     // 100 TB: one explode → (w1, w2) partial-agg shuffle (map-side combine
     // absorbs per-doc repetition, exactly t08's tf stage) plus unigram
-    // counts on the vocabulary key; the unigram and corpus-total tables
-    // are vocabulary-/1-row-sized, so both joins broadcast. No window, no
-    // driver materialization. Bigram pairs come from a slice-zip per-row
-    // expression (positions i, i+1), never a self-join on position.
+    // counts on the vocabulary key; the corpus-total tables are 1-row
+    // broadcasts, while the unigram joins are left to the planner (a
+    // web-scale vocabulary can exceed any broadcast ceiling). No window,
+    // no driver materialization. Bigram pairs come from a slice-zip
+    // per-row expression (positions i, i+1), never a self-join on
+    // position.
     // Both engines state the PMI arithmetic with IDENTICAL left-assoc
     // parenthesization so the unrounded doubles are IEEE-identical
     // (t06's proven pattern); ln agrees cross-engine (t08 precedent).
