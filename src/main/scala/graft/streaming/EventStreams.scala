@@ -123,6 +123,76 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__graft_dedup_h")
       .drop("__graft_dedup_h")
 
+  /** Streaming INCREMENTAL ingest dedup — the stream-static twin of
+    * [[Dedup.incrementalMinhashPairs]] (d10's banded scale path) for a
+    * document FIREHOSE arriving against a stored corpus: each micro-batch
+    * computes signatures per-row (stateless), bands, equi-joins the
+    * STATIC banded corpus index on the band key, and verifies candidates
+    * with exact jaccard over the cross-side shingle sets. Emits
+    * (window start, new_id, old_id, jac) per verified near-dup pair.
+    *
+    * Scale/state: the signature+banding work is per-row; the
+    * stream-static join is STATELESS (re-planned per micro-batch, served
+    * from the persisted index — a dimension-table pattern, so an index
+    * refresh under the same path is picked up on the next batch). The
+    * only state store is the windowed per-pair dedup that collapses
+    * multi-band hits, keyed by (window, pair) and evicted by the
+    * watermark — bounded by lateness × pair rate, never stream length.
+    * The corpus-side skew cap is the same aggregate + broadcast anti-join
+    * as the batch twin (never a window over the hot bucket). Input needs
+    * (ts, doc_id, text); equality with the batch pairs on the same data
+    * is asserted in StreamingSpec. */
+  def incrementalDedupStream(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "2 hours",
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = k / bands
+    // the static corpus index: built once, cached, reused every batch —
+    // in production this is the stored dedup index the batch pipeline
+    // maintains (Dedup.minhashPrep + banding, exactly d10's layout)
+    val prepOld = ManagedCache.persist(
+      Dedup.minhashPrep(corpus, shingleN, k))
+    val bandedOld = prepOld
+      .select(col("doc_id").as("old_id"),
+        explode(TextFunctions.lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("old_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    val overCap = bandedOld.groupBy("band", "bh").count()
+      .filter(col("count") > maxBucket)
+      .select("band", "bh")
+    val index = ManagedCache.persist(
+      bandedOld.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
+        .join(prepOld.select(col("doc_id").as("old_id"),
+          col("shh").as("sh_b")), "old_id"))
+    val streamBanded = newDocs
+      .withColumn("sh_a", TextExpressions.shingleHashes(
+        TextFunctions.tokens(col("text")), shingleN))
+      .withColumn("sig", TextExpressions.minhashSig(col("sh_a"), k))
+      .select(col("ts"), col("doc_id").as("new_id"), col("sh_a"),
+        explode(TextFunctions.lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("ts"), col("new_id"), col("sh_a"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    streamBanded.join(index, Seq("band", "bh"))
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jac") >= threshold)
+      .withWatermark("ts", lateness)
+      // multi-band hits of the same pair collapse here; jac is identical
+      // across them, so first() is deterministic
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        col("new_id"), col("old_id"))
+      .agg(first(col("jac")).as("jac"))
+      .select(col("w.start").as("h"), col("new_id"), col("old_id"),
+        col("jac"))
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * hand-rolled form of [[sessionStats]] for when session semantics
     * outgrow `session_window` (e.g. per-session custom payloads). Gap

@@ -233,4 +233,41 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("w.start"), col("w.end"), col("n_events")))
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("stream-static incremental dedup equals the batch incremental " +
+    "pairs on the same delta-vs-corpus split (jac included)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    ManagedCache.releaseAll()
+    val docs = Tables.t(spark, sf, "documents").limit(200)
+    val deltaRows = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (t("2026-01-01 10:05:00"), r.getLong(0), r.getString(1)))
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val query = EventStreams.incrementalDedupStream(
+      ms.toDF.toDF("ts", "doc_id", "text"), rest,
+      bands = 8, threshold = 0.5)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(deltaRows.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("incdedup_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") % 10 === 0), rest,
+        bands = 8, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      // every streamed pair landed in the single event-time window
+      val hours = spark.table("incdedup_out").collect()
+        .map(_.getTimestamp(0).toString).toSet
+      assert(hours == Set("2026-01-01 10:00:00.0"))
+    } finally {
+      query.stop()
+      ManagedCache.releaseAll()
+    }
+  }
 }
