@@ -303,4 +303,23 @@ class SimilaritySpec extends SparkSpec {
     val zr = Similarity.quantizeInt8(zero).collect().head
     assert(zr.getLong(3) == 0L && zr.getLong(4) == 0L)
   }
+
+  test("ANN serving from the int8-compressed corpus: brute-force top-k " +
+    "over dequantized vectors recalls >= 0.9 of the full-precision top-k") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    // dequantized corpus rebuilt from the COMPRESSED representation only
+    // (qscale + tinyint array) — float32 cast keeps bruteForceTopK's
+    // native cosine on its raw-float fast path
+    val deq = Similarity.quantizeInt8Vectors(emb)
+      .select(col("vec_id"),
+        transform(col("qv"), x => (x * col("qscale")).cast("float"))
+          .as("embedding"))
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(corpus.filter(col("vec_id") < 10), corpus, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = topk(emb)
+    val quant = topk(deq)
+    val recall = quant.intersect(full).size.toDouble / full.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
 }
