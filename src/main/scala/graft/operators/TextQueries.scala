@@ -48,6 +48,38 @@ object CorpusStats {
           .as("pmi"))
   }
 
+  /** Per-DOCUMENT cross-entropy under the corpus unigram LM — the
+    * perplexity-proxy quality signal (CCNet-style LM filtering, with the
+    * corpus's own unigram distribution standing in for the external LM):
+    * H(doc) = -(1/n_d) Σ_t c_{t,d} ln(p_t), p_t = c_t / N. Outlier docs
+    * (boilerplate, wrong-language, degenerate generations) score far from
+    * the corpus mode and get cut by a percentile threshold downstream
+    * (p03's calibration pattern). Returns (doc_id, n_tokens, logloss).
+    *
+    * Scale shape: explode → (doc, term) partial-agg (t08's tf stage), one
+    * join on the vocabulary key against the unigram table (planner-decided
+    * strategy, same reasoning as [[bigramPmi]]), 1-row total broadcast,
+    * then a per-doc sum. Cross-engine double-sum order absorbed by
+    * round(., 4) (t17 precedent). */
+  def unigramLogLoss(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    // (doc, term) counts are read twice (join + per-doc totals derive
+    // from them); persist caps the corpus explode at one scan
+    val td = ManagedCache.persist(
+      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c_td")))
+    val uni = td.groupBy("w").agg(sum(col("c_td")).as("c_t"))
+    val n = uni.agg(sum(col("c_t")).as("n"))
+    td.join(uni, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("term_ll",
+        col("c_td").cast("double") *
+          log(col("c_t").cast("double") / col("n")))
+      .groupBy("doc_id")
+      .agg(sum(col("c_td")).as("n_tokens"),
+        round(-sum(col("term_ll")) /
+          sum(col("c_td")).cast("double"), 4).as("logloss"))
+  }
+
   /** Per-source KL divergence from the corpus term distribution over
     * (`source`, `text`) columns; see t17 for the scale shape. Returns
     * (source, n_terms, n_tokens, kl). */
@@ -390,6 +422,25 @@ object TextQueries {
     // (sources × vocab) table, never from a second corpus scan. The final
     // per-source sum is a 5-row aggregate. Cross-engine double summation
     // order differs; round(., 4) absorbs it (q28/e04 precedent).
+    // CCNet-style perplexity-proxy filtering signal: per-doc cross-entropy
+    // under the corpus unigram LM (see CorpusStats.unigramLogLoss for the
+    // scale shape). Downstream pairs with p03's per-source percentile
+    // calibration to cut distribution outliers.
+    Q("t18_unigram_logloss",
+      (s, d) => CorpusStats.unigramLogLoss(Tables.t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT doc_id,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |FROM documents),
+             |td AS (SELECT doc_id, w, count(*) AS c_td FROM tok GROUP BY 1, 2),
+             |uni AS (SELECT w, CAST(sum(c_td) AS BIGINT) AS c_t
+             |FROM td GROUP BY 1),
+             |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM uni)
+             |SELECT doc_id, CAST(sum(c_td) AS BIGINT) AS n_tokens,
+             |round(-sum(CAST(c_td AS DOUBLE) * ln(CAST(c_t AS DOUBLE) / n))
+             |/ CAST(sum(c_td) AS DOUBLE), 4) AS logloss
+             |FROM td JOIN uni USING (w) CROSS JOIN n GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("t17_source_drift",
       (s, d) => CorpusStats.sourceDrift(Tables.t(s, d, "documents")),
       Some("""WITH un AS (SELECT source,

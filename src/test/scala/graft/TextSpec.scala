@@ -203,6 +203,28 @@ class TextSpec extends SparkSpec {
     ManagedCache.releaseAll()
   }
 
+  test("unigramLogLoss matches hand-computed cross-entropy and ranks the " +
+    "out-of-distribution doc as the outlier") {
+    val sq = spark; import sq.implicits._
+    // corpus: doc 1 = "x x", doc 2 = "x y", doc 3 = "z z"
+    //   unigrams: x=3, y=1, z=2, N=6
+    //   H(1) = -(2 ln(3/6)) / 2 = ln 2
+    //   H(2) = -(ln(3/6) + ln(1/6)) / 2
+    //   H(3) = -(2 ln(2/6)) / 2 = ln 3
+    val docs = Seq((1L, "x x"), (2L, "x y"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusStats.unigramLogLoss(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    ManagedCache.releaseAll()
+    assert(got(1L) == ((2L, r4(math.log(2.0)))))
+    assert(got(2L) == ((2L, r4(-(math.log(3.0 / 6) + math.log(1.0 / 6)) / 2))))
+    assert(got(3L) == ((2L, r4(math.log(3.0)))))
+    // the rare-vocab doc (2: contains the singleton 'y') scores worst
+    assert(got(2L)._2 > got(1L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
   test("corpus-stats plans honor their scaladoc: t16 broadcasts its 1-row " +
     "totals without a cartesian, and t17 explodes the corpus exactly once") {
     val pmiPlan = CorpusStats.bigramPmi(docs, minCount = 5)
