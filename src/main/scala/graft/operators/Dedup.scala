@@ -96,6 +96,29 @@ object Dedup {
       // (TextFunctions.minhashSignature — kept as the DedupSpec cross-check)
       .withColumn("sig", TextExpressions.minhashSig(col("shh"), k))
 
+  /** (doc_id, band, bh) band keys of a minhash-prep frame — the LSH
+    * candidate-join key layout shared by the self-join (d03/d05),
+    * incremental (d10 twin), and streaming pipelines. */
+  private[graft] def bandedKeys(
+      prep: DataFrame, bands: Int, rows: Int): DataFrame = prep
+    .select(col("doc_id"),
+      explode(lshBands(col("sig"), bands, rows)).as("bk"))
+    .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+  /** Skew cap over a banded frame WITHOUT buffering the degenerate
+    * bucket: a window count over (band, bh) would sort the exact hot
+    * bucket it is guarding against into one task. Instead: tiny aggregate
+    * of over-cap keys → broadcast anti-join. The over-cap key set is by
+    * construction small (each key represents > maxBucket docs), so the
+    * broadcast is always safe. One cap implementation for every banded
+    * pipeline — batch self-join, incremental, and streaming. */
+  private[graft] def capBanded(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val overCap = banded.groupBy("band", "bh").count()
+      .filter(col("count") > maxBucket)
+      .select("band", "bh")
+    banded.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
+  }
+
   /** Candidate pairs from LSH banding, verified with exact jaccard over the
     * shingle sets; returns pairs (a, b, jac) with jac >= threshold.
     * maxBucket drops degenerate buckets (identical boilerplate exploding a
@@ -113,23 +136,12 @@ object Dedup {
     // the persist the whole signature pipeline computes twice (once per
     // self-join side) — the round-1 cost bug.
     val prep = ManagedCache.persist(minhashPrep(docs, shingleN, k))
-    val banded = prep
-      .select(col("doc_id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    // Skew cap WITHOUT buffering the degenerate bucket: a window count over
-    // (band, bh) would sort the exact hot bucket it is guarding against into
-    // one task. Instead: tiny aggregate of over-cap keys → broadcast
-    // anti-join. The over-cap key set is by construction small (each key
-    // represents > maxBucket docs), so the broadcast is always safe.
-    val overCap = banded.groupBy("band", "bh").count()
-      .filter(col("count") > maxBucket)
-      .select("band", "bh")
-    // Also persisted: the self-join below reads `capped` from both sides —
+    // Persisted: the self-join below reads `capped` from both sides —
     // without it the explode + aggregate + anti-join chain runs twice.
     // (doc_id, band, bh) is bands×docs rows of 3 longs — always small
     // relative to the corpus.
     val capped = ManagedCache.persist(
-      banded.join(broadcast(overCap), Seq("band", "bh"), "left_anti"))
+      capBanded(bandedKeys(prep, bands, rows), maxBucket))
     val cands = capped.alias("l")
       .join(capped.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -274,17 +286,8 @@ object Dedup {
     val rows = k / bands
     val prepNew = ManagedCache.persist(minhashPrep(newDocs, shingleN, k))
     val prepOld = ManagedCache.persist(minhashPrep(oldDocs, shingleN, k))
-    def banded(prep: DataFrame) = prep
-      .select(col("doc_id"),
-        explode(lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val bandedNew = banded(prepNew)
-    val bandedOld = banded(prepOld)
-    val overCap = bandedOld.groupBy("band", "bh").count()
-      .filter(col("count") > maxBucket)
-      .select("band", "bh")
-    val cappedOld = bandedOld
-      .join(broadcast(overCap), Seq("band", "bh"), "left_anti")
+    val bandedNew = bandedKeys(prepNew, bands, rows)
+    val cappedOld = capBanded(bandedKeys(prepOld, bands, rows), maxBucket)
     val cands = bandedNew.alias("l")
       .join(cappedOld.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))

@@ -82,26 +82,6 @@ object Similarity {
     * integer folds (element sum, squared norm) plus the order-free scale,
     * so the full quantization arithmetic is oracle-hashable. The 1e-12
     * floor guards the all-zero vector. */
-  /** The COMPRESSED corpus itself: (idCol, qscale, qv array<tinyint>) —
-    * 4x smaller than float32 at rest and in shuffle. Dequantize with
-    * `transform(qv, x -> x * qscale)`; recall of brute-force top-k over
-    * the dequantized vectors vs full precision is spec-asserted
-    * (SimilaritySpec), which is what licenses serving ANN from the
-    * compressed table. [[quantizeInt8]] is the oracle-checkable stats
-    * twin over the same arithmetic. */
-  def quantizeInt8Vectors(
-      emb: DataFrame,
-      idCol: String = "vec_id"): DataFrame =
-    emb
-      .withColumn("__v", toDouble(col("embedding")))
-      .withColumn("__scale", greatest(
-        array_max(transform(col("__v"), x => abs(x))) / 127.0, lit(1e-12)))
-      .select(
-        col(idCol),
-        col("__scale").as("qscale"),
-        transform(col("__v"),
-          x => round(x / col("__scale")).cast("byte")).as("qv"))
-
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id"): DataFrame = {
     // scale and qv are STAGED through projections so each is computed once
     // per row: reusing a shared Column val inside the quantize lambda
@@ -123,6 +103,26 @@ object Similarity {
         aggregate(col("__qv"), lit(0L), (acc, x) => acc + x * x)
           .as("q_norm2"))
   }
+
+  /** The COMPRESSED corpus itself: (idCol, qscale, qv array<tinyint>) —
+    * 4x smaller than float32 at rest and in shuffle. Dequantize with
+    * `transform(qv, x -> x * qscale)`; recall of brute-force top-k over
+    * the dequantized vectors vs full precision is spec-asserted
+    * (SimilaritySpec), which is what licenses serving ANN from the
+    * compressed table. [[quantizeInt8]] is the oracle-checkable stats
+    * twin over the same arithmetic. */
+  def quantizeInt8Vectors(
+      emb: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    emb
+      .withColumn("__v", toDouble(col("embedding")))
+      .withColumn("__scale", greatest(
+        array_max(transform(col("__v"), x => abs(x))) / 127.0, lit(1e-12)))
+      .select(
+        col(idCol),
+        col("__scale").as("qscale"),
+        transform(col("__v"),
+          x => round(x / col("__scale")).cast("byte")).as("qv"))
 
   /** Interpreted HOF formulation of [[signBucket]] (cross-check only). */
   private[graft] def signBucketHof(v: Column, bits: Int): Column = {

@@ -68,7 +68,9 @@ object CorpusStats {
     val td = ManagedCache.persist(
       tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c_td")))
     val uni = td.groupBy("w").agg(sum(col("c_td")).as("c_t"))
-    val n = uni.agg(sum(col("c_t")).as("n"))
+    // Σ_t c_t = Σ_{d,t} c_td: deriving the total from the persisted td
+    // avoids running the vocabulary-scale `uni` aggregate a second time
+    val n = td.agg(sum(col("c_td")).as("n"))
     td.join(uni, "w")
       .crossJoin(broadcast(n))
       .withColumn("term_ll",
@@ -422,6 +424,24 @@ object TextQueries {
     // (sources × vocab) table, never from a second corpus scan. The final
     // per-source sum is a 5-row aggregate. Cross-engine double summation
     // order differs; round(., 4) absorbs it (q28/e04 precedent).
+    Q("t17_source_drift",
+      (s, d) => CorpusStats.sourceDrift(Tables.t(s, d, "documents")),
+      Some("""WITH un AS (SELECT source,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |FROM documents),
+             |st AS (SELECT source, w, count(*) AS c_st FROM un GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+             |FROM st GROUP BY 1),
+             |gl AS (SELECT w, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+             |n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st)
+             |SELECT source, count(*) AS n_terms, max(n_s) AS n_tokens,
+             |round(sum((CAST(c_st AS DOUBLE) / n_s) *
+             |ln((CAST(c_st AS DOUBLE) * n) /
+             |(CAST(n_s AS DOUBLE) * c_t))), 4) AS kl
+             |FROM st JOIN tot USING (source) JOIN gl USING (w) CROSS JOIN n
+             |GROUP BY source"""
+        .stripMargin.replace('\n', ' '))),
+
     // CCNet-style perplexity-proxy filtering signal: per-doc cross-entropy
     // under the corpus unigram LM (see CorpusStats.unigramLogLoss for the
     // scale shape). Downstream pairs with p03's per-source percentile
@@ -439,24 +459,6 @@ object TextQueries {
              |round(-sum(CAST(c_td AS DOUBLE) * ln(CAST(c_t AS DOUBLE) / n))
              |/ CAST(sum(c_td) AS DOUBLE), 4) AS logloss
              |FROM td JOIN uni USING (w) CROSS JOIN n GROUP BY doc_id"""
-        .stripMargin.replace('\n', ' '))),
-
-    Q("t17_source_drift",
-      (s, d) => CorpusStats.sourceDrift(Tables.t(s, d, "documents")),
-      Some("""WITH un AS (SELECT source,
-             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-             |FROM documents),
-             |st AS (SELECT source, w, count(*) AS c_st FROM un GROUP BY 1, 2),
-             |tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
-             |FROM st GROUP BY 1),
-             |gl AS (SELECT w, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
-             |n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st)
-             |SELECT source, count(*) AS n_terms, max(n_s) AS n_tokens,
-             |round(sum((CAST(c_st AS DOUBLE) / n_s) *
-             |ln((CAST(c_st AS DOUBLE) * n) /
-             |(CAST(n_s AS DOUBLE) * c_t))), 4) AS kl
-             |FROM st JOIN tot USING (source) JOIN gl USING (w) CROSS JOIN n
-             |GROUP BY source"""
         .stripMargin.replace('\n', ' ')))
   )
 }

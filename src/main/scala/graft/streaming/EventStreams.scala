@@ -133,13 +133,23 @@ object EventStreams {
     *
     * Scale/state: the signature+banding work is per-row; the
     * stream-static join is STATELESS (re-planned per micro-batch, served
-    * from the persisted index — a dimension-table pattern, so an index
-    * refresh under the same path is picked up on the next batch). The
-    * only state store is the windowed per-pair dedup that collapses
-    * multi-band hits, keyed by (window, pair) and evicted by the
-    * watermark — bounded by lateness × pair rate, never stream length.
-    * The corpus-side skew cap is the same aggregate + broadcast anti-join
-    * as the batch twin (never a window over the hot bucket). Input needs
+    * from the persisted index frames). The persist PINS the corpus
+    * snapshot — unlike the uncached [[enrichStream]] dimension, new files
+    * under the corpus path are NOT picked up while the cache holds; an
+    * index refresh means releasing/rebuilding the cached frames (the
+    * batch pipeline's index-maintenance job) and restarting the stream
+    * from its checkpoint. The only state store is the windowed per-pair
+    * dedup that collapses multi-band hits, keyed by (window, pair) and
+    * evicted by the watermark — bounded by lateness × pair rate, never
+    * stream length. The watermark is declared on the RAW stream before
+    * the band join: a filter-then-watermark order would let sparse-match
+    * periods (every row dropped by the join) stall the watermark, so
+    * append-mode windows would never finalize and state never evict.
+    * The corpus-side skew cap and band layout are the shared Dedup
+    * helpers (aggregate + broadcast anti-join, never a window over the
+    * hot bucket); the index stores (band, bh, old_id) keys SEPARATELY
+    * from the per-doc shingle sets, so the heavy sh_b array is cached
+    * once per corpus doc, not once per band row. Input needs
     * (ts, doc_id, text); equality with the batch pairs on the same data
     * is asserted in StreamingSpec. */
   def incrementalDedupStream(
@@ -154,23 +164,18 @@ object EventStreams {
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     // the static corpus index: built once, cached, reused every batch —
-    // in production this is the stored dedup index the batch pipeline
-    // maintains (Dedup.minhashPrep + banding, exactly d10's layout)
+    // in production these two frames are the stored dedup index the
+    // batch pipeline maintains (Dedup.minhashPrep + banding, d10's
+    // layout): 3-long-column band keys, and the shingle sets once per doc
     val prepOld = ManagedCache.persist(
       Dedup.minhashPrep(corpus, shingleN, k))
-    val bandedOld = prepOld
-      .select(col("doc_id").as("old_id"),
-        explode(TextFunctions.lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("old_id"), col("bk.band").as("band"),
-        col("bk.bh").as("bh"))
-    val overCap = bandedOld.groupBy("band", "bh").count()
-      .filter(col("count") > maxBucket)
-      .select("band", "bh")
     val index = ManagedCache.persist(
-      bandedOld.join(broadcast(overCap), Seq("band", "bh"), "left_anti")
-        .join(prepOld.select(col("doc_id").as("old_id"),
-          col("shh").as("sh_b")), "old_id"))
+      Dedup.capBanded(Dedup.bandedKeys(prepOld, bands, rows), maxBucket)
+        .withColumnRenamed("doc_id", "old_id"))
+    val setsOld = prepOld.select(col("doc_id").as("old_id"),
+      col("shh").as("sh_b"))
     val streamBanded = newDocs
+      .withWatermark("ts", lateness)
       .withColumn("sh_a", TextExpressions.shingleHashes(
         TextFunctions.tokens(col("text")), shingleN))
       .withColumn("sig", TextExpressions.minhashSig(col("sh_a"), k))
@@ -179,11 +184,11 @@ object EventStreams {
       .select(col("ts"), col("new_id"), col("sh_a"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
     streamBanded.join(index, Seq("band", "bh"))
+      .join(setsOld, Seq("old_id"))
       .withColumn("jac",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jac") >= threshold)
-      .withWatermark("ts", lateness)
       // multi-band hits of the same pair collapse here; jac is identical
       // across them, so first() is deterministic
       .groupBy(window(col("ts"), windowLen).as("w"),

@@ -239,7 +239,10 @@ class StreamingSpec extends SparkSpec {
     val sq = spark; import sq.implicits._
     implicit val ctx = spark.sqlContext
     ManagedCache.releaseAll()
-    val docs = Tables.t(spark, sf, "documents").limit(200)
+    // doc_id predicate, not limit(n): an unordered limit over a
+    // multi-partition scan has no guaranteed row set, and the delta is
+    // collected once for the stream while the batch side re-executes
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 200)
     val deltaRows = docs.filter(col("doc_id") % 10 === 0)
       .select("doc_id", "text").collect()
       .map(r => (t("2026-01-01 10:05:00"), r.getLong(0), r.getString(1)))
