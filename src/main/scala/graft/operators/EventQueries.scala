@@ -77,6 +77,41 @@ object EventQueries {
     matched.select(col("_row.*"), col("_m.*"))
   }
 
+  /** Sequential conversion FUNNEL: for each user, the first `stages(0)`
+    * event, then the first `stages(1)` event strictly after it, and so on
+    * — the staged-conversion analysis (view → click → purchase) every
+    * event-analytics suite ships. Returns one row per user who reached
+    * stage 1, with nullable first-reach timestamps t1..tn (left joins
+    * keep drop-offs).
+    *
+    * Scale shape: each stage is a selective event-type filter → user-key
+    * join against the previous stage's reached-user table → min
+    * aggregation, all keyed on the user — 100 TB-safe (no windows, no
+    * per-user buffering, no cross-user work). The reached table shrinks
+    * monotonically down the funnel, so later joins broadcast; out-of-
+    * order events are handled by the strict ts > prev predicate, not by
+    * sorting. */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val head = events.filter(col(typeCol) === stages.head)
+      .groupBy(userCol).agg(min(tsCol).as("t1"))
+    stages.tail.zipWithIndex.foldLeft(head) { case (acc, (stage, i)) =>
+      val prev = s"t${i + 1}"
+      val next = s"t${i + 2}"
+      val reached = events.filter(col(typeCol) === stage)
+        .join(acc.select(col(userCol), col(prev)).filter(
+          col(prev).isNotNull), Seq(userCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(userCol).agg(min(tsCol).as(next))
+      acc.join(reached, Seq(userCol), "left")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("s01_hourly_agg",
@@ -245,6 +280,46 @@ object EventQueries {
              |GROUP BY p.event_id, p.user_id, p.ts"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
+
+    // Staged-conversion funnel view → click → purchase over the event
+    // stream ([[funnel]]). The GATED output is the null-free summary —
+    // per-stage reached-user counts + average stage-transition delay in
+    // whole seconds (unix_timestamp ≡ date_diff('second'): both are
+    // second-boundary diffs; integer-valued doubles < 2^53 sum exactly,
+    // so cross-engine sum order cannot wobble the avg) — because NULL
+    // timestamps in a hashed per-user output are the cross-engine
+    // normalization trap the s05 scaladoc documents. Per-user funnel
+    // exactness (drop-offs, out-of-order events, strict-after semantics)
+    // is EventSpec-asserted on a hand fixture.
+    Q("s09_funnel",
+      (s, d) => funnel(Tables.t(s, d, "events"),
+        Seq("view", "click", "purchase"))
+        .agg(
+          count(col("t1")).as("n_stage1"),
+          count(col("t2")).as("n_stage2"),
+          count(col("t3")).as("n_stage3"),
+          round(avg(unix_timestamp(col("t2")) - unix_timestamp(col("t1"))), 4)
+            .as("avg_view_to_click_s"),
+          round(avg(unix_timestamp(col("t3")) - unix_timestamp(col("t2"))), 4)
+            .as("avg_click_to_purchase_s")),
+      Some("""WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+             |FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+             |FROM events e JOIN v USING (user_id)
+             |WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+             |GROUP BY 1),
+             |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+             |FROM events e JOIN c USING (user_id)
+             |WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+             |GROUP BY 1),
+             |f AS (SELECT v.user_id, v.t1, c.t2, p.t3 FROM v
+             |LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+             |SELECT count(t1) AS n_stage1, count(t2) AS n_stage2,
+             |count(t3) AS n_stage3,
+             |round(avg(date_diff('second', t1, t2)), 4) AS avg_view_to_click_s,
+             |round(avg(date_diff('second', t2, t3)), 4) AS avg_click_to_purchase_s
+             |FROM f"""
+        .stripMargin.replace('\n', ' '))),
 
     // EXECUTED streaming gates — entries where a Structured Streaming
     // query actually runs under the driver's DuckDB hash check (the other

@@ -138,4 +138,44 @@ class EventSpec extends SparkSpec {
       "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected union-side exchanges only, got:\n$plan")
   }
+
+  test("funnel: strict-after stage ordering, drop-offs keep nulls, " +
+    "pre-stage events never count, non-entrants are absent") {
+    val sq = spark; import sq.implicits._
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: click BEFORE the first view -> click must not count;
+      // no click after the view -> funnel stops at t1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      // user 3: never views -> not in the funnel at all
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      (3L, ts("2024-01-01 08:05:00"), "purchase"),
+      // user 4: view then purchase with no click between -> t3 null
+      // (the purchase is not preceded by a qualifying click)
+      (4L, ts("2024-01-01 11:00:00"), "view"),
+      (4L, ts("2024-01-01 11:30:00"), "purchase"),
+      // user 5: two views, click between them -> t1 is the FIRST view,
+      // the click after it counts even though a later view follows
+      (5L, ts("2024-01-01 12:00:00"), "view"),
+      (5L, ts("2024-01-01 12:10:00"), "click"),
+      (5L, ts("2024-01-01 12:20:00"), "view"),
+      (5L, ts("2024-01-01 12:30:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventQueries.funnel(events, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 5L), "only viewers enter")
+    assert(got(1L) == ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:10:00")))))
+    assert(got(2L) == ((Some(ts("2024-01-01 09:30:00")), None, None)))
+    assert(got(4L) == ((Some(ts("2024-01-01 11:00:00")), None, None)))
+    assert(got(5L) == ((Some(ts("2024-01-01 12:00:00")),
+      Some(ts("2024-01-01 12:10:00")), Some(ts("2024-01-01 12:30:00")))))
+  }
 }
