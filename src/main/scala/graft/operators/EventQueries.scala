@@ -319,7 +319,8 @@ object EventQueries {
              |round(avg(date_diff('second', t1, t2)), 4) AS avg_view_to_click_s,
              |round(avg(date_diff('second', t2, t3)), 4) AS avg_click_to_purchase_s
              |FROM f"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // EXECUTED streaming gates — entries where a Structured Streaming
     // query actually runs under the driver's DuckDB hash check (the other

@@ -410,7 +410,8 @@ object TextQueries {
              |FROM bi JOIN uni u1 ON bi.w1 = u1.w
              |JOIN uni u2 ON bi.w2 = u2.w WHERE bi.c_ab >= 5)
              |CROSS JOIN n1 CROSS JOIN n2"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // DATA-MIXING DRIFT: per-source KL divergence of the source's term
     // distribution from the corpus distribution — the diagnostic a
@@ -459,6 +460,7 @@ object TextQueries {
              |round(-sum(CAST(c_td AS DOUBLE) * ln(CAST(c_t AS DOUBLE) / n))
              |/ CAST(sum(c_td) AS DOUBLE), 4) AS logloss
              |FROM td JOIN uni USING (w) CROSS JOIN n GROUP BY doc_id"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }
