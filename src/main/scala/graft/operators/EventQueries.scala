@@ -90,7 +90,14 @@ object EventQueries {
     * per-user buffering, no cross-user work). The reached table shrinks
     * monotonically down the funnel, so later joins broadcast; out-of-
     * order events are handled by the strict ts > prev predicate, not by
-    * sorting. */
+    * sorting. Each stage table is PERSISTED (tracked, released at the
+    * caller's ManagedCache.releaseAll): stage k is referenced by stage
+    * k+1's derivation AND the final assembly join, and without the cache
+    * an n-stage funnel would replay every earlier stage's scan per
+    * reference instead of reading the tiny (≤ user-cardinality) cached
+    * frame. Stage timestamps compute under collision-safe internal names
+    * and surface as t1..tn, so a caller's own t1 column cannot turn the
+    * stage join ambiguous. */
   def funnel(
       events: DataFrame,
       stages: Seq[String],
@@ -98,18 +105,24 @@ object EventQueries {
       tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val head = events.filter(col(typeCol) === stages.head)
-      .groupBy(userCol).agg(min(tsCol).as("t1"))
-    stages.tail.zipWithIndex.foldLeft(head) { case (acc, (stage, i)) =>
-      val prev = s"t${i + 1}"
-      val next = s"t${i + 2}"
-      val reached = events.filter(col(typeCol) === stage)
-        .join(acc.select(col(userCol), col(prev)).filter(
-          col(prev).isNotNull), Seq(userCol))
-        .filter(col(tsCol) > col(prev))
-        .groupBy(userCol).agg(min(tsCol).as(next))
-      acc.join(reached, Seq(userCol), "left")
-    }
+    def t(i: Int) = s"__graft_funnel_t$i"
+    val head = ManagedCache.persist(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(userCol).agg(min(tsCol).as(t(1))))
+    val stageTables = stages.tail.zipWithIndex
+      .scanLeft(head) { case (prevStage, (stage, i)) =>
+        ManagedCache.persist(
+          events.filter(col(typeCol) === stage)
+            .join(prevStage.select(col(userCol), col(t(i + 1))),
+              Seq(userCol))
+            .filter(col(tsCol) > col(t(i + 1)))
+            .groupBy(userCol).agg(min(tsCol).as(t(i + 2))))
+      }
+    val assembled = stageTables.tail
+      .foldLeft(stageTables.head)((acc, s) => acc.join(s, Seq(userCol), "left"))
+    assembled.select(
+      col(userCol) +:
+        stages.indices.map(i => col(t(i + 1)).as(s"t${i + 1}")): _*)
   }
 
   val queries: Seq[Q] = Seq(
@@ -298,10 +311,15 @@ object EventQueries {
           count(col("t1")).as("n_stage1"),
           count(col("t2")).as("n_stage2"),
           count(col("t3")).as("n_stage3"),
-          round(avg(unix_timestamp(col("t2")) - unix_timestamp(col("t1"))), 4)
-            .as("avg_view_to_click_s"),
-          round(avg(unix_timestamp(col("t3")) - unix_timestamp(col("t2"))), 4)
-            .as("avg_click_to_purchase_s")),
+          // coalesce(0.0): avg over ZERO converts is NULL on both engines
+          // — exactly the NULL-in-hashed-output trap this summary exists
+          // to avoid; the stage count disambiguates a true 0-delay
+          coalesce(round(
+            avg(unix_timestamp(col("t2")) - unix_timestamp(col("t1"))), 4),
+            lit(0.0)).as("avg_view_to_click_s"),
+          coalesce(round(
+            avg(unix_timestamp(col("t3")) - unix_timestamp(col("t2"))), 4),
+            lit(0.0)).as("avg_click_to_purchase_s")),
       Some("""WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
              |FROM events WHERE event_type = 'view' GROUP BY 1),
              |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
@@ -316,8 +334,10 @@ object EventQueries {
              |LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
              |SELECT count(t1) AS n_stage1, count(t2) AS n_stage2,
              |count(t3) AS n_stage3,
-             |round(avg(date_diff('second', t1, t2)), 4) AS avg_view_to_click_s,
-             |round(avg(date_diff('second', t2, t3)), 4) AS avg_click_to_purchase_s
+             |coalesce(round(avg(date_diff('second', t1, t2)), 4), 0.0)
+             |AS avg_view_to_click_s,
+             |coalesce(round(avg(date_diff('second', t2, t3)), 4), 0.0)
+             |AS avg_click_to_purchase_s
              |FROM f"""
         .stripMargin.replace('\n', ' ')),
       bench = true),

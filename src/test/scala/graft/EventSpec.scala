@@ -163,19 +163,41 @@ class EventSpec extends SparkSpec {
       (5L, ts("2024-01-01 12:00:00"), "view"),
       (5L, ts("2024-01-01 12:10:00"), "click"),
       (5L, ts("2024-01-01 12:20:00"), "view"),
-      (5L, ts("2024-01-01 12:30:00"), "purchase"))
+      (5L, ts("2024-01-01 12:30:00"), "purchase"),
+      // user 6: click at EXACTLY t1 -> strictly-after excludes it, so the
+      // later purchase has no qualifying click either (pins ts > prev
+      // against a silent regression to >=)
+      (6L, ts("2024-01-01 13:00:00"), "view"),
+      (6L, ts("2024-01-01 13:00:00"), "click"),
+      (6L, ts("2024-01-01 13:10:00"), "purchase"))
       .toDF("user_id", "ts", "event_type")
     val got = EventQueries.funnel(events, Seq("view", "click", "purchase"))
       .collect()
       .map(r => r.getLong(0) ->
         (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
           Option(r.getTimestamp(3)))).toMap
-    assert(got.keySet == Set(1L, 2L, 4L, 5L), "only viewers enter")
+    ManagedCache.releaseAll()
+    assert(got.keySet == Set(1L, 2L, 4L, 5L, 6L), "only viewers enter")
     assert(got(1L) == ((Some(ts("2024-01-01 10:00:00")),
       Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:10:00")))))
     assert(got(2L) == ((Some(ts("2024-01-01 09:30:00")), None, None)))
     assert(got(4L) == ((Some(ts("2024-01-01 11:00:00")), None, None)))
     assert(got(5L) == ((Some(ts("2024-01-01 12:00:00")),
       Some(ts("2024-01-01 12:10:00")), Some(ts("2024-01-01 12:30:00")))))
+    assert(got(6L) == ((Some(ts("2024-01-01 13:00:00")), None, None)))
+  }
+
+  test("funnel tolerates an input column named t1 (stage columns compute " +
+    "under collision-safe internal names)") {
+    val sq = spark; import sq.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", "x"),
+      (1L, ts("2024-01-01 10:05:00"), "click", "y"))
+      .toDF("user_id", "ts", "event_type", "t1")
+    val out = EventQueries.funnel(events, Seq("view", "click")).collect()
+    ManagedCache.releaseAll()
+    assert(out.length == 1 &&
+      out.head.getTimestamp(1) == ts("2024-01-01 10:00:00") &&
+      out.head.getTimestamp(2) == ts("2024-01-01 10:05:00"))
   }
 }
