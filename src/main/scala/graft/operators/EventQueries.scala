@@ -90,14 +90,16 @@ object EventQueries {
     * per-user buffering, no cross-user work). The reached table shrinks
     * monotonically down the funnel, so later joins broadcast; out-of-
     * order events are handled by the strict ts > prev predicate, not by
-    * sorting. Each stage table is PERSISTED (tracked, released at the
-    * caller's ManagedCache.releaseAll): stage k is referenced by stage
-    * k+1's derivation AND the final assembly join, and without the cache
-    * an n-stage funnel would replay every earlier stage's scan per
-    * reference instead of reading the tiny (≤ user-cardinality) cached
-    * frame. Stage timestamps compute under collision-safe internal names
-    * and surface as t1..tn, so a caller's own t1 column cannot turn the
-    * stage join ambiguous. */
+    * sorting. Every stage table EXCEPT THE LAST is persisted (tracked,
+    * released at the caller's ManagedCache.releaseAll): stage k < n is
+    * referenced by stage k+1's derivation AND the final assembly join,
+    * and without the cache an n-stage funnel would replay every earlier
+    * stage's scan per reference instead of reading the tiny
+    * (≤ user-cardinality) cached frame; the last stage table is consumed
+    * once by the assembly, so caching it would be pure cost. Stage
+    * timestamps compute under collision-safe internal names and surface
+    * as t1..tn, so a caller's own t1 column cannot turn the stage join
+    * ambiguous. */
   def funnel(
       events: DataFrame,
       stages: Seq[String],
@@ -106,20 +108,21 @@ object EventQueries {
       typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     def t(i: Int) = s"__graft_funnel_t$i"
-    val head = ManagedCache.persist(
-      events.filter(col(typeCol) === stages.head)
-        .groupBy(userCol).agg(min(tsCol).as(t(1))))
-    val stageTables = stages.tail.zipWithIndex
-      .scanLeft(head) { case (prevStage, (stage, i)) =>
-        ManagedCache.persist(
-          events.filter(col(typeCol) === stage)
-            .join(prevStage.select(col(userCol), col(t(i + 1))),
-              Seq(userCol))
-            .filter(col(tsCol) > col(t(i + 1)))
-            .groupBy(userCol).agg(min(tsCol).as(t(i + 2))))
-      }
-    val assembled = stageTables.tail
-      .foldLeft(stageTables.head)((acc, s) => acc.join(s, Seq(userCol), "left"))
+    var stage = events.filter(col(typeCol) === stages.head)
+      .groupBy(userCol).agg(min(tsCol).as(t(1)))
+    val tables = Seq.newBuilder[DataFrame]
+    for ((s, i) <- stages.tail.zipWithIndex) {
+      stage = ManagedCache.persist(stage) // about to be referenced twice
+      tables += stage
+      stage = events.filter(col(typeCol) === s)
+        .join(stage.select(col(userCol), col(t(i + 1))), Seq(userCol))
+        .filter(col(tsCol) > col(t(i + 1)))
+        .groupBy(userCol).agg(min(tsCol).as(t(i + 2)))
+    }
+    tables += stage // last stage table: single consumer, never cached
+    val all = tables.result()
+    val assembled = all.tail
+      .foldLeft(all.head)((acc, s) => acc.join(s, Seq(userCol), "left"))
     assembled.select(
       col(userCol) +:
         stages.indices.map(i => col(t(i + 1)).as(s"t${i + 1}")): _*)
