@@ -240,7 +240,8 @@ object Dedup {
     * shingle inverted index — the shape every production dedup pipeline
     * actually runs (daily ingest vs accumulated corpus), where the full
     * self-join d07 is the from-scratch rebuild. Sides must carry disjoint
-    * doc_ids (a delta is new documents by definition).
+    * doc_ids (a delta is new documents by definition); a =!= guard in the
+    * join keeps an accidental overlap from emitting self-pairs.
     *
     * Scale: cost is Σ_s df_new(s)·df_old(s) — LINEAR in the delta's
     * shingle frequencies, not quadratic in the corpus. With a bounded
@@ -257,7 +258,12 @@ object Dedup {
     val oi = shingleInvertedIndex(oldDocs, shingleN)
     val sn = ni.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val so = oi.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = ni.alias("l").join(oi.alias("r"), col("l.g") === col("r.g"))
+    // doc-id disjointness is a caller contract, but a violation would
+    // SILENTLY emit self-pairs (new_id == old_id, jac = 1.0) instead of
+    // failing — the =!= guard makes overlap harmless at the cost of one
+    // codegen'd comparison on the already-shuffled join rows
+    val shared = ni.alias("l").join(oi.alias("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") =!= col("r.doc_id"))
       .groupBy(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
       .agg(count(lit(1)).as("c"))
     countJaccard(shared, sn, so, "new_id", "old_id", threshold)
@@ -288,9 +294,13 @@ object Dedup {
     val prepOld = ManagedCache.persist(minhashPrep(oldDocs, shingleN, k))
     val bandedNew = bandedKeys(prepNew, bands, rows)
     val cappedOld = capBanded(bandedKeys(prepOld, bands, rows), maxBucket)
+    // same self-pair guard as incrementalExactJaccard: disjoint ids are
+    // the caller's contract, but overlap must not silently produce
+    // (x, x, 1.0) duplicate verdicts
     val cands = bandedNew.alias("l")
       .join(cappedOld.alias("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") =!= col("r.doc_id"))
       .select(col("l.doc_id").as("new_id"), col("r.doc_id").as("old_id"))
       .distinct()
     // side-specific verify joins: the delta column joins the delta's

@@ -333,10 +333,12 @@ object SimilarityQueries {
       },
       // double-cast both lists (list_cosine_similarity over list<float>
       // computes in float32 — off in the 8th decimal vs our double math)
-      // and rank by the ROUNDED sim so ties resolve identically.
+      // and rank by the ROUNDED sim so ties resolve identically. Cosine is
+      // SIGNED: `+ 0.0` normalizes a DuckDB-side -0.0 (negative-zero rule,
+      // see the t16 comment block in TextQueries).
       Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              |round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
-             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim,
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sim,
              |CAST(row_number() OVER (PARTITION BY q.vec_id
              |ORDER BY round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
              |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) DESC,

@@ -389,6 +389,16 @@ object TextQueries {
     // Both engines state the PMI arithmetic with IDENTICAL left-assoc
     // parenthesization so the unrounded doubles are IEEE-identical
     // (t06's proven pattern); ln agrees cross-engine (t08 precedent).
+    // NEGATIVE-ZERO RULE (round-5 post-mortem): any SIGNED rounded double
+    // needs `round(...) + 0.0` on the DuckDB side. DuckDB's round keeps
+    // the sign bit (a PMI in (-5e-5, 0) rounds to -0.0) while Spark's
+    // Round goes through Java BigDecimal, which cannot represent -0.0 —
+    // the values compare numerically equal but the driver's byte-level
+    // hash distinguishes the zero signs. IEEE: -0.0 + 0.0 = +0.0, and
+    // every other value is unchanged, so the guard is a no-op except on
+    // the one hazardous bit. Applied to t16 (pmi), t17 (kl), t18
+    // (logloss: -sum(+0.0) = -0.0), e01 (sim: cosine is signed).
+    // tools/oracle_check.py flags negative zeros on either side.
     Q("t16_bigram_pmi",
       (s, d) => CorpusStats.bigramPmi(Tables.t(s, d, "documents"),
         minCount = 5),
@@ -405,7 +415,7 @@ object TextQueries {
              |n1 AS (SELECT count(*) AS n1 FROM un)
              |SELECT w1, w2, c_ab,
              |round(ln((CAST(c_ab AS DOUBLE) * n1 * n1) /
-             |(CAST(n2 AS DOUBLE) * ca * cb)), 4) AS pmi
+             |(CAST(n2 AS DOUBLE) * ca * cb)), 4) + 0.0 AS pmi
              |FROM (SELECT bi.w1, bi.w2, bi.c_ab, u1.c AS ca, u2.c AS cb
              |FROM bi JOIN uni u1 ON bi.w1 = u1.w
              |JOIN uni u2 ON bi.w2 = u2.w WHERE bi.c_ab >= 5)
@@ -438,7 +448,7 @@ object TextQueries {
              |SELECT source, count(*) AS n_terms, max(n_s) AS n_tokens,
              |round(sum((CAST(c_st AS DOUBLE) / n_s) *
              |ln((CAST(c_st AS DOUBLE) * n) /
-             |(CAST(n_s AS DOUBLE) * c_t))), 4) AS kl
+             |(CAST(n_s AS DOUBLE) * c_t))), 4) + 0.0 AS kl
              |FROM st JOIN tot USING (source) JOIN gl USING (w) CROSS JOIN n
              |GROUP BY source"""
         .stripMargin.replace('\n', ' '))),
@@ -458,7 +468,7 @@ object TextQueries {
              |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM uni)
              |SELECT doc_id, CAST(sum(c_td) AS BIGINT) AS n_tokens,
              |round(-sum(CAST(c_td AS DOUBLE) * ln(CAST(c_t AS DOUBLE) / n))
-             |/ CAST(sum(c_td) AS DOUBLE), 4) AS logloss
+             |/ CAST(sum(c_td) AS DOUBLE), 4) + 0.0 AS logloss
              |FROM td JOIN uni USING (w) CROSS JOIN n GROUP BY doc_id"""
         .stripMargin.replace('\n', ' ')),
       bench = true)

@@ -84,6 +84,25 @@ for name, sql in sorted(oracle.items()):
         if width_bad:
             bad.append((name, f"int-width mismatch (driver hash would fail): "
                               f"{[(c, str(e[c].dtype), str(g[c].dtype)) for c in width_bad]}")); continue
+        # NEGATIVE-ZERO DETECTOR (round-5 post-mortem): numpy/pandas compare
+        # -0.0 == +0.0 as equal, so assert_frame_equal passes while the
+        # driver's byte-level hash fails (DuckDB round() keeps the sign bit;
+        # Spark's BigDecimal-based Round cannot emit -0.0). Flag any float
+        # column with a negative zero on EITHER side — the fix is
+        # `round(...) + 0.0` in the oracle SQL (see TextQueries t16).
+        import numpy as np
+        negzero = []
+        for c in e.columns:
+            for side, df_ in (("oracle", e), ("spark", g)):
+                col = df_[c]
+                if col.dtype.kind == "f":
+                    v = col.to_numpy()
+                    nz = int(((v == 0.0) & np.signbit(v)).sum())
+                    if nz:
+                        negzero.append(f"{side}.{c}:{nz}")
+        if negzero:
+            bad.append((name, f"negative zero present (hash would MISMATCH): "
+                              f"{negzero} — normalize with round(...) + 0.0")); continue
         try:
             pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=True)
             ok.append(name)
