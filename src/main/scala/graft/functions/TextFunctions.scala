@@ -123,11 +123,28 @@ object TextFunctions {
         lit(0L), (a, x) => a + x))
 
   /** Rolling polynomial fingerprint over the token stream (order-sensitive,
-    * unlike the set-based minhash): acc = (acc*31 + h(tok)) mod 1e9+7. */
+    * unlike the set-based minhash): acc = (acc*31 + h(tok)) mod 1e9+7.
+    * h(tok) = xxhash64 — fast but Spark-only, so t05 is a rows-only
+    * driver entry; [[fingerprintMd5]] is the hash-gated twin. */
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, tk) => pmod(acc * 31 + pmod(xxhash64(tk), lit(1000003L)),
         lit(1000000007L)))
+
+  /** The SAME rolling fingerprint with an md5-derived token hash (first
+    * 15 hex chars → 60-bit int, always positive so plain % works) —
+    * byte-identical in DuckDB (`CAST('0x'||substr(md5(tk),1,15) AS
+    * BIGINT)` + list_reduce), which puts the rolling-fold shape under the
+    * driver's hash gate as t05b. xxhash64 stays the production hash
+    * ([[fingerprint]]): one 8-byte hash vs md5's 16 bytes + hex-parse —
+    * the md5 twin exists for oracle parity, not speed. Init 0 ≡ DuckDB
+    * list_reduce's first-element seed: (0*31 + h₁) = h₁, and tokens()
+    * never yields an empty array (whitespace-only text → [""]). */
+  def fingerprintMd5(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, tk) => (acc * 31 +
+        conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % 1000003L)
+        % 1000000007L)
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. */

@@ -384,6 +384,48 @@ object EventQueries {
              |max(ts) + INTERVAL 30 MINUTE AS session_end,
              |count(*) AS n_events
              |FROM sess GROUP BY user_id, sid"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s10: EXECUTED stream-static incremental dedup under the FULL hash
+    // gate — the file-source twin of the MemoryStream spec
+    // (StreamingSpec): the delta (doc_id % 10 = 0, d10's split) streams
+    // from the documents parquet with a synthetic constant event-time,
+    // the corpus (the rest) is the static banded index, and the banded
+    // stream pipeline's verified pairs are checked against the EXACT
+    // cross-side jaccard oracle in DuckDB. That equality is licensed by
+    // the band layout: 8 bands × 2 rows collide with prob
+    // 1-(1-j²)^8 ≥ 0.9997 at j = 0.8 per pair, and the fixture's
+    // near-dup pairs (jac ≥ 0.8) all collide under the fixed xxhash64
+    // banding — deterministic on this data, re-validated by this very
+    // gate every round (a missed pair would fail rows_match loudly).
+    // The constant ts makes the event-time window deterministic:
+    // window('10:05', 1h).start = 10:00 exactly.
+    Q("s10_stream_incremental_dedup",
+      (s, d) => {
+        val corpus = Tables.t(s, d, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+        drainStream(s, EventStreams.incrementalDedupStream(
+          docStream(s, d).filter(col("doc_id") % 10 === 0)
+            .withColumn("ts", lit("2026-01-01 10:05:00").cast("timestamp"))
+            .select(col("ts"), col("doc_id"), col("text")),
+          corpus, bands = 8, threshold = 0.8))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |en AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
+             |eo AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 0),
+             |p AS (SELECT DISTINCT en.doc_id AS new_id, eo.doc_id AS old_id
+             |FROM en JOIN eo ON en.g = eo.g),
+             |j AS (SELECT p.new_id, p.old_id,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM p JOIN s sa ON sa.doc_id = p.new_id
+             |JOIN s sb ON sb.doc_id = p.old_id)
+             |SELECT CAST('2026-01-01 10:00:00' AS TIMESTAMP) AS h,
+             |new_id, old_id, jac FROM j WHERE jac >= 0.8"""
         .stripMargin.replace('\n', ' ')))
   )
 
@@ -400,6 +442,19 @@ object EventQueries {
       s.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d))
+  }
+
+  /** File-source stream over the documents parquet (s10): explicit schema
+    * from a batch footer read, landing-directory watch filtered to the
+    * documents file — the same pattern as [[eventStream]], minus the
+    * events-specific ns→µs conversion (documents carries no timestamp;
+    * s10 synthesizes its event-time). */
+  private def docStream(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(Tables.path(d, "documents"))
+    s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
   }
 
   /** Drain a streaming aggregate with Trigger.AvailableNow into a

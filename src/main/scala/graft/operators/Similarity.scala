@@ -50,7 +50,17 @@ object Similarity {
     * double semantics) are exactly what the previous
     * `row_number().over(Window...)` ranking produced — equality asserted
     * per-row in SimilaritySpec — but the plan is partial+final
-    * ObjectHashAggregate with NO Window and NO per-query sort. */
+    * ObjectHashAggregate with NO Window and NO per-query sort.
+    *
+    * Measured constant cost (round-6 `Profile _e03rank`, sf0.1, |Q|=20):
+    * on the IDENTICAL scored frame the heap ranks in ~443 ms vs the
+    * window's ~377 ms, while scoring alone is ~390 ms — i.e. the heap
+    * carries ~50-60 ms of ObjectHashAggregate overhead at tiny |Q|,
+    * which is e03's whole r04→r05 bench delta (scoring dominates; no
+    * plan change, broadcasts intact). That overhead is flat in |Q| and
+    * N, while the window's shuffle grows with EVERY scored candidate —
+    * the crossover is far below any production query set, so the heap
+    * stays the only query-path ranking. */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("query_id")

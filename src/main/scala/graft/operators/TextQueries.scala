@@ -188,11 +188,30 @@ object TextQueries {
           .replace("@DE@", hits("de"))
       }),
 
+    // xxhash64-based production fingerprint: rows-only (xxhash64 has no
+    // DuckDB twin); the rolling-fold ARITHMETIC is hash-gated via t05b.
     Q("t05_fingerprint",
       (s, d) =>
         Tables.t(s, d, "documents").select(
           col("doc_id"), fingerprint(tokens(col("text"))).as("fp")),
       None),
+
+    // t05b: the md5-composed twin of the same rolling fold under the FULL
+    // hash gate (t10/p02's md5 precedent) — the per-token hash swaps from
+    // xxhash64 to a 60-bit md5 prefix both engines compute identically;
+    // the fold (acc*31 + h mod 1000003) mod 1e9+7 is byte-equal BIGINT
+    // arithmetic on both sides. DuckDB list_reduce seeds with the first
+    // element, which equals the Spark fold's first step from init 0.
+    Q("t05b_fingerprint_md5",
+      (s, d) =>
+        Tables.t(s, d, "documents").select(
+          col("doc_id"), fingerprintMd5(tokens(col("text"))).as("fp")),
+      Some("""SELECT doc_id, list_reduce(
+             |list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             |tk -> CAST(('0x' || substr(md5(tk),1,15)) AS BIGINT) % 1000003),
+             |(acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+             |FROM documents"""
+        .stripMargin.replace('\n', ' '))),
 
     // Oracle restates qualityScore's exact arithmetic (same literals, same
     // left-assoc blend order) so the unrounded doubles are IEEE-identical;
