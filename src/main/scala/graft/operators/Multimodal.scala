@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * reference): image/audio/video payloads are opaque BINARY columns with
   * typed metadata travelling beside them. The Spark-side plumbing —
   * binary schema, per-row metadata extraction, frame explosion and
-  * re-aggregation, partition behavior — is real and tested; the actual
-  * codec DECODE step is a clearly-marked deterministic stub (`fakeDecode`)
-  * because no image/audio libraries exist in this container. Swapping the
-  * stub for a real decoder is a drop-in replacement of one expression (or
-  * a mapPartitions batch-decode) — nothing else in the pipeline changes.
+  * re-aggregation, partition behavior — is real and tested, and
+  * [[Multimodal.decodeHeader]] genuinely parses PNG IHDR / BMP DIB
+  * headers (plain integer fields, no codec library needed). Payloads
+  * matching neither magic fall back to the clearly-marked deterministic
+  * stub (`fakeDecode`) — compressed-codec decode needs image/audio
+  * libraries this container doesn't have. Swapping that fallback for a
+  * real decoder is a drop-in replacement of one expression (or a
+  * mapPartitions batch-decode) — nothing else in the pipeline changes.
   *
   * Scale: everything here is per-row expression work over a binary column
   * — single scan, no shuffle, codegen-friendly, and at 100 TB the binary
@@ -34,13 +37,86 @@ object Multimodal {
   def magic(bin: Column): Column = substring(hex(bin), 1, 8)
 
   /** STUB DECODE — deterministic fake of an image decode. A real
-    * implementation would parse the codec header; this derives plausible
-    * (width, height, channels) from a hash of the bytes so the downstream
-    * schema/partitioning/aggregation plumbing is exercised honestly. */
+    * implementation would parse the codec header ([[decodeHeader]] does,
+    * for PNG/BMP); this derives plausible (width, height, channels) from
+    * a hash of the bytes so the downstream schema/partitioning/aggregation
+    * plumbing is exercised honestly on payloads with no real magic. */
   def fakeDecode(bin: Column): Column = struct(
     (pmod(xxhash64(bin), lit(608L)) + 32L).cast("int").as("width"),
     (pmod(xxhash64(bin, lit(1)), lit(608L)) + 32L).cast("int").as("height"),
     lit(3).as("channels"))
+
+  // ---- real header parsing (PNG IHDR / BMP DIB) -------------------------
+  // Plain fixed-offset integer fields — no codec library needed, and the
+  // byte plumbing is pure codegen'd built-ins (substring on BINARY is
+  // byte-addressed; hex → conv parses the big-endian value directly,
+  // little-endian fields recombine per-byte). All offsets 1-based to
+  // match substring.
+
+  /** Big-endian uint32 at byte offset `off` (PNG's integer encoding). */
+  private def beU32(bin: Column, off: Int): Column =
+    conv(hex(substring(bin, off, 4)), 16, 10).cast("long")
+  /** Single byte as 0..255. */
+  private def byteAt(bin: Column, off: Int): Column =
+    conv(hex(substring(bin, off, 1)), 16, 10).cast("long")
+  /** Little-endian uint32 (BMP's integer encoding). */
+  private def leU32(bin: Column, off: Int): Column =
+    byteAt(bin, off) + byteAt(bin, off + 1) * 256L +
+      byteAt(bin, off + 2) * 65536L + byteAt(bin, off + 3) * 16777216L
+  /** Little-endian uint16. */
+  private def leU16(bin: Column, off: Int): Column =
+    byteAt(bin, off) + byteAt(bin, off + 1) * 256L
+  /** Reinterpret a uint32 column as signed int32 (BMP dims are signed;
+    * a negative height means a top-down bitmap). */
+  private def s32(u: Column): Column =
+    when(u > 2147483647L, u - 4294967296L).otherwise(u)
+
+  /** REAL magic-dispatched header decode for the two formats whose
+    * headers are plain integer fields:
+    *
+    *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+    *    chunk at a FIXED position (PNG spec: IHDR must be first) —
+    *    width/height are big-endian uint32 at offsets 17/21, color type
+    *    at 26 maps to channels (0 gray→1, 2 rgb→3, 3 palette→1,
+    *    4 gray+alpha→2, 6 rgba→4).
+    *  - BMP: `BM` magic, then the DIB header — width/height are
+    *    little-endian int32 at offsets 19/23 (|height|: negative =
+    *    top-down row order, same pixel dims), bits-per-pixel uint16 at
+    *    29 maps to channels (8→1, 24→3, 32→4). The DIB size field at
+    *    offset 15 must be a known header size (40/108/124) — the same
+    *    second factor real sniffers require, so text that merely starts
+    *    with "BM" cannot be mis-parsed.
+    *
+    * Payloads matching neither magic keep the [[fakeDecode]] stub — the
+    * honest container-constrained boundary (no codec libs here), now at
+    * the same place a real pipeline puts it: after magic dispatch fails.
+    * Same struct schema as fakeDecode, so every downstream consumer
+    * (mm02/mm03 plumbing, resize planning) is unchanged. */
+  def decodeHeader(bin: Column): Column = {
+    val isPng = octet_length(bin) >= 26 &&
+      hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(bin, 13, 4)) === "49484452"
+    val colorType = byteAt(bin, 26)
+    val pngChannels = when(colorType === 0, 1).when(colorType === 2, 3)
+      .when(colorType === 3, 1).when(colorType === 4, 2)
+      .when(colorType === 6, 4).otherwise(3)
+    val dibSize = leU32(bin, 15)
+    val isBmp = octet_length(bin) >= 30 &&
+      hex(substring(bin, 1, 2)) === "424D" &&
+      (dibSize === 40L || dibSize === 108L || dibSize === 124L)
+    val bpp = leU16(bin, 29)
+    val bmpChannels = when(bpp === 8, 1).when(bpp === 24, 3)
+      .when(bpp === 32, 4).otherwise(3)
+    when(isPng, struct(
+      beU32(bin, 17).cast("int").as("width"),
+      beU32(bin, 21).cast("int").as("height"),
+      pngChannels.cast("int").as("channels")))
+      .when(isBmp, struct(
+        s32(leU32(bin, 19)).cast("int").as("width"),
+        abs(s32(leU32(bin, 23))).cast("int").as("height"),
+        bmpChannels.cast("int").as("channels")))
+      .otherwise(fakeDecode(bin))
+  }
 
   /** STUB RESIZE — metadata-only: computes the target dims a real resize
     * kernel would produce (fit inside maxDim, aspect preserved). */
@@ -90,11 +166,18 @@ object MultimodalQueries {
              |FROM documents""".stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // mm02/mm03 run the REAL magic-dispatched decodeHeader — on this
+    // text-bytes corpus every payload fails magic dispatch and lands on
+    // the fakeDecode fallback (by construction: no document starts with
+    // the PNG signature's control bytes or a BM + valid-DIB-size pair),
+    // so the entries stay rows-only/deterministic while the header-parse
+    // path itself is spec-verified on hand-built PNG/BMP byte literals
+    // (MultimodalSpec).
     Q("mm02_image_meta",
       (s, d) => {
         val bin = payload(col("text"))
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), fakeDecode(bin).as("meta"))
+          .select(col("doc_id"), decodeHeader(bin).as("meta"))
           .select(
             col("doc_id"),
             col("meta.width").as("width"),
@@ -109,7 +192,7 @@ object MultimodalQueries {
       (s, d) => {
         val bin = payload(col("text"))
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), fakeDecode(bin).as("meta"))
+          .select(col("doc_id"), decodeHeader(bin).as("meta"))
           .select(col("doc_id"),
             resizePlan(col("meta"), maxDim = 256).as("r"))
           .select(col("doc_id"), col("r.out_width").as("out_width"),
