@@ -146,6 +146,30 @@ object TextFunctions {
         conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % 1000003L)
         % 1000000007L)
 
+  // ---- PII detection / redaction ----------------------------------------
+  // Patterns restricted to syntax Java regex and RE2 (the DuckDB engine)
+  // interpret identically — character classes, bounded repetition, no
+  // backreferences/lookaround — so detection counts and replacements are
+  // byte-equal cross-engine (t19's gate proves it).
+
+  /** Email address (practical form, not full RFC 5322). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** International phone in +CC-NNN-NNNN shape. */
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  /** Dotted-quad IPv4 (syntactic: octet range not enforced). */
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>, in that
+    * order (emails first: their domain part would otherwise feed the IP
+    * pattern a dotted tail). Pure per-row codegen'd regexp work — the PII
+    * scrub every training-data pipeline runs before tokenization. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(

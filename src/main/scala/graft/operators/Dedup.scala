@@ -78,6 +78,76 @@ object Dedup {
       .select(md5(col("ntext")).as("h"), col("keep_id"), col("n"))
   }
 
+  /** SEGMENT the corpus into non-overlapping fixed token windows —
+    * (doc_id, seg_id, seg) rows, the unit for [[removeBoilerplate]].
+    * Real corpora segment on structure (newlines, sentences); this
+    * token-window segmenter is the structure-free fallback (the synthetic
+    * corpus has no newlines) — swap in [[lineSegments]] when the text has
+    * them. Per-row explode, no shuffle; tokens staged through a
+    * projection so the slice lambda references an attribute, never a
+    * duplicated subtree (the O(d²) pitfall). */
+  def segmentsByTokens(docs: DataFrame, segLen: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("__toks")) - 1) / lit(segLen)).cast("int")),
+        i => concat_ws(" ", slice(col("__toks"),
+          i * segLen + lit(1), lit(segLen))))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
+        col("col").as("seg"))
+
+  /** Newline segmenter for corpora with real line structure — same
+    * (doc_id, seg_id, seg) contract as [[segmentsByTokens]]. */
+  def lineSegments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
+        col("col").as("seg"))
+
+  /** CCNet-style BOILERPLATE-SEGMENT removal — the line-level dedup every
+    * web-corpus pipeline runs before document-level dedup: a segment whose
+    * exact content appears in more than `maxDocFrac` of all documents
+    * (nav bars, cookie banners, license footers) is dropped from every
+    * document; survivors reassemble in original order. Input is any
+    * (doc_id, seg_id, seg) frame; output (doc_id, n_segs, n_kept,
+    * clean_text) keeps docs whose every segment was boilerplate (n_kept
+    * 0, empty text) so the caller sees the full decision surface.
+    *
+    * Scale shape at 100 TB: one segment-level shuffle for the
+    * document-frequency aggregate; the boilerplate key set is SMALL by
+    * construction (each key spans > maxDocFrac of the corpus), so the
+    * anti-join broadcasts — but is left planner-decided (a degenerate
+    * all-duplicate corpus could inflate it past any ceiling, the t16
+    * vocab-join reasoning). The anti-join keys on md5(seg) — 16 bytes
+    * through the exchange instead of arbitrary-length segment text; the
+    * frequency threshold is a corpus FRACTION, not an absolute count, so
+    * the same parameter works at any scale. The reassembly
+    * (collect_list + array_sort per doc) carries each doc's segments
+    * once — the same per-doc row-group shape as the t12 packing lanes. */
+  def removeBoilerplate(segs: DataFrame, maxDocFrac: Double): DataFrame = {
+    val s = ManagedCache.persist(segs.withColumn("__k", md5(col("seg"))))
+    val perDoc = ManagedCache.persist(
+      s.groupBy("doc_id").agg(count(lit(1)).as("n_segs")))
+    // total doc count derives from the small per-doc aggregate — never a
+    // second corpus scan
+    val total = perDoc.agg(count(lit(1)).as("n_docs"))
+    val boiler = s.groupBy("__k")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .select("__k")
+    val kept = s.join(boiler, Seq("__k"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+          x => x.getField("seg"))).as("clean_text"))
+    perDoc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** (doc_id, shh, sig) prepared frame: per-row expression work only.
     * `shh` is the distinct shingle HASH set — the unit for both banding and
     * the exact-jaccard verify (jaccard over 64-bit hash sets equals jaccard
@@ -775,6 +845,37 @@ object DedupQueries {
              |JOIN s sb ON sb.doc_id = p.old_id)
              |SELECT new_id, old_id, jac FROM j WHERE jac >= 0.8"""
         .stripMargin.replace('\n', ' '))),
+
+    // BOILERPLATE-SEGMENT removal (CCNet line-dedup shape) — 2-token
+    // windows stand in for lines on this newline-free corpus; a segment
+    // in > 5% of documents is boilerplate. The md5 anti-join key is
+    // Spark-side only (the oracle anti-joins the segment string — results
+    // identical up to md5 collision, the d07 hash-set argument); the
+    // reassembled clean_text puts the whole keep/drop/reorder surface
+    // under the hash gate.
+    Q("d11_boilerplate",
+      (s, d) => Dedup.removeBoilerplate(
+        Dedup.segmentsByTokens(Tables.t(s, d, "documents"), segLen = 2),
+        maxDocFrac = 0.05),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |seg AS (SELECT doc_id, s AS seg_id,
+             |array_to_string(toks[s*2+1 : s*2+2], ' ') AS seg
+             |FROM tk, unnest(range(0, (len(toks)-1)//2 + 1)) t(s)),
+             |pd AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id),
+             |tot AS (SELECT count(*) AS n_docs FROM pd),
+             |b AS (SELECT seg FROM
+             |(SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+             |CROSS JOIN tot WHERE df > n_docs * 0.05),
+             |ka AS (SELECT doc_id, count(*) AS n_kept,
+             |string_agg(seg, ' ' ORDER BY seg_id) AS clean_text
+             |FROM seg WHERE seg NOT IN (SELECT seg FROM b) GROUP BY doc_id)
+             |SELECT pd.doc_id, pd.n_segs,
+             |coalesce(ka.n_kept, 0) AS n_kept,
+             |coalesce(ka.clean_text, '') AS clean_text
+             |FROM pd LEFT JOIN ka USING (doc_id)"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // CALIBRATED quality filtering — the two-pass pattern every corpus
     // pipeline uses when a fixed cutoff is wrong per slice: pass 1

@@ -106,6 +106,36 @@ object CorpusStats {
         max(col("n_s")).as("n_tokens"),
         round(sum(col("term_kl")), 4).as("kl"))
   }
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the sampling-weight table a
+    * pretraining mixture reads after t17's drift diagnostic: source s
+    * gets weight w_s = n_s^α / Σ_t n_t^α (α < 1 upsamples small
+    * high-value sources, the standard multilingual/multi-source
+    * temperature trick), plus the per-source boost factor
+    * w_s · N / n_s (how many times each source's tokens are over- or
+    * under-sampled vs proportional). Shape at 100 TB: one corpus scan
+    * for per-source token counts (partial-agg on the tiny source key),
+    * then all arithmetic on the sources-row table; the totals cross-join
+    * is 1-row broadcast. round(., 4) absorbs cross-engine pow/sum ulp
+    * noise (q28/e04 precedent); every output is positive (no −0.0
+    * hazard). */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val perSrc = ManagedCache.persist(
+      docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens")))
+    val tot = perSrc.agg(
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("z"),
+      sum(col("n_tokens")).as("n_total"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("z"), 4)
+          .as("weight"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("z") *
+          col("n_total").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("boost"))
+  }
 }
 
 /** Text-analysis queries over the `documents` table (doc_id, text, lang,
@@ -490,6 +520,74 @@ object TextQueries {
              |/ CAST(sum(c_td) AS DOUBLE), 4) + 0.0 AS logloss
              |FROM td JOIN uni USING (w) CROSS JOIN n GROUP BY doc_id"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // PII DETECTION + REDACTION — the scrub step before tokenization.
+    // The corpus is synthetic word-soup with no real PII, so the query
+    // INJECTS deterministic doc_id-derived PII (one email, one phone,
+    // one IPv4 per doc) before detecting/redacting: the gate then proves
+    // the regex semantics and the three-stage replacement are
+    // byte-identical cross-engine on text where the patterns actually
+    // fire — a no-op redaction would gate nothing. Counts are cast to
+    // long on the Spark side (regexp_count yields int; DuckDB len()
+    // yields BIGINT). Per-row codegen'd regexp work, single scan, no
+    // shuffle.
+    Q("t19_pii_redaction",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .withColumn("__pt", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".17")))
+          .select(col("doc_id"),
+            regexp_count(col("__pt"), lit(emailRe)).cast("long")
+              .as("n_emails"),
+            regexp_count(col("__pt"), lit(phoneRe)).cast("long")
+              .as("n_phones"),
+            regexp_count(col("__pt"), lit(ipv4Re)).cast("long")
+              .as("n_ips"),
+            length(redactPii(col("__pt"))).cast("long").as("clean_len"),
+            md5(redactPii(col("__pt"))).as("clean_md5")),
+      Some("""WITH p AS (SELECT doc_id, concat(text,
+             |' contact user', CAST(doc_id AS VARCHAR),
+             |'@mail.example.com or call +1-555-',
+             |lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+             |' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.17') AS pt
+             |FROM documents),
+             |r AS (SELECT doc_id, regexp_replace(regexp_replace(
+             |regexp_replace(pt,
+             |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |'\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |'([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS ct, pt FROM p)
+             |SELECT doc_id,
+             |CAST(len(regexp_extract_all(pt,
+             |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |AS n_emails,
+             |CAST(len(regexp_extract_all(pt,
+             |'\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |CAST(len(regexp_extract_all(pt,
+             |'([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+             |CAST(length(ct) AS BIGINT) AS clean_len,
+             |md5(ct) AS clean_md5 FROM r"""
+        .stripMargin.replace('\n', ' '))),
+
+    // DATA-MIXING WEIGHTS: see [[CorpusStats.mixtureWeights]]. Pairs with
+    // t17 (drift tells you WHICH sources diverge; this sets the sampling
+    // temperature across them).
+    Q("t20_mix_weights",
+      (s, d) => CorpusStats.mixtureWeights(Tables.t(s, d, "documents")),
+      Some("""WITH ps AS (SELECT source, count(*) AS n_docs,
+             |CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             |AS BIGINT) AS n_tokens FROM documents GROUP BY source),
+             |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z,
+             |CAST(sum(n_tokens) AS BIGINT) AS n_total FROM ps)
+             |SELECT source, n_docs, n_tokens,
+             |round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 4) AS weight,
+             |round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z *
+             |CAST(n_total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS boost
+             |FROM ps CROSS JOIN t"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

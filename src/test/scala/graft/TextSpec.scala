@@ -252,4 +252,48 @@ class TextSpec extends SparkSpec {
     assert(!driftPlan.contains("CartesianProduct"), s"plan:\n$driftPlan")
     ManagedCache.releaseAll()
   }
+
+  test("redactPii replaces emails, phones, and IPv4s and leaves clean " +
+    "text untouched") {
+    val sq = spark; import sq.implicits._
+    val rows = Seq(
+      "write to jane.doe+spam@sub.example.org today",
+      "call +44-207-9460 or +1-555-0133 now",
+      "server at 192.168.0.1 and 10.0.255.17 up",
+      "mixed: bob@x.io, +1-555-0000, 8.8.8.8",
+      "nothing sensitive in this sentence at all",
+      "not-an-email @ example dot com 1.2.3" // 3 octets: no IPv4 match
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq(
+      "write to <EMAIL> today",
+      "call <PHONE> or <PHONE> now",
+      "server at <IP> and <IP> up",
+      "mixed: <EMAIL>, <PHONE>, <IP>",
+      "nothing sensitive in this sentence at all",
+      "not-an-email @ example dot com 1.2.3"))
+  }
+
+  test("mixtureWeights: weights sum to 1, alpha<1 boosts small sources, " +
+    "alpha=1 is proportional (boost 1)") {
+    val sq = spark; import sq.implicits._
+    // source b has ~9x source a's tokens
+    val corpus = (1L to 10L).map(i => (i, "a", "one two three")) ++
+      (11L to 100L).map(i => (i, "b", "four five six"))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val w = CorpusStats.mixtureWeights(df, alpha = 0.3)
+      .orderBy("source").collect()
+    ManagedCache.releaseAll()
+    assert(math.abs(w.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    // temperature flattening: the small source is over-sampled vs
+    // proportional (boost > 1), the big one under-sampled (boost < 1)
+    assert(w(0).getDouble(4) > 1.0 && w(1).getDouble(4) < 1.0)
+    val prop = CorpusStats.mixtureWeights(df, alpha = 1.0)
+      .orderBy("source").collect()
+    ManagedCache.releaseAll()
+    assert(prop.forall(r => math.abs(r.getDouble(4) - 1.0) < 1e-9),
+      "alpha=1 must reproduce proportional sampling exactly")
+    // and the proportional weight equals the token share
+    assert(math.abs(prop(0).getDouble(3) - 0.1) < 1e-9)
+  }
 }
