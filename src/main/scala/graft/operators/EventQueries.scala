@@ -426,7 +426,20 @@ object EventQueries {
              |JOIN s sb ON sb.doc_id = p.old_id)
              |SELECT CAST('2026-01-01 10:00:00' AS TIMESTAMP) AS h,
              |new_id, old_id, jac FROM j WHERE jac >= 0.8"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // s11: EXECUTED APPEND-mode streaming gate — the stateless
+    // map-only shape the other executed gates don't cover (s07/s08/s10
+    // are all stateful aggregates in complete mode): the t19 PII scrub
+    // runs unchanged over the document file stream (no watermark, no
+    // state store — per-row regexp work), drained with AvailableNow into
+    // an append-mode sink and checked against the SAME DuckDB oracle as
+    // the batch t19. This is the production shape of a firehose scrub:
+    // transform-and-emit, no shuffle, each micro-batch independent.
+    Q("s11_stream_pii_scrub",
+      (s, d) => drainStream(s, TextQueries.piiScrubbed(docStream(s, d)),
+        mode = "append"),
+      Some(TextQueries.piiScrubOracle))
   )
 
   /** File-source stream over the events parquet: explicit schema from a
@@ -457,17 +470,19 @@ object EventQueries {
       .parquet(d)
   }
 
-  /** Drain a streaming aggregate with Trigger.AvailableNow into a
-    * complete-mode memory sink and return the settled table. The temp
+  /** Drain a streaming frame with Trigger.AvailableNow into a memory
+    * sink and return the settled table — complete mode for aggregates
+    * (s07/s08/s10), append mode for stateless transforms (s11). The temp
     * view is dropped before returning — the resolved plan keeps the sink
     * relation alive for the caller, but repeated builds (hash-gate
     * sweeps, specs) must not accumulate a view + result per run. */
   private def drainStream(
-      s: org.apache.spark.sql.SparkSession, agg: DataFrame): DataFrame = {
+      s: org.apache.spark.sql.SparkSession, agg: DataFrame,
+      mode: String = "complete"): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val sink = s"stream_out_${java.util.UUID.randomUUID().toString.take(8)}"
     val query = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     try query.awaitTermination() finally query.stop()
     val out = s.table(sink) // resolves the plan against the sink relation
     s.catalog.dropTempView(sink)

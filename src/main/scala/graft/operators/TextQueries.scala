@@ -142,6 +142,53 @@ object CorpusStats {
   * source, n_chars — FIXTURES.md §B). All single-scan, per-row expression
   * work: no shuffle, trivially parallel at 100 TB. */
 object TextQueries {
+
+  /** Shared t19/s11 builder: inject deterministic doc_id-derived PII
+    * (the corpus has none — a no-op redaction would gate nothing), then
+    * count and redact. Stateless per-row work, which is exactly why s11
+    * can run it under an APPEND-mode executed streaming gate. */
+  private[graft] def piiScrubbed(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("__pt", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".17")))
+      .select(col("doc_id"),
+        regexp_count(col("__pt"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("__pt"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("__pt"), lit(ipv4Re)).cast("long").as("n_ips"),
+        length(redactPii(col("__pt"))).cast("long").as("clean_len"),
+        md5(redactPii(col("__pt"))).as("clean_md5"))
+
+  /** The DuckDB twin of [[piiScrubbed]] — shared verbatim by t19 (batch)
+    * and s11 (executed stream): one oracle, two execution modes. */
+  private[graft] val piiScrubOracle: String =
+    """WITH p AS (SELECT doc_id, concat(text,
+      |' contact user', CAST(doc_id AS VARCHAR),
+      |'@mail.example.com or call +1-555-',
+      |lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.17') AS pt
+      |FROM documents),
+      |r AS (SELECT doc_id, regexp_replace(regexp_replace(
+      |regexp_replace(pt,
+      |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |'\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |'([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS ct, pt FROM p)
+      |SELECT doc_id,
+      |CAST(len(regexp_extract_all(pt,
+      |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |AS n_emails,
+      |CAST(len(regexp_extract_all(pt,
+      |'\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |CAST(len(regexp_extract_all(pt,
+      |'([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |CAST(length(ct) AS BIGINT) AS clean_len,
+      |md5(ct) AS clean_md5 FROM r"""
+      .stripMargin.replace('\n', ' ')
+
   val queries: Seq[Q] = Seq(
 
     Q("t01_token_stats",
@@ -328,7 +375,9 @@ object TextQueries {
     // corpus pipeline computes before choosing quality cutoffs. EXACT
     // interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`): one shuffle on the low-cardinality source key; at
-    // 100 TB swap to approx_percentile and drop the oracle, or pre-bin.
+    // 100 TB swap to approx_percentile (mergeable rank sketch, bounded
+    // memory — its accuracy vs this exact form is asserted in TextSpec)
+    // and drop the oracle, or pre-bin.
     Q("t09_length_percentiles",
       (s, d) =>
         Tables.t(s, d, "documents")
@@ -533,45 +582,8 @@ object TextQueries {
     // yields BIGINT). Per-row codegen'd regexp work, single scan, no
     // shuffle.
     Q("t19_pii_redaction",
-      (s, d) =>
-        Tables.t(s, d, "documents")
-          .withColumn("__pt", concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@mail.example.com or call +1-555-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-            lit(" from 10.0."),
-            pmod(col("doc_id"), lit(256)).cast("string"), lit(".17")))
-          .select(col("doc_id"),
-            regexp_count(col("__pt"), lit(emailRe)).cast("long")
-              .as("n_emails"),
-            regexp_count(col("__pt"), lit(phoneRe)).cast("long")
-              .as("n_phones"),
-            regexp_count(col("__pt"), lit(ipv4Re)).cast("long")
-              .as("n_ips"),
-            length(redactPii(col("__pt"))).cast("long").as("clean_len"),
-            md5(redactPii(col("__pt"))).as("clean_md5")),
-      Some("""WITH p AS (SELECT doc_id, concat(text,
-             |' contact user', CAST(doc_id AS VARCHAR),
-             |'@mail.example.com or call +1-555-',
-             |lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-             |' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.17') AS pt
-             |FROM documents),
-             |r AS (SELECT doc_id, regexp_replace(regexp_replace(
-             |regexp_replace(pt,
-             |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |'\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-             |'([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS ct, pt FROM p)
-             |SELECT doc_id,
-             |CAST(len(regexp_extract_all(pt,
-             |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-             |AS n_emails,
-             |CAST(len(regexp_extract_all(pt,
-             |'\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-             |CAST(len(regexp_extract_all(pt,
-             |'([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
-             |CAST(length(ct) AS BIGINT) AS clean_len,
-             |md5(ct) AS clean_md5 FROM r"""
-        .stripMargin.replace('\n', ' '))),
+      (s, d) => piiScrubbed(Tables.t(s, d, "documents")),
+      Some(piiScrubOracle)),
 
     // DATA-MIXING WEIGHTS: see [[CorpusStats.mixtureWeights]]. Pairs with
     // t17 (drift tells you WHICH sources diverge; this sets the sampling

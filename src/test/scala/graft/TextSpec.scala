@@ -253,6 +253,29 @@ class TextSpec extends SparkSpec {
     ManagedCache.releaseAll()
   }
 
+  test("approx_percentile — t09's documented 100 TB twin (mergeable rank " +
+    "sketch, bounded memory) — lands within the interquartile range and " +
+    "close to the exact median on every source") {
+    val rows = Tables.t(spark, sf, "documents")
+      .groupBy("source")
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+        percentile(col("n_chars"), lit(0.25)).as("p25"),
+        percentile(col("n_chars"), lit(0.75)).as("p75"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+          .cast("double").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getDouble(1)
+      val approx = r.getDouble(4) // an actual data point, not interpolated
+      assert(approx >= r.getDouble(2) && approx <= r.getDouble(3),
+        s"approx median $approx outside IQR for ${r.getString(0)}")
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
   test("redactPii replaces emails, phones, and IPv4s and leaves clean " +
     "text untouched") {
     val sq = spark; import sq.implicits._
