@@ -273,4 +273,45 @@ class StreamingSpec extends SparkSpec {
       ManagedCache.releaseAll()
     }
   }
+
+  test("checkpointed file-sink stream processes each input file exactly " +
+    "once across restarts (offset tracking + exactly-once sink)") {
+    import java.nio.file.{Files, Paths, Path}
+    import org.apache.spark.sql.streaming.Trigger
+    def tmp(p: String): Path = {
+      val d = Files.createTempDirectory(p); d.toFile.deleteOnExit(); d
+    }
+    val in = tmp("graft_ckpt_in")
+    val out = tmp("graft_ckpt_out")
+    val ckpt = tmp("graft_ckpt_state")
+    val src = Paths.get(s"$sf/documents.parquet")
+    val schema = spark.read.parquet(src.toString).schema
+    val nDocs = spark.read.parquet(src.toString).count()
+    def drain(): Unit = {
+      // the production shape: file source -> stateless scrub -> parquet
+      // sink with a REAL checkpoint (not the memory-sink test harness)
+      val q = TextQueries.piiScrubbed(
+        spark.readStream.schema(schema).parquet(in.toString))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Files.copy(src, in.resolve("batch1.parquet"))
+    drain()
+    assert(spark.read.parquet(out.toString).count() == nDocs)
+    // restart with NO new input: the checkpoint must prevent reprocessing
+    drain()
+    assert(spark.read.parquet(out.toString).count() == nDocs,
+      "restart without new files must not re-emit processed rows")
+    // a new file arrives: only the delta is processed
+    Files.copy(src, in.resolve("batch2.parquet"))
+    drain()
+    val res = spark.read.parquet(out.toString)
+    assert(res.count() == 2 * nDocs)
+    // each doc_id seen exactly twice - once per input file, never more
+    assert(res.groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() == 0)
+  }
 }
