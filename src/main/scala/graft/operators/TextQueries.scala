@@ -8,7 +8,7 @@ import TextFunctions._
   * parameterized by a docs frame so specs can drive them on hand-built
   * corpora; the t16/t17 catalog entries bind them to `documents`. */
 object CorpusStats {
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{Column, DataFrame}
 
   /** Adjacent-bigram PMI over a `text` column; see t16 for the scale
     * shape. Returns (w1, w2, c_ab, pmi) for bigrams with c_ab >= minCount. */
@@ -119,6 +119,79 @@ object CorpusStats {
     * is 1-row broadcast. round(., 4) absorbs cross-engine pow/sum ulp
     * noise (q28/e04 precedent); every output is positive (no −0.0
     * hazard). */
+  /** Greedy left-to-right single-pass merge of adjacent (left, right)
+    * symbol occurrences — standard BPE application order ("aaa" under
+    * (a,a) → [aa, a]). Interpreted HOF fold is fine here: it runs over
+    * the VOCABULARY table (one row per distinct word), never the corpus. */
+  private def mergePair(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === left && s === right,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE VOCABULARY INDUCTION (Sennrich et al. 2016) — trains the merge
+    * table a tokenizer pipeline ships: start from characters, repeatedly
+    * merge the most frequent adjacent symbol pair. Returns
+    * (rank, left, right, freq) — the ordered merge list IS the model.
+    * Ties break deterministically (freq desc, left asc, right asc).
+    *
+    * Scale shape at 100 TB — the part that matters: the corpus is
+    * scanned ONCE into the (word, count) vocabulary table; every merge
+    * round then runs on that vocabulary-sized table only (pair counts
+    * weighted by word frequency → 1-row argmax → rewrite), so `nMerges`
+    * rounds cost nMerges small jobs, not nMerges corpus scans — exactly
+    * how production BPE trainers are structured. Rows unaffected by a
+    * merge skip the rewrite fold behind a cheap array_contains guard.
+    * The per-round 1-row argmax collect is MODEL-parameter extraction
+    * (the merge being learned), not a data collect — the d08 iterative
+    * pattern with the same per-round cache rotation. */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var words = ManagedCache.persist(
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", split(col("w"), "")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val best = words
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        // arrays_zip names its struct fields "0"/"1" for non-attribute
+        // inputs (the slice expressions)
+        .select(col("p").getField("0").as("l"),
+          col("p").getField("1").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) rank = nMerges + 1 // every word fully merged
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, l, r, f))
+        val next = ManagedCache.persist(words.withColumn("syms",
+          when(array_contains(col("syms"), l) &&
+            array_contains(col("syms"), r),
+            mergePair(col("syms"), l, r))
+            .otherwise(col("syms"))))
+        next.count() // materialize before releasing the parent
+        // d08's rotation: direct unpersist; releaseAll's later
+        // re-unpersist of the tracked entry is a no-op
+        words.unpersist(blocking = false)
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+      .select(col("rank").cast("long"), col("left"), col("right"),
+        col("freq"))
+  }
+
   def mixtureWeights(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     val perSrc = ManagedCache.persist(
       docs.select(col("source"),
@@ -600,6 +673,17 @@ object TextQueries {
              |round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z *
              |CAST(n_total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS boost
              |FROM ps CROSS JOIN t"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // BPE vocabulary induction — see [[CorpusStats.bpeMerges]]. No SQL
+    // oracle (the merge loop is iterative; a recursive-CTE twin would be
+    // a different algorithm, not a check) → rows-only driver entry;
+    // correctness is spec-asserted against the hand-computed merge
+    // sequence of the classic Sennrich corpus, and the output is fully
+    // deterministic (tie-break pinned).
+    Q("t21_bpe_merges",
+      (s, d) => CorpusStats.bpeMerges(Tables.t(s, d, "documents"),
+        nMerges = 10),
+      None)
   )
 }

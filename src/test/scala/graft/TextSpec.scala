@@ -276,6 +276,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges reproduces the hand-computed merge sequence on the " +
+    "classic BPE example corpus (ties broken left-asc) and stops early " +
+    "when words are fully merged") {
+    val sq = spark; import sq.implicits._
+    // Sennrich et al. (2016)'s illustrative vocabulary, as documents with
+    // word multiplicity: low x5, lower x2, newest x6, widest x3.
+    // Hand derivation: pair counts give (e,s)=9 tied with (s,t)=9 -> left
+    // asc picks (e,s); then (es,t)=9; then (l,o)=7 tied with (o,w)=7 ->
+    // (l,o); then (lo,w)=7.
+    val corpus = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bpeMerges(corpus, nMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+    // early stop: a corpus whose words fully merge before nMerges rounds
+    // must return only the feasible merges, not loop or pad
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val m2 = CorpusStats.bpeMerges(tiny, nMerges = 5).collect()
+    assert(m2.length == 1 && m2(0).getString(1) == "a" &&
+      m2(0).getString(2) == "b")
+    ManagedCache.releaseAll()
+  }
+
   test("redactPii replaces emails, phones, and IPv4s and leaves clean " +
     "text untouched") {
     val sq = spark; import sq.implicits._
