@@ -229,12 +229,17 @@ object TextQueries {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" from 10.0."),
         pmod(col("doc_id"), lit(256)).cast("string"), lit(".17")))
+      // the redacted text is staged so the 3-stage regexp tree runs once
+      // per row even if codegen subexpression elimination is off (the
+      // quantizeInt8 staging discipline); length + md5 then read the
+      // attribute
+      .withColumn("__ct", redactPii(col("__pt")))
       .select(col("doc_id"),
         regexp_count(col("__pt"), lit(emailRe)).cast("long").as("n_emails"),
         regexp_count(col("__pt"), lit(phoneRe)).cast("long").as("n_phones"),
         regexp_count(col("__pt"), lit(ipv4Re)).cast("long").as("n_ips"),
-        length(redactPii(col("__pt"))).cast("long").as("clean_len"),
-        md5(redactPii(col("__pt"))).as("clean_md5"))
+        length(col("__ct")).cast("long").as("clean_len"),
+        md5(col("__ct")).as("clean_md5"))
 
   /** The DuckDB twin of [[piiScrubbed]] — shared verbatim by t19 (batch)
     * and s11 (executed stream): one oracle, two execution modes. */
