@@ -251,6 +251,79 @@ class ExecutionContext(
       .map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
+  /** CONSTRAINT AUDIT — the operator that makes the recorded-not-enforced
+    * registry actionable: for every `graft.*` constraint on `name`,
+    * count its violations in the current data. The reference (like
+    * Spark) declares PK/FK/UNIQUE/CHECK without enforcing them
+    * (`src/planner/common.rs:92-110`); a training-data pipeline
+    * periodically runs exactly this report to catch drift the write path
+    * let through. Returns (constraint_name, n_violations), one row per
+    * recorded constraint, sorted by name:
+    *
+    *  - `primary_key(cols)` / `unique(cols)`: rows in excess of distinct
+    *    key tuples (count(*) − count(distinct cols); rows with a null
+    *    key column are skipped by the distinct count, SQL semantics).
+    *  - `notnull(col)`: rows where the column is null (0 for columns the
+    *    engine enforced at write — the audit PROVES enforcement held).
+    *  - `check(expr)`: rows where the expression is definitely false
+    *    (null = unknown passes, SQL standard).
+    *  - `fk((a,b) REFERENCES t (x,y))`: rows whose fully-non-null key
+    *    tuple has no match in the referenced table (left-anti count).
+    *
+    * Shape at 100 TB: each audit row is one partial-aggregate scan or
+    * one anti-join — all declarative, unioned lazily into a single
+    * frame; constraint cardinality is tiny, data never collects. */
+  def auditConstraints(name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    requireTable(name)
+    val props = tableProperties(name)
+    val t = spark.table(name)
+    def dupViolations(label: String, cols: Seq[String]): DataFrame =
+      t.agg((count(lit(1)) -
+        countDistinct(cols.head, cols.tail: _*)).as("n"))
+        .select(lit(label).as("constraint_name"),
+          col("n").cast("long").as("n_violations"))
+    def agg1(label: String,
+        violated: org.apache.spark.sql.Column): DataFrame =
+      t.agg(coalesce(sum(when(violated, 1L).otherwise(0L)), lit(0L))
+        .as("n"))
+        .select(lit(label).as("constraint_name"),
+          col("n").cast("long").as("n_violations"))
+    val FkRe = """\(([^)]*)\)\s+REFERENCES\s+(\S+)\s+\(([^)]*)\)""".r
+    val audits: Seq[DataFrame] =
+      props.get("graft.primary_key").toSeq.map { cs =>
+        dupViolations(s"primary_key($cs)", cs.split(',').toSeq)
+      } ++
+      props.get("graft.notnull").toSeq.flatMap(_.split(',').toSeq).map { c =>
+        agg1(s"notnull($c)", col(c).isNull)
+      } ++
+      props.collect { case (k, cs) if k.startsWith("graft.constraint.unique.") =>
+        dupViolations(s"unique($cs)", cs.split(',').toSeq)
+      } ++
+      props.collect { case (k, e) if k.startsWith("graft.constraint.check.") =>
+        agg1(s"check($e)", !coalesce(expr(e), lit(true)))
+      } ++
+      props.collect { case (k, v) if k.startsWith("graft.constraint.fk.") =>
+        val FkRe(cols, ft, fcols) = v
+        val keys = cols.split(',').map(_.trim).toSeq
+        val fkeys = fcols.split(',').map(_.trim).toSeq
+        requireTable(ft)
+        val probe = t.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        val target = spark.table(ft)
+          .select(fkeys.zip(keys).map { case (f, k) => col(f).as(k) }: _*)
+        probe.join(target, keys, "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(s"fk($v)").as("constraint_name"),
+            col("n").cast("long").as("n_violations"))
+      }
+    audits
+      .reduceOption(_.union(_))
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("constraint_name"),
+          lit(0L).as("n_violations")).limit(0))
+      .orderBy("constraint_name")
+  }
+
   /** DROP TABLE [IF EXISTS] name[, ...] [CASCADE] — multi-name with
     * existence validation (`tmp/crud.txt:349-371`); CASCADE also drops the
     * table's registered indexes. */

@@ -274,6 +274,37 @@ object DmlQueries {
       },
       Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE)),
              |(2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, name, score)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CONSTRAINT AUDIT — DDL with the full constraint surface through the
+    // SQL rewrite path, data inserted past the unenforced constraints
+    // (duplicate PK, duplicate UNIQUE name, negative CHECK qty — exactly
+    // what recorded-not-enforced permits), then
+    // ExecutionContext.auditConstraints turns the registry into violation
+    // counts. notnull(id) = 0 is evidence the one constraint Spark DOES
+    // enforce (NOT NULL in real DDL) held at write.
+    Q("m08_constraint_audit",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        val loc = Dml.work("m08", d) + "/audited"
+        ctx.execute("DROP TABLE IF EXISTS g_audit_items")
+        ctx.execute(
+          s"""CREATE TABLE g_audit_items (id BIGINT PRIMARY KEY,
+             |name STRING, qty INT, UNIQUE (name), CHECK (qty >= 0))
+             |USING parquet LOCATION '$loc'"""
+            .stripMargin.replace('\n', ' '))
+        ctx.execute(
+          """INSERT OVERWRITE g_audit_items VALUES
+            |(1, 'a', 5), (1, 'b', -2), (2, 'a', 3), (3, 'c', 0)"""
+            .stripMargin.replace('\n', ' '))
+        ctx.auditConstraints("g_audit_items")
+      },
+      Some("""SELECT * FROM (VALUES
+             |('check(qty >= 0)', CAST(1 AS BIGINT)),
+             |('notnull(id)', CAST(0 AS BIGINT)),
+             |('primary_key(id)', CAST(1 AS BIGINT)),
+             |('unique(name)', CAST(1 AS BIGINT)))
+             |t(constraint_name, n_violations)"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -478,4 +478,31 @@ class ExecutionContextSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.dropTable(Seq("spec_t1")))
     c.dropTable(Seq("spec_t1"), ifExists = true)
   }
+
+  test("auditConstraints counts FK orphans (non-null key tuples with no " +
+    "match) and ignores null-keyed rows, SQL semantics") {
+    import org.apache.spark.sql.types._
+    val c = ctx
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fk_audit").toString
+    c.execute("DROP TABLE IF EXISTS spec_fk_parent")
+    c.execute("DROP TABLE IF EXISTS spec_fk_child")
+    c.execute(s"""CREATE TABLE spec_fk_parent (pid BIGINT PRIMARY KEY)
+      USING parquet LOCATION '$base/parent'""")
+    c.execute("INSERT OVERWRITE spec_fk_parent VALUES (1), (2)")
+    c.execute(s"""CREATE TABLE spec_fk_child (cid BIGINT, pid BIGINT,
+      FOREIGN KEY (pid) REFERENCES spec_fk_parent (pid))
+      USING parquet LOCATION '$base/child'""")
+    // pid=7 is an orphan; pid=NULL is not audited (unknown, SQL passes)
+    c.execute(
+      "INSERT OVERWRITE spec_fk_child VALUES (10, 1), (11, 7), (12, NULL)")
+    val audit = c.auditConstraints("spec_fk_child").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fkRow = audit.collectFirst {
+      case (k, v) if k.startsWith("fk(") => (k, v)
+    }
+    assert(fkRow.exists(_._2 == 1L), s"audit rows: $audit")
+    c.execute("DROP TABLE spec_fk_child")
+    c.execute("DROP TABLE spec_fk_parent")
+  }
 }
