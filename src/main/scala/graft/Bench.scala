@@ -81,15 +81,22 @@ object Bench {
     // the WHOLE line under the driver's ~2,000-byte capture at 29
     // queries. Drivers parse only the "queries" map; "spread" and
     // "failed" are additive.
+    // spread at 1 ms granularity (vs the medians' 0.1 ms): it is a
+    // noise DIAGNOSTIC (max/median ratio), and the 2 bytes saved per
+    // number keep the 31-query line inside the capture window
+    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     val spread = results.map { case (k, t) =>
-      JsonOut.str(k) + ":" + s"""[${f4(t(0))},${f4(t(2))}]"""
+      JsonOut.str(k) + ":" + s"""[${f3(t(0))},${f3(t(2))}]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).filter(_ >= 0).sum
     // a failed query is -1 in "queries" and EXCLUDED from "value" — the
     // top-level failed count keeps a shrunken total from reading as a
     // speedup when a heavy query errors out
     val failed = results.count(_._2(1) < 0)
-    println(s"""{"sf":${JsonOut.str(sfDir)},"failed":$failed,"queries":$qs,"spread":$spread,"unit":"sec","metric":"total","value":${f4(total)}}""")
+    // basename only: the parent dir is always the fixture root, and the
+    // full path spends capture-window bytes on no information
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"queries":$qs,"spread":$spread,"unit":"sec","metric":"total","value":${f4(total)}}""")
     spark.stop()
   }
 }

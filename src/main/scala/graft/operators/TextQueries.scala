@@ -661,7 +661,8 @@ object TextQueries {
     // shuffle.
     Q("t19_pii_redaction",
       (s, d) => piiScrubbed(Tables.t(s, d, "documents")),
-      Some(piiScrubOracle)),
+      Some(piiScrubOracle),
+      bench = true),
 
     // DATA-MIXING WEIGHTS: see [[CorpusStats.mixtureWeights]]. Pairs with
     // t17 (drift tells you WHICH sources diverge; this sets the sampling
