@@ -248,6 +248,15 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       trainCap: Int = 100000): DataFrame = {
+    val (model, assigned) = builtIvfIndex(corpus, nlist, trainCap)
+    ivfQuery(queries, model, assigned, k, nprobe)
+  }
+
+  /** Train-or-reuse the session-cached IVF index for `corpus`. */
+  private def builtIvfIndex(
+      corpus: DataFrame,
+      nlist: Int,
+      trainCap: Int): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -257,7 +266,7 @@ object Similarity {
     // hit would hand out a frame whose context may be stopped
     val cacheKey = (System.identityHashCode(spark),
       corpus.queryExecution.analyzed.canonicalized, nlist, trainCap)
-    val (model, assigned) = ivfIndexes.synchronized {
+    ivfIndexes.synchronized {
       val entry = ivfIndexes.getOrElseUpdate(cacheKey, {
         ivfIndexBuilds += 1
         val c = ManagedCache.persist(Dedup.spread(corpus)
@@ -289,6 +298,43 @@ object Similarity {
       // re-registers it when it was released
       (entry._1, ManagedCache.persist(entry._2))
     }
+  }
+
+  /** INDEX PERSISTENCE — the deployed-ANN-service lifecycle: the trained
+    * quantizer plus the assigned corpus ARE the index; a maintenance job
+    * builds and [[saveIvfIndex]]s them, serving sessions
+    * [[loadIvfIndex]] + [[ivfQuery]] without ever re-scanning or
+    * re-training. The assigned corpus writes as plain parquet
+    * (re-partitionable, bucketable by list_id at scale); the model is an
+    * MLlib writer artifact (centroids — tiny). */
+  def saveIvfIndex(
+      path: String,
+      corpus: DataFrame,
+      nlist: Int = 16,
+      trainCap: Int = 100000): Unit = {
+    val (model, assigned) = builtIvfIndex(corpus, nlist, trainCap)
+    model.write.overwrite().save(s"$path/model")
+    assigned.write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Load a saved IVF index; the assigned corpus is persisted (tracked,
+    * released by the caller's ManagedCache.releaseAll like every other
+    * pipeline cache). */
+  def loadIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    (org.apache.spark.ml.clustering.KMeansModel.load(s"$path/model"),
+      ManagedCache.persist(spark.read.parquet(s"$path/assigned")))
+
+  /** The query stage of [[ivfTopK]] against an already-built (or
+    * [[loadIvfIndex]]-loaded) index. */
+  def ivfQuery(
+      queries: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
     val sq = spark; import sq.implicits._
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq

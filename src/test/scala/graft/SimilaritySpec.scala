@@ -322,4 +322,24 @@ class SimilaritySpec extends SparkSpec {
     val recall = quant.intersect(full).size.toDouble / full.size
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  test("IVF index save/load round trip: querying the loaded index " +
+    "returns exactly the live-index answer without retraining") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val live = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
+      .collect().map(r => r.toSeq).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    val buildsBefore = Similarity.ivfIndexBuilds
+    Similarity.saveIvfIndex(dir, emb, nlist = 16)
+    // save reuses the session-cached index — no second train+assign
+    assert(Similarity.ivfIndexBuilds == buildsBefore)
+    ManagedCache.releaseAll() // serving session starts cold
+    val (model, assigned) = Similarity.loadIvfIndex(spark, dir)
+    val loaded = Similarity.ivfQuery(q, model, assigned, 5, nprobe = 4)
+      .collect().map(r => r.toSeq).toSet
+    assert(loaded == live && loaded.nonEmpty)
+    ManagedCache.releaseAll()
+  }
 }
