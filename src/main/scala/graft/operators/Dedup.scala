@@ -87,7 +87,10 @@ object Dedup {
     * projection so the slice lambda references an attribute, never a
     * duplicated subtree (the O(d²) pitfall). */
   def segmentsByTokens(docs: DataFrame, segLen: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+    // spread before the explode: a single-file corpus otherwise reads as
+    // ONE scan partition and the whole segment explode + hashing runs in
+    // one task until the first exchange (minhashPrep's discipline)
+    spread(docs).select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0),
           floor((size(col("__toks")) - 1) / lit(segLen)).cast("int")),
@@ -99,7 +102,7 @@ object Dedup {
   /** Newline segmenter for corpora with real line structure — same
     * (doc_id, seg_id, seg) contract as [[segmentsByTokens]]. */
   def lineSegments(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    spread(docs).select(col("doc_id"),
       posexplode(split(col("text"), "\n")))
       .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
         col("col").as("seg"))

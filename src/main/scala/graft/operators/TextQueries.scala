@@ -12,7 +12,10 @@ object CorpusStats {
 
   /** Adjacent-bigram PMI over a `text` column; see t16 for the scale
     * shape. Returns (w1, w2, c_ab, pmi) for bigrams with c_ab >= minCount. */
-  def bigramPmi(docs: DataFrame, minCount: Int): DataFrame = {
+  def bigramPmi(docsIn: DataFrame, minCount: Int): DataFrame = {
+    // spread: a single-file corpus otherwise runs the whole explode in
+    // one scan task (no-op on multi-file corpora — metadata decision)
+    val docs = Dedup.spread(docsIn)
     val toks = tokens(col("text"))
     // arrays_zip(slice(t,1,n-1), slice(t,2,n-1)) names its struct
     // fields "0"/"1" for non-attribute inputs; size=1 docs yield
@@ -62,7 +65,8 @@ object CorpusStats {
     * then a per-doc sum. Cross-engine double-sum order absorbed by
     * round(., 4) (t17 precedent). */
   def unigramLogLoss(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tok = Dedup.spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     // (doc, term) counts are read twice (join + per-doc totals derive
     // from them); persist caps the corpus explode at one scan
     val td = ManagedCache.persist(
@@ -87,7 +91,8 @@ object CorpusStats {
     * (source, n_terms, n_tokens, kl). */
   def sourceDrift(docs: DataFrame): DataFrame = {
     val st = ManagedCache.persist(
-      docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      Dedup.spread(docs)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c_st")))
     val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val glob = st.groupBy("w").agg(sum(col("c_st")).as("c_t"))
@@ -149,7 +154,7 @@ object CorpusStats {
   def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     var words = ManagedCache.persist(
-      docs.select(explode(tokens(col("text"))).as("w"))
+      Dedup.spread(docs).select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .withColumn("syms", split(col("w"), "")))
     val merges = scala.collection.mutable.ArrayBuffer
@@ -194,7 +199,7 @@ object CorpusStats {
 
   def mixtureWeights(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     val perSrc = ManagedCache.persist(
-      docs.select(col("source"),
+      Dedup.spread(docs).select(col("source"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens")))
@@ -659,8 +664,11 @@ object TextQueries {
     // long on the Spark side (regexp_count yields int; DuckDB len()
     // yields BIGINT). Per-row codegen'd regexp work, single scan, no
     // shuffle.
+    // spread at the CALL SITE, not inside piiScrubbed: s11 feeds the same
+    // builder a STREAMING frame, where a repartition would add a shuffle
+    // to an otherwise stateless map-only pipeline
     Q("t19_pii_redaction",
-      (s, d) => piiScrubbed(Tables.t(s, d, "documents")),
+      (s, d) => piiScrubbed(Dedup.spread(Tables.t(s, d, "documents"))),
       Some(piiScrubOracle),
       bench = true),
 
