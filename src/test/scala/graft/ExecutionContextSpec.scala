@@ -502,6 +502,14 @@ class ExecutionContextSpec extends SparkSpec {
       case (k, v) if k.startsWith("fk(") => (k, v)
     }
     assert(fkRow.exists(_._2 == 1L), s"audit rows: $audit")
+    // a constraint-free table audits to an EMPTY report with the same
+    // schema (not an error, not a null frame)
+    c.execute(s"""CREATE TABLE spec_fk_plain (x BIGINT)
+      USING parquet LOCATION '$base/plain'""")
+    val empty = c.auditConstraints("spec_fk_plain")
+    assert(empty.columns.toSeq ==
+      Seq("constraint_name", "n_violations") && empty.count() == 0)
+    c.execute("DROP TABLE spec_fk_plain")
     c.execute("DROP TABLE spec_fk_child")
     c.execute("DROP TABLE spec_fk_parent")
   }
