@@ -170,6 +170,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** HARD-NEGATIVE MINING — contrastive-training data prep: for each
+    * query vector, the top-k most similar corpus vectors with a DIFFERENT
+    * label (high-similarity wrong-class examples are the negatives that
+    * actually teach a contrastive/embedding model; random negatives are
+    * trivially separable). Identical plan shape to [[bruteForceTopK]]
+    * (broadcast query set, one corpus scan, fused native cosine, partial
+    * k-heap ranking) with the label-mismatch predicate fused into the
+    * join — the filter prunes before scoring ever materializes a row. At
+    * 100 TB, swap the scan for [[annTopK]]'s buckets exactly as for
+    * positives. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("embedding").as("qv"))
+    val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
+      col("label").as("clabel"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q),
+      col("query_id") =!= col("neighbor_id") &&
+        col("qlabel") =!= col("clabel"))
+      .withColumn("sim",
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
   /** Approximate top-k: both sides bucketed by [[signBucket]]; queries probe
     * their own bucket plus all 1-bit-flip neighbors (multi-probe) and rank
     * exactly within candidates. */
@@ -462,6 +488,28 @@ object SimilarityQueries {
              |CAST(list_sum(qv) AS BIGINT) AS q_sum,
              |CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
              |AS q_norm2 FROM q"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Hard negatives: e01's scan/score/rank shape + the label-mismatch
+    // predicate; the oracle is e01's SQL with the same predicate and the
+    // same -0.0 guard. Cosine can tie across candidates — ranking is by
+    // the ROUNDED sim with neighbor_id tie-break on both sides.
+    Q("e07_hard_negatives",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        hardNegatives(emb.filter(col("vec_id") < 5), emb, 10)
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sim,
+             |CAST(row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) DESC,
+             |c.vec_id ASC) AS INTEGER) AS rn
+             |FROM embeddings q, embeddings c
+             |WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+             |AND q.label != c.label
+             |QUALIFY rn <= 10"""
         .stripMargin.replace('\n', ' '))),
 
     Q("e04_label_centroid_norm",
