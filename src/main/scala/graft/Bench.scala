@@ -72,21 +72,18 @@ object Bench {
     def f4(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
     val qs = results.map { case (k, t) => JsonOut.str(k) + ":" + f4(t(1)) }
       .mkString("{", ",", "}")
-    // Per-query [min, max] of the three timed runs (the median is already
-    // the "queries" value): a max/median ratio > 1.5 in the recorded
-    // artifact flags external interference (GC storm, CPU contention)
-    // without a separate profiling run — the round-3 phantom (one noisy
-    // iteration recorded as THE number) is self-diagnosing in the
-    // artifact. Compact array form (not {min,median,max} objects) keeps
-    // the WHOLE line under the driver's ~2,000-byte capture at 29
-    // queries. Drivers parse only the "queries" map; "spread" and
-    // "failed" are additive.
-    // spread at 1 ms granularity (vs the medians' 0.1 ms): it is a
-    // noise DIAGNOSTIC (max/median ratio), and the 2 bytes saved per
-    // number keep the 31-query line inside the capture window
+    // Per-query MAX of the three timed runs (the median is already the
+    // "queries" value): max/median > 1.5 in the recorded artifact flags
+    // external interference (GC storm, CPU contention) without a separate
+    // profiling run — the round-3 phantom (one noisy iteration recorded
+    // as THE number) is self-diagnosing in the artifact. Max alone IS the
+    // diagnostic (min tracks the median on a quiet box), at 1 ms
+    // granularity: the single short number keeps the WHOLE line under
+    // the driver's ~2,000-byte capture at 32 queries. Drivers parse only
+    // the "queries" map; "max" and "failed" are additive.
     def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     val spread = results.map { case (k, t) =>
-      JsonOut.str(k) + ":" + s"""[${f3(t(0))},${f3(t(2))}]"""
+      JsonOut.str(k) + ":" + f3(t(2))
     }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).filter(_ >= 0).sum
     // a failed query is -1 in "queries" and EXCLUDED from "value" — the
@@ -96,7 +93,7 @@ object Bench {
     // basename only: the parent dir is always the fixture root, and the
     // full path spends capture-window bytes on no information
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"queries":$qs,"spread":$spread,"unit":"sec","metric":"total","value":${f4(total)}}""")
+    println(s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"queries":$qs,"max":$spread,"unit":"sec","metric":"total","value":${f4(total)}}""")
     spark.stop()
   }
 }

@@ -926,6 +926,78 @@ object DedupQueries {
              |GROUP BY q.source"""
         .stripMargin.replace('\n', ' '))),
 
+    // CURATION CAPSTONE — the full end-to-end pass a pretraining corpus
+    // takes, composed from components whose cross-engine parity is
+    // individually proven and run as ONE declarative plan under the hash
+    // gate: boilerplate-segment removal (d11) → quality score the CLEANED
+    // text (t06's formula) → threshold 0.82 (discriminating on this
+    // corpus: median cleaned-quality is 0.83) → exact dedup on the
+    // cleaned text (already whitespace/case-normalized by tokenization,
+    // so the d02 normalizer is the identity here) keeping the min doc_id
+    // (quality is a function of the text, hence constant per group) →
+    // per-language survivor stats. Shape at 100 TB: d11's shuffles + one
+    // content-key dedup shuffle + a tiny lang agg — no new shuffle class;
+    // the q11 decimal-fold avg keeps the mean order-independent.
+    Q("p04_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val cleaned = Dedup.removeBoilerplate(
+          Dedup.segmentsByTokens(docs, segLen = 2), maxDocFrac = 0.05)
+          .filter(col("n_kept") > 0)
+        val scored = cleaned
+          .withColumn("quality", TextFunctions.qualityScore(
+            col("clean_text"), TextFunctions.tokens(col("clean_text"))))
+          .filter(col("quality") >= 0.82)
+        val kept = scored.groupBy("clean_text")
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("quality")).as("quality"))
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)), 4).as("avg_quality"),
+            sum(size(TextFunctions.tokens(col("clean_text"))))
+              .as("total_tokens"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |seg AS (SELECT doc_id, s AS seg_id,
+             |array_to_string(toks[s*2+1 : s*2+2], ' ') AS seg
+             |FROM tk, unnest(range(0, (len(toks)-1)//2 + 1)) t(s)),
+             |tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM seg),
+             |bl AS (SELECT seg FROM
+             |(SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+             |CROSS JOIN tot WHERE df > n_docs * 0.05),
+             |ka AS (SELECT doc_id,
+             |string_agg(seg, ' ' ORDER BY seg_id) AS ct
+             |FROM seg WHERE seg NOT IN (SELECT seg FROM bl) GROUP BY doc_id),
+             |b AS (SELECT doc_id, ct,
+             |CAST(length(ct) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(lower(ct)), '\s+')) AS DOUBLE) AS n_toks,
+             |CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |CAST(len(list_distinct(string_split_regex(trim(lower(ct)), '\s+'))) AS DOUBLE) AS n_uniq
+             |FROM ka),
+             |qx AS (SELECT doc_id, ct,
+             |round(least(greatest(
+             |least(n_toks / 20.0, 1.0) * 0.3
+             |+ (n_alpha / greatest(n_chars, 1.0)) * 0.3
+             |+ (n_uniq / greatest(n_toks, 1.0)) * 0.2
+             |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
+             |THEN 1.0 ELSE 0.5 END) * 0.2,
+             |0.0), 1.0), 4) AS quality FROM b),
+             |f AS (SELECT doc_id, ct, quality FROM qx WHERE quality >= 0.82),
+             |dd AS (SELECT ct, min(doc_id) AS doc_id, min(quality) AS quality
+             |FROM f GROUP BY ct)
+             |SELECT d.lang, count(*) AS n_docs,
+             |round(CAST(sum(CAST(dd.quality AS DECIMAL(18,4))) AS DOUBLE)
+             |/ count(*), 4) AS avg_quality,
+             |CAST(sum(len(string_split_regex(trim(lower(dd.ct)), '\s+')))
+             |AS BIGINT) AS total_tokens
+             |FROM dd JOIN documents d ON d.doc_id = dd.doc_id
+             |GROUP BY d.lang"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
     // signBits sizes the bucket count (2^bits) and trades exactly like LSH
     // bands: each +1 bit halves candidate pairs at some recall cost, and
     // multi-probe (1-bit flips) buys back most of the recall. 4 bits +
