@@ -17,14 +17,19 @@ for f in sorted(glob.glob(f"{root}/BENCH_r*.json")):
         # log line merely containing '"metric"' (or a truncated fragment)
         # must not shadow the real metric line or drop the round.
         if "queries" not in data and "tail" in data:
+            # the metric line starts with {"sf": since round 6 (headline
+            # "metric"/"value" pair moved to the END for tail-capture
+            # survival); older rounds start with {"metric". Try both
+            # anchors, keep the LAST candidate that carries "queries".
             for line in data["tail"].splitlines():
-                if '{"metric"' in line:
-                    try:
-                        cand = json.loads(line[line.index('{"metric"'):])
-                        if "queries" in cand:
-                            data = cand
-                    except ValueError:
-                        pass
+                for anchor in ('{"sf"', '{"metric"'):
+                    if anchor in line:
+                        try:
+                            cand = json.loads(line[line.index(anchor):])
+                            if "queries" in cand:
+                                data = cand
+                        except ValueError:
+                            pass
         if "queries" in data:
             rounds[int(m.group(1))] = data
     except Exception as e:
