@@ -689,6 +689,50 @@ object TextQueries {
              |FROM ps CROSS JOIN t"""
         .stripMargin.replace('\n', ' '))),
 
+    // VOCABULARY COVERAGE — the tokenizer-planning curve: what fraction
+    // of all token OCCURRENCES the top-k most frequent terms cover
+    // (k = 10/20/50). Decides vocab size / OOV budget before committing
+    // to a tokenizer. Shape at 100 TB: t07's explode → term partial-agg,
+    // then TakeOrdered down to the top 50 — the rank window runs on that
+    // 50-row frame, NEVER a global window over the vocabulary (which
+    // would sort every term into one task); the three k-thresholds are
+    // tiny aggregates over the 50 rows, the corpus total is a 1-row
+    // broadcast.
+    Q("t22_vocab_coverage",
+      (s, d) => {
+        val terms = Dedup.spread(Tables.t(s, d, "documents"))
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val total = terms.agg(sum(col("n")).as("n_total"))
+        val top = terms.orderBy(col("n").desc, col("term").asc).limit(50)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("term").asc)))
+        Seq(10, 20, 50).map { k =>
+          top.filter(col("rank") <= k)
+            .agg(sum(col("n")).as("covered"))
+            .select(lit(k).cast("long").as("k"), col("covered"))
+        }.reduce(_.union(_))
+          .crossJoin(broadcast(total))
+          .select(col("k"), col("covered"),
+            round(col("covered").cast("double") /
+              col("n_total").cast("double"), 4).as("coverage"))
+      },
+      Some("""WITH tc AS (SELECT term, count(*) AS n FROM
+             |(SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+             |AS term FROM documents) GROUP BY term),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM tc),
+             |r AS (SELECT term, n, row_number() OVER
+             |(ORDER BY n DESC, term ASC) AS rank FROM tc
+             |QUALIFY rank <= 50)
+             |SELECT CAST(k.k AS BIGINT) AS k,
+             |CAST(sum(r.n) AS BIGINT) AS covered,
+             |round(CAST(sum(r.n) AS DOUBLE) /
+             |CAST(max(tot.n_total) AS DOUBLE), 4) AS coverage
+             |FROM (VALUES (10), (20), (50)) k(k)
+             |JOIN r ON r.rank <= k.k CROSS JOIN tot GROUP BY k.k"""
+        .stripMargin.replace('\n', ' '))),
+
     // BPE vocabulary induction — see [[CorpusStats.bpeMerges]]. No SQL
     // oracle (the merge loop is iterative; a recursive-CTE twin would be
     // a different algorithm, not a check) → rows-only driver entry;
