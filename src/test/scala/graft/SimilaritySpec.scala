@@ -323,6 +323,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("hardNegatives returns only DIFFERENT-label neighbors, exactly k " +
+    "per query, ranked like the positive top-k") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // the defining property: every negative is a wrong-label example
+    assert(rows.forall { case (q, n, _) => labels(q) != labels(n) })
+    // exactly k per query, ranks 1..k
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length == 10 && g.map(_._3).sorted.toSeq == (1 to 10))
+    }
+  }
+
   test("IVF index save/load round trip: querying the loaded index " +
     "returns exactly the live-index answer without retraining") {
     val emb = Tables.t(spark, sf, "embeddings")
