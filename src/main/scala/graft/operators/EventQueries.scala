@@ -439,7 +439,25 @@ object EventQueries {
     Q("s11_stream_pii_scrub",
       (s, d) => drainStream(s, TextQueries.piiScrubbed(docStream(s, d)),
         mode = "append"),
-      Some(TextQueries.piiScrubOracle))
+      Some(TextQueries.piiScrubOracle)),
+
+    // s12: EXECUTED gate for the streaming trending-terms family
+    // (previously MemoryStream-spec-only): the document file stream with
+    // a constant synthetic event-time flows through the windowed
+    // explode+count, and the settled complete-mode table must equal the
+    // batch term counts with the deterministic 10:00 window start —
+    // t07's aggregation semantics under streaming state.
+    Q("s12_stream_trending",
+      (s, d) => drainStream(s, EventStreams.trendingTerms(
+        docStream(s, d)
+          .withColumn("ts", lit("2026-01-01 10:05:00").cast("timestamp"))
+          .select(col("ts"), col("text")))),
+      Some("""WITH tok AS (SELECT
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |FROM documents)
+             |SELECT CAST('2026-01-01 10:00:00' AS TIMESTAMP) AS h,
+             |term, count(*) AS n FROM tok GROUP BY term"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** File-source stream over the events parquet: explicit schema from a

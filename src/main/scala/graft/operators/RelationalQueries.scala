@@ -536,6 +536,61 @@ object RelationalQueries {
              |CAST(sum(CASE WHEN l_linestatus = 'O'
              |THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
              |FROM lineitem GROUP BY l_returnflag"""
+        .stripMargin.replace('\n', ' '))),
+
+    // FRAME-based window aggregation — the relational surface q25's
+    // ranking windows don't touch: running total (unbounded-preceding
+    // frame), 3-row moving average (bounded ROWS frame), and lag-offset
+    // gap, all per customer in order-date order. Both sums fold through
+    // DECIMAL(18,2) so the cumulative arithmetic is EXACT on both
+    // engines (a double running sum accumulates sequentially in Spark
+    // but via segment trees in DuckDB — different fold orders); the
+    // orderkey tiebreak makes RANGE==ROWS irrelevant (explicit ROWS
+    // anyway). Scale: one shuffle on o_custkey, per-key sequential frame
+    // scan — the canonical windowed-analytics shape.
+    // avg3 rounds at scale 4, NOT 2: a cents sum over a ≤3-row frame
+    // divided by {1,2,3} yields quotients with at most THREE exact
+    // decimals (count 2: x.xx5) or non-terminating ones — at scale 2 the
+    // count=2 case is an exact decimal TIE, where Spark's
+    // BigDecimal.valueOf(shortest-repr ".235") rounds half-up to .24
+    // while DuckDB's binary x*100 lands at .23499... -> .23 (verified on
+    // this fixture: 5 rows flipped). At scale 4 no quotient can tie, so
+    // the engines agree bit-for-bit.
+    Q("q37_window_frames",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wo = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w3 = wo.rowsBetween(-2, 0)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
+            .cast("double"), 2).as("running_spend"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w3)
+            .cast("double") /
+            count(lit(1)).over(w3).cast("double"), 4).as("avg3"),
+          (unix_timestamp(col("o_orderdate")) -
+            unix_timestamp(lag(col("o_orderdate"), 1).over(wo)))
+            .as("gap_s"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |OVER wrun AS DOUBLE), 2) AS running_spend,
+             |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |OVER w3 AS DOUBLE) / CAST(count(*) OVER w3 AS DOUBLE), 4)
+             |AS avg3,
+             |date_diff('second', lag(o_orderdate) OVER wo, o_orderdate)
+             |AS gap_s
+             |FROM orders
+             |WINDOW wo AS (PARTITION BY o_custkey
+             |ORDER BY o_orderdate, o_orderkey),
+             |wrun AS (PARTITION BY o_custkey
+             |ORDER BY o_orderdate, o_orderkey
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |w3 AS (PARTITION BY o_custkey
+             |ORDER BY o_orderdate, o_orderkey
+             |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
         .stripMargin.replace('\n', ' ')))
   )
 
