@@ -214,6 +214,75 @@ object CorpusStats {
           col("n_total").cast("double") / col("n_tokens").cast("double"), 4)
           .as("boost"))
   }
+
+  /** Zipf-law fit over the vocabulary head: OLS slope/intercept of
+    * ln(frequency) vs ln(rank) for the top-`topN` terms. A natural corpus
+    * tracks slope ≈ −1; a flatter head (slope ≫ −1) flags synthetic or
+    * templated text, and the fit extrapolates tail mass for vocab-size /
+    * OOV-budget planning (pairs with t22's empirical coverage curve).
+    * Shape at 100 TB: t07's explode → term partial-agg, TakeOrdered to
+    * topN rows; the rank window and the regression fold run on that tiny
+    * frame only — never a global sort or window over the vocabulary.
+    * Returns one row (n_terms, slope, intercept); slope is SIGNED, so the
+    * DuckDB oracle carries the −0.0 guard (t16 rule). */
+  def zipfFit(docsIn: DataFrame, topN: Int): DataFrame = {
+    val docs = Dedup.spread(docsIn)
+    val terms = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    // deterministic head: tie-break on term; the window ranks ONLY the
+    // TakeOrdered topN frame (t22 precedent)
+    val top = terms.orderBy(col("n").desc, col("term").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("term").asc)))
+    val pts = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("n").cast("double")).as("y"))
+    // covar_pop/var_pop are order-dependent double folds — round(., 4)
+    // absorbs the cross-engine summation-order jitter (t17 precedent);
+    // both sides state slope/intercept with identical left-assoc shape
+    pts.agg(count(lit(1)).as("n_terms"),
+        covar_pop(col("y"), col("x")).as("sxy"),
+        var_pop(col("x")).as("sxx"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      .select(col("n_terms"),
+        round(col("sxy") / col("sxx"), 4).as("slope"),
+        round(col("my") - col("sxy") / col("sxx") * col("mx"), 4)
+          .as("intercept"))
+  }
+
+  /** Pairwise SOURCE-VOCABULARY overlap: Jaccard similarity of the
+    * distinct-term sets of every source pair — the mixture diagnostic
+    * that says which sources are near-duplicates of each other at the
+    * vocabulary level (t17's KL says how far each source sits from the
+    * blend; this says how far sources sit from EACH OTHER). Returns
+    * (s1, s2, v1, v2, inter, jaccard) for s1 < s2.
+    * Shape at 100 TB: ONE corpus explode → distinct (source, term) —
+    * vocabulary-sized, not corpus-sized — then a self-equi-join on term
+    * whose per-key multiplicity is bounded by the source count S, so the
+    * join output is ≤ |V|·S²/2 rows collapsing into ≤ S² aggregate cells
+    * with map-side combine. The per-source size table (S rows) is a
+    * hinted broadcast. No window, no cartesian. */
+  def sourceVocabOverlap(docsIn: DataFrame): DataFrame = {
+    val docs = Dedup.spread(docsIn)
+    // persisted: the vocab table feeds the size agg AND both join sides —
+    // one corpus explode total (t17's single-scan discipline)
+    val sv = ManagedCache.persist(
+      docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+        .distinct())
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = sv.as("a").join(sv.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("v").as("v1"))),
+        "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("v").as("v2"))),
+        "s2")
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("v1") + col("v2") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+  }
 }
 
 /** Text-analysis queries over the `documents` table (doc_id, text, lang,
@@ -731,6 +800,46 @@ object TextQueries {
              |CAST(max(tot.n_total) AS DOUBLE), 4) AS coverage
              |FROM (VALUES (10), (20), (50)) k(k)
              |JOIN r ON r.rank <= k.k CROSS JOIN tot GROUP BY k.k"""
+        .stripMargin.replace('\n', ' '))),
+
+    // ZIPF FIT — see [[CorpusStats.zipfFit]]. Slope is SIGNED (≈ −1 on a
+    // natural corpus) → the oracle carries the −0.0 guard; the
+    // covar/var folds are order-dependent doubles → round(., 4) absorbs
+    // (t17 precedent); arithmetic stated with identical left-assoc shape
+    // on both sides.
+    Q("t23_zipf_slope",
+      (s, d) => CorpusStats.zipfFit(Tables.t(s, d, "documents"), topN = 100),
+      Some("""WITH tc AS (SELECT term, count(*) AS n FROM
+             |(SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+             |AS term FROM documents) GROUP BY term),
+             |r AS (SELECT term, n, row_number() OVER
+             |(ORDER BY n DESC, term ASC) AS rank FROM tc
+             |QUALIFY rank <= 100),
+             |p AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+             |ln(CAST(n AS DOUBLE)) AS y FROM r)
+             |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             |round(covar_pop(y, x) / var_pop(x), 4) + 0.0 AS slope,
+             |round(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 4) + 0.0
+             |AS intercept FROM p"""
+        .stripMargin.replace('\n', ' '))),
+
+    // SOURCE-VOCABULARY OVERLAP — see [[CorpusStats.sourceVocabOverlap]].
+    // jaccard is strictly positive (a pair only exists when inter >= 1)
+    // so no −0.0 guard is needed on the rounded quotient.
+    Q("t24_source_overlap",
+      (s, d) => CorpusStats.sourceVocabOverlap(Tables.t(s, d, "documents")),
+      Some("""WITH sv AS (SELECT DISTINCT source, term FROM
+             |(SELECT source, unnest(string_split_regex(trim(lower(text)),
+             |'\s+')) AS term FROM documents)),
+             |sz AS (SELECT source, count(*) AS v FROM sv GROUP BY 1),
+             |iv AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+             |FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+             |GROUP BY 1, 2)
+             |SELECT s1, s2, z1.v AS v1, z2.v AS v2, inter,
+             |round(CAST(inter AS DOUBLE) /
+             |CAST(z1.v + z2.v - inter AS DOUBLE), 4) AS jaccard
+             |FROM iv JOIN sz z1 ON iv.s1 = z1.source
+             |JOIN sz z2 ON iv.s2 = z2.source"""
         .stripMargin.replace('\n', ' '))),
 
     // BPE vocabulary induction — see [[CorpusStats.bpeMerges]]. No SQL

@@ -225,6 +225,44 @@ class TextSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("zipfFit matches the hand-computed OLS fit on a tiny vocabulary " +
+    "and honors topN") {
+    val sq = spark; import sq.implicits._
+    // corpus: a=4, b=2, c=1 -> ranks 1,2,3 (tie-break irrelevant here)
+    val docs = Seq("a a a a", "b b c").toDF("text")
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / 3
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum / 3
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = CorpusStats.zipfFit(docs, topN = 100).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == r4(sxy / sxx))
+    assert(r.getDouble(2) == r4(my - sxy / sxx * mx))
+    // the fit on this near-Zipf corpus slopes downward
+    assert(r.getDouble(1) < 0.0)
+    // topN caps the fitted head: only ranks 1..2 enter the regression
+    val r2 = CorpusStats.zipfFit(docs, topN = 2).collect().head
+    assert(r2.getLong(0) == 2L)
+    ManagedCache.releaseAll()
+  }
+
+  test("sourceVocabOverlap computes pairwise vocabulary jaccard and drops " +
+    "disjoint pairs") {
+    val sq = spark; import sq.implicits._
+    val docs = Seq(("sA", "x y z"), ("sA", "x"), ("sB", "x y"), ("sC", "q"))
+      .toDF("source", "text")
+    val rows = CorpusStats.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // sA={x,y,z} sB={x,y} sC={q}: only (sA,sB) overlaps — inter 2,
+    // union 3; disjoint pairs (sA,sC)/(sB,sC) are absent by contract
+    assert(rows == Map(("sA", "sB") -> ((3L, 2L, 2L, 0.6667))))
+    ManagedCache.releaseAll()
+  }
+
   test("corpus-stats plans honor their scaladoc: t16 broadcasts its 1-row " +
     "totals without a cartesian, and t17 explodes the corpus exactly once") {
     val pmiPlan = CorpusStats.bigramPmi(docs, minCount = 5)
