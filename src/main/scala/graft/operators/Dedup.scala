@@ -525,6 +525,54 @@ object Dedup {
         round(VectorExpressions.cosineSim(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
+
+  /** DUPLICATED-PASSAGE detection: maximal spans of consecutive token
+    * positions whose `n`-gram also occurs in at least one OTHER document —
+    * the span-level view of duplication (whole-doc dedup in d01/d03 misses
+    * repeated passages inside otherwise-unique docs; this finds them, the
+    * diagnostic behind substring-level training-data dedup). Returns
+    * (doc_id, span_start, span_end, span_tokens, n_grams) with 1-based
+    * inclusive token positions; intra-doc repetition alone does NOT count
+    * (the gram filter is on DISTINCT doc count ≥ 2).
+    *
+    * Shape at 100 TB: one scan explodes each doc into (pos, md5-gram) rows
+    * — fixed-width 128-bit shuffle keys, never the gram strings; the
+    * duplicated-gram filter is a partial-agg distinct-count on the gram
+    * key (d07's inverted-index shape); surviving positions re-join on the
+    * gram key, then the gaps-and-islands merge runs inside a PER-DOCUMENT
+    * window — state bounded by one doc's positions, parallel across docs.
+    * Docs shorter than `n` tokens emit nothing (guarded: Spark `sequence`
+    * would count DOWN for an empty range). */
+  def duplicatedSpans(docsIn: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spread(docsIn)
+    val pg = ManagedCache.persist(
+      docs.withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => struct(i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("toks"), i, lit(n)))).as("g"))))
+          .as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g")))
+    val dupG = pg.groupBy("g")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2).select("g")
+    // vocab-sized join left to the planner (t16's unigram-join reasoning)
+    val hits = pg.join(dupG, "g").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("ns", when(col("pos") - lag("pos", 1).over(w) === 1,
+        lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum("ns").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
 }
 
 /** Driver-facing dedup queries over `documents` / `embeddings`. */
@@ -879,6 +927,37 @@ object DedupQueries {
              |FROM pd LEFT JOIN ka USING (doc_id)"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
+
+    // DUPLICATED-PASSAGE spans — see [[Dedup.duplicatedSpans]]. All-integer
+    // output (positions + counts), md5 grams computed identically on both
+    // engines → exact hash parity with no float hazards. The oracle's
+    // windowed running sum is the standard gaps-and-islands encoding; the
+    // default RANGE frame agrees across engines because pos is unique per
+    // doc.
+    Q("d12_duplicated_spans",
+      (s, d) => Dedup.duplicatedSpans(Tables.t(s, d, "documents"), n = 8),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |pgt AS (SELECT doc_id, unnest(list_transform(
+             |range(1, len(toks) - 7 + 1),
+             |i -> struct_pack(pos := i, g := md5(concat_ws(' ',
+             |toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+             |toks[i+5], toks[i+6], toks[i+7]))))) AS pg
+             |FROM tk WHERE len(toks) >= 8),
+             |h AS (SELECT doc_id, (pg).pos AS pos, (pg).g AS g FROM pgt),
+             |dg AS (SELECT g FROM h GROUP BY g
+             |HAVING count(DISTINCT doc_id) >= 2),
+             |hit AS (SELECT doc_id, pos FROM h JOIN dg USING (g)),
+             |isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+             |(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS ns
+             |FROM hit),
+             |is2 AS (SELECT doc_id, pos, sum(ns) OVER
+             |(PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |CAST(max(pos) + 7 AS BIGINT) AS span_end,
+             |CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+             |count(*) AS n_grams FROM is2 GROUP BY doc_id, island"""
+        .stripMargin.replace('\n', ' '))),
 
     // CALIBRATED quality filtering — the two-pass pattern every corpus
     // pipeline uses when a fixed cutoff is wrong per slice: pass 1

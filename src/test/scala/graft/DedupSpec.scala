@@ -327,4 +327,27 @@ class DedupSpec extends SparkSpec {
     // and reassembly keeps every fully-unique doc intact
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
   }
+
+  test("duplicatedSpans finds the shared passage at its exact positions, " +
+    "ignores intra-doc repetition, and skips short docs") {
+    val sq = spark; import sq.implicits._
+    val passage = (1 to 9).map(i => s"s$i").mkString(" ") // 9 shared tokens
+    val corpus = Seq(
+      (1L, s"a1 a2 $passage a3"),       // passage at token positions 3..11
+      (2L, s"$passage b1 b2 b3"),       // passage at token positions 1..9
+      (3L, (1 to 12).map(i => s"c$i").mkString(" ")), // unique -> no rows
+      // intra-doc repeat only: the "d1..d8" gram occurs twice in ONE doc;
+      // the distinct-doc filter must exclude it
+      (4L, ((1 to 8) ++ (1 to 8)).map(i => s"d$i").mkString(" ")),
+      (5L, "too short")                 // < 8 tokens -> emits nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    ManagedCache.releaseAll()
+    // 9 shared tokens -> two 8-gram starts merge into ONE maximal span
+    assert(got == Set(
+      (1L, 3L, 11L, 9L, 2L),
+      (2L, 1L, 9L, 9L, 2L)))
+  }
 }
