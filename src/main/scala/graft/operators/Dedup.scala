@@ -957,7 +957,8 @@ object DedupQueries {
              |CAST(max(pos) + 7 AS BIGINT) AS span_end,
              |CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
              |count(*) AS n_grams FROM is2 GROUP BY doc_id, island"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // CALIBRATED quality filtering — the two-pass pattern every corpus
     // pipeline uses when a fixed cutoff is wrong per slice: pass 1

@@ -326,6 +326,54 @@ object Similarity {
     }
   }
 
+  /** SEMANTIC DEDUPLICATION pairs (the SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the embedding space into
+    * `nlist` cells (the IVF coarse quantizer, index reused via
+    * [[builtIvfIndex]]'s session cache), then exact pairwise cosine runs
+    * ONLY within each cell — near-duplicate semantics live at high
+    * cosine, and high-cosine pairs land in the same cell with high
+    * probability, so the quadratic work is confined to cell-local blocks.
+    * Returns (a, b, cos) with a < b, cos >= threshold.
+    *
+    * Scale: cost is Σ_cells |cell|² ≈ N²/nlist for balanced cells — run
+    * with nlist ∝ N (fixed target cell size, the published recipe) and
+    * each cell's block is a bounded self-join keyed on list_id; no
+    * all-pairs stage exists. Cross-cell near-dups are the recall loss the
+    * technique accepts (spec-measured against brute force). */
+  def semDedupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      nlist: Int = 16,
+      trainCap: Int = 100000): DataFrame = {
+    val (_, assigned) = builtIvfIndex(emb, nlist, trainCap)
+    assigned.select(col("list_id"), col("neighbor_id").as("a"),
+        col("cv").as("va"))
+      .join(assigned.select(col("list_id"), col("neighbor_id").as("b"),
+        col("cv").as("vb")), Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        round(VectorExpressions.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Keep-one-per-duplicate-group resolution over [[semDedupPairs]]:
+    * connected components of the >= threshold graph (min-label
+    * propagation, [[Dedup.duplicateClusters]]) with the smallest vec_id
+    * as the kept representative. Returns one row per vector
+    * (vec_id, rep, keep) — `keep` marks the survivor of each group;
+    * singletons keep themselves. */
+  def semDedupKeep(
+      emb: DataFrame,
+      threshold: Double,
+      nlist: Int = 16,
+      trainCap: Int = 100000): DataFrame = {
+    val pairs = semDedupPairs(emb, threshold, nlist, trainCap)
+    Dedup.duplicateClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("rep"),
+        (col("doc_id") === col("rep")).as("keep"))
+  }
+
   /** INDEX PERSISTENCE — the deployed-ANN-service lifecycle: the trained
     * quantizer plus the assigned corpus ARE the index; a maintenance job
     * builds and [[saveIvfIndex]]s them, serving sessions
@@ -524,6 +572,17 @@ object SimilarityQueries {
              |round(avg(sqrt(list_sum(list_transform(embedding,
              |x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
              |FROM embeddings GROUP BY label"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // SEMANTIC DEDUP (SemDeDup) — k-means cells + intra-cell exact
+    // cosine, resolved to keep-one-per-duplicate-group. The coarse
+    // quantizer is iterative (no SQL twin) → rows-only driver entry with
+    // a fixed seed for run-to-run determinism; the invariants (pairs are
+    // a verified subset of brute force with measured recall, keep-table
+    // resolves min-id per connected component) are spec-asserted.
+    Q("e08_semdedup",
+      (s, d) => semDedupKeep(Tables.t(s, d, "embeddings"),
+        threshold = 0.35, nlist = 16),
+      None)
   )
 }

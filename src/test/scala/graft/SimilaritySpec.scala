@@ -358,4 +358,50 @@ class SimilaritySpec extends SparkSpec {
     assert(loaded == live && loaded.nonEmpty)
     ManagedCache.releaseAll()
   }
+
+  test("semDedup pairs are an exact-cosine subset of brute force with " +
+    "usable recall, and the keep-table resolves min-id per component") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val n = emb.count()
+    // brute-force ground truth: all pairs a < b with cos >= 0.35
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val brute = l.join(r, col("a") < col("b"))
+      .withColumn("cos",
+        round(VectorExpressions.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("cos") >= 0.35)
+      .select("a", "b", "cos").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val got = Similarity.semDedupPairs(emb, 0.35, nlist = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // precision 1.0: every emitted pair is a true >= threshold pair with
+    // the exact cosine (cell-local blocks never change the similarity)
+    assert(got.forall { case (k, v) => brute.get(k).contains(v) })
+    // recall: cross-cell pairs are the accepted loss; the cells must
+    // still capture a usable share of the true pairs
+    val recall = got.size.toDouble / brute.size
+    assert(brute.nonEmpty && recall >= 0.3,
+      s"semdedup recall $recall over ${brute.size} true pairs")
+    // keep-table: union-find over the FOUND pairs gives each vector's
+    // component min — the keep table must agree, and keep == (self is rep)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+    }
+    got.keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val keep = Similarity.semDedupKeep(emb, 0.35, nlist = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    ManagedCache.releaseAll()
+    assert(keep.length == n)
+    keep.foreach { case (id, rep, k) =>
+      assert(rep == find(id), s"vec $id: rep $rep != component min")
+      assert(k == (rep == id))
+    }
+    // dedup actually fires on the fixture: at least one group collapses
+    assert(keep.exists(x => !x._3))
+  }
 }
