@@ -573,6 +573,38 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
   }
+
+  /** Duplicated-span REMOVAL — the acting half of [[duplicatedSpans]]:
+    * drop every cross-doc duplicated passage from every document and
+    * reassemble the remaining tokens in order (the passage-level twin of
+    * [[removeBoilerplate]]'s line-level flow; policy is the conservative
+    * drop-from-all, same as d11's boilerplate rule). Returns one row per
+    * document (doc_id, n_tokens, n_kept, clean_text); span-free docs pass
+    * through intact.
+    *
+    * Scale: [[duplicatedSpans]]'s one-scan shape plus a second corpus
+    * scan for the rejoin — spans collapse to a per-doc struct list (rows
+    * = docs with duplication, each list a handful of ranges), the join is
+    * doc-keyed, and the token filter is per-row expression work. */
+  def removeDuplicatedSpans(docsIn: DataFrame, n: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(docsIn, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    spread(docsIn).withColumn("toks", tokens(col("text")))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kp", filter(
+        sequence(lit(1L), size(col("toks")).cast("long")),
+        i => not(exists(col("sp"),
+          sx => i >= sx.getField("s") && i <= sx.getField("e")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kp")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("kp"),
+          i => element_at(col("toks"), i.cast("int")))).as("clean_text"))
+  }
 }
 
 /** Driver-facing dedup queries over `documents` / `embeddings`. */
@@ -959,6 +991,46 @@ object DedupQueries {
              |count(*) AS n_grams FROM is2 GROUP BY doc_id, island"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
+
+    // Duplicated-span REMOVAL — see [[Dedup.removeDuplicatedSpans]]. The
+    // oracle extends d12's CTE chain with the per-doc span list and a
+    // nested-lambda position filter; clean_text reassembly makes the gate
+    // byte-compare the actual surviving text (d11's reassembly
+    // precedent).
+    Q("d13_span_removal",
+      (s, d) => Dedup.removeDuplicatedSpans(Tables.t(s, d, "documents"),
+        n = 8),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |pgt AS (SELECT doc_id, unnest(list_transform(
+             |range(1, len(toks) - 7 + 1),
+             |i -> struct_pack(pos := i, g := md5(concat_ws(' ',
+             |toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+             |toks[i+5], toks[i+6], toks[i+7]))))) AS pg
+             |FROM tk WHERE len(toks) >= 8),
+             |h AS (SELECT doc_id, (pg).pos AS pos, (pg).g AS g FROM pgt),
+             |dg AS (SELECT g FROM h GROUP BY g
+             |HAVING count(DISTINCT doc_id) >= 2),
+             |hit AS (SELECT doc_id, pos FROM h JOIN dg USING (g)),
+             |isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+             |(PARTITION BY doc_id ORDER BY pos) = 1 THEN 0 ELSE 1 END AS ns
+             |FROM hit),
+             |is2 AS (SELECT doc_id, pos, sum(ns) OVER
+             |(PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+             |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |FROM is2 GROUP BY doc_id, island),
+             |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e))
+             |AS spans FROM sp GROUP BY doc_id),
+             |j AS (SELECT t.doc_id, toks, coalesce(spans, []) AS spans
+             |FROM tk t LEFT JOIN spl ON t.doc_id = spl.doc_id),
+             |k AS (SELECT doc_id, toks, list_filter(range(1, len(toks) + 1),
+             |i -> len(list_filter(spans, sx -> i BETWEEN sx.s AND sx.e)) = 0)
+             |AS kp FROM j)
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |CAST(len(kp) AS BIGINT) AS n_kept,
+             |coalesce(array_to_string(list_transform(kp, i -> toks[i]),
+             |' '), '') AS clean_text FROM k"""
+        .stripMargin.replace('\n', ' '))),
 
     // CALIBRATED quality filtering — the two-pass pattern every corpus
     // pipeline uses when a fixed cutoff is wrong per slice: pass 1

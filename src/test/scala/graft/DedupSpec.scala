@@ -349,5 +349,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(
       (1L, 3L, 11L, 9L, 2L),
       (2L, 1L, 9L, 9L, 2L)))
+    // removal drops exactly the shared passage from BOTH carriers and
+    // passes every other doc through intact (incl. the intra-doc repeat)
+    val clean = Dedup.removeDuplicatedSpans(corpus, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    ManagedCache.releaseAll()
+    assert(clean(1L) == ((12L, 3L, "a1 a2 a3")))
+    assert(clean(2L) == ((12L, 3L, "b1 b2 b3")))
+    assert(clean(3L)._1 == clean(3L)._2) // untouched
+    assert(clean(4L)._1 == clean(4L)._2) // intra-doc repeat kept
+    assert(clean(5L) == ((2L, 2L, "too short")))
   }
 }
