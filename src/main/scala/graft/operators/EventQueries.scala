@@ -457,6 +457,49 @@ object EventQueries {
              |FROM documents)
              |SELECT CAST('2026-01-01 10:00:00' AS TIMESTAMP) AS h,
              |term, count(*) AS n FROM tok GROUP BY term"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s13: EXECUTED flatMapGroupsWithState gate — the last streaming
+    // family without executed evidence (s07/s08 cover built-in windowed
+    // state, s10 stream-static joins, s11 stateless append). The
+    // custom-state sessionizer runs over the event file stream with a
+    // 0-second watermark; in-batch gap closures emit during the data
+    // batch and EventTimeTimeout flushes every session whose timeout
+    // (last event second + 1800, in ms) precedes the final watermark
+    // (max event time in ms). Sessions still open at end-of-stream stay
+    // in state and are NOT emitted — the oracle states exactly that
+    // boundary. The sessionizer works on SECOND-floored event times
+    // (java.sql.Timestamp ms → /1000), so the oracle's gap math floors
+    // via epoch_us // 1000000, NOT s08's exact-µs arithmetic.
+    Q("s13_stream_custom_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val ev = eventStream(s, d)
+          .withWatermark("ts", "0 seconds")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[SessionEvent]
+        drainStream(s, EventStreams.sessionizeCustomState(ev).toDF(),
+          mode = "append")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events),
+             |f AS (SELECT user_id, sec, CASE WHEN sec - lag(sec) OVER
+             |(PARTITION BY user_id ORDER BY sec) >= 1800
+             |THEN 1 ELSE 0 END AS is_new FROM ev),
+             |sess AS (SELECT user_id, sec, sum(is_new) OVER
+             |(PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING)
+             |AS sid FROM f),
+             |agg AS (SELECT user_id,
+             |CAST(to_timestamp(min(sec)) AS TIMESTAMP) AS session_start,
+             |CAST(to_timestamp(max(sec)) AS TIMESTAMP) AS session_end,
+             |count(*) AS n_events, max(sec) AS last_sec
+             |FROM sess GROUP BY user_id, sid),
+             |wm AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+             |AS wm_ms FROM events)
+             |SELECT user_id, session_start, session_end, n_events
+             |FROM agg CROSS JOIN wm
+             |WHERE (last_sec + 1800) * 1000 < wm_ms"""
         .stripMargin.replace('\n', ' ')))
   )
 
