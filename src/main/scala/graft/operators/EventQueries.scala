@@ -500,6 +500,24 @@ object EventQueries {
              |SELECT user_id, session_start, session_end, n_events
              |FROM agg CROSS JOIN wm
              |WHERE (last_sec + 1800) * 1000 < wm_ms"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s14: EXECUTED STREAM-STREAM join gate — watermarked interval
+    // attribution (view → same-user purchase within 2 h). Inner
+    // stream-stream joins emit eagerly on match, so the settled
+    // append-mode table equals the batch self-join verbatim — the oracle
+    // IS that self-join. Timestamps compare at exact µs on both engines
+    // (s07 precedent); buy_value passes through unfolded. State on each
+    // side is bounded by the watermark + the interval condition — the
+    // property that lets this run on an unbounded firehose.
+    Q("s14_stream_attribution",
+      (s, d) => drainStream(s,
+        EventStreams.attributionJoin(eventStream(s, d)), mode = "append"),
+      Some("""SELECT a.user_id, CAST(a.ts AS TIMESTAMP) AS view_ts,
+             |CAST(b.ts AS TIMESTAMP) AS buy_ts, b.value AS buy_value
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |AND a.event_type = 'view' AND b.event_type = 'purchase'
+             |AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR"""
         .stripMargin.replace('\n', ' ')))
   )
 

@@ -105,6 +105,36 @@ object EventStreams {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** STREAM-STREAM attribution join: match each view to the purchases the
+    * same user makes within `window` afterwards — the online
+    * click-through-attribution shape, and the one streaming join class
+    * [[enrichStream]] (stream-static) cannot express. Both sides carry
+    * watermarks and the join condition bounds buy_ts to
+    * (view_ts, view_ts + window], so each side's state store retains only
+    * the lateness + window horizon — bounded state on an unbounded
+    * firehose. INNER join emits eagerly as matches arrive (no
+    * watermark-wait on emission), so the settled output equals the batch
+    * self-join on the same data. One stream filtered twice is a
+    * supported self-join (two scans of the source). */
+  def attributionJoin(
+      events: DataFrame,
+      window: String = "2 hours",
+      lateness: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("value").as("buy_value"))
+      .withWatermark("buy_ts", lateness)
+    views.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") > col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("view_ts"), col("buy_ts"),
+        col("buy_value"))
+  }
+
   /** Streaming exact dedup — the streaming twin of [[Dedup.exactGroups]]
     * (d01) for a document FIREHOSE: keep the first arrival of each distinct
     * content hash, drop later duplicates. `dropDuplicatesWithinWatermark`

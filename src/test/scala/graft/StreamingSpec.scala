@@ -314,4 +314,33 @@ class StreamingSpec extends SparkSpec {
     assert(res.groupBy("doc_id").count()
       .filter(col("count") =!= 2).count() == 0)
   }
+
+  test("stream-stream attribution join matches a buffered view from an " +
+    "EARLIER micro-batch and respects the interval bound") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val query = EventStreams.attributionJoin(ms.toDF)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a view only — no output yet, the view enters join state
+      ms.addData(Evt(1, t("2026-01-01 10:00:00"), 7, "view", 0.0))
+      query.processAllAvailable()
+      assert(spark.table("attr_out").count() == 0)
+      // batch 2: a purchase 30 min later (inside 2 h) matches the
+      // BUFFERED view; one outside the window and one for another user
+      // must not
+      ms.addData(
+        Evt(2, t("2026-01-01 10:30:00"), 7, "purchase", 9.99),
+        Evt(3, t("2026-01-01 13:00:00"), 7, "purchase", 1.0), // > 2 h
+        Evt(4, t("2026-01-01 10:31:00"), 8, "purchase", 2.0)) // other user
+      query.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getDouble(3)))
+      assert(got.toSeq == Seq(
+        (7L, t("2026-01-01 10:00:00"), t("2026-01-01 10:30:00"), 9.99)))
+    } finally query.stop()
+  }
 }
