@@ -518,6 +518,24 @@ object EventQueries {
              |FROM events a JOIN events b ON a.user_id = b.user_id
              |AND a.event_type = 'view' AND b.event_type = 'purchase'
              |AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s15: EXECUTED streaming-dedup gate (dropDuplicatesWithinWatermark —
+    // the last streaming family with spec-only evidence). Which physical
+    // ROW survives per content hash is arrival-order-dependent, so the
+    // gate feeds only (constant ts, text): duplicate rows are then
+    // byte-identical and the surviving set — one row per distinct text —
+    // is deterministic regardless of partition order. The oracle is the
+    // batch DISTINCT. State is keyed on the internal md5 and evicted at
+    // the watermark (d01's streaming twin, executed).
+    Q("s15_stream_dedup",
+      (s, d) => drainStream(s, EventStreams.dedupStream(
+        docStream(s, d)
+          .withColumn("ts", lit("2026-01-01 10:05:00").cast("timestamp"))
+          .select(col("ts"), col("text"))),
+        mode = "append"),
+      Some("""SELECT CAST('2026-01-01 10:05:00' AS TIMESTAMP) AS ts, text
+             |FROM (SELECT DISTINCT text FROM documents)"""
         .stripMargin.replace('\n', ' ')))
   )
 
