@@ -278,6 +278,17 @@ object Similarity {
     ivfQuery(queries, model, assigned, k, nprobe)
   }
 
+  /** Data-adaptive cell count for quadratic-per-cell stages: one cell per
+    * `targetCell` vectors (ceil), floored at 16 so tiny corpora still
+    * bucket, capped at N (k-means requires k <= points). The count() is
+    * one column-pruned scan, paid once before training — the price of
+    * keeping Σ_cells |cell|² ≈ N·targetCell instead of N²/constant. */
+  private def adaptiveNlist(emb: DataFrame, targetCell: Int): Int = {
+    val n = emb.count()
+    math.max(1L, math.min(n, math.max(16L,
+      (n + targetCell - 1) / targetCell))).toInt
+  }
+
   /** Train-or-reuse the session-cached IVF index for `corpus`. */
   private def builtIvfIndex(
       corpus: DataFrame,
@@ -339,13 +350,22 @@ object Similarity {
     * with nlist ∝ N (fixed target cell size, the published recipe) and
     * each cell's block is a bounded self-join keyed on list_id; no
     * all-pairs stage exists. Cross-cell near-dups are the recall loss the
-    * technique accepts (spec-measured against brute force). */
+    * technique accepts (spec-measured against brute force).
+    *
+    * `nlist <= 0` (the default) derives the cell count from the corpus
+    * itself via [[adaptiveNlist]]: ceil(N / 128) cells keeps every cell's
+    * quadratic block at ~128² regardless of N, so total work is
+    * N·128 — linear. A FIXED nlist is the scale trap this replaces: at
+    * 16 cells a 50k-vector corpus already means 3,125-row cells (~78M
+    * intra-cell pairs, OOM on one executor); pass an explicit nlist only
+    * for small fixtures/specs. */
   def semDedupPairs(
       emb: DataFrame,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = -1,
       trainCap: Int = 100000): DataFrame = {
-    val (_, assigned) = builtIvfIndex(emb, nlist, trainCap)
+    val cells = if (nlist > 0) nlist else adaptiveNlist(emb, 128)
+    val (_, assigned) = builtIvfIndex(emb, cells, trainCap)
     assigned.select(col("list_id"), col("neighbor_id").as("a"),
         col("cv").as("va"))
       .join(assigned.select(col("list_id"), col("neighbor_id").as("b"),
@@ -366,7 +386,7 @@ object Similarity {
   def semDedupKeep(
       emb: DataFrame,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = -1,
       trainCap: Int = 100000): DataFrame = {
     val pairs = semDedupPairs(emb, threshold, nlist, trainCap)
     Dedup.duplicateClusters(pairs, emb.select(col("vec_id").as("doc_id")))
@@ -580,9 +600,11 @@ object SimilarityQueries {
     // a fixed seed for run-to-run determinism; the invariants (pairs are
     // a verified subset of brute force with measured recall, keep-table
     // resolves min-id per connected component) are spec-asserted.
+    // nlist is data-adaptive (ceil(N/128) cells) — a fixed cell count
+    // OOMed at sf0.1 when 16 cells meant 3,125-vector quadratic blocks.
     Q("e08_semdedup",
       (s, d) => semDedupKeep(Tables.t(s, d, "embeddings"),
-        threshold = 0.35, nlist = 16),
+        threshold = 0.35),
       None)
   )
 }
