@@ -431,7 +431,20 @@ object Dedup {
       // per round). releaseAll's later re-unpersist is a no-op.
       cached.unpersist(blocking = false)
       cached = next
-      labels = next.select("id", "rep")
+      // LINEAGE CUT (round-7 post-mortem): `labels` feeds the next round
+      // TWICE (the nbr join and the carry-forward join), so keeping the
+      // Catalyst plan would DOUBLE it every round — a long duplicate
+      // chain (the round count is data- and even partition-layout-
+      // dependent: k-means|| init varies with partitioning, which varies
+      // the pair graph) grew the plan to 2^rounds nodes and OOM'd an 8g
+      // driver in plan analysis/rendering before any data moved. persist
+      // materializes DATA but never truncates the PLAN; rebuilding the
+      // frame from the just-cached RDD makes each round's plan a
+      // constant-size leaf. (The RDD handle keeps reading the cache the
+      // count above populated; the Seq-based round discipline is
+      // unchanged.)
+      val slim = next.select("id", "rep")
+      labels = next.sparkSession.createDataFrame(slim.rdd, slim.schema)
       iter += 1
     }
     if (changed > 0)

@@ -41,7 +41,7 @@ object Dml {
   // transaction log (single-table, last-writer-wins; a real log adds
   // multi-writer conflict detection on top of the same primitive).
 
-  private def commit(dir: String, version: String): Unit = {
+  private[graft] def commit(dir: String, version: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s"._latest.tmp.${Thread.currentThread.getId}")

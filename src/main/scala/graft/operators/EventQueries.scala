@@ -536,6 +536,35 @@ object EventQueries {
         mode = "append"),
       Some("""SELECT CAST('2026-01-01 10:05:00' AS TIMESTAMP) AS ts, text
              |FROM (SELECT DISTINCT text FROM documents)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s16: EXECUTED foreachBatch UPSERT gate — the lakehouse MERGE-INTO
+    // lifecycle (EventStreams.upsertedLatest): the event file stream
+    // folds micro-batch-by-micro-batch into a committed one-row-per-user
+    // latest-event table under the DML store's copy-on-write + atomic
+    // pointer protocol. The merge is an associative argmax
+    // (ts, then unique event_id), so the settled table is independent of
+    // micro-batch boundaries and the oracle is the plain batch argmax.
+    // The work dir is wiped per run: a stale checkpoint would replay
+    // nothing and a stale table would leak a previous run's merge.
+    Q("s16_stream_upsert",
+      (s, d) => {
+        val dir = Dml.work("s16_upsert", d)
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.delete)
+        }
+        EventStreams.upsertedLatest(s, eventStream(s, d), dir)
+      },
+      Some("""WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |event_id, event_type, value,
+             |row_number() OVER (PARTITION BY user_id
+             |ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |SELECT user_id, ts, event_id, event_type, value
+             |FROM r WHERE rn = 1"""
         .stripMargin.replace('\n', ' ')))
   )
 

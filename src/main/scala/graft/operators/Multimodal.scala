@@ -118,6 +118,48 @@ object Multimodal {
       .otherwise(fakeDecode(bin))
   }
 
+  /** STUB AUDIO DECODE — deterministic fake for payloads that are not
+    * real audio containers (same role as [[fakeDecode]] for images):
+    * plausible (sample_rate, channels, bits, data_bytes) from byte
+    * hashes, so the downstream duration/cost accounting plumbing runs
+    * honestly on the text-bytes corpus. */
+  def fakeAudioDecode(bin: Column): Column = struct(
+    element_at(typedlit(Seq(8000, 16000, 44100)),
+      (pmod(xxhash64(bin), lit(3)) + 1).cast("int")).as("sample_rate"),
+    (pmod(xxhash64(bin, lit(1)), lit(2)) + 1).cast("int").as("channels"),
+    lit(16).as("bits"),
+    byteSize(bin).as("data_bytes"))
+
+  /** REAL WAV (RIFF/PCM) header decode — the audio twin of
+    * [[decodeHeader]], and the same honest boundary: canonical-layout
+    * PCM WAV headers are plain fixed-offset integer fields (RIFF spec),
+    * parsed with codegen'd substring/byte arithmetic; anything else
+    * falls back to [[fakeAudioDecode]]. Dispatch requires the full
+    * canonical sandwich — "RIFF" + "WAVEfmt " + PCM format tag 1 + a
+    * "data" chunk at offset 37 — so text bytes can never mis-parse.
+    * Fields: channels LE-u16 @23, sample rate LE-u32 @25, bits LE-u16
+    * @35, data byte count LE-u32 @41 (1-based offsets). */
+  def decodeAudioHeader(bin: Column): Column = {
+    val isWav = octet_length(bin) >= 44 &&
+      hex(substring(bin, 1, 4)) === "52494646" &&
+      hex(substring(bin, 9, 8)) === "57415645666D7420" &&
+      leU16(bin, 21) === 1L &&
+      hex(substring(bin, 37, 4)) === "64617461"
+    when(isWav, struct(
+      leU32(bin, 25).cast("int").as("sample_rate"),
+      leU16(bin, 23).cast("int").as("channels"),
+      leU16(bin, 35).cast("int").as("bits"),
+      leU32(bin, 41).as("data_bytes")))
+      .otherwise(fakeAudioDecode(bin))
+  }
+
+  /** Playback seconds implied by an audio-meta struct: data_bytes over
+    * the PCM byte rate (rate × channels × bits/8). */
+  def audioSeconds(meta: Column): Column =
+    round(meta.getField("data_bytes").cast("double") /
+      (meta.getField("sample_rate").cast("double") *
+        meta.getField("channels") * (meta.getField("bits") / lit(8))), 4)
+
   /** STUB RESIZE — metadata-only: computes the target dims a real resize
     * kernel would produce (fit inside maxDim, aspect preserved). */
   def resizePlan(meta: Column, maxDim: Int): Column = {
@@ -219,6 +261,24 @@ object MultimodalQueries {
              |count(DISTINCT substring(text, CAST(f AS INTEGER) * 32 + 1, 32))
              |AS n_distinct_frames
              |FROM documents, range(4) t(f) GROUP BY doc_id"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // mm05: audio metadata + playback-duration accounting — the real
+    // magic-dispatched WAV header parse (spec-verified on hand-built
+    // canonical PCM headers in MultimodalSpec); on this text-bytes
+    // corpus every payload lands on the deterministic fakeAudioDecode
+    // fallback, so the entry stays rows-only (mm02/mm03 precedent).
+    Q("mm05_audio_meta",
+      (s, d) => {
+        val bin = payload(col("text"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), decodeAudioHeader(bin).as("meta"))
+          .select(col("doc_id"),
+            col("meta.sample_rate").as("sample_rate"),
+            col("meta.channels").as("channels"),
+            col("meta.bits").as("bits"),
+            audioSeconds(col("meta")).as("est_seconds"))
+      },
+      None)
   )
 }

@@ -591,6 +591,64 @@ object RelationalQueries {
              |w3 AS (PARTITION BY o_custkey
              |ORDER BY o_orderdate, o_orderkey
              |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // GROUPING SETS — the third multi-grouping form next to q34's ROLLUP
+    // and q35's CUBE, here with two DISJOINT single-column sets (a
+    // "per-nation plus per-segment" report that a naive approach runs as
+    // two scans + union). Spark plans ONE scan + Expand (2 output rows
+    // per input) + one aggregate exchange, identical to the cube plan
+    // shape. grouping_id() disambiguates which set a row belongs to —
+    // both engines use the Postgres bit convention (leftmost grouping
+    // column = most significant bit, 1 = aggregated-away), asserted by
+    // the oracle's GROUPING(c_nationkey, c_mktsegment).
+    Q("q38_grouping_sets",
+      (s, d) =>
+        t(s, d, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_nationkey")), Seq(col("c_mktsegment"))),
+            col("c_nationkey"), col("c_mktsegment"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("c_acctbal")).as("sum_bal")),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |CAST(GROUPING(c_nationkey, c_mktsegment) AS BIGINT) AS gid,
+             |count(*) AS n,
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer
+             |GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Distribution window functions (ntile / percent_rank / cume_dist) —
+    // the rank-to-fraction surface q25's ranking windows and q37's frames
+    // don't cover. The ORDER BY carries the c_custkey tie-break so all
+    // three are total-order deterministic (ntile assigns by ROW POSITION,
+    // so an untied order is a correctness requirement, not a nicety);
+    // with distinct ranks, percent_rank = (rank-1)/(n-1) and
+    // cume_dist = rank/n are single correctly-rounded IEEE divisions of
+    // exact integers — bit-identical across engines, no rounding guard
+    // needed. Scale: one shuffle on c_mktsegment + a per-partition sort.
+    // A 5-segment key over a 100 TB table would put ~20% of the corpus
+    // in one window task — for production percentile CUTS use p03's
+    // two-pass calibration instead; this entry is the exact-SQL surface
+    // for moderate-cardinality partitions.
+    Q("q39_distribution_ranks",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |ntile(4) OVER w AS quartile,
+             |percent_rank() OVER w AS pr,
+             |cume_dist() OVER w AS cd
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment
+             |ORDER BY c_acctbal, c_custkey)"""
         .stripMargin.replace('\n', ' ')))
   )
 

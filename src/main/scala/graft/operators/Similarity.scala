@@ -465,6 +465,125 @@ object Similarity {
         round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
     rankTopK(scored, k)
   }
+
+  /** PRODUCT-QUANTIZATION index cache — same lifecycle/keying rules as
+    * [[ivfIndexes]] (session identity + canonicalized corpus plan;
+    * bounded LinkedHashMap). The entry holds the m per-subspace codebooks
+    * (model parameters, driver-held — m × ksub × dsub doubles, a few KB)
+    * plus the ENCODED corpus: (neighbor_id, codes array<tinyint>). */
+  private val pqIndexes = scala.collection.mutable.LinkedHashMap
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Int, Int, Int),
+      (Array[Array[Array[Double]]], DataFrame)]
+  private[graft] var pqIndexBuilds = 0
+
+  /** Train-or-reuse a PRODUCT QUANTIZER (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the d-dim space splits
+    * into `m` contiguous subspaces of d/m dims; each subspace gets its
+    * own ksub-centroid k-means codebook; a vector encodes as m sub-codes
+    * — m BYTES per vector (ksub <= 127) vs 4·d for float32, a 32× rest/
+    * shuffle compression at d=64, m=8. The effective codebook is
+    * ksub^m cells, far finer than [[ivfTopK]]'s nlist cells at the same
+    * training cost.
+    *
+    * Scale shape: training fits m SMALL k-means models on the same
+    * hash-thresholded deterministic sample as IVF ([[builtIvfIndex]]'s
+    * trainCap rule); encoding chains the m `model.transform`s LAZILY, so
+    * the corpus is assigned in ONE scan producing the m-byte codes
+    * column. dim must divide evenly by m (fail loudly — silent ragged
+    * subspaces would corrupt every code). */
+  private def builtPqIndex(
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int,
+      trainCap: Int): (Array[Array[Array[Double]]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(ksub > 1 && ksub <= 127, s"ksub=$ksub must fit a tinyint code")
+    val spark = corpus.sparkSession
+    val cacheKey = (System.identityHashCode(spark),
+      corpus.queryExecution.analyzed.canonicalized, m, ksub, trainCap)
+    pqIndexes.synchronized {
+      val entry = pqIndexes.getOrElseUpdate(cacheKey, {
+        pqIndexBuilds += 1
+        val c = ManagedCache.persist(Dedup.spread(corpus)
+          .select(col("vec_id").as("neighbor_id"),
+            toDouble(col("embedding")).as("cv")))
+        // one-row readout of the (constant) dimensionality — index
+        // SETUP, not a data collect (IVF's count() precedent)
+        val dim = c.select(size(col("cv"))).first().getInt(0)
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val dsub = dim / m
+        val n = c.count()
+        val train =
+          if (n <= trainCap) c
+          else {
+            val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
+            c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
+              < thresh)
+          }
+        var enc = c
+        val codebooks = (0 until m).map { j =>
+          val fcol = array_to_vector(
+            slice(col("cv"), j * dsub + 1, dsub))
+          val model = new KMeans()
+            .setK(ksub).setSeed(42 + j).setMaxIter(10)
+            .setFeaturesCol("features").setPredictionCol(s"__pqc$j")
+            .fit(train.withColumn("features", fcol))
+          enc = model.transform(enc.withColumn("features", fcol))
+            .drop("features")
+          model.clusterCenters.map(_.toArray)
+        }.toArray
+        val codes = array((0 until m)
+          .map(j => col(s"__pqc$j").cast("byte")): _*)
+        (codebooks, ManagedCache.persist(
+          enc.select(col("neighbor_id"), codes.as("codes"))))
+      })
+      while (pqIndexes.size > ivfIndexCacheMax) pqIndexes -= pqIndexes.head._1
+      (entry._1, ManagedCache.persist(entry._2))
+    }
+  }
+
+  /** PQ approximate top-k via ASYMMETRIC scoring (the ADC regime): the
+    * query stays full-precision, the corpus side is reconstructed from
+    * its m sub-codes through the broadcast codebook literal — so the only
+    * per-corpus-row state this query ever touches is the m-byte code
+    * (the 32×-compressed table is the SCAN, not a sidecar), exactly how
+    * a PQ serving tier runs against codes-at-rest. Reconstruction is m
+    * literal lookups + a flatten per row (O(d), off the codegen path but
+    * amortized once per corpus row before the |Q| codegen'd cosines);
+    * ranking is the standard partial k-heap. Recall vs brute force and
+    * the compression invariants are spec-asserted (SimilaritySpec). */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): DataFrame = {
+    val (codebooks, encoded) = builtPqIndex(corpus, m, ksub, trainCap)
+    val cbLit = typedlit(
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = queries.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qv"))
+    val scored = encoded
+      .withColumn("rv", flatten(transform(col("codes"),
+        (code, j) => element_at(element_at(cbLit, j + lit(1)),
+          code.cast("int") + lit(1)))))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExpressions.cosineSim(col("qv"), col("rv")), 4))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
+
+  /** The encoded-corpus view of [[builtPqIndex]] for specs/inspection:
+    * (neighbor_id, codes array<tinyint> of length m). */
+  private[graft] def pqCodes(
+      corpus: DataFrame,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): DataFrame =
+    builtPqIndex(corpus, m, ksub, trainCap)._2
 }
 
 /** Driver-facing similarity queries over `embeddings`. */
@@ -605,6 +724,17 @@ object SimilarityQueries {
     Q("e08_semdedup",
       (s, d) => semDedupKeep(Tables.t(s, d, "embeddings"),
         threshold = 0.35),
+      None),
+
+    // PQ ANN — asymmetric top-k against the 8-byte-per-vector encoded
+    // corpus (see [[Similarity.pqTopK]]). Rows-only (iterative k-means
+    // codebooks); recall vs brute force + compression invariants are
+    // spec-asserted in SimilaritySpec.
+    Q("e09_ann_pq",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        pqTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      },
       None)
   )
 }

@@ -197,6 +197,160 @@ object CorpusStats {
         col("freq"))
   }
 
+  /** BM25 KEYWORD RELEVANCE SEARCH — the lexical retrieval twin of e01's
+    * embedding top-k (hybrid search runs BOTH and fuses). Scores every
+    * document against a fixed query-term set with the Lucene-shape BM25:
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive),
+    * tfNorm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), and returns the
+    * global top-`k` docs as (doc_id, n_hit, score).
+    *
+    * Scale shape at 100 TB: ONE corpus-scale explode whose rows are
+    * filtered to the query terms BEFORE the shuffle (the `isin` predicate
+    * sits in the scan stage), so the (doc, term) partial-agg exchange
+    * carries O(matching docs × |q|) rows, not O(tokens); per-doc length
+    * rides the same scan as a fixed-width long. df for the ≤|q| query
+    * terms is a tiny aggregate → broadcast; corpus stats (N, Σdl) are a
+    * second explode-free 1-row scan → broadcast. The final ranking is
+    * orderBy+limit → TakeOrdered (per-partition heaps + driver merge of
+    * k-row heads), never a global sort.
+    *
+    * Determinism rule (t08 precedent, hardened): the per-(doc,term) score
+    * is one fixed-shape expression over exact integers (tf, dl, df, N)
+    * and avgdl (one integer division) — bit-identical cross-engine — and
+    * is rounded to 4 dp BEFORE the per-doc sum, so the doc score is a sum
+    * of 4-dp decimals = itself a 4-dp value; the final round(., 4)
+    * recovers it exactly on both engines (no x.xxxx5 tie can exist), and
+    * the ORDER BY uses the rounded score + doc_id tie-break. */
+  def bm25TopK(docsIn: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Dedup.spread(docsIn)
+    // corpus stats: explode-free per-row length agg, one scan, 1 row
+    val stats = docs.agg(
+      count(lit(1)).as("nd"),
+      sum(tokenCountWs(col("text"))).as("sum_dl"))
+    // matching (doc, term) rows: filter INSIDE the scan stage, pre-shuffle
+    val hits = docs
+      .select(col("doc_id"), tokenCountWs(col("text")).as("dl"),
+        explode(tokens(col("text"))).as("w"))
+      .where(col("w").isin(terms: _*))
+    val tf = ManagedCache.persist(
+      hits.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("nd").cast("double")
+    val idf = log(lit(1.0) +
+      (col("nd").cast("double") - col("df") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * (lit(k1) + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfq), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts", round(idf * tfNorm, 4))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), round(sum(col("ts")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** PER-DOCUMENT BIGRAM LOG-LOSS — t18's perplexity-proxy quality filter
+    * upgraded from a unigram to a bigram LM: surprisal under
+    * p(w2|w1) = c(w1,w2)/c(w1,·) with counts from the corpus itself (the
+    * corpus contains every doc, so no zero-probability bigram exists and
+    * no smoothing constant has to be agreed with the oracle). Repetitive
+    * or templated docs score near 0; docs whose transitions are rare in
+    * the corpus score high — the standard KenLM-filter signal with the
+    * corpus LM standing in for the external model. Returns
+    * (doc_id, n_bigrams, logloss); single-token docs emit no pair rows
+    * and drop out (their unigram twin t18 still covers them).
+    *
+    * Scale shape at 100 TB: ONE corpus-scale pair explode →
+    * (doc, w1, w2) partial-agg (the t18 td-table shape, keyed one word
+    * wider); the corpus bigram table and its prefix-marginal BOTH derive
+    * from that table (never a second corpus scan), and the probability
+    * join is planner-decided exactly like t16's unigram joins (a
+    * web-scale bigram table is far too big to broadcast). Per-doc sum of
+    * doubles → round(., 4) + oracle −0.0 guard (t18 precedent). */
+  def bigramLogLoss(docsIn: DataFrame): DataFrame = {
+    val docs = Dedup.spread(docsIn)
+    val toks = tokens(col("text"))
+    val dp0 = docs.select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("b"))
+      .select(col("doc_id"), col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+    // (doc, bigram) counts are read three times (corpus counts, prefix
+    // marginal, probability join) — persist caps the explode at one scan
+    val dp = ManagedCache.persist(
+      dp0.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c_dab")))
+    val bi = ManagedCache.persist(
+      dp.groupBy("w1", "w2").agg(sum(col("c_dab")).as("c_ab")))
+    val pre = bi.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+    dp.join(bi, Seq("w1", "w2")).join(pre, Seq("w1"))
+      .withColumn("term_ll",
+        col("c_dab").cast("double") *
+          log(col("c_ab").cast("double") / col("c_a").cast("double")))
+      .groupBy("doc_id")
+      .agg(sum(col("c_dab")).as("n_bigrams"),
+        round(-sum(col("term_ll")) /
+          sum(col("c_dab")).cast("double"), 4).as("logloss"))
+  }
+
+  /** Apply an ORDERED merge list to a symbol-array column of `df` —
+    * t21's training rewrite reused as the ENCODING step (same greedy
+    * left-to-right `mergePair` semantics, same array_contains skip
+    * guard). Each merge is STAGED through its own projection
+    * (withColumn), never composed into one Column: the when/mergePair
+    * step references its input array ~6 times, so inlining `merges.size`
+    * steps into a single expression multiplies the tree by ~6 PER MERGE
+    * (≈6^n nodes — 10 merges OOM'd the analyzer in exactly the way the
+    * quantizeInt8 scaladoc warns about). Multiply-referenced non-cheap
+    * aliases stay staged under CollapseProject, so the planned tree is
+    * linear in the merge count; a production encoder with thousands of
+    * merges additionally localCheckpoints every few hundred columns to
+    * bound plan DEPTH. */
+  def applyMerges(df: DataFrame, symsCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(df) { case (d, (l, r)) =>
+      d.withColumn(symsCol,
+        when(array_contains(col(symsCol), l) &&
+          array_contains(col(symsCol), r),
+          mergePair(col(symsCol), l, r)).otherwise(col(symsCol)))
+    }
+
+  /** BPE ENCODING — the apply side of t21's trainer: tokenize the corpus
+    * with a trained merge table and report per-doc subword cost
+    * (doc_id, n_words, n_subwords, fertility). Fertility (subwords per
+    * word) is THE signal a pretraining pipeline reads per document:
+    * high-fertility docs are expensive to train on and usually
+    * low-quality or wrong-language for the tokenizer.
+    *
+    * Scale shape at 100 TB — encode the VOCABULARY, not the corpus: the
+    * corpus explodes once into (doc, word) counts (t18's td shape); the
+    * merge folds — the only non-codegen work — run on the distinct-word
+    * table (vocab-sized), and the per-word subword length joins back by
+    * word key (planner-decided; a 10^8-term vocab bucket-joins). A naive
+    * per-row encoder would run the interpreted fold over every token of
+    * every document — 10^4× more fold evaluations on a typical corpus. */
+  def bpeEncode(docsIn: DataFrame, merges: Seq[(String, String)])
+      : DataFrame = {
+    val docs = Dedup.spread(docsIn)
+    val td = ManagedCache.persist(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c")))
+    val vocab = applyMerges(
+      td.select(col("w")).distinct().withColumn("syms", split(col("w"), "")),
+      "syms", merges)
+      .withColumn("n_sub", size(col("syms")).cast("long"))
+      .drop("syms")
+    td.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 4))
+  }
+
   def mixtureWeights(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     val perSrc = ManagedCache.persist(
       Dedup.spread(docs).select(col("source"),
@@ -851,6 +1005,97 @@ object TextQueries {
     Q("t21_bpe_merges",
       (s, d) => CorpusStats.bpeMerges(Tables.t(s, d, "documents"),
         nMerges = 10),
+      None),
+
+    // BM25 keyword search — see [[CorpusStats.bm25TopK]] for the scale
+    // shape and the rounded-before-sum determinism rule. The query-term
+    // set is fixed (the driver compare needs one reproducible query);
+    // a serving deployment parameterizes it per request.
+    Q("t25_bm25_search",
+      (s, d) => CorpusStats.bm25TopK(Tables.t(s, d, "documents"),
+        terms = Seq("spark", "join", "vector"), k = 20),
+      Some("""WITH docs AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |st AS (SELECT count(*) AS nd,
+             |CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM docs),
+             |hits AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             |unnest(toks) AS w FROM docs),
+             |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM hits
+             |WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |ts AS (SELECT doc_id,
+             |round(ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (CAST(df AS
+             |DOUBLE) + 0.5)) * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+             |(CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+             |CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) /
+             |CAST(nd AS DOUBLE))))), 4) AS ts
+             |FROM tf JOIN dfq USING (w) CROSS JOIN st)
+             |SELECT doc_id, count(*) AS n_hit,
+             |round(sum(ts), 4) AS score FROM ts GROUP BY doc_id
+             |ORDER BY score DESC, doc_id ASC LIMIT 20"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    // Bigram-LM quality filter — see [[CorpusStats.bigramLogLoss]].
+    Q("t26_bigram_logloss",
+      (s, d) => CorpusStats.bigramLogLoss(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |pr AS (SELECT doc_id, unnest(list_transform(
+             |range(1, greatest(len(toks) - 1, 0) + 1),
+             |i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+             |FROM tk),
+             |dp AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+             |count(*) AS c_dab FROM pr GROUP BY 1, 2, 3),
+             |bi AS (SELECT w1, w2, CAST(sum(c_dab) AS BIGINT) AS c_ab
+             |FROM dp GROUP BY 1, 2),
+             |pre AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a
+             |FROM bi GROUP BY 1)
+             |SELECT doc_id, CAST(sum(c_dab) AS BIGINT) AS n_bigrams,
+             |round(-sum(CAST(c_dab AS DOUBLE) *
+             |ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)))
+             |/ CAST(sum(c_dab) AS DOUBLE), 4) + 0.0 AS logloss
+             |FROM dp JOIN bi USING (w1, w2) JOIN pre USING (w1)
+             |GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // BPE ENCODING (t21's apply side): train the 10-merge model, then
+    // encode the corpus through the vocabulary-table path — see
+    // [[CorpusStats.bpeEncode]]. The 10-row merge-table collect is MODEL
+    // readout (t21/IVF precedent), not a data collect. Rows-only entry
+    // (the model comes from the iterative trainer, which has no SQL
+    // twin); the encode semantics are spec-asserted on the hand-computed
+    // Sennrich segmentation and the output is fully deterministic.
+    Q("t27_bpe_encode",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val merges = CorpusStats.bpeMerges(docs, nMerges = 10)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        CorpusStats.bpeEncode(docs, merges)
+      },
+      None),
+
+    // VOCABULARY-SIZE SKETCH: per-source distinct-term estimate via
+    // HyperLogLog++ (`approx_count_distinct`, rsd 1%) next to the exact
+    // token total. THE sketch swap t07/t22's exact vocabulary machinery
+    // needs at 100 TB: HLL state is a fixed few-KB register set per
+    // group, partial-aggregates map-side, and merges associatively —
+    // no vocabulary-sized shuffle at all. The estimate is deterministic
+    // (hash-based, no RNG) but implementation-specific, so the entry is
+    // rows-only; TextSpec asserts the estimate lands within 3·rsd of the
+    // exact count on the fixture.
+    Q("t28_vocab_sketch",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .groupBy("source")
+          .agg(approx_count_distinct(col("w"), rsd = 0.01)
+            .as("vocab_approx"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy("source"),
       None)
   )
 }

@@ -135,6 +135,62 @@ object EventStreams {
         col("buy_value"))
   }
 
+  /** Latest-event-per-user reduction — the MERGE function of the
+    * streaming upsert: `max(struct(ts, event_id, …))` compares ts first,
+    * then the unique event_id, so the pick is total-order deterministic
+    * AND the aggregate is algebraic (partial-aggregatable map-side,
+    * mergeable across micro-batches — associativity is exactly what makes
+    * batch-boundary-independence of the upsert result provable). */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        col("m.value").as("value"))
+
+  /** STREAMING UPSERT via foreachBatch — the lakehouse MERGE-INTO shape
+    * none of the other gates cover: each micro-batch folds into a
+    * COMMITTED key-latest table (one row per user_id, last event wins)
+    * through the same copy-on-write + atomic `_latest` pointer protocol
+    * as the DML store (DmlQueries), so a concurrent reader always sees a
+    * complete committed version. Because [[latestPerUser]] is an
+    * associative merge, the settled table is independent of how the
+    * stream was micro-batched — the oracle states the batch argmax.
+    *
+    * Scale: per batch, the merge reads the (|users|-sized) current table
+    * and the batch delta — one shuffle on user_id each; the event
+    * firehose itself never re-shuffles beyond its own reduction. A real
+    * deployment swaps the full-table rewrite for a partitioned/bucketed
+    * MERGE (rewrite only touched user buckets) on the identical
+    * commit protocol. Blocks until AvailableNow drains; returns the
+    * committed table. */
+  def upsertedLatest(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val reduced = latestPerUser(batch)
+        val merged =
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dir, "_latest")))
+            latestPerUser(Dml.readLatest(s, dir)
+              .unionByName(reduced))
+          else reduced
+        merged.write.mode("overwrite").parquet(s"$dir/v$id")
+        Dml.commit(dir, s"v$id")
+        ()
+      }
+      .option("checkpointLocation", s"$dir/_chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    Dml.readLatest(spark, dir)
+  }
+
   /** Streaming exact dedup — the streaming twin of [[Dedup.exactGroups]]
     * (d01) for a document FIREHOSE: keep the first arrival of each distinct
     * content hash, drop later duplicates. `dropDuplicatesWithinWatermark`

@@ -114,4 +114,57 @@ class MultimodalSpec extends SparkSpec {
       }).toSeq
     assert(viaDecode == viaStub)
   }
+
+  /** Canonical 44-byte PCM WAV header + `dataBytes` of payload. */
+  private def wavBytes(rate: Long, ch: Int, bits: Int,
+      dataBytes: Long): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(ch) ++ le32(rate) ++ le32(byteRate) ++
+      le16(ch * bits / 8) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes) ++
+      Array.fill(dataBytes.toInt)(0x7f.toByte)
+  }
+
+  test("decodeAudioHeader parses hand-built canonical PCM WAV headers " +
+    "(LE fields) and the duration accounting follows the byte rate") {
+    val sq = spark; import sq.implicits._
+    val rows = Seq(
+      wavBytes(44100, ch = 2, bits = 16, dataBytes = 176400), // 1.0 s
+      wavBytes(8000, ch = 1, bits = 8, dataBytes = 4000)      // 0.5 s
+    ).zipWithIndex.map { case (b, i) => (i, b) }.toDF("id", "bin")
+      .select(col("id"),
+        Multimodal.decodeAudioHeader(col("bin")).as("m"))
+      .select(col("id"), col("m.sample_rate"), col("m.channels"),
+        col("m.bits"), col("m.data_bytes"),
+        Multimodal.audioSeconds(col("m")).as("s"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (44100, 2, 16, 176400L, 1.0), (8000, 1, 8, 4000L, 0.5)))
+  }
+
+  test("decodeAudioHeader falls back to the deterministic audio stub on " +
+    "non-WAV payloads (text bytes, RIFF-prefixed text, non-PCM format)") {
+    val sq = spark; import sq.implicits._
+    val nonPcm = wavBytes(44100, 2, 16, 8)
+    nonPcm(20) = 3 // format tag 3 = IEEE float, not PCM 1
+    val noMagic = Seq(
+      "an ordinary text document payload here".getBytes("UTF-8"),
+      "RIFF through the countryside went the wagon".getBytes("UTF-8"),
+      nonPcm)
+    def fields(c: org.apache.spark.sql.Column) = {
+      noMagic.zipWithIndex.map { case (b, i) => (i, b) }.toDF("id", "bin")
+        .select(col("id"), c.as("m"))
+        .select(col("id"), col("m.sample_rate"), col("m.channels"),
+          col("m.bits"), col("m.data_bytes"))
+        .orderBy("id").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+        .toSeq
+    }
+    assert(fields(Multimodal.decodeAudioHeader(col("bin"))) ==
+      fields(Multimodal.fakeAudioDecode(col("bin"))))
+  }
 }

@@ -404,4 +404,44 @@ class SimilaritySpec extends SparkSpec {
     // dedup actually fires on the fixture: at least one group collapses
     assert(keep.exists(x => !x._3))
   }
+
+  test("pq codes are m tinyint sub-codes in [0, ksub) for every vector " +
+    "(the 32x-compressed corpus representation)") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val codes = Similarity.pqCodes(emb, m = 32, ksub = 64)
+    val n = emb.count()
+    assert(codes.count() == n)
+    val bad = codes.filter(size(col("codes")) =!= 32 ||
+      exists(col("codes"), c => c < 0 || c >= 64)).count()
+    assert(bad == 0, "every code must be a length-32 array of [0,64) bytes")
+    ManagedCache.releaseAll()
+  }
+
+  test("pq asymmetric top-k recalls usefully vs brute force, reuses the " +
+    "built index across queries, and is deterministic across runs") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.pqTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    // 32 subspaces x 64 centroids on the 64-d fixture: reconstruction
+    // keeps enough geometry that at least half the exact top-5 survives
+    assert(recall >= 0.5, s"pq recall $recall")
+    // reuse: the first run() built (or found) the index; later queries on
+    // the same (corpus, m, ksub, trainCap) must never build again
+    val builds1 = Similarity.pqIndexBuilds
+    assert(run() == a, "pq ranking must be deterministic")
+    assert(Similarity.pqIndexBuilds == builds1,
+      "second query must reuse the session-cached PQ index")
+    // exact-k contract: 5 neighbors per query
+    val perQuery = Similarity.pqTopK(queries, emb, 5)
+      .groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5L))
+    ManagedCache.releaseAll()
+  }
 }

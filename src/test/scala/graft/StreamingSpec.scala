@@ -343,4 +343,32 @@ class StreamingSpec extends SparkSpec {
         (7L, t("2026-01-01 10:00:00"), t("2026-01-01 10:30:00"), 9.99)))
     } finally query.stop()
   }
+
+  test("foreachBatch upsert commits a latest-per-user table that is " +
+    "incremental across stream restarts and equals the one-shot batch " +
+    "argmax (merge associativity)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s16spec").toString
+    val ms = MemoryStream[Evt]
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(r => (r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    // first drain: events 1-3 only
+    ms.addData(fixture.take(3))
+    val t1 = rows(EventStreams.upsertedLatest(spark, ms.toDF, dir))
+    assert(t1.toSeq == Seq(
+      (1L, t("2026-01-01 10:20:00"), 2L, "click", 2.0),
+      (2L, t("2026-01-01 10:40:00"), 3L, "view", 3.0)))
+    // restart over the SAME dir: the checkpoint replays nothing, the new
+    // events fold into the committed table (the incremental-ingest shape)
+    ms.addData(fixture.drop(3))
+    val t2 = rows(EventStreams.upsertedLatest(spark, ms.toDF, dir))
+    assert(t2.toSeq == Seq(
+      (1L, t("2026-01-01 11:10:00"), 4L, "click", 4.0),
+      (2L, t("2026-01-01 12:00:00"), 5L, "view", 5.0)))
+    // and the settled table equals the single-pass batch reduction
+    assert(t2.toSeq ==
+      rows(EventStreams.latestPerUser(fixture.toDF)).toSeq)
+  }
 }

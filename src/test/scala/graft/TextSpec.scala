@@ -213,7 +213,7 @@ class TextSpec extends SparkSpec {
     //   H(3) = -(2 ln(2/6)) / 2 = ln 3
     val docs = Seq((1L, "x x"), (2L, "x y"), (3L, "z z"))
       .toDF("doc_id", "text")
-    def r4(x: Double) = BigDecimal(x)
+    def r4(x: Double) = BigDecimal.decimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = CorpusStats.unigramLogLoss(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -235,7 +235,7 @@ class TextSpec extends SparkSpec {
     val mx = xs.sum / 3; val my = ys.sum / 3
     val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / 3
     val sxx = xs.map(x => (x - mx) * (x - mx)).sum / 3
-    def r4(x: Double) = BigDecimal(x)
+    def r4(x: Double) = BigDecimal.decimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val r = CorpusStats.zipfFit(docs, topN = 100).collect().head
     assert(r.getLong(0) == 3L)
@@ -384,5 +384,89 @@ class TextSpec extends SparkSpec {
       "alpha=1 must reproduce proportional sampling exactly")
     // and the proportional weight equals the token share
     assert(math.abs(prop(0).getDouble(3) - 0.1) < 1e-9)
+  }
+
+  test("bm25TopK scores a hand-built corpus per the Lucene BM25 formula, " +
+    "ranks by rounded score with doc_id tie-break, and drops no-hit docs") {
+    val sq = spark; import sq.implicits._
+    val corpus = Seq(
+      (1L, "spark spark join x"), // 2 terms hit, tf spark=2
+      (2L, "spark y z"),          // 1 term hit
+      (3L, "other words only")    // no hits -> absent
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bm25TopK(corpus, Seq("spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ManagedCache.releaseAll()
+    // independent scalar computation of the same formula
+    val nd = 3.0; val avgdl = (4 + 3 + 3) / 3.0
+    def idf(df: Int) = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+    def tn(tf: Int, dl: Int) = tf * 2.2 /
+      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal.decimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r4(r4(idf(2) * tn(2, 4)) + r4(idf(1) * tn(1, 4)))
+    val s2 = r4(r4(idf(2) * tn(1, 3)))
+    assert(got.toSeq == Seq((1L, 2L, s1), (2L, 1L, s2)))
+  }
+
+  test("bigramLogLoss matches hand-computed corpus-LM surprisal and " +
+    "drops single-token docs") {
+    val sq = spark; import sq.implicits._
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "a b b"), (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogLoss(corpus)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ManagedCache.releaseAll()
+    // corpus counts: (a,b)=2 (b,c)=1 (b,b)=1; prefixes a=2, b=2
+    // doc1: -[ln(2/2) + ln(1/2)]/2 = ln2/2; doc2 identical
+    val e = BigDecimal.decimal(math.log(2.0) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, 2L, e), (2L, 2L, e)))
+  }
+
+  test("bpeEncode segments the Sennrich corpus exactly under the trained " +
+    "merge table (vocabulary-path encoding)") {
+    val sq = spark; import sq.implicits._
+    val corpus = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = CorpusStats.bpeMerges(corpus, nMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // word-level segmentation under (e,s)(es,t)(l,o)(lo,w)
+    val segs = CorpusStats.applyMerges(
+      Seq("low", "lower", "newest", "widest").toDF("w")
+        .withColumn("s", split(col("w"), "")), "s", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segs("low") == Seq("low"))
+    assert(segs("lower") == Seq("low", "e", "r"))
+    assert(segs("newest") == Seq("n", "e", "w", "est"))
+    assert(segs("widest") == Seq("w", "i", "d", "est"))
+    val enc = CorpusStats.bpeEncode(corpus, merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ManagedCache.releaseAll()
+    // doc1: 5*|low| + 2*|low,e,r| = 5 + 6 = 11 subwords over 7 words
+    // doc2: 6*|n,e,w,est| + 3*|w,i,d,est| = 24 + 12 = 36 over 9 words
+    assert(enc.toSeq == Seq((1L, 7L, 11L, 1.5714), (2L, 9L, 36L, 4.0)))
+  }
+
+  test("t28 HLL vocabulary sketch lands within 5% of the exact distinct " +
+    "count per source (rsd 1%)") {
+    val approx = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(approx_count_distinct(col("w"), rsd = 0.01).as("a"),
+        countDistinct(col("w")).as("e"))
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05,
+        s"source ${r.getString(0)}: approx $a vs exact $e")
+    }
   }
 }
