@@ -163,6 +163,39 @@ object Dml {
     val kept = v0.filter(!coalesce(pred, lit(false)))
     snapshot(kept, dir, "v1")
   }
+
+  // ---- time travel -------------------------------------------------------
+  // Every committed version directory is IMMUTABLE once the pointer moves
+  // past it (the copy-on-write discipline above never rewrites a published
+  // directory), so historical reads are free: resolve a version NAME
+  // instead of `_latest`. This is lakehouse time travel reduced to its
+  // kernel — VERSION AS OF — on the same single-table commit protocol.
+
+  /** The version name `_latest` currently points at (e.g. "v1"). */
+  def currentVersion(dir: String): String =
+    java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim
+
+  /** TIME TRAVEL: read a specific committed version of the table at
+    * `dir` (`VERSION AS OF` on the commit-pointer store). */
+  def readVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: String): DataFrame =
+    spark.read.parquet(s"$dir/$version")
+
+  /** DELETE applied to the COMMITTED table in place: reads `_latest`,
+    * publishes the NEXT version (v<n+1>), and leaves every earlier
+    * version readable — the history-preserving chained form of [[delete]]
+    * (which snapshots an external base as v0/v1). */
+  def deleteLatest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val cur = currentVersion(dir)
+    val next = "v" + (cur.stripPrefix("v").toInt + 1)
+    snapshot(readLatest(spark, dir).filter(!coalesce(pred, lit(false))),
+      dir, next)
+  }
 }
 
 /** Driver-facing DML queries; each returns the post-statement table state.
@@ -305,6 +338,38 @@ object DmlQueries {
              |('primary_key(id)', CAST(1 AS BIGINT)),
              |('unique(name)', CAST(1 AS BIGINT)))
              |t(constraint_name, n_violations)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // TIME TRAVEL (VERSION AS OF) — the property the copy-on-write +
+    // atomic-pointer protocol buys beyond crash atomicity: committed
+    // version directories are immutable, so EVERY historical state stays
+    // readable by name. The entry builds a three-version history in one
+    // store (v0 = imported nation, v1 = after INSERT, v2 = after a
+    // chained history-preserving DELETE) and emits all three versions
+    // tagged — the oracle states each state explicitly. Re-runs are
+    // idempotent: the same names are rewritten and the pointer lands
+    // back on v2.
+    Q("m09_time_travel",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m09", d)
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, dir) // v0, v1
+        Dml.deleteLatest(s, dir, col("n_nationkey") === 25)   // v2
+        Seq("v0", "v1", "v2")
+          .map(v => Dml.readVersion(s, dir, v)
+            .withColumn("version", lit(v)))
+          .reduce(_ unionByName _)
+      },
+      Some("""WITH ins AS (SELECT * FROM (VALUES
+             |(CAST(25 AS INTEGER), 'LEMURIA', CAST(2 AS INTEGER)),
+             |(26, 'ZEALANDIA', 3)) t(n_nationkey, n_name, n_regionkey)),
+             |v1 AS (SELECT * FROM nation UNION ALL SELECT * FROM ins)
+             |SELECT 'v0' AS version, * FROM nation
+             |UNION ALL SELECT 'v1' AS version, * FROM v1
+             |UNION ALL SELECT 'v2' AS version, * FROM v1
+             |WHERE n_nationkey <> 25"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -649,6 +649,57 @@ object RelationalQueries {
              |FROM customer
              |WINDOW w AS (PARTITION BY c_mktsegment
              |ORDER BY c_acctbal, c_custkey)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MULTISET set operations — the ALL forms q21/q22's DISTINCT
+    // variants don't cover (bag semantics: a key occurring 3× in
+    // customer-nations and 1× in supplier-nations survives EXCEPT ALL
+    // twice). Spark plans INTERSECT ALL / EXCEPT ALL as one aggregate
+    // counting per side + a generate — no join explosion, single
+    // exchange on the compared columns.
+    Q("q40_setop_all",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_nationkey").as("k"))
+        val su = t(s, d, "supplier").select(col("s_nationkey").as("k"))
+        c.intersectAll(su).withColumn("op", lit("intersect_all"))
+          .unionByName(c.exceptAll(su).withColumn("op", lit("except_all")))
+      },
+      Some("""SELECT k, 'intersect_all' AS op FROM
+             |(SELECT c_nationkey AS k FROM customer
+             |INTERSECT ALL SELECT s_nationkey AS k FROM supplier)
+             |UNION ALL
+             |SELECT k, 'except_all' AS op FROM
+             |(SELECT c_nationkey AS k FROM customer
+             |EXCEPT ALL SELECT s_nationkey AS k FROM supplier)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // VALUE window functions (first_value / last_value / nth_value) over
+    // an explicit frame — the remaining window-function class after
+    // q25's ranks, q37's frame aggregates, and q39's distributions.
+    // last_value reads the whole-partition frame (the default
+    // current-row frame makes last_value trivially the row itself — the
+    // classic footgun, stated explicitly on both engines); the order
+    // carries the orderkey tie-break so every value pick is total-order
+    // deterministic.
+    Q("q41_value_windows",
+      (s, d) => {
+        val wf = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(wf).as("first_spend"),
+          last(col("o_totalprice")).over(wf).as("last_spend"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_spend"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |first_value(o_totalprice) OVER w AS first_spend,
+             |last_value(o_totalprice) OVER w AS last_spend,
+             |nth_value(o_totalprice, 2) OVER w AS second_spend
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |ORDER BY o_orderdate, o_orderkey
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
         .stripMargin.replace('\n', ' ')))
   )
 

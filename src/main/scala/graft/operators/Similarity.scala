@@ -422,26 +422,26 @@ object Similarity {
 
   /** The query stage of [[ivfTopK]] against an already-built (or
     * [[loadIvfIndex]]-loaded) index. */
-  def ivfQuery(
+  /** The probe-selection stage shared by [[ivfQuery]] and [[ivfPqTopK]]:
+    * for each query, its `nprobe` nearest coarse cells. Centroid table is
+    * tiny → broadcast; cell ranking reuses the partial k-heap with
+    * NEGATED squared distance ((-d2) DESC, list_id ASC ≡ d2 ASC,
+    * list_id ASC — d2 is a sum of squares, so no -0.0/0.0 ordering edge
+    * exists) instead of a row_number window: no per-query sort, and the
+    * probe-selection shuffle carries nprobe cells per query, not all
+    * nlist. Returns (query_id, qv, list_id). */
+  private def probeCells(
       queries: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel,
-      assigned: DataFrame,
-      k: Int,
       nprobe: Int): DataFrame = {
-    val spark = assigned.sparkSession
+    val spark = queries.sparkSession
     val sq = spark; import sq.implicits._
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("list_id", "centroid")
     val q = queries.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv"))
-    // nprobe nearest cells per query: centroid table is tiny -> broadcast;
-    // cell ranking reuses the partial k-heap with NEGATED squared distance
-    // ((-d2) DESC, list_id ASC ≡ d2 ASC, list_id ASC — d2 is a sum of
-    // squares, so no -0.0/0.0 ordering edge exists) instead of a
-    // row_number window: no per-query sort, and the probe-selection
-    // shuffle carries nprobe cells per query, not all nlist
-    val qProbes = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("d2",
         aggregate(zip_with(col("qv"), col("centroid"),
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
@@ -459,6 +459,15 @@ object Similarity {
         explode(col("cells.neighbor_id")).as("cell"))
       .select(col("query_id"), col("qv"),
         col("cell").cast("int").as("list_id"))
+  }
+
+  def ivfQuery(
+      queries: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val qProbes = probeCells(queries, model, nprobe)
     val scored = assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -584,6 +593,111 @@ object Similarity {
       ksub: Int = 64,
       trainCap: Int = 100000): DataFrame =
     builtPqIndex(corpus, m, ksub, trainCap)._2
+
+  /** IVF+PQ combined index cache (same lifecycle rules as the others):
+    * coarse quantizer + per-subspace codebooks + the corpus as
+    * (list_id, neighbor_id, codes) — cells AND codes assigned in the
+    * same single scan (the coarse transform and the m sub-code
+    * transforms chain lazily). */
+  private val ivfPqIndexes = scala.collection.mutable.LinkedHashMap
+    .empty[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Int, Int, Int, Int),
+      (org.apache.spark.ml.clustering.KMeansModel,
+        Array[Array[Array[Double]]], DataFrame)]
+  private[graft] var ivfPqIndexBuilds = 0
+
+  private def builtIvfPqIndex(
+      corpus: DataFrame,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      trainCap: Int): (org.apache.spark.ml.clustering.KMeansModel,
+        Array[Array[Array[Double]]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(ksub > 1 && ksub <= 127, s"ksub=$ksub must fit a tinyint code")
+    val spark = corpus.sparkSession
+    val cacheKey = (System.identityHashCode(spark),
+      corpus.queryExecution.analyzed.canonicalized, nlist, m, ksub, trainCap)
+    ivfPqIndexes.synchronized {
+      val entry = ivfPqIndexes.getOrElseUpdate(cacheKey, {
+        ivfPqIndexBuilds += 1
+        val c = ManagedCache.persist(Dedup.spread(corpus)
+          .select(col("vec_id").as("neighbor_id"),
+            toDouble(col("embedding")).as("cv")))
+        val dim = c.select(size(col("cv"))).first().getInt(0)
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val dsub = dim / m
+        val n = c.count()
+        val train =
+          if (n <= trainCap) c
+          else {
+            val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
+            c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
+              < thresh)
+          }
+        val coarse = new KMeans()
+          .setK(nlist).setSeed(42).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("list_id")
+          .fit(train.withColumn("features", array_to_vector(col("cv"))))
+        var enc = coarse
+          .transform(c.withColumn("features", array_to_vector(col("cv"))))
+          .drop("features")
+        val codebooks = (0 until m).map { j =>
+          val fcol = array_to_vector(slice(col("cv"), j * dsub + 1, dsub))
+          val model = new KMeans()
+            .setK(ksub).setSeed(42 + j).setMaxIter(10)
+            .setFeaturesCol("features").setPredictionCol(s"__pqc$j")
+            .fit(train.withColumn("features", fcol))
+          enc = model.transform(enc.withColumn("features", fcol))
+            .drop("features")
+          model.clusterCenters.map(_.toArray)
+        }.toArray
+        val codes = array((0 until m)
+          .map(j => col(s"__pqc$j").cast("byte")): _*)
+        (coarse, codebooks, ManagedCache.persist(
+          enc.select(col("list_id"), col("neighbor_id"),
+            codes.as("codes"))))
+      })
+      while (ivfPqIndexes.size > ivfIndexCacheMax)
+        ivfPqIndexes -= ivfPqIndexes.head._1
+      (entry._1, entry._2, ManagedCache.persist(entry._3))
+    }
+  }
+
+  /** IVF+PQ approximate top-k — the production ANN-at-rest shape (the
+    * FAISS IVFADC composition): coarse cells prune the SCAN
+    * (O(N·nprobe/nlist) candidates per query, [[ivfTopK]]'s property)
+    * while PQ codes compress the STATE the scan touches (m bytes per
+    * candidate, [[pqTopK]]'s property) — at 100 TB the index table this
+    * query reads is ~32× smaller than the float corpus AND each query
+    * reads only its probed cells of it. Scoring is the same asymmetric
+    * reconstruct-and-score against the full-precision query; both
+    * losses (cell pruning + reconstruction) are spec-measured against
+    * brute force. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): DataFrame = {
+    val (coarse, codebooks, index) =
+      builtIvfPqIndex(corpus, nlist, m, ksub, trainCap)
+    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val qProbes = probeCells(queries, coarse, nprobe)
+    val scored = index
+      .withColumn("rv", flatten(transform(col("codes"),
+        (code, j) => element_at(element_at(cbLit, j + lit(1)),
+          code.cast("int") + lit(1)))))
+      .join(broadcast(qProbes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExpressions.cosineSim(col("qv"), col("rv")), 4))
+    rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
+  }
 }
 
 /** Driver-facing similarity queries over `embeddings`. */
@@ -726,14 +840,24 @@ object SimilarityQueries {
         threshold = 0.35),
       None),
 
-    // PQ ANN — asymmetric top-k against the 8-byte-per-vector encoded
-    // corpus (see [[Similarity.pqTopK]]). Rows-only (iterative k-means
+    // PQ ANN — asymmetric top-k against the compressed encoded corpus
+    // (see [[Similarity.pqTopK]]). Rows-only (iterative k-means
     // codebooks); recall vs brute force + compression invariants are
     // spec-asserted in SimilaritySpec.
     Q("e09_ann_pq",
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
         pqTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      },
+      None),
+
+    // IVF+PQ ANN — cell-pruned scan over the PQ-compressed index (see
+    // [[Similarity.ivfPqTopK]]). Rows-only; combined-loss recall,
+    // determinism, and index reuse are spec-asserted.
+    Q("e10_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        ivfPqTopK(emb.filter(col("vec_id") < 20), emb, 5)
       },
       None)
   )

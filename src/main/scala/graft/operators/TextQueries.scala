@@ -1078,6 +1078,50 @@ object TextQueries {
       },
       None),
 
+    // PER-DOC NOVELTY — the memorization-risk signal a training pipeline
+    // reads next to d12's span detector: the fraction of a document's
+    // distinct 8-grams that appear in NO other document (novelty = 1 −
+    // shared/total). Low-novelty docs are near-copies or heavy
+    // boilerplate; p02 applies the same idea cross-SPLIT, this applies
+    // it per-doc corpus-wide. Shape at 100 TB: ONE scan → per-doc
+    // distinct 8-gram hashes (native ShingleHashes, persisted — the
+    // frame feeds both the df aggregate and the join), gram-df
+    // partial-agg, one join on the gram key (planner-decided; d07's
+    // inverted-index shape), per-doc count. Spark joins 64-bit gram
+    // hashes; the oracle joins string grams (d07's hash↔string parity
+    // argument). Ratio of exact integers + identical subtraction →
+    // identical double, no −0.0 hazard (novelty ≥ 0 as +0.0).
+    Q("t29_novelty",
+      (s, d) => {
+        val docs = Dedup.spread(Tables.t(s, d, "documents"))
+        val dg = ManagedCache.persist(docs.select(col("doc_id"),
+          explode(TextExpressions.shingleHashes(
+            tokens(col("text")), 8)).as("g")))
+        val dfq = dg.groupBy("g").agg(count(lit(1)).as("dfg"))
+        dg.join(dfq, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("dfg") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("novelty",
+            round(lit(1.0) -
+              col("n_shared").cast("double") / col("n_grams"), 4))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |range(1, greatest(len(toks) - 7, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             |toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS g FROM tk),
+             |df AS (SELECT g, count(*) AS dfg FROM g GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_grams,
+             |CAST(sum(CASE WHEN dfg > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |AS n_shared,
+             |round(1.0 - CAST(sum(CASE WHEN dfg > 1 THEN 1 ELSE 0 END)
+             |AS DOUBLE) / count(*), 4) AS novelty
+             |FROM g JOIN df USING (g) GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
     // VOCABULARY-SIZE SKETCH: per-source distinct-term estimate via
     // HyperLogLog++ (`approx_count_distinct`, rsd 1%) next to the exact
     // token total. THE sketch swap t07/t22's exact vocabulary machinery

@@ -146,4 +146,26 @@ class DmlSpec extends SparkSpec {
     assert(latest == "v1")
     assert(Dml.readLatest(spark, dir).count() == base.count())
   }
+
+  test("time travel: a chained deleteLatest publishes v2, leaves v0/v1 " +
+    "readable and unchanged, and the pointer resolves to v2") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_timetravel", sf)
+    val base = Tables.t(spark, sf, "nation")
+    val rows = Seq((98, "ATLANTIS", 1), (99, "MU", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    Dml.insertValues(base, rows, dir)                    // v0, v1
+    Dml.deleteLatest(spark, dir, col("n_nationkey") === 98) // v2
+    assert(Dml.currentVersion(dir) == "v2")
+    val n = base.count()
+    // history intact: each version is the exact state it was committed as
+    assert(Dml.readVersion(spark, dir, "v0").count() == n)
+    assert(Dml.readVersion(spark, dir, "v1").count() == n + 2)
+    assert(Dml.readVersion(spark, dir, "v1")
+      .filter(col("n_nationkey") === 98).count() == 1)
+    val v2 = Dml.readLatest(spark, dir)
+    assert(v2.count() == n + 1)
+    assert(v2.filter(col("n_nationkey") === 98).count() == 0)
+  }
 }

@@ -444,4 +444,28 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.forall(_.getLong(1) == 5L))
     ManagedCache.releaseAll()
   }
+
+  test("ivf+pq top-k carries both losses (cell pruning + reconstruction) " +
+    "yet still recalls usefully, deterministically, reusing its index") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfPqTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    // strictly harder than either alone: accept the combined loss but
+    // demand it beats the 25% random-cell scan fraction
+    assert(recall >= 0.3, s"ivf+pq recall $recall")
+    val builds1 = Similarity.ivfPqIndexBuilds
+    assert(run() == a, "ivf+pq ranking must be deterministic")
+    assert(Similarity.ivfPqIndexBuilds == builds1,
+      "second query must reuse the combined index")
+    // the candidate set is genuinely pruned: nprobe/nlist of the corpus
+    assert(a.size <= exact.size)
+    ManagedCache.releaseAll()
+  }
 }
