@@ -25,7 +25,8 @@ object QueryCatalog {
       DmlQueries.queries ++
       MultimodalQueries.queries ++
       SkewQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++
+      SourceQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -362,9 +362,44 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    val prepOld = ManagedCache.persist(minhashPrep(oldDocs, shingleN, k))
+    incrementalMinhashAgainstPrep(
+      newDocs, prepOld, shingleN, k, bands, threshold, maxBucket)
+  }
+
+  /** DEDUP INDEX PERSISTENCE — the maintenance/serving split for the
+    * incremental ingest path (d10), mirroring saveIvfIndex's lifecycle:
+    * a maintenance job shingles + signs the corpus ONCE and saves the
+    * prep table (doc_id, shingle hashes, minhash signature) as plain
+    * parquet; every ingest batch then [[loadDedupIndex]]s it and joins
+    * only the delta against it — the corpus text is never re-shingled
+    * per batch. At 100 TB the saved index is re-partitionable/bucketable
+    * by doc_id and is a fraction of the text it summarizes. */
+  def saveDedupIndex(
+      path: String,
+      corpus: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 16): Unit =
+    minhashPrep(corpus, shingleN, k).write.mode("overwrite").parquet(path)
+
+  /** Load a saved dedup index (persisted; released by the caller's
+    * ManagedCache.releaseAll like every pipeline cache). */
+  def loadDedupIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    ManagedCache.persist(spark.read.parquet(path))
+
+  /** The delta-vs-index stage shared by the live and loaded-index paths:
+    * `prepOld` is an already-prepped (and persisted) corpus index frame. */
+  def incrementalMinhashAgainstPrep(
+      newDocs: DataFrame,
+      prepOld: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     val prepNew = ManagedCache.persist(minhashPrep(newDocs, shingleN, k))
-    val prepOld = ManagedCache.persist(minhashPrep(oldDocs, shingleN, k))
     val bandedNew = bandedKeys(prepNew, bands, rows)
     val cappedOld = capBanded(bandedKeys(prepOld, bands, rows), maxBucket)
     // same self-pair guard as incrementalExactJaccard: disjoint ids are

@@ -286,6 +286,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("dedup index save/load round trip: a delta joined against the " +
+    "LOADED corpus index returns exactly the live-path pairs without " +
+    "re-shingling the corpus") {
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "old_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = pairs(Dedup.incrementalMinhashPairs(delta, rest, 3, 16,
+      bands = 8, threshold = 0.5))
+    ManagedCache.releaseAll()
+    val path = java.nio.file.Files
+      .createTempDirectory("dedup_idx").toString + "/idx"
+    Dedup.saveDedupIndex(path, rest, shingleN = 3, k = 16)
+    val loaded = Dedup.loadDedupIndex(spark, path)
+    val served = pairs(Dedup.incrementalMinhashAgainstPrep(delta, loaded,
+      3, 16, bands = 8, threshold = 0.5))
+    ManagedCache.releaseAll()
+    assert(served == live)
+    assert(live.nonEmpty)
+  }
+
   test("removeBoilerplate drops cross-doc repeated lines, keeps unique " +
     "ones in order, and keeps all-boilerplate docs with empty text") {
     val sq = spark; import sq.implicits._
