@@ -357,6 +357,52 @@ object EventQueries {
     //
     // s07: window(ts, '1 hour').start ≡ date_trunc('hour', ts), so the
     // entry shares s01's oracle verbatim: streaming == batch, hash-checked.
+    // COHORT RETENTION — the classic growth-analytics matrix the event
+    // family lacked: users cohorted by FIRST-ACTIVE day; cell (cohort,
+    // offset d) counts cohort members active d days later, plus the
+    // retention rate against the cohort size. Day keys stay TIMESTAMP
+    // (date_trunc) — a DATE column is driver-hash-unsafe (q23's rule).
+    // Scale shape at 100 TB: the raw firehose reduces ONCE to the
+    // distinct (user, day) activity table (one shuffle; persisted — it
+    // feeds both the cohort derivation and the activity join); cohorts
+    // and sizes derive from that user-cardinality table; the final agg
+    // is (days × offsets)-cardinality — tiny; the sizes join broadcasts.
+    Q("s17_cohort_retention",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        val dd = ManagedCache.persist(ev.select(col("user_id"),
+          date_trunc("day", col("ts")).as("day")).distinct())
+        val cohorts = dd.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        val sizes = cohorts.groupBy("cohort_day")
+          .agg(count(lit(1)).as("n_cohort"))
+        dd.join(cohorts, "user_id")
+          .withColumn("day_offset",
+            datediff(col("day"), col("cohort_day")).cast("long"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_day")
+          .select(col("cohort_day"), col("day_offset"), col("n_active"),
+            col("n_cohort"),
+            round(col("n_active").cast("double") / col("n_cohort"), 4)
+              .as("retention"))
+      },
+      Some("""WITH dd AS (SELECT DISTINCT user_id,
+             |CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+             |co AS (SELECT user_id, min(day) AS cohort_day
+             |FROM dd GROUP BY 1),
+             |sz AS (SELECT cohort_day, count(*) AS n_cohort
+             |FROM co GROUP BY 1),
+             |act AS (SELECT cohort_day,
+             |date_diff('day', cohort_day, day) AS day_offset,
+             |count(DISTINCT dd.user_id) AS n_active
+             |FROM dd JOIN co USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+             |n_active, n_cohort,
+             |round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS retention
+             |FROM act JOIN sz USING (cohort_day)"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("s07_stream_hourly_agg",
       (s, d) => drainStream(s, EventStreams.hourlyAgg(eventStream(s, d))),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

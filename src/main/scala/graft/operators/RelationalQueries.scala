@@ -700,7 +700,19 @@ object RelationalQueries {
              |WINDOW w AS (PARTITION BY o_custkey
              |ORDER BY o_orderdate, o_orderkey
              |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // LATERAL correlated subquery — the remaining subquery class after
+    // q17's scalar and q26/q27's IN/EXISTS forms: a per-row dependent
+    // subquery in FROM (top-2 customers by balance per nation), the
+    // construct SQL:1999 calls LATERAL and both engines accept with the
+    // same comma syntax. Spark decorrelates it into a ranked window
+    // join — the same physical plan q25's explicit window would give —
+    // so the SQL surface costs nothing over the hand-written form.
+    // Deterministic: balance ties broken by c_custkey in the ORDER BY.
+    Q("q42_lateral_topn",
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.lateralTopN) },
+      Some(Sql.lateralTopN))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
@@ -740,6 +752,13 @@ object RelationalQueries {
       """SELECT k, c_name, s_name FROM
         |(SELECT c_nationkey AS k, c_name FROM customer) c JOIN
         |(SELECT s_nationkey AS k, s_name FROM supplier) s USING (k)"""
+        .stripMargin.replace('\n', ' ')
+
+    val lateralTopN: String =
+      """SELECT n_name, t.c_name, t.c_acctbal FROM nation,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |WHERE c_nationkey = n_nationkey
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
         .stripMargin.replace('\n', ' ')
   }
 }
