@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.types.StructType
 
 /** One index registry entry (CREATE INDEX is metadata-only — Spark has no
@@ -145,6 +146,11 @@ class ExecutionContext(
           ifExists = ifExists != null,
           cascade = cascade != null)
         spark.emptyDataFrame
+      case ExecutionContext.UpdateRe(tbl, setList, fromTbl, whereExpr) =>
+        sqlUpdate(ExecutionContext.unquote(tbl), setList,
+          Option(fromTbl).map(ExecutionContext.unquote), Option(whereExpr))
+      case ExecutionContext.DeleteRe(tbl, whereExpr) =>
+        sqlDelete(ExecutionContext.unquote(tbl), Option(whereExpr))
       case _ =>
         // CREATE TABLE with constraint clauses: strip them into graft.*
         // TBLPROPERTIES (the registry the typed createTable uses) so the
@@ -160,6 +166,65 @@ class ExecutionContext(
               s"Table: $missing does not exist in database", e)
         }
     }
+  }
+
+  // ---- SQL DML bridge ----------------------------------------------------
+  // The reference PLANS `UPDATE … [FROM …] [WHERE …]` and
+  // `DELETE FROM … [WHERE …]` as SQL statements (`tmp/crud.txt:203-301`);
+  // Spark rejects UPDATE/DELETE on file-backed relations outright, so the
+  // statements route through the Dml copy-on-write store instead: read
+  // the current table, publish the next committed version under a
+  // per-statement work dir (never overwriting a directory that is being
+  // read), and re-register the RESULT as the session's view of that
+  // table — SELECTs after the statement see the new state, exactly the
+  // session semantics a reference user has. Statement-session views
+  // SHADOW same-named catalog tables by design (temp view precedence).
+
+  private var sqlDmlSeq = 0
+  private def sqlDmlDir(table: String): String = {
+    sqlDmlSeq += 1
+    val safe = table.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/root/repo/target/dmltmp/sql/$safe/s$sqlDmlSeq"
+  }
+
+  private def sqlAssignments(setList: String): Map[String, Column] =
+    ExecutionContext.splitList(setList).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"Malformed SET assignment: $a")
+      ExecutionContext.unquote(a.take(i).trim) -> expr(a.drop(i + 1).trim)
+    }.toMap
+
+  private def sqlUpdate(
+      table: String,
+      setList: String,
+      fromTable: Option[String],
+      whereExpr: Option[String]): DataFrame = {
+    requireTable(table)
+    val base = spark.table(table)
+    val pred = whereExpr.map(expr).getOrElse(lit(true))
+    val out = fromTable match {
+      case Some(src) =>
+        requireTable(src)
+        // UPDATE t SET … FROM s WHERE …: qualify columns by the TABLE
+        // NAMES (the aliases the join uses), per the reference's planned
+        // join-form update
+        Dml.updateFrom(base, sqlDmlDir(table), spark.table(src),
+          pred, sqlAssignments(setList),
+          targetAlias = table, sourceAlias = src)
+      case None =>
+        Dml.update(base, sqlDmlDir(table), pred, sqlAssignments(setList))
+    }
+    out.createOrReplaceTempView(table)
+    out
+  }
+
+  private def sqlDelete(
+      table: String, whereExpr: Option[String]): DataFrame = {
+    requireTable(table)
+    val out = Dml.delete(spark.table(table), sqlDmlDir(table),
+      whereExpr.map(expr).getOrElse(lit(true)))
+    out.createOrReplaceTempView(table)
+    out
   }
 
   /** Execute every statement; returns the last non-empty result — the
@@ -412,6 +477,16 @@ object ExecutionContext {
   // group, so `DROP INDEX my_cascade` parsed as name `my_` + CASCADE.
   private[graft] val DropIndexRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
+
+  // UPDATE <t> SET <assignments> [FROM <s>] [WHERE <pred>] — the lazy SET
+  // group ends at the first standalone FROM/WHERE keyword (an embedded
+  // literal containing the bare word would mis-split; the reference's
+  // sqlparser has the same shape in scope, `tmp/crud.txt:203-301`).
+  private[graft] val UpdateRe =
+    (s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+(.+?)""" +
+      s"""(?:\\s+FROM\\s+($Ident))?(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
+  private[graft] val DeleteRe =
+    (s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
 
   private val FullIdentRe = Ident.r
 

@@ -133,21 +133,23 @@ object Dml {
       dir: String,
       source: DataFrame,
       cond: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+      assignments: Map[String, org.apache.spark.sql.Column],
+      targetAlias: String = "t",
+      sourceAlias: String = "s"): DataFrame = {
     val v0 = snapshot(base, dir, "v0")
     // Collision-proof match marker: an unqualified `_matched` would be
     // ambiguous against a target table that already has that column.
     val marker = "__graft_matched"
     require(!v0.columns.contains(marker) && !source.columns.contains(marker),
       s"updateFrom: reserved marker column $marker present in input")
-    val marked = v0.alias("t").join(
-      source.withColumn(marker, lit(true)).alias("s"), cond, "left")
+    val marked = v0.alias(targetAlias).join(
+      source.withColumn(marker, lit(true)).alias(sourceAlias), cond, "left")
     val updated = marked.select(v0.columns.toIndexedSeq.map { c =>
       assignments.get(c) match {
         case Some(newVal) =>
           when(coalesce(col(marker), lit(false)), newVal)
-            .otherwise(col(s"t.$c")).as(c)
-        case None => col(s"t.$c").as(c)
+            .otherwise(col(s"$targetAlias.$c")).as(c)
+        case None => col(s"$targetAlias.$c").as(c)
       }
     }: _*)
     snapshot(updated, dir, "v1")
@@ -370,6 +372,30 @@ object DmlQueries {
              |UNION ALL SELECT 'v1' AS version, * FROM v1
              |UNION ALL SELECT 'v2' AS version, * FROM v1
              |WHERE n_nationkey <> 25"""
+        .stripMargin.replace('\n', ' '))),
+
+    // SQL-STATEMENT DML — the reference's actual CRUD surface is SQL text
+    // (`tmp/crud.txt:203-301`), not a typed API: UPDATE…WHERE and
+    // DELETE…WHERE route through ExecutionContext's statement bridge to
+    // the same copy-on-write store m03/m04 exercise directly, with the
+    // result re-registered as the session view so the follow-up SELECT
+    // (also SQL) reads the mutated state — a three-statement SQL session
+    // under one oracle. The entry mutates its own registered view name,
+    // never the shared catalog tables.
+    Q("m10_sql_dml",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        Tables.t(s, d, "supplier")
+          .createOrReplaceTempView("g_sql_supplier")
+        ctx.execute("""UPDATE g_sql_supplier SET
+          s_acctbal = s_acctbal + 500.0 WHERE s_acctbal < 0""")
+        ctx.execute("DELETE FROM g_sql_supplier WHERE s_nationkey = 3")
+        ctx.execute("SELECT * FROM g_sql_supplier")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey,
+             |CASE WHEN s_acctbal < 0 THEN s_acctbal + 500.0
+             |ELSE s_acctbal END AS s_acctbal
+             |FROM supplier WHERE s_nationkey <> 3"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -513,4 +513,66 @@ class ExecutionContextSpec extends SparkSpec {
     c.execute("DROP TABLE spec_fk_child")
     c.execute("DROP TABLE spec_fk_parent")
   }
+
+  test("SQL UPDATE/DELETE statements route through the copy-on-write " +
+    "store and the session view tracks each statement's result") {
+    import org.apache.spark.sql.functions._
+    val c = ctx
+    Tables.t(spark, sf, "nation").createOrReplaceTempView("spec_sql_nation")
+    val n0 = spark.table("spec_sql_nation").count()
+    // UPDATE … WHERE: only matching rows change; SELECT sees the change
+    c.execute("""UPDATE spec_sql_nation SET n_name = 'PATCHED'
+      WHERE n_regionkey = 2""")
+    val afterUpdate = c.execute("SELECT * FROM spec_sql_nation")
+    assert(afterUpdate.count() == n0)
+    val patched = afterUpdate.filter(col("n_name") === "PATCHED").count()
+    assert(patched > 0 &&
+      patched == afterUpdate.filter(col("n_regionkey") === 2).count())
+    // chained DELETE … WHERE on the mutated view
+    c.execute("DELETE FROM spec_sql_nation WHERE n_name = 'PATCHED'")
+    val afterDelete = spark.table("spec_sql_nation")
+    assert(afterDelete.count() == n0 - patched)
+    assert(afterDelete.filter(col("n_name") === "PATCHED").count() == 0)
+    // the BASE table is untouched (copy-on-write, not in-place)
+    assert(Tables.t(spark, sf, "nation").count() == n0)
+    // WHERE-less forms: update-all then delete-all
+    c.execute("UPDATE spec_sql_nation SET n_name = 'X'")
+    assert(spark.table("spec_sql_nation")
+      .filter(col("n_name") =!= "X").count() == 0)
+    c.execute("DELETE FROM spec_sql_nation")
+    assert(spark.table("spec_sql_nation").count() == 0)
+    spark.catalog.dropTempView("spec_sql_nation")
+  }
+
+  test("SQL UPDATE … FROM (join-form) qualifies columns by table name " +
+    "and updates only matched rows") {
+    import org.apache.spark.sql.functions._
+    val c = ctx
+    Tables.t(spark, sf, "customer")
+      .createOrReplaceTempView("spec_sql_cust")
+    Tables.t(spark, sf, "nation").createOrReplaceTempView("spec_sql_nat")
+    c.execute("""UPDATE spec_sql_cust SET
+      c_acctbal = spec_sql_cust.c_acctbal + 100.0
+      FROM spec_sql_nat
+      WHERE spec_sql_cust.c_nationkey = spec_sql_nat.n_nationkey
+      AND spec_sql_nat.n_regionkey = 2""")
+    val got = spark.table("spec_sql_cust")
+    val base = Tables.t(spark, sf, "customer").alias("b")
+      .join(Tables.t(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"),
+        when(col("n_regionkey") === 2, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("expected"))
+    val diff = got.select(col("c_custkey"), col("c_acctbal"))
+      .join(base, "c_custkey")
+      .filter(col("c_acctbal") =!= col("expected"))
+    assert(diff.count() == 0)
+    // error contract preserved on unknown tables
+    val e = intercept[IllegalArgumentException] {
+      c.execute("DELETE FROM no_such_table WHERE 1 = 1")
+    }
+    assert(e.getMessage.contains("does not exist in database"))
+    spark.catalog.dropTempView("spec_sql_cust")
+    spark.catalog.dropTempView("spec_sql_nat")
+  }
 }
