@@ -151,6 +151,18 @@ class ExecutionContext(
           Option(fromTbl).map(ExecutionContext.unquote), Option(whereExpr))
       case ExecutionContext.DeleteRe(tbl, whereExpr) =>
         sqlDelete(ExecutionContext.unquote(tbl), Option(whereExpr))
+      // INSERT INTO bridges ONLY for temp-view targets: catalog tables
+      // (m05's CREATE TABLE … USING parquet) take Spark's native INSERT
+      // path below, which appends in place with its own semantics
+      // (including native DEFAULT handling).
+      case ExecutionContext.InsertValuesRe(tbl, cols, valuesText)
+          if isTempView(ExecutionContext.unquote(tbl)) =>
+        sqlInsert(ExecutionContext.unquote(tbl), Option(cols),
+          spark.sql(s"SELECT * FROM (VALUES $valuesText)"))
+      case ExecutionContext.InsertSelectRe(tbl, cols, selectText)
+          if isTempView(ExecutionContext.unquote(tbl)) =>
+        sqlInsert(ExecutionContext.unquote(tbl), Option(cols),
+          spark.sql(selectText))
       case _ =>
         // CREATE TABLE with constraint clauses: strip them into graft.*
         // TBLPROPERTIES (the registry the typed createTable uses) so the
@@ -223,6 +235,33 @@ class ExecutionContext(
     requireTable(table)
     val out = Dml.delete(spark.table(table), sqlDmlDir(table),
       whereExpr.map(expr).getOrElse(lit(true)))
+    out.createOrReplaceTempView(table)
+    out
+  }
+
+  private def isTempView(name: String): Boolean =
+    spark.catalog.tableExists(name) &&
+      (try spark.catalog.getTable(name).tableType == "TEMPORARY"
+       catch { case _: Exception => false })
+
+  /** INSERT INTO <view> [(cols)] VALUES …/SELECT … — rows bind
+    * POSITIONALLY to the column list (or the table's column prefix),
+    * reference semantics; omitted columns fill with typed NULL via
+    * [[Dml.insertValues]]'s alignment. */
+  private def sqlInsert(
+      table: String,
+      colList: Option[String],
+      rows: DataFrame): DataFrame = {
+    requireTable(table)
+    val base = spark.table(table)
+    val names = colList.map(ExecutionContext.splitList(_)
+        .map(ExecutionContext.unquote).filter(_.nonEmpty))
+      .getOrElse(base.columns.toSeq.take(rows.columns.length))
+    require(names.length == rows.columns.length,
+      s"INSERT column count ${names.length} != value arity " +
+        s"${rows.columns.length}")
+    val out = Dml.insertValues(base, rows.toDF(names: _*),
+      sqlDmlDir(table))
     out.createOrReplaceTempView(table)
     out
   }
@@ -487,6 +526,16 @@ object ExecutionContext {
       s"""(?:\\s+FROM\\s+($Ident))?(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
   private[graft] val DeleteRe =
     (s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
+
+  // INSERT INTO only (INSERT OVERWRITE keeps Spark's native path). The
+  // VALUES tail re-parses through `SELECT * FROM (VALUES …)`, so tuple
+  // syntax/typing stays Catalyst's problem, not a regex's.
+  private[graft] val InsertValuesRe =
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($Ident)\\s*""" +
+      s"""(?:\\(([^)]*)\\)\\s*)?VALUES\\s+(.+?)\\s*$$""").r
+  private[graft] val InsertSelectRe =
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($Ident)\\s*""" +
+      s"""(?:\\(([^)]*)\\)\\s*)?(SELECT\\s+.+?)\\s*$$""").r
 
   private val FullIdentRe = Ident.r
 

@@ -1198,6 +1198,109 @@ object DedupQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // FULL CURATION CAPSTONE — p04 plus the stage it stops short of:
+    // near-duplicate CLUSTER RESOLUTION on the curated corpus.
+    // boilerplate removal (d11) → quality filter (t06) → exact content
+    // dedup (d02's keep-min) → exact-jaccard near-dup pairs at 0.5 over
+    // the surviving clean texts (d07's inverted-index shape) → connected
+    // components (d08's min-label propagation) → keep one representative
+    // per cluster → per-language final stats. ONE gated plan whose
+    // oracle composes the p04 chain with the d08 recursive CTE.
+    // Scale note: the exact all-pairs stage runs on the POST-FILTER,
+    // POST-DEDUP corpus and is the audit-grade composition (Σ df² on the
+    // survivors); the production swap at 100 TB is minhash banding
+    // (d03/d10) feeding the same cluster/keep stages — the pipeline
+    // shape downstream of the pair source is identical, which is the
+    // point of gating it here with the closed-form exact source.
+    Q("p05_curation_clustered",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val cleaned = Dedup.removeBoilerplate(
+          Dedup.segmentsByTokens(docs, segLen = 2), maxDocFrac = 0.05)
+          .filter(col("n_kept") > 0)
+        val scored = cleaned
+          .withColumn("quality", TextFunctions.qualityScore(
+            col("clean_text"), TextFunctions.tokens(col("clean_text"))))
+          .filter(col("quality") >= 0.82)
+        val dd = scored.groupBy("clean_text")
+          .agg(min(col("doc_id")).as("doc_id"),
+            min(col("quality")).as("quality"))
+        // near-dup stage reads the deduped survivors three times (pair
+        // source sides + label base + final join) — persist caps the
+        // upstream chain at one evaluation
+        val nd = ManagedCache.persist(dd.select(col("doc_id"),
+          col("clean_text").as("text"), col("quality")))
+        val pairs = Dedup.exactJaccardPairs(nd, shingleN = 3,
+          threshold = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs,
+          nd.select("doc_id"))
+        val kept = nd.join(clusters, "doc_id")
+          .filter(col("doc_id") === col("rep"))
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)), 4).as("avg_quality"),
+            sum(size(TextFunctions.tokens(col("text"))))
+              .as("total_tokens"))
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |seg AS (SELECT doc_id, s AS seg_id,
+             |array_to_string(toks[s*2+1 : s*2+2], ' ') AS seg
+             |FROM tk, unnest(range(0, (len(toks)-1)//2 + 1)) t(s)),
+             |tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM seg),
+             |bl AS (SELECT seg FROM
+             |(SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+             |CROSS JOIN tot WHERE df > n_docs * 0.05),
+             |ka AS (SELECT doc_id,
+             |string_agg(seg, ' ' ORDER BY seg_id) AS ct
+             |FROM seg WHERE seg NOT IN (SELECT seg FROM bl) GROUP BY doc_id),
+             |b AS (SELECT doc_id, ct,
+             |CAST(length(ct) AS DOUBLE) AS n_chars,
+             |CAST(len(string_split_regex(trim(lower(ct)), '\s+')) AS DOUBLE) AS n_toks,
+             |CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |CAST(len(list_distinct(string_split_regex(trim(lower(ct)), '\s+'))) AS DOUBLE) AS n_uniq
+             |FROM ka),
+             |qx AS (SELECT doc_id, ct,
+             |round(least(greatest(
+             |least(n_toks / 20.0, 1.0) * 0.3
+             |+ (n_alpha / greatest(n_chars, 1.0)) * 0.3
+             |+ (n_uniq / greatest(n_toks, 1.0)) * 0.2
+             |+ (CASE WHEN n_chars / greatest(n_toks, 1.0) BETWEEN 3.0 AND 12.0
+             |THEN 1.0 ELSE 0.5 END) * 0.2,
+             |0.0), 1.0), 4) AS quality FROM b),
+             |f AS (SELECT doc_id, ct, quality FROM qx WHERE quality >= 0.82),
+             |dd AS (SELECT ct, min(doc_id) AS doc_id, min(quality) AS quality
+             |FROM f GROUP BY ct),
+             |tk2 AS (SELECT doc_id,
+             |string_split_regex(trim(lower(ct)), '\s+') AS toks FROM dd),
+             |s2 AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk2),
+             |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s2),
+             |p AS (SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+             |FROM e0 e1 JOIN e0 e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
+             |j AS (SELECT p.a, p.b,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM p JOIN s2 sa ON sa.doc_id = p.a JOIN s2 sb ON sb.doc_id = p.b),
+             |pr AS (SELECT a, b FROM j WHERE jac >= 0.5),
+             |e AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+             |r AS (SELECT doc_id AS id, doc_id AS reach FROM dd
+             |UNION SELECT r.id, e.y FROM r JOIN e ON e.x = r.reach),
+             |cl AS (SELECT id AS doc_id, min(reach) AS rep FROM r GROUP BY id),
+             |kept AS (SELECT dd.doc_id, dd.ct, dd.quality FROM dd
+             |JOIN cl ON cl.doc_id = dd.doc_id AND cl.rep = dd.doc_id)
+             |SELECT d.lang, count(*) AS n_docs,
+             |round(CAST(sum(CAST(kept.quality AS DECIMAL(18,4))) AS DOUBLE)
+             |/ count(*), 4) AS avg_quality,
+             |CAST(sum(len(string_split_regex(trim(lower(kept.ct)), '\s+')))
+             |AS BIGINT) AS total_tokens
+             |FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+             |GROUP BY d.lang"""
+        .stripMargin.replace('\n', ' '))),
+
     // signBits sizes the bucket count (2^bits) and trades exactly like LSH
     // bands: each +1 bit halves candidate pairs at some recall cost, and
     // multi-probe (1-bit flips) buys back most of the recall. 4 bits +

@@ -387,15 +387,20 @@ object DmlQueries {
         val ctx = new ExecutionContext(s)
         Tables.t(s, d, "supplier")
           .createOrReplaceTempView("g_sql_supplier")
+        ctx.execute("""INSERT INTO g_sql_supplier VALUES
+          (9999, 'NEWCO', 1, -100.0)""")
         ctx.execute("""UPDATE g_sql_supplier SET
           s_acctbal = s_acctbal + 500.0 WHERE s_acctbal < 0""")
         ctx.execute("DELETE FROM g_sql_supplier WHERE s_nationkey = 3")
         ctx.execute("SELECT * FROM g_sql_supplier")
       },
-      Some("""SELECT s_suppkey, s_name, s_nationkey,
+      Some("""WITH v1 AS (SELECT * FROM supplier UNION ALL
+             |SELECT CAST(9999 AS BIGINT), 'NEWCO',
+             |CAST(1 AS INTEGER), -100.0),
+             |v2 AS (SELECT s_suppkey, s_name, s_nationkey,
              |CASE WHEN s_acctbal < 0 THEN s_acctbal + 500.0
-             |ELSE s_acctbal END AS s_acctbal
-             |FROM supplier WHERE s_nationkey <> 3"""
+             |ELSE s_acctbal END AS s_acctbal FROM v1)
+             |SELECT * FROM v2 WHERE s_nationkey <> 3"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -541,6 +541,21 @@ class ExecutionContextSpec extends SparkSpec {
       .filter(col("n_name") =!= "X").count() == 0)
     c.execute("DELETE FROM spec_sql_nation")
     assert(spark.table("spec_sql_nation").count() == 0)
+    // SQL INSERT INTO the (now empty) view: full-row VALUES, then a
+    // column-subset insert (omitted column fills with typed NULL), then
+    // INSERT … SELECT — positional binding throughout
+    c.execute("INSERT INTO spec_sql_nation VALUES (90, 'ATLANTIS', 1)")
+    c.execute(
+      "INSERT INTO spec_sql_nation (n_nationkey, n_name) VALUES (91, 'MU')")
+    c.execute("""INSERT INTO spec_sql_nation
+      SELECT n_nationkey + 100, n_name, n_regionkey
+      FROM spec_sql_nation""")
+    val rows = spark.table("spec_sql_nation")
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(rows.toSeq == Seq((90, "ATLANTIS", 1), (91, "MU", -1),
+      (190, "ATLANTIS", 1), (191, "MU", -1)))
     spark.catalog.dropTempView("spec_sql_nation")
   }
 
