@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW (no "[info] " logger prefix):
+// the per-round bench/verify driver tail-captures sbt's output and
+// json-parses the one line Bench prints — the logger decoration is what
+// kept BENCH_r*.json's "parsed" field null.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -146,23 +146,32 @@ class ExecutionContext(
           ifExists = ifExists != null,
           cascade = cascade != null)
         spark.emptyDataFrame
-      case ExecutionContext.UpdateRe(tbl, setList, fromTbl, whereExpr) =>
+      case ExecutionContext.UpdateRe(tbl, tail) =>
+        val (setList, fromTbl, whereExpr) =
+          ExecutionContext.splitUpdateTail(tail)
         sqlUpdate(ExecutionContext.unquote(tbl), setList,
-          Option(fromTbl).map(ExecutionContext.unquote), Option(whereExpr))
+          fromTbl.map(ExecutionContext.unquote), whereExpr)
       case ExecutionContext.DeleteRe(tbl, whereExpr) =>
         sqlDelete(ExecutionContext.unquote(tbl), Option(whereExpr))
-      // INSERT INTO bridges ONLY for temp-view targets: catalog tables
-      // (m05's CREATE TABLE … USING parquet) take Spark's native INSERT
-      // path below, which appends in place with its own semantics
-      // (including native DEFAULT handling).
-      case ExecutionContext.InsertValuesRe(tbl, cols, valuesText)
-          if isTempView(ExecutionContext.unquote(tbl)) =>
-        sqlInsert(ExecutionContext.unquote(tbl), Option(cols),
-          spark.sql(s"SELECT * FROM (VALUES $valuesText)"))
-      case ExecutionContext.InsertSelectRe(tbl, cols, selectText)
-          if isTempView(ExecutionContext.unquote(tbl)) =>
-        sqlInsert(ExecutionContext.unquote(tbl), Option(cols),
+      // INSERT INTO bridges to the Dml store ONLY for temp-view targets:
+      // catalog tables (m05's CREATE TABLE … USING parquet) take Spark's
+      // native INSERT path, which appends in place with its own semantics
+      // (including native DEFAULT handling). Either way, a missing table
+      // hits requireTable FIRST — the same reference error contract
+      // ("Table: X does not exist in database") UPDATE/DELETE surface.
+      case ExecutionContext.InsertValuesRe(tbl, cols, valuesText) =>
+        val name = ExecutionContext.unquote(tbl)
+        requireTable(name)
+        if (isTempView(name))
+          sqlInsert(name, Option(cols),
+            spark.sql(s"SELECT * FROM (VALUES $valuesText)"))
+        else spark.sql(stmt)
+      case ExecutionContext.InsertSelectRe(tbl, cols, selectText) =>
+        val name = ExecutionContext.unquote(tbl)
+        requireTable(name)
+        if (isTempView(name)) sqlInsert(name, Option(cols),
           spark.sql(selectText))
+        else spark.sql(stmt)
       case _ =>
         // CREATE TABLE with constraint clauses: strip them into graft.*
         // TBLPROPERTIES (the registry the typed createTable uses) so the
@@ -192,16 +201,25 @@ class ExecutionContext(
   // session semantics a reference user has. Statement-session views
   // SHADOW same-named catalog tables by design (temp view precedence).
 
+  // Work dirs are keyed by (JVM pid, per-JVM context id, per-context
+  // sequence) on top of the table name — Dml.work's discipline: two
+  // ExecutionContexts in one JVM (or two concurrent JVMs over the shared
+  // target/) mutating the same table name must never overwrite each
+  // other's version directories.
+  private val sqlDmlCtx = ExecutionContext.nextCtxId()
   private var sqlDmlSeq = 0
   private def sqlDmlDir(table: String): String = {
     sqlDmlSeq += 1
     val safe = table.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/root/repo/target/dmltmp/sql/$safe/s$sqlDmlSeq"
+    val pid = ProcessHandle.current().pid()
+    s"/root/repo/target/dmltmp/sql/$safe/p$pid-c$sqlDmlCtx-s$sqlDmlSeq"
   }
 
   private def sqlAssignments(setList: String): Map[String, Column] =
     ExecutionContext.splitList(setList).map { a =>
-      val i = a.indexOf('=')
+      // top-level '=' only: a '=' inside a quoted name or literal on the
+      // LHS cannot hijack the assignment split
+      val i = ExecutionContext.topLevelIndexOf(a, '=')
       require(i > 0, s"Malformed SET assignment: $a")
       ExecutionContext.unquote(a.take(i).trim) -> expr(a.drop(i + 1).trim)
     }.toMap
@@ -517,13 +535,13 @@ object ExecutionContext {
   private[graft] val DropIndexRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
 
-  // UPDATE <t> SET <assignments> [FROM <s>] [WHERE <pred>] — the lazy SET
-  // group ends at the first standalone FROM/WHERE keyword (an embedded
-  // literal containing the bare word would mis-split; the reference's
-  // sqlparser has the same shape in scope, `tmp/crud.txt:203-301`).
+  // UPDATE <t> SET <tail> — the regex binds only the statement head; the
+  // FROM/WHERE clause boundaries inside the tail are found by
+  // [[splitUpdateTail]]'s quote/paren-aware scan (a regex alone would
+  // mis-bind a bare `from`/`where` inside a string literal; the
+  // reference's real sqlparser tokenizes, `tmp/crud.txt:203-301`).
   private[graft] val UpdateRe =
-    (s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+(.+?)""" +
-      s"""(?:\\s+FROM\\s+($Ident))?(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
+    (s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+(.+?)\\s*$$""").r
   private[graft] val DeleteRe =
     (s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
 
@@ -609,23 +627,103 @@ object ExecutionContext {
     * contain a comma (`` `a,b` ``), which a raw `split(',')` fragments
     * into two bogus entries. Doubled escape quotes (`` `` ``/`""`)
     * close-and-reopen the quote state, which is comma-safe. */
+  /** Split a comma-separated SQL list at TOP LEVEL only: commas inside
+    * single-quoted literals (`SET n = 'a,b'`), double-quoted/backticked
+    * identifiers, and function parens (`SET a = round(x, 2)`) do not
+    * split. A doubled `''` inside a single-quoted literal toggles the
+    * quote state twice — harmless for split purposes. */
   private[graft] def splitList(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    var depth = 0
     s.foreach { c =>
       if (quote != 0) {
         if (c == quote) quote = 0
         cur += c
       } else c match {
-        case '`' | '"' => quote = c; cur += c
-        case ',' => out += cur.toString; cur.clear()
+        case '\'' | '`' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth = math.max(0, depth - 1); cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
         case other => cur += other
       }
     }
     out += cur.toString
     out.result()
   }
+
+  /** Offset of the first STANDALONE occurrence of word `kw`
+    * (case-insensitive, word-bounded) at top level — outside quoted
+    * regions (single/double/backtick) and parens; -1 if none. Used to
+    * bind UPDATE's FROM/WHERE clauses without a regex mis-matching the
+    * bare word inside a string literal or a subquery. */
+  private[graft] def topLevelKeyword(s: String, kw: String): Int = {
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    val n = s.length
+    val k = kw.length
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '`' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth = math.max(0, depth - 1)
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
+              (i == 0 || !isWordChar(s(i - 1))) &&
+              (i + k >= n || !isWordChar(s(i + k))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Offset of the first top-level occurrence of `target` (outside
+    * quotes and parens); -1 if none. */
+  private[graft] def topLevelIndexOf(s: String, target: Char): Int = {
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '`' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth = math.max(0, depth - 1)
+        case other => if (depth == 0 && other == target) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse the tail of `UPDATE t SET <tail>` into
+    * (setList, fromTable, whereExpr). WHERE binds first (everything
+    * after the first top-level WHERE), then FROM inside the remainder —
+    * both found by the quote/paren-aware scan, so `SET n = 'a from b'`
+    * or a parenthesized subquery cannot mis-bind a clause keyword. */
+  private[graft] def splitUpdateTail(
+      tail: String): (String, Option[String], Option[String]) = {
+    val wp = topLevelKeyword(tail, "WHERE")
+    val (beforeWhere, whereExpr) =
+      if (wp >= 0) (tail.take(wp), Some(tail.drop(wp + 5).trim))
+      else (tail, None)
+    val fp = topLevelKeyword(beforeWhere, "FROM")
+    val (setList, fromTbl) =
+      if (fp >= 0)
+        (beforeWhere.take(fp).trim, Some(beforeWhere.drop(fp + 4).trim))
+      else (beforeWhere.trim, None)
+    (setList, fromTbl.filter(_.nonEmpty), whereExpr.filter(_.nonEmpty))
+  }
+
+  private val ctxIds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def nextCtxId(): Int = ctxIds.incrementAndGet()
 
   // ---- CREATE TABLE constraint rewriting --------------------------------
 

@@ -165,7 +165,19 @@ object EventStreams {
     * deployment swaps the full-table rewrite for a partitioned/bucketed
     * MERGE (rewrite only touched user buckets) on the identical
     * commit protocol. Blocks until AvailableNow drains; returns the
-    * committed table. */
+    * committed table.
+    *
+    * CRASH REPLAY: foreachBatch is at-least-once — a crash between
+    * `Dml.commit(dir, v$id)` and the streaming checkpoint's own commit
+    * replays batch `id` on restart. Without a guard, the replay would
+    * read `_latest` (now v$id) while overwrite-writing the same
+    * `$dir/v$id` path — Spark aborts ("Cannot overwrite a path that is
+    * also being read from") and recovery wedges permanently. The guard
+    * below skips any batch whose version is already at or behind the
+    * committed pointer: the merge is an idempotent argmax, so the
+    * committed v$id already contains this batch's contribution, and
+    * AvailableNow replays only the last un-checkpointed batch (never a
+    * batch AHEAD of the pointer with different data). */
   def upsertedLatest(
       spark: org.apache.spark.sql.SparkSession,
       events: DataFrame,
@@ -174,15 +186,25 @@ object EventStreams {
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val reduced = latestPerUser(batch)
-        val merged =
-          if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(dir, "_latest")))
-            latestPerUser(Dml.readLatest(s, dir)
-              .unionByName(reduced))
-          else reduced
-        merged.write.mode("overwrite").parquet(s"$dir/v$id")
-        Dml.commit(dir, s"v$id")
+        val hasLatest = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "_latest"))
+        val committedId: Long =
+          if (hasLatest) Dml.currentVersion(dir).stripPrefix("v").toLong
+          else -1L
+        if (committedId >= id) {
+          // replayed batch whose merge already committed — skip; the
+          // pointer already reflects it (idempotent argmax)
+          ()
+        } else {
+          val reduced = latestPerUser(batch)
+          val merged =
+            if (hasLatest)
+              latestPerUser(Dml.readLatest(s, dir)
+                .unionByName(reduced))
+            else reduced
+          merged.write.mode("overwrite").parquet(s"$dir/v$id")
+          Dml.commit(dir, s"v$id")
+        }
         ()
       }
       .option("checkpointLocation", s"$dir/_chk")

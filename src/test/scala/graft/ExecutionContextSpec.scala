@@ -590,4 +590,61 @@ class ExecutionContextSpec extends SparkSpec {
     spark.catalog.dropTempView("spec_sql_cust")
     spark.catalog.dropTempView("spec_sql_nat")
   }
+
+  test("SQL UPDATE clause binding is quote/paren-aware: commas inside " +
+    "literals and function args, bare from/where inside literals") {
+    import org.apache.spark.sql.functions._
+    val c = ctx
+    Tables.t(spark, sf, "nation").createOrReplaceTempView("spec_sql_qp")
+    // comma inside a single-quoted literal must not split the SET list;
+    // the literal's bare ' from ' and ' where ' words must not bind as
+    // clause keywords
+    c.execute("""UPDATE spec_sql_qp SET n_name = 'a, from b where c'
+      WHERE n_regionkey = 0""")
+    val lit0 = spark.table("spec_sql_qp")
+      .filter(col("n_name") === "a, from b where c")
+    assert(lit0.count() > 0 && lit0.count() ==
+      spark.table("spec_sql_qp").filter(col("n_regionkey") === 0).count())
+    // comma inside function parens is one assignment, and a second
+    // assignment after it still parses
+    c.execute("""UPDATE spec_sql_qp
+      SET n_name = concat('R', cast(round(n_regionkey + 0.4, 0) as int)),
+          n_nationkey = n_nationkey + 1000
+      WHERE n_regionkey = 1""")
+    val r1 = spark.table("spec_sql_qp").filter(col("n_regionkey") === 1)
+    assert(r1.filter(col("n_name") =!= "R1").count() == 0)
+    assert(r1.filter(col("n_nationkey") < 1000).count() == 0)
+    spark.catalog.dropTempView("spec_sql_qp")
+  }
+
+  test("SQL INSERT INTO a missing table surfaces the same reference " +
+    "error contract as UPDATE/DELETE") {
+    val c = ctx
+    val e1 = intercept[IllegalArgumentException] {
+      c.execute("INSERT INTO no_such_table VALUES (1, 'x')")
+    }
+    assert(e1.getMessage == "Table: no_such_table does not exist in database")
+    val e2 = intercept[IllegalArgumentException] {
+      c.execute("INSERT INTO no_such_table SELECT * FROM nation")
+    }
+    assert(e2.getMessage == "Table: no_such_table does not exist in database")
+  }
+
+  test("two ExecutionContexts mutating the same table name use disjoint " +
+    "work dirs: the first context's committed result stays readable") {
+    import org.apache.spark.sql.functions._
+    val c1 = ctx
+    Tables.t(spark, sf, "region").createOrReplaceTempView("spec_sql_iso")
+    val r1 = c1.execute("UPDATE spec_sql_iso SET r_name = 'ONE'")
+    // a second context re-registers the base view and runs its own first
+    // statement — same table name, same per-context sequence number s1;
+    // before the pid/ctx-id keying this overwrote c1's version directory
+    val c2 = new ExecutionContext(spark).registerTestData(sf)
+    Tables.t(spark, sf, "region").createOrReplaceTempView("spec_sql_iso")
+    c2.execute("UPDATE spec_sql_iso SET r_name = 'TWO'")
+    // c1's returned frame still reads ITS parquet dir, not c2's
+    assert(r1.filter(col("r_name") =!= "ONE").count() == 0)
+    assert(r1.count() == Tables.t(spark, sf, "region").count())
+    spark.catalog.dropTempView("spec_sql_iso")
+  }
 }

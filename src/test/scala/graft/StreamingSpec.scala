@@ -371,4 +371,38 @@ class StreamingSpec extends SparkSpec {
     assert(t2.toSeq ==
       rows(EventStreams.latestPerUser(fixture.toDF)).toSeq)
   }
+
+  test("foreachBatch upsert survives a crash-replay: a batch whose merge " +
+    "committed but whose checkpoint commit was lost is SKIPPED on " +
+    "restart, not re-merged into a path being read") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s16replay").toString
+    val ms = MemoryStream[Evt]
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(r => (r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    ms.addData(fixture)
+    val settled = rows(EventStreams.upsertedLatest(spark, ms.toDF, dir))
+    // simulate the crash window ADVICE flagged: Dml.commit(dir, vN)
+    // succeeded but the streaming checkpoint's OWN commit for batch N was
+    // lost — delete the newest checkpoint commit marker, forcing a replay
+    // of that batch on the next start. Without the replay guard this
+    // wedged permanently: the replayed merge read _latest (= vN) while
+    // overwrite-writing the same $dir/vN path.
+    val commits = java.nio.file.Paths.get(dir, "_chk", "commits")
+    val newest = java.nio.file.Files.list(commits).toArray
+      .map(_.toString).filter(!_.endsWith(".crc"))
+      .maxBy(p => p.split('/').last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(newest))
+    // the Hadoop checksum sidecar must go with it, or the re-written
+    // commit marker fails its .crc rename
+    val crc = java.nio.file.Paths.get(commits.toString,
+      "." + newest.split('/').last + ".crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    val replayed = rows(EventStreams.upsertedLatest(spark, ms.toDF, dir))
+    assert(replayed.toSeq == settled.toSeq)
+    assert(replayed.toSeq ==
+      rows(EventStreams.latestPerUser(fixture.toDF)).toSeq)
+  }
 }
