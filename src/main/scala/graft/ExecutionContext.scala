@@ -153,6 +153,11 @@ class ExecutionContext(
           fromTbl.map(ExecutionContext.unquote), whereExpr)
       case ExecutionContext.DeleteRe(tbl, whereExpr) =>
         sqlDelete(ExecutionContext.unquote(tbl), Option(whereExpr))
+      case ExecutionContext.MergeRe(tbl, tblAlias, src, srcAlias, onText,
+          setList, insCols, insVals) =>
+        sqlMerge(ExecutionContext.unquote(tbl), Option(tblAlias),
+          ExecutionContext.unquote(src), Option(srcAlias), onText, setList,
+          Option(insCols), Option(insVals))
       // INSERT INTO bridges to the Dml store ONLY for temp-view targets:
       // catalog tables (m05's CREATE TABLE … USING parquet) take Spark's
       // native INSERT path, which appends in place with its own semantics
@@ -253,6 +258,39 @@ class ExecutionContext(
     requireTable(table)
     val out = Dml.delete(spark.table(table), sqlDmlDir(table),
       whereExpr.map(expr).getOrElse(lit(true)))
+    out.createOrReplaceTempView(table)
+    out
+  }
+
+  /** MERGE INTO <t> USING <s> ON <cond>
+    * WHEN MATCHED THEN UPDATE SET <assignments>
+    * [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)] — the
+    * supported MERGE subset (one update action, one optional insert
+    * action; no DELETE action, no AND-guards). Routes through
+    * [[Dml.merge]]'s copy-on-write store like UPDATE/DELETE; columns in
+    * the ON/SET/VALUES texts qualify by the declared aliases (or the
+    * table names when no alias is given). */
+  private def sqlMerge(
+      table: String, tableAlias: Option[String],
+      src: String, srcAlias: Option[String],
+      onText: String, setList: String,
+      insCols: Option[String], insVals: Option[String]): DataFrame = {
+    requireTable(table)
+    requireTable(src)
+    val tAlias = tableAlias.getOrElse(table)
+    val sAlias = srcAlias.getOrElse(src)
+    // SET keys may qualify by the target alias/table — strip it; the
+    // assignment applies to the target column by name
+    val assignments = sqlAssignments(setList).map { case (k, v) =>
+      (if (k.startsWith(s"$tAlias.")) k.stripPrefix(s"$tAlias.") else k) -> v
+    }
+    val cols = insCols.map(ExecutionContext.splitList(_)
+      .map(ExecutionContext.unquote).filter(_.nonEmpty))
+    val vals = insVals.map(ExecutionContext.splitList(_)
+      .map(v => expr(v.trim)))
+    val out = Dml.merge(spark.table(table), sqlDmlDir(table),
+      spark.table(src), expr(onText), assignments, cols, vals,
+      targetAlias = tAlias, sourceAlias = sAlias)
     out.createOrReplaceTempView(table)
     out
   }
@@ -544,6 +582,21 @@ object ExecutionContext {
     (s"""(?is)^\\s*UPDATE\\s+($Ident)\\s+SET\\s+(.+?)\\s*$$""").r
   private[graft] val DeleteRe =
     (s"""(?is)^\\s*DELETE\\s+FROM\\s+($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*$$""").r
+
+  // MERGE INTO <t> [AS a] USING <s> [AS b] ON <cond>
+  // WHEN MATCHED THEN UPDATE SET <assignments>
+  // [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)] — the alias
+  // slots negative-lookahead the clause keywords so a bare `USING`/`ON`/
+  // `WHEN` is never captured as an alias; the multi-word WHEN
+  // [NOT] MATCHED boundaries make lazy-group mis-binding against
+  // literals a non-issue (single-word FROM/WHERE needed the scanner).
+  private[graft] val MergeRe =
+    (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)""" +
+      s"""(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?\\s+USING\\s+($Ident)""" +
+      s"""(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)""" +
+      s"""\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.+?)""" +
+      s"""(?:\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s*""" +
+      s"""(?:\\(([^)]*)\\)\\s*)?VALUES\\s*\\((.+)\\))?\\s*$$""").r
 
   // INSERT INTO only (INSERT OVERWRITE keeps Spark's native path). The
   // VALUES tail re-parses through `SELECT * FROM (VALUES …)`, so tuple

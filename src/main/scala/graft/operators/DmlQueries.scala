@@ -155,6 +155,66 @@ object Dml {
     snapshot(updated, dir, "v1")
   }
 
+  /** MERGE INTO — the lakehouse upsert statement composed from the two
+    * primitives above: matched target rows take the UPDATE assignments
+    * ([[updateFrom]]'s marked-join shape), source rows with NO target
+    * match append as inserts (each value cast to the target column's
+    * type; omitted columns fill with typed NULL, [[insertValues]]'s
+    * alignment rule), and the result publishes as one committed
+    * copy-on-write version. Standard MERGE precondition (caller
+    * contract, not runtime-checked): the source is unique on the match
+    * keys — a target row matching several source rows would duplicate
+    * through the join, exactly as SQL MERGE declares undefined.
+    *
+    * Scale: one join each for the matched and unmatched sides — both on
+    * the merge keys, so at 100 TB they co-locate under one shuffle (or
+    * broadcast when the delta is small, the common upsert case); the
+    * union is plan-level only. A real deployment rewrites only touched
+    * partitions/buckets under the same commit protocol. */
+  def merge(
+      base: DataFrame,
+      dir: String,
+      source: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      insertCols: Option[Seq[String]],
+      insertVals: Option[Seq[org.apache.spark.sql.Column]],
+      targetAlias: String = "t",
+      sourceAlias: String = "s"): DataFrame = {
+    val v0 = snapshot(base, dir, "v0")
+    val marker = "__graft_matched"
+    require(!v0.columns.contains(marker) && !source.columns.contains(marker),
+      s"merge: reserved marker column $marker present in input")
+    val marked = v0.alias(targetAlias).join(
+      source.withColumn(marker, lit(true)).alias(sourceAlias), cond, "left")
+    val updated = marked.select(v0.columns.toIndexedSeq.map { c =>
+      assignments.get(c) match {
+        case Some(newVal) =>
+          when(coalesce(col(marker), lit(false)), newVal)
+            .otherwise(col(s"$targetAlias.$c")).as(c)
+        case None => col(s"$targetAlias.$c").as(c)
+      }
+    }: _*)
+    val merged = insertVals match {
+      case Some(vals) =>
+        val cols = insertCols.getOrElse(v0.columns.toSeq.take(vals.length))
+        require(cols.length == vals.length,
+          s"merge: INSERT column list (${cols.length}) and VALUES " +
+            s"(${vals.length}) differ in arity")
+        val byName = cols.zip(vals).toMap
+        val unmatched = source.alias(sourceAlias)
+          .join(v0.alias(targetAlias), cond, "left_anti")
+        val inserts = unmatched.select(v0.schema.fields.toIndexedSeq.map {
+          f =>
+            byName.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        updated.unionByName(inserts)
+      case None => updated
+    }
+    snapshot(merged, dir, "v1")
+  }
+
   /** DELETE FROM t WHERE pred — keep the complement, publish v1 via the
     * commit pointer. */
   def delete(
@@ -401,6 +461,40 @@ object DmlQueries {
              |CASE WHEN s_acctbal < 0 THEN s_acctbal + 500.0
              |ELSE s_acctbal END AS s_acctbal FROM v1)
              |SELECT * FROM v2 WHERE s_nationkey <> 3"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MERGE INTO — the SQL-statement upsert (m10's missing sibling):
+    // a source of 10 rows half-overlapping the nation keys updates the
+    // 5 matched names and inserts the 5 unmatched rows, through
+    // Dml.merge's copy-on-write store; the follow-up SELECT reads the
+    // re-registered session view. The oracle restates MERGE as its
+    // relational definition: LEFT JOIN for the matched update, anti-join
+    // for the inserts, UNION ALL.
+    Q("m11_merge_into",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        Tables.t(s, d, "nation").createOrReplaceTempView("g_merge_nation")
+        s.sql("""SELECT n_nationkey + 20 AS nk,
+          concat('NEW_', n_name) AS nm FROM g_merge_nation
+          WHERE n_nationkey < 10""").createOrReplaceTempView("g_merge_src")
+        ctx.execute("""MERGE INTO g_merge_nation USING g_merge_src
+          ON g_merge_nation.n_nationkey = g_merge_src.nk
+          WHEN MATCHED THEN UPDATE SET n_name = g_merge_src.nm
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+          VALUES (g_merge_src.nk, g_merge_src.nm, 99)""")
+        ctx.execute("SELECT * FROM g_merge_nation")
+      },
+      Some("""WITH src AS (SELECT n_nationkey + 20 AS nk,
+             |'NEW_' || n_name AS nm FROM nation WHERE n_nationkey < 10),
+             |upd AS (SELECT n.n_nationkey,
+             |CASE WHEN s.nk IS NOT NULL THEN s.nm ELSE n.n_name END
+             |AS n_name, n.n_regionkey
+             |FROM nation n LEFT JOIN src s ON n.n_nationkey = s.nk),
+             |ins AS (SELECT s.nk AS n_nationkey, s.nm AS n_name,
+             |CAST(99 AS INTEGER) AS n_regionkey FROM src s
+             |LEFT JOIN nation n ON s.nk = n.n_nationkey
+             |WHERE n.n_nationkey IS NULL)
+             |SELECT * FROM upd UNION ALL SELECT * FROM ins"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -403,6 +403,92 @@ object EventQueries {
              |FROM act JOIN sz USING (cohort_day)"""
         .stripMargin.replace('\n', ' '))),
 
+    // ROLLING-WINDOW ANOMALY DETECTION — the per-entity z-score monitor
+    // the event family lacked: each event's value scored against the
+    // mean/stddev of that user's TRAILING 20 events (frame excludes the
+    // current row — the score must not contaminate its own baseline).
+    // DETERMINISM: a windowed stddev over raw doubles is order-fragile
+    // across engines, so both moments accumulate as EXACT decimals
+    // (values are 2-dp, DECIMAL(18,2) holds them exactly; the square is
+    // DECIMAL(37,4) — still exact) and the variance/z arithmetic runs in
+    // double on those identical exact inputs — bit-identical on both
+    // engines, then rounded with the −0.0 oracle guard. Events with
+    // under 10 trailing samples emit NULL z (insufficient baseline), and
+    // a zero-variance baseline emits NULL rather than ±inf. Scale: one
+    // shuffle on user_id, per-partition sliding frame — q37's cost
+    // class; the frame is ROWS-bounded so state is O(20) per user.
+    Q("s18_rolling_anomaly",
+      (s, d) => {
+        val wf = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        val dec = col("value").cast("decimal(18,2)")
+        val base = Tables.t(s, d, "events").select(
+          col("event_id"), col("user_id"), col("value"),
+          count(lit(1)).over(wf).cast("long").as("n_base"),
+          sum(dec).over(wf).cast("double").as("s1"),
+          sum(dec * dec).over(wf).cast("double").as("s2"))
+        base.select(
+          col("event_id"), col("user_id"), col("value"), col("n_base"),
+          round(
+            when(col("n_base") >= 10 &&
+              (col("s2") - col("s1") * col("s1") / col("n_base")) > 0,
+              (col("value") - col("s1") / col("n_base")) /
+                sqrt((col("s2") - col("s1") * col("s1") / col("n_base")) /
+                  (col("n_base") - 1))), 4).as("z"))
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, value,
+             |CAST(count(*) OVER w AS BIGINT) AS n_base,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             |CAST(sum(CAST(value AS DECIMAL(18,2)) *
+             |CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, value, n_base,
+             |round(CASE WHEN n_base >= 10
+             |AND (s2 - s1 * s1 / n_base) > 0
+             |THEN (value - s1 / n_base) /
+             |sqrt((s2 - s1 * s1 / n_base) / (n_base - 1)) END, 4) + 0.0
+             |AS z FROM b"""
+        .stripMargin.replace('\n', ' '))),
+
+    // ACTIVITY STREAKS — gaps-and-islands on the event calendar (d12
+    // applies the same trick to token positions): consecutive-day runs
+    // per user via the dayNum − row_number() island key, reduced to an
+    // all-integer per-user profile (streak count, longest run, active
+    // days). Day keys become INTEGER offsets immediately (q23's
+    // DATE-is-hash-unsafe rule never arises). Scale: the firehose
+    // reduces ONCE to distinct (user, day) — one shuffle; the window and
+    // final agg run on that user-cardinality table.
+    Q("s19_activity_streaks",
+      (s, d) => {
+        val dd = Tables.t(s, d, "events").select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2020-01-01")))
+            .cast("long").as("day")).distinct()
+        val wf = Window.partitionBy("user_id").orderBy("day")
+        dd.withColumn("isl", col("day") - row_number().over(wf))
+          .groupBy("user_id", "isl")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest_streak"),
+            sum(col("len")).as("active_days"))
+      },
+      Some("""WITH dd AS (SELECT DISTINCT user_id,
+             |date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS day
+             |FROM events),
+             |isl AS (SELECT user_id,
+             |day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |AS isl FROM dd),
+             |runs AS (SELECT user_id, isl, count(*) AS len
+             |FROM isl GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_streaks,
+             |max(len) AS longest_streak,
+             |CAST(sum(len) AS BIGINT) AS active_days
+             |FROM runs GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("s07_stream_hourly_agg",
       (s, d) => drainStream(s, EventStreams.hourlyAgg(eventStream(s, d))),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

@@ -712,7 +712,75 @@ object RelationalQueries {
     // Deterministic: balance ties broken by c_custkey in the ORDER BY.
     Q("q42_lateral_topn",
       (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.lateralTopN) },
-      Some(Sql.lateralTopN))
+      Some(Sql.lateralTopN)),
+
+    // RANGE-frame windows — the frame class q37's ROWS frames don't
+    // cover: the frame bound is a VALUE distance on the ORDER BY key
+    // (trailing-90-day spend per customer), not a row count. Range
+    // frames are tie-insensitive by construction (all peers of the
+    // boundary value are in or out together), so no orderkey tie-break
+    // is needed for determinism; the windowed sum stays exact decimal
+    // (the cteDerived rule) before the final double cast. ORDER BY key
+    // is an integer day offset — Spark's rangeBetween needs a numeric
+    // key, and it keeps the output DATE-free (q23's hash rule). Scale:
+    // one shuffle on o_custkey, per-partition sliding frame — same cost
+    // class as q37.
+    Q("q43_range_frame",
+      (s, d) => {
+        val wf = Window.partitionBy("o_custkey").orderBy(col("day"))
+          .rangeBetween(-90, 0)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+            .cast("long").as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day"),
+            sum(col("p")).over(wf).cast("double").as("spend_90d"),
+            count(lit(1)).over(wf).cast("long").as("n_90d"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+             |date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             |AS day, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+             |SELECT o_orderkey, o_custkey, day,
+             |CAST(sum(p) OVER w AS DOUBLE) AS spend_90d,
+             |CAST(count(*) OVER w AS BIGINT) AS n_90d FROM o
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             |RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // UNPIVOT — the inverse reshape of q36's PIVOT: lineitem's four
+    // measure columns melt into (measure, val) rows. Spark's
+    // Dataset.unpivot is a per-row Expand (no shuffle, no collect);
+    // the oracle restates it as the portable UNION ALL form. Measures
+    // pre-cast to double so the melted column has one type on both
+    // engines. Scale: output is 4× the filtered input rows, produced
+    // map-side — the reshape never exchanges.
+    Q("q44_unpivot",
+      (s, d) => {
+        val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        t(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey") +: col("l_linenumber").cast("long")
+            .as("l_linenumber") +:
+            m.map(c => col(c).cast("double").as(c)): _*)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            m.map(col).toArray, "measure", "val")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+             |AS l_linenumber, m AS measure, v AS val FROM (
+             |SELECT l_orderkey, l_linenumber, 'l_quantity' AS m,
+             |CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             |WHERE l_orderkey < 1000 UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             |CAST(l_extendedprice AS DOUBLE) FROM lineitem
+             |WHERE l_orderkey < 1000 UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount',
+             |CAST(l_discount AS DOUBLE) FROM lineitem
+             |WHERE l_orderkey < 1000 UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax',
+             |CAST(l_tax AS DOUBLE) FROM lineitem
+             |WHERE l_orderkey < 1000) u"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */

@@ -196,6 +196,90 @@ object Similarity {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  private[graft] case class MmrCand(
+      query_id: Long, neighbor_id: Long, sim: Double, cv: Array[Float])
+  private[graft] case class MmrHit(
+      query_id: Long, neighbor_id: Long, mmr: Double, rn: Int)
+
+  /** Plain-Scala cosine over raw float arrays (double accumulation) —
+    * the per-group scoring kernel for [[mmrTopK]]'s greedy loop; matches
+    * [[VectorExpressions.cosineSim]]'s arithmetic. */
+  private[graft] def cosF(a: Array[Float], b: Array[Float]): Double = {
+    var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+    while (i < a.length && i < b.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** MMR (MAXIMAL MARGINAL RELEVANCE) diversified retrieval — re-ranks
+    * each query's candidate list so the served k trade relevance against
+    * redundancy: greedy argmax of
+    * `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` (Carbonell &
+    * Goldstein 1998). Retrieval-augmented training-data pipelines use
+    * this to stop near-duplicate passages from crowding out coverage —
+    * the serving-side complement of SemDeDup's corpus-side dedup (e08).
+    *
+    * Spark shape: candidates come from [[bruteForceTopK]] (broadcast
+    * query set, ONE corpus scan, fused native cosine, k-heap ranking —
+    * the e01 plan; swap in [[annTopK]]/[[ivfTopK]] at 100 TB), candidate
+    * vectors rejoin by id, and the greedy re-rank runs as a TYPED
+    * `flatMapGroups` per query — each group holds ≤ candidateK rows, so
+    * the quadratic loop touches ≤ candidateK²·k pairs per query,
+    * distributed across the query_id shuffle's partitions, never the
+    * driver. DETERMINISTIC: candidates sort by (rounded sim desc, id
+    * asc) before the greedy loop, strict `>` keeps the first (best-sim,
+    * lowest-id) winner on score ties, and all doubles fold in that fixed
+    * order. Rows-only entry (iterative greedy has no SQL twin);
+    * SimilaritySpec asserts determinism, candidate containment,
+    * first-pick = top-1, and the de-crowding property on a constructed
+    * near-duplicate fixture. */
+  def mmrTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      candidateK: Int = 30,
+      lambda: Double = 0.5): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val cands = bruteForceTopK(queries, corpus, candidateK)
+    cands.join(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("cv"))
+      .as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.toArray.sortBy(c => (-c.sim, c.neighbor_id)): _*)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = Seq.newBuilder[MmrHit]
+        while (selected.length < k && remaining.nonEmpty) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            var red = 0.0; var j = 0
+            while (j < selected.length) {
+              val s = cosF(c.cv, selected(j).cv)
+              if (j == 0 || s > red) red = s
+              j += 1
+            }
+            val score = lambda * c.sim - (1.0 - lambda) * red
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+            i += 1
+          }
+          val pick = remaining.remove(bestIdx)
+          selected += pick
+          out += MmrHit(qid, pick.neighbor_id,
+            math.rint(bestScore * 1e4) / 1e4, selected.length)
+        }
+        out.result()
+      }
+      .toDF()
+  }
+
   /** Approximate top-k: both sides bucketed by [[signBucket]]; queries probe
     * their own bucket plus all 1-bit-flip neighbors (multi-probe) and rank
     * exactly within candidates. */
@@ -858,6 +942,16 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
         ivfPqTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      },
+      None),
+
+    // MMR diversified retrieval (serving-side de-crowding) — rows-only
+    // (greedy re-rank has no SQL twin); determinism + containment +
+    // de-crowding asserted in SimilaritySpec.
+    Q("e11_mmr_diversified",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        mmrTopK(emb.filter(col("vec_id") < 10), emb, 5, candidateK = 30)
       },
       None)
   )

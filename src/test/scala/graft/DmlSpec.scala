@@ -168,4 +168,43 @@ class DmlSpec extends SparkSpec {
     assert(v2.count() == n + 1)
     assert(v2.filter(col("n_nationkey") === 98).count() == 0)
   }
+
+  test("MERGE statement: update-only form (no insert clause), alias " +
+    "forms, base immutability, and the missing-table error contract") {
+    val c = new ExecutionContext(spark).registerTestData(sf)
+    val n0 = Tables.t(spark, sf, "nation").count()
+    Tables.t(spark, sf, "nation").createOrReplaceTempView("spec_merge_n")
+    Tables.t(spark, sf, "region").createOrReplaceTempView("spec_merge_r")
+    // update-only: matched names patched, NO rows added, aliases bound
+    c.execute("""MERGE INTO spec_merge_n AS t USING spec_merge_r AS r
+      ON t.n_regionkey = r.r_regionkey AND r.r_regionkey = 0
+      WHEN MATCHED THEN UPDATE SET n_name = concat('R0_', t.n_name)""")
+    val got = spark.table("spec_merge_n")
+    assert(got.count() == n0)
+    assert(got.filter(col("n_name").startsWith("R0_")).count() ==
+      Tables.t(spark, sf, "nation")
+        .filter(col("n_regionkey") === 0).count())
+    // base parquet table untouched (copy-on-write)
+    assert(Tables.t(spark, sf, "nation")
+      .filter(col("n_name").startsWith("R0_")).count() == 0)
+    // positional INSERT (no column list) fills the target columns in
+    // order; extra columns fill with typed NULL
+    c.execute("""MERGE INTO spec_merge_n USING spec_merge_r
+      ON spec_merge_n.n_nationkey = spec_merge_r.r_regionkey + 1000
+      WHEN MATCHED THEN UPDATE SET n_name = 'X'
+      WHEN NOT MATCHED THEN INSERT VALUES
+      (spec_merge_r.r_regionkey + 1000, spec_merge_r.r_name)""")
+    val after = spark.table("spec_merge_n")
+    assert(after.count() == n0 + 5)
+    val ins = after.filter(col("n_nationkey") >= 1000)
+    assert(ins.count() == 5 && ins.filter(col("n_regionkey").isNull)
+      .count() == 5)
+    val e = intercept[IllegalArgumentException] {
+      c.execute("""MERGE INTO no_such_table USING spec_merge_r
+        ON 1 = 1 WHEN MATCHED THEN UPDATE SET x = 1""")
+    }
+    assert(e.getMessage == "Table: no_such_table does not exist in database")
+    spark.catalog.dropTempView("spec_merge_n")
+    spark.catalog.dropTempView("spec_merge_r")
+  }
 }

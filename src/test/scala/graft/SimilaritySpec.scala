@@ -468,4 +468,47 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size <= exact.size)
     ManagedCache.releaseAll()
   }
+
+  test("MMR de-crowds near-duplicate candidates: plain top-2 picks the " +
+    "duplicate pair, MMR swaps in the diverse candidate") {
+    val sq = spark; import sq.implicits._
+    // a and a' are EXACT duplicates (redundancy penalty = 1.0); b is
+    // slightly less relevant but genuinely diverse — its similarity to a
+    // (0.9969) sits BELOW its relevance (0.9986), so λ=0.5 flips the
+    // pick. Plain top-2 = {a, a'}; MMR must keep a then prefer b.
+    val corpus = Seq(
+      (10L, Array(1f, 0.95f)),  // a
+      (11L, Array(1f, 0.95f)),  // a' exact duplicate of a
+      (12L, Array(0.9f, 1f)))   // b diverse, slightly less relevant
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(queries, corpus, 2)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(10L, 11L))
+    val mmr = Similarity.mmrTopK(queries, corpus, 2, candidateK = 3)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(mmr == Seq(10L, 12L))
+  }
+
+  test("MMR: deterministic, selections contained in the candidate pool, " +
+    "first pick equals brute-force top-1") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.mmrTopK(qs, emb, 5, candidateK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val a = run()
+    assert(run() == a, "mmr must be deterministic")
+    val pool = Similarity.bruteForceTopK(qs, emb, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.map(h => (h._1, h._2)).subsetOf(pool))
+    val top1 = Similarity.bruteForceTopK(qs, emb, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.filter(_._4 == 1).map(h => (h._1, h._2)) == top1,
+      "rank-1 MMR pick must be the plain top-1 (empty selected set)")
+    // exactly k rows per query, ranks 1..k
+    a.groupBy(_._1).foreach { case (_, hits) =>
+      assert(hits.map(_._4) == (1 to 5).toSet)
+    }
+  }
 }
