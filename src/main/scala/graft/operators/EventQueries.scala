@@ -489,6 +489,39 @@ object EventQueries {
              |FROM runs GROUP BY 1"""
         .stripMargin.replace('\n', ' '))),
 
+    // SEMI-STRUCTURED payload extraction — the JSON sidecar column every
+    // event firehose carries: `props` parses with an EXPLICIT schema
+    // (from_json with a declared struct — schema inference would cost a
+    // full extra scan before the first query plans, the registerCsv
+    // rule) and the extracted field aggregates per event type. All
+    // output integers. At 100 TB the parse is per-row scan work that
+    // whole-stage codegen fuses with the aggregate's map side; a
+    // production pipeline materializes hot extracted fields as real
+    // columns exactly so repeated queries skip the re-parse.
+    Q("s20_json_props",
+      (s, d) =>
+        Tables.t(s, d, "events")
+          .select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            countDistinct(col("k")).as("n_distinct_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k")),
+      Some("""WITH x AS (SELECT event_type,
+             |CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |count(k) AS n_with_k,
+             |CAST(sum(k) AS BIGINT) AS sum_k,
+             |count(DISTINCT k) AS n_distinct_k,
+             |min(k) AS min_k, max(k) AS max_k
+             |FROM x GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("s07_stream_hourly_agg",
       (s, d) => drainStream(s, EventStreams.hourlyAgg(eventStream(s, d))),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

