@@ -522,6 +522,22 @@ object EventQueries {
              |FROM x GROUP BY 1"""
         .stripMargin.replace('\n', ' '))),
 
+    // EXECUTED streaming twin of s20: the JSON extraction is stateless
+    // per-row work, the rollup a complete-mode running aggregate — the
+    // streaming answer must equal the batch oracle minus the distinct
+    // count (exact distincts don't exist in incremental aggregation;
+    // see EventStreams.jsonPropsAgg).
+    Q("s21_stream_json_props",
+      (s, d) => drainStream(s, EventStreams.jsonPropsAgg(eventStream(s, d))),
+      Some("""WITH x AS (SELECT event_type,
+             |CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |count(k) AS n_with_k,
+             |CAST(sum(k) AS BIGINT) AS sum_k,
+             |min(k) AS min_k, max(k) AS max_k
+             |FROM x GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("s07_stream_hourly_agg",
       (s, d) => drainStream(s, EventStreams.hourlyAgg(eventStream(s, d))),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

@@ -280,6 +280,62 @@ object Similarity {
       .toDF()
   }
 
+  /** NEAREST-CENTROID CLASSIFICATION over the int8-quantized corpus —
+    * the label-propagation serving step that pairs with [[
+    * quantizeInt8Vectors]] (e06): per-label centroids form in the
+    * QUANTIZED space, and every vector scores against all centroids by
+    * cosine, predicting the argmax label. The weak-labeling /
+    * auto-curation primitive: route new documents to the nearest topical
+    * cluster without a model.
+    *
+    * DETERMINISM (the reason for the quantized space): every similarity
+    * derives from three INTEGER sums — I1 = Σ qvᵢ·sᵢ (vector·centroid
+    * numerator), I2 = Σ qvᵢ² (vector), I3 = Σ sᵢ² (centroid), where s is
+    * the per-dimension integer SUM of the label's quantized vectors (the
+    * un-normalized centroid; cosine is scale-invariant so the 1/n and
+    * qscale factors cancel) — so `I1/sqrt(I2·I3)` is one double
+    * expression over exact integers: bit-identical on any engine, no
+    * float-fold order anywhere. Ranking uses the ROUNDED sim with a
+    * label tie-break on both engines; degenerate zero vectors/centroids
+    * pin sim = -1 rather than NaN.
+    *
+    * Scale: one quantized scan + a 64×|labels| integer partial-agg
+    * builds the centroid table (tiny — it BROADCASTS); scoring is
+    * per-row fused-HOF work over |labels| broadcast rows, ranked by the
+    * k=1 partial heap — no corpus shuffle at all. */
+  def nearestCentroid(emb: DataFrame): DataFrame = {
+    val q = quantizeInt8Vectors(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        transform(col("qv"), x => x.cast("long")).as("qvl"))
+    val cent = q
+      .select(col("label"), posexplode(col("qvl")).as(Seq("ord", "v")))
+      .groupBy("label", "ord").agg(sum(col("v")).as("s"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("ord"), col("s")))),
+          x => x.getField("s")).as("cs"))
+      .withColumn("i3",
+        aggregate(col("cs"), lit(0L), (a, x) => a + x * x))
+    val scored = q
+      .withColumn("i2",
+        aggregate(col("qvl"), lit(0L), (a, x) => a + x * x))
+      .crossJoin(broadcast(cent.select(
+        col("label").cast("long").as("cand_label"), col("cs"), col("i3"))))
+      .withColumn("i1", aggregate(
+        zip_with(col("qvl"), col("cs"), (a, b) => a * b),
+        lit(0L), (a, x) => a + x))
+      .withColumn("sim",
+        round(when(col("i2") === 0L || col("i3") === 0L, lit(-1.0))
+          .otherwise(col("i1").cast("double") /
+            sqrt(col("i2").cast("double") * col("i3").cast("double"))), 4))
+    rankTopK(scored.select(col("vec_id").as("query_id"),
+      col("cand_label").as("neighbor_id"), col("sim")), 1)
+      .join(emb.select(col("vec_id"), col("label")),
+        col("query_id") === col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("neighbor_id").cast("int").as("pred_label"), col("sim"))
+  }
+
   /** Approximate top-k: both sides bucketed by [[signBucket]]; queries probe
     * their own bucket plus all 1-bit-flip neighbors (multi-probe) and rank
     * exactly within candidates. */
@@ -944,6 +1000,47 @@ object SimilarityQueries {
         ivfPqTopK(emb.filter(col("vec_id") < 20), emb, 5)
       },
       None),
+
+    // NEAREST-CENTROID LABELING from the quantized corpus — fully
+    // oracle-gated: the integer-sum construction makes every similarity
+    // bit-identical (see nearestCentroid), so DuckDB reproduces the
+    // predictions exactly; both engines rank on the rounded sim with a
+    // label tie-break.
+    Q("e12_nearest_centroid",
+      (s, d) => nearestCentroid(Tables.t(s, d, "embeddings"))
+        .drop("rn"),
+      Some("""WITH v AS (SELECT vec_id, label,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, label, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id, label,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |d AS (SELECT vec_id, label, unnest(qv) AS val,
+             |unnest(generate_series(1, len(qv))) AS ord FROM q),
+             |cent AS (SELECT label AS cand_label, ord,
+             |CAST(sum(val) AS BIGINT) AS s FROM d GROUP BY 1, 2),
+             |i3 AS (SELECT cand_label, CAST(sum(s * s) AS BIGINT) AS i3
+             |FROM cent GROUP BY 1),
+             |i2 AS (SELECT vec_id, CAST(sum(val * val) AS BIGINT) AS i2
+             |FROM d GROUP BY 1),
+             |i1 AS (SELECT d.vec_id, cent.cand_label,
+             |CAST(sum(d.val * cent.s) AS BIGINT) AS i1
+             |FROM d JOIN cent ON d.ord = cent.ord GROUP BY 1, 2),
+             |sim AS (SELECT vec_id, cand_label,
+             |round(CASE WHEN i2 = 0 OR i3 = 0 THEN -1.0
+             |ELSE CAST(i1 AS DOUBLE) /
+             |sqrt(CAST(i2 AS DOUBLE) * CAST(i3 AS DOUBLE)) END, 4) + 0.0
+             |AS sim FROM i1 JOIN i2 USING (vec_id) JOIN i3
+             |USING (cand_label))
+             |SELECT s.vec_id, v.label,
+             |CAST(s.cand_label AS INTEGER) AS pred_label, s.sim
+             |FROM sim s JOIN v USING (vec_id)
+             |QUALIFY row_number() OVER (PARTITION BY s.vec_id
+             |ORDER BY s.sim DESC, s.cand_label ASC) = 1"""
+        .stripMargin.replace('\n', ' '))),
 
     // MMR diversified retrieval (serving-side de-crowding) — rows-only
     // (greedy re-rank has no SQL twin); determinism + containment +

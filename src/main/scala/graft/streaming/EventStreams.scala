@@ -91,6 +91,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("h"), col("term"), col("n"))
 
+  /** Streaming s20 twin: stateless JSON payload extraction (explicit
+    * declared schema — never inference) feeding a running per-type
+    * rollup. Same no-watermark state note as [[userActivity]]: state is
+    * bounded by event-TYPE cardinality. The batch entry's exact
+    * distinct-count is deliberately absent — streaming aggregation
+    * cannot maintain exact distincts incrementally; production tracks
+    * approximate distincts with a mergeable HLL sketch (t28's register
+    * layout) as the update-mode column. */
+  def jsonPropsAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension, broadcast. Stream-static joins are STATELESS — each
     * micro-batch joins against the dimension as re-planned for that batch,

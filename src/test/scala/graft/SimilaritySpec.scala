@@ -490,6 +490,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr == Seq(10L, 12L))
   }
 
+  test("nearestCentroid labels axis-clustered vectors by the right " +
+    "centroid and emits one deterministic row per vector") {
+    val sq = spark; import sq.implicits._
+    // label 0 clusters on the x axis, label 1 on the y axis; v=20 sits
+    // near x, v=21 near y — predictions must follow the geometry
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.1f, 0.9f), 1),
+      (20L, Array(0.8f, 0.2f), 0), (21L, Array(0.2f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    def run() = Similarity.nearestCentroid(emb).drop("rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    val got = run()
+    assert(got.size == 6)
+    assert(got(20L) == 0 && got(21L) == 1)
+    assert(got(0L) == 0 && got(2L) == 1)
+    assert(run() == got, "nearest-centroid must be deterministic")
+  }
+
   test("MMR: deterministic, selections contained in the candidate pool, " +
     "first pick equals brute-force top-1") {
     val emb = Tables.t(spark, sf, "embeddings")
