@@ -82,9 +82,13 @@ object Bench {
     // the driver's ~2,000-byte capture at 32 queries. Drivers parse only
     // the "queries" map; "max" and "failed" are additive.
     def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
-    val spread = results.map { case (k, t) =>
-      JsonOut.str(k) + ":" + f3(t(2))
-    }.mkString("{", ",", "}")
+    // Only OUTLIER maxes (max/median > 1.2) are recorded: max's entire
+    // role is flagging external interference, and a full per-query copy
+    // doubled the line — overflowing the capture window as the query
+    // set grows. An absent key reads "max ≈ median" (quiet run).
+    val spread = results.filter { case (_, t) => t(1) > 0 && t(2) / t(1) > 1.2 }
+      .map { case (k, t) => JsonOut.str(k) + ":" + f3(t(2)) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2(1)).filter(_ >= 0).sum
     // a failed query is -1 in "queries" and EXCLUDED from "value" — the
     // top-level failed count keeps a shrunken total from reading as a

@@ -495,6 +495,29 @@ object DmlQueries {
              |LEFT JOIN nation n ON s.nk = n.n_nationkey
              |WHERE n.n_nationkey IS NULL)
              |SELECT * FROM upd UNION ALL SELECT * FROM ins"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CREATE TABLE AS SELECT — the remaining DDL statement form after
+    // m05's column-list CREATE: the derived summary materializes as a
+    // real parquet catalog table and the follow-up SELECT reads it
+    // back through the catalog. Re-runnable: the previous run's table
+    // and location drop first (external-table DROP leaves files; the
+    // location must be cleared explicitly).
+    Q("m12_ctas",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        ctx.execute("DROP TABLE IF EXISTS g_ctas_nation_summary")
+        val loc = Dml.work("m12", d) + "/ctas"
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(loc))
+        ctx.execute(s"""CREATE TABLE g_ctas_nation_summary
+          USING parquet LOCATION '$loc'
+          AS SELECT n_regionkey, count(*) AS n_nations,
+          min(n_name) AS first_name FROM nation GROUP BY n_regionkey""")
+        ctx.execute("SELECT * FROM g_ctas_nation_summary")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+             |min(n_name) AS first_name FROM nation GROUP BY 1"""
         .stripMargin.replace('\n', ' ')))
   )
 }

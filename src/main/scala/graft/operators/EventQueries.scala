@@ -451,7 +451,8 @@ object EventQueries {
              |THEN (value - s1 / n_base) /
              |sqrt((s2 - s1 * s1 / n_base) / (n_base - 1)) END, 4) + 0.0
              |AS z FROM b"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // ACTIVITY STREAKS — gaps-and-islands on the event calendar (d12
     // applies the same trick to token positions): consecutive-day runs
@@ -520,7 +521,8 @@ object EventQueries {
              |count(DISTINCT k) AS n_distinct_k,
              |min(k) AS min_k, max(k) AS max_k
              |FROM x GROUP BY 1"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // EXECUTED streaming twin of s20: the JSON extraction is stateless
     // per-row work, the rollup a complete-mode running aggregate — the

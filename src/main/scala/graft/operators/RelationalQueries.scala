@@ -746,7 +746,8 @@ object RelationalQueries {
              |CAST(count(*) OVER w AS BIGINT) AS n_90d FROM o
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
              |RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // UNPIVOT — the inverse reshape of q36's PIVOT: lineitem's four
     // measure columns melt into (measure, val) rows. Spark's
@@ -780,7 +781,15 @@ object RelationalQueries {
              |SELECT l_orderkey, l_linenumber, 'l_tax',
              |CAST(l_tax AS DOUBLE) FROM lineitem
              |WHERE l_orderkey < 1000) u"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // GROUP BY ALL / ORDER BY ALL — the modern shorthand (DuckDB
+    // introduced it; Spark 4 adopted it): identical SQL text runs on
+    // both engines, grouping by every non-aggregate select item.
+    // Decimal-exact sum per the cteDerived rule.
+    Q("q45_group_by_all",
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.groupByAll) },
+      Some(Sql.groupByAll))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
@@ -827,6 +836,12 @@ object RelationalQueries {
         |LATERAL (SELECT c_name, c_acctbal FROM customer
         |WHERE c_nationkey = n_nationkey
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+        .stripMargin.replace('\n', ' ')
+
+    val groupByAll: String =
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL"""
         .stripMargin.replace('\n', ' ')
   }
 }

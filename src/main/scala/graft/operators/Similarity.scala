@@ -1040,7 +1040,8 @@ object SimilarityQueries {
              |FROM sim s JOIN v USING (vec_id)
              |QUALIFY row_number() OVER (PARTITION BY s.vec_id
              |ORDER BY s.sim DESC, s.cand_label ASC) = 1"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // MMR diversified retrieval (serving-side de-crowding) — rows-only
     // (greedy re-rank has no SQL twin); determinism + containment +
