@@ -304,10 +304,14 @@ object Similarity {
     * per-row fused-HOF work over |labels| broadcast rows, ranked by the
     * k=1 partial heap — no corpus shuffle at all. */
   def nearestCentroid(emb: DataFrame): DataFrame = {
-    val q = quantizeInt8Vectors(emb)
+    // persisted: the quantized+labeled corpus feeds BOTH the centroid
+    // aggregation and the scoring scan — without the cache the quantize
+    // HOFs and the label join run twice (the round-1 double-compute bug
+    // class)
+    val q = ManagedCache.persist(quantizeInt8Vectors(emb)
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .select(col("vec_id"), col("label"),
-        transform(col("qv"), x => x.cast("long")).as("qvl"))
+        transform(col("qv"), x => x.cast("long")).as("qvl")))
     val cent = q
       .select(col("label"), posexplode(col("qvl")).as(Seq("ord", "v")))
       .groupBy("label", "ord").agg(sum(col("v")).as("s"))
