@@ -748,6 +748,29 @@ object EventQueries {
              |ORDER BY ts DESC, event_id DESC) AS rn FROM events)
              |SELECT user_id, ts, event_id, event_type, value
              |FROM r WHERE rn = 1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // EXECUTED gate for the STREAM-STATIC ENRICHMENT family — the one
+    // streaming shape that previously executed only inside s10's dedup
+    // composite: each event enriches with its user's batch-computed
+    // activity profile through EventStreams.enrichStream's broadcast
+    // join. Stateless (no watermark, no state store: the dimension
+    // re-plans per micro-batch), append mode, full enriched rows out —
+    // the oracle is the equivalent batch join. At 100 TB the broadcast
+    // keeps the firehose shuffle-free; a dimension too big to broadcast
+    // becomes a bucketed stream-static join on the same key.
+    Q("s22_stream_enrich",
+      (s, d) => {
+        val dim = Tables.t(s, d, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("user_n_events"))
+        val enriched = EventStreams.enrichStream(
+          eventStream(s, d), dim, "user_id")
+          .select("event_id", "user_id", "event_type", "user_n_events")
+        drainStream(s, enriched, mode = "append")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type, u.user_n_events
+             |FROM events e JOIN (SELECT user_id, count(*) AS user_n_events
+             |FROM events GROUP BY 1) u USING (user_id)"""
         .stripMargin.replace('\n', ' ')))
   )
 

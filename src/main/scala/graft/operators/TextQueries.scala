@@ -484,6 +484,17 @@ object TextQueries {
 
   /** The DuckDB twin of [[piiScrubbed]] — shared verbatim by t19 (batch)
     * and s11 (executed stream): one oracle, two execution modes. */
+  // Mojibake fixtures for t31 (\u escapes keep the source ASCII):
+  // "é" UTF-8 (C3 A9) re-decoded as Latin-1 → "Ã©"; "’" (E2 80 99) →
+  // "â€™" (80/99 land on cp1252 € / ™); U+FFFD is the replacement char
+  // a lossy decode leaves behind. Literal alternation only — identical
+  // match semantics in Java regex and DuckDB's RE2.
+  private val mojiAcute = "\u00C3\u00A9"
+  private val mojiQuote = "\u00E2\u20AC\u2122"
+  private val mojiRepl = "\uFFFD"
+  private val mojiPattern =
+    s"$mojiAcute|$mojiQuote|$mojiRepl"
+
   private[graft] val piiScrubOracle: String =
     """WITH p AS (SELECT doc_id, concat(text,
       |' contact user', CAST(doc_id AS VARCHAR),
@@ -1153,6 +1164,61 @@ object TextQueries {
             .as("vocab_approx"),
             count(lit(1)).as("n_tokens"))
           .orderBy("source"),
-      None)
+      None),
+
+    // FREQUENCY SPECTRUM (count-of-counts): how many vocabulary terms
+    // occur exactly f times — the Good-Turing smoothing input and the
+    // fastest corpus-health readout there is (a healthy natural corpus
+    // shows a smooth Zipfian spectrum; bot/template floods spike one f).
+    // Two partial-agg shuffles, both shrinking: term counts
+    // (vocabulary-sized), then the spectrum (distinct-f-sized — tiny).
+    // All-integer output.
+    Q("t30_freq_spectrum",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+          .groupBy("freq").agg(count(lit(1)).as("n_terms")),
+      Some("""WITH tok AS (SELECT
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |FROM documents),
+             |tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1)
+             |SELECT freq, count(*) AS n_terms FROM tf GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MOJIBAKE / ENCODING-ARTIFACT DETECTION — the ingest-quality gate
+    // every web-scale corpus needs: UTF-8-decoded-as-Latin-1 sequences
+    // ("Ã©", "â€™") and replacement characters (U+FFFD) flag documents
+    // that survived a broken decode. The synthetic corpus is clean, so
+    // artifacts are INJECTED deterministically into the doc_id % 7 == 0
+    // subset (t19's injected-PII rule: the detector must demonstrably
+    // FIRE under the gate, and clean docs must stay unflagged). Literal
+    // alternation only — no regex-class semantics to diverge across
+    // engines. Per-row scan work + a tiny per-source agg.
+    Q("t31_mojibake",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .withColumn("__mt", when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" caf" + mojiAcute + " it" +
+              mojiQuote + "s " + mojiRepl)))
+            .otherwise(col("text")))
+          .select(col("source"),
+            regexp_count(col("__mt"), lit(mojiPattern))
+              .cast("long").as("n_bad"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("n_bad") > 0).cast("long")).as("n_flagged"),
+            sum(col("n_bad")).as("n_artifacts")),
+      Some(s"""WITH m AS (SELECT source, CASE WHEN doc_id % 7 = 0
+             |THEN concat(text, ' caf$mojiAcute it${mojiQuote}s $mojiRepl')
+             |ELSE text END AS mt FROM documents),
+             |b AS (SELECT source, len(regexp_extract_all(mt,
+             |'$mojiPattern')) AS n_bad FROM m)
+             |SELECT source, count(*) AS n_docs,
+             |CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |AS n_flagged,
+             |CAST(sum(n_bad) AS BIGINT) AS n_artifacts
+             |FROM b GROUP BY 1"""
+        .stripMargin.replace('\n', ' ')))
   )
 }
