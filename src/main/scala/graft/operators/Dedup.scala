@@ -1310,6 +1310,61 @@ object DedupQueries {
       (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
         threshold = 0.35, signBits = 4),
       None,
-      bench = true)
+      bench = true),
+
+    // CROSS-SOURCE DUPLICATION MATRIX — pipeline observability: how much
+    // 8-gram content each pair of sources shares (the corpus-level view
+    // that tells you WHICH crawls/dumps overlap before you pay for pairwise
+    // doc dedup between them; t24 is the unigram-vocabulary analogue, this
+    // is the verbatim-passage one). Shape: ONE scan → per-source DISTINCT
+    // gram hashes (native ShingleHashes, persisted — the frame feeds the
+    // per-source totals AND both self-join sides), gram-keyed self-join
+    // (per-gram multiplicity ≤ #sources, so the join output is bounded by
+    // grams × sources², never docs²), pair partial-agg, then the tiny
+    // totals table broadcast back for the Jaccard. Spark joins 64-bit gram
+    // hashes; the oracle joins string grams (d07's hash↔string parity
+    // argument). Jaccard is a ratio of exact integers → identical double.
+    Q("d14_cross_source_overlap",
+      (s, d) => {
+        val docs = Dedup.spread(Tables.t(s, d, "documents"))
+        val sg = ManagedCache.persist(docs.select(col("source"),
+          explode(TextExpressions.shingleHashes(
+            tokens(col("text")), 8)).as("g"))
+          .distinct())
+        val tot = sg.groupBy("source").agg(count(lit(1)).as("ng"))
+        val pairs = sg.as("a")
+          .join(sg.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+        pairs
+          .join(broadcast(tot.select(col("source").as("source_a"),
+            col("ng").as("na"))), "source_a")
+          .join(broadcast(tot.select(col("source").as("source_b"),
+            col("ng").as("nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("shared_grams"),
+            round(col("shared_grams").cast("double") /
+              (col("na") + col("nb") - col("shared_grams")), 6)
+              .as("jaccard"))
+      },
+      Some("""WITH tk AS (SELECT source, doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |g0 AS (SELECT source, doc_id, unnest(list_distinct(
+             |list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             |toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS g FROM tk),
+             |g AS (SELECT DISTINCT source, g FROM g0),
+             |n AS (SELECT source, count(*) AS ng FROM g GROUP BY 1)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |count(*) AS shared_grams,
+             |round(CAST(count(*) AS DOUBLE) /
+             |(min(na.ng) + min(nb.ng) - count(*)), 6) AS jaccard
+             |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+             |JOIN n na ON na.source = a.source
+             |JOIN n nb ON nb.source = b.source
+             |GROUP BY a.source, b.source"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -789,7 +789,66 @@ object RelationalQueries {
     // Decimal-exact sum per the cteDerived rule.
     Q("q45_group_by_all",
       (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.groupByAll) },
-      Some(Sql.groupByAll))
+      Some(Sql.groupByAll)),
+
+    // RECURSIVE CTE — Spark 4's WITH RECURSIVE (UnionLoop plan). The
+    // classic warehouse use: generate a month date-spine and LEFT JOIN
+    // the fact aggregate onto it so empty months surface as explicit
+    // zeros (a plain GROUP BY silently drops them). Fixed endpoints
+    // cover the generator's full o_orderdate range (1995-01..2001-08,
+    // 80 iterations — under Spark's default 100-level recursion limit);
+    // the spine is 80 rows, so the recursion is driver-trivial and the
+    // join broadcasts the spine against the month aggregate. The oracle
+    // states the identical recursion with DuckDB's interval arithmetic
+    // (no add_months there). Decimal-exact revenue per the dsum rule.
+    Q("q46_recursive_cte",
+      (s, d) => { Tables.ensureRegistered(s, d); s.sql(Sql.recursiveSpark) },
+      Some(Sql.recursiveDuck)),
+
+    // STATISTICAL AGGREGATES (corr / covar_pop / var_pop / stddev_pop)
+    // from EXACT decimal moments: the builtin double aggregates are
+    // summation-order-dependent (each engine merges partials in its own
+    // order), so the cross-engine twin derives every statistic from
+    // order-independent decimal sums (Σx, Σy, Σx², Σy², Σxy) and then
+    // combines them with an IDENTICAL double expression tree on both
+    // sides — IEEE ops on identical inputs are bit-identical. Second
+    // moments cast at DECIMAL(28,4): products of 2-dp values have ≤4
+    // decimals and the double product is within a quarter-ulp, so the
+    // 4-dp cast rounds exactly; 28-digit precision gives 10^24 headroom
+    // over the sf0.1 Σprice² ≈ 10^15. Rounding precision is chosen per
+    // statistic's magnitude (var ~1e9 → 2dp keeps the half-ulp boundary
+    // 4 orders away from the conversion error; corr ~1e0 → 6dp).
+    // RelationalSpec asserts the exact-moment corr matches Spark's
+    // builtin corr() to 1e-9 — the builtin is the production one-liner,
+    // this form is the oracle-stable twin. One partial-agg shuffle on
+    // the 3-value group key; AQE coalesces.
+    Q("q47_stats_moments",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val g = li.groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("nf"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sx"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sy"),
+          sum((col("l_quantity") * col("l_quantity"))
+            .cast("decimal(28,4)")).cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice"))
+            .cast("decimal(28,4)")).cast("double").as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice"))
+            .cast("decimal(28,4)")).cast("double").as("sxy"))
+        val nf = col("nf")
+        val vx = col("sxx") / nf - (col("sx") / nf) * (col("sx") / nf)
+        val vy = col("syy") / nf - (col("sy") / nf) * (col("sy") / nf)
+        val cv = col("sxy") / nf - (col("sx") / nf) * (col("sy") / nf)
+        g.select(col("l_returnflag"),
+          nf.cast("long").as("n"),
+          (round(vy, 2) + 0.0).as("var_pop_price"),
+          (round(sqrt(vy), 4) + 0.0).as("stddev_pop_price"),
+          (round(cv, 2) + 0.0).as("covar_pop"),
+          (round(cv / (sqrt(vx) * sqrt(vy)), 6) + 0.0).as("corr_qty_price"))
+      },
+      Some(Sql.statsMoments))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
@@ -842,6 +901,60 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ALL ORDER BY ALL"""
+        .stripMargin.replace('\n', ' ')
+
+    // Spark and DuckDB spell month-stepping differently (add_months vs
+    // + INTERVAL), so the recursive spine carries two texts; everything
+    // downstream of the spine is shared SQL.
+    val recursiveSpark: String =
+      """WITH RECURSIVE months(mon) AS (
+        |SELECT DATE '1995-01-01' UNION ALL
+        |SELECT add_months(mon, 1) FROM months
+        |WHERE mon < DATE '2001-08-01')
+        |SELECT mon, coalesce(n, 0) AS n_orders,
+        |coalesce(rev, 0.0) AS revenue
+        |FROM months LEFT JOIN (
+        |SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS m,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1) o ON mon = o.m"""
+        .stripMargin.replace('\n', ' ')
+
+    val recursiveDuck: String =
+      """WITH RECURSIVE months(mon) AS (
+        |SELECT DATE '1995-01-01' UNION ALL
+        |SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM months
+        |WHERE mon < DATE '2001-08-01')
+        |SELECT mon, coalesce(n, 0) AS n_orders,
+        |coalesce(rev, 0.0) AS revenue
+        |FROM months LEFT JOIN (
+        |SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY 1) o ON mon = o.m"""
+        .stripMargin.replace('\n', ' ')
+
+    val statsMoments: String =
+      """WITH m AS (SELECT l_returnflag,
+        |CAST(count(*) AS DOUBLE) AS nf,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+        |AS DOUBLE) AS sxx,
+        |CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+        |AS DOUBLE) AS syy,
+        |CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+        |AS DOUBLE) AS sxy
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(nf AS BIGINT) AS n,
+        |round(syy / nf - (sy / nf) * (sy / nf), 2) + 0.0 AS var_pop_price,
+        |round(sqrt(syy / nf - (sy / nf) * (sy / nf)), 4) + 0.0
+        |AS stddev_pop_price,
+        |round(sxy / nf - (sx / nf) * (sy / nf), 2) + 0.0 AS covar_pop,
+        |round((sxy / nf - (sx / nf) * (sy / nf)) /
+        |(sqrt(sxx / nf - (sx / nf) * (sx / nf)) *
+        |sqrt(syy / nf - (sy / nf) * (sy / nf))), 6) + 0.0
+        |AS corr_qty_price FROM m"""
         .stripMargin.replace('\n', ' ')
   }
 }

@@ -170,6 +170,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact cosine RANGE SEARCH: every (query, corpus) pair whose rounded
+    * cosine reaches `tau`. Same broadcast-query / one-corpus-scan shape as
+    * [[bruteForceTopK]] but with no ranking state at all — the threshold
+    * filter runs map-side inside the scan stage, so the operator is a pure
+    * narrow pipeline (output size is data-dependent, unlike top-k).
+    * Thresholding on the ROUNDED sim keeps the radius boundary
+    * deterministic cross-engine (e01's tie rule, applied to membership). */
+  def rangeSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      tau: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
+      .filter(col("sim") >= tau)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** HARD-NEGATIVE MINING — contrastive-training data prep: for each
     * query vector, the top-k most similar corpus vectors with a DIFFERENT
     * label (high-similarity wrong-class examples are the negatives that
@@ -1055,6 +1077,33 @@ object SimilarityQueries {
         val emb = Tables.t(s, d, "embeddings")
         mmrTopK(emb.filter(col("vec_id") < 10), emb, 5, candidateK = 30)
       },
-      None)
+      None),
+
+    // RANGE SEARCH — all corpus vectors within a cosine radius of each
+    // query (FAISS range_search semantics): the retrieval mode for "give
+    // me EVERYTHING at least this similar", where top-k's fixed cutoff
+    // either truncates dense neighborhoods or pads sparse ones. Exact
+    // audit form of d06's thresholded pair search (broadcast query set,
+    // ONE corpus scan, fused native cosine — e01's plan minus the k-heap;
+    // no shuffle at all, the filter is map-side). Both sides filter on
+    // the ROUNDED sim so radius-boundary vectors resolve identically. At
+    // 100 TB the production swap is the sign-bucket/LSH candidate source
+    // (d06/e03) feeding the same threshold filter.
+    Q("e13_range_search",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        rangeSearch(emb.filter(col("vec_id") < 5), emb, tau = 0.3)
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |round(list_cosine_similarity(
+             |list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0
+             |AS sim
+             |FROM embeddings q, embeddings c
+             |WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+             |AND round(list_cosine_similarity(
+             |list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.3"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

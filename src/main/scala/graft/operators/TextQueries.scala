@@ -1219,6 +1219,46 @@ object TextQueries {
              |AS n_flagged,
              |CAST(sum(n_bad) AS BIGINT) AS n_artifacts
              |FROM b GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PER-DOC WORD-DISTRIBUTION ENTROPY — the information-theoretic
+    // diversity signal (Shannon entropy in bits over the doc's own token
+    // frequencies). Complements t14's surface repetition ratios: a doc
+    // cycling a small vocabulary scores low even when no single n-gram
+    // repeats verbatim; uniform-over-types docs score log2(n_types).
+    // Filtering on it catches keyword-stuffing / template spam that
+    // length and stopword ratios miss. Shape: one explode → (doc, word)
+    // partial-agg (t18's shuffle), per-doc totals from a second tiny
+    // agg joined back doc-keyed (planner-decided), per-doc sum. Parity:
+    // p = c/n is a ratio of exact ints → identical double; log2 agrees
+    // cross-engine (t18's ln precedent); per-doc sums are hundreds of
+    // terms → far inside the 4-dp round (t18's argument). Entropy >= 0
+    // so no -0.0 hazard, but the +0.0 guard keeps the convention.
+    Q("t32_word_entropy",
+      (s, d) => {
+        val td = Dedup.spread(Tables.t(s, d, "documents"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val dn = td.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        td.join(dn, "doc_id")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            (round(-sum((col("c").cast("double") / col("n")) *
+              log2(col("c").cast("double") / col("n"))), 4) + 0.0)
+              .as("entropy"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+             |FROM documents),
+             |td AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+             |dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+             |FROM td GROUP BY 1)
+             |SELECT td.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |count(*) AS n_types,
+             |round(-sum((CAST(c AS DOUBLE) / n) *
+             |log2(CAST(c AS DOUBLE) / n)), 4) + 0.0 AS entropy
+             |FROM td JOIN dn USING (doc_id) GROUP BY td.doc_id"""
         .stripMargin.replace('\n', ' ')))
   )
 }
