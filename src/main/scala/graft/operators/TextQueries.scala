@@ -1234,6 +1234,11 @@ object TextQueries {
     // cross-engine (t18's ln precedent); per-doc sums are hundreds of
     // terms → far inside the 4-dp round (t18's argument). Entropy >= 0
     // so no -0.0 hazard, but the +0.0 guard keeps the convention.
+    // Residual risk class: the 4-dp-round argument is PROBABILISTIC
+    // (verified no doc within 1e-9 of a .5 ulp boundary on this fixture),
+    // unlike t25's rounded-before-sum rule which is exact by construction.
+    // If a future sf bump flips this entry's hash, check for a boundary
+    // doc before suspecting the engine.
     Q("t32_word_entropy",
       (s, d) => {
         val td = Dedup.spread(Tables.t(s, d, "documents"))
@@ -1249,7 +1254,7 @@ object TextQueries {
               .as("entropy"))
       },
       Some("""WITH tok AS (SELECT doc_id,
-             |unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
              |FROM documents),
              |td AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
              |dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
