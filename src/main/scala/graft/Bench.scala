@@ -26,7 +26,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.ensureRegistered(spark, sfDir)
+    Tables.logSchemas(spark, sfDir, "bench")
+    // Registration failure (e.g. a driver-side testdata regeneration that
+    // one loader can't absorb) must degrade to per-query -1 entries for
+    // the view-dependent queries, never zero the whole round's artifact —
+    // round 9's bench died here, outside any try.
+    try Tables.ensureRegistered(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] register failed: ${e.getMessage}")
+    }
 
     def force(name: String): Unit =
       QueryCatalog.byName(name).build(spark, sfDir)

@@ -49,19 +49,40 @@ object Tables {
     if (!spark.conf.getOption(nanosAsLongConf._1).contains("true"))
       spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
 
-  /** ns→µs conversion shared by the batch loader and the streaming
-    * source ([[EventQueries]]'s file stream). `div` is exact integer
-    * division — `col / 1000L` would go through double, whose 256 ns ulp
-    * at current epoch nanos corrupts ~12% of microsecond values by ±1. */
+  /** Normalize the `ts` column of an events frame to `TimestampType`,
+    * branching on the schema the parquet footer actually produced — the
+    * driver has regenerated events.parquet with different physical types
+    * across rounds, and the loader must absorb that:
+    *
+    *  - `LongType`: the file stored parquet TIMESTAMP(NANOS), read as raw
+    *    nanos under the legacy flag → exact ns→µs integer division (`div`,
+    *    not `/ 1000L`: the double path's 256 ns ulp at current epoch nanos
+    *    corrupts ~12% of microsecond values by ±1).
+    *  - `TimestampNTZType`: the file stored `timestamp[us]` with
+    *    isAdjustedToUTC=false → a plain cast, which under our UTC session
+    *    timezone yields bit-identical instants to the old nanos path (and
+    *    to DuckDB's naive read of the same file).
+    *  - `TimestampType`: already what we want — pass through.
+    */
   def eventsTsFromNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other - cannot normalize")
+    }
   }
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader does not map to TimestampType directly; read nanos
-    * as long (legacy flag) and convert to a microsecond timestamp column
-    * with the same name/semantics. */
+  /** events.parquet has historically stored `ts` as parquet
+    * TIMESTAMP(NANOS) (needs the legacy nanos-as-long flag before the
+    * footer can even be read) and currently stores `timestamp[us]` NTZ;
+    * [[eventsTsFromNanos]] adapts either to a TimestampType column with
+    * the same name/semantics. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosConf(spark)
     eventsTsFromNanos(spark.read.parquet(path(sfDir, "events")))
@@ -94,4 +115,18 @@ object Tables {
   /** Convenience accessor used by the query builders. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     load(spark, sfDir, name)
+
+  /** Print every table's loaded schema to stderr (best-effort, one line
+    * per table). Harness mains call this at start so a driver-side
+    * testdata regeneration — the round-9 failure class: events.ts silently
+    * changed physical type and took 28 entries dark — is diagnosable from
+    * the artifact tail in one read. */
+  def logSchemas(spark: SparkSession, sfDir: String, tag: String): Unit =
+    all.foreach { name =>
+      try System.err.println(
+        s"[$tag] schema $name: ${load(spark, sfDir, name).schema.simpleString}")
+      catch { case e: Throwable =>
+        System.err.println(s"[$tag] schema $name: LOAD FAILED ${e.getMessage}")
+      }
+    }
 }

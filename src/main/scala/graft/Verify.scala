@@ -23,7 +23,11 @@ private[graft] object JsonOut {
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated entry-name filter for fast local
+    // iteration on one query (the driver always runs the full set).
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,22 +45,46 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // One schema line per table up front: a driver-side testdata
+    // regeneration (the round-9 failure class) must be diagnosable from
+    // the artifact tail in one read.
+    Tables.logSchemas(spark, sfDir, "verify")
     // Best-effort view registration (q16/q17/q31/q32 need it); a broken
     // table must degrade to per-query failures, not kill the whole run.
     try Tables.ensureRegistered(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] register failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed entry must still surface in CORRECTNESS_r*.json as a
+        // red `err` row, never as a silent omission (round 9 lost 28
+        // entries this way): leave a marker file where the parquet result
+        // would be, so the driver's read of the entry fails VISIBLY.
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(dir.toFile) // drop any partial write
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR"), msg)
+        } catch { case _: Throwable => () }
       }
       // release the pipeline-persisted frames (minhash/simhash/IVF prep)
       // so a 64-query session doesn't accumulate cache entries
       finally ManagedCache.releaseAll()
     }
+    // Machine-readable failure summary alongside the oracle manifest.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

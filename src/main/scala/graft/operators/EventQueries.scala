@@ -777,8 +777,9 @@ object EventQueries {
   /** File-source stream over the events parquet: explicit schema from a
     * batch footer read (readStream refuses inference, and at 100 TB you'd
     * pin the schema anyway), watching the sfDir as the landing directory
-    * filtered to the events file, with [[Tables]]' ns→µs conversion
-    * applied to the stream. */
+    * filtered to the events file, with [[Tables]]' schema-adaptive ts
+    * normalization (ns-long, µs-NTZ, or native timestamp) applied to the
+    * stream. */
   private def eventStream(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     Tables.ensureNanosConf(s) // the schema read below needs it too

@@ -911,7 +911,7 @@ object RelationalQueries {
         |SELECT DATE '1995-01-01' UNION ALL
         |SELECT add_months(mon, 1) FROM months
         |WHERE mon < DATE '2001-08-01')
-        |SELECT mon, coalesce(n, 0) AS n_orders,
+        |SELECT CAST(mon AS STRING) AS mon, coalesce(n, 0) AS n_orders,
         |coalesce(rev, 0.0) AS revenue
         |FROM months LEFT JOIN (
         |SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS m,
@@ -925,7 +925,7 @@ object RelationalQueries {
         |SELECT DATE '1995-01-01' UNION ALL
         |SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM months
         |WHERE mon < DATE '2001-08-01')
-        |SELECT mon, coalesce(n, 0) AS n_orders,
+        |SELECT CAST(mon AS VARCHAR) AS mon, coalesce(n, 0) AS n_orders,
         |coalesce(rev, 0.0) AS revenue
         |FROM months LEFT JOIN (
         |SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
