@@ -574,6 +574,22 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
 
+  /** Exact all-pairs cosine at a threshold (a < b orientation) — the
+    * deterministic quadratic twin [[d06 audit]] measures
+    * [[embeddingNearDupPairs]]'s bucket recall against. One self-join on
+    * the id inequality (no bucket pruning — that is the point); audit
+    * use only, never the production path. */
+  def exactCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val base = spread(emb).select(col("vec_id"), col("embedding"))
+    base.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .join(base.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        col("a") < col("b"))
+      .withColumn("cos",
+        round(VectorExpressions.cosineSim(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** DUPLICATED-PASSAGE detection: maximal spans of consecutive token
     * positions whose `n`-gram also occurs in at least one OTHER document —
     * the span-level view of duplication (whole-doc dedup in d01/d03 misses
@@ -1300,6 +1316,39 @@ object DedupQueries {
              |FROM kept JOIN documents d ON d.doc_id = kept.doc_id
              |GROUP BY d.lang"""
         .stripMargin.replace('\n', ' '))),
+
+    // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
+    // (same construction as the e03/e05 audits — see
+    // [[Similarity.recallViolations]]): recompute the approximate pair set
+    // AND its exact deterministic twin, emit a violation row iff recall
+    // falls below the floor. d03 vs the exact jac≥0.8 pairs: bands=4
+    // banding gives P[candidate] ≈0.88 theoretical at jac=0.8; measured
+    // 1.0 (sf0.001) / 0.96 (sf0.01) — floor 0.7 leaves corpus-drift
+    // margin without masking a banding regression. d06's 4-bit
+    // multi-probe buckets measured recall 0.52/0.53 vs the exact τ=0.35
+    // pairs (the deliberate bucket-pruning loss at 4 bits) — floor 0.4.
+    // Not bench entries: the exact side is the deliberate quadratic
+    // audit scan, run over the verify gate's corpus only.
+    Q("d03_minhash_recall_audit",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        Similarity.recallViolations(
+          Dedup.minhashNearDupPairs(docs,
+            shingleN = 3, k = 16, bands = 4, threshold = 0.5),
+          Dedup.exactJaccardPairs(docs, shingleN = 3, threshold = 0.8),
+          Seq("a", "b"), floor = 0.7)
+      },
+      Some(Similarity.recallAuditOracle)),
+
+    Q("d06_neardup_recall_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        Similarity.recallViolations(
+          Dedup.embeddingNearDupPairs(emb, threshold = 0.35, signBits = 4),
+          Dedup.exactCosinePairs(emb, threshold = 0.35),
+          Seq("a", "b"), floor = 0.4)
+      },
+      Some(Similarity.recallAuditOracle)),
 
     // signBits sizes the bucket count (2^bits) and trades exactly like LSH
     // bands: each +1 bit halves candidate pairs at some recall cost, and

@@ -192,6 +192,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  /** RECALL AUDIT GATE shared by the ANN / near-dup audit twins: given an
+    * approximate result and the exact result it approximates (matched on
+    * `keys`, e.g. (query_id, neighbor_id) or (a, b)), compute overall
+    * recall = |exact ∩ approx| / |exact| and emit ONE violation row
+    * `(n_exact, n_hit, recall)` iff recall < `floor` — empty otherwise.
+    *
+    * This is how the rows-only LSH/IVF/PQ/minhash families become
+    * driver-VISIBLE: their outputs are hash-seeded and not reproducible in
+    * the driver's DuckDB oracle, but "recall vs the exact twin never drops
+    * below the floor the spec asserts" IS checkable — the oracle states
+    * the empty relation with this schema, so a recall regression flips
+    * the driver's row/hash compare red instead of moving no signal at
+    * all. Fully distributed: two aggregates over the joined frames, no
+    * driver-side collect; at 100 TB the exact side runs over a sampled
+    * query set exactly like d07's audit twin.
+    *
+    * An empty EXACT side yields no row (vacuously green): the recall
+    * ratio is null and the `< floor` filter drops it. */
+  def recallViolations(
+      approx: DataFrame,
+      exact: DataFrame,
+      keys: Seq[String],
+      floor: Double): DataFrame = {
+    val hit = approx.select(keys.map(col): _*).dropDuplicates(keys)
+      .withColumn("_hit", lit(1L))
+    exact.select(keys.map(col): _*)
+      .join(hit, keys, "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("_hit"), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        // ANSI mode: 0/0 must stay a null (vacuously green), not a
+        // DIVIDE_BY_ZERO error on an empty exact side
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(
+            round(col("n_hit").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+      .filter(col("recall") < floor)
+  }
+
+  /** Oracle text for [[recallViolations]] twins: the empty relation with
+    * the violation schema (BIGINT/BIGINT/DOUBLE ⇒ pandas int64/int64/
+    * float64, matching the Spark parquet dump's empty frame). */
+  val recallAuditOracle: String =
+    """SELECT CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit,
+      |CAST(NULL AS DOUBLE) AS recall WHERE 1=0"""
+      .stripMargin.replace('\n', ' ')
+
   /** HARD-NEGATIVE MINING — contrastive-training data prep: for each
     * query vector, the top-k most similar corpus vectors with a DIFFERENT
     * label (high-similarity wrong-class examples are the negatives that
@@ -1078,6 +1125,58 @@ object SimilarityQueries {
         mmrTopK(emb.filter(col("vec_id") < 10), emb, 5, candidateK = 30)
       },
       None),
+
+    // RECALL AUDIT TWINS — driver-visible gates for the rows-only ANN
+    // entries (see [[Similarity.recallViolations]]): each recomputes its
+    // approximate top-k AND the exact brute-force top-k on the same query
+    // set and emits a violation row iff recall drops below the floor its
+    // spec asserts (e03 ≥0.3, e05 ≥0.4, e09 ≥0.5, e10 ≥0.3). The oracle
+    // states the empty relation, so the driver's row compare flips red on
+    // a recall regression the rows-only entries cannot express. Not bench
+    // entries: the exact side is the deliberate O(Q×N) audit scan.
+    Q("e03_lsh_recall_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 20)
+        recallViolations(
+          annTopK(qs, emb, 5, bits = 4),
+          bruteForceTopK(qs, emb, 5),
+          Seq("query_id", "neighbor_id"), floor = 0.3)
+      },
+      Some(recallAuditOracle)),
+
+    Q("e05_ivf_recall_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 20)
+        recallViolations(
+          ivfTopK(qs, emb, 5, nlist = 16, nprobe = 4),
+          bruteForceTopK(qs, emb, 5),
+          Seq("query_id", "neighbor_id"), floor = 0.4)
+      },
+      Some(recallAuditOracle)),
+
+    Q("e09_pq_recall_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 20)
+        recallViolations(
+          pqTopK(qs, emb, 5),
+          bruteForceTopK(qs, emb, 5),
+          Seq("query_id", "neighbor_id"), floor = 0.5)
+      },
+      Some(recallAuditOracle)),
+
+    Q("e10_ivfpq_recall_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 20)
+        recallViolations(
+          ivfPqTopK(qs, emb, 5),
+          bruteForceTopK(qs, emb, 5),
+          Seq("query_id", "neighbor_id"), floor = 0.3)
+      },
+      Some(recallAuditOracle)),
 
     // RANGE SEARCH — all corpus vectors within a cosine radius of each
     // query (FAISS range_search semantics): the retrieval mode for "give

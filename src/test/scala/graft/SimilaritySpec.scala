@@ -530,4 +530,29 @@ class SimilaritySpec extends SparkSpec {
       assert(hits.map(_._4) == (1 to 5).toSet)
     }
   }
+
+  test("recallViolations (driver-visible audit gate): one violation row " +
+    "iff recall < floor, empty when above floor or exact side is empty") {
+    val sq = spark; import sq.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    // hits 2 of 4 exact pairs; the extra approx pair must not inflate recall
+    val approx = Seq((1L, 10L), (2L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val keys = Seq("query_id", "neighbor_id")
+    val viol = Similarity.recallViolations(approx, exact, keys, floor = 0.6)
+      .collect()
+    assert(viol.length == 1)
+    assert(viol(0).getLong(0) == 4 && viol(0).getLong(1) == 2 &&
+      viol(0).getDouble(2) == 0.5)
+    // at the floor exactly (0.5 < 0.5 is false) → green, no row
+    assert(Similarity.recallViolations(approx, exact, keys, 0.5).isEmpty)
+    // empty exact side → vacuously green, not a 0/0 violation row
+    assert(Similarity.recallViolations(
+      approx, exact.limit(0), keys, 0.9).isEmpty)
+    // duplicate approx rows must not double-count a hit
+    val dup = approx.union(approx)
+    val v2 = Similarity.recallViolations(dup, exact, keys, 0.6).collect()
+    assert(v2.length == 1 && v2(0).getLong(1) == 2)
+  }
 }
