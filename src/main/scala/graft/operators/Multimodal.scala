@@ -71,8 +71,40 @@ object Multimodal {
   private def s32(u: Column): Column =
     when(u > 2147483647L, u - 4294967296L).otherwise(u)
 
-  /** REAL magic-dispatched header decode for the two formats whose
-    * headers are plain integer fields:
+  // ---- JPEG SOF scan ----------------------------------------------------
+  // JPEG dims live in a Start-Of-Frame segment at a VARIABLE offset, so
+  // unlike PNG/BMP the parse is a bounded segment walk, not fixed-offset
+  // arithmetic: after the FFD8 SOI, each segment is FF <marker> <len:u16be
+  // incl. itself>, and the walk hops `off += 2 + len` until it lands on a
+  // SOF marker (C0 baseline / C1 extended / C2 progressive / C3 lossless
+  // — C4/C8/CC are DHT/JPG/DAC, not frames). The walk is an `aggregate`
+  // HOF over a fixed 24-hop sequence (APPn/COM/DQT/DHT preambles from
+  // real encoders are well under that), with the state = next segment
+  // offset, negated once found (frozen), 0 once lost sync. All offsets
+  // 1-based; dynamic-offset reads use the Column-pos substring overload.
+
+  /** Byte as 0..255 at a DYNAMIC 1-based offset. */
+  private def dynByte(bin: Column, off: Column): Column =
+    conv(hex(substring(bin, off.cast("int"), lit(1))), 16, 10).cast("long")
+  /** Big-endian uint16 at a DYNAMIC 1-based offset. */
+  private def dynBeU16(bin: Column, off: Column): Column =
+    conv(hex(substring(bin, off.cast("int"), lit(2))), 16, 10).cast("long")
+
+  /** 1-based offset of the first SOF marker's FF byte, negated (< 0 =
+    * found); 0 or positive = no SOF within the hop budget / lost sync. */
+  private def sofScan(bin: Column): Column =
+    aggregate(sequence(lit(1), lit(24)), lit(3L), (off, _) => {
+      val mk = dynByte(bin, off + 1)
+      when(off <= 0, off)                                  // settled
+        .when(off + 9 > octet_length(bin), lit(0L))        // truncated
+        .when(dynByte(bin, off) =!= 0xFF, lit(0L))         // lost sync
+        .when(mk.isin(0xC0L, 0xC1L, 0xC2L, 0xC3L), -off)   // SOF: freeze
+        .when(mk === 0xDAL, lit(0L))      // SOS: scan data, no SOF seen
+        .otherwise(off + 2 + dynBeU16(bin, off + 2))       // skip segment
+    })
+
+  /** REAL magic-dispatched header decode for the three formats whose
+    * headers need no codec library:
     *
     *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
     *    chunk at a FIXED position (PNG spec: IHDR must be first) —
@@ -107,6 +139,20 @@ object Multimodal {
     val bpp = leU16(bin, 29)
     val bmpChannels = when(bpp === 8, 1).when(bpp === 24, 3)
       .when(bpp === 32, 4).otherwise(3)
+    // JPEG: FFD8 SOI magic + a located SOF frame segment (sofScan).
+    // Frame layout after the FF Cx marker at |sof|: len(2) precision(1)
+    // height:u16be(+5) width:u16be(+7) ncomponents(+9) — 1 gray, 3 YCbCr,
+    // 4 CMYK. Dims of 0 (DNL-deferred height) fall back to the stub.
+    val sof = sofScan(bin)
+    val sOff = -sof
+    val jH = dynBeU16(bin, sOff + 5)
+    val jW = dynBeU16(bin, sOff + 7)
+    val nComp = dynByte(bin, sOff + 9)
+    val isJpeg = octet_length(bin) >= 13 &&
+      hex(substring(bin, 1, 2)) === "FFD8" &&
+      sof < 0 && jW > 0 && jH > 0
+    val jpegChannels = when(nComp === 1, 1).when(nComp === 3, 3)
+      .when(nComp === 4, 4).otherwise(3)
     when(isPng, struct(
       beU32(bin, 17).cast("int").as("width"),
       beU32(bin, 21).cast("int").as("height"),
@@ -115,6 +161,10 @@ object Multimodal {
         s32(leU32(bin, 19)).cast("int").as("width"),
         abs(s32(leU32(bin, 23))).cast("int").as("height"),
         bmpChannels.cast("int").as("channels")))
+      .when(isJpeg, struct(
+        jW.cast("int").as("width"),
+        jH.cast("int").as("height"),
+        jpegChannels.cast("int").as("channels")))
       .otherwise(fakeDecode(bin))
   }
 

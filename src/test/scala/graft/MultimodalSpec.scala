@@ -94,6 +94,71 @@ class MultimodalSpec extends SparkSpec {
     )) == Seq((800, 600, 3), (31, 32, 4), (7, 5, 1)))
   }
 
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A JPEG segment: FF <marker> <len incl. itself> <body>. */
+  private def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+    Array(0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+
+  /** Minimal JPEG prefix: SOI, the given preamble segments, then a SOF
+    * frame header (precision 8, BE dims, ncomp component specs). */
+  private def jpegBytes(w: Int, h: Int, nComp: Int, sofMarker: Int = 0xc0,
+      preamble: Seq[Array[Byte]] = Seq.empty): Array[Byte] =
+    Array(0xff.toByte, 0xd8.toByte) ++
+      preamble.flatten ++
+      seg(sofMarker, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array(nComp.toByte) ++
+        Array.fill(nComp * 3)(0x11.toByte))
+
+  private val jfifApp0 =
+    seg(0xe0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+
+  test("decodeHeader parses hand-built JPEG SOF headers at variable " +
+    "offsets (segment walk, BE dims, component-count channels)") {
+    assert(decoded(Seq(
+      // baseline JFIF, YCbCr
+      jpegBytes(640, 480, nComp = 3, preamble = Seq(jfifApp0)),
+      // progressive (SOF2) behind APP1 + COM + DQT segments
+      jpegBytes(1920, 1080, nComp = 3, sofMarker = 0xc2,
+        preamble = Seq(jfifApp0,
+          seg(0xe1, Array.fill(40)(0x42.toByte)),          // APP1 (EXIF)
+          seg(0xfe, "a comment".getBytes("US-ASCII")),     // COM
+          seg(0xdb, Array.fill(65)(1.toByte)))),           // DQT
+      // grayscale, no preamble (SOF directly after SOI)
+      jpegBytes(8, 12, nComp = 1),
+      // CMYK (Adobe), width exercising the high byte
+      jpegBytes(300, 7, nComp = 4, sofMarker = 0xc1)
+    )) == Seq((640, 480, 3), (1920, 1080, 3), (8, 12, 1), (300, 7, 4)))
+  }
+
+  test("JPEG-magic payloads without a parseable SOF fall back to the " +
+    "stub (lost sync, SOS before SOF, truncated frame)") {
+    val sq = spark; import sq.implicits._
+    val payloads = Seq(
+      // FFD8 then non-segment garbage: lost sync
+      Array(0xff, 0xd8).map(_.toByte) ++
+        "not a real jpeg body".getBytes("UTF-8"),
+      // well-formed segments but SOS with no SOF before it
+      Array(0xff.toByte, 0xd8.toByte) ++ jfifApp0 ++
+        seg(0xda, Array[Byte](1, 1, 0, 0x3f, 0)) ++
+        Array.fill(24)(0x55.toByte),
+      // SOF truncated before the width field
+      (Array(0xff.toByte, 0xd8.toByte) ++ jfifApp0 ++
+        seg(0xc0, Array[Byte](8) ++ be16(480))).dropRight(1))
+    val viaDecode = decoded(payloads)
+    val viaStub = payloads.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("id", "bin")
+      .select(col("id"), Multimodal.fakeDecode(col("bin")).as("m"))
+      .orderBy("id").collect()
+      .map(r => {
+        val m = r.getStruct(1)
+        (m.getInt(0), m.getInt(1), m.getInt(2))
+      }).toSeq
+    assert(viaDecode == viaStub)
+  }
+
   test("decodeHeader falls back to the deterministic stub when magic " +
     "dispatch fails (text bytes, BM-prefixed text, truncated PNG)") {
     val sq = spark; import sq.implicits._
