@@ -279,10 +279,22 @@ class ExecutionContext(
     requireTable(src)
     val tAlias = tableAlias.getOrElse(table)
     val sAlias = srcAlias.getOrElse(src)
-    // SET keys may qualify by the target alias/table — strip it; the
-    // assignment applies to the target column by name
+    // SET keys may qualify by the target alias OR the raw table name —
+    // strip either; the assignment applies to the target column by name.
+    // Every stripped key must BE a target column: Dml.merge matches
+    // assignments by name and would silently drop an unknown key (typo'd
+    // column, source-alias qualification), yielding a silently wrong
+    // MERGE instead of an error.
+    val targetCols = spark.table(table).columns.toSet
     val assignments = sqlAssignments(setList).map { case (k, v) =>
-      (if (k.startsWith(s"$tAlias.")) k.stripPrefix(s"$tAlias.") else k) -> v
+      val stripped =
+        if (k.startsWith(s"$tAlias.")) k.stripPrefix(s"$tAlias.")
+        else if (k.startsWith(s"$table.")) k.stripPrefix(s"$table.")
+        else k
+      require(targetCols.contains(stripped),
+        s"MERGE SET column '$k' is not a column of target table " +
+          s"'$table' (columns: ${targetCols.toSeq.sorted.mkString(", ")})")
+      stripped -> v
     }
     val cols = insCols.map(ExecutionContext.splitList(_)
       .map(ExecutionContext.unquote).filter(_.nonEmpty))

@@ -161,10 +161,14 @@ object Dml {
     * match append as inserts (each value cast to the target column's
     * type; omitted columns fill with typed NULL, [[insertValues]]'s
     * alignment rule), and the result publishes as one committed
-    * copy-on-write version. Standard MERGE precondition (caller
-    * contract, not runtime-checked): the source is unique on the match
-    * keys — a target row matching several source rows would duplicate
-    * through the join, exactly as SQL MERGE declares undefined.
+    * copy-on-write version. Standard MERGE precondition — the source is
+    * unique on the match keys — is ENFORCED when `checkCardinality` is
+    * on (default): a target row matched by more than one source row
+    * raises the ANSI cardinality violation instead of silently
+    * duplicating through the join. The check is one extra pass of the
+    * same keys-co-located join (a limit-1 probe for any multiplicity>1
+    * group); at 100 TB, callers with upstream-guaranteed uniqueness can
+    * disable it.
     *
     * Scale: one join each for the matched and unmatched sides — both on
     * the merge keys, so at 100 TB they co-locate under one shuffle (or
@@ -180,11 +184,29 @@ object Dml {
       insertCols: Option[Seq[String]],
       insertVals: Option[Seq[org.apache.spark.sql.Column]],
       targetAlias: String = "t",
-      sourceAlias: String = "s"): DataFrame = {
+      sourceAlias: String = "s",
+      checkCardinality: Boolean = true): DataFrame = {
     val v0 = snapshot(base, dir, "v0")
     val marker = "__graft_matched"
+    val rowid = "__graft_rowid"
     require(!v0.columns.contains(marker) && !source.columns.contains(marker),
       s"merge: reserved marker column $marker present in input")
+    require(!v0.columns.contains(rowid) && !source.columns.contains(rowid),
+      s"merge: reserved rowid column $rowid present in input")
+    if (checkCardinality) {
+      // ANSI MERGE cardinality: no target row may match >1 source rows.
+      // Tag each target row, re-run the matched side of the join, and
+      // probe for any multiplicity > 1 — limit-1 short-circuits.
+      val multi = v0.withColumn(rowid, monotonically_increasing_id())
+        .alias(targetAlias)
+        .join(source.alias(sourceAlias), cond, "inner")
+        .groupBy(col(rowid)).count()
+        .filter(col("count") > 1)
+      require(multi.isEmpty,
+        "merge: MERGE cardinality violation — a target row matches " +
+          "more than one source row (source must be unique on the " +
+          "match keys); deduplicate the source or pre-aggregate it")
+    }
     val marked = v0.alias(targetAlias).join(
       source.withColumn(marker, lit(true)).alias(sourceAlias), cond, "left")
     val updated = marked.select(v0.columns.toIndexedSeq.map { c =>
@@ -518,6 +540,34 @@ object DmlQueries {
       },
       Some("""SELECT n_regionkey, count(*) AS n_nations,
              |min(n_name) AS first_name FROM nation GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // NATIVE INSERT INTO <catalog table> SELECT — the reference's
+    // source-plan insert (`/root/reference/tmp/crud.txt:192-200`: Insert
+    // with `source: Some(plan)`) against a CATALOG table, which takes
+    // Spark's native append path through the ExecutionContext dispatch
+    // (m02/m10 cover the temp-view bridge; this is the other branch,
+    // previously spec-only). DROP + CREATE each run keeps the append
+    // deterministic; the join SELECT proves an arbitrary source plan, not
+    // just VALUES, feeds the insert.
+    Q("m13_insert_select_native",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        val loc = Dml.work("m13", d) + "/nations_named"
+        ctx.execute("DROP TABLE IF EXISTS g_ins_nations")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(loc))
+        ctx.execute(s"""CREATE TABLE g_ins_nations
+          (n_name STRING, r_name STRING) USING parquet LOCATION '$loc'""")
+        ctx.execute("""INSERT INTO g_ins_nations
+          SELECT n.n_name, r.r_name FROM nation n
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name IN ('ASIA', 'EUROPE')""")
+        ctx.execute("SELECT * FROM g_ins_nations")
+      },
+      Some("""SELECT n.n_name, r.r_name FROM nation n
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name IN ('ASIA', 'EUROPE')"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -210,10 +210,25 @@ object EventStreams {
         val committedId: Long =
           if (hasLatest) Dml.currentVersion(dir).stripPrefix("v").toLong
           else -1L
-        if (committedId >= id) {
+        // CHECKPOINT IDENTITY: batch ids are only comparable WITHIN one
+        // checkpoint lineage — if `$dir/_chk` is deleted and recreated
+        // while `_latest` survives, ids restart at 0 and a bare
+        // `committedId >= id` guard would silently discard new data
+        // until id caught up. The commit marker therefore records WHICH
+        // checkpoint (its stable query id from `_chk/metadata`) produced
+        // the last merged batch, and a batch is skipped as a replay only
+        // when both the identity matches AND its id is already marked.
+        val chkId = checkpointQueryId(dir)
+        val lastMerged = readBatchMark(dir)
+        val isReplay = lastMerged.exists { case (mid, mbatch) =>
+          mid == chkId && mbatch >= id }
+        if (isReplay) {
           // replayed batch whose merge already committed — skip; the
-          // pointer already reflects it (idempotent argmax)
-          ()
+          // pointer already reflects it (idempotent argmax). Loud by
+          // design: a skip should be visible in the driver log.
+          System.err.println(
+            s"[upsertedLatest] skipping replayed batch $id " +
+              s"(checkpoint $chkId already merged it)")
         } else {
           val reduced = latestPerUser(batch)
           val merged =
@@ -221,8 +236,13 @@ object EventStreams {
               latestPerUser(Dml.readLatest(s, dir)
                 .unionByName(reduced))
             else reduced
-          merged.write.mode("overwrite").parquet(s"$dir/v$id")
-          Dml.commit(dir, s"v$id")
+          // version names stay monotonic even when a NEW checkpoint
+          // restarts ids below the committed pointer (committed dirs are
+          // immutable — never overwrite one)
+          val vid = math.max(id, committedId + 1)
+          merged.write.mode("overwrite").parquet(s"$dir/v$vid")
+          Dml.commit(dir, s"v$vid")
+          writeBatchMark(dir, chkId, id)
         }
         ()
       }
@@ -230,6 +250,42 @@ object EventStreams {
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     Dml.readLatest(spark, dir)
+  }
+
+  /** Stable query id of the checkpoint under `$dir/_chk` — written once
+    * by Spark at `metadata` as `{"id":"<uuid>"}` when the checkpoint is
+    * created, preserved across restarts, regenerated only when the
+    * checkpoint directory itself is recreated. That makes it exactly the
+    * lineage token the replay guard needs. */
+  private def checkpointQueryId(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "_chk", "metadata")
+    if (!java.nio.file.Files.exists(p)) "none"
+    else {
+      val txt = java.nio.file.Files.readString(p)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("none")
+    }
+  }
+
+  /** `(checkpointQueryId, batchId)` of the last MERGED batch, recorded at
+    * `$dir/_latest_batch` alongside the version pointer (same temp-file +
+    * atomic-rename protocol). */
+  private def readBatchMark(dir: String): Option[(String, Long)] = {
+    val p = java.nio.file.Paths.get(dir, "_latest_batch")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split(':') match {
+      case Array(cid, b) => b.toLongOption.map(cid -> _)
+      case _ => None
+    }
+  }
+
+  private def writeBatchMark(dir: String, chkId: String, id: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, s"_latest_batch.tmp")
+    java.nio.file.Files.writeString(tmp, s"$chkId:$id")
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, "_latest_batch"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Streaming exact dedup — the streaming twin of [[Dedup.exactGroups]]

@@ -207,4 +207,37 @@ class DmlSpec extends SparkSpec {
     spark.catalog.dropTempView("spec_merge_n")
     spark.catalog.dropTempView("spec_merge_r")
   }
+
+  test("MERGE guards: table-name-qualified SET key resolves, unknown SET " +
+    "column fails fast (not a silent no-op), multi-match source raises " +
+    "the ANSI cardinality violation") {
+    val c = new ExecutionContext(spark).registerTestData(sf)
+    Tables.t(spark, sf, "nation").createOrReplaceTempView("spec_mg_n")
+    Tables.t(spark, sf, "region").createOrReplaceTempView("spec_mg_r")
+    // raw table-name qualification with no alias declared
+    c.execute("""MERGE INTO spec_mg_n USING spec_mg_r
+      ON spec_mg_n.n_regionkey = spec_mg_r.r_regionkey
+      AND spec_mg_r.r_regionkey = 1
+      WHEN MATCHED THEN UPDATE SET spec_mg_n.n_name = 'Q1'""")
+    assert(spark.table("spec_mg_n").filter(col("n_name") === "Q1").count()
+      == Tables.t(spark, sf, "nation")
+        .filter(col("n_regionkey") === 1).count())
+    // typo'd SET column: error names the bad key instead of dropping it
+    val e = intercept[IllegalArgumentException] {
+      c.execute("""MERGE INTO spec_mg_n USING spec_mg_r
+        ON spec_mg_n.n_regionkey = spec_mg_r.r_regionkey
+        WHEN MATCHED THEN UPDATE SET n_nmae = 'oops'""")
+    }
+    assert(e.getMessage.contains("n_nmae") &&
+      e.getMessage.contains("not a column of target table"))
+    // region ← nation merge: every region row matches 5 nations
+    val e2 = intercept[IllegalArgumentException] {
+      c.execute("""MERGE INTO spec_mg_r USING spec_mg_n
+        ON spec_mg_r.r_regionkey = spec_mg_n.n_regionkey
+        WHEN MATCHED THEN UPDATE SET r_name = 'dup'""")
+    }
+    assert(e2.getMessage.contains("cardinality violation"))
+    spark.catalog.dropTempView("spec_mg_n")
+    spark.catalog.dropTempView("spec_mg_r")
+  }
 }

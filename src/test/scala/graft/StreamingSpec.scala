@@ -405,4 +405,33 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.toSeq ==
       rows(EventStreams.latestPerUser(fixture.toDF)).toSeq)
   }
+
+  test("checkpoint-identity guard: a RECREATED checkpoint over a " +
+    "surviving committed store merges new data instead of silently " +
+    "skipping restarted batch ids (ADVICE replay-guard hole)") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s16chkid").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(r => (r.getLong(0),
+        r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val ms = MemoryStream[Evt]
+    ms.addData(fixture)
+    rows(EventStreams.upsertedLatest(spark, ms.toDF, dir))
+    // ops incident: the checkpoint directory is lost and recreated while
+    // `_latest` survives — batch ids restart at 0, which a bare
+    // `committedId >= id` guard mistakes for an already-merged replay
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/_chk"))
+    val ms2 = MemoryStream[Evt]
+    ms2.addData(Seq(Evt(9, t("2026-01-01 15:00:00"), 1, "buy", 9.0)))
+    val merged = rows(EventStreams.upsertedLatest(spark, ms2.toDF, dir))
+    assert(merged.toSeq == Seq(
+      (1L, t("2026-01-01 15:00:00"), 9L, "buy", 9.0),
+      (2L, t("2026-01-01 12:00:00"), 5L, "view", 5.0)),
+      "new data after checkpoint recreation must merge, not be skipped")
+    // committed version dirs stayed immutable: the new commit landed on
+    // a version ABOVE the old pointer, not over a published directory
+    assert(Dml.currentVersion(dir).stripPrefix("v").toLong >= 1L)
+  }
 }
