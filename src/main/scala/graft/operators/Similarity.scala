@@ -1178,6 +1178,35 @@ object SimilarityQueries {
       },
       Some(recallAuditOracle)),
 
+    // e08's audit: SemDeDup's cell-pruned pairs vs the exact all-pairs
+    // twin at the same threshold (cross-cell pairs are the accepted loss;
+    // spec floor 0.3).
+    Q("e08_semdedup_recall_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        recallViolations(
+          semDedupPairs(emb, threshold = 0.35),
+          Dedup.exactCosinePairs(emb, threshold = 0.35),
+          Seq("a", "b"), floor = 0.3)
+      },
+      Some(recallAuditOracle)),
+
+    // e11's audit: CONTAINMENT, not recall — every MMR pick must come
+    // from the brute-force top-candidateK pool (the gate direction
+    // flips: the "exact" side is the pick set that must be fully
+    // covered, the "approx" side is the pool, floor 1.0 ⇒ ONE pick
+    // outside the pool is a violation).
+    Q("e11_mmr_containment_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        recallViolations(
+          bruteForceTopK(qs, emb, 30),
+          mmrTopK(qs, emb, 5, candidateK = 30),
+          Seq("query_id", "neighbor_id"), floor = 1.0)
+      },
+      Some(recallAuditOracle)),
+
     // RANGE SEARCH — all corpus vectors within a cosine radius of each
     // query (FAISS range_search semantics): the retrieval mode for "give
     // me EVERYTHING at least this similar", where top-k's fixed cutoff

@@ -1166,6 +1166,33 @@ object TextQueries {
           .orderBy("source"),
       None),
 
+    // t28's audit gate (recall-audit pattern, error-bound flavor): the
+    // HLL estimate is implementation-specific so t28 stays rows-only,
+    // but |est − exact| / exact staying under 5% (looser than the
+    // spec's 3·rsd so corpus drift can't false-alarm) IS checkable —
+    // violations emit against an oracle-stated empty relation, so a
+    // sketch regression flips the driver's row compare red. The exact
+    // side is the vocabulary-sized distinct the sketch replaces at
+    // 100 TB — audit-only, never the production path.
+    Q("t28_hll_error_audit",
+      (s, d) => {
+        val tok = Tables.t(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+        val est = tok.groupBy("source")
+          .agg(approx_count_distinct(col("w"), rsd = 0.01).as("est"))
+        val exact = tok.groupBy("source")
+          .agg(countDistinct(col("w")).as("n_exact"))
+        exact.join(est, "source")
+          .select(col("source"), col("n_exact"), col("est"),
+            round(abs(col("est") - col("n_exact")).cast("double") /
+              col("n_exact"), 4).as("rel_err"))
+          .filter(col("rel_err") > 0.05)
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS source,
+             |CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS est,
+             |CAST(NULL AS DOUBLE) AS rel_err WHERE 1=0"""
+        .stripMargin.replace('\n', ' '))),
+
     // FREQUENCY SPECTRUM (count-of-counts): how many vocabulary terms
     // occur exactly f times — the Good-Turing smoothing input and the
     // fastest corpus-health readout there is (a healthy natural corpus
