@@ -329,6 +329,46 @@ object MultimodalQueries {
             col("meta.bits").as("bits"),
             audioSeconds(col("meta")).as("est_seconds"))
       },
-      None)
+      None),
+
+    // JPEG ROUND TRIP — the driver-visible gate for the SOF segment walk
+    // (the byte-literal specs prove the parse on hand-built frames; this
+    // proves it under the DuckDB hash gate): per document, CONSTRUCT a
+    // real JPEG prefix (SOI + JFIF APP0 + SOF0/grayscale-or-YCbCr frame)
+    // whose dims derive deterministically from doc_id, then parse it
+    // back with the production [[decodeHeader]]. The oracle never
+    // parses — it states the same dim arithmetic directly, so the entry
+    // hash-matches iff the segment walk recovers exactly the dims that
+    // were encoded. Construction is hex-text concat → unhex (all
+    // codegen'd built-ins), per-row work in one scan.
+    Q("mm06_jpeg_roundtrip",
+      (s, d) => {
+        val w = (col("doc_id") % 2000 + 16).cast("int")
+        val h = ((col("doc_id") * 7) % 1200 + 16).cast("int")
+        val nc = when(col("doc_id") % 3 === 0, lit(1)).otherwise(lit(3))
+        val hexStr = concat(
+          lit("FFD8"),                                   // SOI
+          lit("FFE000104A46494600010100000100010000"),   // APP0 (JFIF)
+          lit("FFC0"),                                   // SOF0
+          lpad(hex(lit(8) + nc * 3), 4, "0"),            // frame length
+          lit("08"),                                     // precision
+          lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),    // BE dims
+          lpad(hex(nc), 2, "0"),                         // n components
+          when(nc === 1, lit("011100"))                  // component specs
+            .otherwise(lit("012200021101031101")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            decodeHeader(unhex(hexStr)).as("m"))
+          .select(col("doc_id"),
+            col("m.width").as("width"),
+            col("m.height").as("height"),
+            col("m.channels").as("channels"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(doc_id % 2000 + 16 AS INTEGER) AS width,
+             |CAST((doc_id * 7) % 1200 + 16 AS INTEGER) AS height,
+             |CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER)
+             |AS channels FROM documents"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

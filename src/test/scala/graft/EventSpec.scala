@@ -200,4 +200,36 @@ class EventSpec extends SparkSpec {
       out.head.getTimestamp(1) == ts("2024-01-01 10:00:00") &&
       out.head.getTimestamp(2) == ts("2024-01-01 10:05:00"))
   }
+
+  test("events ts loader is schema-adaptive (the round-9 testdata " +
+    "regeneration class): nanos-long, TIMESTAMP_NTZ and native " +
+    "timestamp all normalize to the same instant; other types refuse") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.types._
+    val instant = ts("2026-01-02 03:04:05.123456")
+    val micros = instant.getTime * 1000L + 456L // epoch µs (UTC session)
+    // branch 1: raw nanos as long (legacy TIMESTAMP(NANOS) files)
+    val fromNanos = Tables.eventsTsFromNanos(
+      Seq(micros * 1000L).toDF("ts"))
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.collect().head.getTimestamp(0) == instant)
+    // branch 2: TIMESTAMP_NTZ (regenerated timestamp[us] files) — the
+    // UTC session makes the cast instant-preserving
+    val ntz = Seq(micros * 1000L).toDF("n")
+      .select(timestamp_micros(expr("n div 1000")).cast("timestamp_ntz")
+        .as("ts"))
+    assert(ntz.schema("ts").dataType.isInstanceOf[TimestampNTZType])
+    val fromNtz = Tables.eventsTsFromNanos(ntz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.collect().head.getTimestamp(0) == instant)
+    // branch 3: native timestamp passes through untouched
+    val native = Seq(instant).toDF("ts")
+    assert(Tables.eventsTsFromNanos(native).collect()
+      .head.getTimestamp(0) == instant)
+    // anything else is a loud refusal, not a silent mis-parse
+    val e = intercept[IllegalStateException] {
+      Tables.eventsTsFromNanos(Seq("2026-01-01").toDF("ts"))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
 }
