@@ -848,11 +848,63 @@ object RelationalQueries {
           (round(cv, 2) + 0.0).as("covar_pop"),
           (round(cv / (sqrt(vx) * sqrt(vy)), 6) + 0.0).as("corr_qty_price"))
       },
-      Some(Sql.statsMoments))
+      Some(Sql.statsMoments)),
+
+    // DATASET PROFILING — the per-column quality audit every ingest runs
+    // before training (Deequ/Great-Expectations shape): one aggregate
+    // pass over the table emits count / null-count / min / max / exact
+    // median / distinct-count per numeric column, exploded to one row
+    // per column. Exact percentile + COUNT(DISTINCT) are the audit-grade
+    // forms that let the oracle state the answer; at 100 TB the same
+    // entry swaps `approx_percentile` and HLL (t28's sketch argument) —
+    // the plan shape (ONE scan, one partial+final agg, no joins) is
+    // unchanged by the swap. Median interpolation is the shared type-7
+    // quantile (index p·(n−1), linear interpolation), identical
+    // arithmetic on both engines; rounded + sign-normalized per the
+    // float rules anyway.
+    Q("q48_data_profile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val aggs = count(lit(1)).as("n") +: cols.flatMap { c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max"),
+          expr(s"percentile($c, 0.5)").as(s"${c}__p50"),
+          countDistinct(col(c)).as(s"${c}__nd"))
+        }
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(col("n"), explode(array(cols.map(c => struct(
+            lit(c).as("column"),
+            col(s"${c}__nn").as("n_null"),
+            col(s"${c}__min").as("min_v"),
+            col(s"${c}__max").as("max_v"),
+            (round(col(s"${c}__p50"), 4) + lit(0.0)).as("p50"),
+            col(s"${c}__nd").as("n_distinct"))): _*)).as("st"))
+          .select(col("st.column").as("column"), col("n"),
+            col("st.n_null").as("n_null"), col("st.min_v").as("min_v"),
+            col("st.max_v").as("max_v"), col("st.p50").as("p50"),
+            col("st.n_distinct").as("n_distinct"))
+      },
+      Some(Sql.dataProfile))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
   private object Sql {
+    val dataProfile: String = {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |AS n_null,
+           |min($c) AS min_v, max($c) AS max_v,
+           |round(quantile_cont($c, 0.5), 4) + 0.0 AS p50,
+           |count(DISTINCT $c) AS n_distinct FROM lineitem"""
+          .stripMargin.replace('\n', ' ')
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString(" UNION ALL ")
+    }
+
     val cteDerived: String =
       """WITH big AS (SELECT o_custkey,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
