@@ -574,6 +574,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
 
+  /** CONTENT-DEFINED CHUNKING dedup — the variable-length complement to
+    * [[duplicatedSpans]]' fixed n-grams: token positions where
+    * `md5(token)` starts with '0' are chunk boundaries (~1/16 boundary
+    * rate ⇒ expected ~16-token chunks), so chunk edges depend only on
+    * CONTENT, never on position — an insertion early in a document
+    * shifts every fixed window but leaves all later CDC chunks
+    * byte-identical, which is exactly why storage/dedup systems chunk
+    * this way. Returns the cross-document duplicated-chunk table
+    * `(h, n_docs, n_total, chunk_tokens)` for chunks appearing in ≥ 2
+    * distinct documents.
+    *
+    * Shape at 100 TB: one scan explodes to (doc, pos, token); the
+    * boundary flag and running chunk id are a PER-DOCUMENT window
+    * (state bounded by one doc, parallel across docs); chunk texts
+    * rebuild via sort_array over the collected (pos, token) structs —
+    * deterministic despite collect_list's arrival order; the final agg
+    * shuffles fixed-width md5 chunk keys only. */
+  def cdcChunkDups(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spread(docsIn)
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val chunked = toks
+      .withColumn("b",
+        when(substring(md5(col("w")), 1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk", sum("b").over(w))
+    chunked.groupBy("doc_id", "chunk")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+        .as("parts"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", transform(col("parts"), p => p.getField("w"))))
+          .as("h"),
+        size(col("parts")).cast("long").as("chunk_tokens"))
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_total"),
+        max(col("chunk_tokens")).as("chunk_tokens"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Exact all-pairs cosine at a threshold (a < b orientation) — the
     * deterministic quadratic twin [[d06 audit]] measures
     * [[embeddingNearDupPairs]]'s bucket recall against. One self-join on
@@ -1414,6 +1455,35 @@ object DedupQueries {
              |JOIN n na ON na.source = a.source
              |JOIN n nb ON nb.source = b.source
              |GROUP BY a.source, b.source"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CONTENT-DEFINED CHUNKING dedup (see [[Dedup.cdcChunkDups]]):
+    // boundaries from token-content hashes, so chunk identity is
+    // insertion-shift-invariant — the variable-length complement to
+    // d12's fixed 8-grams. Fully deterministic (md5 gates + per-doc
+    // running sums), so the DuckDB oracle restates the whole
+    // construction and the entry runs under the hash gate.
+    Q("d15_cdc_chunk_dedup",
+      (s, d) => Dedup.cdcChunkDups(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS w,
+             |generate_subscripts(toks, 1) AS pos FROM tk),
+             |m AS (SELECT doc_id, pos, w,
+             |CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+             |FROM t),
+             |c AS (SELECT doc_id, pos, w,
+             |sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+             |FROM m),
+             |ch AS (SELECT doc_id, chunk,
+             |md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+             |CAST(count(*) AS BIGINT) AS chunk_tokens
+             |FROM c GROUP BY 1, 2)
+             |SELECT h, count(DISTINCT doc_id) AS n_docs,
+             |count(*) AS n_total, max(chunk_tokens) AS chunk_tokens
+             |FROM ch GROUP BY h
+             |HAVING count(DISTINCT doc_id) >= 2"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -43,6 +43,30 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(exact))
   }
 
+  test("CDC chunking: chunk identity is insertion-shift-invariant — a " +
+    "front insertion leaves every post-boundary chunk shared (fixed " +
+    "windows would shift and miss all of them)") {
+    val sq = spark; import sq.implicits._
+    // 'gamma' and 'nu' are boundary tokens (md5 starts with '0'), so the
+    // base text deterministically splits into >= 3 chunks
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, "inserted prefix tokens " + base), // shifts every fixed window
+      (3L, "a completely different document about other things"))
+      .toDF("doc_id", "text")
+    val dups = Dedup.cdcChunkDups(docs).collect()
+    // chunks starting at the first boundary AFTER the insertion are
+    // byte-identical between docs 1 and 2
+    assert(dups.nonEmpty, "post-boundary chunks must be shared")
+    assert(dups.forall(_.getLong(1) == 2), "only docs 1+2 share chunks")
+    // determinism: same input, same table
+    val again = Dedup.cdcChunkDups(docs).collect()
+    assert(dups.map(_.getString(0)).sorted.toSeq ==
+      again.map(_.getString(0)).sorted.toSeq)
+  }
+
   test("minhash recall >= 0.95 at high similarity (bands=8: " +
     "P[candidate | j>=0.9] ~ 1 - 0.19^8)") {
     val exact = brutePairs(0.9)
