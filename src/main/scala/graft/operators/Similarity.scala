@@ -607,6 +607,41 @@ object Similarity {
         (col("doc_id") === col("rep")).as("keep"))
   }
 
+  /** LABEL-CENTROID CONFUSION MATRIX — embedding-quality observability:
+    * pairwise cosine similarity between per-label centroid vectors, the
+    * one-table readout of WHICH classes an embedding space confuses
+    * (high centroid similarity = classes a nearest-centroid or contrastive
+    * consumer will mix up). Built on [[nearestCentroid]]'s integer-sum
+    * construction — centroids are exact integer sums over the int8
+    * quantized corpus and every similarity derives from integer i1/i3
+    * moments — so the whole matrix is bit-identical cross-engine and
+    * runs under the DuckDB hash gate. Scale: one quantize scan, one
+    * (label, ord) partial agg; the pairwise join is labels² over a
+    * label-count-sized table — trivially broadcastable. */
+  def labelCentroidMatrix(emb: DataFrame): DataFrame = {
+    val q = quantizeInt8Vectors(emb)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"),
+        transform(col("qv"), x => x.cast("long")).as("qvl"))
+    val cent = q
+      .select(col("label"), posexplode(col("qvl")).as(Seq("ord", "v")))
+      .groupBy("label", "ord").agg(sum(col("v")).as("s"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("ord"), col("s")))),
+          x => x.getField("s")).as("cs"))
+      .withColumn("i3",
+        aggregate(col("cs"), lit(0L), (a, x) => a + x * x))
+    cent.alias("a").join(cent.alias("b"), col("a.label") < col("b.label"))
+      .withColumn("i1", aggregate(
+        zip_with(col("a.cs"), col("b.cs"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        (round(when(col("a.i3") === 0L || col("b.i3") === 0L, lit(-1.0))
+          .otherwise(col("i1").cast("double") /
+            sqrt(col("a.i3").cast("double") * col("b.i3").cast("double"))),
+          4) + lit(0.0)).as("centroid_sim"))
+  }
+
   /** INDEX PERSISTENCE — the deployed-ANN-service lifecycle: the trained
     * quantizer plus the assigned corpus ARE the index; a maintenance job
     * builds and [[saveIvfIndex]]s them, serving sessions
@@ -1177,6 +1212,41 @@ object SimilarityQueries {
           Seq("query_id", "neighbor_id"), floor = 0.3)
       },
       Some(recallAuditOracle)),
+
+    // LABEL-CENTROID CONFUSION MATRIX (see
+    // [[Similarity.labelCentroidMatrix]]) — e12's integer-sum centroid
+    // construction, read out as the pairwise class-similarity table;
+    // fully hash-gated because every value is an exact integer moment or
+    // an identical IEEE expression over them.
+    Q("e14_centroid_confusion",
+      (s, d) => labelCentroidMatrix(Tables.t(s, d, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id, label,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, label, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id, label,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |d AS (SELECT vec_id, label, unnest(qv) AS val,
+             |unnest(generate_series(1, len(qv))) AS ord FROM q),
+             |cent AS (SELECT label, ord, CAST(sum(val) AS BIGINT) AS s
+             |FROM d GROUP BY 1, 2),
+             |i3 AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS i3
+             |FROM cent GROUP BY 1),
+             |i1 AS (SELECT a.label AS la, b.label AS lb,
+             |CAST(sum(a.s * b.s) AS BIGINT) AS i1
+             |FROM cent a JOIN cent b ON a.ord = b.ord AND a.label < b.label
+             |GROUP BY 1, 2)
+             |SELECT la AS label_a, lb AS label_b,
+             |CASE WHEN ia.i3 = 0 OR ib.i3 = 0 THEN -1.0
+             |ELSE round(CAST(i1 AS DOUBLE) /
+             |sqrt(CAST(ia.i3 AS DOUBLE) * CAST(ib.i3 AS DOUBLE)), 4) + 0.0
+             |END AS centroid_sim
+             |FROM i1 JOIN i3 ia ON ia.label = la
+             |JOIN i3 ib ON ib.label = lb"""
+        .stripMargin.replace('\n', ' '))),
 
     // e08's audit: SemDeDup's cell-pruned pairs vs the exact all-pairs
     // twin at the same threshold (cross-cell pairs are the accepted loss;

@@ -72,6 +72,33 @@ object SourceQueries {
       Some("""SELECT user_id, count(*) AS n,
              |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
              |FROM events WHERE event_type = 'click' GROUP BY 1"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // SCHEMA EVOLUTION under the hash gate — the 100 TB reality that a
+    // long-lived dataset's files were written under DIFFERENT schema
+    // versions: a v1 drop without a column, a v2 drop with it.
+    // `mergeSchema` unifies the footers at read time (v1 rows surface
+    // the added column as typed NULL), which is the contract that lets
+    // an ingest evolve without rewriting history. The oracle restates
+    // the union with an explicit NULL cast. Scale note: mergeSchema
+    // costs a footer read per file at planning — pin the merged schema
+    // explicitly once it stabilizes (same argument as registerCsv's
+    // explicit-schema contract).
+    Q("io04_schema_evolution",
+      (s, d) => {
+        val dir = Dml.work("io04", d) + "/nation_evolved"
+        val base = Tables.t(s, d, "nation")
+        base.select("n_nationkey", "n_name")
+          .write.mode("overwrite").parquet(s"$dir/v=1")
+        base.select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").parquet(s"$dir/v=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select("n_nationkey", "n_name", "n_regionkey", "v")
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |CAST(NULL AS INTEGER) AS n_regionkey, 1 AS v FROM nation
+             |UNION ALL
+             |SELECT n_nationkey, n_name, n_regionkey, 2 AS v
+             |FROM nation""".stripMargin.replace('\n', ' ')))
   )
 }
