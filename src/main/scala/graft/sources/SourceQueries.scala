@@ -99,6 +99,33 @@ object SourceQueries {
              |CAST(NULL AS INTEGER) AS n_regionkey, 1 AS v FROM nation
              |UNION ALL
              |SELECT n_nationkey, n_name, n_regionkey, 2 AS v
-             |FROM nation""".stripMargin.replace('\n', ' ')))
+             |FROM nation""".stripMargin.replace('\n', ' '))),
+
+    // BUCKETED CO-LOCATED JOIN under the hash gate: both fact tables
+    // written bucketed on the join key (the shuffle paid ONCE at write
+    // time), then the orders ⋈ lineitem aggregate reads them back
+    // through the bucketed catalog tables. The zero-Exchange plan
+    // property is asserted in BucketingSpec (with broadcast disabled so
+    // the claim is live); THIS entry puts the bucketed read path's
+    // RESULT under the driver's oracle so "exchange-free" is also
+    // provably "correct". Exact decimal fold per the dsum rule.
+    Q("io05_bucketed_join",
+      (s, d) => {
+        Layouts.writeBucketed(
+          Tables.t(s, d, "orders"), "g_b_orders", "o_orderkey", 8)
+        Layouts.writeBucketed(
+          Tables.t(s, d, "lineitem"), "g_b_lineitem", "l_orderkey", 8)
+        s.table("g_b_orders")
+          .join(s.table("g_b_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("qty"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
 }
