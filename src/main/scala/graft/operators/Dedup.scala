@@ -591,28 +591,61 @@ object Dedup {
     * rebuild via sort_array over the collected (pos, token) structs —
     * deterministic despite collect_list's arrival order; the final agg
     * shuffles fixed-width md5 chunk keys only. */
-  def cdcChunkDups(docsIn: DataFrame): DataFrame = {
+  def cdcChunkDups(docsIn: DataFrame): DataFrame =
+    cdcChunks(docsIn)
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_total"),
+        max(col("chunk_tokens")).as("chunk_tokens"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document CDC chunk table `(doc_id, h, chunk_tokens)` shared by
+    * [[cdcChunkDups]] (cross-doc duplicated-chunk rollup) and
+    * [[cdcDupScore]] (per-doc duplication fraction). */
+  private[graft] def cdcChunks(docsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = spread(docsIn)
     val toks = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "w")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val chunked = toks
+    toks
       .withColumn("b",
         when(substring(md5(col("w")), 1, 1) === "0", 1L).otherwise(0L))
       .withColumn("chunk", sum("b").over(w))
-    chunked.groupBy("doc_id", "chunk")
+      .groupBy("doc_id", "chunk")
       .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
         .as("parts"))
       .select(col("doc_id"),
         md5(concat_ws(" ", transform(col("parts"), p => p.getField("w"))))
           .as("h"),
         size(col("parts")).cast("long").as("chunk_tokens"))
-      .groupBy("h")
-      .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_total"),
-        max(col("chunk_tokens")).as("chunk_tokens"))
-      .filter(col("n_docs") >= 2)
+  }
+
+  /** Per-document DUPLICATION SCORE from the CDC chunk table: how much of
+    * each document (chunk- and token-weighted) also appears in at least
+    * one OTHER document — the direct "is this document mostly recycled
+    * content" filter signal substring-level dedup pipelines act on.
+    * The chunk frame is persisted: it feeds both the duplicated-hash df
+    * aggregate and the per-doc rollup (the d07 inverted-index shape —
+    * one explode, two shrinking partial aggs, planner-decided join). */
+  def cdcDupScore(docsIn: DataFrame): DataFrame = {
+    val chunks = ManagedCache.persist(cdcChunks(docsIn))
+    val dup = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+      .withColumn("_dup", lit(1L))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum("_dup"), lit(0L)).as("n_dup_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        coalesce(sum(when(col("_dup").isNotNull, col("chunk_tokens"))),
+          lit(0L)).as("n_dup_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4)
+          .as("chunk_dup_frac"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 4)
+          .as("token_dup_frac"))
   }
 
   /** Exact all-pairs cosine at a threshold (a < b orientation) — the
@@ -1484,6 +1517,40 @@ object DedupQueries {
              |count(*) AS n_total, max(chunk_tokens) AS chunk_tokens
              |FROM ch GROUP BY h
              |HAVING count(DISTINCT doc_id) >= 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Per-document duplication score over the same CDC chunk table (see
+    // [[Dedup.cdcDupScore]]): chunk- and token-weighted fraction of each
+    // doc that also lives in ≥1 other doc — the actionable per-doc
+    // filter signal d15's corpus-level rollup feeds.
+    Q("d16_cdc_dup_score",
+      (s, d) => Dedup.cdcDupScore(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS w,
+             |generate_subscripts(toks, 1) AS pos FROM tk),
+             |m AS (SELECT doc_id, pos, w,
+             |CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+             |FROM t),
+             |c AS (SELECT doc_id, pos, w,
+             |sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+             |FROM m),
+             |ch AS (SELECT doc_id, chunk,
+             |md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+             |CAST(count(*) AS BIGINT) AS chunk_tokens
+             |FROM c GROUP BY 1, 2),
+             |dh AS (SELECT h FROM ch GROUP BY h
+             |HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |CAST(sum(CASE WHEN dh.h IS NOT NULL THEN 1 ELSE 0 END)
+             |AS BIGINT) AS n_dup_chunks,
+             |round(CAST(sum(CASE WHEN dh.h IS NOT NULL THEN 1 ELSE 0 END)
+             |AS DOUBLE) / count(*), 4) AS chunk_dup_frac,
+             |round(CAST(sum(CASE WHEN dh.h IS NOT NULL THEN chunk_tokens
+             |ELSE 0 END) AS DOUBLE) / sum(chunk_tokens), 4)
+             |AS token_dup_frac
+             |FROM ch LEFT JOIN dh ON ch.h = dh.h GROUP BY doc_id"""
         .stripMargin.replace('\n', ' ')))
   )
 }
