@@ -599,10 +599,52 @@ object Dedup {
         max(col("chunk_tokens")).as("chunk_tokens"))
       .filter(col("n_docs") >= 2)
 
+  /** Per-ROW CDC chunker: folds a document's token array into its chunk
+    * texts with one `aggregate` HOF — a boundary token (md5 starts '0')
+    * closes the running chunk and starts a new one. Entirely map-side
+    * (a document is one row; its chunking needs nothing from any other
+    * row), which is the 100 TB shape: the windowed formulation this
+    * replaced paid an explode + per-doc window SHUFFLE before the first
+    * chunk existed; this one shuffles nothing until the chunk-hash agg.
+    * Bit-equality with the windowed form is spec-asserted (kept below as
+    * the cross-check, the l2normHof pattern). Streaming-safe: no window,
+    * no state — [[graft.EventQueries]]'s s23 runs it on a file stream. */
+  private[graft] def rowChunks(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(text)
+    val acc0 = struct(
+      array().cast("array<string>").as("done"),
+      lit(null).cast("string").as("cur"))
+    val folded = aggregate(toks, acc0, (acc, w) => {
+      val isB = substring(md5(w), 1, 1) === "0"
+      val cur = acc.getField("cur")
+      struct(
+        when(isB && cur.isNotNull, concat(acc.getField("done"), array(cur)))
+          .otherwise(acc.getField("done")).as("done"),
+        when(cur.isNull || isB, w)
+          .otherwise(concat_ws(" ", cur, w)).as("cur"))
+    })
+    // tokens() never yields an empty array (split's [""] artifact), so
+    // `cur` is always non-null at the end — the final chunk closes here
+    concat(folded.getField("done"), array(folded.getField("cur")))
+  }
+
   /** Per-document CDC chunk table `(doc_id, h, chunk_tokens)` shared by
     * [[cdcChunkDups]] (cross-doc duplicated-chunk rollup) and
-    * [[cdcDupScore]] (per-doc duplication fraction). */
-  private[graft] def cdcChunks(docsIn: DataFrame): DataFrame = {
+    * [[cdcDupScore]] (per-doc duplication fraction) — built from the
+    * map-side [[rowChunks]] fold. */
+  private[graft] def cdcChunks(docsIn: DataFrame): DataFrame =
+    spread(docsIn)
+      .select(col("doc_id"),
+        explode(rowChunks(col("text"))).as("chunk_text"))
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"),
+        size(split(col("chunk_text"), " ")).cast("long")
+          .as("chunk_tokens"))
+
+  /** Windowed formulation of [[cdcChunks]] — cross-check only (the
+    * explode + per-doc window shuffle it pays is exactly what
+    * [[rowChunks]] eliminates); DedupSpec asserts row-level equality. */
+  private[graft] def cdcChunksWindowed(docsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = spread(docsIn)
     val toks = docs.select(col("doc_id"),

@@ -771,6 +771,55 @@ object EventQueries {
       Some("""SELECT e.event_id, e.user_id, e.event_type, u.user_n_events
              |FROM events e JOIN (SELECT user_id, count(*) AS user_n_events
              |FROM events GROUP BY 1) u USING (user_id)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // EXECUTED streaming CDC duplication scoring — the streaming face of
+    // d15/d16, possible ONLY because [[Dedup.rowChunks]] is a pure
+    // per-row fold (no window, no state): the document stream chunks
+    // map-side, joins the broadcast STORED duplicated-chunk index (the
+    // maintenance artifact d15 produces), and aggregates per-doc dup
+    // counts. The oracle is d16's batch construction minus the token
+    // weighting. At 100 TB this is the ingest-time gate: new documents
+    // score against yesterday's chunk index without any corpus rescan
+    // (s10's incremental-ingest argument, chunk-level).
+    Q("s23_stream_cdc_score",
+      (s, d) => {
+        val dupIdx = Dedup
+          .cdcChunks(Tables.t(s, d, "documents"))
+          .groupBy("h").agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2).select(col("h"))
+          .withColumn("_dup", lit(1L))
+        val chunks = docStream(s, d)
+          .select(col("doc_id"),
+            explode(Dedup.rowChunks(col("text")))
+              .as("chunk_text"))
+          .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+        val scored = chunks.join(broadcast(dupIdx), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            coalesce(sum("_dup"), lit(0L)).as("n_dup_chunks"))
+        drainStream(s, scored)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS w,
+             |generate_subscripts(toks, 1) AS pos FROM tk),
+             |m AS (SELECT doc_id, pos, w,
+             |CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+             |FROM t),
+             |c AS (SELECT doc_id, pos, w,
+             |sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+             |FROM m),
+             |ch AS (SELECT doc_id, chunk,
+             |md5(string_agg(w, ' ' ORDER BY pos)) AS h
+             |FROM c GROUP BY 1, 2),
+             |dh AS (SELECT h FROM ch GROUP BY h
+             |HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |CAST(sum(CASE WHEN dh.h IS NOT NULL THEN 1 ELSE 0 END)
+             |AS BIGINT) AS n_dup_chunks
+             |FROM ch LEFT JOIN dh ON ch.h = dh.h GROUP BY doc_id"""
         .stripMargin.replace('\n', ' ')))
   )
 

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
       again.map(_.getString(0)).sorted.toSeq)
   }
 
+  test("CDC chunking: the map-side per-row fold equals the windowed " +
+    "explode formulation row-for-row on the real corpus") {
+    val docs = Tables.t(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(rows(Dedup.cdcChunks(docs)) ==
+      rows(Dedup.cdcChunksWindowed(docs)))
+  }
+
   test("minhash recall >= 0.95 at high similarity (bands=8: " +
     "P[candidate | j>=0.9] ~ 1 - 0.19^8)") {
     val exact = brutePairs(0.9)
