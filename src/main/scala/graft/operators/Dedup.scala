@@ -1559,7 +1559,8 @@ object DedupQueries {
              |count(*) AS n_total, max(chunk_tokens) AS chunk_tokens
              |FROM ch GROUP BY h
              |HAVING count(DISTINCT doc_id) >= 2"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // Per-document duplication score over the same CDC chunk table (see
     // [[Dedup.cdcDupScore]]): chunk- and token-weighted fraction of each
