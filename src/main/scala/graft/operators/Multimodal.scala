@@ -83,6 +83,19 @@ object Multimodal {
   // offset, negated once found (frozen), 0 once lost sync. All offsets
   // 1-based; dynamic-offset reads use the Column-pos substring overload.
 
+  /** Little-endian hex text of a u32/u16 value — the payload-CONSTRUCTION
+    * side of [[leU32]]/[[leU16]], used by the round-trip gate entries to
+    * hex-build BMP/WAV headers before `unhex`. */
+  private[graft] def le32hexCol(v: Column): Column = {
+    val be = lpad(hex(v), 8, "0")
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+  private[graft] def le16hexCol(v: Column): Column = {
+    val be = lpad(hex(v), 4, "0")
+    concat(substring(be, 3, 2), substring(be, 1, 2))
+  }
+
   /** Byte as 0..255 at a DYNAMIC 1-based offset. */
   private def dynByte(bin: Column, off: Column): Column =
     conv(hex(substring(bin, off.cast("int"), lit(1))), 16, 10).cast("long")
@@ -369,6 +382,77 @@ object MultimodalQueries {
              |CAST((doc_id * 7) % 1200 + 16 AS INTEGER) AS height,
              |CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER)
              |AS channels FROM documents"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PNG/BMP ROUND TRIP — mm06's construction applied to the other two
+    // image parsers AND the magic dispatch itself: even doc_ids build a
+    // PNG IHDR prefix, odd ones a BMP DIB prefix, with dims and the
+    // channel selector derived from doc_id; the oracle states the
+    // arithmetic, so the entry hash-matches only if BOTH parsers AND
+    // the format dispatch recover every encoded field.
+    Q("mm07_image_roundtrip",
+      (s, d) => {
+        val w = (col("doc_id") % 500 + 8).cast("int")
+        val h = ((col("doc_id") * 3) % 400 + 8).cast("int")
+        val sel = col("doc_id") % 3 // 0/1/2 → 1/3/4 channels, both formats
+        val pngCt = when(sel === 0, lit("00")).when(sel === 1, lit("02"))
+          .otherwise(lit("06"))
+        val bmpBpp = when(sel === 0, lit("0800"))
+          .when(sel === 1, lit("1800")).otherwise(lit("2000")) // LE u16
+        val png = concat(
+          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), pngCt,
+          lit("000000"))
+        val bmp = concat(
+          lit("424D"), le32hexCol(lit(123)), lit("00000000"),
+          le32hexCol(lit(54)), le32hexCol(lit(40)),
+          le32hexCol(w), le32hexCol(h), lit("0100"), bmpBpp)
+        val hexS = when(col("doc_id") % 2 === 0, png).otherwise(bmp)
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), decodeHeader(unhex(hexS)).as("m"))
+          .select(col("doc_id"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.channels").as("channels"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(doc_id % 500 + 8 AS INTEGER) AS width,
+             |CAST((doc_id * 3) % 400 + 8 AS INTEGER) AS height,
+             |CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+             |AS INTEGER) AS channels FROM documents"""
+        .stripMargin.replace('\n', ' '))),
+
+    // WAV ROUND TRIP — the audio parser under the same gate: canonical
+    // PCM headers with doc_id-derived rate/channels/payload size, parsed
+    // back by the production decodeAudioHeader.
+    Q("mm08_audio_roundtrip",
+      (s, d) => {
+        val rate = element_at(
+          typedlit(Seq(8000, 16000, 44100)),
+          (col("doc_id") % 3 + 1).cast("int"))
+        val ch = (col("doc_id") % 2 + 1).cast("int")
+        val db = (col("doc_id") % 1000 + 100).cast("int")
+        val hexS = concat(
+          lit("52494646"), le32hexCol(db + 36), // RIFF + chunk size
+          lit("57415645666D7420"), le32hexCol(lit(16)), // WAVEfmt , len
+          lit("0100"), le16hexCol(ch), // PCM tag, channels
+          le32hexCol(rate), le32hexCol(rate * ch * 2), // rate, byte rate
+          le16hexCol(ch * 2), lit("1000"), // block align, 16 bits
+          lit("64617461"), le32hexCol(db)) // data chunk header
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), decodeAudioHeader(unhex(hexS)).as("m"))
+          .select(col("doc_id"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.bits").as("bits"),
+            col("m.data_bytes").as("data_bytes"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |ELSE 44100 END AS INTEGER) AS sample_rate,
+             |CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+             |CAST(16 AS INTEGER) AS bits,
+             |CAST(doc_id % 1000 + 100 AS BIGINT) AS data_bytes
+             |FROM documents"""
         .stripMargin.replace('\n', ' ')))
   )
 }
