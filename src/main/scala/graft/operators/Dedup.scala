@@ -609,13 +609,18 @@ object Dedup {
     * Bit-equality with the windowed form is spec-asserted (kept below as
     * the cross-check, the l2normHof pattern). Streaming-safe: no window,
     * no state — [[graft.EventQueries]]'s s23 runs it on a file stream. */
-  private[graft] def rowChunks(
+  /** The fold itself, as a struct `(done: array<string>, cur: string)` —
+    * callers MUST bind it in its own projection and derive the final
+    * chunk array in a SECOND projection, or Catalyst inlines the fold
+    * once per field reference and the whole token walk runs twice per
+    * row (observed in d15's round-10 plan before the split). */
+  private[graft] def rowChunkFold(
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val toks = tokens(text)
     val acc0 = struct(
       array().cast("array<string>").as("done"),
       lit(null).cast("string").as("cur"))
-    val folded = aggregate(toks, acc0, (acc, w) => {
+    aggregate(toks, acc0, (acc, w) => {
       val isB = substring(md5(w), 1, 1) === "0"
       val cur = acc.getField("cur")
       struct(
@@ -624,10 +629,22 @@ object Dedup {
         when(cur.isNull || isB, w)
           .otherwise(concat_ws(" ", cur, w)).as("cur"))
     })
-    // tokens() never yields an empty array (split's [""] artifact), so
-    // `cur` is always non-null at the end — the final chunk closes here
-    concat(folded.getField("done"), array(folded.getField("cur")))
   }
+
+  /** Chunk array from a bound fold struct: `done ++ [cur]` — tokens()
+    * never yields an empty array (split's [""] artifact), so `cur` is
+    * always non-null at the end and the final chunk closes here. */
+  private[graft] def rowChunksOf(
+      fold: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(fold.getField("done"), array(fold.getField("cur")))
+
+  /** One-column convenience form (fold + close inline) — fine for
+    * single-reference expression contexts; pipelines that explode the
+    * result should use the two-projection [[rowChunkFold]]/[[rowChunksOf]]
+    * split instead (see that scaladoc's double-evaluation warning). */
+  private[graft] def rowChunks(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rowChunksOf(rowChunkFold(text))
 
   /** Per-document CDC chunk table `(doc_id, h, chunk_tokens)` shared by
     * [[cdcChunkDups]] (cross-doc duplicated-chunk rollup) and
@@ -635,8 +652,9 @@ object Dedup {
     * map-side [[rowChunks]] fold. */
   private[graft] def cdcChunks(docsIn: DataFrame): DataFrame =
     spread(docsIn)
+      .select(col("doc_id"), rowChunkFold(col("text")).as("__fold"))
       .select(col("doc_id"),
-        explode(rowChunks(col("text"))).as("chunk_text"))
+        explode(rowChunksOf(col("__fold"))).as("chunk_text"))
       .select(col("doc_id"), md5(col("chunk_text")).as("h"),
         size(split(col("chunk_text"), " ")).cast("long")
           .as("chunk_tokens"))

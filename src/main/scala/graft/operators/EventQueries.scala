@@ -790,9 +790,9 @@ object EventQueries {
           .filter(col("nd") >= 2).select(col("h"))
           .withColumn("_dup", lit(1L))
         val chunks = docStream(s, d)
+          .select(col("doc_id"), Dedup.rowChunkFold(col("text")).as("f"))
           .select(col("doc_id"),
-            explode(Dedup.rowChunks(col("text")))
-              .as("chunk_text"))
+            explode(Dedup.rowChunksOf(col("f"))).as("chunk_text"))
           .select(col("doc_id"), md5(col("chunk_text")).as("h"))
         val scored = chunks.join(broadcast(dupIdx), Seq("h"), "left")
           .groupBy("doc_id")

@@ -453,6 +453,36 @@ object MultimodalQueries {
              |CAST(16 AS INTEGER) AS bits,
              |CAST(doc_id % 1000 + 100 AS BIGINT) AS data_bytes
              |FROM documents"""
+        .stripMargin.replace('\n', ' '))),
+
+    // RESIZE-PLAN ROUND TRIP — mm03's operator (fit-inside-maxDim target
+    // dims) under the hash gate, fed by mm07's constructed PNG arm so
+    // the input dims are oracle-stateable: both engines evaluate the
+    // IDENTICAL IEEE expression (least(maxDim/greatest(w,h), 1) scale,
+    // ceil of the product), so the plan is bit-identical cross-engine.
+    Q("mm09_resize_roundtrip",
+      (s, d) => {
+        val w = (col("doc_id") % 500 + 8).cast("int")
+        val h = ((col("doc_id") * 3) % 400 + 8).cast("int")
+        val png = concat(
+          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), lit("02"),
+          lit("000000"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            resizePlan(decodeHeader(unhex(png)), maxDim = 64).as("r"))
+          .select(col("doc_id"),
+            col("r.out_width").as("out_width"),
+            col("r.out_height").as("out_height"))
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+             |CAST(doc_id % 500 + 8 AS DOUBLE) AS w,
+             |CAST((doc_id * 3) % 400 + 8 AS DOUBLE) AS h FROM documents),
+             |sc AS (SELECT doc_id, w, h,
+             |least(64.0 / greatest(w, h), 1.0) AS scale FROM dims)
+             |SELECT doc_id,
+             |CAST(ceil(w * scale) AS INTEGER) AS out_width,
+             |CAST(ceil(h * scale) AS INTEGER) AS out_height FROM sc"""
         .stripMargin.replace('\n', ' ')))
   )
 }
