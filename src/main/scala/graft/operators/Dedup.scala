@@ -638,18 +638,10 @@ object Dedup {
       fold: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(fold.getField("done"), array(fold.getField("cur")))
 
-  /** One-column convenience form (fold + close inline) — fine for
-    * single-reference expression contexts; pipelines that explode the
-    * result should use the two-projection [[rowChunkFold]]/[[rowChunksOf]]
-    * split instead (see that scaladoc's double-evaluation warning). */
-  private[graft] def rowChunks(
-      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    rowChunksOf(rowChunkFold(text))
-
   /** Per-document CDC chunk table `(doc_id, h, chunk_tokens)` shared by
     * [[cdcChunkDups]] (cross-doc duplicated-chunk rollup) and
     * [[cdcDupScore]] (per-doc duplication fraction) — built from the
-    * map-side [[rowChunks]] fold. */
+    * map-side [[rowChunkFold]]. */
   private[graft] def cdcChunks(docsIn: DataFrame): DataFrame =
     spread(docsIn)
       .select(col("doc_id"), rowChunkFold(col("text")).as("__fold"))
@@ -661,7 +653,7 @@ object Dedup {
 
   /** Windowed formulation of [[cdcChunks]] — cross-check only (the
     * explode + per-doc window shuffle it pays is exactly what
-    * [[rowChunks]] eliminates); DedupSpec asserts row-level equality. */
+    * [[rowChunkFold]] eliminates); DedupSpec asserts row-level equality. */
   private[graft] def cdcChunksWindowed(docsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = spread(docsIn)
