@@ -284,20 +284,34 @@ class ExecutionContext(
     // Every stripped key must BE a target column: Dml.merge matches
     // assignments by name and would silently drop an unknown key (typo'd
     // column, source-alias qualification), yielding a silently wrong
-    // MERGE instead of an error.
-    val targetCols = spark.table(table).columns.toSet
+    // MERGE instead of an error. Identifier comparison follows
+    // spark.sql.caseSensitive (default false — `SET N_NAME = …` against
+    // column n_name is valid SQL and must resolve, not throw); the
+    // assignment key is canonicalized to the target column's declared
+    // spelling so Dml.merge's exact-name matching downstream still hits.
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(s: String): String =
+      if (caseSensitive) s else s.toLowerCase(java.util.Locale.ROOT)
+    val targetCols = spark.table(table).columns
+    val byNorm = targetCols.map(c => norm(c) -> c).toMap
     val assignments = sqlAssignments(setList).map { case (k, v) =>
       val stripped =
-        if (k.startsWith(s"$tAlias.")) k.stripPrefix(s"$tAlias.")
-        else if (k.startsWith(s"$table.")) k.stripPrefix(s"$table.")
+        if (norm(k).startsWith(norm(tAlias) + ".")) k.drop(tAlias.length + 1)
+        else if (norm(k).startsWith(norm(table) + ".")) k.drop(table.length + 1)
         else k
-      require(targetCols.contains(stripped),
+      val canonical = byNorm.get(norm(stripped))
+      require(canonical.isDefined,
         s"MERGE SET column '$k' is not a column of target table " +
-          s"'$table' (columns: ${targetCols.toSeq.sorted.mkString(", ")})")
-      stripped -> v
+          s"'$table' (columns: ${targetCols.sorted.mkString(", ")})")
+      canonical.get -> v
     }
+    // Canonicalize INSERT column names the same way: Dml.merge aligns
+    // them against the target schema by exact name, so a case-mismatched
+    // column would otherwise silently fill with NULL.
     val cols = insCols.map(ExecutionContext.splitList(_)
-      .map(ExecutionContext.unquote).filter(_.nonEmpty))
+      .map(ExecutionContext.unquote).filter(_.nonEmpty)
+      .map(c => byNorm.getOrElse(norm(c), c)))
     val vals = insVals.map(ExecutionContext.splitList(_)
       .map(v => expr(v.trim)))
     val out = Dml.merge(spark.table(table), sqlDmlDir(table),

@@ -8,13 +8,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     QueryCatalog.byName("q28_pricing_summary")
       .build(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2 (+ extended ops). */
+  /** One entry per implemented operator from SURVEY.md §2 (+ extended ops).
+    * Deterministically ordered (catalog declaration order): Verify executes
+    * entries in this order, so any cross-entry state interaction (shared
+    * warehouse, caches, work dirs) reproduces identically every round
+    * instead of shifting with hash-map layout. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.all.map(q => q.name -> q.build).toMap
+    scala.collection.immutable.ListMap(
+      QueryCatalog.all.map(q => q.name -> q.build): _*)
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (minhash/
     * simhash/ANN internals) → driver records a rows-only check; their
     * quality is asserted in ScalaTest suites instead. */
   def oracleSql: Map[String, String] =
-    QueryCatalog.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    scala.collection.immutable.ListMap(
+      QueryCatalog.all.flatMap(q => q.oracle.map(o => q.name -> o)): _*)
 }

@@ -62,10 +62,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        // A failed entry must still surface in CORRECTNESS_r*.json as a
-        // red `err` row, never as a silent omission (round 9 lost 28
-        // entries this way): leave a marker file where the parquet result
-        // would be, so the driver's read of the entry fails VISIBLY.
+        // A failed entry must surface in CORRECTNESS_r*.json as a RED row,
+        // never as a silent omission (round 9 lost 28 entries that way) and
+        // never as a vacuous 0-row success (round 10's _ERROR marker dir was
+        // read by the driver as 0 rows — which hash-MATCHES the nine audit
+        // twins whose oracle is the empty relation). Write a readable
+        // one-row parquet whose single `graft_verify_error` column can
+        // never schema-match any oracle: rows_match/schema_match both go
+        // false no matter what the entry's oracle states.
         val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg
@@ -73,18 +77,24 @@ object Verify {
           val dir = Paths.get(s"$outDir/$name")
           org.apache.commons.io.FileUtils
             .deleteQuietly(dir.toFile) // drop any partial write
-          Files.createDirectories(dir)
-          Files.writeString(dir.resolve("_ERROR"), msg)
+          import spark.implicits._
+          Seq(msg).toDF("graft_verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(dir.toString)
         } catch { case _: Throwable => () }
       }
       // release the pipeline-persisted frames (minhash/simhash/IVF prep)
       // so a 64-query session doesn't accumulate cache entries
       finally ManagedCache.releaseAll()
     }
-    // Machine-readable failure summary alongside the oracle manifest.
+    // Machine-readable failure summary alongside the oracle manifest,
+    // mirrored into the repo so a red row's exception text is readable
+    // in-tree next round (the driver's outDir isn't committed).
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    try Files.writeString(
+      Paths.get("/root/repo/VERIFY_ERRORS.json"), errJson)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -225,10 +225,15 @@ object Similarity {
         // ANSI mode: 0/0 must stay a null (vacuously green), not a
         // DIVIDE_BY_ZERO error on an empty exact side
         when(col("n_exact") === 0, lit(null).cast("double"))
-          .otherwise(
-            round(col("n_hit").cast("double") / col("n_exact"), 4))
-          .as("recall"))
-      .filter(col("recall") < floor)
+          .otherwise(col("n_hit").cast("double") / col("n_exact"))
+          .as("_recall_raw"))
+      // gate on the UNROUNDED ratio — rounding first would let a true
+      // recall just under the floor round up and pass (e.g. a 1.0
+      // containment floor satisfied by 0.99995 once the exact side tops
+      // ~20k pairs); round only in the emitted violation row
+      .filter(col("_recall_raw") < floor)
+      .select(col("n_exact"), col("n_hit"),
+        round(col("_recall_raw"), 4).as("recall"))
   }
 
   /** Oracle text for [[recallViolations]] twins: the empty relation with

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Physical-layout helpers: bucketed table writes for shuffle-free
   * co-located joins.
@@ -17,19 +17,43 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Layouts {
 
+  /** Make `table` creatable from scratch regardless of prior-JVM state:
+    * drop any catalog entry AND delete the default-warehouse location.
+    *
+    * With the default in-memory catalog, a managed table's directory
+    * survives a JVM restart while the catalog entry does not — so a
+    * re-run's `saveAsTable` takes the CREATE path and throws
+    * `LOCATION_ALREADY_EXISTS` (the round-10 io05 failure: the driver
+    * runs `sbt test` then Verify in the same working tree). The DROP
+    * alone is a no-op on a fresh catalog, which is exactly the trap;
+    * the location delete is what restores hermeticity. Every managed
+    * `saveAsTable` in this repo must route through here. */
+  def freshManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      warehouse, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Write `df` as a bucketed+sorted managed parquet table. Bucketing
-    * requires `saveAsTable` (the bucket spec lives in the catalog). */
+    * requires `saveAsTable` (the bucket spec lives in the catalog);
+    * [[freshManagedTable]] first, so the write is hermetic across JVMs
+    * sharing a warehouse directory. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    freshManagedTable(df.sparkSession, table)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Write `df` hive-partitioned by `partCol` at `path`. Reads that filter
     * on the partition column prune whole directories at planning time

@@ -32,6 +32,57 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed survives a stale warehouse dir from a prior JVM") {
+    // The round-10 io05 red row: `sbt test` (JVM 1) leaves
+    // spark-warehouse/<t> on disk; Verify (JVM 2) starts with a fresh
+    // in-memory catalog, so saveAsTable takes the CREATE path and threw
+    // LOCATION_ALREADY_EXISTS. Reconstruct that exact state — no catalog
+    // entry, location present with junk content — and require the write
+    // to succeed and the junk to be gone.
+    val table = "b_stale"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val junk = new org.apache.hadoop.fs.Path(loc, "stale_from_prior_jvm")
+    val out = fs.create(junk, true); out.writeBytes("stale"); out.close()
+    try {
+      Layouts.writeBucketed(
+        Tables.t(spark, sf, "nation"), table, "n_nationkey", 4)
+      assert(spark.table(table).count() ==
+        Tables.t(spark, sf, "nation").count())
+      assert(!fs.exists(junk),
+        "stale prior-JVM content must not survive into the fresh table")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("io05 builder is re-runnable across simulated JVM restarts") {
+    // Run the gated entry once, then wipe the catalog entries while
+    // recreating their locations as leftovers (the driver's sbt-test →
+    // fresh-Verify-JVM sequence), and run it again: same result both
+    // times, no LOCATION_ALREADY_EXISTS.
+    def run() = q("io05_bucketed_join").build(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val r1 = run()
+    for (t <- Seq("g_b_orders", "g_b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(loc)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(loc, "stale_from_prior_jvm"), true)
+      out.writeBytes("stale"); out.close()
+    }
+    try {
+      val r2 = run()
+      assert(r1 == r2, s"restart changed the result: $r1 vs $r2")
+      assert(r1.nonEmpty)
+    } finally for (t <- Seq("g_b_orders", "g_b_lineitem"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     Layouts.writeBucketed(
       Tables.t(spark, sf, "orders"), "b_orders2", "o_orderkey", 8)

@@ -240,4 +240,32 @@ class DmlSpec extends SparkSpec {
     spark.catalog.dropTempView("spec_mg_n")
     spark.catalog.dropTempView("spec_mg_r")
   }
+
+  test("MERGE SET keys resolve case-insensitively (default " +
+    "spark.sql.caseSensitive=false), incl. upper-cased alias prefixes") {
+    val c = new ExecutionContext(spark).registerTestData(sf)
+    Tables.t(spark, sf, "nation").createOrReplaceTempView("spec_mci_n")
+    Tables.t(spark, sf, "region").createOrReplaceTempView("spec_mci_r")
+    // Spark SQL identifier resolution is case-insensitive by default, so
+    // `SET N_NAME = …` against column n_name is valid and must resolve —
+    // the r10 guard threw 'not a column of target table' here.
+    c.execute("""MERGE INTO spec_mci_n AS T USING spec_mci_r AS r
+      ON T.n_regionkey = r.r_regionkey AND r.r_regionkey = 2
+      WHEN MATCHED THEN UPDATE SET T.N_NAME = 'CI'""")
+    assert(spark.table("spec_mci_n").filter(col("n_name") === "CI").count()
+      == Tables.t(spark, sf, "nation")
+        .filter(col("n_regionkey") === 2).count())
+    // case-mismatched INSERT column list must align, not NULL-fill
+    c.execute("""MERGE INTO spec_mci_r USING
+      spec_mci_n ON spec_mci_r.r_regionkey = spec_mci_n.n_nationkey + 100
+      WHEN MATCHED THEN UPDATE SET R_NAME = spec_mci_r.r_name
+      WHEN NOT MATCHED THEN INSERT (R_REGIONKEY, R_NAME)
+      VALUES (spec_mci_n.n_nationkey + 100, spec_mci_n.n_name)""")
+    val ins = spark.table("spec_mci_r").filter(col("r_regionkey") >= 100)
+    assert(ins.count() == Tables.t(spark, sf, "nation").count())
+    assert(ins.filter(col("r_name").isNull).count() == 0,
+      "case-mismatched INSERT cols must bind, not silently NULL-fill")
+    spark.catalog.dropTempView("spec_mci_n")
+    spark.catalog.dropTempView("spec_mci_r")
+  }
 }

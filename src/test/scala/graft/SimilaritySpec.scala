@@ -555,4 +555,22 @@ class SimilaritySpec extends SparkSpec {
     val v2 = Similarity.recallViolations(dup, exact, keys, 0.6).collect()
     assert(v2.length == 1 && v2(0).getLong(1) == 2)
   }
+
+  test("recallViolations gates on the UNROUNDED ratio: 19999/20000 under " +
+    "a 1.0 containment floor is a violation, not rounded up to green") {
+    val sq = spark; import sq.implicits._
+    // The masking case: recall 0.99995 rounds to 1.0000 at 4 decimals, so
+    // a round-then-compare gate would pass a genuine out-of-pool pick once
+    // the exact side exceeds ~20k pairs.
+    val exact = sq.range(20000).select(
+      col("id").as("query_id"), col("id").as("neighbor_id"))
+    val approx = exact.filter(col("query_id") =!= 0L)
+    val keys = Seq("query_id", "neighbor_id")
+    val v = Similarity.recallViolations(approx, exact, keys, floor = 1.0)
+      .collect()
+    assert(v.length == 1, "one missed pair under a 1.0 floor must violate")
+    assert(v(0).getLong(0) == 20000L && v(0).getLong(1) == 19999L)
+    // the emitted row still reports the rounded, readable ratio
+    assert(v(0).getDouble(2) == 1.0)
+  }
 }
