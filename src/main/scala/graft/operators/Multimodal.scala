@@ -36,14 +36,25 @@ object Multimodal {
     * and both engines hex in uppercase — keeps the oracle expressible). */
   def magic(bin: Column): Column = substring(hex(bin), 1, 8)
 
+  /** 60-bit bigint from a slice of the payload's md5 hex — the
+    * oracle-stateable hash basis shared with t05b/t10: DuckDB computes
+    * the identical value as `CAST(('0x' || substr(md5(x), off, 15)) AS
+    * BIGINT)`, which is what lets the stub-decode fallbacks below sit
+    * under the driver's hash gate (xxhash64 has no DuckDB twin). */
+  private def md5Slice(bin: Column, off: Int): Column =
+    conv(substring(md5(bin), off, 15), 16, 10).cast("long")
+
   /** STUB DECODE — deterministic fake of an image decode. A real
     * implementation would parse the codec header ([[decodeHeader]] does,
-    * for PNG/BMP); this derives plausible (width, height, channels) from
-    * a hash of the bytes so the downstream schema/partitioning/aggregation
-    * plumbing is exercised honestly on payloads with no real magic. */
+    * for PNG/BMP/JPEG); this derives plausible (width, height, channels)
+    * from md5 slices of the bytes so the downstream schema/partitioning/
+    * aggregation plumbing is exercised honestly on payloads with no real
+    * magic — and, since both engines compute the identical md5
+    * arithmetic, the fallback arm is itself DuckDB-oracle-stateable
+    * (mm02/mm03 run it under the hash gate). */
   def fakeDecode(bin: Column): Column = struct(
-    (pmod(xxhash64(bin), lit(608L)) + 32L).cast("int").as("width"),
-    (pmod(xxhash64(bin, lit(1)), lit(608L)) + 32L).cast("int").as("height"),
+    (md5Slice(bin, 1) % 608L + 32L).cast("int").as("width"),
+    (md5Slice(bin, 16) % 608L + 32L).cast("int").as("height"),
     lit(3).as("channels"))
 
   // ---- real header parsing (PNG IHDR / BMP DIB) -------------------------
@@ -183,13 +194,14 @@ object Multimodal {
 
   /** STUB AUDIO DECODE — deterministic fake for payloads that are not
     * real audio containers (same role as [[fakeDecode]] for images):
-    * plausible (sample_rate, channels, bits, data_bytes) from byte
-    * hashes, so the downstream duration/cost accounting plumbing runs
-    * honestly on the text-bytes corpus. */
+    * plausible (sample_rate, channels, bits, data_bytes) from md5
+    * slices, so the downstream duration/cost accounting plumbing runs
+    * honestly on the text-bytes corpus AND the fallback arm is
+    * oracle-stateable (mm05 runs it under the hash gate). */
   def fakeAudioDecode(bin: Column): Column = struct(
     element_at(typedlit(Seq(8000, 16000, 44100)),
-      (pmod(xxhash64(bin), lit(3)) + 1).cast("int")).as("sample_rate"),
-    (pmod(xxhash64(bin, lit(1)), lit(2)) + 1).cast("int").as("channels"),
+      (md5Slice(bin, 1) % 3L + 1L).cast("int")).as("sample_rate"),
+    (md5Slice(bin, 16) % 2L + 1L).cast("int").as("channels"),
     lit(16).as("bits"),
     byteSize(bin).as("data_bytes"))
 
@@ -217,11 +229,19 @@ object Multimodal {
   }
 
   /** Playback seconds implied by an audio-meta struct: data_bytes over
-    * the PCM byte rate (rate × channels × bits/8). */
+    * the PCM byte rate (rate × channels × bits/8), floored at 1e-4 s.
+    * Floor — not round — because `round(double, 4)` is cross-engine
+    * tie-UNSAFE: Spark rounds the double's shortest decimal rendering
+    * (BigDecimal half-up → 172/16000 = "0.01075" → 0.0108) while DuckDB
+    * rounds the binary value (→ 0.0107). floor of the identical IEEE
+    * quotient has no tie semantics at all: both engines floor the same
+    * double to the same integral value (Spark's floor yields LONG, cast
+    * back; ≤1e9 ten-thousandths stays exactly representable). */
   def audioSeconds(meta: Column): Column =
-    round(meta.getField("data_bytes").cast("double") /
+    floor(meta.getField("data_bytes").cast("double") * 10000.0 /
       (meta.getField("sample_rate").cast("double") *
-        meta.getField("channels") * (meta.getField("bits") / lit(8))), 4)
+        meta.getField("channels") * (meta.getField("bits") / lit(8))))
+      .cast("double") / 10000.0
 
   /** STUB RESIZE — metadata-only: computes the target dims a real resize
     * kernel would produce (fit inside maxDim, aspect preserved). */
@@ -271,16 +291,27 @@ object MultimodalQueries {
              |FROM documents""".stripMargin.replace('\n', ' ')),
       bench = true),
 
-    // mm02/mm03 run the REAL magic-dispatched decodeHeader — on this
-    // text-bytes corpus every payload fails magic dispatch and lands on
-    // the fakeDecode fallback (by construction: no document starts with
-    // the PNG signature's control bytes or a BM + valid-DIB-size pair),
-    // so the entries stay rows-only/deterministic while the header-parse
-    // path itself is spec-verified on hand-built PNG/BMP byte literals
-    // (MultimodalSpec).
+    // mm02/mm03 run the REAL magic-dispatched decodeHeader over a MIXED
+    // corpus — doc_id%3==0 rows carry a constructed PNG payload
+    // (doc_id-derived dims, mm06-09's construction), the rest carry the
+    // raw text bytes and land on the md5-derived fakeDecode fallback.
+    // Since BOTH arms are now oracle-stateable (the stub swapped its
+    // xxhash64 basis for t05b's md5-slice arithmetic), the per-row
+    // FORMAT DISPATCH itself sits under the driver's hash gate — the
+    // entry matches only if every row takes the arm its magic bytes
+    // dictate — which the all-constructed mm06-09 gates can't test.
+    // The parse arms stay spec-verified on hand-built byte literals too.
     Q("mm02_image_meta",
       (s, d) => {
-        val bin = payload(col("text"))
+        val w = (col("doc_id") % 300 + 10).cast("int")
+        val h = ((col("doc_id") * 5) % 200 + 10).cast("int")
+        val ct = when(col("doc_id") % 2 === 0, lit("00")).otherwise(lit("06"))
+        val png = concat(
+          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), ct,
+          lit("000000"))
+        val bin = when(col("doc_id") % 3 === 0, unhex(png))
+          .otherwise(payload(col("text")))
         Tables.t(s, d, "documents")
           .select(col("doc_id"), decodeHeader(bin).as("meta"))
           .select(
@@ -291,11 +322,39 @@ object MultimodalQueries {
             (col("meta.width").cast("long") * col("meta.height") *
               col("meta.channels")).as("n_pixels"))
       },
-      None),
+      Some("""WITH m AS (SELECT doc_id,
+             |CASE WHEN doc_id % 3 = 0
+             |THEN CAST(doc_id % 300 + 10 AS INTEGER)
+             |ELSE CAST(CAST(('0x' || substr(md5(text),1,15)) AS BIGINT)
+             |% 608 + 32 AS INTEGER) END AS width,
+             |CASE WHEN doc_id % 3 = 0
+             |THEN CAST((doc_id * 5) % 200 + 10 AS INTEGER)
+             |ELSE CAST(CAST(('0x' || substr(md5(text),16,15)) AS BIGINT)
+             |% 608 + 32 AS INTEGER) END AS height,
+             |CASE WHEN doc_id % 3 = 0
+             |THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 4 END
+             |AS INTEGER)
+             |ELSE CAST(3 AS INTEGER) END AS channels
+             |FROM documents)
+             |SELECT doc_id, width, height, channels,
+             |CAST(width AS BIGINT) * height * channels AS n_pixels
+             |FROM m""".stripMargin.replace('\n', ' '))),
 
+    // Resize planning over the SAME mixed corpus: target dims from the
+    // identical IEEE expression on both engines (mm09's construction),
+    // composed on top of mm02's two-arm metadata — so the gate covers
+    // dispatch → parse/stub → resize arithmetic as one plan.
     Q("mm03_resize_plan",
       (s, d) => {
-        val bin = payload(col("text"))
+        val w = (col("doc_id") % 300 + 10).cast("int")
+        val h = ((col("doc_id") * 5) % 200 + 10).cast("int")
+        val ct = when(col("doc_id") % 2 === 0, lit("00")).otherwise(lit("06"))
+        val png = concat(
+          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), ct,
+          lit("000000"))
+        val bin = when(col("doc_id") % 3 === 0, unhex(png))
+          .otherwise(payload(col("text")))
         Tables.t(s, d, "documents")
           .select(col("doc_id"), decodeHeader(bin).as("meta"))
           .select(col("doc_id"),
@@ -303,7 +362,19 @@ object MultimodalQueries {
           .select(col("doc_id"), col("r.out_width").as("out_width"),
             col("r.out_height").as("out_height"))
       },
-      None),
+      Some("""WITH dims AS (SELECT doc_id,
+             |CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 300 + 10
+             |ELSE CAST(('0x' || substr(md5(text),1,15)) AS BIGINT)
+             |% 608 + 32 END AS DOUBLE) AS w,
+             |CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 5) % 200 + 10
+             |ELSE CAST(('0x' || substr(md5(text),16,15)) AS BIGINT)
+             |% 608 + 32 END AS DOUBLE) AS h FROM documents),
+             |sc AS (SELECT doc_id, w, h,
+             |least(256.0 / greatest(w, h), 1.0) AS scale FROM dims)
+             |SELECT doc_id,
+             |CAST(ceil(w * scale) AS INTEGER) AS out_width,
+             |CAST(ceil(h * scale) AS INTEGER) AS out_height FROM sc"""
+        .stripMargin.replace('\n', ' '))),
 
     // The xxhash64 frame hashes stay INSIDE the query (only the distinct
     // COUNT is emitted, per doc over ≤4 frames), so the oracle counts
@@ -326,14 +397,29 @@ object MultimodalQueries {
              |FROM documents, range(4) t(f) GROUP BY doc_id"""
         .stripMargin.replace('\n', ' '))),
 
-    // mm05: audio metadata + playback-duration accounting — the real
-    // magic-dispatched WAV header parse (spec-verified on hand-built
-    // canonical PCM headers in MultimodalSpec); on this text-bytes
-    // corpus every payload lands on the deterministic fakeAudioDecode
-    // fallback, so the entry stays rows-only (mm02/mm03 precedent).
+    // mm05: audio metadata + playback-duration accounting over the mixed
+    // corpus (mm02's two-arm design for audio): doc_id%3==0 rows carry a
+    // constructed canonical PCM WAV header (doc_id-derived rate/channels/
+    // payload size), the rest land on the md5-derived fakeAudioDecode
+    // fallback — both arms oracle-stated, so the WAV magic dispatch and
+    // the duration arithmetic sit under the hash gate. est_seconds is
+    // the identical IEEE expression on both engines, floored at 1e-4
+    // (see audioSeconds: round(double,4) is cross-engine tie-unsafe).
     Q("mm05_audio_meta",
       (s, d) => {
-        val bin = payload(col("text"))
+        val rate = when(col("doc_id") % 9 === 0, lit(8000))
+          .when(col("doc_id") % 9 === 3, lit(16000)).otherwise(lit(44100))
+        val ch = (col("doc_id") % 2 + 1).cast("int")
+        val db = (col("doc_id") % 777 + 64).cast("int")
+        val wav = concat(
+          lit("52494646"), le32hexCol(db + 36),
+          lit("57415645666D7420"), le32hexCol(lit(16)),
+          lit("0100"), le16hexCol(ch),
+          le32hexCol(rate), le32hexCol(rate * ch * 2),
+          le16hexCol(ch * 2), lit("1000"),
+          lit("64617461"), le32hexCol(db))
+        val bin = when(col("doc_id") % 3 === 0, unhex(wav))
+          .otherwise(payload(col("text")))
         Tables.t(s, d, "documents")
           .select(col("doc_id"), decodeAudioHeader(bin).as("meta"))
           .select(col("doc_id"),
@@ -342,7 +428,27 @@ object MultimodalQueries {
             col("meta.bits").as("bits"),
             audioSeconds(col("meta")).as("est_seconds"))
       },
-      None),
+      Some("""WITH m AS (SELECT doc_id,
+             |CASE WHEN doc_id % 3 = 0
+             |THEN (CASE doc_id % 9 WHEN 0 THEN 8000 WHEN 3 THEN 16000
+             |ELSE 44100 END)
+             |ELSE (CASE CAST(('0x' || substr(md5(text),1,15)) AS BIGINT)
+             |% 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+             |END AS sample_rate,
+             |CASE WHEN doc_id % 3 = 0 THEN doc_id % 2 + 1
+             |ELSE CAST(('0x' || substr(md5(text),16,15)) AS BIGINT) % 2 + 1
+             |END AS channels,
+             |CASE WHEN doc_id % 3 = 0 THEN doc_id % 777 + 64
+             |ELSE octet_length(encode(text)) END AS data_bytes
+             |FROM documents)
+             |SELECT doc_id,
+             |CAST(sample_rate AS INTEGER) AS sample_rate,
+             |CAST(channels AS INTEGER) AS channels,
+             |CAST(16 AS INTEGER) AS bits,
+             |floor(CAST(data_bytes AS DOUBLE) * 10000.0 /
+             |(CAST(sample_rate AS DOUBLE) * channels * 2)) / 10000.0
+             |AS est_seconds FROM m"""
+        .stripMargin.replace('\n', ' '))),
 
     // JPEG ROUND TRIP — the driver-visible gate for the SOF segment walk
     // (the byte-literal specs prove the parse on hand-built frames; this

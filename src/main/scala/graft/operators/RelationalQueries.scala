@@ -887,11 +887,52 @@ object RelationalQueries {
             col("st.max_v").as("max_v"), col("st.p50").as("p50"),
             col("st.n_distinct").as("n_distinct"))
       },
-      Some(Sql.dataProfile))
+      Some(Sql.dataProfile)),
+
+    // NATURAL JOIN — the reference declares it in its SELECT surface and
+    // stops at `todo!` (`/root/reference/tmp/select.rs:462-464`); here it
+    // runs for real through ExecutionContext.execute. TPC-H column names
+    // are table-prefixed (a bare NATURAL JOIN of two base tables would
+    // degenerate to a cross join on zero shared names), so the entry
+    // joins derived tables sharing `rkey` — the standard rename-then-
+    // natural-join shape. Catalyst plans it exactly like the equivalent
+    // equi-join: broadcast of the 5-row region side, join-key dedup in
+    // the output. Same text runs verbatim on DuckDB.
+    Q("q49_natural_join",
+      (s, d) => new ExecutionContext(s).registerTestData(d)
+        .execute(Sql.naturalJoin),
+      Some(Sql.naturalJoin)),
+
+    // VALUES as a query BODY (not an INSERT source — m01/m08 cover that):
+    // the reference declares the form at `tmp/select.rs:238` (`todo!`).
+    // An inline literal relation with an explicit column-alias list
+    // (DuckDB would otherwise name the columns col0.. vs Spark's col1..)
+    // joined to a real table — the canonical enum-decode shape. Catalyst
+    // folds the VALUES into a LocalRelation and broadcasts it; at 100 TB
+    // this is the zero-IO side of a broadcast join, the right plan for
+    // any literal decode table.
+    Q("q50_values_body",
+      (s, d) => new ExecutionContext(s).registerTestData(d)
+        .execute(Sql.valuesBody),
+      Some(Sql.valuesBody))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
   private object Sql {
+    val naturalJoin: String =
+      """SELECT rkey, n_name, r_name FROM
+        |(SELECT n_regionkey AS rkey, n_name FROM nation) a
+        |NATURAL JOIN
+        |(SELECT r_regionkey AS rkey, r_name FROM region) b"""
+        .stripMargin.replace('\n', ' ')
+
+    val valuesBody: String =
+      """SELECT v.rkey, v.zone, r_name
+        |FROM (VALUES (CAST(0 AS INTEGER), 'AMER'), (1, 'AMER'),
+        |(2, 'APAC'), (3, 'EMEA'), (4, 'EMEA')) AS v(rkey, zone)
+        |JOIN region ON r_regionkey = v.rkey"""
+        .stripMargin.replace('\n', ' ')
+
     val dataProfile: String = {
       def one(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n,

@@ -13,13 +13,18 @@ class MultimodalSpec extends SparkSpec {
     assert(df.schema("n_bytes").dataType.typeName == "long")
   }
 
-  test("stub decode is deterministic and in-range") {
+  test("mixed-corpus image meta: deterministic; constructed-PNG rows " +
+    "parse their encoded dims, text rows land in the stub's range") {
     val a = q("mm02_image_meta").build(spark, sf).orderBy("doc_id").collect()
     val b = q("mm02_image_meta").build(spark, sf).orderBy("doc_id").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     assert(a.forall { r =>
-      val w = r.getInt(1); val h = r.getInt(2)
-      w >= 32 && w < 640 && h >= 32 && h < 640 && r.getInt(3) == 3
+      val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+      if (id % 3 == 0) // constructed-PNG arm: dims recovered exactly
+        w == (id % 300 + 10) && h == ((id * 5) % 200 + 10) &&
+          r.getInt(3) == (if (id % 2 == 0) 1 else 4)
+      else // text arm: md5-derived stub, fixed 3 channels
+        w >= 32 && w < 640 && h >= 32 && h < 640 && r.getInt(3) == 3
     })
   }
 
