@@ -105,7 +105,15 @@ object Bench {
     // basename only: the parent dir is always the fixture root, and the
     // full path spends capture-window bytes on no information
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"queries":$qs,"max":$spread,"unit":"sec","metric":"total","value":${f4(total)}}""")
+    val line = s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"queries":$qs,"max":$spread,"unit":"sec","metric":"total","value":${f4(total)}}"""
+    println(line)
+    // Mirror the full line into the repo (VERIFY_ERRORS.json precedent):
+    // the driver's ~2,000-byte tail capture can truncate the head of the
+    // line as the query set grows; the in-tree copy keeps every per-query
+    // number readable next round regardless.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

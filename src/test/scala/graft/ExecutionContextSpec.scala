@@ -7,6 +7,15 @@ class ExecutionContextSpec extends SparkSpec {
 
   private def ctx = new ExecutionContext(spark).registerTestData(sf)
 
+  test("SparkEntry.queries preserves catalog declaration order (Verify " +
+    "executes entries in this order; hash-map order made cross-entry " +
+    "state bugs like r10's io05 nondeterministic between rounds)") {
+    assert(SparkEntry.queries.keys.toSeq ==
+      QueryCatalog.all.map(_.name))
+    assert(SparkEntry.oracleSql.keys.toSeq ==
+      QueryCatalog.all.flatMap(q => q.oracle.map(_ => q.name)))
+  }
+
   test("unknown table surfaces the reference's error contract " +
     "(tmp/select.rs:357-364)") {
     val e = intercept[IllegalArgumentException] {
