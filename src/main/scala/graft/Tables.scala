@@ -34,6 +34,7 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df =
       if (name == "events") loadEvents(spark, sfDir)
+      else if (name == "embeddings") loadEmbeddings(spark, sfDir)
       else spark.read.parquet(path(sfDir, name))
     df
   }
@@ -87,6 +88,43 @@ object Tables {
     ensureNanosConf(spark)
     eventsTsFromNanos(spark.read.parquet(path(sfDir, "events")))
   }
+
+  /** Normalize embeddings to the canonical schema the whole e/d06 family
+    * was built against — `embedding array<float>`, `label int` — branching
+    * on the parquet footer like [[eventsTsFromNanos]]. The driver has
+    * regenerated every table between rounds with new physical types (the
+    * round-9 failure class took 28 events entries dark); if embeddings
+    * ever arrives as array<double>/bigint-label, the native vector
+    * expressions (strict array<float> inputs) would otherwise fail
+    * ANALYSIS for every similarity entry at once. The cast is logged
+    * loudly: oracle entries that restate arithmetic over raw values can
+    * drift under a lossy cast, and a handful of readable red rows beats
+    * a mass-dark round. */
+  def embeddingsCanonical(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val v = df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_: NumericType, _) =>
+        System.err.println("[tables] embeddings.embedding: non-float32 " +
+          "physical type, casting to array<float> (regenerated testdata?)")
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported type $other")
+    }
+    v.schema("label").dataType match {
+      case IntegerType => v
+      case LongType | ShortType | ByteType =>
+        System.err.println("[tables] embeddings.label: non-int32 physical " +
+          "type, casting to int (regenerated testdata?)")
+        v.withColumn("label", col("label").cast("int"))
+      case other => throw new IllegalStateException(
+        s"embeddings.label has unsupported type $other")
+    }
+  }
+
+  private def loadEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingsCanonical(spark.read.parquet(path(sfDir, "embeddings")))
 
   /** Register every table of `sfDir` as a temp view (idempotent). */
   def register(spark: SparkSession, sfDir: String): Unit =

@@ -232,4 +232,35 @@ class EventSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported type"))
   }
+
+  test("embeddings loader is schema-adaptive (same regeneration class): " +
+    "array<double>/bigint-label normalize to the canonical " +
+    "array<float>/int; float32 passes through; non-numeric refuses") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.types._
+    // canonical float32 input: untouched (same plan, no cast node)
+    val f = Seq((1L, Seq(0.5f, -1.25f), 3))
+      .toDF("vec_id", "embedding", "label")
+    assert(Tables.embeddingsCanonical(f) eq f)
+    // regenerated-as-double input: cast back to the canonical schema the
+    // native vector expressions (strict array<float>) were built against
+    val d = Seq((1L, Seq(0.5d, -1.25d), 3L))
+      .toDF("vec_id", "embedding", "label")
+    val norm = Tables.embeddingsCanonical(d)
+    assert(norm.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      norm.schema("embedding").dataType == ArrayType(FloatType, false))
+    assert(norm.schema("label").dataType == IntegerType)
+    assert(norm.select("embedding").as[Seq[Float]].head() ==
+      Seq(0.5f, -1.25f))
+    // and the normalized frame feeds the native cosine without error
+    assert(!norm.select(
+      VectorExpressions.cosineSim(col("embedding"), col("embedding"))
+        .as("s")).head().isNullAt(0))
+    // non-numeric array element: loud refusal
+    val e2 = intercept[IllegalStateException] {
+      Tables.embeddingsCanonical(
+        Seq((1L, Seq("x"), 3)).toDF("vec_id", "embedding", "label"))
+    }
+    assert(e2.getMessage.contains("unsupported type"))
+  }
 }
