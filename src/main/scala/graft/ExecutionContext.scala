@@ -306,12 +306,20 @@ class ExecutionContext(
           s"'$table' (columns: ${targetCols.sorted.mkString(", ")})")
       canonical.get -> v
     }
-    // Canonicalize INSERT column names the same way: Dml.merge aligns
-    // them against the target schema by exact name, so a case-mismatched
-    // column would otherwise silently fill with NULL.
+    // Canonicalize INSERT column names the same way — and REQUIRE each to
+    // be a real target column: Dml.merge aligns them against the target
+    // schema by exact name, so a case-mismatched OR typo'd column would
+    // otherwise silently NULL-fill the real column and drop the value
+    // (the same silent-wrong class the SET guard above rejects).
     val cols = insCols.map(ExecutionContext.splitList(_)
       .map(ExecutionContext.unquote).filter(_.nonEmpty)
-      .map(c => byNorm.getOrElse(norm(c), c)))
+      .map { c =>
+        val canonical = byNorm.get(norm(c))
+        require(canonical.isDefined,
+          s"MERGE INSERT column '$c' is not a column of target table " +
+            s"'$table' (columns: ${targetCols.sorted.mkString(", ")})")
+        canonical.get
+      })
     val vals = insVals.map(ExecutionContext.splitList(_)
       .map(v => expr(v.trim)))
     val out = Dml.merge(spark.table(table), sqlDmlDir(table),

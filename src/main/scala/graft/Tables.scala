@@ -100,14 +100,24 @@ object Tables {
     * loudly: oracle entries that restate arithmetic over raw values can
     * drift under a lossy cast, and a handful of readable red rows beats
     * a mass-dark round. */
+  // once-per-JVM guards for the cast warnings below: load() runs per
+  // query build, and a regenerated-testdata round would otherwise spam
+  // dozens of identical lines into the driver's ~2,000-byte tail capture
+  // (the artifact-size discipline Bench fights for).
+  @volatile private var warnedEmbeddingCast = false
+  @volatile private var warnedLabelCast = false
+
   def embeddingsCanonical(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val v = df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
       case ArrayType(_: NumericType, _) =>
-        System.err.println("[tables] embeddings.embedding: non-float32 " +
-          "physical type, casting to array<float> (regenerated testdata?)")
+        if (!warnedEmbeddingCast) {
+          warnedEmbeddingCast = true
+          System.err.println("[tables] embeddings.embedding: non-float32 " +
+            "physical type, casting to array<float> (regenerated testdata?)")
+        }
         df.withColumn("embedding", col("embedding").cast("array<float>"))
       case other => throw new IllegalStateException(
         s"embeddings.embedding has unsupported type $other")
@@ -115,8 +125,11 @@ object Tables {
     v.schema("label").dataType match {
       case IntegerType => v
       case LongType | ShortType | ByteType =>
-        System.err.println("[tables] embeddings.label: non-int32 physical " +
-          "type, casting to int (regenerated testdata?)")
+        if (!warnedLabelCast) {
+          warnedLabelCast = true
+          System.err.println("[tables] embeddings.label: non-int32 " +
+            "physical type, casting to int (regenerated testdata?)")
+        }
         v.withColumn("label", col("label").cast("int"))
       case other => throw new IllegalStateException(
         s"embeddings.label has unsupported type $other")

@@ -80,7 +80,17 @@ object Verify {
           import spark.implicits._
           Seq(msg).toDF("graft_verify_error")
             .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-        } catch { case _: Throwable => () }
+        } catch { case _: Throwable =>
+          // The parquet marker itself needs a WORKING SparkSession — if
+          // the entry failed because the session is broken, fall back to
+          // plain file IO so the entry still cannot vanish silently (the
+          // driver's read of a parquet-less dir fails visibly).
+          try {
+            val dir = Paths.get(s"$outDir/$name")
+            Files.createDirectories(dir)
+            Files.writeString(dir.resolve("_ERROR"), msg)
+          } catch { case _: Throwable => () }
+        }
       }
       // release the pipeline-persisted frames (minhash/simhash/IVF prep)
       // so a 64-query session doesn't accumulate cache entries

@@ -107,6 +107,28 @@ object Multimodal {
     concat(substring(be, 3, 2), substring(be, 1, 2))
   }
 
+  /** Hex text of a minimal PNG signature + IHDR prefix (width, height,
+    * color-type hex byte) — the payload-CONSTRUCTION twin of
+    * [[decodeHeader]]'s PNG arm, shared by every constructed-payload gate
+    * (mm02/mm03/mm07/mm09) so the encode and parse sides can never
+    * desynchronize between entries. */
+  private[graft] def pngHex(w: Column, h: Column, ctHex: Column): Column =
+    concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), ctHex,
+      lit("000000"))
+
+  /** Hex text of a canonical 44-byte PCM WAV header (16-bit samples) —
+    * the construction twin of [[decodeAudioHeader]], shared by
+    * mm05/mm08. */
+  private[graft] def wavHex(rate: Column, ch: Column, db: Column): Column =
+    concat(
+      lit("52494646"), le32hexCol(db + 36),
+      lit("57415645666D7420"), le32hexCol(lit(16)),
+      lit("0100"), le16hexCol(ch),
+      le32hexCol(rate), le32hexCol(rate * ch * 2),
+      le16hexCol(ch * 2), lit("1000"),
+      lit("64617461"), le32hexCol(db))
+
   /** Byte as 0..255 at a DYNAMIC 1-based offset. */
   private def dynByte(bin: Column, off: Column): Column =
     conv(hex(substring(bin, off.cast("int"), lit(1))), 16, 10).cast("long")
@@ -275,6 +297,19 @@ object Multimodal {
 object MultimodalQueries {
   import Multimodal._
 
+  /** The mm02/mm03 shared mixed-corpus payload: doc_id%3==0 rows carry a
+    * constructed PNG (dims + color type derived from doc_id — the oracle
+    * states this arithmetic), the rest the raw text bytes (md5-stub
+    * fallback arm). One definition so the two entries and their oracles
+    * can never drift apart. */
+  private def mixedImagePayload: org.apache.spark.sql.Column = {
+    val w = (col("doc_id") % 300 + 10).cast("int")
+    val h = ((col("doc_id") * 5) % 200 + 10).cast("int")
+    val ct = when(col("doc_id") % 2 === 0, lit("00")).otherwise(lit("06"))
+    when(col("doc_id") % 3 === 0, unhex(pngHex(w, h, ct)))
+      .otherwise(payload(col("text")))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("mm01_binary_meta",
@@ -303,17 +338,8 @@ object MultimodalQueries {
     // The parse arms stay spec-verified on hand-built byte literals too.
     Q("mm02_image_meta",
       (s, d) => {
-        val w = (col("doc_id") % 300 + 10).cast("int")
-        val h = ((col("doc_id") * 5) % 200 + 10).cast("int")
-        val ct = when(col("doc_id") % 2 === 0, lit("00")).otherwise(lit("06"))
-        val png = concat(
-          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
-          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), ct,
-          lit("000000"))
-        val bin = when(col("doc_id") % 3 === 0, unhex(png))
-          .otherwise(payload(col("text")))
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), decodeHeader(bin).as("meta"))
+          .select(col("doc_id"), decodeHeader(mixedImagePayload).as("meta"))
           .select(
             col("doc_id"),
             col("meta.width").as("width"),
@@ -346,17 +372,8 @@ object MultimodalQueries {
     // dispatch → parse/stub → resize arithmetic as one plan.
     Q("mm03_resize_plan",
       (s, d) => {
-        val w = (col("doc_id") % 300 + 10).cast("int")
-        val h = ((col("doc_id") * 5) % 200 + 10).cast("int")
-        val ct = when(col("doc_id") % 2 === 0, lit("00")).otherwise(lit("06"))
-        val png = concat(
-          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
-          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), ct,
-          lit("000000"))
-        val bin = when(col("doc_id") % 3 === 0, unhex(png))
-          .otherwise(payload(col("text")))
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), decodeHeader(bin).as("meta"))
+          .select(col("doc_id"), decodeHeader(mixedImagePayload).as("meta"))
           .select(col("doc_id"),
             resizePlan(col("meta"), maxDim = 256).as("r"))
           .select(col("doc_id"), col("r.out_width").as("out_width"),
@@ -411,14 +428,7 @@ object MultimodalQueries {
           .when(col("doc_id") % 9 === 3, lit(16000)).otherwise(lit(44100))
         val ch = (col("doc_id") % 2 + 1).cast("int")
         val db = (col("doc_id") % 777 + 64).cast("int")
-        val wav = concat(
-          lit("52494646"), le32hexCol(db + 36),
-          lit("57415645666D7420"), le32hexCol(lit(16)),
-          lit("0100"), le16hexCol(ch),
-          le32hexCol(rate), le32hexCol(rate * ch * 2),
-          le16hexCol(ch * 2), lit("1000"),
-          lit("64617461"), le32hexCol(db))
-        val bin = when(col("doc_id") % 3 === 0, unhex(wav))
+        val bin = when(col("doc_id") % 3 === 0, unhex(wavHex(rate, ch, db)))
           .otherwise(payload(col("text")))
         Tables.t(s, d, "documents")
           .select(col("doc_id"), decodeAudioHeader(bin).as("meta"))
@@ -505,10 +515,7 @@ object MultimodalQueries {
           .otherwise(lit("06"))
         val bmpBpp = when(sel === 0, lit("0800"))
           .when(sel === 1, lit("1800")).otherwise(lit("2000")) // LE u16
-        val png = concat(
-          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
-          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), pngCt,
-          lit("000000"))
+        val png = pngHex(w, h, pngCt)
         val bmp = concat(
           lit("424D"), le32hexCol(lit(123)), lit("00000000"),
           le32hexCol(lit(54)), le32hexCol(lit(40)),
@@ -537,13 +544,7 @@ object MultimodalQueries {
           (col("doc_id") % 3 + 1).cast("int"))
         val ch = (col("doc_id") % 2 + 1).cast("int")
         val db = (col("doc_id") % 1000 + 100).cast("int")
-        val hexS = concat(
-          lit("52494646"), le32hexCol(db + 36), // RIFF + chunk size
-          lit("57415645666D7420"), le32hexCol(lit(16)), // WAVEfmt , len
-          lit("0100"), le16hexCol(ch), // PCM tag, channels
-          le32hexCol(rate), le32hexCol(rate * ch * 2), // rate, byte rate
-          le16hexCol(ch * 2), lit("1000"), // block align, 16 bits
-          lit("64617461"), le32hexCol(db)) // data chunk header
+        val hexS = wavHex(rate, ch, db)
         Tables.t(s, d, "documents")
           .select(col("doc_id"), decodeAudioHeader(unhex(hexS)).as("m"))
           .select(col("doc_id"),
@@ -570,10 +571,7 @@ object MultimodalQueries {
       (s, d) => {
         val w = (col("doc_id") % 500 + 8).cast("int")
         val h = ((col("doc_id") * 3) % 400 + 8).cast("int")
-        val png = concat(
-          lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
-          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), lit("02"),
-          lit("000000"))
+        val png = pngHex(w, h, lit("02"))
         Tables.t(s, d, "documents")
           .select(col("doc_id"),
             resizePlan(decodeHeader(unhex(png)), maxDim = 64).as("r"))

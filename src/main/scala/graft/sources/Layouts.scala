@@ -29,10 +29,18 @@ object Layouts {
     * the location delete is what restores hermeticity. Every managed
     * `saveAsTable` in this repo must route through here. */
   def freshManagedTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val parts = table.split('.')
+    require(parts.nonEmpty && parts.length <= 2,
+      s"freshManagedTable: expected [db.]table, got '$table'")
+    spark.sql(
+      s"DROP TABLE IF EXISTS ${parts.map(p => s"`$p`").mkString(".")}")
+    // Default-warehouse layout: <warehouse>/<table> for the default
+    // database, <warehouse>/<db>.db/<table> for a qualified name.
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val rel = (if (parts.length == 2) s"${parts(0)}.db/" else "") +
+      parts.last
     val loc = new org.apache.hadoop.fs.Path(
-      warehouse, table.toLowerCase(java.util.Locale.ROOT))
+      warehouse, rel.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

@@ -265,6 +265,17 @@ class DmlSpec extends SparkSpec {
     assert(ins.count() == Tables.t(spark, sf, "nation").count())
     assert(ins.filter(col("r_name").isNull).count() == 0,
       "case-mismatched INSERT cols must bind, not silently NULL-fill")
+    // typo'd INSERT column: fail fast like the SET guard, never a silent
+    // NULL-fill of the real column
+    val e = intercept[IllegalArgumentException] {
+      c.execute("""MERGE INTO spec_mci_r USING spec_mci_n
+        ON spec_mci_r.r_regionkey = spec_mci_n.n_nationkey + 900
+        WHEN MATCHED THEN UPDATE SET r_name = 'x'
+        WHEN NOT MATCHED THEN INSERT (r_regionkye, r_name)
+        VALUES (spec_mci_n.n_nationkey + 900, spec_mci_n.n_name)""")
+    }
+    assert(e.getMessage.contains("r_regionkye") &&
+      e.getMessage.contains("not a column of target table"))
     spark.catalog.dropTempView("spec_mci_n")
     spark.catalog.dropTempView("spec_mci_r")
   }
