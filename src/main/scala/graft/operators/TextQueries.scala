@@ -1291,6 +1291,55 @@ object TextQueries {
              |round(-sum((CAST(c AS DOUBLE) / n) *
              |log2(CAST(c AS DOUBLE) / n)), 4) + 0.0 AS entropy
              |FROM td JOIN dn USING (doc_id) GROUP BY td.doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PER-DOMAIN CAP — the crawl-balancing primitive web-scale curation
+    // runs before mixing (RefinedWeb/C4 shape: a handful of crawler-heavy
+    // domains would otherwise dominate the corpus): parse the host out of
+    // each document's URL, reduce it to a registered domain, and keep at
+    // most `cap` docs per domain chosen by a content-keyed rank (t10's
+    // md5 determinism: reproducible on any partitioning/layout, no RNG).
+    // The corpus has no URL column, so the URL is CONSTRUCTED with a
+    // doc_id-derived host (mm06's gate pattern) and parsed back with
+    // Spark's real `parse_url` — the oracle states the host arithmetic
+    // directly and never parses, so the entry hash-matches iff
+    // parse_url + the last-2-labels domain reduction recover exactly
+    // what was encoded. Registered-domain here is the 2-label heuristic;
+    // production swaps in the public-suffix list — a broadcast lookup,
+    // same plan. Scale: the rank<=cap filter plans as WindowGroupLimit
+    // (each map task keeps <=cap rows per domain BEFORE the exchange),
+    // so the domain shuffle carries O(cap x domains x tasks) rows, never
+    // the corpus; no driver-side state.
+    Q("t33_domain_cap",
+      (s, d) => {
+        val sel = col("doc_id") % 5
+        val host = when(sel === 0, lit("news.example.com"))
+          .when(sel === 1, lit("example.com"))
+          .when(sel === 2, lit("blog.example.org"))
+          .when(sel === 3, lit("data.example.org"))
+          .otherwise(lit("example.net"))
+        val url = concat(lit("https://"), host, lit("/doc/"),
+          col("doc_id"), lit("?ref=crawl"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("domain").orderBy(md5(col("text")), col("doc_id"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), url.as("url"))
+          .withColumn("h", expr("parse_url(url, 'HOST')"))
+          .withColumn("domain",
+            array_join(slice(split(col("h"), "\\."), -2, 2), "."))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select(col("doc_id"), col("domain"), col("rk"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |CASE doc_id % 5 WHEN 0 THEN 'example.com'
+             |WHEN 1 THEN 'example.com' WHEN 2 THEN 'example.org'
+             |WHEN 3 THEN 'example.org' ELSE 'example.net' END AS domain
+             |FROM documents),
+             |r AS (SELECT doc_id, domain,
+             |CAST(row_number() OVER (PARTITION BY domain
+             |ORDER BY md5(text), doc_id) AS INTEGER) AS rk FROM d)
+             |SELECT doc_id, domain, rk FROM r WHERE rk <= 20"""
         .stripMargin.replace('\n', ' ')))
   )
 }

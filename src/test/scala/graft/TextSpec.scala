@@ -469,4 +469,27 @@ class TextSpec extends SparkSpec {
         s"source ${r.getString(0)}: approx $a vs exact $e")
     }
   }
+
+  test("t33 per-domain cap: parse_url recovers the constructed host, " +
+    "every registered domain keeps at most the cap, selection is " +
+    "deterministic, and the rank filter plans as WindowGroupLimit " +
+    "before the exchange") {
+    val df = q("t33_domain_cap").build(spark, sf)
+    val rows = df.collect()
+    val byDomain = rows.groupBy(_.getString(1))
+    assert(byDomain.keySet ==
+      Set("example.com", "example.org", "example.net"))
+    assert(byDomain.values.forall(_.length <= 20))
+    // ranks within each domain are exactly 1..n (no gaps, no dups)
+    byDomain.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // content-keyed: identical across runs
+    val again = q("t33_domain_cap").build(spark, sf).collect()
+    assert(rows.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+    // the scale property: partial limit runs map-side, before the shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
 }
