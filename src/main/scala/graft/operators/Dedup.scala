@@ -23,6 +23,24 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** Canonical crawl-dedup URL key (d17): lowercase host minus a leading
+    * `www.`, path minus a trailing slash, query minus the tracking params
+    * (utm_ prefix, ref, fbclid, gclid — real params survive), fragment
+    * dropped (parse_url never returns it). Pure per-row codegen'd string work;
+    * the scheme is intentionally NOT part of the key (http/https
+    * variants of one page are the same document). */
+  def normalizedUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val host = regexp_replace(
+      lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val kept = array_join(filter(
+      split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => !p.rlike("^(utm_[a-z]+|ref|fbclid|gclid)=")), "&")
+    concat(host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** Unlock full parallelism before expensive per-row expression work:
     * a small corpus file arrives as ONE scan partition (128 MB split
     * granularity), serializing the whole signature computation on one
@@ -1604,6 +1622,66 @@ object DedupQueries {
              |ELSE 0 END) AS DOUBLE) / sum(chunk_tokens), 4)
              |AS token_dup_frac
              |FROM ch LEFT JOIN dh ON ch.h = dh.h GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // URL-NORMALIZATION DEDUP — the crawl-frontier/WARC dedup that runs
+    // BEFORE any content fetch: canonicalize each record's URL (lowercase
+    // host, strip `www.`, strip the fragment, strip a trailing slash,
+    // drop tracking params — utm_*/ref/fbclid/gclid — while KEEPING real
+    // params) and keep the lowest doc_id per canonical URL. The corpus
+    // has no URL column, so the entry constructs four deterministic
+    // variant families per page id (clean / http+www+case+trailing-slash
+    // / all-tracking-query / real-param+tracking+fragment): families
+    // 0-2 must collapse to one canonical key and family 3 must survive
+    // as its own — the gate proves every normalization rule fires, t33's
+    // constructed-URL pattern. Spark parses with parse_url + a native
+    // higher-order filter over the split query; the oracle re-derives
+    // the same parts with regexps. Scale: per-row codegen'd string work
+    // + ONE window-min shuffle on the canonical key — at 100 TB this is
+    // the cheapest dedup in the family (no shingles, no pairs).
+    Q("d17_url_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pid = (col("doc_id") % 50).cast("string")
+        val v = col("doc_id") % 4
+        val url = when(v === 0,
+          concat(lit("https://example.com/page/"), pid))
+          .when(v === 1,
+            concat(lit("http://www.Example.COM/page/"), pid, lit("/")))
+          .when(v === 2, concat(lit("https://example.com/page/"), pid,
+            lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(concat(lit("https://example.com/page/"), pid,
+            lit("?id="), pid, lit("&utm_medium=email#frag")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("norm_url", Dedup.normalizedUrl(col("url")))
+          .withColumn("keep", col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(col("norm_url"))))
+          .select(col("doc_id"), col("norm_url"), col("keep"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |CASE doc_id % 4
+             |WHEN 0 THEN 'https://example.com/page/' || (doc_id % 50)
+             |WHEN 1 THEN 'http://www.Example.COM/page/' || (doc_id % 50) || '/'
+             |WHEN 2 THEN 'https://example.com/page/' || (doc_id % 50) ||
+             |'?utm_source=feed&utm_campaign=x'
+             |ELSE 'https://example.com/page/' || (doc_id % 50) ||
+             |'?id=' || (doc_id % 50) || '&utm_medium=email#frag'
+             |END AS url FROM documents),
+             |n AS (SELECT doc_id,
+             |regexp_replace(lower(regexp_extract(url,
+             |'^[a-z]+://([^/?#]+)', 1)), '^www\.', '') ||
+             |regexp_replace(regexp_extract(url,
+             |'^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', '') ||
+             |CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm_url
+             |FROM (SELECT doc_id, url,
+             |COALESCE(array_to_string(list_filter(string_split(
+             |regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
+             |'&'), '') AS kept FROM u))
+             |SELECT doc_id, norm_url,
+             |doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
+             |FROM n"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -414,6 +414,63 @@ object Similarity {
         col("neighbor_id").cast("int").as("pred_label"), col("sim"))
   }
 
+  /** One distributed Lloyd (k-means) iteration over the quantized corpus,
+    * fully oracle-gated: seeds are the k lowest-id vectors, assignment is
+    * exact-integer-sum cosine against the broadcast seed set (e12's
+    * bit-identical construction — every i1/i2/i3 is a sum of int64
+    * products, so both engines rank identical rounded sims with a
+    * seed-id tie-break), and the update emits per-(cluster, dim) integer
+    * sums + member counts, i.e. the sufficient statistics of the new
+    * centroids. `mean_q` divides two exact integers, so even the double
+    * output is deterministic cross-engine.
+    *
+    * Scale: the seed set (k × dim longs) broadcasts; assignment is ONE
+    * corpus scan with a per-row fused loop; the update is a single
+    * (cluster, ord) partial-agg shuffle carrying k × dim × tasks rows.
+    * Iterating = re-running with the emitted centroids as next seeds —
+    * each round is this same one-scan-one-shuffle shape, which is
+    * exactly how MLlib's KMeans schedules a round. The reference's
+    * k-means surface is the IVF coarse quantizer intent
+    * (`tmp/select.rs:1` plan-only engine; ANN families e05/e08-e10
+    * already train on it); this entry puts the training-round arithmetic
+    * itself under the driver's hash gate. */
+  def kmeansStep(emb: DataFrame, k: Int): DataFrame = {
+    // persisted: the quantized corpus feeds BOTH the seed lookup /
+    // assignment scan AND the update explode (nearestCentroid's
+    // double-compute precedent)
+    val q = ManagedCache.persist(quantizeInt8Vectors(emb)
+      .select(col("vec_id"),
+        transform(col("qv"), x => x.cast("long")).as("qvl")))
+    val seeds = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("qvl").as("cv"))
+      .withColumn("i3",
+        aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+    val scored = q
+      .withColumn("i2",
+        aggregate(col("qvl"), lit(0L), (a, x) => a + x * x))
+      .crossJoin(broadcast(seeds))
+      .withColumn("i1", aggregate(
+        zip_with(col("qvl"), col("cv"), (a, b) => a * b),
+        lit(0L), (a, x) => a + x))
+      .withColumn("sim",
+        round(when(col("i2") === 0L || col("i3") === 0L, lit(-1.0))
+          .otherwise(col("i1").cast("double") /
+            sqrt(col("i2").cast("double") * col("i3").cast("double"))), 4))
+    val assigned = rankTopK(scored.select(col("vec_id").as("query_id"),
+      col("cluster_id").as("neighbor_id"), col("sim")), 1)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("cluster_id"))
+    assigned.join(q, "vec_id")
+      .select(col("cluster_id"),
+        posexplode(col("qvl")).as(Seq("ord", "v")))
+      .groupBy("cluster_id", "ord")
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("s"))
+      .select(col("cluster_id").cast("int").as("cluster_id"),
+        col("ord"), col("n_members"), col("s"),
+        (round(col("s").cast("double") / col("n_members").cast("double"), 4)
+          + lit(0.0)).as("mean_q"))
+  }
+
   /** Approximate top-k: both sides bucketed by [[signBucket]]; queries probe
     * their own bucket plus all 1-bit-flip neighbors (multi-probe) and rank
     * exactly within candidates. */
@@ -1307,6 +1364,51 @@ object SimilarityQueries {
              |AND round(list_cosine_similarity(
              |list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
              |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.3"""
+        .stripMargin.replace('\n', ' '))),
+
+    // K-MEANS TRAINING ROUND under the hash gate — see
+    // [[Similarity.kmeansStep]]: assignment (exact-integer cosine vs the
+    // k lowest-id seeds, seed-id tie-break) and update (per-(cluster,
+    // dim) integer sums + counts) are both bit-identical cross-engine,
+    // so the full Lloyd iteration — the arithmetic the rows-only
+    // e05/e08-e10 coarse quantizers train on — gets a green driver row
+    // instead of a spec-only claim. ord is posexplode's 0-based
+    // position; the oracle zips unnest(qv) with generate_series(0,
+    // len-1) to match.
+    Q("e15_kmeans_step",
+      (s, d) => Similarity.kmeansStep(Tables.t(s, d, "embeddings"), 8),
+      Some("""WITH v AS (SELECT vec_id,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |seed AS (SELECT vec_id AS cluster_id, qv AS cv,
+             |CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS i3
+             |FROM q WHERE vec_id < 8),
+             |m AS (SELECT vec_id, qv,
+             |CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS i2
+             |FROM q),
+             |sim AS (SELECT m.vec_id, s.cluster_id,
+             |round(CASE WHEN m.i2 = 0 OR s.i3 = 0 THEN -1.0
+             |ELSE CAST(list_sum(list_transform(
+             |range(1, len(m.qv) + 1), i -> m.qv[i] * s.cv[i])) AS DOUBLE) /
+             |sqrt(CAST(m.i2 AS DOUBLE) * CAST(s.i3 AS DOUBLE)) END, 4) + 0.0
+             |AS sim FROM m CROSS JOIN seed s),
+             |a AS (SELECT vec_id, cluster_id FROM sim
+             |QUALIFY row_number() OVER (PARTITION BY vec_id
+             |ORDER BY sim DESC, cluster_id ASC) = 1),
+             |d AS (SELECT a.cluster_id, unnest(q.qv) AS val,
+             |unnest(generate_series(0, len(q.qv) - 1)) AS ord
+             |FROM a JOIN q USING (vec_id))
+             |SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+             |CAST(ord AS INTEGER) AS ord,
+             |count(*) AS n_members, CAST(sum(val) AS BIGINT) AS s,
+             |round(CAST(sum(val) AS DOUBLE) / count(*), 4) + 0.0 AS mean_q
+             |FROM d GROUP BY 1, 2"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -51,6 +51,67 @@ object CorpusStats {
           .as("pmi"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score each raw-pool document by how much its
+    * HASHED-bigram distribution looks like the target split rather than
+    * the raw split — logweight(d) = Σ_{bigram g ∈ d} ln(p̂_tgt(b(g)) /
+    * p̂_raw(b(g))) with b(g) = first 2 hex chars of md5(g) (256 buckets)
+    * and add-1 smoothing on both bucket distributions. The raw pool is
+    * the deterministic 'train' split, the target is 'val' (the same
+    * content-keyed split p02 gates on), so the whole computation is
+    * reproducible cross-engine; selection is the scale-safe THRESHOLD
+    * form (rounded logweight > 0 — target-leaning docs), never a global
+    * rank.
+    *
+    * Scale shape at 100 TB: ONE corpus-scale bigram explode → persisted
+    * (doc, bucket) frame; both bucket histograms and their totals derive
+    * from 256-row aggregates of it; the log-ratio table (≤256 rows) is a
+    * broadcast joined back map-side; the per-doc sum is one partial-agg
+    * shuffle on doc_id. Cross-engine double-sum order is absorbed by
+    * round(., 4) (t17/t18 precedent); the selected flag compares the
+    * ROUNDED weight so boundary docs resolve identically.
+    * Returns (doc_id, n_bigrams, logweight, selected) over 'train' docs. */
+  def dsirWeights(docsIn: DataFrame): DataFrame = {
+    val docs = Dedup.spread(docsIn)
+      .withColumn("split", Sampling.deterministicSplit(col("text")))
+    val toks = tokens(col("text"))
+    // hashed-bigram bucket stream: (doc_id, split, bucket) — one row per
+    // bigram OCCURRENCE (DSIR weights repeat features), read four times
+    // below, so persisted to cap the corpus explode at a single scan
+    val bg = ManagedCache.persist(docs
+      .select(col("doc_id"), col("split"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("b"))
+      .select(col("doc_id"), col("split"),
+        substring(md5(concat_ws(" ",
+          col("b").getField("0"), col("b").getField("1"))), 1, 2)
+          .as("bucket")))
+    val rawC = bg.filter(col("split") === "train")
+      .groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgtC = bg.filter(col("split") === "val")
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    // totals derive from the 256-row histograms, never a second corpus scan
+    val nR = rawC.agg(sum(col("c_r")).as("n_r"))
+    val nT = tgtC.agg(sum(col("c_t")).as("n_t"))
+    val ratios = rawC.join(tgtC, Seq("bucket"), "full")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("bucket"), log(
+        ((coalesce(col("c_t"), lit(0L)) + 1).cast("double") /
+          (col("n_t") + 256).cast("double")) /
+          ((coalesce(col("c_r"), lit(0L)) + 1).cast("double") /
+            (col("n_r") + 256).cast("double"))).as("lr"))
+    val perDoc = bg.filter(col("split") === "train")
+      .join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr")).as("w"))
+    docs.filter(col("split") === "train").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (round(coalesce(col("w"), lit(0.0)), 4) + lit(0.0)).as("logweight"),
+        (round(coalesce(col("w"), lit(0.0)), 4) > 0.0).as("selected"))
+  }
+
   /** Per-DOCUMENT cross-entropy under the corpus unigram LM — the
     * perplexity-proxy quality signal (CCNet-style LM filtering, with the
     * corpus's own unigram distribution standing in for the external LM):
@@ -1340,6 +1401,45 @@ object TextQueries {
              |CAST(row_number() OVER (PARTITION BY domain
              |ORDER BY md5(text), doc_id) AS INTEGER) AS rk FROM d)
              |SELECT doc_id, domain, rk FROM r WHERE rk <= 20"""
+        .stripMargin.replace('\n', ' '))),
+
+    // DSIR importance resampling weights — see [[CorpusStats.dsirWeights]]
+    // for the construction and the 100 TB shape (one explode, 256-row
+    // broadcast ratio table, one per-doc shuffle). The published
+    // technique behind "pick raw web data that looks like the target
+    // domain" corpus builds; pairs with t20 (source-level mixing) at the
+    // document level.
+    Q("t34_dsir_weights",
+      (s, d) => CorpusStats.dsirWeights(Tables.t(s, d, "documents")),
+      Some("""WITH sp AS (SELECT doc_id, text,
+             |CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+             |WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+             |ELSE 'test' END AS split FROM documents),
+             |tk AS (SELECT doc_id, split,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM sp),
+             |bg AS (SELECT doc_id, split,
+             |unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+             |i -> substr(md5(concat_ws(' ', toks[i], toks[i+1])), 1, 2)))
+             |AS bucket FROM tk),
+             |rawc AS (SELECT bucket, count(*) AS c_r FROM bg
+             |WHERE split = 'train' GROUP BY 1),
+             |tgtc AS (SELECT bucket, count(*) AS c_t FROM bg
+             |WHERE split = 'val' GROUP BY 1),
+             |nr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM rawc),
+             |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tgtc),
+             |r AS (SELECT COALESCE(rawc.bucket, tgtc.bucket) AS bucket,
+             |ln(((COALESCE(c_t, 0) + 1) / CAST(n_t + 256 AS DOUBLE)) /
+             |((COALESCE(c_r, 0) + 1) / CAST(n_r + 256 AS DOUBLE))) AS lr
+             |FROM rawc FULL JOIN tgtc ON rawc.bucket = tgtc.bucket
+             |CROSS JOIN nr CROSS JOIN nt),
+             |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(lr) AS w
+             |FROM bg JOIN r USING (bucket) WHERE bg.split = 'train'
+             |GROUP BY 1)
+             |SELECT s.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+             |round(COALESCE(pd.w, 0.0), 4) + 0.0 AS logweight,
+             |round(COALESCE(pd.w, 0.0), 4) > 0.0 AS selected
+             |FROM sp s LEFT JOIN pd ON pd.doc_id = s.doc_id
+             |WHERE s.split = 'train'"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -417,4 +417,49 @@ class DedupSpec extends SparkSpec {
     assert(clean(4L)._1 == clean(4L)._2) // intra-doc repeat kept
     assert(clean(5L) == ((2L, 2L, "too short")))
   }
+
+  test("normalizedUrl canonicalizes scheme/www/case/trailing-slash/" +
+    "tracking-param/fragment variants to ONE key and keeps real params") {
+    val sq = spark; import sq.implicits._
+    val urls = Seq(
+      (1L, "https://example.com/page/7"),
+      (2L, "http://www.Example.COM/page/7/"),
+      (3L, "https://example.com/page/7?utm_source=a&utm_campaign=b"),
+      (4L, "https://example.com/page/7?id=9&utm_medium=c#frag"),
+      (5L, "https://example.com/page/7?utm_source=a&id=9&ref=rss"),
+      (6L, "https://other.example.net/x?a=1&b=2")
+    ).toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"),
+      Dedup.normalizedUrl(col("url")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // scheme, www, host case, trailing slash and all-tracking queries
+    // all fold into the clean form
+    assert(got(1L) == "example.com/page/7")
+    assert(got(2L) == "example.com/page/7")
+    assert(got(3L) == "example.com/page/7")
+    // a real param survives (fragment and tracking params around it drop)
+    assert(got(4L) == "example.com/page/7?id=9")
+    assert(got(5L) == "example.com/page/7?id=9")
+    // multi-param non-tracking queries pass through whole
+    assert(got(6L) == "other.example.net/x?a=1&b=2")
+  }
+
+  test("d17 url dedup keeps exactly one doc per canonical url and marks " +
+    "every member of the collapsed variant families") {
+    val df = q("d17_url_dedup").build(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    // exactly one keeper per canonical key, and it is the min doc_id
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.count(_._3) == 1)
+      assert(g.filter(_._3).head._1 == g.map(_._1).min)
+    }
+    // families 0-2 of one page id share a key; family 3 has its own
+    rows.filter(_._1 % 4 != 3).foreach { case (d, k, _) =>
+      assert(k == s"example.com/page/${d % 50}", s"doc $d")
+    }
+    rows.filter(_._1 % 4 == 3).foreach { case (d, k, _) =>
+      assert(k == s"example.com/page/${d % 50}?id=${d % 50}", s"doc $d")
+    }
+  }
 }

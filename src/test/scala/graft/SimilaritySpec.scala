@@ -573,4 +573,28 @@ class SimilaritySpec extends SparkSpec {
     // the emitted row still reports the rounded, readable ratio
     assert(v(0).getDouble(2) == 1.0)
   }
+
+  test("kmeansStep: hand-computed Lloyd round — self-assigning seeds, " +
+    "cosine-tie resolution to the lower seed id, and exact integer " +
+    "sufficient statistics per (cluster, dim)") {
+    val sq = spark; import sq.implicits._
+    // seeds (k=2): vec 0 = (1,0), vec 1 = (0,1); members: 2=(2,0) joins
+    // cluster 0, 3=(0,3) joins cluster 1, 4=(1,1) ties at cos 0.7071
+    // against BOTH seeds and must resolve to the lower cluster id.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 3f)), (4L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansStep(emb, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    ManagedCache.releaseAll()
+    // quantized: every vector scales its max-abs to 127, so members of
+    // cluster 0 are (127,0),(127,0),(127,127); cluster 1 is (0,127),(0,127)
+    assert(got == Map(
+      (0, 0) -> ((3L, 381L, 127.0)),
+      (0, 1) -> ((3L, 127L, 42.3333)),
+      (1, 0) -> ((2L, 0L, 0.0)),
+      (1, 1) -> ((2L, 254L, 127.0))))
+  }
 }

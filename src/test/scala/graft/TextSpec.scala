@@ -492,4 +492,31 @@ class TextSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
+
+  test("dsirWeights: a train doc sharing the target split's bigrams " +
+    "outweighs one that shares none, counts are per-occurrence, and the " +
+    "selected flag follows the rounded weight") {
+    val sq = spark; import sq.implicits._
+    // md5-split placement precomputed: "red apple cake"/"red apple juice"
+    // land in 'val' (the target); the others in 'train' (the raw pool)
+    val docs = Seq(
+      (1L, "red apple pie"),    // shares "red apple" with the target
+      (2L, "blue fish dish"),   // shares nothing
+      (3L, "red apple cake"),   // val -> target
+      (4L, "red apple juice")   // val -> target
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    ManagedCache.releaseAll()
+    // only the train pool is scored
+    assert(got.keySet == Set(1L, 2L))
+    // both docs have 2 bigram occurrences
+    assert(got(1L)._1 == 2L && got(2L)._1 == 2L)
+    // target-leaning beats target-free
+    assert(got(1L)._2 > got(2L)._2,
+      s"expected doc 1 > doc 2, got $got")
+    // the flag is exactly the rounded-weight threshold
+    got.values.foreach { case (_, w, sel) => assert(sel == (w > 0.0)) }
+  }
 }
