@@ -548,6 +548,78 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** 60-bit SimHash on an md5 basis — the ORACLE-STATEABLE twin of
+    * [[TextExpressions.simhash64]] (whose xxhash64 basis no other engine
+    * reproduces): per-term bits come from the first 15 hex chars of
+    * `md5(term)` (60 bits — the widest hex prefix that fits a signed
+    * 64-bit in both engines), each bit's balance is the
+    * term-frequency-weighted ±c sum, and bit j of the signature is 1 iff
+    * the balance is strictly positive. Every step is exact integer
+    * arithmetic on a shared hash basis, so the signature is bit-identical
+    * cross-engine and the driver can hash-gate the simhash FAMILY's
+    * arithmetic end-to-end (d04's production entry stays on the one-pass
+    * native expression; this twin trades one `bits×` explode for
+    * verifiability).
+    *
+    * Scale: (doc, distinct-term) counts are one map-side-combined shuffle;
+    * the bit explode multiplies that table by `bits` but shuffles on
+    * (doc_id, j) — fixed-width longs, partial-agg'd map-side. No windows,
+    * no driver state. */
+  def md5SimHashSignatures(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tf = spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    tf.select(col("doc_id"), col("c"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .withColumn("contrib",
+        when(call_function("shiftright", col("h"), col("j"))
+          .bitwiseAND(lit(1L)) === 1L, col("c")).otherwise(-col("c")))
+      .groupBy("doc_id", "j").agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        call_function("shiftleft", lit(1L), col("j"))).otherwise(lit(0L)))
+        .as("sim60"))
+  }
+
+  /** Near-dup pairs over [[md5SimHashSignatures]] via the same pigeonhole
+    * banding as [[simhashNearDupPairs]]: hamming ≤ maxHamming implies at
+    * least one of (maxHamming+1 or more) equal-width bit-chunks matches
+    * exactly, so candidates come from `chunks` equality joins — never the
+    * all-pairs cross. Because the banding is LOSSLESS for the stated
+    * radius, the banded result EQUALS a brute-force hamming scan, which is
+    * exactly what the DuckDB oracle computes (the all-pairs oracle is the
+    * verify-side cost, not the production plan). 60 bits / 6 chunks of 10
+    * ⇒ radius 5. */
+  def md5SimHashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 5,
+      chunks: Int = 6,
+      bits: Int = 60): DataFrame = {
+    require(chunks > maxHamming && bits % chunks == 0,
+      s"pigeonhole needs chunks > maxHamming and bits divisible: " +
+        s"got bits=$bits chunks=$chunks maxHamming=$maxHamming")
+    val bitsPer = bits / chunks
+    val mask = (1L << bitsPer) - 1
+    val pos = ManagedCache.persist(md5SimHashSignatures(docs, bits)
+      .select(col("doc_id"), col("sim60"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          j => call_function("shiftright", col("sim60"), j * bitsPer)
+            .bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "cv"))
+    pos.alias("l").join(pos.alias("r"),
+        col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sim60").as("sa"), col("r.sim60").as("sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** Sign-bucket LSH candidate pairs for embedding near-dup: pairs whose
     * buckets are equal — or, with `multiProbe`, differ in at most one bit
     * (the left side probes its own bucket plus each 1-bit flip; a
@@ -1682,6 +1754,60 @@ object DedupQueries {
              |SELECT doc_id, norm_url,
              |doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
              |FROM n"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // MD5-BASIS SIMHASH SIGNATURES under the hash gate — the twin that
+    // finally puts the simhash FAMILY's arithmetic (per-term bit basis,
+    // tf-weighted ±balance, strict-majority bit assembly) under the
+    // driver's oracle: d04's production signature uses xxhash64 (one-pass
+    // native codegen, but impl-specific — rows-only forever), while this
+    // basis is md5, which both engines compute bit-identically. See
+    // [[Dedup.md5SimHashSignatures]] for the construction and the
+    // explode-vs-verifiability trade.
+    Q("d18_simhash_md5",
+      (s, d) => Dedup.md5SimHashSignatures(Tables.t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT doc_id,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS c,
+             |('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+             |FROM tok GROUP BY 1, 2),
+             |bal AS (SELECT doc_id, j,
+             |sum(CASE WHEN ((h >> j) & 1) = 1 THEN c ELSE -c END) AS s
+             |FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+             |GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(CASE WHEN s > 0
+             |THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim60
+             |FROM bal GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // BANDED SIMHASH PAIRS under the hash gate — proves the PIGEONHOLE
+    // BANDING ITSELF is lossless, not just the signatures: the Spark side
+    // generates candidates from 6 chunk-equality joins (never all-pairs,
+    // [[Dedup.md5SimHashPairs]]) while the oracle brute-forces every pair;
+    // the hash matches iff banding found EXACTLY the pairs with hamming
+    // ≤ 5 of 60. d04 could only ever claim this in a spec — here the
+    // driver gate holds the sub-quadratic plan to the exact answer.
+    Q("d19_simhash_md5_pairs",
+      (s, d) => Dedup.md5SimHashPairs(Tables.t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT doc_id,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS c,
+             |('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+             |FROM tok GROUP BY 1, 2),
+             |bal AS (SELECT doc_id, j,
+             |sum(CASE WHEN ((h >> j) & 1) = 1 THEN c ELSE -c END) AS s
+             |FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+             |GROUP BY 1, 2),
+             |sg AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+             |THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim60
+             |FROM bal GROUP BY doc_id)
+             |SELECT l.doc_id AS a, r.doc_id AS b,
+             |CAST(bit_count(xor(l.sim60, r.sim60)) AS BIGINT) AS hamming
+             |FROM sg l JOIN sg r ON l.doc_id < r.doc_id
+             |WHERE bit_count(xor(l.sim60, r.sim60)) <= 5"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

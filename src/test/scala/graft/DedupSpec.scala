@@ -462,4 +462,43 @@ class DedupSpec extends SparkSpec {
       assert(k == s"example.com/page/${d % 50}?id=${d % 50}", s"doc $d")
     }
   }
+
+  test("md5 simhash signature matches a hand-computed reference on a " +
+    "tiny doc (independent of Spark's md5/conv/shift expressions)") {
+    val sq = spark; import sq.implicits._
+    def h60(w: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16)
+    // tf-weighted: 'alpha' votes with weight 2, 'beta' with 1, so every
+    // bit where they disagree resolves to alpha's bit; ties impossible
+    // (weights 2+1), strict-majority still exercised via the +3/-3 bits
+    val terms = Seq(("alpha", 2L), ("beta", 1L))
+    var want = 0L
+    for (j <- 0 until 60) {
+      val s = terms.map { case (w, c) =>
+        if (((h60(w) >> j) & 1L) == 1L) c else -c }.sum
+      if (s > 0) want |= (1L << j)
+    }
+    val got = Dedup.md5SimHashSignatures(
+      Seq((1L, "alpha alpha beta")).toDF("doc_id", "text"))
+      .collect().head.getLong(1)
+    assert(got == want)
+  }
+
+  test("md5 simhash banded pairs equal the brute-force hamming scan " +
+    "(pigeonhole banding is lossless at radius 5 / 6 chunks)") {
+    val sig = Dedup.md5SimHashSignatures(docs).cache()
+    val brute = sig.alias("l").join(sig.alias("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("l.sim60").bitwiseXOR(col("r.sim60"))).cast("long"))
+      .filter(col("hamming") <= 5)
+      .select(col("l.doc_id"), col("r.doc_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.md5SimHashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sig.unpersist()
+    assert(banded == brute)
+  }
 }
