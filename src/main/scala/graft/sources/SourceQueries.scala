@@ -126,6 +126,47 @@ object SourceQueries {
       Some("""SELECT o_orderstatus, count(*) AS n,
              |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // SHARDED TRAINING-DATA DELIVERY under the hash gate: the terminal
+    // sink of a curation pipeline is "write the corpus as N deterministic
+    // shards + a manifest the trainer trusts". Shard assignment is
+    // CONTENT-KEYED (first md5 hex nibble, 's'-prefixed so partition
+    // discovery can never type-flirt with integers) — reproducible on any
+    // partitioning/layout, no RNG, no round-robin coupling to the input
+    // split count (t10's determinism rule applied to the physical
+    // layout). The entry writes the real hive-partitioned layout, READS
+    // IT BACK, and emits the per-shard manifest (docs, chars, whitespace
+    // tokens, id range); the oracle restates the manifest straight from
+    // the logical table, so the gate proves write→layout→read loses
+    // nothing and balances exactly as the hash dictates. Scale: the
+    // write shuffles once on the shard key (16 here; 2-nibble = 256 for
+    // a real corpus), the manifest is a partial-agg'd scan of the files
+    // just written; trainer-side, any shard subset is a clean sample —
+    // the md5 key makes shards iid slices, the property loaders rely on.
+    Q("io06_shard_manifest",
+      (s, d) => {
+        val dir = Dml.work("io06", d) + "/docs_sharded"
+        Tables.t(s, d, "documents")
+          .withColumn("shard",
+            concat(lit("s"), substring(md5(col("text")), 1, 1)))
+          .write.mode("overwrite").partitionBy("shard").parquet(dir)
+        s.read.parquet(dir)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"),
+            sum(size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+              .as("n_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+      },
+      Some("""SELECT 's' || substr(md5(text), 1, 1) AS shard,
+             |count(*) AS n_docs,
+             |CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             |AS BIGINT) AS n_tokens,
+             |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM documents GROUP BY 1"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -100,4 +100,36 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem2")
     }
   }
+
+  test("io06 sharded delivery: manifest covers every doc exactly once, " +
+    "the layout is hive-partitioned on the shard key, and a shard filter " +
+    "prunes to one directory at planning time") {
+    val manifest = q("io06_shard_manifest").build(spark, sf).cache()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(manifest.agg(sum("n_docs")).collect().head.getLong(0) ==
+      docs.count())
+    // every shard key is an 's'-prefixed hex nibble
+    manifest.select("shard").collect().map(_.getString(0)).foreach { sh =>
+      assert(sh.matches("s[0-9a-f]"), sh)
+    }
+    // the physical layout really is partitioned: shard=... directories
+    val dir = new java.io.File(
+      Dml.work("io06", sf) + "/docs_sharded")
+    val parts = dir.listFiles().filter(_.getName.startsWith("shard="))
+    assert(parts.nonEmpty, s"no shard= dirs under $dir")
+    // a filter on the partition column prunes at planning time
+    val one = spark.read.parquet(dir.toString)
+      .filter(col("shard") === "s0")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("shard"), scan.take(600))
+    // inputFiles reports the UNPRUNED relation; ask the executed rows
+    // which physical files they actually came from
+    val touched = one.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("shard=s0")),
+      s"shard filter must touch only its own directory's files: " +
+        touched.mkString(", "))
+    manifest.unpersist()
+  }
 }
