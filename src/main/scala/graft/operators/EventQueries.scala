@@ -820,6 +820,40 @@ object EventQueries {
              |CAST(sum(CASE WHEN dh.h IS NOT NULL THEN 1 ELSE 0 END)
              |AS BIGINT) AS n_dup_chunks
              |FROM ch LEFT JOIN dh ON ch.h = dh.h GROUP BY doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // EXECUTED streaming per-domain quota — t33's ingest-time face
+    // ([[EventStreams.domainCapStream]]): one long of state per domain
+    // (the admitted count) carried across micro-batches, each admitted
+    // doc emitted with its admission rank. The entry constructs the same
+    // doc_id-derived domains as t33 and feeds the document file stream;
+    // on a single AvailableNow batch the content-keyed in-group ranking
+    // reproduces t33's global md5 ranking exactly, so the oracle IS
+    // t33's (shared verbatim). Across batches the quota is a running
+    // budget — the semantics a crawl frontier actually wants.
+    Q("s24_stream_domain_cap",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val sel = col("doc_id") % 5
+        val domain = when(sel === 0 || sel === 1, lit("example.com"))
+          .when(sel === 2 || sel === 3, lit("example.org"))
+          .otherwise(lit("example.net"))
+        val in = docStream(s, d)
+          .select(col("doc_id"), domain.as("domain"),
+            md5(col("text")).as("rk_key"))
+          .as[DomainDoc]
+        drainStream(s, EventStreams.domainCapStream(in, 20),
+          mode = "append")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |CASE doc_id % 5 WHEN 0 THEN 'example.com'
+             |WHEN 1 THEN 'example.com' WHEN 2 THEN 'example.org'
+             |WHEN 3 THEN 'example.org' ELSE 'example.net' END AS domain
+             |FROM documents),
+             |r AS (SELECT doc_id, domain,
+             |CAST(row_number() OVER (PARTITION BY domain
+             |ORDER BY md5(text), doc_id) AS INTEGER) AS rk FROM d)
+             |SELECT doc_id, domain, rk FROM r WHERE rk <= 20"""
         .stripMargin.replace('\n', ' ')))
   )
 

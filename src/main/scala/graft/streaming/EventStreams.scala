@@ -23,6 +23,14 @@ case class ClosedSession(
 /** Open-session state carried between micro-batches. */
 case class SessionState(start: Long, lastTs: Long, n: Long)
 
+/** Input row for [[EventStreams.domainCapStream]]: a document keyed to
+  * its registered domain, carrying the content-keyed rank key (md5 of
+  * the text) that makes admission order reproducible. */
+case class DomainDoc(doc_id: Long, domain: String, rk_key: String)
+
+/** An admitted document with its per-domain admission rank (1-based). */
+case class CappedDoc(doc_id: Long, domain: String, rk: Int)
+
 /** Structured Streaming twins of the batch event analytics in
   * [[graft.EventQueries]] (the reference has no streaming surface at all —
   * SURVEY §2.12; this is driver-north-star scope). Same groupings and
@@ -466,5 +474,42 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+
+  /** Streaming per-domain quota — t33's ingest-time face: admit at most
+    * `cap` documents per registered domain and emit each admitted doc
+    * with its 1-based admission rank. State per domain is ONE long (the
+    * admitted count), carried across micro-batches: a domain that
+    * exhausts its quota in batch k admits nothing in batch k+1, without
+    * any corpus rescan — the crawl-frontier budget enforcement that
+    * batch t33 can only apply after the fact.
+    *
+    * Determinism: within each micro-batch the group is ranked by the
+    * content-keyed (rk_key, doc_id) order (t33's md5 rule), so a single
+    * AvailableNow batch reproduces t33's global ranking exactly — the
+    * property the s24 gate checks. Across batches admission becomes
+    * arrival-order (batch k admits before anything in batch k+1), which
+    * IS the production frontier semantics: a quota is a running budget,
+    * not a retrospective top-k. The in-batch sort buffers one group of
+    * one micro-batch (bounded by trigger sizing, same contract as
+    * sessionizeCustomState's per-group sort); drop the sort for pure
+    * arrival-order admission at zero buffering. */
+  def domainCapStream(docs: Dataset[DomainDoc], cap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, CappedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[DomainDoc],
+         state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(cap - admitted, 0L).toInt
+          val out = rows.toSeq.sortBy(r => (r.rk_key, r.doc_id))
+            .take(room).zipWithIndex.map { case (r, i) =>
+              CappedDoc(r.doc_id, domain, (admitted + i + 1).toInt)
+            }
+          state.update(admitted + out.size)
+          out.iterator
+      }
+      .toDF()
   }
 }

@@ -434,4 +434,38 @@ class StreamingSpec extends SparkSpec {
     // a version ABOVE the old pointer, not over a published directory
     assert(Dml.currentVersion(dir).stripPrefix("v").toLong >= 1L)
   }
+
+  test("streaming domain cap: the quota is a running budget across " +
+    "micro-batches — batch 2 admits only the remaining room, an " +
+    "exhausted domain admits nothing, ranks continue where they left off") {
+    val sq = spark; import sq.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[DomainDoc]
+    val query = EventStreams.domainCapStream(ms.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("cap_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a.com sends 2 (both admitted, ranked by rk_key not
+      // arrival: k2 < k9), b.org sends 3 (fills its quota exactly)
+      ms.addData(Seq(
+        DomainDoc(1L, "a.com", "k9"), DomainDoc(2L, "a.com", "k2"),
+        DomainDoc(3L, "b.org", "k1"), DomainDoc(4L, "b.org", "k3"),
+        DomainDoc(5L, "b.org", "k5")))
+      query.processAllAvailable()
+      // batch 2: a.com has room for ONE more (doc 7 wins on rk_key);
+      // b.org is exhausted and admits nothing
+      ms.addData(Seq(
+        DomainDoc(6L, "a.com", "k8"), DomainDoc(7L, "a.com", "k4"),
+        DomainDoc(8L, "b.org", "k0")))
+      query.processAllAvailable()
+      val got = spark.table("cap_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .toSet
+      assert(got == Set(
+        (2L, "a.com", 1), (1L, "a.com", 2),   // batch-1 md5-order ranks
+        (3L, "b.org", 1), (4L, "b.org", 2), (5L, "b.org", 3),
+        (7L, "a.com", 3)),                    // batch-2 continues at 3
+        s"got $got")
+    } finally query.stop()
+  }
 }
