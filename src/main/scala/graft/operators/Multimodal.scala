@@ -588,5 +588,51 @@ object MultimodalQueries {
              |CAST(ceil(w * scale) AS INTEGER) AS out_width,
              |CAST(ceil(h * scale) AS INTEGER) AS out_height FROM sc"""
         .stripMargin.replace('\n', ' ')))
+  ,
+
+    // KEYFRAME SAMPLING under the hash gate — the frame-sample step of a
+    // video curation pipeline: explode each "video" into frames, compute
+    // a per-frame content signature, and KEEP a frame iff it opens a new
+    // scene (its signature differs from the previous frame's — temporal
+    // change detection via lag, the shape real keyframe extraction
+    // uses after decode). The decode is the documented stub (this
+    // container has no codecs): frame signatures are CONSTRUCTED as
+    // md5(doc-content-hash : scene), with doc_id-varied scene lengths
+    // (1/2/3 frames) so run boundaries land differently per doc and the
+    // lag comparison is exercised at every offset — both engines state
+    // the same string arithmetic, so selection is under the driver gate.
+    // Scale: one explode (frames × docs), ONE bounded per-video window
+    // (frames-per-video rows of state, never corpus-wide) — swap the
+    // constructed signature for a real decoded-frame hash (mm04's
+    // substring+hash path) and the plan is unchanged.
+    Q("mm10_keyframe_sample",
+      (s, d) => {
+        val nFrames = 12
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("frame_no")
+        val scene = floor(col("frame_no") / (lit(1) + col("doc_id") % 3))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), md5(col("text")).as("th"),
+            explode(sequence(lit(0), lit(nFrames - 1))).as("fi"))
+          .select(col("doc_id"), col("th"),
+            col("fi").cast("long").as("frame_no"))
+          .withColumn("frame_h",
+            md5(concat_ws(":", col("th"), scene.cast("string"))))
+          .withColumn("ph", lag(col("frame_h"), 1).over(w))
+          .filter(col("ph").isNull || col("frame_h") =!= col("ph"))
+          .select(col("doc_id"), col("frame_no"), col("frame_h"))
+      },
+      Some("""WITH f AS (SELECT doc_id, md5(text) AS th,
+             |unnest(range(0, 12)) AS frame_no FROM documents),
+             |h AS (SELECT doc_id, frame_no,
+             |md5(th || ':' ||
+             |CAST(frame_no // (1 + doc_id % 3) AS VARCHAR)) AS frame_h
+             |FROM f),
+             |k AS (SELECT doc_id, frame_no, frame_h,
+             |lag(frame_h) OVER (PARTITION BY doc_id ORDER BY frame_no)
+             |AS ph FROM h)
+             |SELECT doc_id, frame_no, frame_h FROM k
+             |WHERE ph IS NULL OR frame_h <> ph"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

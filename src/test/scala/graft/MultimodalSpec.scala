@@ -237,4 +237,20 @@ class MultimodalSpec extends SparkSpec {
     assert(fields(Multimodal.decodeAudioHeader(col("bin"))) ==
       fields(Multimodal.fakeAudioDecode(col("bin"))))
   }
+
+  test("mm10 keyframe sampling keeps exactly the scene-opening frames: " +
+    "scene length 1/2/3 (by doc_id%3) yields 12/6/4 keyframes at the " +
+    "right offsets") {
+    val rows = q("mm10_keyframe_sample").build(spark, sf)
+      .select("doc_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (docId, kept) =>
+      val len = 1 + (docId % 3)
+      val want = (0L until 12L by len).toSet
+      assert(kept.map(_._2).toSet == want,
+        s"doc $docId (scene len $len): got ${kept.map(_._2).sorted.toSeq}")
+    }
+  }
 }
