@@ -77,4 +77,29 @@ object Layouts {
       .mode(SaveMode.Overwrite)
       .partitionBy(partCol)
       .parquet(path)
+
+  /** Morton (z-order) interleave of two non-negative `bits`-bit keys:
+    * bit j of `x` lands at position 2j, bit j of `y` at 2j+1, so sorting
+    * by the result clusters rows that are close in BOTH dimensions — the
+    * multi-column clustering trick (Delta/Iceberg `OPTIMIZE ZORDER`)
+    * that makes per-file min/max stats selective on every z-ordered
+    * column at once, where a single-key sort leaves the second column's
+    * bounds at full width in every file. Pure integer bit arithmetic
+    * via one fold over the bit positions (no explode, no shuffle);
+    * callers range-partition + sort by the value and write
+    * (SkewLayoutSpec asserts the resulting file-skipping property).
+    * Exact cross-engine: io07's oracle recomputes it in SQL. */
+  def zOrderValue(
+      x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, j) =>
+      acc +
+        call_function("shiftleft",
+          call_function("shiftright", x, j).bitwiseAND(lit(1L)), j * 2) +
+        call_function("shiftleft",
+          call_function("shiftright", y, j).bitwiseAND(lit(1L)),
+          j * 2 + 1))
+  }
 }

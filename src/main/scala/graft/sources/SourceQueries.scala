@@ -167,6 +167,39 @@ object SourceQueries {
              |AS BIGINT) AS n_tokens,
              |min(doc_id) AS min_doc, max(doc_id) AS max_doc
              |FROM documents GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Z-ORDER CLUSTERING KEY under the hash gate: the Morton interleave
+    // of (customer, order-day) that [[Layouts.zOrderValue]] computes —
+    // sorting a fact table by this value makes per-file min/max stats
+    // selective on BOTH dimensions at once (the Delta/Iceberg
+    // OPTIMIZE ZORDER trick; single-key sorts leave the second column
+    // at full width in every file, so a date-only filter reads
+    // everything). The Spark side folds the 16 bit positions in one
+    // per-row HOF expression; the oracle recomputes the interleave by
+    // explode+sum — two formulations of the same exact integer
+    // arithmetic, so the gate proves the layout key bit-for-bit. The
+    // file-skipping property the key buys is asserted physically in
+    // SkewLayoutSpec (narrow second-dimension filter touches fewer
+    // files than an x-sorted layout of the same data).
+    Q("io07_zorder_index",
+      (s, d) => {
+        val x = col("o_custkey") % 65536
+        val y = datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long") % 65536
+        Tables.t(s, d, "orders")
+          .select(col("o_orderkey"),
+            Layouts.zOrderValue(x, y).as("zval"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |o_custkey % 65536 AS x,
+             |date_diff('day', DATE '1970-01-01',
+             |CAST(o_orderdate AS DATE)) % 65536 AS y FROM orders)
+             |SELECT o_orderkey,
+             |CAST(sum((((x >> j) & 1) << (2 * j)) +
+             |(((y >> j) & 1) << (2 * j + 1))) AS BIGINT) AS zval
+             |FROM b CROSS JOIN (SELECT unnest(range(0, 16)) AS j) bits
+             |GROUP BY 1"""
         .stripMargin.replace('\n', ' ')))
   )
 }

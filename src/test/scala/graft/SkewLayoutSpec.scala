@@ -62,4 +62,37 @@ class SkewLayoutSpec extends SparkSpec {
     val one = filtered.count()
     assert(one > 0 && one < all)
   }
+
+  test("z-order layout: a narrow filter on the SECOND dimension returns " +
+    "rows from fewer files than the first-dimension-sorted layout of " +
+    "the same data (the multi-column data-skipping property)") {
+    val base = Dml.work("layout_zorder", sf)
+    val df = Tables.t(spark, sf, "orders").select(
+        col("o_orderkey"),
+        (col("o_custkey") % 65536).as("x"),
+        (datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long") % 65536).as("y"))
+      .withColumn("z", Layouts.zOrderValue(col("x"), col("y")))
+    val nFiles = 8
+    df.repartitionByRange(nFiles, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    df.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/xsort")
+    // a narrow window on y — 1/16th of its observed range
+    val Array(ylo, yhi) = df.agg(min("y"), max("y")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val mid = (ylo + yhi) / 2
+    val half = math.max((yhi - ylo) / 32, 1L)
+    def filesReturningRows(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("y").between(mid - half, mid + half))
+        .select(input_file_name()).distinct().count()
+    val zTouched = filesReturningRows(s"$base/zorder")
+    val xTouched = filesReturningRows(s"$base/xsort")
+    // x-sorted files each span the full y range, so the y-slice hits
+    // (nearly) all of them; z-ordered files cluster y too
+    assert(zTouched > 0)
+    assert(zTouched < xTouched,
+      s"z-order must concentrate the y-slice: z=$zTouched x=$xTouched")
+  }
 }
