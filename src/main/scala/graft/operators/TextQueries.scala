@@ -1440,6 +1440,54 @@ object TextQueries {
              |round(COALESCE(pd.w, 0.0), 4) > 0.0 AS selected
              |FROM sp s LEFT JOIN pd ON pd.doc_id = s.doc_id
              |WHERE s.split = 'train'"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CCNET PERPLEXITY BUCKETS — the published head/middle/tail corpus
+    // split (Wenzek et al. 2020): rank every document by its LM loss
+    // (t18's gated unigram cross-entropy stands in for the Kneser-Ney
+    // LM) and cut the corpus into thirds — 'head' trains, 'tail' is
+    // usually dropped. The tertile cut is EXACT INTEGER arithmetic on
+    // the global (logloss, doc_id) rank — 3·(r−1) vs n and 2n — so no
+    // percentile-interpolation or ntile-remainder semantics can drift
+    // cross-engine; ties on the 4-dp logloss break by doc_id, making
+    // the bucket assignment fully deterministic. Scale note: the exact
+    // global rank is the VERIFY-side construction (one single-partition
+    // window pass over the per-doc frame — doc-count rows, not corpus
+    // tokens); at 100 TB production replaces it with broadcast
+    // sample-quantile thresholds (p03's calibration shape) and the
+    // bucket column becomes a stateless per-row comparison.
+    Q("t35_ppl_buckets",
+      (s, d) => {
+        val ll = CorpusStats.unigramLogLoss(Tables.t(s, d, "documents"))
+        val all = Window.partitionBy()
+        ll.withColumn("r",
+            row_number().over(all.orderBy("logloss", "doc_id")).cast("long"))
+          .withColumn("nn", count(lit(1)).over(all).cast("long"))
+          .withColumn("bucket",
+            when((col("r") - 1) * 3 < col("nn"), "head")
+              .when((col("r") - 1) * 3 < col("nn") * 2, "middle")
+              .otherwise("tail"))
+          .select(col("doc_id"), col("n_tokens"), col("logloss"),
+            col("bucket"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |FROM documents),
+             |td AS (SELECT doc_id, w, count(*) AS c_td FROM tok GROUP BY 1, 2),
+             |uni AS (SELECT w, CAST(sum(c_td) AS BIGINT) AS c_t
+             |FROM td GROUP BY 1),
+             |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM uni),
+             |ll AS (SELECT doc_id, CAST(sum(c_td) AS BIGINT) AS n_tokens,
+             |round(-sum(CAST(c_td AS DOUBLE) * ln(CAST(c_t AS DOUBLE) / n))
+             |/ CAST(sum(c_td) AS DOUBLE), 4) + 0.0 AS logloss
+             |FROM td JOIN uni USING (w) CROSS JOIN n GROUP BY doc_id),
+             |r AS (SELECT doc_id, n_tokens, logloss,
+             |row_number() OVER (ORDER BY logloss, doc_id) AS r,
+             |count(*) OVER () AS nn FROM ll)
+             |SELECT doc_id, n_tokens, logloss,
+             |CASE WHEN (r - 1) * 3 < nn THEN 'head'
+             |WHEN (r - 1) * 3 < nn * 2 THEN 'middle'
+             |ELSE 'tail' END AS bucket FROM r"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -519,4 +519,18 @@ class TextSpec extends SparkSpec {
     // the flag is exactly the rounded-weight threshold
     got.values.foreach { case (_, w, sel) => assert(sel == (w > 0.0)) }
   }
+
+  test("t35 perplexity buckets: tertiles cover every doc, sizes differ " +
+    "by at most one, and the loss ordering head <= middle <= tail holds") {
+    val rows = q("t35_ppl_buckets").build(spark, sf)
+      .select("doc_id", "logloss", "bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byB = rows.groupBy(_._3).view.mapValues(_.toSeq).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    val sizes = byB.values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"sizes $sizes")
+    assert(sizes.sum == rows.length)
+    assert(byB("head").map(_._2).max <= byB("middle").map(_._2).min)
+    assert(byB("middle").map(_._2).max <= byB("tail").map(_._2).min)
+  }
 }
