@@ -280,6 +280,19 @@ object Dml {
     snapshot(readLatest(spark, dir).filter(!coalesce(pred, lit(false))),
       dir, next)
   }
+
+  /** SNAPSHOT DIFF — the change feed between two committed versions:
+    * rows in `b` but not `a` are inserts, rows in `a` but not `b` are
+    * deletes (full-row MULTISET semantics via exceptAll, so duplicate
+    * cardinality changes surface too; an UPDATE appears as its
+    * delete+insert pair, which is exactly the CDC form downstream
+    * incremental consumers replay). Scale: exceptAll is one
+    * hash-partition shuffle of each side on the full row — the same
+    * class as the keyed row-hash diff a production change-feed uses,
+    * with no assumption that a primary key exists. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame =
+    b.exceptAll(a).withColumn("op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
 }
 
 /** Driver-facing DML queries; each returns the post-statement table state.
@@ -568,6 +581,36 @@ object DmlQueries {
       Some("""SELECT n.n_name, r.r_name FROM nation n
              |JOIN region r ON n.n_regionkey = r.r_regionkey
              |WHERE r.r_name IN ('ASIA', 'EUROPE')"""
+        .stripMargin.replace('\n', ' '))),
+
+    // SNAPSHOT DIFF / CHANGE FEED — what m09's immutable version history
+    // is FOR: an incremental consumer that last saw version k replays
+    // only the delta, never rescans the table. The entry builds m09's
+    // three-version history in its own store and emits
+    // [[Dml.snapshotDiff]] for each adjacent pair, tagged with the step;
+    // the oracle states the expected change feed literally (v0→v1: the
+    // two inserted rows; v1→v2: the deleted row). Full-row multiset
+    // semantics — no primary-key assumption — via exceptAll's
+    // hash-partition shuffle, linear in the two snapshots.
+    Q("m14_snapshot_diff",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m14", d)
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, dir) // v0, v1
+        Dml.deleteLatest(s, dir, col("n_nationkey") === 25)   // v2
+        def v(x: String) = Dml.readVersion(s, dir, x)
+        Dml.snapshotDiff(v("v0"), v("v1"))
+          .withColumn("step", lit("v0..v1"))
+          .unionByName(Dml.snapshotDiff(v("v1"), v("v2"))
+            .withColumn("step", lit("v1..v2")))
+      },
+      Some("""SELECT CAST(25 AS INTEGER) AS n_nationkey,
+             |'LEMURIA' AS n_name, CAST(2 AS INTEGER) AS n_regionkey,
+             |'insert' AS op, 'v0..v1' AS step
+             |UNION ALL SELECT 26, 'ZEALANDIA', 3, 'insert', 'v0..v1'
+             |UNION ALL SELECT 25, 'LEMURIA', 2, 'delete', 'v1..v2'"""
         .stripMargin.replace('\n', ' ')))
   )
 }

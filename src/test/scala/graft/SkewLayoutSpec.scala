@@ -95,4 +95,36 @@ class SkewLayoutSpec extends SparkSpec {
     assert(zTouched < xTouched,
       s"z-order must concentrate the y-slice: z=$zTouched x=$xTouched")
   }
+
+  test("AQE splits a skewed join partition at runtime (the no-code-change " +
+    "complement to k02's explicit salting: OptimizeSkewedJoin marks the " +
+    "sort-merge join skew=true and the result stays exact)") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of 200k rows land on key 0 — one shuffle partition dwarfs
+      // the rest, the shape that stalls a stage on one straggler task
+      val left = spark.range(200000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(100).toDF("k")
+      val joined = left.join(right, "k")
+      // collect() (not count()) so the adaptive plan finalizes on THIS
+      // QueryExecution — count() builds its own and leaves this one
+      // isFinalPlan=false
+      val n = joined.collect().length
+      assert(n == 200000, s"join must stay exact under skew handling: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin must fire:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
