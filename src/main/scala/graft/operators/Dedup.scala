@@ -1533,6 +1533,87 @@ object DedupQueries {
              |GROUP BY d.lang"""
         .stripMargin.replace('\n', ' '))),
 
+    // WEB-CRAWL FRONTIER PIPELINE — the composition the round-11 ops
+    // exist for, as ONE declarative plan: (1) URL-canonicalization dedup
+    // (d17's rules: the cheapest dedup, applied before anything touches
+    // content), (2) per-domain cap on the survivors (t33's crawl
+    // balancing, WindowGroupLimit shape), (3) the per-domain delivery
+    // manifest (io06's accounting). Three shuffles total — norm_url
+    // window, domain window, domain agg — each on a different key, none
+    // corpus-quadratic; Catalyst sees the whole chain and prunes `text`
+    // until the manifest stage needs it. The oracle restates all three
+    // stages in CTEs, so the gate proves the STAGES COMPOSE, not just
+    // that each works alone (survivor sets feed forward exactly).
+    Q("p06_frontier_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pid = (col("doc_id") % 50).cast("string")
+        val v = col("doc_id") % 4
+        val url = when(v === 0,
+          concat(lit("https://example.com/page/"), pid))
+          .when(v === 1,
+            concat(lit("http://www.Example.COM/page/"), pid, lit("/")))
+          .when(v === 2, concat(lit("https://example.com/page/"), pid,
+            lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(concat(lit("https://example.com/page/"), pid,
+            lit("?id="), pid, lit("&utm_medium=email#frag")))
+        val sel = col("doc_id") % 5
+        val domain = when(sel === 0 || sel === 1, lit("example.com"))
+          .when(sel === 2 || sel === 3, lit("example.org"))
+          .otherwise(lit("example.net"))
+        val survivors = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), url.as("url"))
+          .withColumn("norm_url", Dedup.normalizedUrl(col("url")))
+          .withColumn("keep", col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(col("norm_url"))))
+          .filter(col("keep"))
+        val capped = survivors
+          .withColumn("domain", domain)
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("domain").orderBy(md5(col("text")), col("doc_id"))))
+          .filter(col("rk") <= 20)
+        capped.groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      },
+      Some("""WITH u AS (SELECT doc_id, text,
+             |CASE doc_id % 4
+             |WHEN 0 THEN 'https://example.com/page/' || (doc_id % 50)
+             |WHEN 1 THEN 'http://www.Example.COM/page/' || (doc_id % 50) || '/'
+             |WHEN 2 THEN 'https://example.com/page/' || (doc_id % 50) ||
+             |'?utm_source=feed&utm_campaign=x'
+             |ELSE 'https://example.com/page/' || (doc_id % 50) ||
+             |'?id=' || (doc_id % 50) || '&utm_medium=email#frag'
+             |END AS url FROM documents),
+             |n AS (SELECT doc_id, text,
+             |regexp_replace(lower(regexp_extract(url,
+             |'^[a-z]+://([^/?#]+)', 1)), '^www\.', '') ||
+             |regexp_replace(regexp_extract(url,
+             |'^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', '') ||
+             |CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm_url
+             |FROM (SELECT doc_id, text, url,
+             |COALESCE(array_to_string(list_filter(string_split(
+             |regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
+             |'&'), '') AS kept FROM u)),
+             |sv AS (SELECT doc_id, text FROM
+             |(SELECT doc_id, text,
+             |doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
+             |FROM n) WHERE keep),
+             |dm AS (SELECT doc_id, text,
+             |CASE doc_id % 5 WHEN 0 THEN 'example.com'
+             |WHEN 1 THEN 'example.com' WHEN 2 THEN 'example.org'
+             |WHEN 3 THEN 'example.org' ELSE 'example.net' END AS domain
+             |FROM sv),
+             |c AS (SELECT doc_id, text, domain FROM
+             |(SELECT doc_id, text, domain,
+             |row_number() OVER (PARTITION BY domain
+             |ORDER BY md5(text), doc_id) AS rk FROM dm) WHERE rk <= 20)
+             |SELECT domain, count(*) AS n_docs,
+             |CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             |AS BIGINT) AS n_tokens FROM c GROUP BY domain"""
+        .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set
