@@ -1488,6 +1488,62 @@ object TextQueries {
              |CASE WHEN (r - 1) * 3 < nn THEN 'head'
              |WHEN (r - 1) * 3 < nn * 2 THEN 'middle'
              |ELSE 'tail' END AS bucket FROM r"""
+        .stripMargin.replace('\n', ' '))),
+
+    // LICENSE TAGGING — the compliance filter a code/document corpus
+    // runs before anything trains (The Stack's license gate): detect the
+    // license from the document text and tag redistributability. The
+    // corpus is synthetic word-soup with no real headers, so the entry
+    // INJECTS a deterministic doc_id-derived license preamble (t19's
+    // PII-injection pattern: a no-op detector would gate nothing) and
+    // detects it back with the phrase regexes a real tagger keys on —
+    // the gate proves the regex dispatch and the permissive/copyleft
+    // policy split are byte-identical cross-engine ON TEXT WHERE THE
+    // PATTERNS FIRE. Detection order is fixed (MIT, Apache, GPL), so
+    // the tag is deterministic even if the body ever matched a second
+    // pattern. Per-row codegen'd regexp work, single scan, no shuffle.
+    Q("t36_license_tag",
+      (s, d) => {
+        val v = col("doc_id") % 4
+        val header = when(v === 0,
+          lit("Permission is hereby granted, free of charge\n"))
+          .when(v === 1,
+            lit("Licensed under the Apache License, Version 2.0\n"))
+          .when(v === 2,
+            lit("GNU General Public License as published\n"))
+          .otherwise(lit(""))
+        val tagged = Tables.t(s, d, "documents")
+          .select(col("doc_id"), concat(header, col("text")).as("t2"))
+          .withColumn("license",
+            when(col("t2").rlike("Permission is hereby granted"), "MIT")
+              .when(col("t2")
+                .rlike("Licensed under the Apache License, Version 2\\.0"),
+                "Apache-2.0")
+              .when(col("t2").rlike("GNU General Public License"),
+                "GPL-3.0")
+              .otherwise("unknown"))
+        tagged.select(col("doc_id"), col("license"),
+          col("license").isin("MIT", "Apache-2.0").as("permissive"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |CASE doc_id % 4
+             |WHEN 0 THEN 'Permission is hereby granted, free of charge' ||
+             |chr(10) || text
+             |WHEN 1 THEN 'Licensed under the Apache License, Version 2.0' ||
+             |chr(10) || text
+             |WHEN 2 THEN 'GNU General Public License as published' ||
+             |chr(10) || text
+             |ELSE text END AS t2 FROM documents),
+             |l AS (SELECT doc_id,
+             |CASE WHEN regexp_matches(t2, 'Permission is hereby granted')
+             |THEN 'MIT'
+             |WHEN regexp_matches(t2,
+             |'Licensed under the Apache License, Version 2\.0')
+             |THEN 'Apache-2.0'
+             |WHEN regexp_matches(t2, 'GNU General Public License')
+             |THEN 'GPL-3.0' ELSE 'unknown' END AS license FROM t)
+             |SELECT doc_id, license,
+             |license IN ('MIT', 'Apache-2.0') AS permissive FROM l"""
         .stripMargin.replace('\n', ' ')))
   )
 }

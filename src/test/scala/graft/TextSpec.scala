@@ -533,4 +533,20 @@ class TextSpec extends SparkSpec {
     assert(byB("head").map(_._2).max <= byB("middle").map(_._2).min)
     assert(byB("middle").map(_._2).max <= byB("tail").map(_._2).min)
   }
+
+  test("t36 license tagging recovers the injected license per doc_id " +
+    "class and splits permissive/copyleft correctly") {
+    val rows = q("t36_license_tag").build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, lic, perm) =>
+      val want = (id % 4) match {
+        case 0 => ("MIT", true)
+        case 1 => ("Apache-2.0", true)
+        case 2 => ("GPL-3.0", false)
+        case _ => ("unknown", false)
+      }
+      assert((lic, perm) == want, s"doc $id: got ($lic, $perm)")
+    }
+  }
 }
