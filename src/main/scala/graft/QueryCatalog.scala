@@ -26,7 +26,8 @@ object QueryCatalog {
       MultimodalQueries.queries ++
       SkewQueries.queries ++
       SamplingQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++
+      GraphQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,23 @@
+package graft
+
+/** Exactness of the integer-numerator PageRank construction. */
+class GraphSpec extends SparkSpec {
+
+  test("domain pagerank: two exact iterations match hand-computed " +
+    "numerators on a 5-node functional graph (including a node fed by " +
+    "an upstream high-rank node, and contributions leaving the node set)") {
+    val sq = spark; import sq.implicits._
+    // nodes {0..4}; edges u -> (u^2+1)%50: 0->1, 1->2, 2->5, 3->10,
+    // 4->17 — dsts 5/10/17 are outside the node set, so their mass
+    // drops (defined semantics); indeg(1)=indeg(2)=1.
+    // N1 = 3 + 17*indeg: [3, 20, 20, 3, 3]
+    // N2(v) = 60 + 17 * sum of incoming N1:
+    //   v1 <- N1(0)=3  -> 111;  v2 <- N1(1)=20 -> 400;  others 60.
+    val docs = (0L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Graph.domainPagerank2(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 60L, 0.003), (1L, 111L, 0.00555), (2L, 400L, 0.02),
+      (3L, 60L, 0.003), (4L, 60L, 0.003)), got.toSeq.toString)
+  }
+}
