@@ -52,6 +52,90 @@ object Graph {
       .select(col("v").as("domain"), col("rank_num"),
         (col("rank_num").cast("double") / lit(20000.0 / 50 * n)).as("rank"))
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the production-scale alternative to [[Dedup
+    * .duplicateClusters]]' min-label propagation: label propagation
+    * needs O(diameter) rounds (a duplicate CHAIN of length L takes L
+    * rounds — the d08 non-convergence failure mode), while the star
+    * operations contract a path of length L in O(log L) rounds.
+    *
+    * large-star(u): link every strictly-larger neighbor of u to
+    * m = min(Γ(u) ∪ {u}). small-star(u), on edges directed high→low:
+    * link u and each smaller neighbor to m. Both are one
+    * symmetric-explode + groupBy-min + join per round — the same
+    * shuffle classes as label propagation, just O(log) many of them.
+    * Converged when the edge set is a fixed point (every component a
+    * star centered at its minimum); loud abort if maxIter hits, same
+    * contract as d08. Each round rebuilds the frame from the persisted
+    * RDD (d08's lineage cut) so the plan stays constant-size.
+    *
+    * Returns (doc_id, rep) for every node, rep = component minimum. */
+  def ccLargeSmallStar(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+    var cached = ManagedCache.persist(e)
+    e = cached
+    var sig = checksum(e)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // LARGE-STAR over the symmetric view
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR on edges directed high→low
+      val dir = large.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = dir.join(mins2, "u")
+      val small = joined
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .union(joined.select(col("u").as("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      val next = ManagedCache.persist(small)
+      val nextSig = checksum(next) // materializes `next`
+      done = nextSig == sig
+      sig = nextSig
+      cached.unpersist(blocking = false)
+      cached = next
+      val slim = next.select("hi", "lo")
+      e = spark.createDataFrame(slim.rdd, slim.schema)
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"ccLargeSmallStar did not reach a fixed point in $maxIter " +
+          "rounds — raise maxIter (components contract in O(log n) " +
+          "rounds, so this indicates a bug, not a long chain)")
+    nodes.join(e.select(col("hi").as("doc_id"), col("lo").as("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("rep"))
+  }
+
+  /** Order-independent fixed-point check: (count, bit_xor of row
+    * hashes) — xor cannot overflow under ANSI mode, unlike a sum. Used
+    * only for convergence detection, never for correctness. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(hi, lo))"))
+      .collect().head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 }
 
 object GraphQueries {
@@ -82,6 +166,24 @@ object GraphQueries {
              |FROM nodes LEFT JOIN c ON c.cv = nodes.v GROUP BY v)
              |SELECT v AS domain, rank_num,
              |CAST(rank_num AS DOUBLE) / 20000.0 AS rank FROM r2"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // CONNECTED COMPONENTS (large-star/small-star) under the hash gate —
+    // the edge set is a constructed CHAIN per family (doc k links to
+    // k−50, so family k%50 is a PATH of length corpus/50), which is
+    // exactly the shape that breaks O(diameter) label propagation and
+    // that the star algorithm contracts in O(log) rounds; the oracle
+    // states the component minimum arithmetically (doc_id % 50). The
+    // algorithmic-equivalence evidence (same components as d08's label
+    // propagation on a real near-dup pair graph) is in GraphSpec.
+    Q("g02_connected_components",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents").select(col("doc_id"))
+        val edges = docs.filter(col("doc_id") >= 50)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - 50).as("dst"))
+        Graph.ccLargeSmallStar(docs, edges)
+      },
+      Some("SELECT doc_id, doc_id % 50 AS rep FROM documents"))
   )
 }

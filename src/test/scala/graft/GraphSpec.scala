@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Exactness of the integer-numerator PageRank construction. */
 class GraphSpec extends SparkSpec {
 
@@ -19,5 +21,32 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (0L, 60L, 0.003), (1L, 111L, 0.00555), (2L, 400L, 0.02),
       (3L, 60L, 0.003), (4L, 60L, 0.003)), got.toSeq.toString)
+  }
+
+  test("large-star/small-star contracts a 100-node path to its minimum " +
+    "(the O(diameter)-round label-propagation killer) and keeps " +
+    "singletons as their own rep") {
+    val sq = spark; import sq.implicits._
+    val nodes = (0L to 105L).map(Tuple1(_)).toDF("doc_id")
+    // path 0-1-2-...-100; 101..105 isolated
+    val edges = (1L to 100L).map(i => (i, i - 1)).toDF("src", "dst")
+    val got = Graph.ccLargeSmallStar(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 100L).foreach(i => assert(got(i) == 0L, s"node $i"))
+    (101L to 105L).foreach(i => assert(got(i) == i, s"singleton $i"))
+  }
+
+  test("large-star/small-star finds the same components as d08's " +
+    "min-label propagation on a real near-dup pair graph") {
+    val docs = Tables.t(spark, sf, "documents").limit(200).cache()
+    val pairs = Dedup.minhashNearDupPairs(docs, 3, 16, 4, 0.5)
+      .select("a", "b").cache()
+    val viaLabels = Dedup.duplicateClusters(
+        pairs, docs.select("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaStars = Graph.ccLargeSmallStar(docs.select("doc_id"),
+        pairs.select(col("a").as("src"), col("b").as("dst"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStars == viaLabels)
   }
 }
