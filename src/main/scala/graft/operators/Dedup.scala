@@ -326,6 +326,44 @@ object Dedup {
     countJaccard(shared, sizes, sizes, "a", "b", threshold)
   }
 
+  /** EXACT SHINGLE-CONTAINMENT pairs — the ASYMMETRIC near-dup jaccard
+    * misses: a short document wholly quoted inside a long one has
+    * containment |A∩B|/|A| ≈ 1 but jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0,
+    * so symmetric dedup (d07) never flags it. Quote/subset inclusion is
+    * the RealNews/C4 wire-copy case: the same article body embedded in
+    * many pages under different boilerplate. Emits BOTH directions of
+    * each sharing pair — (contained, container, containment) — filtered
+    * at the threshold; downstream keeps the container and drops the
+    * contained copy.
+    *
+    * Scale: identical to [[exactJaccardPairs]] (the same inverted-index
+    * self-join and Σdf² cost bound — deploy over an audit sample at
+    * 100 TB, d07_audit's reasoning); the only change is the finalize
+    * formula dividing by ONE side's set size. */
+  def containmentPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val inv = shingleInvertedIndex(docs, shingleN)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = inv.alias("l")
+      .join(inv.alias("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ws = shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("sz", "sb"), "b")
+    ws.select(col("a").as("contained"), col("b").as("container"),
+        round(col("c").cast("double") / col("sa"), 4).as("containment"))
+      .unionByName(ws.select(col("b").as("contained"),
+        col("a").as("container"),
+        round(col("c").cast("double") / col("sb"), 4).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** INCREMENTAL exact-jaccard near-dup: pairs (new_id, old_id, jac)
     * between a DELTA batch and the EXISTING corpus via a cross-side
     * shingle inverted index — the shape every production dedup pipeline
@@ -1889,6 +1927,35 @@ object DedupQueries {
              |FROM sg l JOIN sg r ON l.doc_id < r.doc_id
              |WHERE bit_count(xor(l.sim60, r.sim60)) <= 5"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // ASYMMETRIC CONTAINMENT DEDUP under the hash gate — see
+    // [[Dedup.containmentPairs]]: the quote/subset-inclusion case
+    // symmetric jaccard (d07) structurally misses. The oracle rebuilds
+    // the same directional |A∩B|/|A| over STRING shingle sets (d07's
+    // hash-vs-string equivalence argument); both directions of every
+    // sharing pair are stated, so the gate checks the finalize formula
+    // per side, not just pair discovery.
+    Q("d20_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |s AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+             |c AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS c
+             |FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+             |GROUP BY 1, 2),
+             |z AS (SELECT doc_id, len(sh) AS sz FROM s),
+             |u AS (SELECT c.a AS contained, c.b AS container,
+             |round(CAST(c.c AS DOUBLE) / za.sz, 4) AS containment
+             |FROM c JOIN z za ON za.doc_id = c.a
+             |UNION ALL
+             |SELECT c.b, c.a, round(CAST(c.c AS DOUBLE) / zb.sz, 4)
+             |FROM c JOIN z zb ON zb.doc_id = c.b)
+             |SELECT contained, container, containment FROM u
+             |WHERE containment >= 0.8"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -486,6 +486,24 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("containment catches a quoted-subset pair that jaccard misses " +
+    "(asymmetric near-dup), and only in the contained->container " +
+    "direction") {
+    val sq = spark; import sq.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+      s"short doc is fully contained in long, never the reverse: " +
+        cont.toSeq.toString)
+    // the SYMMETRIC gate does not flag this pair at any near-dup
+    // threshold: jaccard = |A|/|B| = 4/44
+    val jac = Dedup.exactJaccardPairs(df, 3, 0.5).collect()
+    assert(jac.isEmpty, "jaccard must miss the quoted-subset pair")
+  }
+
   test("md5 simhash banded pairs equal the brute-force hamming scan " +
     "(pigeonhole banding is lossless at radius 5 / 6 chunks)") {
     val sig = Dedup.md5SimHashSignatures(docs).cache()
