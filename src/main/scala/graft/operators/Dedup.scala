@@ -1650,7 +1650,8 @@ object DedupQueries {
              |SELECT domain, count(*) AS n_docs,
              |CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
              |AS BIGINT) AS n_tokens FROM c GROUP BY domain"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
