@@ -658,6 +658,86 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Distinct 3-gram STRING shingle sets, constructed to match the
+    * oracle-side DuckDB formulation token for token (including the
+    * short-document edge: a <shingleN-token doc yields its single
+    * partial gram). Shared by [[md5MinHashSignatures]] and the exact
+    * verify stage of [[md5MinHashBandedPairs]]. */
+  private def stringShingles(shingleN: Int): org.apache.spark.sql.Column = {
+    val toks = tokens(col("text"))
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (shingleN - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(shingleN)))))
+  }
+
+  /** md5-basis MinHash signatures — d18's oracle-stateable-twin argument
+    * applied to the MINHASH family: seed i's hash of shingle g is the
+    * first 15 hex chars of md5(i:g) (60 bits, exact in both engines),
+    * and the signature is the per-seed minimum over the doc's distinct
+    * shingle set. Pure integer/string arithmetic ⇒ bit-identical
+    * cross-engine, so the driver can hash-gate minhash itself (d03's
+    * production path keeps the one-pass native xxhash64 expression —
+    * rows-only forever; this twin trades a k× explode for
+    * verifiability). Returns (doc_id, seed, minhash). */
+  def md5MinHashSignatures(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 8): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), explode(stringShingles(shingleN)).as("g"))
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("seed"))
+      .withColumn("h", conv(substring(md5(
+        concat(col("seed").cast("string"), lit(":"), col("g"))),
+        1, 15), 16, 10).cast("long"))
+      .groupBy("doc_id", "seed").agg(min(col("h")).as("minhash"))
+
+  /** The FULL MinHash-LSH near-dup pipeline on the md5 basis, end to
+    * end under one deterministic construction: signatures
+    * ([[md5MinHashSignatures]]) → banded candidate generation (band j's
+    * key is md5 of its `k/bands` signature slots — candidates are pairs
+    * sharing ANY band key, the O(docs×bands) shuffle, never all-pairs)
+    * → EXACT string-shingle jaccard verify ≥ threshold. Every stage is
+    * oracle-stateable, so the driver gate checks candidate generation
+    * AND verification, not just signatures — the claim d03 could only
+    * make through recall specs. Returns (a, b, jac). */
+  def md5MinHashBandedPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"bands must divide k: k=$k bands=$bands")
+    val rowsPer = k / bands
+    val sig = md5MinHashSignatures(docs, shingleN, k)
+    val arr = sig.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("seed"), col("minhash"))))
+        .as("sm"))
+      .select(col("doc_id"),
+        transform(col("sm"), x => x.getField("minhash")).as("sigs"))
+    val banded = ManagedCache.persist((0 until bands).map { b =>
+      val keyCols = (0 until rowsPer).map(r =>
+        element_at(col("sigs"), b * rowsPer + r + 1).cast("string"))
+      arr.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws(":", keyCols: _*)).as("bk"))
+    }.reduce(_ unionByName _))
+    val cand = banded.alias("l").join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val shs = ManagedCache.persist(
+      spread(docs).select(col("doc_id"), stringShingles(shingleN).as("sh")))
+    cand
+      .join(shs.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shs.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jac", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
   /** Sign-bucket LSH candidate pairs for embedding near-dup: pairs whose
     * buckets are equal — or, with `multiProbe`, differ in at most one bit
     * (the left side probes its own bucket plus each 1-bit flip; a
@@ -1957,6 +2037,76 @@ object DedupQueries {
              |FROM c JOIN z zb ON zb.doc_id = c.b)
              |SELECT contained, container, containment FROM u
              |WHERE containment >= 0.8"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // MD5-BASIS MINHASH SIGNATURES under the hash gate — see
+    // [[Dedup.md5MinHashSignatures]]: the d18 argument applied to the
+    // minhash family (d03's xxhash64 basis is impl-specific → rows-only
+    // forever; the md5 seed basis is bit-identical cross-engine).
+    Q("d21_minhash_md5",
+      (s, d) => Dedup.md5MinHashSignatures(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |sdf AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM sdf)
+             |SELECT doc_id, seed,
+             |min(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || g),
+             |1, 15))::BIGINT) AS minhash
+             |FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+             |GROUP BY doc_id, seed"""
+        .stripMargin.replace('\n', ' '))),
+
+    // THE FULL MINHASH-LSH PIPELINE under the hash gate — signatures →
+    // banded candidates → exact jaccard verify, every stage
+    // deterministic on the md5 basis, so the oracle re-derives the SAME
+    // candidate set and the SAME verified pairs
+    // ([[Dedup.md5MinHashBandedPairs]]). This is the claim d03 could
+    // only make through recall specs: here candidate generation itself
+    // is driver-gated, not just audited.
+    Q("d22_minhash_md5_pairs",
+      (s, d) => Dedup.md5MinHashBandedPairs(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+             |sdf AS (SELECT doc_id,
+             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+             |e AS (SELECT doc_id, unnest(sh) AS g FROM sdf),
+             |hh AS (SELECT doc_id, seed,
+             |min(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || g),
+             |1, 15))::BIGINT) AS mh
+             |FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) sd
+             |GROUP BY doc_id, seed),
+             |pv AS (SELECT doc_id,
+             |min(CASE WHEN seed = 0 THEN mh END) AS s0,
+             |min(CASE WHEN seed = 1 THEN mh END) AS s1,
+             |min(CASE WHEN seed = 2 THEN mh END) AS s2,
+             |min(CASE WHEN seed = 3 THEN mh END) AS s3,
+             |min(CASE WHEN seed = 4 THEN mh END) AS s4,
+             |min(CASE WHEN seed = 5 THEN mh END) AS s5,
+             |min(CASE WHEN seed = 6 THEN mh END) AS s6,
+             |min(CASE WHEN seed = 7 THEN mh END) AS s7
+             |FROM hh GROUP BY doc_id),
+             |bd AS (
+             |SELECT doc_id, 0 AS band, md5(CAST(s0 AS VARCHAR) || ':' ||
+             |CAST(s1 AS VARCHAR)) AS bk FROM pv
+             |UNION ALL SELECT doc_id, 1, md5(CAST(s2 AS VARCHAR) || ':' ||
+             |CAST(s3 AS VARCHAR)) FROM pv
+             |UNION ALL SELECT doc_id, 2, md5(CAST(s4 AS VARCHAR) || ':' ||
+             |CAST(s5 AS VARCHAR)) FROM pv
+             |UNION ALL SELECT doc_id, 3, md5(CAST(s6 AS VARCHAR) || ':' ||
+             |CAST(s7 AS VARCHAR)) FROM pv),
+             |cd AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |FROM bd l JOIN bd r ON l.band = r.band AND l.bk = r.bk
+             |AND l.doc_id < r.doc_id),
+             |jj AS (SELECT cd.a, cd.b,
+             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+             |FROM cd JOIN sdf sa ON sa.doc_id = cd.a
+             |JOIN sdf sb ON sb.doc_id = cd.b)
+             |SELECT a, b, jac FROM jj WHERE jac >= 0.5"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

@@ -504,6 +504,25 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty, "jaccard must miss the quoted-subset pair")
   }
 
+  test("md5 minhash-lsh pipeline: identical docs collide in every band " +
+    "and verify at jac 1.0; a disjoint doc pairs with nothing") {
+    val sq = spark; import sq.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words with no shared shingles at all"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.md5MinHashSignatures(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical docs -> identical signatures on every seed
+    assert(sig.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet ==
+      sig.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet)
+    assert(sig.count(_._1 == 1L) == 8)
+    val pairs = Dedup.md5MinHashBandedPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), pairs.toSeq.toString)
+  }
+
   test("md5 simhash banded pairs equal the brute-force hamming scan " +
     "(pigeonhole banding is lossless at radius 5 / 6 chunks)") {
     val sig = Dedup.md5SimHashSignatures(docs).cache()
