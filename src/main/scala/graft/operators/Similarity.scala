@@ -134,6 +134,66 @@ object Similarity {
         transform(col("__v"),
           x => round(x / col("__scale")).cast("byte")).as("qv"))
 
+  /** The FULL embedding sign-bucket LSH near-dup pipeline on an
+    * ORACLE-STATEABLE basis — the d22 argument applied to embeddings:
+    * d06/e03 ride xxhash64-derived hyperplanes over float dot products
+    * (impl-specific → rows-only forever), while this twin (1) quantizes
+    * each vector with [[quantizeInt8Vectors]]' exact construction,
+    * (2) buckets by the sign of an INTEGER dot product against ±1
+    * hyperplanes whose components come from an md5 nibble (h(bit,dim) =
+    * +1 iff the first hex char of md5(bit:dim) < '8' — a per-vector
+    * positive rescaling never flips these signs, so quantization noise
+    * aside the bucketing matches the float construction), and
+    * (3) verifies bucket-equal candidate pairs with e12's exact
+    * integer-sum cosine. Every stage is integer/string arithmetic both
+    * engines compute bit-identically, so candidate generation AND
+    * verification sit under the driver gate. Scale: identical to d06's
+    * production shape — one quantize scan, one (vec, bit) partial-agg,
+    * bucket-equality join (≈1/2^bits of all pairs), exact rescore only
+    * on candidates. Returns (a, b, sim). */
+  def md5SignBucketPairs(
+      emb: DataFrame,
+      bits: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    val q = ManagedCache.persist(quantizeInt8Vectors(emb)
+      .select(col("vec_id"),
+        transform(col("qv"), x => x.cast("long")).as("qvl")))
+    val d = q.select(col("vec_id"), posexplode(col("qvl"))
+        .as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("ord"),
+        col("v"))
+    val sgn = when(substring(md5(concat_ws(":",
+      col("bit").cast("string"), col("ord").cast("string"))), 1, 1) < "8",
+      lit(1L)).otherwise(lit(-1L))
+    val buckets = d
+      .select(col("vec_id"), col("ord"), col("v"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .withColumn("sv", col("v") * sgn)
+      .groupBy("vec_id", "bit").agg(sum(col("sv")).as("dot"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0,
+        call_function("shiftleft", lit(1L), col("bit")))
+        .otherwise(lit(0L))).as("bucket"))
+    val cand = buckets.alias("l").join(buckets.alias("r"),
+        col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+    val withVec = cand
+      .join(q.select(col("vec_id").as("a"), col("qvl").as("qa")), "a")
+      .join(q.select(col("vec_id").as("b"), col("qvl").as("qb")), "b")
+    val i1 = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val n2a = aggregate(col("qa"), lit(0L), (acc, x) => acc + x * x)
+    val n2b = aggregate(col("qb"), lit(0L), (acc, x) => acc + x * x)
+    withVec
+      .withColumn("sim",
+        round(when(n2a === 0 || n2b === 0, lit(-1.0))
+          .otherwise(i1.cast("double") /
+            sqrt((n2a * n2b).cast("double"))), 4) + lit(0.0))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim")
+  }
+
   /** Interpreted HOF formulation of [[signBucket]] (cross-check only). */
   private[graft] def signBucketHof(v: Column, bits: Int): Column = {
     val planes = (0 until bits).map { i =>
@@ -1409,6 +1469,51 @@ object SimilarityQueries {
              |count(*) AS n_members, CAST(sum(val) AS BIGINT) AS s,
              |round(CAST(sum(val) AS DOUBLE) / count(*), 4) + 0.0 AS mean_q
              |FROM d GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // THE FULL EMBEDDING-LSH PIPELINE under the hash gate — see
+    // [[Similarity.md5SignBucketPairs]]: quantize (e06's exact
+    // construction) → md5-±1 hyperplane sign buckets → bucket-equality
+    // candidates → e12's exact integer-sum cosine verify. d06/e03's
+    // production path stays on the one-pass native float expressions
+    // (rows-only + recall audits); this twin puts embedding candidate
+    // generation itself under the driver gate, completing the set
+    // (d19 simhash, d22 minhash, e16 embeddings).
+    Q("e16_embed_lsh_md5",
+      (s, d) => md5SignBucketPairs(Tables.t(s, d, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |d AS (SELECT vec_id, unnest(qv) AS val,
+             |unnest(generate_series(1, len(qv))) AS ord FROM q),
+             |s AS (SELECT vec_id, bit,
+             |sum(val * (CASE WHEN substr(md5(CAST(bit AS VARCHAR) || ':' ||
+             |CAST(ord AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END)) AS dot
+             |FROM d CROSS JOIN (SELECT unnest(range(0, 8)) AS bit) bb
+             |GROUP BY 1, 2),
+             |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0
+             |THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+             |FROM s GROUP BY 1),
+             |cd AS (SELECT l.vec_id AS a, r.vec_id AS b FROM bk l
+             |JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+             |i2 AS (SELECT vec_id,
+             |CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2,
+             |qv FROM q),
+             |sim AS (SELECT cd.a, cd.b,
+             |round(CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN -1.0
+             |ELSE CAST(list_sum(list_transform(range(1, len(na.qv) + 1),
+             |i -> na.qv[i] * nb.qv[i])) AS DOUBLE) /
+             |sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) END, 4)
+             |+ 0.0 AS sim
+             |FROM cd JOIN i2 na ON na.vec_id = cd.a
+             |JOIN i2 nb ON nb.vec_id = cd.b)
+             |SELECT a, b, sim FROM sim WHERE sim >= 0.3"""
         .stripMargin.replace('\n', ' ')))
   )
 }
