@@ -1254,6 +1254,33 @@ object TextQueries {
              |CAST(NULL AS DOUBLE) AS rel_err WHERE 1=0"""
         .stripMargin.replace('\n', ' '))),
 
+    // APPROX-PERCENTILE ERROR AUDIT — t28's audit-twin construction for
+    // the QUANTILE sketch: t09's exact percentiles are the verify-side
+    // answer, but at 100 TB the production plan swaps in
+    // approx_percentile (GK/KLL-style sketch: fixed memory, map-side
+    // partials, associative merge — no per-group sort). The sketch's
+    // result is impl-specific, so it can never hash-gate directly; this
+    // audit computes BOTH on the same column and emits a violation row
+    // iff the approximation drifts beyond the documented bound (5% + 1
+    // absolute, covering tiny groups). Oracle states the empty
+    // violation relation — a sketch regression flips the driver red.
+    Q("t09b_approx_percentile_audit",
+      (s, d) => {
+        val byGroup = Tables.t(s, d, "documents").groupBy("source")
+          .agg(
+            percentile_approx(col("n_chars"), lit(0.5), lit(100))
+              .cast("double").as("approx"),
+            expr("percentile(n_chars, 0.5)").as("exact"))
+        byGroup
+          .filter(abs(col("approx") - col("exact")) >
+            col("exact") * 0.05 + 1)
+          .select(col("source"), col("approx"), col("exact"))
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS source,
+             |CAST(NULL AS DOUBLE) AS approx,
+             |CAST(NULL AS DOUBLE) AS exact WHERE 1=0"""
+        .stripMargin.replace('\n', ' '))),
+
     // FREQUENCY SPECTRUM (count-of-counts): how many vocabulary terms
     // occur exactly f times — the Good-Turing smoothing input and the
     // fastest corpus-health readout there is (a healthy natural corpus

@@ -486,6 +486,44 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("normalizedUrl is idempotent over generated URLs (normalizing an " +
+    "already-canonical key is a no-op — the property that lets a " +
+    "frontier re-normalize opportunistically without corrupting keys)") {
+    val sq = spark; import sq.implicits._
+    import org.scalacheck.{Gen, rng}
+    val scheme = Gen.oneOf("http", "https")
+    val host = for {
+      www <- Gen.oneOf("", "www.", "WWW.")
+      h <- Gen.oneOf("Example.COM", "example.org", "a.b.example.net")
+    } yield www + h
+    val path = Gen.oneOf("", "/", "/x", "/x/y/", "/page/7")
+    val query = Gen.oneOf("", "?utm_source=a", "?id=9",
+      "?id=9&utm_medium=m", "?a=1&b=2", "?ref=x&fbclid=z")
+    val frag = Gen.oneOf("", "#frag")
+    val url = for {
+      s <- scheme; h <- host; p <- path; q <- query; f <- frag
+    } yield s"$s://$h$p$q$f"
+    val seed0 = rng.Seed(42L)
+    val urls = Iterator.iterate((seed0, List.empty[String])) {
+      case (sd, acc) =>
+        val r = url.pureApply(Gen.Parameters.default, sd)
+        (sd.next, r :: acc)
+    }.drop(200).next()._2
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val once = Dedup.normalizedUrl(col("url"))
+    val rows = df.select(col("id"), once.as("n1"),
+        // re-normalize the canonical key with a scheme re-attached (the
+        // key drops the scheme, so round-trip through a synthetic one)
+        Dedup.normalizedUrl(concat(lit("https://"), once)).as("n2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent for ${urls(r.getLong(0).toInt)}: " +
+          s"'${r.getString(1)}' vs '${r.getString(2)}'")
+    }
+  }
+
   test("containment catches a quoted-subset pair that jaccard misses " +
     "(asymmetric near-dup), and only in the contained->container " +
     "direction") {
