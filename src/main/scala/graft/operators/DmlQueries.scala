@@ -293,6 +293,34 @@ object Dml {
   def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame =
     b.exceptAll(a).withColumn("op", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+
+  /** SCHEMA DIFF between two parquet datasets — the data-contract check
+    * a long-lived table runs when a new drop lands (io04 proves Spark
+    * can READ mixed schema versions; this reports WHAT changed so the
+    * owner can decide whether the evolution was intended). Schemas are
+    * footer metadata, so the comparison is a planning-time read — no
+    * data scan at any scale; one row per column across both versions
+    * with the change class (unchanged / added / removed / retyped). */
+  def schemaDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      pathV1: String,
+      pathV2: String): DataFrame = {
+    val sa = spark.read.parquet(pathV1).schema
+    val sb = spark.read.parquet(pathV2).schema
+    val cols = (sa.map(_.name) ++ sb.map(_.name)).distinct
+    val rows = cols.map { c =>
+      val ta = sa.find(_.name == c).map(_.dataType.simpleString)
+      val tb = sb.find(_.name == c).map(_.dataType.simpleString)
+      val change = (ta, tb) match {
+        case (Some(x), Some(y)) => if (x == y) "unchanged" else "retyped"
+        case (None, _) => "added"
+        case _ => "removed"
+      }
+      (c, ta.orNull, tb.orNull, change)
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "v1_type", "v2_type", "change")
+  }
 }
 
 /** Driver-facing DML queries; each returns the post-statement table state.
@@ -611,6 +639,30 @@ object DmlQueries {
              |'insert' AS op, 'v0..v1' AS step
              |UNION ALL SELECT 26, 'ZEALANDIA', 3, 'insert', 'v0..v1'
              |UNION ALL SELECT 25, 'LEMURIA', 2, 'delete', 'v1..v2'"""
+        .stripMargin.replace('\n', ' '))),
+
+    // SCHEMA DIFF / data-contract report — io04 proves the engine READS
+    // mixed schema versions; this reports WHAT changed between two real
+    // parquet drops ([[Dml.schemaDiff]]: footer metadata only, no data
+    // scan at any scale). The entry writes a v1 drop missing a column
+    // and a v2 drop that restores it plus retypes another, then diffs
+    // the real footers; the oracle states the expected report.
+    Q("m15_schema_diff",
+      (s, d) => {
+        val dir = Dml.work("m15", d) + "/nation_contract"
+        val base = Tables.t(s, d, "nation")
+        base.select("n_nationkey", "n_name")
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        base.select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("bigint").as("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        Dml.schemaDiff(s, s"$dir/v1", s"$dir/v2")
+      },
+      Some("""SELECT 'n_nationkey' AS column_name, 'int' AS v1_type,
+             |'int' AS v2_type, 'unchanged' AS change
+             |UNION ALL SELECT 'n_name', 'string', 'string', 'unchanged'
+             |UNION ALL SELECT 'n_regionkey', CAST(NULL AS VARCHAR),
+             |'bigint', 'added'"""
         .stripMargin.replace('\n', ' ')))
   )
 }
