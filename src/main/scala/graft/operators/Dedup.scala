@@ -1003,6 +1003,52 @@ object Dedup {
         concat_ws(" ", transform(col("kp"),
           i => element_at(col("toks"), i.cast("int")))).as("clean_text"))
   }
+
+  /** Benchmark decontamination with a BLOOM PREFILTER — the shape p02
+    * takes at 100 TB. p02 equi-joins every deduped train gram against the
+    * test gram set: correct, but the train side (the ~whole corpus)
+    * shuffles in full. Here the tiny held-out side's gram set folds into
+    * ONE bloom sketch ([[BloomFunctions.bloomAgg]], a fixed-size binary
+    * scalar built by associative partial merges), broadcasts to the train
+    * scan, and `mightContain` drops ~all non-matching train grams BEFORE
+    * the distinct/join shuffles — the exchange then carries only the
+    * candidate grams (true matches + the sized false-positive rate)
+    * instead of the corpus. The exact equality join against the test
+    * grams that follows removes every false positive, so the OUTPUT is
+    * exactly p02's: per-test-doc shared-gram counts. Bloom false
+    * negatives are impossible (the one-sided guarantee), which is the
+    * whole reason prefilter + exact-verify composes into an exact plan;
+    * DedupSpec asserts both halves (candidates ⊇ true matches, and — on a
+    * corpus with misses — candidates ⊊ train grams).
+    */
+  def bloomDecontaminate(
+      docs: DataFrame,
+      n: Int = 8,
+      expectedItems: Long = 4000000L): DataFrame = {
+    val split = docs.withColumn("split",
+      Sampling.deterministicSplit(col("text")))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextExpressions.shingleHashes(tokens(col("text")), n)).as("g"))
+    val testGrams = grams(split.filter(col("split") === "test"))
+    val bloom = testGrams.agg(
+      BloomFunctions.bloomAgg(col("g"), expectedItems).as("bf"))
+    // might_contain demands its bloom arg as a constant or scalar
+    // subquery (never a joined column) — the same injection shape
+    // Spark's runtime-filter rewrite uses; the subquery runs once and
+    // ships to tasks like a broadcast scalar.
+    val trainCand = grams(split.filter(col("split") === "train"))
+      .select("g")
+      .filter(BloomFunctions.mightContain(
+        org.apache.spark.sql.GraftBridge.scalarSubquery(bloom), col("g")))
+      .select("g").distinct()
+    val counts = testGrams.join(trainCand, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    split.filter(col("split") === "test").select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
 }
 
 /** Driver-facing dedup queries over `documents` / `embeddings`. */
@@ -1730,6 +1776,46 @@ object DedupQueries {
              |SELECT domain, count(*) AS n_docs,
              |CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
              |AS BIGINT) AS n_tokens FROM c GROUP BY domain"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
+
+    // BLOOM-PREFILTERED DECONTAMINATION under the hash gate — p02's exact
+    // output through the two-phase plan production runs at corpus scale:
+    // the held-out split's 8-gram set folds into ONE fixed-size bloom
+    // sketch (Spark's own BloomFilterAggregate, surfaced via
+    // [[BloomFunctions]]) that broadcasts to the train scan and drops
+    // ~all train grams BEFORE any shuffle; the exact equality join then
+    // removes the sized false positives, so the result is bit-identical
+    // to the exact join (bloom has NO false negatives) and the entry
+    // shares p02's oracle VERBATIM — one oracle, two physical plans, the
+    // gate proving the prefilter lossless. Benched next to p02: same
+    // answer, train-side exchange carrying candidates instead of the
+    // corpus.
+    Q("p07_bloom_decontam",
+      // 1M-item sizing fits every gate corpus' test-gram count with
+      // ~0.9 MB of sketch; production sizes expectedItems to the real
+      // held-out gram count (the fpp/bytes knob, NOT a correctness one —
+      // oversizing only shrinks the false-positive rate).
+      (s, d) => Dedup.bloomDecontaminate(Tables.t(s, d, "documents"),
+        expectedItems = 1L << 20),
+      Some("""WITH sp AS (SELECT doc_id, text,
+             |CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+             |WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+             |ELSE 'test' END AS split FROM documents),
+             |tk AS (SELECT doc_id, split,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM sp),
+             |g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+             |range(1, greatest(len(toks) - 7, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             |toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS g FROM tk),
+             |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+             |te AS (SELECT doc_id, g FROM g WHERE split = 'test'),
+             |c AS (SELECT te.doc_id, count(*) AS n_shared
+             |FROM te JOIN tr USING (g) GROUP BY te.doc_id)
+             |SELECT s.doc_id, COALESCE(c.n_shared, 0) AS n_shared,
+             |COALESCE(c.n_shared, 0) > 0 AS contaminated
+             |FROM sp s LEFT JOIN c ON c.doc_id = s.doc_id
+             |WHERE s.split = 'test'"""
         .stripMargin.replace('\n', ' ')),
       bench = true),
 

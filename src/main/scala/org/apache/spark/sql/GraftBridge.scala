@@ -11,6 +11,16 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A one-row/one-column DataFrame as a SCALAR SUBQUERY expression — the
+    * injection shape `might_contain` requires for its bloom argument (a
+    * plain column from a join is rejected at analysis; Spark's own
+    * runtime-filter rewrite injects the aggregate exactly this way). The
+    * subquery plan executes once and its value reaches every task like a
+    * broadcast scalar. */
+  def scalarSubquery(df: Dataset[Row]): Column =
+    column(catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed))
+
   /** Apply a `SparkSessionExtensions`' injected functions to a registry —
     * `registerFunctions` is `private[sql]`; exposed so the GraftExtensions
     * injection path is testable without tearing down the shared session. */

@@ -576,4 +576,46 @@ class DedupSpec extends SparkSpec {
     sig.unpersist()
     assert(banded == brute)
   }
+
+  test("bloom decontamination equals the exact gram join (bloom has no " +
+    "false negatives), and the prefilter actually prunes the train side") {
+    val d = Tables.t(spark, sf, "documents")
+    val split = d.withColumn("split",
+      Sampling.deterministicSplit(col("text")))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextExpressions.shingleHashes(
+        TextFunctions.tokens(col("text")), 8)).as("g"))
+    val trainG = grams(split.filter(col("split") === "train"))
+      .select("g").distinct().cache()
+    val testG = grams(split.filter(col("split") === "test")).cache()
+    // exact twin of the whole operator (p02's plan)
+    val exact = testG.join(trainG, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Dedup.bloomDecontaminate(d, expectedItems = 1L << 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val testIds = split.filter(col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed.keySet == testIds)
+    bloomed.foreach { case (id, (n, flag)) =>
+      assert(n == exact.getOrElse(id, 0L), s"doc $id")
+      assert(flag == (n > 0))
+    }
+    // prefilter contract: candidates are a SUPERSET of the truly shared
+    // grams (one-sided bloom guarantee) and — on a corpus where most
+    // train grams are NOT in the test split — a strict subset of the
+    // train grams (the pruning that makes the two-phase plan cheap).
+    val bloom = testG.agg(
+      BloomFunctions.bloomAgg(col("g"), 1L << 20).as("bf"))
+    val cand = trainG.filter(BloomFunctions.mightContain(
+      org.apache.spark.sql.GraftBridge.scalarSubquery(bloom), col("g")))
+      .cache()
+    val shared = trainG.join(testG.select("g").distinct(), "g")
+    assert(cand.join(shared, "g").count() == shared.count(),
+      "bloom candidates must contain every truly shared gram")
+    assert(cand.count() < trainG.count(),
+      "bloom prefilter should prune non-matching train grams")
+    cand.unpersist(); trainG.unpersist(); testG.unpersist()
+  }
 }
