@@ -127,6 +127,50 @@ object Graph {
         coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph — the structural signal crawl curation reads off
+    * the domain link graph (link farms and boilerplate mirror rings
+    * show up as near-clique neighborhoods; organic link neighborhoods
+    * are sparse). `nodes` is one `v` column; `edges` is distinct
+    * undirected (lo < hi) pairs.
+    *
+    * Plan: enumerate each triangle ONCE in id orientation a < b < c —
+    * (a,b)⋈(b,c) on the shared endpoint, then a semi-check join for the
+    * closing edge (a,c); per-node counts are the 3-way projection of the
+    * triangle table; clustering = 2T/deg(deg−1) is one exact integer
+    * division (identical IEEE rounding cross-engine). Scale: the
+    * (a,b)⋈(b,c) fan-out is Σ_v deg⁺(v)² — production orients each edge
+    * from its LOWER-DEGREE endpoint (compact-forward / Latapy), which
+    * caps the join at O(m^1.5) regardless of hub skew; id orientation
+    * (used here for determinism) is the same plan with a different
+    * orientation key, and the switch is one degree join before the
+    * enumeration. All three joins shuffle on node keys — no all-pairs
+    * stage anywhere. */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("lo") < col("hi")).distinct()
+    val deg = e.select(col("lo").as("v"))
+      .union(e.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val tris = e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.as("ac"), col("ac.lo") === col("ab.lo") &&
+        col("ac.hi") === col("bc.hi"))
+      .select(col("ab.lo").as("a"), col("ab.hi").as("b"),
+        col("bc.hi").as("c"))
+    val perNode = tris.select(col("a").as("v"))
+      .union(tris.select(col("b").as("v")))
+      .union(tris.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(deg, Seq("v"), "left").join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double")
+            / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Order-independent fixed-point check: (count, bit_xor of row
     * hashes) — xor cannot overflow under ANSI mode, unlike a sum. Used
     * only for convergence detection, never for correctness. */
@@ -184,6 +228,55 @@ object GraphQueries {
             (col("doc_id") - 50).as("dst"))
         Graph.ccLargeSmallStar(docs, edges)
       },
-      Some("SELECT doc_id, doc_id % 50 AS rep FROM documents"))
+      Some("SELECT doc_id, doc_id % 50 AS rep FROM documents")),
+
+    // TRIANGLE COUNTING / CLUSTERING COEFFICIENT under the hash gate —
+    // the edge set is CONSTRUCTED from the corpus with three residue
+    // generators (quadratic chord + two linear rings over 30 domains:
+    // 83 distinct edges, 28 triangles at any corpus covering the
+    // residues), so both engines derive the identical graph and the gate
+    // holds the oriented a<b<c enumeration, the 3-way per-node rollup,
+    // and the exact 2T/deg(deg−1) division bit-for-bit. See
+    // [[Graph.triangleStats]] for the degree-orientation scale note.
+    Q("g03_triangle_count",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val a = (col("doc_id") % 30).as("a")
+        def gen(b: org.apache.spark.sql.Column) =
+          docs.select(a, (b % 30).as("b"))
+        val raw = gen(col("doc_id") * col("doc_id") + 1)
+          .union(gen(col("doc_id") + 2))
+          .union(gen(col("doc_id") * 3 + 5))
+        val edges = raw.filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("lo"),
+            greatest(col("a"), col("b")).as("hi"))
+          .distinct()
+        Graph.triangleStats(
+          docs.select((col("doc_id") % 30).as("v")).distinct(), edges)
+      },
+      Some("""WITH nodes AS (SELECT DISTINCT doc_id % 30 AS v
+             |FROM documents),
+             |raw AS (SELECT doc_id % 30 AS a, (doc_id*doc_id+1) % 30 AS b
+             |FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id+2) % 30 FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id*3+5) % 30 FROM documents),
+             |e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+             |FROM raw WHERE a != b),
+             |deg AS (SELECT v, count(*) AS degree FROM
+             |(SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v),
+             |tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+             |FROM e ab JOIN e bc ON ab.hi = bc.lo
+             |JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+             |pn AS (SELECT v, count(*) AS n_triangles FROM
+             |(SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+             |UNION ALL SELECT c FROM tri) GROUP BY v)
+             |SELECT n.v AS node, COALESCE(deg.degree, 0) AS degree,
+             |COALESCE(pn.n_triangles, 0) AS n_triangles,
+             |CASE WHEN COALESCE(deg.degree, 0) >= 2
+             |THEN CAST(2 * COALESCE(pn.n_triangles, 0) AS DOUBLE)
+             |/ (deg.degree * (deg.degree - 1)) ELSE 0.0 END AS clustering
+             |FROM nodes n LEFT JOIN deg ON deg.v = n.v
+             |LEFT JOIN pn ON pn.v = n.v"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -49,4 +49,35 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaStars == viaLabels)
   }
+
+  test("triangle stats: hand-computed 4-clique + pendant (per-node " +
+    "counts, exact clustering coefficients, isolated node zeros)") {
+    val sq = spark; import sq.implicits._
+    // clique {1,2,3,4}, pendant 5 on 1, isolated 6
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("v")
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("lo", "hi")
+    val got = Graph.triangleStats(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 3L, 0.5), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0),
+      (4L, 3L, 3L, 1.0), (5L, 1L, 0L, 0.0), (6L, 0L, 0L, 0.0)),
+      got.toSeq.toString)
+  }
+
+  test("triangle stats: reversed/duplicate input edges do not change " +
+    "the answer (the lo<hi distinct normalization owns orientation)") {
+    val sq = spark; import sq.implicits._
+    val nodes = (1L to 3L).map(Tuple1(_)).toDF("v")
+    val canonical = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("lo", "hi")
+    val messy = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L))
+      .toDF("lo", "hi")
+    val a = Graph.triangleStats(nodes, canonical).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Graph.triangleStats(nodes, messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
+  }
 }
