@@ -1068,6 +1068,38 @@ object Similarity {
         round(VectorExpressions.cosineSim(col("qv"), col("rv")), 4))
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
+
+  /** Per-DIMENSION corpus moments over the int8-quantized embeddings —
+    * the embedding-space observability panel (a collapsed or drifting
+    * dimension shows up as var→0 or a mean excursion long before
+    * downstream recall drops; the standard pre-flight check before
+    * training ANN indexes or whitening). Works on [[quantizeInt8Vectors]]'
+    * exact integer construction so every statistic is an integer
+    * sufficient-statistic fold: n, Σq, Σq², min, max per dimension, with
+    * mean = Σq/n and population variance = (n·Σq² − (Σq)²)/n² each ONE
+    * exact integer division (identical IEEE rounding cross-engine).
+    *
+    * Scale: one quantize scan → posexplode (rows × dim) → (ord)
+    * partial-agg; map-side combine reduces the exchange to dims ×
+    * tasks rows. The n·Σq² product fits a long to ~10^9 rows of int8
+    * at dim 64; past that production keeps the raw (n, Σq, Σq²)
+    * columns and derives the ratios in decimal — same plan. */
+  def dimStats(emb: DataFrame): DataFrame =
+    quantizeInt8Vectors(emb)
+      .select(posexplode(col("qv")).as(Seq("pos", "qx")))
+      .select((col("pos") + 1).cast("long").as("ord"),
+        col("qx").cast("long").as("x"))
+      .groupBy("ord")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("q_sum"),
+        sum(col("x") * col("x")).as("q_sumsq"),
+        min(col("x")).as("q_min"),
+        max(col("x")).as("q_max"))
+      .select(col("ord"), col("n"), col("q_sum"), col("q_sumsq"),
+        col("q_min"), col("q_max"),
+        (col("q_sum").cast("double") / col("n")).as("mean_q"),
+        ((col("n") * col("q_sumsq") - col("q_sum") * col("q_sum"))
+          .cast("double") / (col("n") * col("n"))).as("var_q"))
 }
 
 /** Driver-facing similarity queries over `embeddings`. */
@@ -1514,6 +1546,35 @@ object SimilarityQueries {
              |FROM cd JOIN i2 na ON na.vec_id = cd.a
              |JOIN i2 nb ON nb.vec_id = cd.b)
              |SELECT a, b, sim FROM sim WHERE sim >= 0.3"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PER-DIMENSION EMBEDDING MOMENTS under the hash gate — e06's exact
+    // int8 quantization gives an integer basis, so n/Σq/Σq²/min/max per
+    // dimension and the derived mean and population variance (each ONE
+    // exact integer division) hash bit-for-bit. The oracle restates the
+    // quantization CTE and aligns dimensions with generate_subscripts
+    // (1-based, matching the Spark side's pos+1).
+    Q("e17_dim_stats",
+      (s, d) => dimStats(Tables.t(s, d, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |x AS (SELECT CAST(generate_subscripts(qv, 1) AS BIGINT) AS ord,
+             |unnest(qv) AS x FROM q),
+             |a AS (SELECT ord, count(*) AS n, sum(x) AS q_sum,
+             |CAST(sum(x * x) AS BIGINT) AS q_sumsq,
+             |min(x) AS q_min, max(x) AS q_max FROM x GROUP BY ord)
+             |SELECT ord, n, CAST(q_sum AS BIGINT) AS q_sum, q_sumsq,
+             |q_min, q_max,
+             |CAST(q_sum AS DOUBLE) / n AS mean_q,
+             |CAST(n * q_sumsq - q_sum * q_sum AS DOUBLE) / (n * n) AS var_q
+             |FROM a"""
         .stripMargin.replace('\n', ' ')))
   )
 }

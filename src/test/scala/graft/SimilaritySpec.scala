@@ -597,4 +597,21 @@ class SimilaritySpec extends SparkSpec {
       (1, 0) -> ((2L, 0L, 0.0)),
       (1, 1) -> ((2L, 254L, 127.0))))
   }
+
+  test("dimStats: hand-computed per-dimension moments on the quantized " +
+    "basis (exact integer sufficient statistics + exact divisions)") {
+    val sq = spark; import sq.implicits._
+    // quantized rows: (127,0), (127,127), (-127,127)
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 2f)), (2L, Array(-2f, 2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 127L, 48387L, -127L, 127L, 127.0 / 3, 129032.0 / 9)),
+      2L -> ((3L, 254L, 32258L, 0L, 127L, 254.0 / 3, 32258.0 / 9))),
+      got.toString)
+  }
 }
