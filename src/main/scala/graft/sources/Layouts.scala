@@ -102,4 +102,49 @@ object Layouts {
           call_function("shiftright", y, j).bitwiseAND(lit(1L)),
           j * 2 + 1))
   }
+
+  /** Parquet data files under `dir` (recursive; `_`-prefixed metadata and
+    * hidden files excluded) with their sizes. */
+  private def dataFiles(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith("."))
+        b += ((f.getPath.toString, f.getLen))
+    }
+    b.result()
+  }
+
+  /** Small-file COMPACTION (the OPTIMIZE bin-packing maintenance op): a
+    * streaming sink or per-task commit leaves a table as thousands of
+    * KB-scale files, and every subsequent scan pays open/footer/seek per
+    * file — at 100 TB small files are routinely the difference between a
+    * minutes scan and an hours one. Rewrites `inDir` into
+    * ceil(totalBytes / targetBytes) files at `outDir` via `coalesce`:
+    * NO shuffle — coalesce merges scan splits in-task, so the rewrite
+    * cost is one read + one write of the data, the floor for any
+    * compaction. (A layout that must also stay sorted/clustered swaps in
+    * `repartitionByRange` on the cluster key — one shuffle, same write;
+    * z-ordered layouts re-sort by [[zOrderValue]].) Returns (input file
+    * count, output partition count) for observability; the rewrite is
+    * content-lossless, which io08's hash gate asserts end-to-end. */
+  def compactFiles(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val files = dataFiles(spark, inDir)
+    val total = files.map(_._2).sum
+    val nOut = math.max(1L,
+      (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    (files.size, nOut)
+  }
 }

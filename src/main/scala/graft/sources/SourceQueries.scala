@@ -200,6 +200,37 @@ object SourceQueries {
              |(((y >> j) & 1) << (2 * j + 1))) AS BIGINT) AS zval
              |FROM b CROSS JOIN (SELECT unnest(range(0, 16)) AS j) bits
              |GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // SMALL-FILE COMPACTION under the hash gate: fragment the corpus
+    // into 64 tiny files (the streaming-sink failure mode), rewrite it
+    // through [[Layouts.compactFiles]]' shuffle-free coalesce
+    // bin-packing, READ THE COMPACTED LAYOUT BACK, and emit a per-source
+    // content summary (docs, chars, distinct content hashes, id sum) the
+    // oracle restates from the logical table — so the gate proves the
+    // maintenance rewrite loses and duplicates NOTHING. The physical
+    // claim (file count actually collapses to the bin-packed target) is
+    // asserted in SkewLayoutSpec, where file counts are observable.
+    Q("io08_compaction",
+      (s, d) => {
+        val base = Dml.work("io08", d)
+        val frag = base + "/frag"
+        val comp = base + "/compact"
+        Tables.t(s, d, "documents").repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        Layouts.compactFiles(s, frag, comp)
+        s.read.parquet(comp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"),
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+             |CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY source"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -127,4 +127,32 @@ class SkewLayoutSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("compaction bin-packs a 64-file fragmented layout into the byte " +
+    "target and preserves the exact row multiset") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"
+    val comp = s"$base/compact"
+    val df = Tables.t(spark, sf, "documents")
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    def files(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles.toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files(frag).size == 64)
+    val (nIn, nOut) = Layouts.compactFiles(spark, frag, comp)
+    assert(nIn == 64)
+    // whole corpus is far under one 128 MB target bin
+    assert(nOut == 1 && files(comp).size == 1,
+      s"expected one packed file, got $nOut planned / ${files(comp).size}")
+    // content-lossless: row multiset identical both ways
+    val a = spark.read.parquet(comp)
+    assert(a.count() == df.count())
+    assert(a.exceptAll(df).isEmpty && df.exceptAll(a).isEmpty)
+    // a tighter byte target yields multiple bins
+    val total = files(frag).map(_.length).sum
+    val (_, n4) = Layouts.compactFiles(spark, frag, s"$base/c4", total / 4)
+    assert(n4 >= 4, s"quarter-size target should plan >=4 bins, got $n4")
+  }
 }
