@@ -1819,6 +1819,33 @@ object DedupQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // MODEL-BASED QUALITY CLASSIFIER under the hash gate — see
+    // [[CorpusStats.linearQualityScore]]: hashed-BoW linear scoring with
+    // an arithmetically-derived weight vector, so the oracle restates
+    // the MODEL as well as the plan and every score is an exact integer.
+    // Swapping trained weights into the same ≤256-row broadcast table is
+    // a data change, not a plan change.
+    Q("p08_quality_classifier",
+      (s, d) => CorpusStats.linearQualityScore(Tables.t(s, d, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |b AS (SELECT doc_id,
+             |ascii(substr(md5(term), 1, 1)) * 256 +
+             |ascii(substr(md5(term), 2, 1)) AS bucket
+             |FROM (SELECT doc_id, unnest(toks) AS term FROM tk)),
+             |db AS (SELECT doc_id, bucket, count(*) AS cnt
+             |FROM b GROUP BY 1, 2),
+             |w AS (SELECT DISTINCT bucket, bucket % 9 - 4 AS w FROM b),
+             |sc AS (SELECT db.doc_id,
+             |CAST(sum(cnt * w) AS BIGINT) AS score
+             |FROM db JOIN w USING (bucket) GROUP BY 1)
+             |SELECT tk.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |COALESCE(sc.score, 0) AS score,
+             |COALESCE(sc.score, 0) > 0 AS selected
+             |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set

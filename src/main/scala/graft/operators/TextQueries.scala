@@ -112,6 +112,43 @@ object CorpusStats {
         (round(coalesce(col("w"), lit(0.0)), 4) > 0.0).as("selected"))
   }
 
+  /** MODEL-BASED quality classification (the GPT-3/CCNet "quality
+    * classifier" stage): a linear scorer over HASHED bag-of-words
+    * features — bucket(term) from two md5 hex chars (256 buckets, t34's
+    * hashing-trick basis), per-doc bucket counts, score = Σ cnt·w(bucket),
+    * keep = score > 0. The weight VECTOR here is derived arithmetically
+    * from the bucket id ((bucket % 9) − 4 ∈ [−4, 4]) so the entire model
+    * is oracle-stateable and the scoring plan runs under the hash gate
+    * end-to-end in exact integers; a production classifier loads its
+    * TRAINED weights as the same ≤256-row (bucket, w) table and the plan
+    * is identical — that substitution is the whole point of keeping the
+    * model a broadcastable relation instead of a closure.
+    *
+    * Scale shape: one corpus explode → (doc, bucket) partial-agg (the
+    * map-side combine collapses each doc's tokens to ≤256 rows before
+    * the exchange) → broadcast join against the weight table → one
+    * per-doc sum. No UDFs, no driver round-trips; inference over 100 TB
+    * is exactly these three shuffle-light stages. */
+  def linearQualityScore(docsIn: DataFrame): DataFrame = {
+    val docs = Dedup.spread(docsIn)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val b = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"),
+        (ascii(substring(md5(col("term")), 1, 1)) * 256 +
+          ascii(substring(md5(col("term")), 2, 1))).cast("long")
+          .as("bucket"))
+    val db = b.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val w = b.select("bucket").distinct()
+      .withColumn("w", col("bucket") % 9 - 4)
+    val s = db.join(broadcast(w), "bucket")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w")).as("score"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(s, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).as("selected"))
+  }
+
   /** Per-DOCUMENT cross-entropy under the corpus unigram LM — the
     * perplexity-proxy quality signal (CCNet-style LM filtering, with the
     * corpus's own unigram distribution standing in for the external LM):

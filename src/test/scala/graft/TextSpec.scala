@@ -549,4 +549,31 @@ class TextSpec extends SparkSpec {
       assert((lic, perm) == want, s"doc $id: got ($lic, $perm)")
     }
   }
+
+  test("linear quality classifier matches a driver-side reference scorer " +
+    "(hashed buckets, derived weights, exact integer scores)") {
+    val sq = spark; import sq.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the the the"),
+      (3L, "zebra quantum flux capacitor maximal entropy"),
+      (4L, "lorem ipsum dolor sit amet"))
+    val docs = rows.toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val score = toks.map { t =>
+        val h = md5hex(t)
+        val bucket = h(0).toInt * 256 + h(1).toInt
+        bucket % 9 - 4
+      }.sum.toLong
+      id -> ((toks.size.toLong, score, score > 0))
+    }.toMap
+    val got = CorpusStats.linearQualityScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
