@@ -854,6 +854,38 @@ object EventQueries {
              |CAST(row_number() OVER (PARTITION BY domain
              |ORDER BY md5(text), doc_id) AS INTEGER) AS rk FROM d)
              |SELECT doc_id, domain, rk FROM r WHERE rk <= 20"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s25: EXECUTED gate for STREAMING MODEL INFERENCE — p08's quality
+    // classifier as an ingest-time stage. A linear BoW score is a sum
+    // over the document's own tokens, so scoring collapses to one
+    // per-row HOF fold ([[CorpusStats.linearQualityScoreRow]]): no
+    // explode, no shuffle, no state store — s11's stateless
+    // transform-and-emit shape, drained with AvailableNow in append
+    // mode and held to p08's oracle VERBATIM (one oracle, batch and
+    // streaming execution). TextSpec separately asserts row-form ≡
+    // join-form on a real corpus.
+    Q("s25_stream_quality_classify",
+      (s, d) => drainStream(s,
+        CorpusStats.linearQualityScoreRow(docStream(s, d)),
+        mode = "append"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |b AS (SELECT doc_id,
+             |ascii(substr(md5(term), 1, 1)) * 256 +
+             |ascii(substr(md5(term), 2, 1)) AS bucket
+             |FROM (SELECT doc_id, unnest(toks) AS term FROM tk)),
+             |db AS (SELECT doc_id, bucket, count(*) AS cnt
+             |FROM b GROUP BY 1, 2),
+             |w AS (SELECT DISTINCT bucket, bucket % 9 - 4 AS w FROM b),
+             |sc AS (SELECT db.doc_id,
+             |CAST(sum(cnt * w) AS BIGINT) AS score
+             |FROM db JOIN w USING (bucket) GROUP BY 1)
+             |SELECT tk.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |COALESCE(sc.score, 0) AS score,
+             |COALESCE(sc.score, 0) > 0 AS selected
+             |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id"""
         .stripMargin.replace('\n', ' ')))
   )
 

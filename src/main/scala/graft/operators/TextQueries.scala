@@ -129,6 +129,25 @@ object CorpusStats {
     * the exchange) → broadcast join against the weight table → one
     * per-doc sum. No UDFs, no driver round-trips; inference over 100 TB
     * is exactly these three shuffle-light stages. */
+  /** [[linearQualityScore]]'s PER-ROW form: because a linear BoW score
+    * is a sum over the document's own tokens, inference collapses to one
+    * HOF fold per row — no explode, no shuffle, no state — which is what
+    * makes it the streaming face (s25): a stateless transform-and-emit
+    * stage, each micro-batch independent. Identical arithmetic to the
+    * join form (TextSpec asserts row ≡ join on a real corpus); a trained
+    * model rides the same fold as a broadcast map lookup. */
+  def linearQualityScoreRow(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc + (ascii(substring(md5(t), 1, 1)) * 256 +
+            ascii(substring(md5(t), 2, 1))).cast("long") % 9 - 4)
+          .as("score"))
+      .withColumn("selected", col("score") > 0)
+  }
+
   def linearQualityScore(docsIn: DataFrame): DataFrame = {
     val docs = Dedup.spread(docsIn)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -576,4 +576,14 @@ class TextSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("linear quality classifier: per-row fold form equals the " +
+    "explode+join form on a real corpus (the streaming-face identity)") {
+    val docs = Tables.t(spark, sf, "documents")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(asMap(CorpusStats.linearQualityScoreRow(docs)) ==
+      asMap(CorpusStats.linearQualityScore(docs)))
+  }
 }
