@@ -281,6 +281,32 @@ object Dml {
       dir, next)
   }
 
+  /** VACUUM — retention maintenance over the committed version store:
+    * physically delete all but the newest `keep` version directories;
+    * the committed `_latest` target is always retained regardless of the
+    * window. Returns the dropped version names (oldest first). Time
+    * travel to a vacuumed version is gone afterwards — that is the
+    * retention contract (Delta/Iceberg VACUUM / expire_snapshots), and
+    * the reason the window is explicit. Scale: listing + directory
+    * deletes only, no data scan; on an object store the deletes are the
+    * dominant cost and batch per prefix exactly like this loop. */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .sortBy(_.getPath.getName.stripPrefix("v").toInt)
+    val cur = currentVersion(dir)
+    val retain = versions.takeRight(keep).map(_.getPath.getName).toSet + cur
+    val dropped = versions.filterNot(s => retain(s.getPath.getName))
+    dropped.foreach(s => fs.delete(s.getPath, true))
+    dropped.map(_.getPath.getName).toSeq
+  }
+
   /** SNAPSHOT DIFF — the change feed between two committed versions:
     * rows in `b` but not `a` are inserts, rows in `a` but not `b` are
     * deletes (full-row MULTISET semantics via exceptAll, so duplicate
@@ -663,6 +689,41 @@ object DmlQueries {
              |UNION ALL SELECT 'n_name', 'string', 'string', 'unchanged'
              |UNION ALL SELECT 'n_regionkey', CAST(NULL AS VARCHAR),
              |'bigint', 'added'"""
+        .stripMargin.replace('\n', ' '))),
+
+    // VACUUM / retention under the hash gate — the maintenance half of
+    // the m09 history contract: build a four-version chain (insert →
+    // delete → delete), expire everything outside a keep-2 window
+    // ([[Dml.vacuum]]: directory deletes only, the committed target
+    // always survives), and report per-version presence + row count of
+    // what remains. The oracle restates the surviving counts from the
+    // logical table and the presence flags literally — vacuumed history
+    // MUST read as gone, surviving versions bit-intact. The per-version
+    // count() readouts are metadata-scale maintenance actions (m15's
+    // footer-read class), not a data path.
+    Q("m16_vacuum",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m16", d)
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, dir) // v0, v1
+        Dml.deleteLatest(s, dir, col("n_nationkey") === 25)   // v2
+        Dml.deleteLatest(s, dir, col("n_regionkey") === 0)    // v3
+        Dml.vacuum(s, dir, keep = 2)                          // - v0, v1
+        Seq("v0", "v1", "v2", "v3").map { v =>
+          val p = new java.io.File(s"$dir/$v").exists
+          (v, p, if (p) Dml.readVersion(s, dir, v).count() else 0L)
+        }.toDF("version", "present", "n_rows")
+      },
+      Some("""SELECT 'v0' AS version, false AS present,
+             |CAST(0 AS BIGINT) AS n_rows
+             |UNION ALL SELECT 'v1', false, 0
+             |UNION ALL SELECT 'v2', true,
+             |(SELECT count(*) + 1 FROM nation)
+             |UNION ALL SELECT 'v3', true,
+             |(SELECT count(*) + 1 FROM nation) -
+             |(SELECT count(*) FROM nation WHERE n_regionkey = 0)"""
         .stripMargin.replace('\n', ' ')))
   )
 }

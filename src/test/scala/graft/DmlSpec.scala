@@ -279,4 +279,28 @@ class DmlSpec extends SparkSpec {
     spark.catalog.dropTempView("spec_mci_n")
     spark.catalog.dropTempView("spec_mci_r")
   }
+
+  test("vacuum keeps the newest window AND the committed target (even " +
+    "when the pointer lags the tip), is idempotent, and rejects keep=0") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_vacuum", sf)
+    // fresh chain regardless of earlier runs in this work dir
+    val base = Tables.t(spark, sf, "nation").limit(10)
+    Dml.insertValues(base,
+      Seq((90, "ATLANTIS", 1)).toDF("n_nationkey", "n_name", "n_regionkey"),
+      dir)                                                   // v0, v1
+    Dml.deleteLatest(spark, dir, col("n_nationkey") === 90)  // v2
+    Dml.deleteLatest(spark, dir, col("n_nationkey") === 0)   // v3
+    // roll the pointer BACK to v1, then vacuum keep=1: the newest (v3)
+    // is in-window, and the committed target (v1) must survive too
+    Dml.commit(dir, "v1")
+    assert(Dml.vacuum(spark, dir, keep = 1) == Seq("v0", "v2"))
+    def present(v: String) = new java.io.File(s"$dir/$v").exists
+    assert(!present("v0") && present("v1") && !present("v2") &&
+      present("v3"))
+    assert(Dml.readLatest(spark, dir).count() == base.count() + 1)
+    // idempotent second pass drops nothing further
+    assert(Dml.vacuum(spark, dir, keep = 1).isEmpty)
+    intercept[IllegalArgumentException](Dml.vacuum(spark, dir, 0))
+  }
 }
