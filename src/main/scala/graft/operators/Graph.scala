@@ -127,6 +127,42 @@ object Graph {
         coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
+  /** HITS hub/authority scores (Kleinberg) over a directed edge set, in
+    * EXACT INTEGER arithmetic: with hub⁰ ≡ 1, the unnormalized iterates
+    *   auth¹(v) = Σ_{u→v} hub⁰(u) = indeg(v)
+    *   hub¹(u)  = Σ_{u→w} auth¹(w)
+    *   auth²(v) = Σ_{u→v} hub¹(u)
+    * are integer join-sums — the mutually-recursive twin of [[
+    * domainPagerank2]]'s centrality (PageRank ranks where mass flows,
+    * HITS separates good POINTERS from good TARGETS, the classic
+    * seed-list/directory-page split in crawl frontier ranking).
+    * Production normalizes per round (L2), which moves to doubles and
+    * changes no join/agg shape. Each half-step is one edge⋈score join
+    * (shuffle on the score key) + one Σ-by-endpoint — the PageRank plan
+    * classes exactly. Returns (domain, auth1, hub1, auth2). */
+  def hits2(docs: DataFrame, n: Int = 50): DataFrame = {
+    val nodes = docs.select((col("doc_id") % n).as("v")).distinct()
+    val edges = docs.select((col("doc_id") % n).as("src"),
+      ((col("doc_id") * col("doc_id") + 1) % n).as("dst")).distinct()
+    val a1 = nodes.join(
+        edges.groupBy("dst").agg(count(lit(1)).as("ind")),
+        nodes("v") === col("dst"), "left")
+      .select(col("v"), coalesce(col("ind"), lit(0L)).as("a1"))
+    val h1 = nodes.join(
+        edges.join(a1, edges("dst") === a1("v"))
+          .groupBy("src").agg(sum("a1").as("hs")),
+        nodes("v") === col("src"), "left")
+      .select(col("v"), coalesce(col("hs"), lit(0L)).as("h1"))
+    val a2 = nodes.join(
+        edges.join(h1, edges("src") === h1("v"))
+          .groupBy("dst").agg(sum("h1").as("as2")),
+        nodes("v") === col("dst"), "left")
+      .select(col("v"), coalesce(col("as2"), lit(0L)).as("a2"))
+    a1.join(h1, "v").join(a2, "v")
+      .select(col("v").as("domain"), col("a1").as("auth1"),
+        col("h1").as("hub1"), col("a2").as("auth2"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected graph — the structural signal crawl curation reads off
     * the domain link graph (link farms and boilerplate mirror rings
@@ -277,6 +313,33 @@ object GraphQueries {
              |/ (deg.degree * (deg.degree - 1)) ELSE 0.0 END AS clustering
              |FROM nodes n LEFT JOIN deg ON deg.v = n.v
              |LEFT JOIN pn ON pn.v = n.v"""
+        .stripMargin.replace('\n', ' '))),
+
+    // HITS HUB/AUTHORITY under the hash gate — g01's constructed domain
+    // graph, the mutually-recursive centrality in exact integers (see
+    // [[Graph.hits2]]); the oracle restates both half-step joins and the
+    // final three-column readout. Distinguishes good POINTERS from good
+    // TARGETS where PageRank only ranks targets.
+    Q("g04_hits",
+      (s, d) => Graph.hits2(Tables.t(s, d, "documents")),
+      Some("""WITH nodes AS (SELECT DISTINCT doc_id % 50 AS v
+             |FROM documents),
+             |edges AS (SELECT DISTINCT doc_id % 50 AS src,
+             |(doc_id * doc_id + 1) % 50 AS dst FROM documents),
+             |a1 AS (SELECT n.v, COALESCE(i.ind, 0) AS a1 FROM nodes n
+             |LEFT JOIN (SELECT dst, count(*) AS ind FROM edges
+             |GROUP BY 1) i ON i.dst = n.v),
+             |h1 AS (SELECT n.v, COALESCE(hs.hs, 0) AS h1 FROM nodes n
+             |LEFT JOIN (SELECT e.src, CAST(sum(a1.a1) AS BIGINT) AS hs
+             |FROM edges e JOIN a1 ON a1.v = e.dst GROUP BY 1) hs
+             |ON hs.src = n.v),
+             |a2 AS (SELECT n.v, COALESCE(s2.as2, 0) AS a2 FROM nodes n
+             |LEFT JOIN (SELECT e.dst, CAST(sum(h1.h1) AS BIGINT) AS as2
+             |FROM edges e JOIN h1 ON h1.v = e.src GROUP BY 1) s2
+             |ON s2.dst = n.v)
+             |SELECT a1.v AS domain, a1.a1 AS auth1, h1.h1 AS hub1,
+             |a2.a2 AS auth2 FROM a1 JOIN h1 ON h1.v = a1.v
+             |JOIN a2 ON a2.v = a1.v"""
         .stripMargin.replace('\n', ' ')))
   )
 }

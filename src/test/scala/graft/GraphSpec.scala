@@ -66,6 +66,24 @@ class GraphSpec extends SparkSpec {
       got.toSeq.toString)
   }
 
+  test("HITS: hand-computed two half-steps on the 5-node functional " +
+    "graph (contributions leaving the node set drop, hub of a dangling " +
+    "target is 0)") {
+    val sq = spark; import sq.implicits._
+    // edges u -> (u^2+1)%50: 0->1, 1->2, 2->5, 3->10, 4->17; dsts
+    // 5/10/17 outside the node set.
+    // a1 = indeg: [0,1,1,0,0]
+    // h1(u) = a1(dst(u)) when dst in set else 0: [1,1,0,0,0]
+    // a2(v) = sum h1 over in-edges: v1 <- h1(0)=1; v2 <- h1(1)=1
+    val docs = (0L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Graph.hits2(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, 0L), (1L, 1L, 1L, 1L), (2L, 1L, 0L, 1L),
+      (3L, 0L, 0L, 0L), (4L, 0L, 0L, 0L)), got.toSeq.toString)
+  }
+
   test("triangle stats: reversed/duplicate input edges do not change " +
     "the answer (the lo<hi distinct normalization owns orientation)") {
     val sq = spark; import sq.implicits._
