@@ -1575,6 +1575,39 @@ object SimilarityQueries {
              |CAST(q_sum AS DOUBLE) / n AS mean_q,
              |CAST(n * q_sumsq - q_sum * q_sum AS DOUBLE) / (n * n) AS var_q
              |FROM a"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MATRYOSHKA (MRL) TRUNCATED RETRIEVAL under the hash gate: serve
+    // top-k from the FIRST 16 of 64 dimensions — the
+    // Kusupati et al. 2022 deployment trick (an MRL-trained embedding
+    // frontloads information, so prefix truncation is the cheapest
+    // accuracy/cost knob: 4x less scan bandwidth and score work per
+    // candidate, before quantization even starts; compose with e06 for
+    // 16x). Truncated brute-force ranking is fully deterministic, so
+    // unlike the ANN families this SERVES an approximation yet still
+    // gates exactly — the oracle ranks the same sliced lists. The
+    // recall-vs-full trade is measured in SimilaritySpec; the scan/
+    // broadcast/k-heap plan is e01's verbatim, just narrower rows.
+    Q("e18_matryoshka_topk",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"),
+            slice(col("embedding"), 1, 16).as("embedding"))
+        bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |round(list_cosine_similarity(
+             |list_transform(q.embedding[1:16], x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding[1:16], x -> CAST(x AS DOUBLE))),
+             |4) + 0.0 AS sim,
+             |CAST(row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY round(list_cosine_similarity(
+             |list_transform(q.embedding[1:16], x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding[1:16], x -> CAST(x AS DOUBLE))),
+             |4) DESC, c.vec_id ASC) AS INTEGER) AS rn
+             |FROM embeddings q, embeddings c
+             |WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+             |QUALIFY rn <= 10"""
         .stripMargin.replace('\n', ' ')))
   )
 }
