@@ -1069,6 +1069,49 @@ object Similarity {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** Pack each embedding's SIGN BITS into two 32-bit words — 1-bit
+    * (binary) quantization, the extreme end of the e06/e18 compression
+    * ladder: 64 float dims become 8 bytes at rest and in shuffle (32×),
+    * and similarity becomes Hamming distance over the packed words —
+    * two XORs + two popcounts per candidate, the cheapest score any
+    * serving scan can run (the binary-embedding deployment pattern;
+    * retrieval quality is rescued by a float re-rank of the short
+    * list, exactly like PQ's asymmetric refinement). Dims beyond the
+    * vector length contribute 0 on both engines (null > 0 is false). */
+  def packSignBits(emb: DataFrame): DataFrame = {
+    def word(lo: Int) =
+      // 0-based `get` (not ANSI element_at, which throws past the end)
+      aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L), (acc, i) =>
+        acc + when(get(col("embedding"), i.cast("int")) > 0f,
+          call_function("shiftleft", lit(1L), i - lit(lo)))
+          .otherwise(lit(0L)))
+    emb.select(col("vec_id"), word(0).as("w1"), word(32).as("w2"))
+  }
+
+  /** Exact Hamming top-k over the packed sign bits ([[packSignBits]]):
+    * e01's broadcast-query / one-corpus-scan / partial-k-heap plan with
+    * the integer Hamming metric (ranked via the shared heap on −hamming;
+    * ties break by neighbor_id, e01's rule). Deterministic end to end,
+    * so the binary-quantized serving path gates exactly (e18's
+    * argument). Returns (query_id, neighbor_id, hamming, rn). */
+  def binaryHammingTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
+    val qp = packSignBits(queries).select(col("vec_id").as("query_id"),
+      col("w1").as("qw1"), col("w2").as("qw2"))
+    val cp = packSignBits(Dedup.spread(corpus))
+      .select(col("vec_id").as("neighbor_id"), col("w1"), col("w2"))
+    val scored = cp
+      .join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        -(bit_count(col("w1").bitwiseXOR(col("qw1"))) +
+          bit_count(col("w2").bitwiseXOR(col("qw2")))).cast("double"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("sim")).cast("long").as("hamming"), col("rn"))
+  }
+
   /** Per-DIMENSION corpus moments over the int8-quantized embeddings —
     * the embedding-space observability panel (a collapsed or drifting
     * dimension shows up as var→0 or a mean excursion long before
@@ -1608,6 +1651,35 @@ object SimilarityQueries {
              |FROM embeddings q, embeddings c
              |WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
              |QUALIFY rn <= 10"""
+        .stripMargin.replace('\n', ' '))),
+
+    // BINARY-EMBEDDING HAMMING SEARCH under the hash gate — 1-bit
+    // quantization packs the sign pattern into two 32-bit words (32× at
+    // rest/in shuffle) and scores candidates with XOR+popcount; ranking
+    // is integer arithmetic, so the whole serving path is deterministic
+    // and gates exactly (see [[Similarity.binaryHammingTopK]]). The
+    // oracle packs the same words with a list fold and ranks by the
+    // same (hamming, neighbor_id) order.
+    Q("e19_binary_hamming",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        binaryHammingTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      },
+      Some("""WITH p AS (SELECT vec_id,
+             |CAST(list_sum(list_transform(range(1, 33), i ->
+             |CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1)
+             |ELSE 0 END)) AS BIGINT) AS w1,
+             |CAST(list_sum(list_transform(range(33, 65), i ->
+             |CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 33)
+             |ELSE 0 END)) AS BIGINT) AS w2 FROM embeddings),
+             |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |CAST(bit_count(xor(q.w1, c.w1)) +
+             |bit_count(xor(q.w2, c.w2)) AS BIGINT) AS hamming
+             |FROM p q, p c WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+             |SELECT query_id, neighbor_id, hamming,
+             |CAST(row_number() OVER (PARTITION BY query_id
+             |ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rn
+             |FROM h QUALIFY rn <= 10"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -636,4 +636,23 @@ class SimilaritySpec extends SparkSpec {
     // MRL-trained model concentrates it near 1.0
     assert(recall >= 0.2, s"truncated recall@10 = $recall")
   }
+
+  test("binary hamming: hand-computed sign packs and distances, heap " +
+    "tie-break by neighbor id (short vectors pad with 0 bits)") {
+    val sq = spark; import sq.implicits._
+    val emb = Seq(
+      (1L, Array(1f, -1f, 1f)), (2L, Array(-1f, 1f, 1f)),
+      (3L, Array(1f, 1f, -1f))).toDF("vec_id", "embedding")
+    val packs = Similarity.packSignBits(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(packs == Map(1L -> ((5L, 0L)), 2L -> ((6L, 0L)),
+      3L -> ((3L, 0L))), packs.toString)
+    val got = Similarity
+      .binaryHammingTopK(emb.filter(col("vec_id") === 1), emb, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // both candidates at hamming 2 -> tie breaks by neighbor_id
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1), (1L, 3L, 2L, 2)),
+      got.toSeq.toString)
+  }
 }
