@@ -147,4 +147,53 @@ object Layouts {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     (files.size, nOut)
   }
+
+  /** INCREMENTAL INGESTION over a landing directory (the Auto
+    * Loader / file-notification pattern): a manifest records which data
+    * files have been processed, and each run reads ONLY the delta —
+    * rows from files absent from the manifest (`input_file_name`
+    * anti-joined against the manifest relation, so the filter rides the
+    * scan; file names carry writer-task UUIDs and never collide across
+    * drops). A missing manifest means nothing is processed yet — the
+    * bootstrap read is the full landing dir. Scale: the manifest is a
+    * file-count-sized relation (not row-sized); production appends it
+    * per commit exactly like a transaction log and the anti-join
+    * broadcasts it. */
+  def incrementalScan(
+      spark: SparkSession,
+      landingDir: String,
+      manifestDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(landingDir)
+      .withColumn("_file",
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+    val mfPath = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = mfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mfPath)) all.drop("_file")
+    else all.join(broadcast(spark.read.parquet(manifestDir)),
+      Seq("_file"), "left_anti").drop("_file")
+  }
+
+  /** Checkpoint the manifest: record every data file currently in the
+    * landing dir as processed. Listing-metadata scale (one row per
+    * FILE); overwrite semantics make the pair
+    * [[incrementalScan]]→process→markProcessed idempotent per drop. */
+  def markProcessed(
+      spark: SparkSession,
+      landingDir: String,
+      manifestDir: String): Unit = {
+    import spark.implicits._
+    dataFiles(spark, landingDir)
+      .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
+      .toDF("_file")
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+  }
+
+  /** Recursively delete `dir` if present (work-dir hermeticity across
+    * JVMs — the io05 lesson applied to landing/manifest state). */
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -231,6 +231,41 @@ object SourceQueries {
              |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
              |CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents GROUP BY source"""
+        .stripMargin.replace('\n', ' '))),
+
+    // INCREMENTAL INGESTION under the hash gate: drop 1 (even doc_ids)
+    // lands and is checkpointed into the manifest; drop 2 (odd doc_ids)
+    // lands afterwards; [[Layouts.incrementalScan]] must surface EXACTLY
+    // the second drop — the oracle restates the odd-id half from the
+    // logical table, so over-reading (reprocessing drop 1) or
+    // under-reading (missing new files) both flip the gate red. State is
+    // deleted up front (io05's hermeticity rule for cross-JVM work
+    // dirs). BucketingSpec drives the lifecycle: bootstrap reads all,
+    // post-checkpoint reads nothing, next drop reads only itself.
+    Q("io09_incremental_scan",
+      (s, d) => {
+        val base = Dml.work("io09", d)
+        val land = base + "/landing"
+        val mf = base + "/manifest"
+        Layouts.deleteDir(s, land)
+        Layouts.deleteDir(s, mf)
+        val docs = Tables.t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(land)
+        Layouts.markProcessed(s, land, mf)
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(land)
+        Layouts.incrementalScan(s, land, mf)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM documents WHERE doc_id % 2 = 1 GROUP BY source"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -132,4 +132,26 @@ class BucketingSpec extends SparkSpec {
         touched.mkString(", "))
     manifest.unpersist()
   }
+
+  test("incremental scan lifecycle: bootstrap reads everything, a " +
+    "checkpoint quiesces it, the next drop surfaces only itself") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_incr").toString
+    val land = s"$base/landing"
+    val mf = s"$base/manifest"
+    val docs = Tables.t(spark, sf, "documents")
+    val d1 = docs.filter(col("doc_id") % 2 === 0)
+    val d2 = docs.filter(col("doc_id") % 2 === 1)
+    d1.write.mode("append").parquet(land)
+    // no manifest yet -> bootstrap reads the full landing dir
+    assert(Layouts.incrementalScan(spark, land, mf).count() == d1.count())
+    Layouts.markProcessed(spark, land, mf)
+    assert(Layouts.incrementalScan(spark, land, mf).count() == 0)
+    d2.write.mode("append").parquet(land)
+    val delta = Layouts.incrementalScan(spark, land, mf)
+    assert(delta.exceptAll(d2).isEmpty && d2.exceptAll(delta).isEmpty,
+      "delta must be exactly the unprocessed drop")
+    Layouts.markProcessed(spark, land, mf)
+    assert(Layouts.incrementalScan(spark, land, mf).count() == 0)
+  }
 }
