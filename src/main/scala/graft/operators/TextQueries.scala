@@ -168,6 +168,53 @@ object CorpusStats {
         (coalesce(col("score"), lit(0L)) > 0).as("selected"))
   }
 
+  /** EXACT corpus heavy hitters (terms with frequency ≥ 1/`phiDen` of
+    * all tokens) via the TWO-PHASE sketch-then-verify plan: phase 1 runs
+    * a bounded Misra-Gries summary per partition — an mapPartitions
+    * fold in O(2·phiDen) memory, NO shuffle — whose union is a proven
+    * SUPERSET of every true heavy hitter (if count_p(x) ≤ N_p/(cap+1)
+    * in every partition, then summing gives count(x) ≤ N/(cap+1) <
+    * N/phiDen, so a true heavy hitter must survive somewhere); phase 2
+    * broadcast-semi-joins the candidate set into the token scan and
+    * recounts EXACTLY, so the output is deterministic and independent of
+    * the partitioning that shaped the candidates. This is the pattern
+    * that finds the 0.5%-of-corpus boilerplate tokens without ever
+    * shuffling the FULL vocabulary: the exchange carries only candidate
+    * occurrences, partial-agg'd to ≤ cap × tasks rows. (t07's TakeOrdered
+    * top-N is rank-based; this is threshold-based — the dedup/boilerplate
+    * trigger wants "everything above φ", not "the top 30".) One of the
+    * two deliberate `mapPartitions` uses in the repo: a bounded-memory
+    * sketch is genuinely per-partition imperative state, the documented
+    * last-resort case. */
+  def heavyHitters(docs: DataFrame, phiDen: Long = 200L): DataFrame = {
+    val tok = Dedup.spread(docs)
+      .select(explode(tokens(col("text"))).as("term"))
+    val sq = tok.sparkSession
+    import sq.implicits._
+    val cap = (2L * phiDen).toInt
+    val cands = tok.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m(t) = c + 1
+          case None if m.size < cap => m(t) = 1L
+          case None => // Misra-Gries decrement-all, drop zeros
+            val dead = List.newBuilder[String]
+            m.mapValuesInPlace((_, c) => c - 1)
+            m.foreach { case (k, c) => if (c == 0L) dead += k }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("term").distinct()
+    val counts = tok.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("total"))))
+      .filter(col("n") * phiDen >= col("total"))
+      .select(col("term"), col("n"), col("total"))
+  }
+
   /** Per-DOCUMENT cross-entropy under the corpus unigram LM — the
     * perplexity-proxy quality signal (CCNet-style LM filtering, with the
     * corpus's own unigram distribution standing in for the external LM):
@@ -1627,6 +1674,23 @@ object TextQueries {
              |THEN 'GPL-3.0' ELSE 'unknown' END AS license FROM t)
              |SELECT doc_id, license,
              |license IN ('MIT', 'Apache-2.0') AS permissive FROM l"""
+        .stripMargin.replace('\n', ' '))),
+
+    // EXACT HEAVY HITTERS under the hash gate — the two-phase
+    // Misra-Gries-then-recount plan (see [[CorpusStats.heavyHitters]]).
+    // The sketch phase only shapes the CANDIDATE set (provably a
+    // superset, spec-asserted); the exact recount makes the output
+    // deterministic, so the oracle is the plain threshold query the
+    // operator answers without a full-vocabulary shuffle.
+    Q("t37_heavy_hitters",
+      (s, d) => CorpusStats.heavyHitters(Tables.t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT
+             |unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |FROM documents),
+             |tot AS (SELECT count(*) AS total FROM tok),
+             |c AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+             |SELECT term, n, total FROM c CROSS JOIN tot
+             |WHERE n * 200 >= total"""
         .stripMargin.replace('\n', ' ')))
   )
 }

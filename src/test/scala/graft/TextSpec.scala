@@ -586,4 +586,23 @@ class TextSpec extends SparkSpec {
     assert(asMap(CorpusStats.linearQualityScoreRow(docs)) ==
       asMap(CorpusStats.linearQualityScore(docs)))
   }
+
+  test("heavy hitters: output equals the direct threshold query and is " +
+    "invariant to the partitioning that shapes the MG candidates") {
+    val docs = Tables.t(spark, sf, "documents")
+    def hh(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.heavyHitters(df, 200L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val tok = docs.select(explode(TextFunctions.tokens(col("text")))
+      .as("term"))
+    val total = tok.count()
+    val direct = tok.groupBy("term").count()
+      .filter(col("count") * 200 >= total).collect()
+      .map(r => (r.getString(0), r.getLong(1), total)).toSet
+    val one = hh(docs.repartition(1))
+    val many = hh(docs.repartition(7))
+    assert(one == direct, s"single-partition run: ${one.size} vs " +
+      s"direct ${direct.size}")
+    assert(many == direct, "answer must not depend on the partitioning")
+  }
 }
