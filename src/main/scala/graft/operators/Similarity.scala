@@ -1112,6 +1112,52 @@ object Similarity {
         (-col("sim")).cast("long").as("hamming"), col("rn"))
   }
 
+  /** EMBEDDING DRIFT MONITOR: per-label centroid displacement between
+    * two deterministic halves of the corpus (id parity here; in
+    * production the two sides are "yesterday's snapshot" vs "today's" or
+    * two encoder versions) — the check that catches a retrained encoder
+    * or a poisoned ingest shifting a class's centroid before any
+    * downstream recall drops. All arithmetic is exact integer on the
+    * quantized basis (e12/e14's construction): per (label, side) vector
+    * counts, per (label, side, dim) coordinate sums, and the mean
+    * displacement compared CROSS-MULTIPLIED — |s_a·n_b − s_b·n_a| — so
+    * no division happens until the single final readout
+    * drift = Σ_dim |Δ| / (n_a·n_b·dim). Scale: one quantize scan →
+    * (label, side, dim) partial-agg (labels × 2 × dim rows) → label-key
+    * join + rollup; nothing corpus-sized crosses an exchange after the
+    * first partial-agg. Returns (label, n_a, n_b, l1_num, drift). */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val q = emb
+      .withColumn("__v", toDouble(col("embedding")))
+      .withColumn("__scale", greatest(
+        array_max(transform(col("__v"), x => abs(x))) / 127.0, lit(1e-12)))
+      .withColumn("qv",
+        transform(col("__v"), x => round(x / col("__scale")).cast("long")))
+      .select(col("label"), (col("vec_id") % 2).as("side"),
+        col("qv"))
+    val n = q.groupBy("label", "side").agg(count(lit(1)).as("n"))
+    val s = q.select(col("label"), col("side"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "side", "pos").agg(sum(col("x")).as("s"))
+    val a = s.filter(col("side") === 0)
+      .join(n.filter(col("side") === 0), Seq("label", "side"))
+      .select(col("label"), col("pos"), col("s").as("sa"),
+        col("n").as("n_a"))
+    val b = s.filter(col("side") === 1)
+      .join(n.filter(col("side") === 1), Seq("label", "side"))
+      .select(col("label"), col("pos"), col("s").as("sb"),
+        col("n").as("n_b"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(col("sa") * col("n_b") - col("sb") * col("n_a")))
+          .as("l1_num"),
+        count(lit(1)).as("dim"))
+      .select(col("label"), col("n_a"), col("n_b"), col("l1_num"),
+        (col("l1_num").cast("double") /
+          (col("n_a") * col("n_b") * col("dim"))).as("drift"))
+  }
+
   /** Per-DIMENSION corpus moments over the int8-quantized embeddings —
     * the embedding-space observability panel (a collapsed or drifting
     * dimension shows up as var→0 or a mean excursion long before
@@ -1680,6 +1726,44 @@ object SimilarityQueries {
              |CAST(row_number() OVER (PARTITION BY query_id
              |ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rn
              |FROM h QUALIFY rn <= 10"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PER-LABEL CENTROID DRIFT under the hash gate — exact integer
+    // cross-multiplied mean displacement between the two id-parity
+    // halves (see [[Similarity.centroidDrift]]); the oracle restates the
+    // quantization, the per-side sufficient statistics, and the one
+    // final division.
+    Q("e20_centroid_drift",
+      (s, d) => centroidDrift(Tables.t(s, d, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id, label, vec_id % 2 AS side,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, label, side, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id, label, side,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |n AS (SELECT label, side, count(*) AS n FROM q GROUP BY 1, 2),
+             |x AS (SELECT label, side,
+             |CAST(generate_subscripts(qv, 1) AS INTEGER) - 1 AS pos,
+             |unnest(qv) AS x FROM q),
+             |sm AS (SELECT label, side, pos, CAST(sum(x) AS BIGINT) AS s
+             |FROM x GROUP BY 1, 2, 3),
+             |a AS (SELECT sm.label, pos, s AS sa, n.n AS n_a FROM sm
+             |JOIN n ON n.label = sm.label AND n.side = 0
+             |WHERE sm.side = 0),
+             |b AS (SELECT sm.label, pos, s AS sb, n.n AS n_b FROM sm
+             |JOIN n ON n.label = sm.label AND n.side = 1
+             |WHERE sm.side = 1),
+             |j AS (SELECT a.label, a.n_a, b.n_b,
+             |abs(a.sa * b.n_b - b.sb * a.n_a) AS d
+             |FROM a JOIN b ON a.label = b.label AND a.pos = b.pos),
+             |g AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+             |CAST(sum(d) AS BIGINT) AS l1_num, count(*) AS dim
+             |FROM j GROUP BY label)
+             |SELECT label, n_a, n_b, l1_num,
+             |CAST(l1_num AS DOUBLE) / (n_a * n_b * dim) AS drift FROM g"""
         .stripMargin.replace('\n', ' ')))
   )
 }

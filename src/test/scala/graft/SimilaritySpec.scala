@@ -655,4 +655,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 2L, 1), (1L, 3L, 2L, 2)),
       got.toSeq.toString)
   }
+
+  test("centroid drift: zero when both halves share the centroid, " +
+    "hand-computed cross-multiplied displacement otherwise") {
+    val sq = spark; import sq.implicits._
+    // label 7: sides identical (drift 0). label 8: side A quantizes to
+    // (127, 0) x1; side B to (0, 127) x1 -> per-dim |d| = 127 each,
+    // l1_num = 254, drift = 254 / (1*1*2) = 127.0
+    val emb = Seq(
+      (0L, Array(1f, 0f), 7), (1L, Array(2f, 0f), 7),
+      (2L, Array(1f, 0f), 7), (3L, Array(3f, 0f), 7),
+      (4L, Array(5f, 0f), 8), (5L, Array(0f, 2f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      7 -> ((2L, 2L, 0L, 0.0)),
+      8 -> ((1L, 1L, 254L, 127.0))), got.toString)
+  }
 }
