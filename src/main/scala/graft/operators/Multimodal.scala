@@ -276,6 +276,49 @@ object Multimodal {
       ceil(h * scale).cast("int").as("out_height"))
   }
 
+  /** Big-endian uint32 at a DYNAMIC 1-based offset (ISO-BMFF's integer
+    * encoding). */
+  private def dynBeU32(bin: Column, off: Column): Column =
+    conv(hex(substring(bin, off.cast("int"), lit(4))), 16, 10).cast("long")
+
+  /** ISO-BMFF (MP4/MOV) TOP-LEVEL BOX WALK — the video-container side of
+    * the header-parser family (PNG/BMP fixed-offset, JPEG marker walk,
+    * WAV RIFF; this is the fourth real container grammar): every
+    * top-level box is `[size:u32be][type:4cc][payload…]`, `off += size`
+    * hops the stream, and a well-formed file ends exactly at the last
+    * byte. The walk is an `aggregate` HOF over a fixed hop budget with
+    * struct state (off, n_boxes, moov flag, mdat payload bytes):
+    * off 0 = clean end-of-stream, −1 = malformed (size < 8 or box
+    * overrunning the payload) — the same frozen-terminal discipline as
+    * the JPEG [[sofScan]]. `moov` presence is the "is this playable
+    * metadata or a bare fragment" probe; mdat bytes are the media
+    * payload accounting a video-ingest manifest wants. Pure codegen'd
+    * byte arithmetic, one scan, no shuffle. */
+  def mp4BoxStats(bin: Column, maxHops: Int = 8): Column = {
+    val olen = octet_length(bin).cast("long")
+    def st(off: Column, n: Column, moov: Column, mdat: Column) =
+      struct(off.as("off"), n.as("n"), moov.as("moov"), mdat.as("mdat"))
+    aggregate(
+      sequence(lit(1), lit(maxHops)),
+      st(lit(1L), lit(0L), lit(0L), lit(0L)),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val n = acc.getField("n")
+        val moov = acc.getField("moov")
+        val mdat = acc.getField("mdat")
+        val size = dynBeU32(bin, off)
+        val typ = substring(bin, (off + 4).cast("int"), lit(4))
+          .cast("string")
+        when(off <= 0, acc)                          // settled (end/bad)
+          .when(off === olen + 1, st(lit(0L), n, moov, mdat)) // clean end
+          .when(off + 7 > olen || size < 8 || off + size > olen + 1,
+            st(lit(-1L), n, moov, mdat))             // malformed/truncated
+          .otherwise(st(off + size, n + 1,
+            greatest(moov, when(typ === "moov", lit(1L)).otherwise(0L)),
+            mdat + when(typ === "mdat", size - 8).otherwise(0L)))
+      })
+  }
+
   /** Frame sampling for "video" payloads: fixed-stride byte windows stand
     * in for decoded frames, exploded to per-frame rows (frame_no,
     * frame_hash) — the explode/re-aggregate shape a real frame pipeline
@@ -633,6 +676,45 @@ object MultimodalQueries {
              |AS ph FROM h)
              |SELECT doc_id, frame_no, frame_h FROM k
              |WHERE ph IS NULL OR frame_h <> ph"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MP4 BOX WALK under the hash gate — mm06's constructed-payload
+    // pattern applied to the video CONTAINER grammar: each doc builds
+    // ftyp + free (doc_id-sized) + [moov on even ids] + mdat
+    // (doc_id-sized) with real box headers and zero payloads, and
+    // [[Multimodal.mp4BoxStats]]' hop walk must recover box count, moov
+    // presence, and mdat byte accounting exactly as the oracle states
+    // the arithmetic. A clean walk ends with off=0 (asserted via the
+    // gated `well_formed` column), so a size-arithmetic bug anywhere in
+    // the walk flips the gate red.
+    Q("mm11_mp4_boxes",
+      (s, d) => {
+        val f = (col("doc_id") % 120 + 8).cast("int")
+        val m = ((col("doc_id") * 3) % 200 + 8).cast("int")
+        val hexStr = concat(
+          lit("00000010"), lit("66747970"),             // ftyp, size 16
+          lit("69736F6D"), lit("00000000"),             // brand + minor
+          lpad(hex(f), 8, "0"), lit("66726565"),        // free, sized
+          call_function("repeat", lit("00"), (f - 8).cast("int")),
+          when(col("doc_id") % 2 === 0,
+            lit("000000086D6F6F76")).otherwise(lit("")), // moov, size 8
+          lpad(hex(m), 8, "0"), lit("6D646174"),        // mdat, sized
+          call_function("repeat", lit("00"), (m - 8).cast("int")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            mp4BoxStats(unhex(hexStr)).as("b"))
+          .select(col("doc_id"),
+            col("b.n").as("n_boxes"),
+            (col("b.moov") === 1).as("has_moov"),
+            col("b.mdat").as("mdat_bytes"),
+            (col("b.off") === 0).as("well_formed"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+             |AS n_boxes,
+             |doc_id % 2 = 0 AS has_moov,
+             |CAST((doc_id * 3) % 200 AS BIGINT) AS mdat_bytes,
+             |true AS well_formed FROM documents"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -253,4 +253,26 @@ class MultimodalSpec extends SparkSpec {
         s"doc $docId (scene len $len): got ${kept.map(_._2).sorted.toSeq}")
     }
   }
+
+  test("mp4 box walk: hand-built stream parses exactly; truncated and " +
+    "undersized boxes freeze to the malformed terminal with the boxes " +
+    "seen so far") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    // ftyp(16) + moov(8) + mdat(12: 4 payload bytes)
+    val good = "00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000008" + "6D6F6F76" + "0000000C" + "6D646174" + "AABBCCDD"
+    val trunc = good.dropRight(4)   // mdat overruns by 2 bytes
+    val badsize = "00000004" + "66747970" // size < 8 is illegal
+    val got = Seq((1, good), (2, trunc), (3, badsize)).toDF("id", "hx")
+      .select(col("id"), Multimodal.mp4BoxStats(unhex(col("hx"))).as("b"))
+      .collect()
+      .map(r => r.getInt(0) -> {
+        val b = r.getStruct(1)
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      }).toMap
+    assert(got(1) == ((0L, 3L, 1L, 4L)), got(1).toString)  // clean end
+    assert(got(2) == ((-1L, 2L, 1L, 0L)), got(2).toString) // truncated
+    assert(got(3) == ((-1L, 0L, 0L, 0L)), got(3).toString) // bad size
+  }
 }
