@@ -1726,7 +1726,8 @@ object SimilarityQueries {
              |CAST(row_number() OVER (PARTITION BY query_id
              |ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rn
              |FROM h QUALIFY rn <= 10"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // PER-LABEL CENTROID DRIFT under the hash gate — exact integer
     // cross-multiplied mean displacement between the two id-parity

@@ -1691,6 +1691,7 @@ object TextQueries {
              |c AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
              |SELECT term, n, total FROM c CROSS JOIN tot
              |WHERE n * 200 >= total"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }
