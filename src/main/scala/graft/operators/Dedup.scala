@@ -1846,6 +1846,84 @@ object DedupQueries {
              |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id"""
         .stripMargin.replace('\n', ' '))),
 
+    // PRETRAINING-CURATION CAPSTONE v2 — the round's new operators
+    // composed as ONE plan under ONE oracle: train split → p08's
+    // model-based classifier (keep score > 0) → exact content dedup
+    // (keep-min) → p02-style decontamination AS A FILTER (drop any
+    // surviving train doc sharing an 8-gram with the test split) →
+    // per-language corpus stats. The oracle restates all four stages in
+    // CTEs, so the gate proves the stages COMPOSE (each stage's
+    // survivor set feeds the next exactly — p06's argument applied to
+    // the classifier/decontam family). Scale: classifier = explode +
+    // 256-row broadcast; dedup = one content-hash window; decontam =
+    // the p02/p07 inverted-index join shape (bloom-prefilterable
+    // verbatim); stats = tiny lang agg.
+    Q("p09_classifier_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, d, "documents")
+        val split = docs.withColumn("split",
+          Sampling.deterministicSplit(col("text")))
+        val train = split.filter(col("split") === "train")
+        val kept = train.join(
+          CorpusStats.linearQualityScore(train)
+            .filter(col("selected")).select("doc_id"),
+          "doc_id")
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val deduped = kept.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        def grams(df: DataFrame) = df.select(col("doc_id"),
+          explode(TextExpressions.shingleHashes(
+            tokens(col("text")), 8)).as("g"))
+        val testSet = grams(split.filter(col("split") === "test"))
+          .select("g").distinct()
+        val contaminated = grams(deduped).join(testSet, "g")
+          .select("doc_id").distinct()
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, text,
+             |CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+             |WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+             |ELSE 'test' END AS split FROM documents),
+             |tk AS (SELECT doc_id, lang, text, split,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM sp),
+             |bk AS (SELECT doc_id,
+             |ascii(substr(md5(term), 1, 1)) * 256 +
+             |ascii(substr(md5(term), 2, 1)) AS bucket
+             |FROM (SELECT doc_id, unnest(toks) AS term FROM tk
+             |WHERE split = 'train')),
+             |db AS (SELECT doc_id, bucket, count(*) AS cnt
+             |FROM bk GROUP BY 1, 2),
+             |wt AS (SELECT DISTINCT bucket, bucket % 9 - 4 AS w FROM bk),
+             |sc AS (SELECT db.doc_id,
+             |CAST(sum(cnt * w) AS BIGINT) AS score
+             |FROM db JOIN wt USING (bucket) GROUP BY 1),
+             |keep AS (SELECT tk.doc_id, tk.lang, tk.text,
+             |len(tk.toks) AS n_toks FROM tk
+             |JOIN sc ON sc.doc_id = tk.doc_id
+             |WHERE tk.split = 'train' AND sc.score > 0),
+             |dd AS (SELECT doc_id, lang, text, n_toks FROM
+             |(SELECT *, row_number() OVER (PARTITION BY md5(text)
+             |ORDER BY doc_id) AS rn FROM keep) WHERE rn = 1),
+             |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |range(1, greatest(len(toks) - 7, 1) + 1),
+             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+             |toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS g FROM tk),
+             |te AS (SELECT DISTINCT g FROM g8
+             |JOIN sp ON sp.doc_id = g8.doc_id WHERE sp.split = 'test'),
+             |cont AS (SELECT DISTINCT g8.doc_id FROM g8
+             |JOIN te USING (g)
+             |WHERE g8.doc_id IN (SELECT doc_id FROM dd)),
+             |clean AS (SELECT * FROM dd
+             |WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+             |SELECT lang, count(*) AS n_docs,
+             |CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |FROM clean GROUP BY lang"""
+        .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set
