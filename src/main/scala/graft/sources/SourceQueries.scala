@@ -266,6 +266,52 @@ object SourceQueries {
              |CAST(sum(length(text)) AS BIGINT) AS n_chars,
              |min(doc_id) AS min_doc, max(doc_id) AS max_doc
              |FROM documents WHERE doc_id % 2 = 1 GROUP BY source"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MALFORMED-RECORD ACCOUNTING under the hash gate — the ingest
+    // contract every raw-text feed needs: a CSV drop where every tenth
+    // record is garbage is read in PERMISSIVE mode with an explicit
+    // schema and a corrupt-record column, and the entry reports the
+    // per-source stats of the rows that PARSED plus the quarantine
+    // count — the oracle restates both halves from the logical table,
+    // so silently dropping corrupt rows (FAILFAST's opposite failure)
+    // or mis-parsing good ones both flip the gate. Scale: PERMISSIVE
+    // parse is per-row scan work; the quarantine column routes to a
+    // dead-letter sink in production, same plan.
+    Q("io10_corrupt_records",
+      (s, d) => {
+        val dir = Dml.work("io10", d) + "/feed_csv"
+        val docs = Tables.t(s, d, "documents")
+        docs.select(
+            when(col("doc_id") % 10 === 0,
+              concat(lit("corrupt#"), col("doc_id")))
+              .otherwise(concat_ws(",", col("doc_id"), col("source"),
+                col("n_chars"))).as("value"))
+          .write.mode("overwrite").text(dir)
+        val schema = "id long, src string, chars long, _corrupt string"
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+        // Spark refuses plans whose only referenced column is the
+        // corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+        // requires caching first); a parse failure always nulls the
+        // typed `id`, so quarantine routing keys on that — same rows,
+        // no materialization requirement.
+        parsed.filter(col("id").isNotNull)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n"),
+            sum(col("chars")).as("chars_sum"))
+          .unionByName(parsed.filter(col("id").isNull)
+            .agg(count(lit(1)).as("n"))
+            .select(lit("_corrupt").as("src"), col("n"),
+              lit(0L).as("chars_sum")))
+      },
+      Some("""SELECT source AS src, count(*) AS n,
+             |CAST(sum(n_chars) AS BIGINT) AS chars_sum
+             |FROM documents WHERE doc_id % 10 != 0 GROUP BY source
+             |UNION ALL SELECT '_corrupt', count(*), 0 FROM documents
+             |WHERE doc_id % 10 = 0"""
         .stripMargin.replace('\n', ' ')))
   )
 }
