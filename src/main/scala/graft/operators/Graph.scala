@@ -183,7 +183,12 @@ object Graph {
     * enumeration. All three joins shuffle on node keys — no all-pairs
     * stage anywhere. */
   def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val e = edges.filter(col("lo") < col("hi")).distinct()
+    // normalize rather than filter: a reversed pair (2,1) is the same
+    // undirected edge as (1,2), not a row to drop; self-loops go
+    val e = edges
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
     val deg = e.select(col("lo").as("v"))
       .union(e.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))

@@ -288,13 +288,19 @@ object Multimodal {
     * hops the stream, and a well-formed file ends exactly at the last
     * byte. The walk is an `aggregate` HOF over a fixed hop budget with
     * struct state (off, n_boxes, moov flag, mdat payload bytes):
-    * off 0 = clean end-of-stream, −1 = malformed (size < 8 or box
-    * overrunning the payload) — the same frozen-terminal discipline as
-    * the JPEG [[sofScan]]. `moov` presence is the "is this playable
+    * off 0 = clean end-of-stream, −1 = malformed (size below the header
+    * length or a box overrunning the payload) — the same frozen-terminal
+    * discipline as the JPEG [[sofScan]]. The spec's special size
+    * encodings are honored: size 0 extends to end-of-file (final box),
+    * size 1 reads the 64-bit largesize after the type (16-byte header,
+    * mandatory for >4 GB mdat). A clean end needs maxHops ≥ boxes + 1;
+    * the default 64 covers fragmented files (moof/mdat trains), and a
+    * walk that runs out of hops mid-stream leaves off > 0 — callers
+    * treating off === 0 as well-formed must size the budget. `moov` presence is the "is this playable
     * metadata or a bare fragment" probe; mdat bytes are the media
     * payload accounting a video-ingest manifest wants. Pure codegen'd
     * byte arithmetic, one scan, no shuffle. */
-  def mp4BoxStats(bin: Column, maxHops: Int = 8): Column = {
+  def mp4BoxStats(bin: Column, maxHops: Int = 64): Column = {
     val olen = octet_length(bin).cast("long")
     def st(off: Column, n: Column, moov: Column, mdat: Column) =
       struct(off.as("off"), n.as("n"), moov.as("moov"), mdat.as("mdat"))
@@ -306,16 +312,25 @@ object Multimodal {
         val n = acc.getField("n")
         val moov = acc.getField("moov")
         val mdat = acc.getField("mdat")
-        val size = dynBeU32(bin, off)
+        val raw = dynBeU32(bin, off)
+        // the spec's two special size encodings are LEGAL, not errors:
+        // 0 = box extends to end of file (only valid as the last box),
+        // 1 = 64-bit largesize follows the type (16-byte header)
+        val hdr = when(raw === 1L, lit(16L)).otherwise(lit(8L))
+        val size = when(raw === 0L, olen - off + 1)
+          .when(raw === 1L,
+            conv(hex(substring(bin, (off + 8).cast("int"), lit(8))),
+              16, 10).cast("long"))
+          .otherwise(raw)
         val typ = substring(bin, (off + 4).cast("int"), lit(4))
           .cast("string")
         when(off <= 0, acc)                          // settled (end/bad)
           .when(off === olen + 1, st(lit(0L), n, moov, mdat)) // clean end
-          .when(off + 7 > olen || size < 8 || off + size > olen + 1,
+          .when(off + 7 > olen || size < hdr || off + size > olen + 1,
             st(lit(-1L), n, moov, mdat))             // malformed/truncated
           .otherwise(st(off + size, n + 1,
             greatest(moov, when(typ === "moov", lit(1L)).otherwise(0L)),
-            mdat + when(typ === "mdat", size - 8).otherwise(0L)))
+            mdat + when(typ === "mdat", size - hdr).otherwise(0L)))
       })
   }
 

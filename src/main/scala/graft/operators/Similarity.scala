@@ -1077,7 +1077,13 @@ object Similarity {
     * serving scan can run (the binary-embedding deployment pattern;
     * retrieval quality is rescued by a float re-rank of the short
     * list, exactly like PQ's asymmetric refinement). Dims beyond the
-    * vector length contribute 0 on both engines (null > 0 is false). */
+    * vector length contribute 0 on both engines (null > 0 is false).
+    *
+    * CONTRACT: this is a 64-dim PREFIX sketch — dims past 64 are
+    * deliberately ignored (e18's Matryoshka truncation composed with
+    * 1-bit quantization), so two wide vectors differing only beyond
+    * dim 64 hash identically; callers with wider embeddings pick their
+    * prefix via `slice` first, or widen the word count. */
   def packSignBits(emb: DataFrame): DataFrame = {
     def word(lo: Int) =
       // 0-based `get` (not ANSI element_at, which throws past the end)
@@ -1147,13 +1153,27 @@ object Similarity {
       .join(n.filter(col("side") === 1), Seq("label", "side"))
       .select(col("label"), col("pos"), col("s").as("sb"),
         col("n").as("n_b"))
-    a.join(b, Seq("label", "pos"))
+    val both = a.join(b, Seq("label", "pos"))
       .groupBy("label")
-      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        sum(abs(col("sa") * col("n_b") - col("sb") * col("n_a")))
+      .agg(sum(abs(col("sa") * col("n_b") - col("sb") * col("n_a")))
           .as("l1_num"),
         count(lit(1)).as("dim"))
-      .select(col("label"), col("n_a"), col("n_b"), col("l1_num"),
+    // EVERY label surfaces, including one present on only one side — a
+    // class vanishing from a half is the loudest drift event there is,
+    // so it must appear as (n, 0, NULL drift), never be inner-joined
+    // away. Displacement is NULL when either mean is undefined.
+    val na = n.filter(col("side") === 0)
+      .select(col("label"), col("n").as("n_a"))
+    val nb = n.filter(col("side") === 1)
+      .select(col("label"), col("n").as("n_b"))
+    q.select("label").distinct()
+      .join(na, Seq("label"), "left")
+      .join(nb, Seq("label"), "left")
+      .join(both, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("l1_num"),
         (col("l1_num").cast("double") /
           (col("n_a") * col("n_b") * col("dim"))).as("drift"))
   }
@@ -1760,11 +1780,17 @@ object SimilarityQueries {
              |j AS (SELECT a.label, a.n_a, b.n_b,
              |abs(a.sa * b.n_b - b.sb * a.n_a) AS d
              |FROM a JOIN b ON a.label = b.label AND a.pos = b.pos),
-             |g AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+             |g AS (SELECT label, max(n_a) AS na, max(n_b) AS nb,
              |CAST(sum(d) AS BIGINT) AS l1_num, count(*) AS dim
-             |FROM j GROUP BY label)
-             |SELECT label, n_a, n_b, l1_num,
-             |CAST(l1_num AS DOUBLE) / (n_a * n_b * dim) AS drift FROM g"""
+             |FROM j GROUP BY label),
+             |labels AS (SELECT DISTINCT label FROM q),
+             |cna AS (SELECT label, n AS n_a FROM n WHERE side = 0),
+             |cnb AS (SELECT label, n AS n_b FROM n WHERE side = 1)
+             |SELECT l.label, COALESCE(cna.n_a, 0) AS n_a,
+             |COALESCE(cnb.n_b, 0) AS n_b, g.l1_num,
+             |CAST(g.l1_num AS DOUBLE) / (g.na * g.nb * g.dim) AS drift
+             |FROM labels l LEFT JOIN cna USING (label)
+             |LEFT JOIN cnb USING (label) LEFT JOIN g USING (label)"""
         .stripMargin.replace('\n', ' ')))
   )
 }

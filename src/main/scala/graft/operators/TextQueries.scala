@@ -187,6 +187,11 @@ object CorpusStats {
     * sketch is genuinely per-partition imperative state, the documented
     * last-resort case. */
   def heavyHitters(docs: DataFrame, phiDen: Long = 200L): DataFrame = {
+    // cap is an in-memory map bound per task; an over-large phiDen would
+    // overflow the Int (negative cap admits nothing -> silently empty)
+    // and defeats the sketch anyway (the map IS the vocabulary)
+    require(phiDen >= 1L && phiDen <= 50_000_000L,
+      s"heavyHitters: phiDen must be in [1, 5e7], got $phiDen")
     val tok = Dedup.spread(docs)
       .select(explode(tokens(col("text"))).as("term"))
     val sq = tok.sparkSession

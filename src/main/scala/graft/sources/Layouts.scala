@@ -142,51 +142,83 @@ object Layouts {
     val total = files.map(_._2).sum
     val nOut = math.max(1L,
       (total + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir)
-      .coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val src = spark.read.parquet(inDir)
+    // coalesce can only MERGE scan splits; when the scan yields fewer
+    // partitions than the target bin count (one oversized input file,
+    // or bin-packed tiny files), splitting needs the shuffle — without
+    // this branch the function would write fewer, oversized files while
+    // reporting the planned count (the bin-packing contract broken
+    // silently). One plan inspection per maintenance call is fine.
+    val parts = src.rdd.getNumPartitions
+    val packed = if (parts >= nOut) src.coalesce(nOut)
+      else src.repartition(nOut)
+    packed.write.mode(SaveMode.Overwrite).parquet(outDir)
     (files.size, nOut)
   }
 
+  /** Scheme-stripped absolute path — the manifest key. Full paths, not
+    * basenames: externally-produced drops (no writer-task UUIDs) can
+    * repeat a basename across subdirectories, and a basename key would
+    * silently drop the second file's rows. */
+  private def normalizePath(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** ONE listing snapshot of the landing dir — the unit an
+    * incremental-ingestion cycle operates on. Take it once and pass the
+    * SAME value to [[incrementalScan]] and [[markProcessed]]: re-listing
+    * at checkpoint time would mark files that landed mid-processing as
+    * done without ever reading them (lost data, the classic
+    * check-then-act race). */
+  def snapshotListing(spark: SparkSession, dir: String): Seq[String] =
+    dataFiles(spark, dir).map(f => normalizePath(f._1))
+
   /** INCREMENTAL INGESTION over a landing directory (the Auto
-    * Loader / file-notification pattern): a manifest records which data
-    * files have been processed, and each run reads ONLY the delta —
-    * rows from files absent from the manifest (`input_file_name`
-    * anti-joined against the manifest relation, so the filter rides the
-    * scan; file names carry writer-task UUIDs and never collide across
-    * drops). A missing manifest means nothing is processed yet — the
-    * bootstrap read is the full landing dir. Scale: the manifest is a
-    * file-count-sized relation (not row-sized); production appends it
-    * per commit exactly like a transaction log and the anti-join
-    * broadcasts it. */
+    * Loader / file-notification pattern): read ONLY the files in
+    * `listing` that the manifest has not recorded — the pruning happens
+    * at PLANNING time (the delta paths are the read's input), so
+    * processed files are never even opened, stronger than any post-scan
+    * filter. A missing manifest bootstraps to the full listing; an
+    * empty delta returns the landing schema with zero rows. Scale: the
+    * manifest is file-count-sized and is read driver-side exactly like
+    * a transaction log's file list. */
   def incrementalScan(
       spark: SparkSession,
       landingDir: String,
-      manifestDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val all = spark.read.parquet(landingDir)
-      .withColumn("_file",
-        regexp_extract(input_file_name(), "[^/]+$", 0))
-    val mfPath = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs = mfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mfPath)) all.drop("_file")
-    else all.join(broadcast(spark.read.parquet(manifestDir)),
-      Seq("_file"), "left_anti").drop("_file")
+      manifestDir: String,
+      listing: Seq[String]): DataFrame = {
+    val delta = listing.filterNot(processedSet(spark, manifestDir))
+    if (delta.isEmpty) spark.read.parquet(landingDir).limit(0)
+    else spark.read.parquet(delta: _*)
   }
 
-  /** Checkpoint the manifest: record every data file currently in the
-    * landing dir as processed. Listing-metadata scale (one row per
-    * FILE); overwrite semantics make the pair
-    * [[incrementalScan]]→process→markProcessed idempotent per drop. */
+  /** Checkpoint `listing` (plus anything already recorded) as
+    * processed. Union-with-existing keeps the manifest monotonic even
+    * if an old listing is replayed; passing the cycle's snapshot —
+    * never a fresh listing — is what makes the scan→process→checkpoint
+    * cycle lose nothing. */
   def markProcessed(
       spark: SparkSession,
-      landingDir: String,
-      manifestDir: String): Unit = {
+      manifestDir: String,
+      listing: Seq[String]): Unit = {
     import spark.implicits._
-    dataFiles(spark, landingDir)
-      .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
-      .toDF("_file")
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+    val merged = (processedSet(spark, manifestDir) ++ listing).toSeq.sorted
+    val tmp = manifestDir + ".tmp"
+    merged.toDF("_file").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  private def processedSet(
+      spark: SparkSession, manifestDir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(manifestDir)
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Recursively delete `dir` if present (work-dir hermeticity across

@@ -252,10 +252,11 @@ object SourceQueries {
         val docs = Tables.t(s, d, "documents")
         docs.filter(col("doc_id") % 2 === 0)
           .write.mode("append").parquet(land)
-        Layouts.markProcessed(s, land, mf)
+        Layouts.markProcessed(s, mf, Layouts.snapshotListing(s, land))
         docs.filter(col("doc_id") % 2 === 1)
           .write.mode("append").parquet(land)
-        Layouts.incrementalScan(s, land, mf)
+        Layouts.incrementalScan(s, land, mf,
+            Layouts.snapshotListing(s, land))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(length(col("text"))).as("n_chars"),
@@ -282,11 +283,13 @@ object SourceQueries {
       (s, d) => {
         val dir = Dml.work("io10", d) + "/feed_csv"
         val docs = Tables.t(s, d, "documents")
+        // to_csv quotes/escapes properly — a bare concat_ws would let a
+        // comma inside `source` shift fields and mis-parse a good row
         docs.select(
             when(col("doc_id") % 10 === 0,
               concat(lit("corrupt#"), col("doc_id")))
-              .otherwise(concat_ws(",", col("doc_id"), col("source"),
-                col("n_chars"))).as("value"))
+              .otherwise(to_csv(struct(col("doc_id"), col("source"),
+                col("n_chars")))).as("value"))
           .write.mode("overwrite").text(dir)
         val schema = "id long, src string, chars long, _corrupt string"
         val parsed = s.read.schema(schema)

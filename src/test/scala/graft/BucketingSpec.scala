@@ -134,7 +134,8 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("incremental scan lifecycle: bootstrap reads everything, a " +
-    "checkpoint quiesces it, the next drop surfaces only itself") {
+    "checkpoint quiesces it, the next drop surfaces only itself, and a " +
+    "file landing between snapshot and checkpoint is NOT lost") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_incr").toString
     val land = s"$base/landing"
@@ -143,15 +144,23 @@ class BucketingSpec extends SparkSpec {
     val d1 = docs.filter(col("doc_id") % 2 === 0)
     val d2 = docs.filter(col("doc_id") % 2 === 1)
     d1.write.mode("append").parquet(land)
+    def scan() = Layouts.incrementalScan(spark, land, mf,
+      Layouts.snapshotListing(spark, land))
     // no manifest yet -> bootstrap reads the full landing dir
-    assert(Layouts.incrementalScan(spark, land, mf).count() == d1.count())
-    Layouts.markProcessed(spark, land, mf)
-    assert(Layouts.incrementalScan(spark, land, mf).count() == 0)
+    assert(scan().count() == d1.count())
+    val snap1 = Layouts.snapshotListing(spark, land)
+    // the check-then-act race: drop 2 lands AFTER the snapshot was
+    // taken but BEFORE the checkpoint commits. Checkpointing the
+    // snapshot (not a fresh listing) must leave drop 2 unprocessed.
     d2.write.mode("append").parquet(land)
-    val delta = Layouts.incrementalScan(spark, land, mf)
+    Layouts.markProcessed(spark, mf, snap1)
+    val delta = scan()
     assert(delta.exceptAll(d2).isEmpty && d2.exceptAll(delta).isEmpty,
-      "delta must be exactly the unprocessed drop")
-    Layouts.markProcessed(spark, land, mf)
-    assert(Layouts.incrementalScan(spark, land, mf).count() == 0)
+      "delta must be exactly the drop that landed mid-cycle")
+    Layouts.markProcessed(spark, mf, Layouts.snapshotListing(spark, land))
+    assert(scan().count() == 0)
+    // replaying an old snapshot keeps the manifest monotonic
+    Layouts.markProcessed(spark, mf, snap1)
+    assert(scan().count() == 0)
   }
 }

@@ -89,8 +89,9 @@ class GraphSpec extends SparkSpec {
     val sq = spark; import sq.implicits._
     val nodes = (1L to 3L).map(Tuple1(_)).toDF("v")
     val canonical = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("lo", "hi")
-    val messy = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L))
-      .toDF("lo", "hi")
+    // duplicates, a genuinely REVERSED pair (3,1), and a self-loop
+    val messy = Seq((1L, 2L), (1L, 2L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (2L, 2L)).toDF("lo", "hi")
     val a = Graph.triangleStats(nodes, canonical).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val b = Graph.triangleStats(nodes, messy).collect()

@@ -275,4 +275,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == ((-1L, 2L, 1L, 0L)), got(2).toString) // truncated
     assert(got(3) == ((-1L, 0L, 0L, 0L)), got(3).toString) // bad size
   }
+
+  test("mp4 box walk: the legal special size encodings parse — size 0 " +
+    "(to end of file) and size 1 (64-bit largesize, 16-byte header)") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    // final mdat with size=0: extends to EOF, 4 payload bytes
+    val size0 = ftyp + "00000000" + "6D646174" + "AABBCCDD"
+    // mdat with size=1: largesize=20 = 16-byte header + 4 payload bytes
+    val size1 = ftyp + "00000001" + "6D646174" +
+      "0000000000000014" + "AABBCCDD"
+    val got = Seq((1, size0), (2, size1)).toDF("id", "hx")
+      .select(col("id"), Multimodal.mp4BoxStats(unhex(col("hx"))).as("b"))
+      .collect()
+      .map(r => r.getInt(0) -> {
+        val b = r.getStruct(1)
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      }).toMap
+    assert(got(1) == ((0L, 2L, 0L, 4L)), got(1).toString)
+    assert(got(2) == ((0L, 2L, 0L, 4L)), got(2).toString)
+  }
 }

@@ -665,13 +665,17 @@ class SimilaritySpec extends SparkSpec {
     val emb = Seq(
       (0L, Array(1f, 0f), 7), (1L, Array(2f, 0f), 7),
       (2L, Array(1f, 0f), 7), (3L, Array(3f, 0f), 7),
-      (4L, Array(5f, 0f), 8), (5L, Array(0f, 2f), 8)
+      (4L, Array(5f, 0f), 8), (5L, Array(0f, 2f), 8),
+      (6L, Array(1f, 1f), 9) // label 9 exists ONLY on the even side
     ).toDF("vec_id", "embedding", "label")
     val got = Similarity.centroidDrift(emb).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))).toMap
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
     assert(got == Map(
       7 -> ((2L, 2L, 0L, 0.0)),
-      8 -> ((1L, 1L, 254L, 127.0))), got.toString)
+      8 -> ((1L, 1L, 254L, 127.0)),
+      // the vanished-from-one-half class MUST surface, drift undefined
+      9 -> ((1L, 0L, -1L, -1.0))), got.toString)
   }
 }

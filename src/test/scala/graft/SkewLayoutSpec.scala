@@ -150,9 +150,16 @@ class SkewLayoutSpec extends SparkSpec {
     val a = spark.read.parquet(comp)
     assert(a.count() == df.count())
     assert(a.exceptAll(df).isEmpty && df.exceptAll(a).isEmpty)
-    // a tighter byte target yields multiple bins
+    // a tighter byte target yields multiple bins — and the PHYSICAL
+    // file count must match the planned one even when the scan packs
+    // the tiny inputs into fewer splits than the target (the
+    // repartition branch)
     val total = files(frag).map(_.length).sum
     val (_, n4) = Layouts.compactFiles(spark, frag, s"$base/c4", total / 4)
     assert(n4 >= 4, s"quarter-size target should plan >=4 bins, got $n4")
+    assert(files(s"$base/c4").size == n4,
+      s"planned $n4 bins but wrote ${files(s"$base/c4").size} files")
+    val b = spark.read.parquet(s"$base/c4")
+    assert(b.exceptAll(df).isEmpty && df.exceptAll(b).isEmpty)
   }
 }
