@@ -25,6 +25,25 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
+  /** Invisible/format characters a crawl-text cleaner strips outright:
+    * zero-width space/non-joiner, BOM, BEL. Literal chars (no class
+    * shorthands) so the same pattern means the same thing to Java regex
+    * and RE2 — the t31 dialect rule. */
+  val strippableChars: String = "\u200B\u200C\uFEFF\u0007"
+  /** Typographic characters folded to ASCII (curly quotes, NBSP,
+    * em-dash), char-for-char aligned with [[foldedToChars]]. */
+  val foldedFromChars: String = "\u201C\u201D\u2018\u2019\u00A0\u2014"
+  val foldedToChars: String = "\"\"'' -"
+
+  /** Unicode text normalization for crawl cleaning: strip invisibles,
+    * fold typographic punctuation to ASCII. Pure per-row codegen'd
+    * string work (regexp_replace + translate), the stage that runs
+    * before tokenization so token/shingle keys are stable across
+    * sources that differ only in smart-quote/NBSP habits. */
+  def normalizeText(text: Column): Column =
+    translate(regexp_replace(text, s"[$strippableChars]", ""),
+      foldedFromChars, foldedToChars)
+
   /** Whitespace token count (BIGINT for oracle parity). */
   def tokenCountWs(text: Column): Column =
     size(tokens(text)).cast("long")

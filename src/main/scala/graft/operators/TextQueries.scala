@@ -626,6 +626,14 @@ object CorpusStats {
   * work: no shuffle, trivially parallel at 100 TB. */
 object TextQueries {
 
+  // t38 injection payloads (zwsp+“ prefix; ”+NBSP+em-dash+BOM suffix),
+  // shared between the Spark builder and the interpolated oracle so the
+  // characters can never drift apart; sqlLit escapes for a DuckDB
+  // single-quoted literal.
+  private val t38Pre = "\u200B\u201C"
+  private val t38Post = "\u201D\u00A0\u2014\uFEFF"
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   /** Shared t19/s11 builder: inject deterministic doc_id-derived PII
     * (the corpus has none — a no-op redaction would gate nothing), then
     * count and redact. Stateless per-row work, which is exactly why s11
@@ -1697,6 +1705,46 @@ object TextQueries {
              |SELECT term, n, total FROM c CROSS JOIN tot
              |WHERE n * 200 >= total"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // UNICODE TEXT NORMALIZATION under the hash gate — the cleaning
+    // stage that runs BEFORE tokenization so token/shingle keys are
+    // stable across sources with different smart-quote/NBSP/zero-width
+    // habits ([[TextFunctions.normalizeText]]). Invisibles and
+    // typographic junk are INJECTED deterministically (t19/t31's rule:
+    // the cleaner must demonstrably FIRE under the gate), the cleaned
+    // TEXT itself is gated (not just counts), and both engines see the
+    // IDENTICAL character values in pattern and payload — the shared
+    // Scala constants are interpolated into the oracle, so no
+    // escape-dialect divergence is possible. Per-row regexp_replace +
+    // translate, one scan.
+    Q("t38_text_normalize",
+      (s, d) => {
+        val t2 = when(col("doc_id") % 5 === 0,
+          concat(lit(t38Pre), col("text"), lit(t38Post)))
+          .otherwise(col("text"))
+        val stripped = regexp_replace(t2,
+          s"[${TextFunctions.strippableChars}]", "")
+        Tables.t(s, d, "documents").select(col("doc_id"),
+          TextFunctions.normalizeText(t2).as("clean_text"),
+          (length(t2) - length(stripped)).cast("long").as("n_stripped"),
+          (length(stripped) - length(translate(stripped,
+            TextFunctions.foldedFromChars, ""))).cast("long")
+            .as("n_folded"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |THEN '${sqlLit(t38Pre)}' || text || '${sqlLit(t38Post)}'
+             |ELSE text END AS t2 FROM documents),
+             |st AS (SELECT doc_id, t2, regexp_replace(t2,
+             |'[${sqlLit(TextFunctions.strippableChars)}]', '', 'g')
+             |AS sp FROM m)
+             |SELECT doc_id,
+             |translate(sp, '${sqlLit(TextFunctions.foldedFromChars)}',
+             |'${sqlLit(TextFunctions.foldedToChars)}') AS clean_text,
+             |CAST(length(t2) - length(sp) AS BIGINT) AS n_stripped,
+             |CAST(length(sp) - length(translate(sp,
+             |'${sqlLit(TextFunctions.foldedFromChars)}', '')) AS BIGINT)
+             |AS n_folded FROM st"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -605,4 +605,20 @@ class TextSpec extends SparkSpec {
       s"direct ${direct.size}")
     assert(many == direct, "answer must not depend on the partitioning")
   }
+
+  test("normalizeText strips invisibles, folds typographic punctuation " +
+    "to ASCII, and passes clean text through unchanged") {
+    val sq = spark; import sq.implicits._
+    val df = Seq(
+      (1L, "​he said “hi” — ok﻿"),
+      (2L, "plain ascii"),
+      (3L, "it’s ‘fine’")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "he said \"hi\" - ok",
+      2L -> "plain ascii",
+      3L -> "it's 'fine'"), got.toString)
+  }
 }
