@@ -212,6 +212,40 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman's r) over an undirected edge set —
+    * the one-number structural fingerprint of a link graph: positive =
+    * hubs link hubs (social-graph shape), negative = hubs link leaves
+    * (the web's classic disassortative shape; a crawl segment that
+    * suddenly reads strongly positive is usually a link farm). Both
+    * endpoints of every edge contribute symmetrically ((x,y) AND
+    * (y,x)), which makes the two marginals identical and collapses
+    * Pearson's r to (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²) — integer
+    * sufficient statistics with ONE exact final division, no sqrt
+    * (the e17/e20 exactness discipline). NULL when the graph is
+    * degree-regular (undefined correlation). Scale: degree table =
+    * one groupBy, the join is edge⋈degree on node keys twice, the
+    * readout a 1-row agg. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("y")), Seq("v"))
+    xy.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("m"), col("sx"), col("sxy"), col("sx2"),
+        when(col("m") * col("sx2") - col("sx") * col("sx") =!= 0,
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sx2") - col("sx") * col("sx")))
+          .as("r"))
+  }
+
   /** Order-independent fixed-point check: (count, bit_xor of row
     * hashes) — xor cannot overflow under ANSI mode, unlike a sum. Used
     * only for convergence detection, never for correctness. */
@@ -345,6 +379,44 @@ object GraphQueries {
              |SELECT a1.v AS domain, a1.a1 AS auth1, h1.h1 AS hub1,
              |a2.a2 AS auth2 FROM a1 JOIN h1 ON h1.v = a1.v
              |JOIN a2 ON a2.v = a1.v"""
+        .stripMargin.replace('\n', ' '))),
+
+    // DEGREE ASSORTATIVITY under the hash gate — g03's constructed
+    // 30-domain graph through [[Graph.degreeAssortativity]]; the oracle
+    // restates the symmetric endpoint expansion, the four integer
+    // sufficient statistics, and the one exact division.
+    Q("g05_assortativity",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val a = (col("doc_id") % 30).as("a")
+        def gen(b: org.apache.spark.sql.Column) =
+          docs.select(a, (b % 30).as("b"))
+        val raw = gen(col("doc_id") * col("doc_id") + 1)
+          .union(gen(col("doc_id") + 2))
+          .union(gen(col("doc_id") * 3 + 5))
+        Graph.degreeAssortativity(
+          raw.filter(col("a") =!= col("b"))
+            .select(col("a").as("lo"), col("b").as("hi")))
+      },
+      Some("""WITH raw AS (SELECT doc_id % 30 AS a,
+             |(doc_id*doc_id+1) % 30 AS b FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id+2) % 30 FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id*3+5) % 30
+             |FROM documents),
+             |e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+             |FROM raw WHERE a != b),
+             |sym AS (SELECT lo AS u, hi AS v FROM e
+             |UNION ALL SELECT hi, lo FROM e),
+             |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+             |xy AS (SELECT dx.d AS x, dy.d AS y FROM sym
+             |JOIN deg dx ON dx.u = sym.u JOIN deg dy ON dy.u = sym.v),
+             |st AS (SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sx,
+             |CAST(sum(x * y) AS BIGINT) AS sxy,
+             |CAST(sum(x * x) AS BIGINT) AS sx2 FROM xy)
+             |SELECT m, sx, sxy, sx2,
+             |CASE WHEN m * sx2 - sx * sx != 0
+             |THEN CAST(m * sxy - sx * sx AS DOUBLE) / (m * sx2 - sx * sx)
+             |END AS r FROM st"""
         .stripMargin.replace('\n', ' ')))
   )
 }

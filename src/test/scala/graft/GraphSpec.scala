@@ -84,6 +84,18 @@ class GraphSpec extends SparkSpec {
       (3L, 0L, 0L, 0L), (4L, 0L, 0L, 0L)), got.toSeq.toString)
   }
 
+  test("assortativity: a star is exactly -1 (perfectly disassortative), " +
+    "a regular graph is undefined (NULL r)") {
+    val sq = spark; import sq.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("lo", "hi")
+    val s = Graph.degreeAssortativity(star).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getDouble(4)) == ((6L, 12L, 18L, 30L, -1.0)), s.toString)
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("lo", "hi")
+    val t = Graph.degreeAssortativity(triangle).collect().head
+    assert(t.isNullAt(4), "regular graph must read NULL, not 0/0")
+  }
+
   test("triangle stats: reversed/duplicate input edges do not change " +
     "the answer (the lo<hi distinct normalization owns orientation)") {
     val sq = spark; import sq.implicits._
