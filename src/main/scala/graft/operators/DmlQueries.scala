@@ -281,6 +281,51 @@ object Dml {
       dir, next)
   }
 
+  /** CONSTRAINT-ENFORCING INSERT with QUARANTINE — the acting half of
+    * the m08 contract: the registry records constraints and
+    * `auditConstraints` reports violations after the fact; this
+    * enforces them AT INGEST, splitting incoming rows into an accepted
+    * set (committed through [[insertValues]]' copy-on-write protocol)
+    * and a reject relation tagged with the FIRST violated rule
+    * (not-null → check → primary-key-dup, a deterministic order so a
+    * multiply-bad row routes identically everywhere). PK dup detection
+    * is a key join against the committed base — at scale a broadcast of
+    * the incoming batch against the bucketed/bloom-indexed key column,
+    * the io10 dead-letter pattern applied to DML. Returns (committed
+    * table, rejects). */
+  def insertValidated(
+      base: DataFrame,
+      rows: DataFrame,
+      dir: String,
+      notNull: Seq[String] = Seq.empty,
+      checks: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+      pk: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    var marked = rows
+    if (pk.nonEmpty)
+      marked = marked.join(
+        base.select(pk.map(col): _*).distinct()
+          .withColumn("__pk_exists", lit(1)),
+        pk, "left")
+    else marked = marked.withColumn("__pk_exists", lit(null))
+    val reason = (
+      notNull.map(c => (col(c).isNull, s"notnull($c)")) ++
+      checks.map { case (n, c) => (!coalesce(c, lit(false)), s"check($n)") } ++
+      (if (pk.nonEmpty)
+        Seq((col("__pk_exists").isNotNull,
+          s"primary_key(${pk.mkString(",")})"))
+      else Nil))
+      .foldRight(lit(null).cast("string")) { case ((cond, name), acc) =>
+        when(cond, name).otherwise(acc)
+      }
+    val tagged = marked.withColumn("__reject", reason)
+    val rejects = tagged.filter(col("__reject").isNotNull)
+      .drop("__pk_exists")
+      .withColumnRenamed("__reject", "reject_reason")
+    val accepted = tagged.filter(col("__reject").isNull)
+      .drop("__pk_exists", "__reject")
+    (insertValues(base, accepted, dir), rejects)
+  }
+
   /** VACUUM — retention maintenance over the committed version store:
     * physically delete all but the newest `keep` version directories;
     * the committed `_latest` target is always retained regardless of the
@@ -724,6 +769,41 @@ object DmlQueries {
              |UNION ALL SELECT 'v3', true,
              |(SELECT count(*) + 1 FROM nation) -
              |(SELECT count(*) FROM nation WHERE n_regionkey = 0)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // CONSTRAINT-ENFORCING INSERT under the hash gate — see
+    // [[Dml.insertValidated]]: four incoming rows (one valid, one
+    // NULL-name, one PK-duplicate of an existing key, one negative
+    // region failing the CHECK) split into a committed set and a
+    // reasoned quarantine; the oracle states the reject taxonomy
+    // literally and the committed count from the logical table.
+    Q("m17_validated_insert",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m17", d)
+        val rows = Seq(
+          (25, "ATLANTIS", 2),
+          (26, null.asInstanceOf[String], 3),
+          (10, "DUPLICATE", 1),
+          (27, "NEGATIVE", -1))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        val (committed, rejects) = Dml.insertValidated(
+          Tables.t(s, d, "nation"), rows, dir,
+          notNull = Seq("n_name"),
+          checks = Seq("n_regionkey >= 0" -> (col("n_regionkey") >= 0)),
+          pk = Seq("n_nationkey"))
+        rejects.groupBy("reject_reason")
+          .agg(count(lit(1)).as("n"))
+          .select(col("reject_reason").as("item"), col("n"))
+          .unionByName(committed.agg(count(lit(1)).as("n"))
+            .select(lit("committed").as("item"), col("n")))
+      },
+      Some("""SELECT 'check(n_regionkey >= 0)' AS item,
+             |CAST(1 AS BIGINT) AS n
+             |UNION ALL SELECT 'notnull(n_name)', 1
+             |UNION ALL SELECT 'primary_key(n_nationkey)', 1
+             |UNION ALL SELECT 'committed', (SELECT count(*) + 1
+             |FROM nation)"""
         .stripMargin.replace('\n', ' ')))
   )
 }

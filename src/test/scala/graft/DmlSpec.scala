@@ -303,4 +303,28 @@ class DmlSpec extends SparkSpec {
     assert(Dml.vacuum(spark, dir, keep = 1).isEmpty)
     intercept[IllegalArgumentException](Dml.vacuum(spark, dir, 0))
   }
+
+  test("insertValidated: a multiply-bad row takes the FIRST reason in " +
+    "the fixed order (notnull > check > pk), accepted rows commit once") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_validated", sf)
+    val base = Tables.t(spark, sf, "nation").limit(5) // keys 0..4
+    val rows = Seq(
+      (90, "OK", 1),
+      // violates ALL THREE rules (null name, negative region, dup key)
+      (0, null.asInstanceOf[String], -1),
+      // violates check AND pk -> check wins
+      (1, "X", -5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val (committed, rejects) = Dml.insertValidated(base, rows, dir,
+      notNull = Seq("n_name"),
+      checks = Seq("n_regionkey >= 0" -> (col("n_regionkey") >= 0)),
+      pk = Seq("n_nationkey"))
+    val got = rejects.collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(got == Map(0 -> "notnull(n_name)",
+      1 -> "check(n_regionkey >= 0)"), got.toString)
+    assert(committed.count() == base.count() + 1)
+    assert(committed.filter(col("n_nationkey") === 90).count() == 1)
+  }
 }
