@@ -334,6 +334,43 @@ object Multimodal {
       })
   }
 
+  /** SRT SUBTITLE parsing — the transcript side of video training data
+    * (every large video corpus ships cue files; token-level work needs
+    * them as (cue, start_ms, end_ms, text) rows). Cues split on blank
+    * lines; each parses with ONE regex (index, two HH:MM:SS,mmm
+    * timecodes, text) and the timecode decodes with integer arithmetic.
+    * Malformed cues drop out via the regex returning empty groups (the
+    * filter keeps only rows whose index parsed). Per-row explode +
+    * regexp work, one scan. */
+  def srtCues(df: DataFrame, payload: Column): DataFrame = {
+    val re = "(\\d+)\\n(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> " +
+      "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})\\n([\\s\\S]*)"
+    def ms(h: Int, m: Int, s: Int, f: Int)(c: Column) =
+      regexp_extract(c, re, h).cast("long") * 3600000L +
+        regexp_extract(c, re, m).cast("long") * 60000L +
+        regexp_extract(c, re, s).cast("long") * 1000L +
+        regexp_extract(c, re, f).cast("long")
+    df.withColumn("__cue", explode(split(payload, "\n\n")))
+      .filter(regexp_extract(col("__cue"), re, 1) =!= "")
+      .select(col("doc_id"),
+        regexp_extract(col("__cue"), re, 1).cast("long").as("cue_no"),
+        ms(2, 3, 4, 5)(col("__cue")).as("start_ms"),
+        ms(6, 7, 8, 9)(col("__cue")).as("end_ms"),
+        regexp_extract(col("__cue"), re, 10).as("cue_text"))
+  }
+
+  /** HH:MM:SS,mmm SRT timecode text from a millisecond column — the
+    * construction twin of [[srtCues]]' decode, shared by the mm12 gate
+    * so encode and parse cannot desynchronize. */
+  private[graft] def srtTimecode(msv: Column): Column = concat(
+    lpad(floor(msv / 3600000L).cast("long").cast("string"), 2, "0"),
+    lit(":"),
+    lpad((floor(msv / 60000L) % 60).cast("long").cast("string"), 2, "0"),
+    lit(":"),
+    lpad((floor(msv / 1000L) % 60).cast("long").cast("string"), 2, "0"),
+    lit(","),
+    lpad((msv % 1000).cast("string"), 3, "0"))
+
   /** Frame sampling for "video" payloads: fixed-stride byte windows stand
     * in for decoded frames, exploded to per-frame rows (frame_no,
     * frame_hash) — the explode/re-aggregate shape a real frame pipeline
@@ -730,6 +767,38 @@ object MultimodalQueries {
              |doc_id % 2 = 0 AS has_moov,
              |CAST((doc_id * 3) % 200 AS BIGINT) AS mdat_bytes,
              |true AS well_formed FROM documents"""
+        .stripMargin.replace('\n', ' '))),
+
+    // SRT SUBTITLE ROUND TRIP under the hash gate — mm06's pattern on
+    // the transcript container: each doc constructs doc_id%4+1 cues
+    // with doc_id-derived timecodes via [[Multimodal.srtTimecode]],
+    // and [[Multimodal.srtCues]]' blank-line split + regex + timecode
+    // decode must recover cue count, total subtitle duration, and the
+    // last end time exactly as the oracle states the arithmetic.
+    Q("mm12_srt_cues",
+      (s, d) => {
+        val k = (col("doc_id") % 4 + 1).cast("int")
+        val cues = transform(sequence(lit(1), k), i => {
+          val st = i.cast("long") * 2000L + pmod(col("doc_id"), lit(1000L))
+          concat(i.cast("string"), lit("\n"),
+            srtTimecode(st), lit(" --> "), srtTimecode(st + 1500L),
+            lit("\n"),
+            concat(lit("cue "), i.cast("string"), lit(" of doc "),
+              col("doc_id").cast("string")))
+        })
+        val docs = Tables.t(s, d, "documents")
+          .withColumn("__srt", array_join(cues, "\n\n"))
+        srtCues(docs, col("__srt"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_cues"),
+            sum(col("end_ms") - col("start_ms")).as("total_ms"),
+            max(col("end_ms")).as("last_end_ms"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(doc_id % 4 + 1 AS BIGINT) AS n_cues,
+             |CAST(1500 * (doc_id % 4 + 1) AS BIGINT) AS total_ms,
+             |CAST((doc_id % 4 + 1) * 2000 + doc_id % 1000 + 1500
+             |AS BIGINT) AS last_end_ms FROM documents"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -1707,6 +1707,44 @@ object TextQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // SENTENCE SEGMENTATION STATS under the hash gate — the
+    // granularity between t01's word stats and t13's fixed chunks:
+    // split on terminal-punctuation runs (no lookbehind — RE2 has
+    // none, the cross-engine dialect rule), trim, drop empties, and
+    // report per-doc sentence count, longest sentence, and exact
+    // tokens-per-sentence (NULL for punctuation-free docs, never 0/0).
+    // Per-row HOF work, one scan; the per-sentence EXPLODE form (for
+    // sentence-level dedup/packing) shares the same split expression.
+    Q("t39_sentence_stats",
+      (s, d) => {
+        val segs = filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)),
+          x => x =!= "")
+        Tables.t(s, d, "documents")
+          .withColumn("__segs", segs)
+          .select(col("doc_id"),
+            size(col("__segs")).cast("long").as("n_sentences"),
+            when(size(col("__segs")) > 0,
+              array_max(transform(col("__segs"), x => length(x)))
+                .cast("long")).as("max_sent_chars"),
+            when(size(col("__segs")) > 0,
+              tokenCountWs(col("text")).cast("double") /
+                size(col("__segs"))).as("avg_sent_toks"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |list_filter(list_transform(
+             |string_split_regex(text, '[.!?]+'), x -> trim(x)),
+             |x -> x != '') AS segs,
+             |len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+             |FROM documents)
+             |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_sentences,
+             |CAST(CASE WHEN len(segs) > 0 THEN
+             |list_max(list_transform(segs, x -> length(x))) END
+             |AS BIGINT) AS max_sent_chars,
+             |CASE WHEN len(segs) > 0 THEN CAST(n_toks AS DOUBLE)
+             |/ len(segs) END AS avg_sent_toks FROM s"""
+        .stripMargin.replace('\n', ' '))),
+
     // UNICODE TEXT NORMALIZATION under the hash gate — the cleaning
     // stage that runs BEFORE tokenization so token/shingle keys are
     // stable across sources with different smart-quote/NBSP/zero-width

@@ -296,4 +296,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1) == ((0L, 2L, 0L, 4L)), got(1).toString)
     assert(got(2) == ((0L, 2L, 0L, 4L)), got(2).toString)
   }
+
+  test("srtCues parses a hand-written subtitle file (timecode decode " +
+    "to ms) and drops malformed blocks") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.functions.col
+    val srt = "1\n00:00:01,000 --> 00:00:03,500\nHello world\n\n" +
+      "garbage block without a timecode\n\n" +
+      "2\n01:02:03,004 --> 01:02:04,500\nSecond cue"
+    val got = Multimodal.srtCues(
+        Seq((7L, srt)).toDF("doc_id", "payload"), col("payload"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq.sortBy(_._1) == Seq(
+      (1L, 1000L, 3500L, "Hello world"),
+      (2L, 3723004L, 3724500L, "Second cue")), got.toSeq.toString)
+  }
 }
