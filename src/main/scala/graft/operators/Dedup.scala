@@ -1924,6 +1924,49 @@ object DedupQueries {
              |FROM clean GROUP BY lang"""
         .stripMargin.replace('\n', ' '))),
 
+    // DATA CARD under the hash gate — the documentation artifact a
+    // training run consumes with its shards: per-(split, shard) doc,
+    // token, and permissive-license accounting with ROLLUP subtotals
+    // (shard rows → per-split totals → grand total in ONE pass — the
+    // multi-granularity report q34's relational rollup machinery
+    // exists for). Split and shard are the content-keyed t10/io06
+    // constructions; the license class is t36's deterministic
+    // derivation, so every column of the card is oracle-stated. One
+    // scan + one grouping-sets aggregation.
+    Q("p10_data_card",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+          .withColumn("split", Sampling.deterministicSplit(col("text")))
+          .withColumn("shard",
+            concat(lit("s"), substring(md5(col("text")), 1, 1)))
+          .withColumn("license",
+            when(col("doc_id") % 4 === 0, "MIT")
+              .when(col("doc_id") % 4 === 1, "Apache-2.0")
+              .when(col("doc_id") % 4 === 2, "GPL-3.0")
+              .otherwise("unknown"))
+          .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+        docs.rollup("split", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("license").isin("MIT", "Apache-2.0").cast("long"))
+              .as("n_permissive"))
+      },
+      Some("""WITH b AS (SELECT
+             |CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+             |WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+             |ELSE 'test' END AS split,
+             |'s' || substr(md5(text), 1, 1) AS shard,
+             |CASE doc_id % 4 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+             |WHEN 2 THEN 'GPL-3.0' ELSE 'unknown' END AS license,
+             |len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+             |FROM documents)
+             |SELECT split, shard, count(*) AS n_docs,
+             |CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |CAST(sum(CASE WHEN license IN ('MIT', 'Apache-2.0')
+             |THEN 1 ELSE 0 END) AS BIGINT) AS n_permissive
+             |FROM b GROUP BY ROLLUP (split, shard)"""
+        .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set

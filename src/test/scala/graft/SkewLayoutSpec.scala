@@ -128,6 +128,34 @@ class SkewLayoutSpec extends SparkSpec {
     }
   }
 
+  test("AQE converts a planned sort-merge join to broadcast at runtime " +
+    "when the built side turns out tiny (the selective-filter case " +
+    "static stats cannot see)") {
+    val confs = Seq(
+      // static stats say both sides are big -> SMJ planned
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // ...but the RUNTIME size of the filtered side is tiny
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB",
+      "spark.sql.adaptive.localShuffleReader.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(200000).select((col("id") % 1000).as("k"),
+        col("id").as("payload"))
+      // selective filter: 1000 planned rows shrink to 10 at runtime
+      val dim = spark.range(1000).toDF("k").filter(col("k") < 10)
+      val joined = big.join(dim, "k")
+      val n = joined.collect().length
+      assert(n == 2000, s"join must stay exact under AQE replan: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE must convert the SMJ to broadcast:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("compaction bin-packs a 64-file fragmented layout into the byte " +
     "target and preserves the exact row multiset") {
     import org.apache.spark.sql.functions._
