@@ -1967,6 +1967,53 @@ object DedupQueries {
              |FROM b GROUP BY ROLLUP (split, shard)"""
         .stripMargin.replace('\n', ' '))),
 
+    // MUTUAL-kNN SEMANTIC CLUSTERING under the hash gate — the
+    // embedding-space clustering pipeline end to end: e21's exact k-NN
+    // graph → MUTUAL edges only (a is in b's top-3 AND b in a's — the
+    // standard symmetrization that kills hub-induced chains) → g02's
+    // large-star/small-star components → per-cluster membership
+    // counts. The oracle re-derives the k-NN ranking, the mutual join,
+    // and the transitive closure (recursive CTE, d08's oracle pattern),
+    // so the gate proves the three stages COMPOSE. Scale: the graph
+    // stage is O(log diameter) rounds over an edge set already
+    // sub-linear in the corpus; the k-NN stage swaps in bucketed
+    // candidates (e03/e16) with the same downstream unchanged.
+    Q("p11_mutual_knn_clusters",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings").filter(
+          substring(md5(col("vec_id").cast("string")), 1, 4) < "8000")
+        val knn = Similarity.bruteForceTopK(emb, emb, 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val mutual = knn.as("x").join(knn.as("y"),
+            col("x.query_id") === col("y.neighbor_id") &&
+              col("x.neighbor_id") === col("y.query_id") &&
+              col("x.query_id") < col("x.neighbor_id"))
+          .select(col("x.query_id").as("src"),
+            col("x.neighbor_id").as("dst"))
+        Graph.ccLargeSmallStar(
+            emb.select(col("vec_id").as("doc_id")), mutual)
+          .groupBy("rep").agg(count(lit(1)).as("n_members"))
+      },
+      Some("""WITH RECURSIVE sm AS (SELECT vec_id,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings
+             |WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '8000'),
+             |k AS (SELECT q.vec_id AS a, c.vec_id AS b,
+             |row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
+             |c.vec_id) AS rn FROM sm q, sm c
+             |WHERE q.vec_id != c.vec_id QUALIFY rn <= 3),
+             |m AS (SELECT x.a, x.b FROM k x JOIN k y
+             |ON x.a = y.b AND x.b = y.a AND x.a < x.b),
+             |sym AS (SELECT a AS x, b AS y FROM m
+             |UNION SELECT b, a FROM m),
+             |r AS (SELECT vec_id AS id, vec_id AS reach FROM sm
+             |UNION SELECT r.id, sym.y FROM r
+             |JOIN sym ON sym.x = r.reach),
+             |cc AS (SELECT id, min(reach) AS rep FROM r GROUP BY id)
+             |SELECT rep, count(*) AS n_members FROM cc GROUP BY rep"""
+        .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set

@@ -1749,6 +1749,36 @@ object SimilarityQueries {
         .stripMargin.replace('\n', ' ')),
       bench = true),
 
+    // EXACT k-NN GRAPH under the hash gate — every vector's top-3 over
+    // a content-keyed HALF of the corpus (md5 of the id, t10's
+    // determinism rule): the precursor structure semantic clustering
+    // and SemDeDup-style pruning consume. Brute force over the sample
+    // is the VERIFY-side construction (d07-audit's role); production
+    // generates candidates with the e03/e16 bucket joins and ranks
+    // with the same partial k-heap. The oracle ranks identically
+    // (rounded-sim DESC, id ASC — e01's tie rule).
+    Q("e21_knn_graph",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings").filter(
+          substring(md5(col("vec_id").cast("string")), 1, 4) < "8000")
+        bruteForceTopK(emb, emb, 3)
+      },
+      Some("""WITH sm AS (SELECT vec_id, embedding FROM embeddings
+             |WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '8000')
+             |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |round(list_cosine_similarity(
+             |list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
+             |+ 0.0 AS sim,
+             |CAST(row_number() OVER (PARTITION BY q.vec_id
+             |ORDER BY round(list_cosine_similarity(
+             |list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
+             |DESC, c.vec_id ASC) AS INTEGER) AS rn
+             |FROM sm q, sm c WHERE q.vec_id != c.vec_id
+             |QUALIFY rn <= 3"""
+        .stripMargin.replace('\n', ' '))),
+
     // PER-LABEL CENTROID DRIFT under the hash gate — exact integer
     // cross-multiplied mean displacement between the two id-parity
     // halves (see [[Similarity.centroidDrift]]); the oracle restates the
