@@ -301,28 +301,42 @@ object Dml {
       checks: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
       pk: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     var marked = rows
-    if (pk.nonEmpty)
+    if (pk.nonEmpty) {
       marked = marked.join(
         base.select(pk.map(col): _*).distinct()
           .withColumn("__pk_exists", lit(1)),
         pk, "left")
-    else marked = marked.withColumn("__pk_exists", lit(null))
+      // a key duplicated WITHIN the batch is ambiguous input — every
+      // copy rejects (choosing one silently would be arbitrary); a NULL
+      // key is a PK violation by definition (PK implies NOT NULL)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk.map(col): _*)
+      marked = marked.withColumn("__pk_batch_dup",
+        count(lit(1)).over(w) > 1)
+    } else marked = marked
+      .withColumn("__pk_exists", lit(null))
+      .withColumn("__pk_batch_dup", lit(false))
+    val pkNull =
+      if (pk.isEmpty) lit(false)
+      else pk.map(c => col(c).isNull).reduce(_ || _)
     val reason = (
       notNull.map(c => (col(c).isNull, s"notnull($c)")) ++
-      checks.map { case (n, c) => (!coalesce(c, lit(false)), s"check($n)") } ++
+      // SQL CHECK semantics (and m08's auditConstraints): a NULL
+      // predicate PASSES — only a definite false violates
+      checks.map { case (n, c) => (!coalesce(c, lit(true)), s"check($n)") } ++
       (if (pk.nonEmpty)
-        Seq((col("__pk_exists").isNotNull,
-          s"primary_key(${pk.mkString(",")})"))
+        Seq((col("__pk_exists").isNotNull || col("__pk_batch_dup") ||
+          pkNull, s"primary_key(${pk.mkString(",")})"))
       else Nil))
       .foldRight(lit(null).cast("string")) { case ((cond, name), acc) =>
         when(cond, name).otherwise(acc)
       }
     val tagged = marked.withColumn("__reject", reason)
     val rejects = tagged.filter(col("__reject").isNotNull)
-      .drop("__pk_exists")
+      .drop("__pk_exists", "__pk_batch_dup")
       .withColumnRenamed("__reject", "reject_reason")
     val accepted = tagged.filter(col("__reject").isNull)
-      .drop("__pk_exists", "__reject")
+      .drop("__pk_exists", "__pk_batch_dup", "__reject")
     (insertValues(base, accepted, dir), rejects)
   }
 

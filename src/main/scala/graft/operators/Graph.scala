@@ -224,7 +224,12 @@ object Graph {
     * (the e17/e20 exactness discipline). NULL when the graph is
     * degree-regular (undefined correlation). Scale: degree table =
     * one groupBy, the join is edge⋈degree on node keys twice, the
-    * readout a 1-row agg. */
+    * readout a 1-row agg. RANGE NOTE: the Long statistics are exact
+    * while 2|E|·dmax² < 2^63 and m·Σx² stays in range (fine to ~10^5
+    * hub degrees on ~10^7-edge graphs); a full web graph switches the
+    * three sums and the readout products to DOUBLE (or DECIMAL) in the
+    * same plan — the gate keeps integers for bit-exactness, and ANSI
+    * mode turns an overflow into a loud error rather than a wrong r. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("lo"), col("hi")).as("lo"),

@@ -343,8 +343,12 @@ object Multimodal {
     * filter keeps only rows whose index parsed). Per-row explode +
     * regexp work, one scan. */
   def srtCues(df: DataFrame, payload: Column): DataFrame = {
-    val re = "(\\d+)\\n(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> " +
-      "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})\\n([\\s\\S]*)"
+    // ^-anchored: regexp_extract matches ANYWHERE by default, which
+    // would let a malformed block with an embedded cue-shaped tail
+    // parse as a cue instead of dropping. Hours are \d{2,} — SRT allows
+    // 3+ digit hours on long concatenations, matching [[srtTimecode]].
+    val re = "^(\\d+)\\n(\\d{2,}):(\\d{2}):(\\d{2}),(\\d{3}) --> " +
+      "(\\d{2,}):(\\d{2}):(\\d{2}),(\\d{3})\\n([\\s\\S]*)"
     def ms(h: Int, m: Int, s: Int, f: Int)(c: Column) =
       regexp_extract(c, re, h).cast("long") * 3600000L +
         regexp_extract(c, re, m).cast("long") * 60000L +
@@ -362,14 +366,19 @@ object Multimodal {
   /** HH:MM:SS,mmm SRT timecode text from a millisecond column — the
     * construction twin of [[srtCues]]' decode, shared by the mm12 gate
     * so encode and parse cannot desynchronize. */
-  private[graft] def srtTimecode(msv: Column): Column = concat(
-    lpad(floor(msv / 3600000L).cast("long").cast("string"), 2, "0"),
+  private[graft] def srtTimecode(msv: Column): Column = {
+    // lpad TRUNCATES strings longer than len — hours must widen past
+    // 99 (long transcript concatenations), not silently wrap
+    val hh = floor(msv / 3600000L).cast("long").cast("string")
+    concat(
+    when(length(hh) < 2, lpad(hh, 2, "0")).otherwise(hh),
     lit(":"),
     lpad((floor(msv / 60000L) % 60).cast("long").cast("string"), 2, "0"),
     lit(":"),
     lpad((floor(msv / 1000L) % 60).cast("long").cast("string"), 2, "0"),
     lit(","),
     lpad((msv % 1000).cast("string"), 3, "0"))
+  }
 
   /** Frame sampling for "video" payloads: fixed-stride byte windows stand
     * in for decoded frames, exploded to per-frame rows (frame_no,

@@ -1712,7 +1712,9 @@ object TextQueries {
     // split on terminal-punctuation runs (no lookbehind — RE2 has
     // none, the cross-engine dialect rule), trim, drop empties, and
     // report per-doc sentence count, longest sentence, and exact
-    // tokens-per-sentence (NULL for punctuation-free docs, never 0/0).
+    // tokens-per-sentence. A punctuation-FREE doc is ONE sentence (the
+    // whole text survives the split); NULL stats occur only for docs
+    // that are empty or punctuation/whitespace-only — never 0/0.
     // Per-row HOF work, one scan; the per-sentence EXPLODE form (for
     // sentence-level dedup/packing) shares the same split expression.
     Q("t39_sentence_stats",
@@ -1758,17 +1760,24 @@ object TextQueries {
     // translate, one scan.
     Q("t38_text_normalize",
       (s, d) => {
-        val t2 = when(col("doc_id") % 5 === 0,
-          concat(lit(t38Pre), col("text"), lit(t38Post)))
-          .otherwise(col("text"))
-        val stripped = regexp_replace(t2,
-          s"[${TextFunctions.strippableChars}]", "")
-        Tables.t(s, d, "documents").select(col("doc_id"),
-          TextFunctions.normalizeText(t2).as("clean_text"),
-          (length(t2) - length(stripped)).cast("long").as("n_stripped"),
-          (length(stripped) - length(translate(stripped,
-            TextFunctions.foldedFromChars, ""))).cast("long")
-            .as("n_folded"))
+        // staged like the oracle's st CTE: the strip regex runs ONCE
+        // per row, and clean_text/n_stripped/n_folded all derive from
+        // the SAME stripped column (no reliance on normalizeText's
+        // internals matching an inline re-derivation)
+        Tables.t(s, d, "documents")
+          .withColumn("__t2", when(col("doc_id") % 5 === 0,
+            concat(lit(t38Pre), col("text"), lit(t38Post)))
+            .otherwise(col("text")))
+          .withColumn("__sp", regexp_replace(col("__t2"),
+            s"[${TextFunctions.strippableChars}]", ""))
+          .select(col("doc_id"),
+            translate(col("__sp"), TextFunctions.foldedFromChars,
+              TextFunctions.foldedToChars).as("clean_text"),
+            (length(col("__t2")) - length(col("__sp"))).cast("long")
+              .as("n_stripped"),
+            (length(col("__sp")) - length(translate(col("__sp"),
+              TextFunctions.foldedFromChars, ""))).cast("long")
+              .as("n_folded"))
       },
       Some(s"""WITH m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
              |THEN '${sqlLit(t38Pre)}' || text || '${sqlLit(t38Post)}'

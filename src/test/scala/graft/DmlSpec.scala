@@ -327,4 +327,29 @@ class DmlSpec extends SparkSpec {
     assert(committed.count() == base.count() + 1)
     assert(committed.filter(col("n_nationkey") === 90).count() == 1)
   }
+
+  test("insertValidated: intra-batch duplicate keys all reject, a NULL " +
+    "key is a PK violation, and a NULL CHECK predicate PASSES (SQL " +
+    "semantics, matching the m08 audit)") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_validated2", sf)
+    val base = Tables.t(spark, sf, "nation").limit(5) // keys 0..4
+    val rows = Seq(
+      (Some(91), Some("DUP-A"), Some(1)),
+      (Some(91), Some("DUP-B"), Some(2)), // same new key twice -> both out
+      (None, Some("NULLKEY"), Some(1)),   // NULL pk -> pk violation
+      (Some(92), Some("NULLREGION"), None) // NULL check operand -> PASSES
+    ).toDF("n_nationkey", "n_name", "n_regionkey")
+    val (committed, rejects) = Dml.insertValidated(base, rows, dir,
+      notNull = Seq("n_name"),
+      checks = Seq("n_regionkey >= 0" -> (col("n_regionkey") >= 0)),
+      pk = Seq("n_nationkey"))
+    val reasons = rejects.collect()
+      .map(r => (Option(r.get(0)), r.getString(3))).toSeq
+    assert(reasons.count(_._2 == "primary_key(n_nationkey)") == 3,
+      reasons.toString) // both 91s + the NULL key
+    assert(committed.count() == base.count() + 1)
+    assert(committed.filter(col("n_nationkey") === 92).count() == 1,
+      "NULL check operand must be accepted, not quarantined")
+  }
 }

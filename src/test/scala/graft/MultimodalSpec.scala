@@ -313,4 +313,27 @@ class MultimodalSpec extends SparkSpec {
       (1L, 1000L, 3500L, "Hello world"),
       (2L, 3723004L, 3724500L, "Second cue")), got.toSeq.toString)
   }
+
+  test("srtCues rejects a malformed block with an embedded cue-shaped " +
+    "tail (anchored regex), and >99h timecodes round-trip") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // junk BEFORE the index: the block is malformed and must drop even
+    // though a valid-looking cue starts mid-block
+    val bad = "NOTE leftover header\n3\n00:00:01,000 --> 00:00:02,000\nx"
+    val cues = Multimodal.srtCues(
+      Seq((1L, bad)).toDF("doc_id", "payload"), col("payload"))
+    assert(cues.count() == 0, "embedded cue-shaped tail must not parse")
+    // 100h = 360_000_000 ms: encoder widens hours, parser accepts them
+    val tc = Seq((1L, 0L)).toDF("doc_id", "z")
+      .select(Multimodal.srtTimecode(lit(360000000L) + col("z")).as("t"))
+      .collect().head.getString(0)
+    assert(tc == "100:00:00,000", tc)
+    val rt = Multimodal.srtCues(
+      Seq((1L, s"1\n$tc --> 100:00:01,500\nlate cue"))
+        .toDF("doc_id", "payload"), col("payload"))
+      .collect().head
+    assert(rt.getLong(2) == 360000000L && rt.getLong(3) == 360001500L,
+      rt.toString)
+  }
 }
