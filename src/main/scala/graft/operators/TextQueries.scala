@@ -1747,6 +1747,51 @@ object TextQueries {
              |/ len(segs) END AS avg_sent_toks FROM s"""
         .stripMargin.replace('\n', ' '))),
 
+    // READABILITY SCORING under the hash gate — the Flesch-Kincaid
+    // grade as a curation signal (the educational-value/readability
+    // filters of FineWeb-Edu-style pipelines run exactly this shape:
+    // per-row counts → fixed formula → threshold): words from the
+    // shared tokenizer, sentences from t39's terminal-punctuation
+    // split (min 1 for punctuation-free docs), syllables from the
+    // vowel-GROUP heuristic (regexp_count of [aeiouy]+ runs — a
+    // documented approximation; a dictionary syllabifier swaps in as a
+    // broadcast lookup with the same plan). The formula is written
+    // with IDENTICAL operation order in both engines, so the rounded
+    // grade hashes bit-for-bit; NULL for docs with no sentences
+    // (empty/punctuation-only), never 0/0.
+    Q("t40_readability",
+      (s, d) => {
+        val segs = filter(
+          transform(split(col("text"), "[.!?]+"), x => trim(x)),
+          x => x =!= "")
+        Tables.t(s, d, "documents")
+          .withColumn("__w", tokenCountWs(col("text")))
+          .withColumn("__s", size(segs).cast("long"))
+          .withColumn("__y",
+            regexp_count(lower(col("text")), lit("[aeiouy]+"))
+              .cast("long"))
+          .select(col("doc_id"), col("__w").as("n_words"),
+            col("__s").as("n_sentences"), col("__y").as("n_syllables"),
+            when(col("__s") > 0 && col("__w") > 0,
+              round(lit(0.39) * (col("__w").cast("double") / col("__s")) +
+                lit(11.8) * (col("__y").cast("double") / col("__w")) -
+                lit(15.59), 4)).as("fk_grade"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+             |AS BIGINT) AS n_words,
+             |CAST(len(list_filter(list_transform(
+             |string_split_regex(text, '[.!?]+'), x -> trim(x)),
+             |x -> x != '')) AS BIGINT) AS n_sentences,
+             |CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |AS BIGINT) AS n_syllables FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+             |round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences) +
+             |11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+             |END AS fk_grade FROM b"""
+        .stripMargin.replace('\n', ' '))),
+
     // UNICODE TEXT NORMALIZATION under the hash gate — the cleaning
     // stage that runs BEFORE tokenization so token/shingle keys are
     // stable across sources with different smart-quote/NBSP/zero-width
