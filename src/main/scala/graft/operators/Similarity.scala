@@ -1779,6 +1779,36 @@ object SimilarityQueries {
              |QUALIFY rn <= 3"""
         .stripMargin.replace('\n', ' '))),
 
+    // EXACT DUPLICATE-VECTOR DEDUP under the hash gate — d01 applied
+    // to embedding space (re-encoded shards and repeated ingests
+    // produce byte-identical vectors long before anything is "near"
+    // duplicate; dropping them is the cheapest dedup there is). A
+    // shifted copy of the first 20 ids is UNIONED in so duplicate
+    // groups exist by construction and the oracle states them; any
+    // natural duplicates surface identically on both sides. Grouping
+    // is on the raw vector here (exact float equality); at 100 TB the
+    // group key is md5 of the quantized bytes — a fixed-width key with
+    // d01's one-shuffle plan — instead of shuffling full vectors.
+    Q("e22_exact_vector_dedup",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val dup = emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            col("embedding"), col("label"))
+        emb.unionByName(dup)
+          .groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("rep"),
+            count(lit(1)).as("n_members"))
+          .filter(col("n_members") > 1)
+          .select(col("rep"), col("n_members"))
+      },
+      Some("""WITH av AS (SELECT vec_id, embedding FROM embeddings
+             |UNION ALL SELECT vec_id + 100000, embedding
+             |FROM embeddings WHERE vec_id < 20)
+             |SELECT min(vec_id) AS rep, count(*) AS n_members
+             |FROM av GROUP BY embedding HAVING count(*) > 1"""
+        .stripMargin.replace('\n', ' '))),
+
     // PER-LABEL CENTROID DRIFT under the hash gate — exact integer
     // cross-multiplied mean displacement between the two id-parity
     // halves (see [[Similarity.centroidDrift]]); the oracle restates the
