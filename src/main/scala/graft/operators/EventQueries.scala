@@ -900,6 +900,18 @@ object EventQueries {
              |FROM f"""
         .stripMargin.replace('\n', ' '))),
 
+    // s27: EXECUTED gate for STREAMING TEXT NORMALIZATION — t38's
+    // cleaning stage at ingest time: stateless per-row regexp/translate
+    // work (s11's transform-and-emit shape), the SAME builder and
+    // oracle as the batch entry, drained with AvailableNow in append
+    // mode. Normalize-at-ingest is where this stage actually runs in a
+    // crawl pipeline — downstream batch dedup then sees stable keys.
+    Q("s27_stream_normalize",
+      (s, d) => drainStream(s,
+        TextQueries.normalizePipeline(docStream(s, d)),
+        mode = "append"),
+      Some(TextQueries.normalizeOracle)),
+
     // s25: EXECUTED gate for STREAMING MODEL INFERENCE — p08's quality
     // classifier as an ingest-time stage. A linear BoW score is a sum
     // over the document's own tokens, so scoring collapses to one

@@ -630,6 +630,28 @@ object TextQueries {
   // shared between the Spark builder and the interpolated oracle so the
   // characters can never drift apart; sqlLit escapes for a DuckDB
   // single-quoted literal.
+  /** t38's builder, shared VERBATIM by the s27 executed streaming gate
+    * (the t19/s11 pattern: stateless per-row work is the property that
+    * lets one definition run in both execution modes under one
+    * oracle). */
+  private[graft] def normalizePipeline(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("__t2", when(col("doc_id") % 5 === 0,
+        concat(lit(t38Pre), col("text"), lit(t38Post)))
+        .otherwise(col("text")))
+      .withColumn("__sp", regexp_replace(col("__t2"),
+        s"[${TextFunctions.strippableChars}]", ""))
+      .select(col("doc_id"),
+        translate(col("__sp"), TextFunctions.foldedFromChars,
+          TextFunctions.foldedToChars).as("clean_text"),
+        (length(col("__t2")) - length(col("__sp"))).cast("long")
+          .as("n_stripped"),
+        (length(col("__sp")) - length(translate(col("__sp"),
+          TextFunctions.foldedFromChars, ""))).cast("long")
+          .as("n_folded"))
+
   private val t38Pre = "\u200B\u201C"
   private val t38Post = "\u201D\u00A0\u2014\uFEFF"
   private def sqlLit(s: String): String = s.replace("'", "''")
@@ -1804,39 +1826,25 @@ object TextQueries {
     // escape-dialect divergence is possible. Per-row regexp_replace +
     // translate, one scan.
     Q("t38_text_normalize",
-      (s, d) => {
-        // staged like the oracle's st CTE: the strip regex runs ONCE
-        // per row, and clean_text/n_stripped/n_folded all derive from
-        // the SAME stripped column (no reliance on normalizeText's
-        // internals matching an inline re-derivation)
-        Tables.t(s, d, "documents")
-          .withColumn("__t2", when(col("doc_id") % 5 === 0,
-            concat(lit(t38Pre), col("text"), lit(t38Post)))
-            .otherwise(col("text")))
-          .withColumn("__sp", regexp_replace(col("__t2"),
-            s"[${TextFunctions.strippableChars}]", ""))
-          .select(col("doc_id"),
-            translate(col("__sp"), TextFunctions.foldedFromChars,
-              TextFunctions.foldedToChars).as("clean_text"),
-            (length(col("__t2")) - length(col("__sp"))).cast("long")
-              .as("n_stripped"),
-            (length(col("__sp")) - length(translate(col("__sp"),
-              TextFunctions.foldedFromChars, ""))).cast("long")
-              .as("n_folded"))
-      },
-      Some(s"""WITH m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-             |THEN '${sqlLit(t38Pre)}' || text || '${sqlLit(t38Post)}'
-             |ELSE text END AS t2 FROM documents),
-             |st AS (SELECT doc_id, t2, regexp_replace(t2,
-             |'[${sqlLit(TextFunctions.strippableChars)}]', '', 'g')
-             |AS sp FROM m)
-             |SELECT doc_id,
-             |translate(sp, '${sqlLit(TextFunctions.foldedFromChars)}',
-             |'${sqlLit(TextFunctions.foldedToChars)}') AS clean_text,
-             |CAST(length(t2) - length(sp) AS BIGINT) AS n_stripped,
-             |CAST(length(sp) - length(translate(sp,
-             |'${sqlLit(TextFunctions.foldedFromChars)}', '')) AS BIGINT)
-             |AS n_folded FROM st"""
-        .stripMargin.replace('\n', ' ')))
+      (s, d) => normalizePipeline(Tables.t(s, d, "documents")),
+      Some(normalizeOracle))
   )
+
+  /** t38's oracle, shared verbatim by the s27 executed streaming gate
+    * — one oracle, two execution modes (the t19/s11 precedent). */
+  private[graft] lazy val normalizeOracle: String =
+    s"""WITH m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |THEN '${sqlLit(t38Pre)}' || text || '${sqlLit(t38Post)}'
+       |ELSE text END AS t2 FROM documents),
+       |st AS (SELECT doc_id, t2, regexp_replace(t2,
+       |'[${sqlLit(TextFunctions.strippableChars)}]', '', 'g')
+       |AS sp FROM m)
+       |SELECT doc_id,
+       |translate(sp, '${sqlLit(TextFunctions.foldedFromChars)}',
+       |'${sqlLit(TextFunctions.foldedToChars)}') AS clean_text,
+       |CAST(length(t2) - length(sp) AS BIGINT) AS n_stripped,
+       |CAST(length(sp) - length(translate(sp,
+       |'${sqlLit(TextFunctions.foldedFromChars)}', '')) AS BIGINT)
+       |AS n_folded FROM st"""
+      .stripMargin.replace('\n', ' ')
 }
