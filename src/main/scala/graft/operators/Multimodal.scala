@@ -326,7 +326,14 @@ object Multimodal {
           .cast("string")
         when(off <= 0, acc)                          // settled (end/bad)
           .when(off === olen + 1, st(lit(0L), n, moov, mdat)) // clean end
-          .when(off + 7 > olen || size < hdr || off + size > olen + 1,
+          // `size > olen` screens an adversarial 64-bit largesize near
+          // Long.MaxValue BEFORE the `off + size` sum: without it the
+          // sum overflows negative, slips past the overrun check, and
+          // freezes the walk at a negative off outside the documented
+          // {0, -1, >0} terminal contract. With size ≤ olen (≤ 2 GiB
+          // for any binary column) the sum cannot overflow.
+          .when(off + 7 > olen || size < hdr || size > olen ||
+              off + size > olen + 1,
             st(lit(-1L), n, moov, mdat))             // malformed/truncated
           .otherwise(st(off + size, n + 1,
             greatest(moov, when(typ === "moov", lit(1L)).otherwise(0L)),

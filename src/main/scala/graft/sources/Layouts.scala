@@ -109,6 +109,10 @@ object Layouts {
       : Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A landing dir that nothing has dropped into yet is an EMPTY
+    // listing, not an error — the first ingestion cycle runs before any
+    // producer has created the directory.
+    if (!fs.exists(p)) return Seq.empty
     val it = fs.listFiles(p, true)
     val b = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
@@ -172,6 +176,35 @@ object Layouts {
   def snapshotListing(spark: SparkSession, dir: String): Seq[String] =
     dataFiles(spark, dir).map(f => normalizePath(f._1))
 
+  /** The manifest as a RELATION (one `_file` string column) — the
+    * processed-file log read as a table, never collected whole. A
+    * missing manifest is the empty relation (bootstrap). */
+  private def manifestDf(
+      spark: SparkSession, manifestDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty[String].toDF("_file")
+    else spark.read.parquet(manifestDir).toDF("_file")
+  }
+
+  /** The cycle's unprocessed paths: `listing` LEFT ANTI JOIN manifest,
+    * computed IN THE PLAN — the manifest (files-ever-processed, millions
+    * of rows at 100 TB) never materializes on the driver; only the
+    * anti-join's output does, and that is bounded by the cycle's new-file
+    * count, the same driver footprint any file-source read (a path list)
+    * already pays. */
+  private def deltaPaths(
+      spark: SparkSession,
+      manifestDir: String,
+      listing: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    if (listing.isEmpty) Seq.empty
+    else listing.toDF("_file")
+      .join(manifestDf(spark, manifestDir), Seq("_file"), "left_anti")
+      .as[String].collect().toSeq
+  }
+
   /** INCREMENTAL INGESTION over a landing directory (the Auto
     * Loader / file-notification pattern): read ONLY the files in
     * `listing` that the manifest has not recorded — the pruning happens
@@ -179,46 +212,47 @@ object Layouts {
     * processed files are never even opened, stronger than any post-scan
     * filter. A missing manifest bootstraps to the full listing; an
     * empty delta returns the landing schema with zero rows. Scale: the
-    * manifest is file-count-sized and is read driver-side exactly like
-    * a transaction log's file list. */
+    * listing-vs-manifest diff is a plan-side anti-join
+    * ([[deltaPaths]]); the driver holds only the delta. */
   def incrementalScan(
       spark: SparkSession,
       landingDir: String,
       manifestDir: String,
       listing: Seq[String]): DataFrame = {
-    val delta = listing.filterNot(processedSet(spark, manifestDir))
-    if (delta.isEmpty) spark.read.parquet(landingDir).limit(0)
-    else spark.read.parquet(delta: _*)
+    val delta = deltaPaths(spark, manifestDir, listing)
+    if (delta.nonEmpty) spark.read.parquet(delta: _*)
+    else {
+      // Zero-row result, but keep the landing schema when the dir
+      // exists; before the first drop ever lands there is no schema to
+      // give (first cycle runs before any producer created the dir), so
+      // the empty 0-column relation is the honest answer — not a throw.
+      val p = new org.apache.hadoop.fs.Path(landingDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(landingDir).limit(0)
+      else spark.emptyDataFrame
+    }
   }
 
-  /** Checkpoint `listing` (plus anything already recorded) as
-    * processed. Union-with-existing keeps the manifest monotonic even
-    * if an old listing is replayed; passing the cycle's snapshot —
-    * never a fresh listing — is what makes the scan→process→checkpoint
-    * cycle lose nothing. */
+  /** Checkpoint `listing` as processed by APPENDING its unrecorded
+    * paths to the manifest log. The manifest is append-only — no
+    * delete, no rename-swap — so there is no instant at which a crash
+    * can lose previously-recorded state: a failed append leaves only
+    * `_`-prefixed temporary files (excluded by every reader) and the
+    * next cycle simply re-appends. The anti-join delta (not the raw
+    * listing) is what gets appended, which keeps a replayed old
+    * snapshot from duplicating rows — monotonicity by construction.
+    * Cycle-count small files accumulate like any transaction log;
+    * periodic maintenance can fold the log through [[compactFiles]]
+    * into a fresh dir and switch over. */
   def markProcessed(
       spark: SparkSession,
       manifestDir: String,
       listing: Seq[String]): Unit = {
     import spark.implicits._
-    val merged = (processedSet(spark, manifestDir) ++ listing).toSeq.sorted
-    val tmp = manifestDir + ".tmp"
-    merged.toDF("_file").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs = dst.getFileSystem(conf)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-  }
-
-  private def processedSet(
-      spark: SparkSession, manifestDir: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(manifestDir)
-      .collect().map(_.getString(0)).toSet
+    val delta = deltaPaths(spark, manifestDir, listing)
+    if (delta.nonEmpty)
+      delta.toDF("_file").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(manifestDir)
   }
 
   /** Recursively delete `dir` if present (work-dir hermeticity across

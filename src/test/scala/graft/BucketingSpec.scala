@@ -162,5 +162,23 @@ class BucketingSpec extends SparkSpec {
     // replaying an old snapshot keeps the manifest monotonic
     Layouts.markProcessed(spark, mf, snap1)
     assert(scan().count() == 0)
+    // the manifest is an append-only log: no file ever written to it is
+    // deleted or renamed, so no crash instant can lose recorded state
+    // (the round-11 delete-then-rename hole); a replayed snapshot must
+    // also not have re-appended rows (anti-join delta, not raw listing)
+    val mfRows = spark.read.parquet(mf).count()
+    assert(mfRows == Layouts.snapshotListing(spark, land).size,
+      s"manifest must hold each processed path exactly once, got $mfRows")
+  }
+
+  test("first cycle before any producer exists: missing landing and " +
+    "manifest dirs are empty listings / zero-row scans, not throws") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_incr0").toString
+    val land = s"$base/landing"   // never created
+    val mf = s"$base/manifest"    // never created
+    assert(Layouts.snapshotListing(spark, land).isEmpty)
+    assert(Layouts.incrementalScan(spark, land, mf,
+      Layouts.snapshotListing(spark, land)).count() == 0)
   }
 }

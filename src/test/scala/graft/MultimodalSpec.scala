@@ -297,6 +297,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == ((0L, 2L, 0L, 4L)), got(2).toString)
   }
 
+  test("mp4 box walk: an adversarial 64-bit largesize near " +
+    "Long.MaxValue lands on the -1 malformed terminal (no signed " +
+    "overflow slipping past the overrun check)") {
+    val sq = spark; import sq.implicits._
+    import org.apache.spark.sql.functions.{col, unhex}
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    // size=1 then largesize = 0x7FFFFFFFFFFFFFF0: off + size would
+    // overflow negative; the size > olen screen must catch it first.
+    val evil = ftyp + "00000001" + "6D646174" +
+      "7FFFFFFFFFFFFFF0" + "AABBCCDD"
+    val got = Seq((1, evil)).toDF("id", "hx")
+      .select(col("id"), Multimodal.mp4BoxStats(unhex(col("hx"))).as("b"))
+      .collect().map { r =>
+        val b = r.getStruct(1)
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      }.head
+    assert(got == ((-1L, 1L, 0L, 0L)), got.toString)
+  }
+
   test("srtCues parses a hand-written subtitle file (timecode decode " +
     "to ms) and drops malformed blocks") {
     val sq = spark; import sq.implicits._
