@@ -126,9 +126,13 @@ class ExecutionContext(
 
   /** Execute the FIRST statement of `sql` (the reference only ever plans
     * `ast[0]`, `src/context.rs:49`) and return its result. Unknown tables
-    * surface the reference's error message. */
+    * surface the reference's error message. The statement is first
+    * normalized from this context's dialect lexing to Spark's
+    * ([[ExecutionContext.normalizeDialect]]) — quoted-identifier forms
+    * and mssql's TOP, per the reference's 11-dialect constructor. */
   def execute(sql: String): DataFrame = {
-    val stmt = ExecutionContext.firstStatement(sql)
+    val stmt = ExecutionContext.normalizeDialect(
+      ExecutionContext.firstStatement(sql), dialect)
     stmt match {
       case ExecutionContext.CreateIndexRe(unique, ifNot, idxName, tbl, cols) =>
         createIndex(
@@ -365,13 +369,15 @@ class ExecutionContext(
   /** Render the analyzed logical plan — parity with the reference's only
     * observable output, `format_plan` (`tmp/select.rs:625-746`). */
   def explain(sql: String): String =
-    spark.sql(ExecutionContext.firstStatement(sql))
-      .queryExecution.analyzed.treeString
+    spark.sql(normalized(sql)).queryExecution.analyzed.treeString
 
   /** Full plan dump (parsed → analyzed → optimized → physical). */
   def explainExtended(sql: String): String =
-    spark.sql(ExecutionContext.firstStatement(sql))
-      .queryExecution.toString
+    spark.sql(normalized(sql)).queryExecution.toString
+
+  private def normalized(sql: String): String =
+    ExecutionContext.normalizeDialect(
+      ExecutionContext.firstStatement(sql), dialect)
 
   /** Render the analyzed plan in the reference's own `format_plan` text
     * shape (`tmp/select.rs:625-746`): `-> Node: detail` lines, one-space
@@ -379,7 +385,7 @@ class ExecutionContext(
     * richer Catalyst `treeString`; this is the byte-shape twin. */
   def explainReference(sql: String): String =
     graft.plans.ReferencePlanFormat.format(
-      spark.sql(ExecutionContext.firstStatement(sql)).queryExecution.analyzed)
+      spark.sql(normalized(sql)).queryExecution.analyzed)
 
   // ---- DDL: tables ------------------------------------------------------
 
@@ -1115,6 +1121,142 @@ object ExecutionContext {
   private[graft] def firstStatement(sql: String): String =
     statements(sql).headOption.getOrElse(
       throw new IllegalArgumentException("Empty SQL statement"))
+
+  // ---- dialect normalization --------------------------------------------
+  // The reference parses with one of 11 sqlparser-rs dialects
+  // (`/root/reference/src/lib.rs:9-23`); Spark parses exactly one grammar.
+  // The visible per-dialect differences are LEXICAL — which quote
+  // characters delimit an identifier, and mssql's TOP n — so a
+  // quote-aware rewrite to Spark's lexing closes the gap without a
+  // second parser. Grouped by the dialects' published quoting rules:
+  //  - double-quoted identifiers (`"x"`): ansi, duckdb, redshift,
+  //    sqlite, snowflake, clickhouse, mssql — rewritten to backticks,
+  //    because Spark's DEFAULT lexing reads "x" as a STRING literal
+  //    (spark.sql.ansi.doubleQuotedIdentifiers off).
+  //  - bracketed identifiers (`[x]`): mssql, sqlite — rewritten to
+  //    backticks when in identifier position (not `expr[i]` indexing).
+  //  - TOP n / TOP (n): mssql — rewritten to a trailing LIMIT n on a
+  //    top-level SELECT.
+  // PASSTHROUGH dialects, deliberately untouched: `generic` and
+  // `postgres` (the constructor default — every existing caller's SQL
+  // keeps Spark's own lexing, SURVEY §7.4-3's compatibility stance),
+  // and `hive`/`bigquery`, whose quoting already IS Spark's (backtick
+  // identifiers; double-quoted strings).
+  private val doubleQuoteIdentDialects: Set[String] = Set(
+    "ansi", "duckdb", "redshift", "sqlite", "snowflake", "clickhouse",
+    "mssql")
+  private val bracketIdentDialects: Set[String] = Set("mssql", "sqlite")
+
+  private val TopRe =
+    """(?is)^(\s*SELECT\s+)TOP\s+(?:\(\s*(\d+)\s*\)|(\d+))\s+(.*)$""".r
+
+  /** Rewrite ONE statement from `dialect`'s lexing to Spark's. Strings,
+    * comments (line + nested block), and backticked identifiers are
+    * opaque; `""`/`]]` escapes unescape into the backticked form with
+    * inner backticks doubled. A `[` directly after an identifier, `)`,
+    * or `]` is collection indexing, not a quote — `m['k']` and
+    * `arr[0]` survive under the bracket dialects. */
+  private[graft] def normalizeDialect(stmt: String, dialect: String)
+      : String = {
+    val d = dialect.toLowerCase(java.util.Locale.ROOT)
+    val dq = doubleQuoteIdentDialects(d)
+    val br = bracketIdentDialects(d)
+    if (!dq && !br) return stmt
+    val out = new StringBuilder
+    def emitIdent(body: String): Unit = {
+      out += '`'; out ++= body.replace("`", "``"); out += '`'
+    }
+    var i = 0
+    val n = stmt.length
+    // Indexing (`expr[i]`) vs identifier quote (`[name]`): indexing's
+    // `[` ABUTS the value it indexes — `arr[0]`, `f(x)[1]`, `[a][0]` —
+    // while an identifier quote follows whitespace or a structural
+    // character (start, `,`, `.`, `(`). The IMMEDIATELY preceding
+    // character decides; whitespace before `[` always means quote.
+    def indexingContext: Boolean = i > 0 && {
+      val p = stmt.charAt(i - 1)
+      Character.isLetterOrDigit(p) || p == '_' || p == ')' || p == ']' ||
+        p == '`' || p == '\'' || p == '"'
+    }
+    def nxt = if (i + 1 < n) stmt.charAt(i + 1) else 0.toChar
+    while (i < n) {
+      val c = stmt.charAt(i)
+      c match {
+        case '-' if nxt == '-' => // line comment: copy to EOL
+          val e = stmt.indexOf('\n', i)
+          val end = if (e < 0) n else e + 1
+          out ++= stmt.substring(i, end); i = end - 1
+        case '/' if nxt == '*' => // nested block comment: copy whole
+          var depth = 1; var j = i + 2
+          while (j < n && depth > 0) {
+            if (j + 1 < n && stmt.charAt(j) == '/' &&
+              stmt.charAt(j + 1) == '*') { depth += 1; j += 2 }
+            else if (j + 1 < n && stmt.charAt(j) == '*' &&
+              stmt.charAt(j + 1) == '/') { depth -= 1; j += 2 }
+            else j += 1
+          }
+          out ++= stmt.substring(i, j); i = j - 1
+        case '\'' => // string literal: opaque ('' and \x escapes)
+          var j = i + 1
+          var done = false
+          while (j < n && !done) {
+            val sc = stmt.charAt(j)
+            if (sc == '\\' && j + 1 < n) j += 2
+            else if (sc == '\'' && j + 1 < n && stmt.charAt(j + 1) == '\'')
+              j += 2
+            else if (sc == '\'') { done = true; j += 1 }
+            else j += 1
+          }
+          out ++= stmt.substring(i, j); i = j - 1
+        case '`' => // already-Spark identifier: opaque (`` escape)
+          var j = i + 1
+          var done = false
+          while (j < n && !done) {
+            if (stmt.charAt(j) == '`')
+              if (j + 1 < n && stmt.charAt(j + 1) == '`') j += 2
+              else { done = true; j += 1 }
+            else j += 1
+          }
+          out ++= stmt.substring(i, j); i = j - 1
+        case '"' if dq => // "ident" (or "a""b") -> backticks
+          val b = new StringBuilder
+          var j = i + 1
+          var done = false
+          while (j < n && !done) {
+            if (stmt.charAt(j) == '"')
+              if (j + 1 < n && stmt.charAt(j + 1) == '"') {
+                b += '"'; j += 2
+              } else { done = true; j += 1 }
+            else { b += stmt.charAt(j); j += 1 }
+          }
+          emitIdent(b.result()); i = j - 1
+        case '[' if br && !indexingContext => // [ident] -> backticks
+          val b = new StringBuilder
+          var j = i + 1
+          var done = false
+          while (j < n && !done) {
+            if (stmt.charAt(j) == ']')
+              if (j + 1 < n && stmt.charAt(j + 1) == ']') {
+                b += ']'; j += 2
+              } else { done = true; j += 1 }
+            else { b += stmt.charAt(j); j += 1 }
+          }
+          emitIdent(b.result()); i = j - 1
+        case other =>
+          out += other
+      }
+      i += 1
+    }
+    val normalized = out.result()
+    if (d != "mssql") normalized
+    else normalized match {
+      // TOP binds to the top-level SELECT only (the documented subset —
+      // a subquery TOP needs a real mssql parser); (n) and bare n forms.
+      case TopRe(head, paren, bare, rest) =>
+        s"$head$rest LIMIT ${Option(paren).getOrElse(bare)}"
+      case _ => normalized
+    }
+  }
 
   /** Flatten column options + table constraints into `graft.*` property
     * pairs (the metadata the reference keeps in its CreateTable IR,

@@ -975,7 +975,57 @@ object RelationalQueries {
     Q("q50_values_body",
       (s, d) => new ExecutionContext(s).registerTestData(d)
         .execute(Sql.valuesBody),
-      Some(Sql.valuesBody))
+      Some(Sql.valuesBody)),
+
+    // Per-dialect lexing (`/root/reference/src/lib.rs:9-23` selects among
+    // 11 sqlparser dialects): the mssql surface — bracketed identifiers
+    // and TOP n — normalized to Spark's lexing by
+    // [[ExecutionContext.normalizeDialect]] before spark.sql. The oracle
+    // is the SAME query in the normalized (ANSI) spelling, so the gate
+    // proves the rewrite preserves semantics, not just that it parses.
+    Q("q51_dialect_mssql",
+      (s, d) => new ExecutionContext(s, "mssql").registerTestData(d)
+        .execute(
+          """SELECT TOP 5 [r].[r_regionkey] AS rkey, [r_name] AS rname
+            |FROM region AS [r] ORDER BY [r].[r_regionkey]"""
+            .stripMargin.replace('\n', ' ')),
+      Some("""SELECT r_regionkey AS rkey, r_name AS rname FROM region
+             |ORDER BY r_regionkey LIMIT 5"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Double-quoted identifiers (ansi/duckdb/redshift/sqlite/snowflake/
+    // clickhouse): under Spark's default lexing "n_name" is the STRING
+    // 'n_name', so without the rewrite this query would return 25 copies
+    // of a constant — the gate catches exactly that failure mode. The
+    // oracle keeps the quoted spelling (DuckDB lexes it as the dialect
+    // does), making the two engines read the same query through their
+    // own native rules.
+    Q("q52_dialect_quoted_idents",
+      (s, d) => new ExecutionContext(s, "duckdb").registerTestData(d)
+        .execute(
+          """SELECT "n_name" AS name, "n"."n_regionkey" AS rkey
+            |FROM nation AS "n" WHERE "n_regionkey" < 3"""
+            .stripMargin.replace('\n', ' ')),
+      Some("""SELECT "n_name" AS name, "n"."n_regionkey" AS rkey
+             |FROM nation AS "n" WHERE "n_regionkey" < 3"""
+        .stripMargin.replace('\n', ' '))),
+
+    // Catalog-error contract (§2 #2) as DATA: the reference's exact
+    // "Table: X does not exist in database" message
+    // (`tmp/select.rs:357-364`), surfaced through the public execute API
+    // and gated against a VALUES oracle — the driver-visible twin of the
+    // ScalaTest message specs.
+    Q("q53_catalog_error_contract",
+      (s, d) => {
+        import s.implicits._
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        val msg =
+          try { ctx.execute("SELECT * FROM no_such_table"); "no error" }
+          catch { case e: IllegalArgumentException => e.getMessage }
+        Seq(msg).toDF("error_msg")
+      },
+      Some("SELECT 'Table: no_such_table does not exist in database' " +
+        "AS error_msg"))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
