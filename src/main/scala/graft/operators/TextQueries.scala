@@ -327,18 +327,34 @@ object CorpusStats {
     * Spark job per round. At nMerges=10 (the gated entry) that is 10
     * jobs; a production 32k-vocab train would be 32k sequential rounds.
     * The practice is unchanged from real BPE trainers: train on a
-    * SAMPLED/CAPPED vocabulary table (the t10 content-keyed sample
-    * feeding this exact function), where per-round jobs are
-    * milliseconds, then apply the learned merge table corpus-wide via
-    * [[bpeEncode]] — the apply side is one distributed pass and never
-    * loops. The round count is the algorithm's nature, not a Spark
-    * artifact. */
-  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    * SAMPLED vocabulary, then apply the learned merge table corpus-wide
+    * via [[bpeEncode]] — the apply side is one distributed pass and
+    * never loops. The round count is the algorithm's nature, not a
+    * Spark artifact.
+    *
+    * `vocabSampleHex` IS that production path: when set, training sees
+    * only word TYPES whose content hash falls under the t10
+    * deterministic-sample threshold (e.g. "c000" ≈ 75% of types) —
+    * applied to the (word, count) table AFTER the one corpus scan, so a
+    * type's full corpus frequency is kept or dropped atomically
+    * (layout-free, reproducible on any cluster shape; duplicates of a
+    * word always land together). Every per-round job then runs on the
+    * sampled-vocabulary table: driver pacing drops from O(vocab types)
+    * to O(sample), and training on the sample is EXACTLY training on
+    * the sub-corpus of retained types (BpeSampleSpec asserts that
+    * equivalence on the Sennrich fixture). */
+  def bpeMerges(
+      docs: DataFrame,
+      nMerges: Int,
+      vocabSampleHex: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
+    val vocab = Dedup.spread(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val kept = vocabSampleHex.fold(vocab)(t =>
+      vocab.filter(Sampling.deterministicSample(col("w"), t)))
     var words = ManagedCache.persist(
-      Dedup.spread(docs).select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("syms", split(col("w"), "")))
+      kept.withColumn("syms", split(col("w"), "")))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var rank = 1
@@ -1284,17 +1300,22 @@ object TextQueries {
              |GROUP BY doc_id"""
         .stripMargin.replace('\n', ' '))),
 
-    // BPE ENCODING (t21's apply side): train the 10-merge model, then
-    // encode the corpus through the vocabulary-table path — see
-    // [[CorpusStats.bpeEncode]]. The 10-row merge-table collect is MODEL
-    // readout (t21/IVF precedent), not a data collect. Rows-only entry
-    // (the model comes from the iterative trainer, which has no SQL
-    // twin); the encode semantics are spec-asserted on the hand-computed
-    // Sennrich segmentation and the output is fully deterministic.
+    // BPE ENCODING (t21's apply side), through the PRODUCTION training
+    // path: the model trains on the content-keyed 75% vocabulary sample
+    // (`vocabSampleHex` — per-round driver pacing scales with the
+    // sample, not the corpus vocabulary) and then encodes the FULL
+    // corpus — see [[CorpusStats.bpeEncode]]. The 10-row merge-table
+    // collect is MODEL readout (t21/IVF precedent), not a data collect.
+    // Rows-only entry (the model comes from the iterative trainer,
+    // which has no SQL twin); encode semantics are spec-asserted on the
+    // hand-computed Sennrich segmentation, sample-vs-subcorpus training
+    // equivalence by BpeSampleSpec, and the output is fully
+    // deterministic (content-keyed sample, fixed tie-breaks).
     Q("t27_bpe_encode",
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
-        val merges = CorpusStats.bpeMerges(docs, nMerges = 10)
+        val merges = CorpusStats.bpeMerges(docs, nMerges = 10,
+            vocabSampleHex = Some("c000"))
           .orderBy("rank").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         CorpusStats.bpeEncode(docs, merges)

@@ -190,4 +190,101 @@ class SkewLayoutSpec extends SparkSpec {
     val b = spark.read.parquet(s"$base/c4")
     assert(b.exceptAll(df).isEmpty && df.exceptAll(b).isEmpty)
   }
+
+  /** Max per-task shuffle-WRITE records across every stage an action
+    * runs — the runtime skew signal: a degenerate LSH bucket pairs in
+    * ONE task, so its C(n,2) candidate rows all leave that task's
+    * shuffle write. Task-end events post asynchronously; poll until the
+    * maximum stabilizes rather than reaching into the private listener
+    * bus. */
+  private def maxTaskShuffleWrite(action: => Unit): Long = {
+    val maxW = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) maxW.getAndUpdate(v =>
+          math.max(v, m.shuffleWriteMetrics.recordsWritten))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var last = -1L
+      var stable = 0
+      var tries = 0
+      while (stable < 3 && tries < 50) {
+        Thread.sleep(100)
+        val now = maxW.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        tries += 1
+      }
+      maxW.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("boilerplate stress: a band bucket at >=100x the median is " +
+    "dropped by the corpus-side cap — bounded per-task shuffle volume " +
+    "(runtime evidence) with full recall on the non-degenerate pairs") {
+    val sq = spark; import sq.implicits._
+    // 400 documents with IDENTICAL boilerplate text: one shingle set,
+    // one signature, so every band key holds all 400 docs (median
+    // bucket is 1-2 docs — this is the 100x-median hot key). Background:
+    // 100 unique docs, including 3 planted duplicate pairs that near-dup
+    // detection MUST still find after the cap.
+    val boiler = "terms of service apply to all users of this site " +
+      "please read carefully before proceeding with registration"
+    val hot = (0 until 400).map(i => (1000L + i, boiler))
+    val bg = (0 until 100).map(i =>
+      (2000L + i, s"alpha$i bravo$i charlie$i delta$i echo$i " +
+        s"foxtrot$i golf$i hotel$i india$i juliet$i"))
+    val planted = Seq(
+      (3000L, 3001L, "kilo lima mike november oscar papa quebec"),
+      (3002L, 3003L, "romeo sierra tango uniform victor whiskey xray"),
+      (3004L, 3005L, "yankee zulu one two three four five six"))
+    val corpus = (hot ++ bg ++
+      planted.flatMap { case (a, b, t) => Seq((a, t), (b, t)) })
+      .toDF("doc_id", "text")
+    val cap = 50
+
+    val cappedPairs = scala.collection.mutable.Buffer
+      .empty[(Long, Long)]
+    val cappedMax = maxTaskShuffleWrite {
+      cappedPairs ++= Dedup.minhashNearDupPairs(corpus, maxBucket = cap)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      ManagedCache.releaseAll()
+    }
+    // recall floor: every planted (non-degenerate) duplicate pair found
+    val plantedKeys = planted.map { case (a, b, _) => (a, b) }.toSet
+    assert(plantedKeys.subsetOf(cappedPairs.toSet),
+      s"capped run lost planted pairs: ${plantedKeys -- cappedPairs.toSet}")
+    // the degenerate bucket's pairs are gone (that is the cap's contract)
+    assert(!cappedPairs.exists { case (a, b) => a >= 1000 && b < 2000 },
+      "hot-bucket pairs must be dropped by the cap")
+
+    var uncapped = 0L
+    val uncappedMax = maxTaskShuffleWrite {
+      uncapped = Dedup.minhashNearDupPairs(corpus, maxBucket = Int.MaxValue)
+        .count()
+      ManagedCache.releaseAll()
+    }
+    // uncapped, the hot clique's C(400,2) candidate rows must flow
+    // through the shuffle toward distinct. At this fixture scale the
+    // build side broadcasts, so the clique splits across the streamed
+    // side's partitions (4 here) instead of landing in ONE (band,bh)
+    // task — the per-task floor is C(400,2)/partitions; at corpus scale
+    // the join shuffles on the band key and the whole clique IS one
+    // task, which is exactly the skew the cap exists to prevent.
+    assert(uncapped >= 400L * 399 / 2,
+      s"uncapped run should emit the full hot clique, got $uncapped")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(uncappedMax >= 400L * 399 / 2 / parts,
+      s"uncappedMax=$uncappedMax")
+    // capped, no task's shuffle write carries more than the background
+    // volume — the hot clique's quadratic blowup never happens
+    assert(cappedMax < 10000,
+      s"capped max per-task shuffle write $cappedMax (uncapped $uncappedMax)")
+    assert(uncappedMax > 10 * cappedMax,
+      s"expected order-of-magnitude spread: $uncappedMax vs $cappedMax")
+  }
 }
