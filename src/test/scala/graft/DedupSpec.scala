@@ -246,6 +246,18 @@ class DedupSpec extends SparkSpec {
       s"6-bit candidates $cand6 not below 4-bit $cand4")
   }
 
+  test("adaptiveSignBits holds bucket occupancy constant: bits grow " +
+    "with log2(n) and clamp at the floor/ceiling") {
+    def bits(n: Int) =
+      Dedup.adaptiveSignBits(spark.range(n.toLong).toDF("vec_id"))
+    assert(bits(100) == 4)     // below the floor: clamps to 4
+    assert(bits(2000) == 4)    // the fixture geometry is unchanged
+    assert(bits(20000) == 8)   // the sf1 scale run: 256 buckets
+    assert(bits(200000) == 11) // keeps growing with the corpus
+    assert(Dedup.adaptiveSignBits(
+      spark.range(1000000L).toDF("v"), perBucket = 1, maxBits = 24) == 20)
+  }
+
   test("all five native expressions evaluate inside WholeStageCodegen " +
     "spans (starred operators), not interpreted fallback") {
     val docs = Tables.t(spark, sf, "documents").limit(10)
