@@ -54,6 +54,16 @@ object Bench {
         // async-eviction stragglers.
         spark.sharedState.cacheManager.clearCache()
         ManagedCache.releaseAll() // blocking: eviction cannot overlap timing
+        // Drain the ContextCleaner BEFORE the warm-up: a gc here surfaces
+        // the accumulated broadcast/shuffle references of every prior
+        // query, so the cleaner's unpersist storm overlaps the untimed
+        // warm-up instead of detonating inside the first timed run (the
+        // per-run System.gc below was TRIGGERING the backlog there —
+        // observed at sf2 as a 7 s median on a query whose isolated warm
+        // time is 0.8 s, with its cold+warm predecessors reproducing
+        // nothing).
+        System.gc()
+        Thread.sleep(200) // let the async cleaner catch the weak refs
         force(name) // warm-up: JIT + codegen + file listing (+ own caches)
         val times = Seq.fill(3) {
           System.gc()
