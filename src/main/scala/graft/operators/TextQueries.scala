@@ -877,18 +877,28 @@ object TextQueries {
              |ORDER BY n DESC, term ASC LIMIT 50"""
         .stripMargin.replace('\n', ' '))),
 
-    // Per-document TF-IDF top-3 terms. Two shuffles (tf on (doc, term);
-    // df on term) + a broadcast of the 1-row corpus count; ranking is the
-    // q25 window pattern ordered by the ROUNDED weight with a term
-    // tie-break, so cross-engine float jitter in ln() cannot reorder the
-    // cut. At 100 TB the df table is vocabulary-sized — still the shape
-    // you want (df join broadcasts or bucketed-joins on term).
+    // Per-document TF-IDF top-3 terms. ONE corpus-scale explode: df
+    // derives from the aggregated tf table (one row per (doc, term), so
+    // rows-per-term IS distinct-docs-per-term) instead of a second
+    // explode over the token stream. tf is PERSISTED (the d03 prep
+    // pattern) because plan-level exchange reuse cannot fire here —
+    // column pruning strips the count from the df branch, so the two tf
+    // subtrees stop being canonically equal — and without the persist
+    // the explode + (doc, term) shuffle runs twice (the pre-r12 shape;
+    // TextSpec asserts the single-Generate plan). Ranking is the q25
+    // window pattern ordered by the ROUNDED weight with a term
+    // tie-break, so cross-engine float jitter in ln() cannot reorder
+    // the cut. At 100 TB the df table is vocabulary-sized — still the
+    // shape you want (df join broadcasts or bucketed-joins on term) —
+    // and tf persists columnar with disk spill, exactly how a
+    // production TF-IDF materializes its intermediate.
     Q("t08_tfidf_topk",
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
         val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val tf = ManagedCache.persist(
+          tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nd = docs.agg(countDistinct("doc_id").as("nd"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("w").desc, col("term").asc)

@@ -621,4 +621,28 @@ class TextSpec extends SparkSpec {
       2L -> "plain ascii",
       3L -> "it's 'fine'"), got.toString)
   }
+
+  test("t08 computes the corpus-scale explode ONCE: tf persists and " +
+    "both consumers (weight join, df aggregate) read the cache instead " +
+    "of re-exploding the token stream") {
+    val df = q("t08_tfidf_topk").build(spark, sf)
+    // execute THIS queryExecution (collect — a write would spawn a
+    // separate one for the command), then read the final adaptive plan;
+    // only the section before "== Initial Plan ==" is what ran
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // both tf consumers must scan the cache...
+    val cacheScans = "(?m)InMemoryTableScan|TableCacheQueryStage".r
+      .findAllIn(plan).length
+    assert(cacheScans >= 2, s"expected both branches on the tf cache:\n" +
+      plan.take(1500))
+    // ...and the token explode appears at most once (the cache-build
+    // subtree that a TableCacheQueryStage prints) — twice would mean a
+    // consumer went back to the token stream
+    val generates = "(?m)Generate explode".r.findAllIn(plan).length
+    assert(generates <= 1, s"expected <=1 token explode, got $generates:\n" +
+      plan.take(1500))
+    ManagedCache.releaseAll()
+  }
 }
