@@ -2034,6 +2034,106 @@ object DedupQueries {
              |SELECT rep, count(*) AS n_members FROM cc GROUP BY rep"""
         .stripMargin.replace('\n', ' '))),
 
+    // SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023): assign
+    // every vector to its nearest centroid (e12's exact-integer
+    // construction — here the label centroids stand in for the k-means
+    // codebook the e05 IVF trainer produces), then WITHIN EACH CLUSTER
+    // find quantized-cosine near-dup pairs and keep the lowest vec_id of
+    // each pair (greedy ε-ball representative — chain-drops are the
+    // documented SemDeDup rule; g02's connected components is the
+    // alternative resolution). Output: one row per vector with its
+    // cluster and kept flag.
+    //
+    // Fully hash-gated: the near-dup predicate is CROSS-MULTIPLIED
+    // exact integers — cos ≥ 0.35 ⇔ i1 > 0 ∧ 400·i1² ≥ 49·i2a·i2b on
+    // the int8-quantized vectors (τ² = 49/400 exactly; |i1| ≤ 127²·64 ≈
+    // 10⁶ so 400·i1² ≤ 4·10¹⁴ — no overflow, no rounding anywhere), so
+    // both engines decide every pair identically, bit-for-bit.
+    //
+    // Scale shape: this is WHY SemDeDup clusters first — pairing is
+    // cluster-scoped (Σ_c C(n_c,2), never corpus²), the centroid table
+    // broadcasts, and the pair join keys on (cluster, ord) exactly like
+    // d07's inverted index. At 100 TB the codebook grows with the
+    // corpus (e05/adaptiveSignBits' bits-follow-scale rule) to hold
+    // per-cluster occupancy constant.
+    Q("p12_semdedup",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val clusters = Similarity.nearestCentroid(emb)
+          .select(col("vec_id"), col("pred_label").as("cluster"))
+        val q = Similarity.quantizeInt8Vectors(emb)
+          .select(col("vec_id"),
+            transform(col("qv"), x => x.cast("long")).as("qvl"))
+        // persisted: feeds the explode AND the final keep-list join
+        val withC = ManagedCache.persist(q.join(clusters, "vec_id")
+          .withColumn("i2",
+            aggregate(col("qvl"), lit(0L), (a, x) => a + x * x)))
+        val ex = withC.select(col("vec_id"), col("cluster"), col("i2"),
+          posexplode(col("qvl")).as(Seq("ord", "v")))
+        val pairs = ex.alias("a").join(ex.alias("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.ord") === col("b.ord") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("av"), col("b.vec_id").as("bv"),
+            col("a.i2").as("i2a"), col("b.i2").as("i2b"))
+          .agg(sum(col("a.v") * col("b.v")).as("i1"))
+        val dropped = pairs
+          .filter(col("i1") > 0 &&
+            lit(400L) * col("i1") * col("i1") >=
+              lit(49L) * col("i2a") * col("i2b"))
+          .select(col("bv").as("vec_id")).distinct()
+          .withColumn("hit", lit(1))
+        withC.select(col("vec_id"), col("cluster"))
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, label, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id, label,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |d AS (SELECT vec_id, label, unnest(qv) AS val,
+             |unnest(generate_series(1, len(qv))) AS ord FROM q),
+             |cent AS (SELECT label AS cand_label, ord,
+             |CAST(sum(val) AS BIGINT) AS s FROM d GROUP BY 1, 2),
+             |i3 AS (SELECT cand_label, CAST(sum(s * s) AS BIGINT) AS i3
+             |FROM cent GROUP BY 1),
+             |i2 AS (SELECT vec_id, CAST(sum(val * val) AS BIGINT) AS i2
+             |FROM d GROUP BY 1),
+             |i1 AS (SELECT d.vec_id, cent.cand_label,
+             |CAST(sum(d.val * cent.s) AS BIGINT) AS i1
+             |FROM d JOIN cent ON d.ord = cent.ord GROUP BY 1, 2),
+             |sim AS (SELECT vec_id, cand_label,
+             |round(CASE WHEN i2 = 0 OR i3 = 0 THEN -1.0
+             |ELSE CAST(i1 AS DOUBLE) /
+             |sqrt(CAST(i2 AS DOUBLE) * CAST(i3 AS DOUBLE)) END, 4) + 0.0
+             |AS sim FROM i1 JOIN i2 USING (vec_id) JOIN i3
+             |USING (cand_label)),
+             |pred AS (SELECT vec_id, cand_label AS cluster FROM sim
+             |QUALIFY row_number() OVER (PARTITION BY vec_id
+             |ORDER BY sim DESC, cand_label ASC) = 1),
+             |pr AS (SELECT a.vec_id AS av, b.vec_id AS bv,
+             |CAST(sum(a.val * b.val) AS BIGINT) AS i1
+             |FROM d a JOIN d b ON a.ord = b.ord AND a.vec_id < b.vec_id
+             |JOIN pred pa ON pa.vec_id = a.vec_id
+             |JOIN pred pb ON pb.vec_id = b.vec_id
+             |AND pa.cluster = pb.cluster
+             |GROUP BY 1, 2),
+             |drp AS (SELECT DISTINCT pr.bv AS vec_id FROM pr
+             |JOIN i2 ia ON ia.vec_id = pr.av
+             |JOIN i2 ib ON ib.vec_id = pr.bv
+             |WHERE pr.i1 > 0
+             |AND 400 * pr.i1 * pr.i1 >= 49 * ia.i2 * ib.i2)
+             |SELECT p.vec_id, CAST(p.cluster AS INTEGER) AS cluster,
+             |CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+             |FROM pred p LEFT JOIN drp USING (vec_id)"""
+        .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set
