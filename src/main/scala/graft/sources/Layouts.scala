@@ -243,7 +243,18 @@ object Layouts {
     * snapshot from duplicating rows — monotonicity by construction.
     * Cycle-count small files accumulate like any transaction log;
     * periodic maintenance can fold the log through [[compactFiles]]
-    * into a fresh dir and switch over. */
+    * into a fresh dir and switch over.
+    *
+    * Crash-window taxonomy (spec'd in BucketingSpec's debris test):
+    * a crash BEFORE task commit leaves only nested `_temporary`
+    * attempt dirs — invisible to every reader, deleted by the next
+    * append's job cleanup; a crash AFTER task commit but before job
+    * commit leaves a fully-written parquet under `_temporary/0/task_*`,
+    * which the next append's FileOutputCommitter sweeps into the log —
+    * i.e. it COMPLETES the interrupted append. The swept rows are the
+    * interrupted delta, and [[deltaPaths]]' anti-join gives the log
+    * SET semantics, so the sweep (or a re-append after a pre-commit
+    * crash) is idempotent either way. */
   def markProcessed(
       spark: SparkSession,
       manifestDir: String,

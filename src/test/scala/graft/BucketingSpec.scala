@@ -171,6 +171,46 @@ class BucketingSpec extends SparkSpec {
       s"manifest must hold each processed path exactly once, got $mfRows")
   }
 
+  test("crash debris in the manifest dir is inert: a failed append's " +
+    "_temporary dir and hidden files neither corrupt the processed set " +
+    "nor resurrect as data") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_debris").toString
+    val land = s"$base/landing"
+    val mf = s"$base/manifest"
+    val docs = Tables.t(spark, sf, "documents")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(land)
+    val snap = Layouts.snapshotListing(spark, land)
+    Layouts.markProcessed(spark, mf, snap)
+    // simulate a crashed append's IN-FLIGHT debris: a task-attempt dir
+    // (nested _temporary — the pre-task-commit crash window) plus a
+    // hidden CRC. NOT a committed-task dir directly under _temporary/0:
+    // the next job's FileOutputCommitter legitimately SWEEPS those into
+    // the destination at commitJob — in production that file is a
+    // fully-written parquet of the interrupted append's delta, so the
+    // sweep benignly completes it (see markProcessed's scaladoc); a
+    // garbage file in that position would be a committer-contract
+    // violation no reader can survive.
+    val tmp = new java.io.File(s"$mf/_temporary/0/_temporary/attempt_x")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$mf/_temporary/0/_temporary/attempt_x/part-0.parquet"),
+      "not parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$mf/.part-0.crc"), "junk")
+    // the manifest still reads exactly the committed snapshot...
+    assert(Layouts.incrementalScan(spark, land, mf, snap).count() == 0)
+    // ...a new drop still surfaces exactly itself...
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(land)
+    val delta = Layouts.incrementalScan(spark, land, mf,
+      Layouts.snapshotListing(spark, land))
+    assert(delta.count() == docs.filter(col("doc_id") % 2 === 1).count())
+    // ...and checkpointing over the debris keeps exactly-once rows
+    Layouts.markProcessed(spark, mf, Layouts.snapshotListing(spark, land))
+    assert(spark.read.parquet(mf).count() ==
+      Layouts.snapshotListing(spark, land).size)
+  }
+
   test("first cycle before any producer exists: missing landing and " +
     "manifest dirs are empty listings / zero-row scans, not throws") {
     val base = java.nio.file.Files
