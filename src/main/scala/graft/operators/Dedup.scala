@@ -2134,6 +2134,48 @@ object DedupQueries {
              |FROM pred p LEFT JOIN drp USING (vec_id)"""
         .stripMargin.replace('\n', ' '))),
 
+    // INSTRUCTION-DATA CURATION capstone — the pipeline an SFT/chat
+    // corpus runs before training, composed as ONE plan under ONE
+    // oracle (the p04/p09 composition rule — the gate proves the stages
+    // FEED each other, not just that each works alone):
+    //   1. parse + validate chat payloads (t41's construction, shared
+    //      builder — the JSON round trip is inside this plan too);
+    //   2. keep schema-valid conversations only;
+    //   3. PROMPT dedup — near-identical first-user-turn prompts are
+    //      the dominant duplication mode in instruction corpora (self-
+    //      instruct seeds, template expansions); key = md5(turn-1
+    //      content), keep the lowest doc_id (27 drops at sf0.01, so
+    //      the dedup stage demonstrably fires under the gate);
+    //   4. delivery stats per conversation length (the data-card
+    //      readout: conversations and assistant-supervision volume).
+    // Scale shape: stages 1-2 are stateless per-row map work fused into
+    // the scan; stage 3 is ONE shuffle on the prompt key (d01's exact-
+    // dedup shape — window-min, no pairs); stage 4 is a 3-group partial
+    // agg. Nothing corpus-scale survives past the dedup exchange.
+    Q("p13_instruction_curation",
+      (s, d) => {
+        val parsed = TextQueries.chatParsed(Tables.t(s, d, "documents"))
+        val valid = parsed.filter(col("valid"))
+          .withColumn("prompt_key", md5(col("first_user")))
+        val keepW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prompt_key"))
+        valid
+          .withColumn("__keep", min(col("doc_id")).over(keepW))
+          .filter(col("doc_id") === col("__keep"))
+          .groupBy("n_turns")
+          .agg(count(lit(1)).as("n_convos"),
+            sum(col("assistant_chars")).as("assistant_chars"))
+      },
+      Some(TextQueries.chatTurnsOracle +
+        """, dd AS (SELECT *, md5(first_user) AS pk FROM chat_docs
+          |WHERE valid),
+          |k AS (SELECT * FROM dd QUALIFY
+          |row_number() OVER (PARTITION BY pk ORDER BY doc_id) = 1)
+          |SELECT n_turns, count(*) AS n_convos,
+          |CAST(sum(assistant_chars) AS BIGINT) AS assistant_chars
+          |FROM k GROUP BY n_turns"""
+          .stripMargin.replace('\n', ' '))),
+
     // RECALL AUDIT TWINS for the hash-seeded rows-only dedup entries
     // (same construction as the e03/e05 audits — see
     // [[Similarity.recallViolations]]): recompute the approximate pair set

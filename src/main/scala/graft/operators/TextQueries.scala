@@ -1858,8 +1858,126 @@ object TextQueries {
     // translate, one scan.
     Q("t38_text_normalize",
       (s, d) => normalizePipeline(Tables.t(s, d, "documents")),
-      Some(normalizeOracle))
+      Some(normalizeOracle)),
+
+    // CHAT-FORMAT VALIDATION under the hash gate — the schema/shape
+    // check every instruction-tuning pipeline runs before a chat corpus
+    // trains (strict user/assistant alternation, opens with user,
+    // closes with assistant, no empty turns): the corpus has no chat
+    // data, so conversations are CONSTRUCTED deterministically from
+    // doc_id + the shared tokenizer (turn count 2·(1+doc_id%3), turn i
+    // speaks tokens [((i−1)·3 mod 12)+1 ..+3) — always non-empty at
+    // the corpus's ≥10-token floor) with two INJECTED violation arms
+    // (t19's rule — a validator that never fires gates nothing):
+    // doc_id%7=0 swaps turn 2 to a repeated 'user', doc_id%11=0 blanks
+    // the final turn. The builder then round-trips the conversation
+    // through to_json → from_json (the raw-payload path real chat data
+    // arrives on), so the JSON encode/parse itself sits under the gate:
+    // every downstream stat is computed from the PARSED array, and a
+    // parse divergence flips the row hash red. Per-row HOF work, one
+    // scan, no shuffle; at 100 TB this is a stateless map stage in
+    // front of the dedup/packing stages (p13 composes it).
+    Q("t41_chat_validate",
+      (s, d) => chatParsed(Tables.t(s, d, "documents"))
+        .select(col("doc_id"), col("n_turns"), col("n_role_repeats"),
+          col("n_empty"), col("assistant_chars"), col("valid")),
+      Some(chatTurnsOracle +
+        """ SELECT doc_id, n_turns, n_role_repeats, n_empty,
+          |assistant_chars, valid FROM chat_docs"""
+          .stripMargin.replace('\n', ' ')))
   )
+
+  /** Shared t41/p13 builder: construct the deterministic conversation
+    * per document, round-trip it through to_json → from_json, and
+    * derive validation stats FROM THE PARSED ARRAY (so the JSON path is
+    * itself under the gate). Returns one row per doc with doc_id,
+    * n_turns, n_role_repeats, n_empty, assistant_chars, valid, and
+    * first_user (the turn-1 content, p13's prompt-dedup key). */
+  private[graft] def chatParsed(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    val nTurns = (lit(2) * (lit(1) + col("doc_id") % 3)).cast("int")
+    // role/content per 1-based turn index, the constructed ground truth
+    def role(i: org.apache.spark.sql.Column) =
+      when(col("doc_id") % 7 === 0 && i === 2, "user")
+        .when(i % 2 === 1, "user").otherwise("assistant")
+    def content(i: org.apache.spark.sql.Column) =
+      when(col("doc_id") % 11 === 0 && i === col("__nt"), "")
+        .otherwise(array_join(
+          slice(col("__toks"), ((i - 1) * 3) % 12 + 1, lit(3)), " "))
+    val convo = transform(sequence(lit(1), col("__nt")),
+      i => struct(role(i).as("role"), content(i).as("content")))
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "array<struct<role:string,content:string>>")
+    val parsed = from_json(to_json(convo), schema).as("__c")
+    val roles = transform(col("__c"), x => x.getField("role"))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__nt", nTurns)
+      .withColumn("__c", parsed)
+      .withColumn("__roles", roles)
+      .select(
+        col("doc_id"),
+        size(col("__c")).cast("long").as("n_turns"),
+        size(filter(
+          zip_with(
+            slice(col("__roles"), lit(1), size(col("__roles")) - 1),
+            slice(col("__roles"), lit(2), size(col("__roles")) - 1),
+            (a, b) => a === b),
+          x => x)).cast("long").as("n_role_repeats"),
+        size(filter(col("__c"),
+          x => length(x.getField("content")) === 0)).cast("long")
+          .as("n_empty"),
+        aggregate(col("__c"), lit(0L),
+          (acc, x) => acc + when(x.getField("role") === "assistant",
+            length(x.getField("content")).cast("long")).otherwise(0L))
+          .as("assistant_chars"),
+        element_at(col("__roles"), 1).as("__r1"),
+        element_at(col("__roles"), -1).as("__rn"),
+        element_at(col("__c"), 1).getField("content").as("first_user"))
+      .withColumn("valid",
+        col("__r1") === "user" && col("__rn") === "assistant" &&
+          col("n_role_repeats") === 0 && col("n_empty") === 0)
+      .drop("__r1", "__rn")
+  }
+
+  /** The conversation construction + validation restated as DuckDB CTEs
+    * ending in `chat_docs` (doc_id, n_turns, n_role_repeats, n_empty,
+    * assistant_chars, first_user, valid) — shared by t41 and p13 so the
+    * two gates can never drift from each other. */
+  private[graft] lazy val chatTurnsOracle: String =
+    """WITH tok AS (SELECT doc_id,
+      |string_split_regex(trim(lower(text)), '\s+') AS toks
+      |FROM documents),
+      |base AS (SELECT doc_id, toks, 2*(1 + doc_id % 3) AS nt FROM tok),
+      |turns AS (SELECT doc_id, nt, CAST(i AS BIGINT) AS i,
+      |CASE WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+      |WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+      |CASE WHEN doc_id % 11 = 0 AND i = nt THEN ''
+      |ELSE array_to_string(
+      |toks[(((i-1)*3) % 12)+1 : (((i-1)*3) % 12)+3], ' ') END AS content
+      |FROM base, unnest(generate_series(1, nt)) AS u(i)),
+      |rep AS (SELECT a.doc_id, count(*) AS n_role_repeats
+      |FROM turns a JOIN turns b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |AND a.role = b.role GROUP BY 1),
+      |agg AS (SELECT doc_id, nt,
+      |sum(CASE WHEN role = 'assistant' THEN length(content) ELSE 0 END)
+      |AS assistant_chars,
+      |sum(CASE WHEN content = '' THEN 1 ELSE 0 END) AS n_empty,
+      |max(CASE WHEN i = 1 THEN role END) AS r1,
+      |max(CASE WHEN i = nt THEN role END) AS rn,
+      |max(CASE WHEN i = 1 THEN content END) AS first_user
+      |FROM turns GROUP BY 1, 2),
+      |chat_docs AS (SELECT a.doc_id, CAST(a.nt AS BIGINT) AS n_turns,
+      |CAST(coalesce(r.n_role_repeats, 0) AS BIGINT) AS n_role_repeats,
+      |CAST(a.n_empty AS BIGINT) AS n_empty,
+      |CAST(a.assistant_chars AS BIGINT) AS assistant_chars,
+      |a.first_user,
+      |(a.r1 = 'user' AND a.rn = 'assistant'
+      |AND coalesce(r.n_role_repeats, 0) = 0 AND a.n_empty = 0) AS valid
+      |FROM agg a LEFT JOIN rep r USING (doc_id))"""
+      .stripMargin.replace('\n', ' ')
 
   /** t38's oracle, shared verbatim by the s27 executed streaming gate
     * — one oracle, two execution modes (the t19/s11 precedent). */
