@@ -281,6 +281,28 @@ object Dml {
       dir, next)
   }
 
+  /** RESTORE — roll the committed table back to an earlier version by
+    * PUBLISHING THE OLD SNAPSHOT AS A NEW VERSION (the Delta
+    * `RESTORE TABLE … TO VERSION AS OF` semantics): the pointer never
+    * moves backwards, so history stays linear and append-only — the
+    * bad versions remain readable for forensics, time travel after the
+    * restore behaves identically to before it, and a concurrent reader
+    * mid-restore sees either the pre-restore or post-restore commit,
+    * never a rewind. A pointer that silently moved BACK would also
+    * break [[vacuum]]'s retain-latest logic and any downstream change
+    * feed keyed on monotone version numbers. Scale note: this
+    * re-publishes the old snapshot's files as a new directory; a real
+    * log RESTOREs by re-adding the old version's file LIST in a new
+    * commit (metadata-only, no data copy) — same pointer protocol. */
+  def restore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      version: String): DataFrame = {
+    val cur = currentVersion(dir)
+    val next = "v" + (cur.stripPrefix("v").toInt + 1)
+    snapshot(readVersion(spark, dir, version), dir, next)
+  }
+
   /** CONSTRAINT-ENFORCING INSERT with QUARANTINE — the acting half of
     * the m08 contract: the registry records constraints and
     * `auditConstraints` reports violations after the fact; this
@@ -818,6 +840,38 @@ object DmlQueries {
              |UNION ALL SELECT 'primary_key(n_nationkey)', 1
              |UNION ALL SELECT 'committed', (SELECT count(*) + 1
              |FROM nation)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // RESTORE TABLE … TO VERSION AS OF — the rollback statement (see
+    // [[Dml.restore]]): insert two rows (v1), delete one of them (v2 —
+    // the "bad" commit), restore to v1 (published as v3, pointer
+    // forward). The entry reads the bad version AND the restored
+    // latest, with the resolved pointer pinned as a column — so the
+    // gate proves (a) the restored content equals v1 exactly, (b) the
+    // bad commit stays readable after the restore, and (c) the pointer
+    // landed on v3, not back on v1.
+    Q("m18_restore",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m18", d)
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, dir) // v0, v1
+        Dml.deleteLatest(s, dir, col("n_nationkey") === 25)   // v2 (bad)
+        Dml.restore(s, dir, "v1")                             // v3 = v1
+        val latest = Dml.currentVersion(dir)
+        Dml.readVersion(s, dir, "v2").withColumn("version", lit("v2"))
+          .unionByName(Dml.readLatest(s, dir)
+            .withColumn("version", lit("latest")))
+          .withColumn("pointer", lit(latest))
+      },
+      Some("""WITH ins AS (SELECT * FROM (VALUES
+             |(CAST(25 AS INTEGER), 'LEMURIA', CAST(2 AS INTEGER)),
+             |(26, 'ZEALANDIA', 3)) t(n_nationkey, n_name, n_regionkey)),
+             |v1 AS (SELECT * FROM nation UNION ALL SELECT * FROM ins)
+             |SELECT 'v2' AS version, 'v3' AS pointer, * FROM v1
+             |WHERE n_nationkey <> 25
+             |UNION ALL SELECT 'latest', 'v3', * FROM v1"""
         .stripMargin.replace('\n', ' ')))
   )
 }

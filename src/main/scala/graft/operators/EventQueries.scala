@@ -942,8 +942,50 @@ object EventQueries {
              |COALESCE(sc.score, 0) AS score,
              |COALESCE(sc.score, 0) > 0 AS selected
              |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // FORWARD FILL (LOCF — last observation carried forward) under the
+    // hash gate: the time-series repair s26's zero-fill deliberately
+    // does NOT do — sensor dropouts, missing quality scores, gappy
+    // metadata all repair by carrying the last known value forward per
+    // series. The corpus has no NULLs, so gaps are INJECTED
+    // (event_id%5=0 → NULL, the t19 fire-the-operator rule); rows
+    // before a user's first observation stay NULL on both sides. The
+    // Spark side is the native `last(col, ignoreNulls)` running window;
+    // DuckDB 1.0 has no IGNORE NULLS, so the oracle derives the SAME
+    // semantics from first principles via the standard two-window
+    // construction (gap-group id = running count of non-NULLs, then
+    // max() within the group) — the engines agree iff both implement
+    // LOCF exactly. The filled value is a COPIED double (no
+    // arithmetic), so the hash compare is exact. Scale: one shuffle on
+    // user_id, O(1) running state per row — the s18 window class.
+    Q("s28_forward_fill",
+      (s, d) => forwardFill(
+        Tables.t(s, d, "events").withColumn("v",
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(col("value")))),
+      Some("""WITH m AS (SELECT event_id, user_id, ts,
+             |CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+             |FROM events),
+             |g AS (SELECT event_id, user_id, ts, v,
+             |count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |FROM m)
+             |SELECT event_id, user_id, v,
+             |max(v) OVER (PARTITION BY user_id, grp) AS v_filled FROM g"""
         .stripMargin.replace('\n', ' ')))
   )
+
+  /** s28's LOCF fill, shared with the spec: the running
+    * `last(ignoreNulls)` window over (ts, event_id) per user. Expects a
+    * pre-masked nullable `v` column; emits the copied-through fill. */
+  private[graft] def forwardFill(events: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("event_id"), col("user_id"), col("v"),
+      last(col("v"), ignoreNulls = true).over(wRun).as("v_filled"))
+  }
 
   /** File-source stream over the events parquet: explicit schema from a
     * batch footer read (readStream refuses inference, and at 100 TB you'd

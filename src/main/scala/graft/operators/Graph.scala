@@ -251,6 +251,73 @@ object Graph {
           .as("r"))
   }
 
+  /** k-CORE membership by ITERATIVE PEELING (Batagelj-Zaversnik
+    * distributed form): repeatedly delete every node whose degree in
+    * the SURVIVING graph is < k until nothing changes; the nodes left
+    * are exactly the k-core (maximal subgraph with min degree ≥ k) —
+    * the graph-density filter crawl/link analysis runs before the
+    * expensive centrality passes (PageRank/HITS on the 3-core skips
+    * the pendant/chain noise that dominates raw web graphs).
+    *
+    * Each round is one degree aggregation (shuffle on node) + two
+    * semi-join-shaped edge filters — the g02/d08 shuffle classes.
+    * Convergence is the g02 protocol exactly: per-round persist, an
+    * order-independent (count, bit_xor) checksum as the fixed-point
+    * test, a lineage cut so plan depth stays O(1), and a LOUD abort
+    * past maxIter. Round count = peel depth: pendant CHAINS peel one
+    * layer per round (a length-L path costs O(L) rounds for k=2), so
+    * production graphs with deep tendrils raise maxIter consciously —
+    * the common web-graph shape (bounded-depth tendrils off a dense
+    * core) converges in a handful of rounds.
+    *
+    * Returns every node of `nodes` with `in_kcore` ∈ {0,1}. */
+  def kCore(
+      nodes: DataFrame,
+      edges: DataFrame,
+      k: Int,
+      maxIter: Int = 30): DataFrame = {
+    val spark = nodes.sparkSession
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+    var cached = ManagedCache.persist(e)
+    e = cached
+    var sig = checksum(e)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next0 = e
+        .join(keep.select(col("u").as("hi")), Seq("hi"), "left_semi")
+        .join(keep.select(col("u").as("lo")), Seq("lo"), "left_semi")
+        .select(col("hi"), col("lo"))
+      val next = ManagedCache.persist(next0)
+      val nextSig = checksum(next) // materializes `next`
+      done = nextSig == sig
+      sig = nextSig
+      cached.unpersist(blocking = false)
+      cached = next
+      val slim = next.select("hi", "lo")
+      e = spark.createDataFrame(slim.rdd, slim.schema)
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach a fixed point in $maxIter rounds " +
+          "— the graph has a peel chain deeper than maxIter; raise it")
+    val idCol = nodes.columns.head
+    val core = e.select(col("hi").as(idCol))
+      .union(e.select(col("lo").as(idCol))).distinct()
+      .withColumn("__in", lit(1))
+    nodes.join(core, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__in"), lit(0)).as("in_kcore"))
+  }
+
   /** Order-independent fixed-point check: (count, bit_xor of row
     * hashes) — xor cannot overflow under ANSI mode, unlike a sum. Used
     * only for convergence detection, never for correctness. */
@@ -422,6 +489,42 @@ object GraphQueries {
              |CASE WHEN m * sx2 - sx * sx != 0
              |THEN CAST(m * sxy - sx * sx AS DOUBLE) / (m * sx2 - sx * sx)
              |END AS r FROM st"""
+        .stripMargin.replace('\n', ' '))),
+
+    // k-CORE under the hash gate — see [[Graph.kCore]]. The graph is
+    // CONSTRUCTED so the core membership is arithmetically statable
+    // (the g01/g02 gate rule): docs split into groups of 10, the first
+    // 2+(group%5) members of each group form a CLIQUE, the rest hang
+    // off member 0 as PENDANTS. A node is in the 3-core iff it sits in
+    // a clique of size ≥ 4 (pendants peel round 1, 2-cliques and
+    // triangles peel next, member 0's pendant-inflated degree
+    // collapses once its leaves vanish — the construction exercises
+    // exactly the multi-round cascade that makes single-pass degree
+    // filtering WRONG). The oracle states membership from the
+    // construction; the Spark side must peel its way to the same
+    // answer through the iterative fixed point.
+    Q("g06_kcore",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val m = docs.select(col("doc_id"),
+          (col("doc_id") / 10).cast("long").as("g"),
+          (col("doc_id") % 10).as("idx"))
+          .withColumn("cs", lit(2) + pmod(col("g"), lit(5)))
+        val members = m.filter(col("idx") < col("cs"))
+        val clique = members.as("a").join(members.as("b"),
+            col("a.g") === col("b.g") && col("a.idx") < col("b.idx"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        val pendant = m.filter(col("idx") >= col("cs"))
+          .select((col("g") * 10).as("src"), col("doc_id").as("dst"))
+        Graph.kCore(docs.select(col("doc_id")),
+          clique.union(pendant), k = 3)
+      },
+      Some("""WITH n AS (SELECT doc_id, doc_id // 10 AS g,
+             |doc_id % 10 AS idx FROM documents),
+             |c AS (SELECT doc_id, idx, 2 + (g % 5) AS cs FROM n)
+             |SELECT doc_id,
+             |CAST(CASE WHEN idx < cs AND cs >= 4 THEN 1 ELSE 0 END
+             |AS INTEGER) AS in_kcore FROM c"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -1851,6 +1851,53 @@ object SimilarityQueries {
              |CAST(g.l1_num AS DOUBLE) / (g.na * g.nb * g.dim) AS drift
              |FROM labels l LEFT JOIN cna USING (label)
              |LEFT JOIN cnb USING (label) LEFT JOIN g USING (label)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // EXACT GRAM / SCATTER MATRIX under the hash gate — the sufficient
+    // statistic every embedding-space dimensionality reduction starts
+    // from (PCA / whitening / OPQ rotation training all eigensolve
+    // X'X): computed on e06's int8-quantized basis over the LEADING 16
+    // DIMENSIONS (e18's matryoshka prefix — the slice production
+    // actually reduces), so every cell is an exact integer sum both
+    // engines agree on bit-for-bit. Scale shape: each row explodes to
+    // its 136 upper-triangle (i,j,x_i·x_j) contributions and the
+    // partial agg collapses them to ≤136 cells per task BEFORE the
+    // exchange — the shuffle carries O(d²·tasks) rows regardless of
+    // corpus size, and the d×d result (the only thing the driver-side
+    // eigensolver ever sees) is KB-scale. |x|≤127 keeps the cell sums
+    // inside long even at 10^12 rows (127²·10^12 ≈ 1.6e16 << 2^63).
+    Q("e23_gram_matrix",
+      (s, d) => {
+        val q = quantizeInt8Vectors(Tables.t(s, d, "embeddings"))
+          .select(col("vec_id"),
+            transform(slice(col("qv"), 1, 16), x => x.cast("long"))
+              .as("p"))
+        q.select(explode(flatten(
+            transform(sequence(lit(1), lit(16)), i =>
+              transform(sequence(i, lit(16)), j =>
+                struct(i.cast("long").as("i"), j.cast("long").as("j"),
+                  (element_at(col("p"), i) * element_at(col("p"), j))
+                    .as("v")))))).as("c"))
+          .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+          .agg(sum(col("c.v")).as("gram"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q AS (SELECT vec_id,
+             |list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+             |FROM sc),
+             |dd AS (SELECT vec_id,
+             |CAST(generate_subscripts(qv, 1) AS BIGINT) AS ord,
+             |unnest(qv) AS x FROM q)
+             |SELECT a.ord AS i, b.ord AS j,
+             |CAST(sum(a.x * b.x) AS BIGINT) AS gram
+             |FROM dd a JOIN dd b ON a.vec_id = b.vec_id
+             |AND a.ord <= b.ord
+             |WHERE a.ord <= 16 AND b.ord <= 16 GROUP BY 1, 2"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -630,4 +630,35 @@ class DedupSpec extends SparkSpec {
       "bloom prefilter should prune non-matching train grams")
     cand.unpersist(); trainG.unpersist(); testG.unpersist()
   }
+
+  test("d23 prefix blocking pairs tail edits within distance 2, and a " +
+    "HEAD edit lands in a different block — the documented miss the " +
+    "second blocking pass exists for") {
+    val sq = spark; import sq.implicits._
+    val docs = Seq(
+      (2L, "alpha beta gamma filler words here"),  // even: title as-is
+      (4L, "alpha beta gamma other tail words"),   // even: identical title
+      (3L, "alpha beta gamma junk junk junk"),     // odd: title + ' x'
+      (6L, "zleph beta gamma words words words"))  // HEAD typo: new block
+      .toDF("doc_id", "text")
+    val base = docs
+      .select(col("doc_id"), array_join(
+        slice(TextFunctions.tokens(col("text")), 1, 3), " ").as("t0"))
+      .withColumn("title",
+        when(col("doc_id") % 2 === 1, concat(col("t0"), lit(" x")))
+          .otherwise(col("t0")))
+      .withColumn("blk", substring(col("title"), 1, 4))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.title"), col("b.title")))
+      .filter(col("dist") <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // exact pair (2,4), two tail-edit pairs at distance 2; doc 6's
+    // head-mutated title shares no 4-char prefix -> correctly absent
+    assert(pairs == Set((2L, 3L, 2), (2L, 4L, 0), (3L, 4L, 2)),
+      pairs.toString)
+  }
 }

@@ -352,4 +352,27 @@ class DmlSpec extends SparkSpec {
     assert(committed.filter(col("n_nationkey") === 92).count() == 1,
       "NULL check operand must be accepted, not quarantined")
   }
+
+  test("restore publishes the old snapshot as a NEW version: the " +
+    "pointer moves forward, the bad commit stays readable, and a " +
+    "second restore keeps appending history") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("m18spec", sf)
+    val base = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Dml.insertValues(base, Seq((3, "c")).toDF("k", "v"), dir) // v0, v1
+    Dml.deleteLatest(spark, dir, col("k") === 1)              // v2 (bad)
+    Dml.restore(spark, dir, "v1")                             // v3 = v1
+    assert(Dml.currentVersion(dir) == "v3")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows(Dml.readLatest(spark, dir)) ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // the rolled-back commit is still time-travelable for forensics
+    assert(rows(Dml.readVersion(spark, dir, "v2")) ==
+      Set((2, "b"), (3, "c")))
+    // restoring the bad version itself is just another forward commit
+    Dml.restore(spark, dir, "v2")
+    assert(Dml.currentVersion(dir) == "v4")
+    assert(rows(Dml.readLatest(spark, dir)) == Set((2, "b"), (3, "c")))
+  }
 }

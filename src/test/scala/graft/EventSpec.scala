@@ -263,4 +263,28 @@ class EventSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("unsupported type"))
   }
+
+  test("s28 forward fill carries the last observation per user, " +
+    "leaves leading gaps NULL, and copies values exactly") {
+    val sq = spark; import sq.implicits._
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val events = Seq(
+      // user 1 opens with a gap: nothing to carry -> stays NULL
+      (1L, 1L, ts(0), None),
+      (2L, 1L, ts(1), Some(20.25)),
+      (3L, 1L, ts(2), None),            // carries 20.25
+      (4L, 1L, ts(3), Some(30.5)),
+      (5L, 1L, ts(4), None),            // carries 30.5, not 20.25
+      // user 2 is an independent series: no cross-user leakage
+      (6L, 2L, ts(0), Some(40.0)),
+      (7L, 2L, ts(1), None))            // carries 40.0
+      .toDF("event_id", "user_id", "ts", "v")
+    val got = EventQueries.forwardFill(events).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(20.25), 3L -> Some(20.25),
+      4L -> Some(30.5), 5L -> Some(30.5),
+      6L -> Some(40.0), 7L -> Some(40.0)), got.toString)
+  }
 }

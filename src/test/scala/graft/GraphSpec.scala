@@ -111,4 +111,33 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L)))
   }
+
+  test("kCore peels multi-round cascades (pendants, then orphaned " +
+    "survivors), keeps exactly the k-core, and aborts loudly past " +
+    "maxIter") {
+    val sq = spark; import sq.implicits._
+    // 4-clique {1,2,3,4} with pendants 8,9 off node 1; triangle
+    // {5,6,7}; path 10-11-12-13. 3-core = the clique alone; 2-core
+    // adds the triangle; the path dies from BOTH ends one layer per
+    // round — the cascade single-pass degree filtering gets wrong.
+    val nodes = (1L to 13L).toDF("node")
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L),
+      (1L, 8L), (1L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("src", "dst")
+    def run(k: Int) = Graph.kCore(nodes, edges, k).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k3 = run(3)
+    assert((1L to 4L).forall(k3(_) == 1), k3.toString)
+    assert((5L to 13L).forall(k3(_) == 0), k3.toString)
+    val k2 = run(2)
+    assert((1L to 7L).forall(k2(_) == 1), k2.toString)
+    assert((8L to 13L).forall(k2(_) == 0), k2.toString)
+    // non-convergence must be loud, never a silently-partial core
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(nodes, edges, 2, maxIter = 1)
+    }
+    assert(e.getMessage.contains("fixed point"))
+  }
 }

@@ -678,4 +678,41 @@ class SimilaritySpec extends SparkSpec {
       // the vanished-from-one-half class MUST surface, drift undefined
       9 -> ((1L, 0L, -1L, -1.0))), got.toString)
   }
+
+  test("e23 gram matrix: exact integer cells match the hand-computed " +
+    "outer-product sums, upper triangle only, all d(d+1)/2 cells " +
+    "present including zeros") {
+    val sq = spark; import sq.implicits._
+    // max |x| = 127 -> qscale = 1, so the quantized vectors ARE the
+    // inputs and every cell is hand-checkable integer arithmetic
+    def v(a: Float, b: Float, c: Float) =
+      Array(a, b, c) ++ Array.fill(13)(0f)
+    val emb = Seq(
+      (1L, v(127f, 2f, 3f), 0),
+      (2L, v(127f, 5f, 7f), 0)).toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeInt8Vectors(emb)
+      .select(col("vec_id"),
+        transform(slice(col("qv"), 1, 16), x => x.cast("long")).as("p"))
+    val cells = q.select(explode(flatten(
+        transform(sequence(lit(1), lit(16)), i =>
+          transform(sequence(i, lit(16)), j =>
+            struct(i.cast("long").as("i"), j.cast("long").as("j"),
+              (element_at(col("p"), i) * element_at(col("p"), j))
+                .as("v")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.v")).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(cells.size == 16 * 17 / 2)
+    assert(cells((1L, 1L)) == 127L * 127 * 2)
+    assert(cells((1L, 2L)) == 127L * 2 + 127L * 5)
+    assert(cells((1L, 3L)) == 127L * 3 + 127L * 7)
+    assert(cells((2L, 2L)) == 4L + 25L)
+    assert(cells((2L, 3L)) == 6L + 35L)
+    assert(cells((3L, 3L)) == 9L + 49L)
+    // every cell touching a zero dimension is exactly zero
+    assert(cells.count { case (_, g) => g != 0L } == 6, cells.toString)
+    // no lower-triangle duplicates
+    assert(cells.keys.forall { case (i, j) => i <= j })
+  }
 }
