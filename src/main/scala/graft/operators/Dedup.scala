@@ -2585,12 +2585,17 @@ object DedupQueries {
             when(col("doc_id") % 2 === 1, concat(col("t0"), lit(" x")))
               .otherwise(col("t0")))
           .withColumn("blk", substring(col("title"), 1, 4))
+        // the THRESHOLD form computes a banded O(len·k) DP and returns
+        // -1 past the bound — at scale most in-block pairs are far
+        // apart, so the early exit is where the candidate-verify time
+        // goes; values within the bound equal the unbounded distance,
+        // which is what the oracle computes
         base.as("a").join(base.as("b"),
             col("a.blk") === col("b.blk") &&
               col("a.doc_id") < col("b.doc_id"))
           .withColumn("dist",
-            levenshtein(col("a.title"), col("b.title")))
-          .filter(col("dist") <= 2)
+            levenshtein(col("a.title"), col("b.title"), 2))
+          .filter(col("dist") >= 0)
           .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
             col("dist").cast("long").as("dist"))
       },

@@ -973,6 +973,54 @@ object EventQueries {
              |FROM m)
              |SELECT event_id, user_id, v,
              |max(v) OVER (PARTITION BY user_id, grp) AS v_filled FROM g"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s29: EXECUTED LATE-DATA DROP gate — the one watermark behavior no
+    // other executed entry pins: s07-s15 all verify what the stream
+    // KEEPS; this verifies what it THROWS AWAY, and the precise rule
+    // for it. Three deterministic micro-batches (writeBatchLanding +
+    // maxFilesPerTrigger=1): batch 0 carries hours 0-2 (even event_ids,
+    // max ts 02:10 → the zero-lateness watermark lands at 02:10); batch
+    // 1 carries 02:05 rows — behind the watermark but in the still-OPEN
+    // hour-2 window, so they are KEPT (lateness is judged by window
+    // end, not raw timestamp — the distinction naive "drop if ts <
+    // watermark" reimplementations get wrong); batch 2 carries a 00:40
+    // class whose hour-0 window closed two batches ago (DROPPED — the
+    // late-event filter compares against the PREVIOUS batch's watermark
+    // per SPARK-40925, which is why the drop needs its own batch after
+    // the advance) and a 03:05 class that pushes the final watermark
+    // but whose own window never closes (absent from append output).
+    // The oracle restates exactly the surviving-window arithmetic.
+    // Scale: the bounded-state guarantee this gate pins is WHY a
+    // windowed agg can run on an unbounded firehose.
+    Q("s29_stream_late_drop",
+      (s, d) => {
+        val base = 1767225600L // 2026-01-01 00:00:00 UTC
+        val ev = Tables.t(s, d, "events").select(col("event_id"))
+        def at(off: org.apache.spark.sql.Column) =
+          timestamp_seconds(lit(base) + off).as("ts")
+        val a = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"),
+            at(pmod(col("event_id"), lit(3)) * 3600 + 600))
+        val b = ev.filter(pmod(col("event_id"), lit(6)) === 3)
+          .select(col("event_id"), at(lit(2 * 3600 + 300)))       // 02:05
+        val c = ev.filter(pmod(col("event_id"), lit(6)) === 1)
+          .select(col("event_id"), at(lit(2400)))                 // 00:40
+          .union(ev.filter(pmod(col("event_id"), lit(6)) === 5)
+            .select(col("event_id"), at(lit(3 * 3600 + 300))))    // 03:05
+        val dir = Dml.work("s29_late", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(a, b, c))
+        val stream = s.readStream.schema(a.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        drainStream(s, EventStreams.lateWindowCounts(stream),
+          mode = "append")
+      },
+      Some("""WITH cls AS (SELECT event_id,
+             |CASE WHEN event_id % 2 = 0 THEN event_id % 3
+             |WHEN event_id % 6 = 3 THEN 2 END AS h FROM events)
+             |SELECT CAST(to_timestamp(1767225600 + h * 3600)
+             |AS TIMESTAMP) AS window_start, count(*) AS n
+             |FROM cls WHERE h IS NOT NULL GROUP BY h"""
         .stripMargin.replace('\n', ' ')))
   )
 

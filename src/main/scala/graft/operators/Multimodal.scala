@@ -199,6 +199,14 @@ object Multimodal {
       sof < 0 && jW > 0 && jH > 0
     val jpegChannels = when(nComp === 1, 1).when(nComp === 3, 3)
       .when(nComp === 4, 4).otherwise(3)
+    // GIF87a/GIF89a: 6-byte version magic, then the logical screen
+    // descriptor — width/height as LE u16 at offsets 7/9 (13 bytes
+    // total with the packed/background/aspect tail, hence the length
+    // floor). Channels report 3: GIF pixels index an RGB palette;
+    // transparency lives in a later extension block, not here.
+    val isGif = octet_length(bin) >= 13 &&
+      (hex(substring(bin, 1, 6)) === "474946383761" ||
+        hex(substring(bin, 1, 6)) === "474946383961")
     when(isPng, struct(
       beU32(bin, 17).cast("int").as("width"),
       beU32(bin, 21).cast("int").as("height"),
@@ -211,6 +219,10 @@ object Multimodal {
         jW.cast("int").as("width"),
         jH.cast("int").as("height"),
         jpegChannels.cast("int").as("channels")))
+      .when(isGif, struct(
+        leU16(bin, 7).cast("int").as("width"),
+        leU16(bin, 9).cast("int").as("height"),
+        lit(3).cast("int").as("channels")))
       .otherwise(fakeDecode(bin))
   }
 
@@ -815,6 +827,41 @@ object MultimodalQueries {
              |CAST(1500 * (doc_id % 4 + 1) AS BIGINT) AS total_ms,
              |CAST((doc_id % 4 + 1) * 2000 + doc_id % 1000 + 1500
              |AS BIGINT) AS last_end_ms FROM documents"""
+        .stripMargin.replace('\n', ' '))),
+
+    // GIF ROUND TRIP — the fourth image format in [[decodeHeader]]'s
+    // magic dispatch (meme/reaction corpora are GIF-heavy; a crawl
+    // image pipeline that can't cost GIFs mis-budgets them): construct
+    // GIF87a/GIF89a logical-screen descriptors with doc_id-derived LE
+    // u16 dims (alternating per parity, so BOTH version magics fire
+    // under the gate), parse the dims back through the production
+    // dispatch, and read the 3-char version straight from the bytes —
+    // the entry matches iff the encode arithmetic, the magic routing,
+    // and the little-endian field decode all agree with the oracle's
+    // restatement. Per-row codegen'd byte work, one scan, no shuffle.
+    Q("mm13_gif_roundtrip",
+      (s, d) => {
+        val w = (col("doc_id") % 600 + 1).cast("int")
+        val h = ((col("doc_id") * 7) % 400 + 1).cast("int")
+        val ver = when(col("doc_id") % 2 === 0, lit("383761")) // "87a"
+          .otherwise(lit("383961"))                            // "89a"
+        val hexS = concat(lit("474946"), ver,
+          le16hexCol(w), le16hexCol(h), lit("F70000"))
+        Tables.t(s, d, "documents")
+          .withColumn("__b", unhex(hexS))
+          .select(col("doc_id"),
+            decodeHeader(col("__b")).as("m"),
+            substring(col("__b"), 4, 3).cast("string").as("version"))
+          .select(col("doc_id"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.channels").as("channels"), col("version"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(doc_id % 600 + 1 AS INTEGER) AS width,
+             |CAST((doc_id * 7) % 400 + 1 AS INTEGER) AS height,
+             |CAST(3 AS INTEGER) AS channels,
+             |CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END
+             |AS version FROM documents"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -315,6 +315,41 @@ object SourceQueries {
              |FROM documents WHERE doc_id % 10 != 0 GROUP BY source
              |UNION ALL SELECT '_corrupt', count(*), 0 FROM documents
              |WHERE doc_id % 10 = 0"""
+        .stripMargin.replace('\n', ' '))),
+
+    // IN-FLIGHT OBSERVED METRICS under the hash gate — Dataset.observe
+    // piggybacks aggregate metrics on a pass the job already makes
+    // (CollectMetrics accumulates per task, merges on the driver): the
+    // free data-quality counters every 100 TB ingest wants (row count,
+    // quantity total, discount-rate tally) WITHOUT a second scan — at
+    // scale a separate metrics query would double the IO bill. The
+    // builder runs ONE real action (the downstream flag rollup) and
+    // returns the metrics the SAME pass observed; the oracle recomputes
+    // them as plain aggregates, so the gate proves the in-flight path
+    // equals the ground truth. Decimal-exact quantity sum (q28's money
+    // rule), one double cast at readout.
+    Q("io11_observed_metrics",
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val li = Tables.t(s, d, "lineitem").observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+        // the job the pipeline runs anyway; metrics ride its scan
+        li.groupBy("l_returnflag").agg(count(lit(1))).collect()
+        val m = obs.get
+        val sq = s
+        import sq.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("sq").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("n_discounted").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_qty", "n_discounted")
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS sum_qty,
+             |count(CASE WHEN l_discount > 0.05 THEN 1 END)
+             |AS n_discounted FROM lineitem"""
         .stripMargin.replace('\n', ' ')))
   )
 }

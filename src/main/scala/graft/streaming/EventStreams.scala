@@ -56,6 +56,53 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sv"))
 
+  /** s29's hourly count with a ZERO-lateness watermark: the strictest
+    * late-data policy, so the drop semantics themselves become
+    * observable (with s01's 2-hour tolerance nothing in the gate
+    * corpus would drop). Append mode: a window emits once the
+    * watermark passes its end and never updates again — which is
+    * exactly why rows landing in an already-closed window must drop. */
+  def lateWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w").getField("start").as("window_start"), col("n"))
+
+  /** Multi-micro-batch landing-dir harness (s29 + spec): write each
+    * frame as a single parquet FILE with strictly increasing
+    * modification times, so a file stream with maxFilesPerTrigger=1
+    * deterministically replays them as batch 0, 1, 2, … — the
+    * arrival-order control MemoryStream gives specs, reproduced on the
+    * real file source the driver-facing entries must use. Fixed epoch
+    * mtimes keep the ordering independent of wall clock (and well
+    * inside the source's relative maxFileAge window). */
+  private[graft] def writeBatchLanding(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, batches: Seq[DataFrame]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    def put(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file written under $tmp"))
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      fs.rename(part, dst)
+      fs.delete(tmp, true)
+      fs.setTimes(dst, mtime, -1)
+    }
+    val t0 = 1700000000000L
+    batches.zipWithIndex.foreach { case (df, i) =>
+      put(df, f"batch_$i%03d", t0 + i * 60000L)
+    }
+  }
+
   /** Streaming s04: gap-based sessionization via session_window — the
     * built-in generalization of the batch lag→flag→running-sum pipeline
     * (identical 30-minute inactivity gap). */

@@ -221,4 +221,27 @@ class BucketingSpec extends SparkSpec {
     assert(Layouts.incrementalScan(spark, land, mf,
       Layouts.snapshotListing(spark, land)).count() == 0)
   }
+
+  test("io11 observed metrics ride the SAME pass as the real action: " +
+    "the executed plan carries a CollectMetrics node and the observed " +
+    "values equal a direct recompute") {
+    val sq = spark; import sq.implicits._
+    val df = Seq((1L, 10.0, 0.04), (2L, 20.0, 0.06), (3L, 30.0, 0.10))
+      .toDF("id", "qty", "disc")
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("n"),
+      sum(col("qty").cast("decimal(18,2)")).as("sq"),
+      count(when(col("disc") > 0.05, 1)).as("nd"))
+    val job = observed.groupBy(col("id") % 2).count()
+    job.collect()
+    assert(job.queryExecution.executedPlan.toString
+      .contains("CollectMetrics"),
+      "metrics must be fused into the job's own plan")
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] == 3L)
+    assert(m("sq").asInstanceOf[java.math.BigDecimal]
+      .doubleValue() == 60.0)
+    assert(m("nd").asInstanceOf[Long] == 2L)
+  }
 }

@@ -648,14 +648,22 @@ class DedupSpec extends SparkSpec {
         when(col("doc_id") % 2 === 1, concat(col("t0"), lit(" x")))
           .otherwise(col("t0")))
       .withColumn("blk", substring(col("title"), 1, 4))
-    val pairs = base.as("a").join(base.as("b"),
-        col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.title"), col("b.title")))
-      .filter(col("dist") <= 2)
-      .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      .toSet
+    def pairsWith(dist: org.apache.spark.sql.Column,
+        keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      base.as("a").join(base.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", dist)
+        .filter(keep(col("dist")))
+        .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    // the entry's early-exit threshold form…
+    val pairs = pairsWith(
+      levenshtein(col("a.title"), col("b.title"), 2), _ >= 0)
+    // …must equal the unbounded distance + filter it optimizes
+    assert(pairs == pairsWith(
+      levenshtein(col("a.title"), col("b.title")), _ <= 2))
     // exact pair (2,4), two tail-edit pairs at distance 2; doc 6's
     // head-mutated title shares no 4-char prefix -> correctly absent
     assert(pairs == Set((2L, 3L, 2), (2L, 4L, 0), (3L, 4L, 2)),

@@ -65,6 +65,13 @@ class MultimodalSpec extends SparkSpec {
     "BM".getBytes("US-ASCII") ++ le32(123) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bpp)
 
+  /** Minimal GIF header: version magic + logical screen descriptor
+    * (LE u16 dims, packed/background/aspect tail). */
+  private def gifBytes(w: Long, h: Long, v89: Boolean): Array[Byte] =
+    (if (v89) "GIF89a" else "GIF87a").getBytes("US-ASCII") ++
+      le16(w.toInt) ++ le16(h.toInt) ++
+      Array(0xF7.toByte, 0x00.toByte, 0x00.toByte)
+
   private def decoded(payloads: Seq[Array[Byte]]): Seq[(Int, Int, Int)] = {
     val sq = spark; import sq.implicits._
     payloads.zipWithIndex.map { case (b, i) => (i, b) }
@@ -88,6 +95,26 @@ class MultimodalSpec extends SparkSpec {
       pngBytes(12, 34, colorType = 4)      // gray+alpha
     )) == Seq((640, 480, 4), (1, 1, 1), (65537, 3, 3), (12, 34, 1),
       (12, 34, 2)))
+  }
+
+  test("decodeHeader parses hand-built GIF87a/GIF89a screen " +
+    "descriptors (LE dims, palette channels); a truncated GIF magic " +
+    "falls back to the stub instead of reading past the buffer") {
+    assert(decoded(Seq(
+      gifBytes(2, 1, v89 = true),
+      gifBytes(640, 400, v89 = false),
+      gifBytes(65535, 65535, v89 = true)   // max LE u16 both dims
+    )) == Seq((2, 1, 3), (640, 400, 3), (65535, 65535, 3)))
+    // 12 bytes: magic + dims but a cut-off descriptor tail -> stub arm
+    val truncated = "GIF89a".getBytes("US-ASCII") ++ le16(2) ++
+      le16(1) ++ Array(0xF7.toByte, 0x00.toByte)
+    val viaStub = decoded(Seq(truncated)).head
+    val stub = decoded(Seq("GIF89a!!".getBytes("US-ASCII"))).head
+    assert(viaStub._3 != 3 || viaStub != ((2, 1, 3)),
+      s"truncated header must not parse as GIF: $viaStub")
+    assert(decoded(Seq(truncated ++ Array(0x00.toByte))).head ==
+      ((2, 1, 3)), "13 bytes is exactly enough")
+    assert(stub._1 > 0 && stub._2 > 0, "stub stays plausible")
   }
 
   test("decodeHeader parses hand-built BMP DIB headers (LE dims, " +

@@ -468,4 +468,43 @@ class StreamingSpec extends SparkSpec {
         s"got $got")
     } finally query.stop()
   }
+
+  test("s29 late-data semantics: a row drops only when its WINDOW has " +
+    "closed, not merely when its timestamp trails the watermark; the " +
+    "drop is visible in the state-operator metrics") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("s29spec", sf) + "_landing"
+    def t(sec: Long) = new Timestamp((1767225600L + sec) * 1000)
+    // batch 0: one row each in hours 0,1,2; max ts 02:10 -> wm = 02:10
+    val a = Seq((0L, t(600)), (2L, t(3600 + 600)),
+      (4L, t(2 * 3600 + 600))).toDF("event_id", "ts")
+    // batch 1: 02:05 — behind the watermark but hour-2 window still
+    // open: KEPT (lateness is judged by window end, not timestamp)
+    val b = Seq((3L, t(2 * 3600 + 300))).toDF("event_id", "ts")
+    // batch 2: 00:40 — hour-0 closed (and the close is a full batch
+    // old, so the SPARK-40925 previous-watermark late filter sees it):
+    // DROPPED; 03:05 advances the final watermark, own window unclosed
+    val c = Seq((1L, t(2400)), (5L, t(3 * 3600 + 300)))
+      .toDF("event_id", "ts")
+    EventStreams.writeBatchLanding(spark, dir, Seq(a, b, c))
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sink = "s29spec_out"
+    val q = EventStreams.lateWindowCounts(stream).writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val got = spark.table(sink).collect()
+      .map(r => ((r.getTimestamp(0).getTime / 1000 - 1767225600L) / 3600,
+        r.getLong(1))).toMap
+    spark.catalog.dropTempView(sink)
+    assert(nBatches == 3, s"expected 3 data micro-batches, got $nBatches")
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L), got.toString)
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1L, s"expected exactly the closed-window row " +
+      s"dropped, got $dropped")
+  }
 }
