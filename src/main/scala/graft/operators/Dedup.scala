@@ -326,6 +326,59 @@ object Dedup {
     countJaccard(shared, sizes, sizes, "a", "b", threshold)
   }
 
+  /** PREFIX-FILTERED exact-jaccard pairs (the AllPairs/PPJoin candidate
+    * generation, Bayardo et al. 2007 / Xiao et al. 2008) — the same
+    * output as [[exactJaccardPairs]] from a PROVABLY smaller candidate
+    * join: order every doc's shingles by a global canonical order
+    * (ascending document frequency, ties by hash — rarest first), keep
+    * only each doc's first |A| − ⌈τ·|A|⌉ + 1 shingles as its PREFIX,
+    * and generate candidates from the prefix-token self-join alone.
+    * Lossless by the prefix-filter lemma: jac(A,B) ≥ τ forces overlap
+    * c ≥ ⌈τ·|A|⌉, so the smallest common shingle (in the global order)
+    * must sit inside BOTH prefixes — a pair missed by the prefix join
+    * cannot qualify. Candidates verify with the exact count like d07.
+    *
+    * τ is passed as an exact RATIONAL (num/den): the prefix boundary
+    * ⌈τ·sz⌉ computes as (num·sz + den − 1) div den in integers. A
+    * float boundary (`ceil(0.8 * sz)`) happens to agree for common
+    * thresholds at practical sizes, but only by rounding luck that
+    * would need re-auditing per threshold and per engine; the div form
+    * is exact by construction and engine-independent.
+    *
+    * Scale: the inverted-index cost drops from Σ_s df(s)² to
+    * Σ_s df_prefix(s)² — boilerplate shingles are by construction the
+    * HIGHEST-df tokens, so they land at the END of the canonical order
+    * and fall out of every prefix: exactly the d03/maxBucket hot-bucket
+    * problem, solved by arithmetic instead of a cap, with zero recall
+    * loss. At 100 TB this is the exact-dedup form you run corpus-wide
+    * where d07 itself is audit-sample-only. */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      num: Int = 4,
+      den: Int = 5): DataFrame = {
+    val inv = shingleInvertedIndex(docs, shingleN)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val pref = inv.join(dfreq, "g").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("sz") -
+        expr(s"(sz * $num + ${den - 1}) div $den") + 1)
+      .select("doc_id", "g")
+    val cand = pref.alias("l").join(pref.alias("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val shared = cand
+      .join(inv.select(col("doc_id").as("a"), col("g")), "a")
+      .join(inv.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    countJaccard(shared, sizes, sizes, "a", "b",
+      num.toDouble / den)
+  }
+
   /** EXACT SHINGLE-CONTAINMENT pairs — the ASYMMETRIC near-dup jaccard
     * misses: a short document wholly quoted inside a long one has
     * containment |A∩B|/|A| ≈ 1 but jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0,
@@ -1073,6 +1126,29 @@ object Dedup {
 
 /** Driver-facing dedup queries over `documents` / `embeddings`. */
 object DedupQueries {
+
+  /** The sampled exact-jaccard pair relation, restated once and shared
+    * by d07 (the brute-force inverted-index plan) AND d24 (the
+    * prefix-filtered AllPairs plan): one oracle, two physical plans, so
+    * the gate holds the prefix filter to zero recall loss. */
+  private lazy val sampledJaccardOracle: String =
+    """WITH ds AS (SELECT doc_id, text FROM documents
+      |WHERE substr(md5(text), 1, 4) < '4000'),
+      |tk AS (SELECT doc_id,
+      |string_split_regex(trim(lower(text)), '\s+') AS toks FROM ds),
+      |s AS (SELECT doc_id,
+      |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+      |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |p AS (SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+      |FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
+      |j AS (SELECT p.a, p.b,
+      |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
+      |FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b)
+      |SELECT a, b, jac FROM j WHERE jac >= 0.8"""
+      .stripMargin.replace('\n', ' ')
+
   val queries: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
@@ -1147,22 +1223,24 @@ object DedupQueries {
         Tables.t(s, d, "documents")
           .filter(Sampling.deterministicSample(col("text"), "4000")),
         shingleN = 3, threshold = 0.8),
-      Some("""WITH ds AS (SELECT doc_id, text FROM documents
-             |WHERE substr(md5(text), 1, 4) < '4000'),
-             |tk AS (SELECT doc_id,
-             |string_split_regex(trim(lower(text)), '\s+') AS toks FROM ds),
-             |s AS (SELECT doc_id,
-             |list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
-             |i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh FROM tk),
-             |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-             |p AS (SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
-             |FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id),
-             |j AS (SELECT p.a, p.b,
-             |round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             |/ len(list_distinct(sa.sh || sb.sh)), 4) AS jac
-             |FROM p JOIN s sa ON sa.doc_id = p.a JOIN s sb ON sb.doc_id = p.b)
-             |SELECT a, b, jac FROM j WHERE jac >= 0.8"""
-        .stripMargin.replace('\n', ' ')),
+      Some(sampledJaccardOracle),
+      bench = true),
+
+    // PREFIX-FILTERED exact jaccard (AllPairs/PPJoin) — see
+    // [[Dedup.prefixJaccardPairs]]. SHARES d07's ORACLE VERBATIM (the
+    // p07 bloom-prefilter precedent: one oracle, two physical plans),
+    // so the driver gate itself proves the prefix filter LOSSLESS —
+    // every pair the full Σdf² inverted-index self-join finds, the
+    // df-ordered prefix join must find too, or the row hash flips red.
+    // This is the production exact-dedup plan at 100 TB (high-df
+    // boilerplate shingles drop out of every prefix by construction);
+    // d07 stays as the brute-force audit twin.
+    Q("d24_prefix_jaccard",
+      (s, d) => Dedup.prefixJaccardPairs(
+        Tables.t(s, d, "documents")
+          .filter(Sampling.deterministicSample(col("text"), "4000")),
+        shingleN = 3, num = 4, den = 5),
+      Some(sampledJaccardOracle),
       bench = true),
 
     // Duplicate-cluster resolution: pairs → transitive clusters → keep

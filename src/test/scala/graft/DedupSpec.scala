@@ -631,6 +631,40 @@ class DedupSpec extends SparkSpec {
     cand.unpersist(); trainG.unpersist(); testG.unpersist()
   }
 
+  test("d24 prefix-filtered jaccard equals the full inverted-index " +
+    "join on a boilerplate-heavy corpus, and the rational prefix " +
+    "boundary matches the exact ceiling by construction") {
+    val sq = spark; import sq.implicits._
+    // every doc shares an identical boilerplate tail (the highest-df
+    // shingles, which the canonical df-order pushes OUT of every
+    // prefix); docs 1/2 are true near-dups, 3/4 share only boilerplate
+    val boiler = "subscribe to our newsletter terms apply all rights"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon zeta $boiler extra"),
+      (3L, s"one two three four five six seven eight nine $boiler"),
+      (4L, s"red green blue cyan magenta yellow black $boiler"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.exactJaccardPairs(docs, 3, 0.8))
+    val pref = pairs(Dedup.prefixJaccardPairs(docs, 3, 4, 5))
+    assert(pref == full, s"prefix=$pref full=$full")
+    assert(full.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"fixture should pair exactly the true near-dups: $full")
+    // the rational boundary is ⌈4·sz/5⌉ by construction — property-
+    // check it against the mathematical ceiling over a size sweep
+    // (the float form happens to agree at these thresholds, but only
+    // by rounding luck; the div form cannot drift by definition)
+    val sweep = spark.range(1, 2000).select(
+      col("id").as("sz"),
+      expr("(id * 4 + 4) div 5").as("got"),
+      // independent exact form: ceiling over DECIMAL division
+      expr("CAST(ceil(CAST(id * 4 AS DECIMAL(20,0)) / 5) AS BIGINT)")
+        .as("want"))
+    assert(sweep.filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("d23 prefix blocking pairs tail edits within distance 2, and a " +
     "HEAD edit lands in a different block — the documented miss the " +
     "second blocking pass exists for") {
