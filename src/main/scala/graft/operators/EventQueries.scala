@@ -1021,6 +1021,61 @@ object EventQueries {
              |SELECT CAST(to_timestamp(1767225600 + h * 3600)
              |AS TIMESTAMP) AS window_start, count(*) AS n
              |FROM cls WHERE h IS NOT NULL GROUP BY h"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s30: EXECUTED LEFT OUTER stream-stream join gate — the
+    // null-padding half s14's inner join can't exercise. Four
+    // constructed classes (user key = event_id, two landing dirs →
+    // one file-source stream per side): %4=0 buys inside the 1-hour
+    // window (matched, emits eagerly); %4=1 never buys (unmatched —
+    // emits null-padded only once the GLOBAL watermark, the MIN of
+    // both streams' maxima = the buy side's 02:30, passes view_ts +
+    // window); %4=2 buys OUTSIDE the window at 02:30 (the view is
+    // unmatched AND that purchase is what drives the buy-side
+    // watermark); %4=3 views at 03:50, too close to end-of-stream
+    // (03:50 + 1h > 02:30) — they stay PENDING in state and must be
+    // ABSENT from the append output: emitting them null-padded would
+    // be wrong (a purchase could still arrive), and that absence is
+    // the exact semantics this gate pins. The oracle restates the
+    // surviving classes arithmetically.
+    Q("s30_stream_outer_join",
+      (s, d) => {
+        val base = 1767225600L
+        val ev = Tables.t(s, d, "events").select(col("event_id"))
+        def at(off: org.apache.spark.sql.Column) =
+          timestamp_seconds(lit(base) + off)
+        val views = ev.select(col("event_id").as("user_id"),
+          at(when(col("event_id") % 4 === 3, 3 * 3600 + 3000)  // 03:50
+            .otherwise(600)).as("view_ts"))                    // 00:10
+        val buys = ev.filter(col("event_id") % 4 === 0)
+          .select(col("event_id").as("buy_user"),
+            at(lit(2400)).as("buy_ts"),                        // 00:40
+            col("event_id").cast("double").as("buy_value"))
+          .unionByName(ev.filter(col("event_id") % 4 === 2)
+            .select(col("event_id").as("buy_user"),
+              at(lit(2 * 3600 + 1800)).as("buy_ts"),           // 02:30
+              col("event_id").cast("double").as("buy_value")))
+        val vDir = Dml.work("s30_views", d)
+        val bDir = Dml.work("s30_buys", d)
+        EventStreams.writeBatchLanding(s, vDir, Seq(views))
+        EventStreams.writeBatchLanding(s, bDir, Seq(buys))
+        val vs = s.readStream.schema(views.schema).parquet(vDir)
+        val bs = s.readStream.schema(buys.schema).parquet(bDir)
+        drainStream(s, EventStreams.attributionJoinOuter(vs, bs),
+          mode = "append")
+      },
+      Some("""WITH e AS (SELECT event_id FROM events),
+             |m AS (SELECT event_id AS user_id,
+             |CAST(to_timestamp(1767225600 + 600) AS TIMESTAMP)
+             |AS view_ts,
+             |CAST(to_timestamp(1767225600 + 2400) AS TIMESTAMP)
+             |AS buy_ts,
+             |CAST(event_id AS DOUBLE) AS buy_value
+             |FROM e WHERE event_id % 4 = 0
+             |UNION ALL SELECT event_id,
+             |CAST(to_timestamp(1767225600 + 600) AS TIMESTAMP),
+             |NULL, NULL FROM e WHERE event_id % 4 IN (1, 2))
+             |SELECT user_id, view_ts, buy_ts, buy_value FROM m"""
         .stripMargin.replace('\n', ' ')))
   )
 

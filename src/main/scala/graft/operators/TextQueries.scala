@@ -1884,7 +1884,48 @@ object TextQueries {
       Some(chatTurnsOracle +
         """ SELECT doc_id, n_turns, n_role_repeats, n_empty,
           |assistant_chars, valid FROM chat_docs"""
-          .stripMargin.replace('\n', ' ')))
+          .stripMargin.replace('\n', ' '))),
+
+    // TOKENIZER FERTILITY by language — the tokenizer-evaluation
+    // readout every multilingual corpus report carries (chars and
+    // whitespace words per BPE token, per language): a tokenizer whose
+    // fertility balloons on some language under-serves it at a fixed
+    // sequence-length budget, so this table drives vocabulary-size and
+    // data-mixing decisions. Counts ride t01/t02's gated tokenizers;
+    // the per-language ratios are ONE exact double division each at
+    // readout (identical operand order cross-engine). Scale: per-row
+    // codegen'd counting fused into the scan + a language-cardinality
+    // partial agg — no shuffle carries anything corpus-sized.
+    Q("t42_tokenizer_fertility",
+      (s, d) => Tables.t(s, d, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("ch"),
+          tokenCountWs(col("text")).as("w"),
+          tokenCountBpe(col("text")).as("b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ch")).as("n_chars"), sum(col("b")).as("n_bpe"),
+          sum(col("w")).as("n_words"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          col("n_bpe"), col("n_words"),
+          (col("n_chars").cast("double") / col("n_bpe"))
+            .as("chars_per_token"),
+          (col("n_bpe").cast("double") / col("n_words"))
+            .as("fertility")),
+      Some("""WITH b AS (SELECT lang,
+             |CAST(length(text) AS BIGINT) AS ch,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+             |AS BIGINT) AS w,
+             |CAST(len(regexp_extract_all(text,
+             |'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS b
+             |FROM documents),
+             |g AS (SELECT lang, count(*) AS n_docs,
+             |CAST(sum(ch) AS BIGINT) AS n_chars,
+             |CAST(sum(b) AS BIGINT) AS n_bpe,
+             |CAST(sum(w) AS BIGINT) AS n_words FROM b GROUP BY lang)
+             |SELECT lang, n_docs, n_chars, n_bpe, n_words,
+             |CAST(n_chars AS DOUBLE) / n_bpe AS chars_per_token,
+             |CAST(n_bpe AS DOUBLE) / n_words AS fertility FROM g"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** Shared t41/p13 builder: construct the deterministic conversation

@@ -209,6 +209,31 @@ object EventStreams {
         col("buy_value"))
   }
 
+  /** s30: watermarked LEFT OUTER stream-stream attribution — the outer
+    * twin of [[attributionJoin]], and the semantically hard half:
+    * matched pairs emit eagerly like the inner join, but an UNMATCHED
+    * view can only emit (null-padded) once the GLOBAL watermark — the
+    * minimum across both input streams — proves no qualifying purchase
+    * can still arrive (watermark past view_ts + window). Until then it
+    * pends in state; a view too close to end-of-stream never emits at
+    * all. Both sides must carry watermarks and the join condition must
+    * bound event-time distance — that pair of constraints is what makes
+    * the state provably evictable on an unbounded firehose. */
+  def attributionJoinOuter(
+      views: DataFrame,
+      buys: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("view_ts", "0 seconds")
+    val b = buys.withWatermark("buy_ts", "0 seconds")
+    v.join(b,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+      .select(col("user_id"), col("view_ts"), col("buy_ts"),
+        col("buy_value"))
+  }
+
   /** Latest-event-per-user reduction — the MERGE function of the
     * streaming upsert: `max(struct(ts, event_id, …))` compares ts first,
     * then the unique event_id, so the pick is total-order deterministic

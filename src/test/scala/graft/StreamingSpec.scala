@@ -507,4 +507,44 @@ class StreamingSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the closed-window row " +
       s"dropped, got $dropped")
   }
+
+  test("s30 outer join: a purchase arriving a BATCH AFTER its view " +
+    "matches from state; an unmatched view null-pads only after its " +
+    "window provably closed; a tail view stays pending (absent)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    def t(sec: Long) = new Timestamp((1767225600L + sec) * 1000)
+    val vDir = Dml.work("s30spec_v", sf) + "_landing"
+    val bDir = Dml.work("s30spec_b", sf) + "_landing"
+    // views, batch 0: u1/u2 at 00:10; u3 at 03:50 (too close to the
+    // final global watermark 02:30 -> must stay pending)
+    val views = Seq((1L, t(600)), (2L, t(600)), (3L, t(3 * 3600 + 3000)))
+      .toDF("user_id", "view_ts")
+    // buys, batch 0: an out-of-window early row only; batch 1: u1's
+    // matching purchase (cross-batch: u1's view is already in state)
+    // and the 02:30 row that drives the buy-side watermark
+    val buys0 = Seq((99L, t(60), 0.0))
+      .toDF("buy_user", "buy_ts", "buy_value")
+    val buys1 = Seq((1L, t(2400), 7.5), (98L, t(2 * 3600 + 1800), 0.0))
+      .toDF("buy_user", "buy_ts", "buy_value")
+    EventStreams.writeBatchLanding(spark, vDir, Seq(views))
+    EventStreams.writeBatchLanding(spark, bDir, Seq(buys0, buys1))
+    val vs = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(vDir)
+    val bs = spark.readStream.schema(buys0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(bDir)
+    val sink = "s30spec_out"
+    val q = EventStreams.attributionJoinOuter(vs, bs).writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table(sink).collect().map(r => (r.getLong(0),
+      Option(r.getTimestamp(2)).map(_.getTime / 1000 - 1767225600L),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    spark.catalog.dropTempView(sink)
+    assert(got == Set(
+      (1L, Some(2400L), Some(7.5)),   // matched across batches
+      (2L, None, None)),              // closed-window null padding
+      got.toString)
+  }
 }
