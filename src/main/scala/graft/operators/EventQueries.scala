@@ -1076,6 +1076,57 @@ object EventQueries {
              |CAST(to_timestamp(1767225600 + 600) AS TIMESTAMP),
              |NULL, NULL FROM e WHERE event_id % 4 IN (1, 2))
              |SELECT user_id, view_ts, buy_ts, buy_value FROM m"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s31: EXECUTED transformWithState gate — Spark 4's arbitrary-state
+    // operator (SPARK-46815) run over TWO deterministic micro-batches
+    // (even event_ids land first, odd second; maxFilesPerTrigger=1
+    // splits the landing files 1:1 into batches). The semantics under
+    // test is CROSS-BATCH state: a user active in both batches must see
+    // batch-2 cumulative totals that include batch 1 — the oracle
+    // restates exactly that as two CTEs unioned, with the second's
+    // running totals folding the first in via LEFT JOIN + COALESCE
+    // (a user absent from batch 0 starts from zero). The operator
+    // requires the RocksDB state store provider; the conf is scoped to
+    // this query and restored after (session conf is read at query
+    // start, so the finally runs after the drain completes). Integer
+    // count + event_id checksum keep every value bit-exact.
+    Q("s31_transform_with_state",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.t(s, d, "events")
+          .select(col("user_id"), col("event_id"))
+        val dir = Dml.work("s31_landing", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1)))
+        val st = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[KeyedEvent]
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try drainStream(s, EventStreams.runningTotals(st).toDF(),
+          mode = "append")
+        finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH b0 AS (SELECT user_id, count(*) AS n,
+             |CAST(sum(event_id) AS BIGINT) AS s FROM events
+             |WHERE event_id % 2 = 0 GROUP BY user_id),
+             |b1 AS (SELECT user_id, count(*) AS n,
+             |CAST(sum(event_id) AS BIGINT) AS s FROM events
+             |WHERE event_id % 2 = 1 GROUP BY user_id)
+             |SELECT user_id, n AS batch_events, n AS cum_events,
+             |s AS cum_id_sum FROM b0
+             |UNION ALL
+             |SELECT b1.user_id, b1.n AS batch_events,
+             |b1.n + COALESCE(b0.n, 0) AS cum_events,
+             |b1.s + COALESCE(b0.s, 0) AS cum_id_sum
+             |FROM b1 LEFT JOIN b0 USING (user_id)"""
         .stripMargin.replace('\n', ' ')))
   )
 

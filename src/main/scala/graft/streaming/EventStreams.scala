@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Typed event row for the custom-state pipeline (matches the `events`
   * table after [[Tables.loadEvents]]' timestamp conversion). */
@@ -583,5 +585,67 @@ object EventStreams {
           out.iterator
       }
       .toDF()
+  }
+
+  /** s31: per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state operator (SPARK-46815), the successor to
+    * [[sessionizeCustomState]]'s `flatMapGroupsWithState`: named state
+    * variables (`ValueState`/`ListState`/`MapState`) with per-variable
+    * TTL, event/processing-time timers, and schema evolution of state,
+    * all backed by the RocksDB state store (the operator REQUIRES it —
+    * state lives off-heap with changelog checkpointing, which is what
+    * makes per-key state viable when the key space is 100 TB-corpus
+    * sized rather than memory-sized). Each micro-batch emits one row
+    * per ACTIVE user carrying that batch's event count plus the
+    * running (cumulative) count and event_id checksum from state —
+    * the cross-batch persistence is the semantics under test; integer
+    * sums keep the readout bit-exact cross-engine. */
+  def runningTotals(events: Dataset[KeyedEvent]): Dataset[UserBatchTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append)
+  }
+}
+
+/** Input row for [[EventStreams.runningTotals]]. */
+case class KeyedEvent(user_id: Long, event_id: Long)
+
+/** Cross-batch state of [[RunningTotalsProcessor]]: cumulative event
+  * count and event_id checksum for one user. */
+case class RunningState(n: Long, idSum: Long)
+
+/** One output row per (user, micro-batch-where-user-appeared). */
+case class UserBatchTotals(
+    user_id: Long,
+    batch_events: Long,
+    cum_events: Long,
+    cum_id_sum: Long)
+
+/** The `StatefulProcessor` behind [[EventStreams.runningTotals]]: one
+  * named `ValueState[RunningState]` per user, no TTL (`TTLConfig.NONE` —
+  * a production quota would bound it), no timers (`TimeMode.None`). The
+  * handle is only valid from `init` onward, hence the transient var. */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, KeyedEvent, UserBatchTotals] {
+  @transient private var totals: ValueState[RunningState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[RunningState](
+      "totals", org.apache.spark.sql.Encoders.product[RunningState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[KeyedEvent],
+      timerValues: TimerValues): Iterator[UserBatchTotals] = {
+    var n = 0L
+    var s = 0L
+    rows.foreach { e => n += 1; s += e.event_id }
+    val prev = if (totals.exists()) totals.get() else RunningState(0L, 0L)
+    val cur = RunningState(prev.n + n, prev.idSum + s)
+    totals.update(cur)
+    Iterator.single(UserBatchTotals(key, n, cur.n, cur.idSum))
   }
 }

@@ -547,4 +547,39 @@ class StreamingSpec extends SparkSpec {
       (2L, None, None)),              // closed-window null padding
       got.toString)
   }
+
+  test("s31 transformWithState: ValueState persists across micro-batches " +
+    "(RocksDB store) — a both-batch user's second row folds in batch 1; " +
+    "a batch-2-only user starts from zero") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("s31spec", sf) + "_landing"
+    // batch 0: u1 twice (ids 10, 20); batch 1: u1 once (id 30) + u2 (id 5)
+    val b0 = Seq((1L, 10L), (1L, 20L)).toDF("user_id", "event_id")
+    val b1 = Seq((1L, 30L), (2L, 5L)).toDF("user_id", "event_id")
+    EventStreams.writeBatchLanding(spark, dir, Seq(b0, b1))
+    val st = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[KeyedEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val sink = "s31spec_out"
+    try {
+      val q = EventStreams.runningTotals(st).toDF().writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+    val got = spark.table(sink).as[UserBatchTotals].collect().toSet
+    spark.catalog.dropTempView(sink)
+    assert(got == Set(
+      UserBatchTotals(1L, 2L, 2L, 30L),   // batch 0
+      UserBatchTotals(1L, 1L, 3L, 60L),   // batch 1: state carried over
+      UserBatchTotals(2L, 1L, 1L, 5L)),   // batch 1 only: fresh state
+      got.toString)
+  }
 }
