@@ -350,6 +350,80 @@ object SourceQueries {
              |AS sum_qty,
              |count(CASE WHEN l_discount > 0.05 THEN 1 END)
              |AS n_discounted FROM lineitem"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // io12: the `binaryFile` SOURCE — the ingest edge a multimodal
+    // corpus actually arrives through (one opaque file per image/audio
+    // asset; the mm-family's binary COLUMNS assume something already
+    // landed them in a table, and this is that something). Harness:
+    // constructed PNG assets (mm02's doc_id-derived construction, one
+    // 29-byte file per doc_id%3==0 document) are written EXECUTOR-SIDE
+    // via foreachPartition — each task writes its own files, the shape
+    // a distributed asset-writer has at 100 TB (no driver fan-in) —
+    // then read back with binaryFile + pathGlobFilter and parsed by the
+    // REAL magic-dispatched decodeHeader. The gate proves the whole
+    // edge: file naming (doc_id round-trips through the path), sizing
+    // (binaryFile's `length` equals the constructed 29 bytes), and
+    // content (parsed dims equal the construction arithmetic). Scale:
+    // binaryFile pushes pathGlobFilter and length predicates to the
+    // LISTING, and each asset is one splittable-unit row — the
+    // 100 TB caveat (small-file listing pressure) is exactly what
+    // io06's shard manifest + io08's compaction exist for.
+    Q("io12_binaryfile_source",
+      (s, d) => {
+        val dir = Dml.work("io12_assets", d)
+        Layouts.deleteDir(s, dir)
+        new java.io.File(dir).mkdirs()
+        val w = (col("doc_id") % 300 + 10).cast("int")
+        val h = ((col("doc_id") * 5) % 200 + 10).cast("int")
+        val ct = when(col("doc_id") % 2 === 0, lit("00"))
+          .otherwise(lit("06"))
+        Tables.t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), unhex(Multimodal.pngHex(w, h, ct))
+            .as("png"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.png"),
+                r.getAs[Array[Byte]](1))
+            }
+          }
+        val meta = Multimodal.decodeHeader(col("content"))
+        s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+          .load(dir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            meta.getField("width").as("width"),
+            meta.getField("height").as("height"),
+            meta.getField("channels").as("channels"))
+      },
+      Some("""SELECT doc_id, CAST(29 AS BIGINT) AS n_bytes,
+             |CAST(doc_id % 300 + 10 AS INTEGER) AS width,
+             |CAST((doc_id * 5) % 200 + 10 AS INTEGER) AS height,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 4 END AS INTEGER)
+             |AS channels
+             |FROM documents WHERE doc_id % 3 = 0"""
+        .stripMargin.replace('\n', ' '))),
+
+    // io13: ORC round trip — the OTHER columnar format a lakehouse
+    // speaks (Hive-ecosystem tables arrive as ORC; Spark's reader is
+    // native and vectorized, with the same predicate-pushdown and
+    // column-pruning machinery as parquet, so ORC inputs are
+    // analytics-grade, not just interchange). The gate carries the
+    // type-diverse `orders` table (bigint keys, double money, string
+    // enums, timestamp_ntz dates) through write-ORC → read-ORC and
+    // must hash-match the parquet original — timestamp_ntz is the
+    // sharp edge (ORC's writer must not shift it through a zone) and
+    // is exactly why this gate exists. The filtered read's pushdown
+    // is asserted plan-side in the spec, mirroring io03's contract.
+    Q("io13_orc_source",
+      (s, d) => {
+        val dir = Dml.work("io13", d) + "/orders_orc"
+        Tables.t(s, d, "orders").write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+      },
+      Some("SELECT * FROM orders"))
   )
 }

@@ -287,4 +287,39 @@ class SkewLayoutSpec extends SparkSpec {
     assert(uncappedMax > 10 * cappedMax,
       s"expected order-of-magnitude spread: $uncappedMax vs $cappedMax")
   }
+
+  test("io13 ORC scan: predicate pushes to the reader and the read " +
+    "schema prunes to the selected columns (ORC is analytics-grade, " +
+    "not interchange-only)") {
+    val dir = Dml.work("io13spec", sf) + "/orders_orc"
+    Tables.t(spark, sf, "orders").write.mode("overwrite").orc(dir)
+    val narrow = spark.read.orc(dir)
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_totalprice"), plan.take(600))
+    // pruned read schema: neither enum/date column survives to the scan
+    assert(!plan.contains("o_orderpriority"), plan.take(600))
+    assert(narrow.count() > 0)
+  }
+
+  test("io12 binaryFile source: pathGlobFilter excludes non-matching " +
+    "files at LISTING time, and a length predicate is pushed") {
+    val dir = Dml.work("io12spec", sf) + "/assets"
+    Layouts.deleteDir(spark, dir)
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b.txt"), Array[Byte](1, 2, 3, 4))
+    val pngs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+    assert(pngs.count() == 1)
+    // the non-matching .txt never reaches the DataFrame at all
+    assert(pngs.select("path").collect().head.getString(0).endsWith("a.png"))
+    val filtered = spark.read.format("binaryFile").load(dir)
+      .filter(col("length") < 4)
+    assert(filtered.count() == 1)
+  }
 }
