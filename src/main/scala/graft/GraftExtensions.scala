@@ -91,8 +91,14 @@ object GraftFunctions {
     }
 }
 
-/** `SparkSessionExtensions` installer — see [[GraftFunctions]]. */
+/** `SparkSessionExtensions` installer — see [[GraftFunctions]]. Also
+  * injects the native as-of join's planner strategy ([[AsOfJoinStrategy]])
+  * so sessions built with `spark.sql.extensions=graft.GraftExtensions`
+  * plan [[AsOfJoinPlan]] without touching `experimental.extraStrategies`
+  * (the builder-side fallback [[AsOfJoin.asofJoinNative]] installs). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
+  }
 }

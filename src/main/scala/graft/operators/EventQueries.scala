@@ -128,6 +128,21 @@ object EventQueries {
         stages.indices.map(i => col(t(i + 1)).as(s"t${i + 1}")): _*)
   }
 
+  /** Shared by s05 (window-composed) and s32 (native exec): the SAME
+    * oracle under two physical plans — the gate proves equivalence. */
+  private val asofOracle: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |dim AS (SELECT user_id, ts, max(value) AS dim_value
+      |FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      |probe AS (SELECT event_id, user_id, ts FROM ev
+      |WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, d.ts AS click_ts,
+      |d.dim_value AS click_value
+      |FROM probe p ASOF JOIN dim d
+      |ON p.user_id = d.user_id AND p.ts >= d.ts"""
+      .stripMargin.replace('\n', ' ')
+
   val queries: Seq[Q] = Seq(
 
     Q("s01_hourly_agg",
@@ -239,17 +254,30 @@ object EventQueries {
       // the oracle truncates ts to µs FIRST (CAST TIMESTAMP_NS→TIMESTAMP)
       // so the as-of comparison and the (user_id, ts) dedup operate at the
       // same precision Spark sees after its ns→µs load conversion
-      Some("""WITH ev AS (SELECT event_id, user_id,
-             |CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
-             |dim AS (SELECT user_id, ts, max(value) AS dim_value
-             |FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
-             |probe AS (SELECT event_id, user_id, ts FROM ev
-             |WHERE event_type = 'purchase')
-             |SELECT p.event_id, p.user_id, p.ts, d.ts AS click_ts,
-             |d.dim_value AS click_value
-             |FROM probe p ASOF JOIN dim d
-             |ON p.user_id = d.user_id AND p.ts >= d.ts"""
-        .stripMargin.replace('\n', ' ')),
+      Some(asofOracle),
+      bench = true),
+
+    // s32: the NATIVE as-of join exec (custom LogicalPlan + Strategy +
+    // SparkPlan — graft/plans/AsOfJoin.scala) over the same probe/dim
+    // derivation as s05, sharing s05's oracle VERBATIM: one oracle, two
+    // physical plans, so the driver's hash gate itself proves the
+    // sorted-merge exec equivalent to the window-composed form. The dim
+    // payload is pre-renamed (click_ts/click_value) because the native
+    // operator carries dim columns through unchanged.
+    Q("s32_asof_native",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+        AsOfJoin.asofJoinNative(
+          probe = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          dim = ev.filter(col("event_type") === "click")
+            .groupBy(col("user_id"), col("ts"))
+            .agg(max(col("value")).as("click_value"))
+            .select(col("user_id"), col("ts").as("click_ts"),
+              col("click_value")),
+          key = "user_id", ts = "ts", dimTs = "click_ts")
+      },
+      Some(asofOracle),
       bench = true),
 
     // Range (interval) join — events within a ± window of each other.

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+
+/** Native AS-OF JOIN — the full custom-operator tier (logical plan +
+  * planner strategy + physical exec), for the one relational operator the
+  * reference's analytics scope implies that Spark genuinely lacks: attach
+  * to each probe row the single dim row with the greatest timestamp at or
+  * before the probe's, per key (DuckDB `ASOF JOIN`, kdb `aj`, Flink
+  * temporal join). The composed alternative ([[EventQueries.asofJoin]],
+  * union + running window) is linear too, but it materializes a unioned
+  * 5-column frame, NULL-pads both sides, and pays the window operator's
+  * state machinery; this exec is a bare sorted-merge zip.
+  *
+  * Catalyst integration is the textbook third-party-operator shape:
+  *  - [[AsOfJoinPlan]]: a resolved [[BinaryNode]] whose output is the
+  *    probe schema plus the dim payload (dim's join key dropped — it
+  *    equals the probe's);
+  *  - [[AsOfJoinStrategy]]: planner strategy mapping it to the exec
+  *    (injected via `experimental.extraStrategies` by the builder and via
+  *    `injectPlannerStrategy` by [[GraftExtensions]]);
+  *  - [[AsOfJoinExec]]: declares `requiredChildDistribution` =
+  *    clustered-on-key for BOTH children and `requiredChildOrdering` =
+  *    (key, ts) ascending, so EnsureRequirements plants the co-located
+  *    hash exchanges and sorts exactly as it would for a sort-merge join
+  *    — the operator itself never shuffles, it inherits Spark's exchange
+  *    planning (and AQE's runtime re-planning) for free.
+  *
+  * Scale: one hash exchange per side on the join key, then a single
+  * forward pass over each partition holding ONE buffered dim row — O(1)
+  * state, no per-key buffering, no range explosion; the same shuffle
+  * floor as an equi-join at 100 TB. Skewed hot keys split fine under AQE
+  * because the dim side advance is monotone within a partition.
+  *
+  * Correctness gate: s32 shares s05's oracle VERBATIM — one oracle, two
+  * physical plans (window-composed vs native exec), so the driver's hash
+  * gate itself proves the exec equivalent to the composed form.
+  *
+  * CONTRACT (same as the composed form): dim unique per (key, ts) or the
+  * match is the last dim row in (key, ts) sort order — pre-aggregate;
+  * null keys/timestamps on either side never match and probe rows with
+  * them are dropped (inner semantics).
+  */
+object AsOfJoin {
+
+  /** Build the native as-of join: probe columns plus every dim column
+    * except `key` (pre-rename dim payload to avoid collisions; `dimTs`
+    * is dim's — possibly renamed — event-time column). The dim side is
+    * re-aliased wholesale so a self-join (probe and dim derived from the
+    * same table) cannot leak duplicate expression IDs into the plan. */
+  def asofJoinNative(
+      probe: DataFrame,
+      dim: DataFrame,
+      key: String,
+      ts: String,
+      dimTs: String): DataFrame = {
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.exists(
+        _.isInstanceOf[AsOfJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    // fresh exprIds on the dim side (Alias always mints new ones)
+    val dimFresh = dim.select(
+      dim.columns.map(c => org.apache.spark.sql.functions.col(c).as(c))
+        .toIndexedSeq: _*)
+    val lp = probe.queryExecution.analyzed
+    val rp = dimFresh.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asofJoinNative: no column '$n' in ${p.output.map(_.name)}"))
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, dimTs)))
+  }
+}
+
+/** Logical as-of join node (resolved at construction — the builder works
+  * on analyzed child plans, so analysis only has to check resolution). */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    leftTs: Attribute,
+    rightKey: Attribute,
+    rightTs: Attribute)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.filterNot(_.exprId == rightKey.exprId)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sorted-merge as-of join. Both children arrive hash-clustered
+  * on the key and sorted by (key, ts) — EnsureRequirements' doing — so
+  * each co-located partition pair merges in one forward pass: the dim
+  * iterator advances while its (key, ts) is ≤ the probe's, the last
+  * advanced row is the as-of match candidate, and a probe emits iff the
+  * candidate's key equals its own. O(1) buffered state (one copied dim
+  * row); output stays (key, ts)-sorted, which `outputOrdering` declares
+  * so a downstream sort on the same prefix is elided. */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    leftTs: Attribute,
+    rightKey: Attribute,
+    rightTs: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.filterNot(_.exprId == rightKey.exprId)
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ::
+      Nil
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val outAttrs = output
+    val lAttrs = left.output
+    val rAttrs = right.output
+    left.execute().zipPartitions(right.execute()) { (probes, dims) =>
+      val kOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val proj = UnsafeProjection.create(outAttrs, lAttrs ++ rAttrs)
+      val joined = new JoinedRow
+      val dimBuf = dims.buffered
+      var cand: InternalRow = null
+      probes.flatMap { p =>
+        if (p.isNullAt(lKeyIdx) || p.isNullAt(lTsIdx)) Iterator.empty
+        else {
+          val pk = p.get(lKeyIdx, keyType)
+          val pt = p.get(lTsIdx, tsType)
+          var advancing = true
+          while (advancing && dimBuf.hasNext) {
+            val d = dimBuf.head
+            if (d.isNullAt(rKeyIdx) || d.isNullAt(rTsIdx)) {
+              dimBuf.next() // null keys/timestamps never match
+            } else {
+              val kc = kOrd.compare(d.get(rKeyIdx, keyType), pk)
+              if (kc < 0 ||
+                  (kc == 0 && tOrd.compare(d.get(rTsIdx, tsType), pt) <= 0))
+                cand = dimBuf.next().copy()
+              else advancing = false
+            }
+          }
+          if (cand != null && !cand.isNullAt(rKeyIdx) &&
+              kOrd.compare(cand.get(rKeyIdx, keyType), pk) == 0)
+            Iterator.single(proj(joined(p, cand)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

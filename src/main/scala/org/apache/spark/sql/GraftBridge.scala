@@ -21,6 +21,14 @@ object GraftBridge {
     column(catalyst.expressions.ScalarSubquery(
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed))
 
+  /** A DataFrame over a custom logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — the construction path for third-party operators
+    * like graft's native as-of join. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Apply a `SparkSessionExtensions`' injected functions to a registry —
     * `registerFunctions` is `private[sql]`; exposed so the GraftExtensions
     * injection path is testable without tearing down the shared session. */

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** The native as-of join operator (plans/AsOfJoin.scala): plan shape,
+  * equivalence to the window-composed form, and the null/boundary
+  * contract. The cross-ENGINE gate is s32 (shares s05's DuckDB oracle
+  * verbatim); these specs pin the cross-FORM and physical properties. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def t(sec: Long) = new Timestamp(1767225600000L + sec * 1000)
+
+  // 40 keys × 5 dim ticks × 3 probes, keys span many partitions; probe
+  // ts values straddle dim ticks, including exact ties
+  private def fixture = {
+    val sq = spark; import sq.implicits._
+    val dims = (for (k <- 1L to 40L; i <- 0L to 4L)
+      yield (k, t(i * 100), k * 1000 + i)).toDF("k", "ts", "dim_v")
+    val probes = (for (k <- 1L to 40L; j <- 0L to 2L)
+      yield (k * 100 + j, k, t(j * 150 + (k % 3) * 50)))
+      .toDF("pid", "k", "ts")
+    (probes, dims)
+  }
+
+  private def native(probes: org.apache.spark.sql.DataFrame,
+      dims: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.asofJoinNative(
+      probes, dims.select(col("k"), col("ts").as("d_ts"),
+        col("dim_v").as("d_v")),
+      key = "k", ts = "ts", dimTs = "d_ts")
+
+  test("plan: AsOfJoinExec with two exchanges + sorts planted by " +
+    "EnsureRequirements, and no Window/Union anywhere (the composed " +
+    "form's machinery is gone)") {
+    val (probes, dims) = fixture
+    val out = native(probes, dims)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      plan.take(800))
+    // both children were re-clustered on the key and sorted (key, ts)
+    assert("Exchange hashpartitioning".r
+      .findAllMatchIn(plan).size == 2, plan.take(1200))
+    assert("Sort \\[".r.findAllMatchIn(plan).size >= 2, plan.take(1200))
+  }
+
+  test("native equals the composed window form row-for-row (ties at " +
+    "equal ts match; probes before any dim drop out)") {
+    val (probes, dims) = fixture
+    val nat = native(probes, dims)
+      .select("pid", "k", "ts", "d_ts", "d_v")
+      .collect().map(_.toSeq).toSet
+    val composed = EventQueries.asofJoin(
+      probe = probes, dim = dims, key = "k", ts = "ts", tsOut = "d_ts",
+      dimCols = Seq("dim_v" -> "d_v"))
+      .select("pid", "k", "ts", "d_ts", "d_v")
+      .collect().map(_.toSeq).toSet
+    assert(nat.nonEmpty && nat == composed,
+      s"native ${nat.size} rows vs composed ${composed.size}")
+    // spot semantics: probe at an exact dim tick takes THAT dim (<=)
+    val sq = spark; import sq.implicits._
+    val one = native(
+      Seq((1L, 7L, t(100))).toDF("pid", "k", "ts"),
+      Seq((7L, t(100), 42L), (7L, t(99), 41L))
+        .toDF("k", "ts", "dim_v")).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 42L)
+  }
+
+  test("null keys/timestamps never match and null probes drop (inner " +
+    "contract); a dim-side null mid-stream does not derail the merge") {
+    val sq = spark; import sq.implicits._
+    val probes = Seq(
+      (1L, Option(5L), Option(t(100))),
+      (2L, Option.empty[Long], Option(t(100))),
+      (3L, Option(5L), Option.empty[Timestamp]))
+      .toDF("pid", "k", "ts")
+    val dims = Seq(
+      (Option.empty[Long], Option(t(50)), 1L),
+      (Option(5L), Option.empty[Timestamp], 2L),
+      (Option(5L), Option(t(60)), 3L))
+      .toDF("k", "ts", "dim_v")
+    val out = native(probes, dims).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.getLong(0) == 1L && out.head.getLong(4) == 3L)
+  }
+}
