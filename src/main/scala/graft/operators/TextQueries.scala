@@ -1925,6 +1925,60 @@ object TextQueries {
              |SELECT lang, n_docs, n_chars, n_bpe, n_words,
              |CAST(n_chars AS DOUBLE) / n_bpe AS chars_per_token,
              |CAST(n_bpe AS DOUBLE) / n_words AS fertility FROM g"""
+        .stripMargin.replace('\n', ' '))),
+
+    // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS algorithm): per doc, char-5-gram hashes at every position;
+    // over each window of 4 consecutive gram hashes keep the MINIMUM,
+    // ties to the RIGHTMOST position; the distinct selected (pos, hash)
+    // set is the fingerprint. Unlike t05's whole-doc rolling hash or
+    // minhash's positionless sketch, winnowing is POSITION-AWARE with a
+    // guarantee: any substring match of length ≥ w+k-1 = 8 chars shares
+    // at least one fingerprint, at expected density 2/(w+1) of grams —
+    // the local-similarity index plagiarism/clone detection builds on.
+    // The min-with-rightmost-tie selection collapses to ONE window-min:
+    // encode v = h·2^21 + (2^21-1-pos), so min v is (min h, max pos);
+    // decode by div/mod. All integers on the shared md5 basis (d18's
+    // 60-bit rule, folded to 40 bits so the encode can't overflow) —
+    // bit-exact cross-engine. Scale: the explode is O(chars), then one
+    // doc_id shuffle for the pos-ordered window — running ROWS frame,
+    // incrementally maintained; fingerprint output is ~2/(w+1) of gram
+    // volume, the index you'd then band-join exactly like d07/d24.
+    Q("t43_winnowing",
+      (s, d) => {
+        val win = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, 3)
+        Tables.t(s, d, "documents")
+          .filter(length(col("text")) >= 5)
+          .selectExpr("doc_id",
+            "explode(transform(sequence(1, length(text) - 4), p -> " +
+              "named_struct('pos', CAST(p AS BIGINT), " +
+              "'h', CAST(conv(substring(md5(substring(text, p, 5)), " +
+              "1, 15), 16, 10) AS BIGINT) % 1099511627776))) AS g")
+          .select(col("doc_id"), col("g.pos").as("pos"),
+            col("g.h").as("h"))
+          .select(col("doc_id"), col("pos"),
+            count(lit(1)).over(win).as("n"),
+            min(col("h") * 2097152L + (lit(2097151L) - col("pos")))
+              .over(win).as("v"))
+          .filter(col("n") === 4)
+          .select(col("doc_id"),
+            (lit(2097151L) - (col("v") % 2097152L)).as("pos"),
+            expr("v DIV 2097152").as("h"))
+          .distinct()
+      },
+      Some("""WITH px AS (SELECT doc_id, text,
+             |unnest(range(1, length(text) - 3)) AS p
+             |FROM documents WHERE length(text) >= 5),
+             |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             |CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER),
+             |5)), 1, 15)) AS BIGINT) % 1099511627776 AS h FROM px),
+             |w AS (SELECT doc_id, pos, h, count(*) OVER fr AS n,
+             |min(h * 2097152 + (2097151 - pos)) OVER fr AS v FROM g
+             |WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+             |ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+             |SELECT DISTINCT doc_id, 2097151 - (v % 2097152) AS pos,
+             |v // 2097152 AS h FROM w WHERE n = 4"""
         .stripMargin.replace('\n', ' ')))
   )
 
