@@ -48,8 +48,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   *
   * CONTRACT (same as the composed form): dim unique per (key, ts) or the
   * match is the last dim row in (key, ts) sort order — pre-aggregate;
-  * null keys/timestamps on either side never match and probe rows with
-  * them are dropped (inner semantics).
+  * null keys/timestamps on either side never match. Inner (default)
+  * drops unmatched probes; `leftOuter = true` keeps them with the dim
+  * payload null-padded (the dim output attributes turn nullable).
   */
 object AsOfJoin {
 
@@ -63,7 +64,8 @@ object AsOfJoin {
       dim: DataFrame,
       key: String,
       ts: String,
-      dimTs: String): DataFrame = {
+      dimTs: String,
+      leftOuter: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.exists(
         _.isInstanceOf[AsOfJoinStrategy]))
@@ -79,7 +81,8 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"asofJoinNative: no column '$n' in ${p.output.map(_.name)}"))
     GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, dimTs)))
+      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, dimTs),
+      leftOuter))
   }
 }
 
@@ -91,11 +94,14 @@ case class AsOfJoinPlan(
     leftKey: Attribute,
     leftTs: Attribute,
     rightKey: Attribute,
-    rightTs: Attribute)
+    rightTs: Attribute,
+    leftOuter: Boolean = false)
   extends BinaryNode {
 
+  // left-outer null-pads the dim payload, so its attributes turn nullable
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(_.exprId == rightKey.exprId)
+      .map(a => if (leftOuter) a.withNullability(true) else a)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -105,8 +111,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, lo) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, lo) :: Nil
     case _ => Nil
   }
 }
@@ -125,11 +131,13 @@ case class AsOfJoinExec(
     leftKey: Attribute,
     leftTs: Attribute,
     rightKey: Attribute,
-    rightTs: Attribute)
+    rightTs: Attribute,
+    leftOuter: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(_.exprId == rightKey.exprId)
+      .map(a => if (leftOuter) a.withNullability(true) else a)
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -158,13 +166,23 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (probes, dims) =>
       val kOrd = TypeUtils.getInterpretedOrdering(keyType)
       val tOrd = TypeUtils.getInterpretedOrdering(tsType)
-      val proj = UnsafeProjection.create(outAttrs, lAttrs ++ rAttrs)
+      // under leftOuter the dim side of the input schema must read as
+      // NULLABLE: the projection binds against it, and a non-nullable
+      // long field skips the null check and reads the pad row as 0
+      val rIn = if (leftOuter) rAttrs.map(_.withNullability(true))
+        else rAttrs
+      val proj = UnsafeProjection.create(outAttrs, lAttrs ++ rIn)
       val joined = new JoinedRow
+      val nullDim = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rAttrs.length)
       val dimBuf = dims.buffered
       var cand: InternalRow = null
       probes.flatMap { p =>
-        if (p.isNullAt(lKeyIdx) || p.isNullAt(lTsIdx)) Iterator.empty
-        else {
+        if (p.isNullAt(lKeyIdx) || p.isNullAt(lTsIdx)) {
+          // null probe key/ts: no dim can match; outer keeps the probe
+          if (leftOuter) Iterator.single(proj(joined(p, nullDim)))
+          else Iterator.empty
+        } else {
           val pk = p.get(lKeyIdx, keyType)
           val pt = p.get(lTsIdx, tsType)
           var advancing = true
@@ -183,6 +201,7 @@ case class AsOfJoinExec(
           if (cand != null && !cand.isNullAt(rKeyIdx) &&
               kOrd.compare(cand.get(rKeyIdx, keyType), pk) == 0)
             Iterator.single(proj(joined(p, cand)))
+          else if (leftOuter) Iterator.single(proj(joined(p, nullDim)))
           else Iterator.empty
         }
       }

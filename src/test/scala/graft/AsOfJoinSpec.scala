@@ -84,4 +84,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1, out.mkString(";"))
     assert(out.head.getLong(0) == 1L && out.head.getLong(4) == 3L)
   }
+
+  test("left-outer native: unmatched probes survive with null-padded " +
+    "dim payload, equal to the composed leftOuter form") {
+    val sq = spark; import sq.implicits._
+    val (probes0, dims) = fixture
+    // one probe BEFORE any dim tick: the unmatched row outer must keep
+    val probes = probes0.unionByName(
+      Seq((9999L, 7L, t(-100))).toDF("pid", "k", "ts"))
+    val nat = AsOfJoin.asofJoinNative(
+      probes, dims.select(col("k"), col("ts").as("d_ts"),
+        col("dim_v").as("d_v")),
+      key = "k", ts = "ts", dimTs = "d_ts", leftOuter = true)
+      .select("pid", "k", "ts", "d_ts", "d_v")
+      .collect().map(_.toSeq).toSet
+    val composed = EventQueries.asofJoin(
+      probe = probes, dim = dims, key = "k", ts = "ts", tsOut = "d_ts",
+      dimCols = Seq("dim_v" -> "d_v"), leftOuter = true)
+      .select("pid", "k", "ts", "d_ts", "d_v")
+      .collect().map(_.toSeq).toSet
+    assert(nat == composed,
+      s"native ${nat.size} rows vs composed ${composed.size}")
+    // every probe survives; the unmatched ones carry nulls
+    assert(nat.size == probes.count())
+    assert(nat.exists(r => r(3) == null && r(4) == null))
+  }
 }
