@@ -1155,6 +1155,58 @@ object EventQueries {
              |b1.n + COALESCE(b0.n, 0) AS cum_events,
              |b1.s + COALESCE(b0.s, 0) AS cum_id_sum
              |FROM b1 LEFT JOIN b0 USING (user_id)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s33: EXECUTED event-time-TIMER gate (transformWithState's
+    // handleExpiredTimer — emission driven by watermark progress, not
+    // input). Three deterministic micro-batches: (1) every user (uid =
+    // event_id) at 00:00 / 00:30 / 01:00 by uid%3; (2) a SECOND event at
+    // +4000s for uid%3==1 — arriving while the user's first timer
+    // (+9000s) is still live, so the re-arm (delete + register) is what
+    // keeps them un-emitted, and their count must read 2 (cross-batch
+    // state through the timer path); (3) a lone uid=-1 driver at
+    // +12000s that pushes the final watermark past every population
+    // timer (7200/11200/10800) but not its own (19200) — the driver
+    // user itself must be ABSENT, which pins "no watermark passage, no
+    // emission". Margins keep every comparison strictly away from
+    // timer==watermark boundaries. The oracle restates the surviving
+    // arithmetic per uid class.
+    Q("s33_timer_finalize",
+      (s, d) => {
+        import s.implicits._
+        val base = 1767225600L
+        val ev = Tables.t(s, d, "events").select(col("event_id"))
+        val b0 = ev.select(col("event_id").as("user_id"),
+          timestamp_seconds(lit(base) + (col("event_id") % 3) * 1800)
+            .as("ts"))
+        val b1 = ev.filter(col("event_id") % 3 === 1)
+          .select(col("event_id").as("user_id"),
+            timestamp_seconds(lit(base) + 4000).as("ts"))
+        val b2 = s.range(1).select(lit(-1L).as("user_id"),
+          timestamp_seconds(lit(base) + 12000).as("ts"))
+        val dir = Dml.work("s33_landing", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(b0, b1, b2))
+        val st = s.readStream.schema(b0.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withWatermark("ts", "0 seconds").as[TimedEvent]
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try drainStream(s, EventStreams.inactivityFinalize(st).toDF(),
+          mode = "append")
+        finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT event_id AS user_id,
+             |CAST(CASE WHEN event_id % 3 = 1 THEN 2 ELSE 1 END
+             |AS BIGINT) AS n_events,
+             |CAST(to_timestamp(1767225600 + CASE CAST(event_id % 3
+             |AS INTEGER) WHEN 0 THEN 0 WHEN 1 THEN 4000
+             |ELSE 3600 END) AS TIMESTAMP) AS last_ts
+             |FROM events"""
         .stripMargin.replace('\n', ' ')))
   )
 

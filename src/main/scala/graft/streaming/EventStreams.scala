@@ -607,6 +607,28 @@ object EventStreams {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Append)
   }
+
+  /** s33: inactivity finalization via `transformWithState` EVENT-TIME
+    * TIMERS — the API half [[runningTotals]] doesn't touch. Each event
+    * updates the user's (count, last-seen) state and re-arms a timer at
+    * `last_ts + gap`; when the event-time watermark passes the timer,
+    * `handleExpiredTimer` emits the final summary and clears the state.
+    * This is the timer-driven form of session/activity closure: emission
+    * is driven by WATERMARK PROGRESS, not by the user's next event — a
+    * user who goes quiet forever still finalizes (the thing a pure
+    * input-driven processor can never do), and cleared state is what
+    * bounds the key space on an unbounded firehose. Caller must
+    * `withWatermark` on `ts` before grouping (EventTime mode requires
+    * it). */
+  def inactivityFinalize(
+      events: Dataset[TimedEvent],
+      gapSeconds: Long = 7200): Dataset[UserFinal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityFinalizeProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
 }
 
 /** Input row for [[EventStreams.runningTotals]]. */
@@ -622,6 +644,22 @@ case class UserBatchTotals(
     batch_events: Long,
     cum_events: Long,
     cum_id_sum: Long)
+
+/** Input row for [[EventStreams.inactivityFinalize]]. */
+case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Per-user state for [[InactivityFinalizeProcessor]]: event count, last
+  * event time (ms), and the currently registered timer's expiry (so the
+  * next event can delete-then-re-register — the handle has no
+  * replace-timer op). */
+case class InactivityState(n: Long, lastMs: Long, timerMs: Long)
+
+/** Finalized activity summary emitted when a user's inactivity timer
+  * fires. */
+case class UserFinal(
+    user_id: Long,
+    n_events: Long,
+    last_ts: java.sql.Timestamp)
 
 /** The `StatefulProcessor` behind [[EventStreams.runningTotals]]: one
   * named `ValueState[RunningState]` per user, no TTL (`TTLConfig.NONE` —
@@ -647,5 +685,54 @@ class RunningTotalsProcessor
     val cur = RunningState(prev.n + n, prev.idSum + s)
     totals.update(cur)
     Iterator.single(UserBatchTotals(key, n, cur.n, cur.idSum))
+  }
+}
+
+/** The timer-driven processor behind [[EventStreams.inactivityFinalize]]:
+  * input rows only mutate state and re-arm the per-key timer (delete old,
+  * register `last + gap` — Spark processes a batch's input rows BEFORE
+  * expiring timers, so an in-batch event always wins the race against its
+  * own stale timer); all OUTPUT happens in `handleExpiredTimer`, which
+  * reads the final state, emits one summary row, and clears both state
+  * and (already-fired) timer. */
+class InactivityFinalizeProcessor(gapSeconds: Long)
+    extends StatefulProcessor[Long, TimedEvent, UserFinal] {
+  @transient private var st: ValueState[InactivityState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[InactivityState](
+      "activity", org.apache.spark.sql.Encoders.product[InactivityState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TimedEvent],
+      timerValues: TimerValues): Iterator[UserFinal] = {
+    var n = 0L
+    var last = Long.MinValue
+    rows.foreach { e => n += 1; last = math.max(last, e.ts.getTime) }
+    val prev = if (st.exists()) st.get()
+      else InactivityState(0L, Long.MinValue, Long.MinValue)
+    val merged = InactivityState(
+      prev.n + n, math.max(prev.lastMs, last), prev.timerMs)
+    val expiry = merged.lastMs + gapSeconds * 1000
+    if (prev.timerMs != Long.MinValue && prev.timerMs != expiry)
+      getHandle.deleteTimer(prev.timerMs)
+    if (prev.timerMs != expiry) getHandle.registerTimer(expiry)
+    st.update(merged.copy(timerMs = expiry))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[UserFinal] = {
+    val out = if (st.exists()) {
+      val s = st.get()
+      Iterator.single(UserFinal(key, s.n, new java.sql.Timestamp(s.lastMs)))
+    } else Iterator.empty
+    st.clear()
+    out
   }
 }

@@ -582,4 +582,44 @@ class StreamingSpec extends SparkSpec {
       UserBatchTotals(2L, 1L, 1L, 5L)),   // batch 1 only: fresh state
       got.toString)
   }
+
+  test("s33 timers: expiry at or below the final watermark fires — " +
+    "the boundary is INCLUSIVE (expiry == watermark emits), and a " +
+    "fired user's state is cleared (no second emission)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    def t(sec: Long) = new Timestamp((1767225600L + sec) * 1000)
+    val dir = Dml.work("s33spec", sf) + "_landing"
+    // gap 100s. batch 0: u1 at 0 (timer 100), u2 at 100 (timer 200).
+    // batch 1: driver u9 at 200 -> final watermark 200. u1's 100 < 200
+    // fires; u2's 200 == 200 sits ON the boundary and ALSO fires —
+    // TimerStateUtils treats expiry <= watermark as expired, the
+    // inclusive rule this spec pins (the gated s33 keeps its margins
+    // strictly away from the boundary regardless).
+    val b0 = Seq((1L, t(0)), (2L, t(100))).toDF("user_id", "ts")
+    val b1 = Seq((9L, t(200))).toDF("user_id", "ts")
+    EventStreams.writeBatchLanding(spark, dir, Seq(b0, b1))
+    val st = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds").as[TimedEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val sink = "s33spec_out"
+    try {
+      val q = EventStreams.inactivityFinalize(st, gapSeconds = 100)
+        .toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+    val got = spark.table(sink).as[UserFinal].collect().toSet
+    spark.catalog.dropTempView(sink)
+    assert(got == Set(
+      UserFinal(1L, 1L, t(0)),
+      UserFinal(2L, 1L, t(100))), got.toString)
+  }
 }
