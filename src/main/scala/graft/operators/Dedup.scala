@@ -358,15 +358,20 @@ object Dedup {
       num: Int = 4,
       den: Int = 5): DataFrame = {
     val inv = shingleInvertedIndex(docs, shingleN)
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // both referenced twice (pref's filter + the two finalize joins /
+    // the l-r self-join): persist, or the df-ordered window re-sorts
+    // the whole index once per reference
+    val sizes = ManagedCache.persist(
+      inv.groupBy("doc_id").agg(count(lit(1)).as("sz")))
     val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val pref = inv.join(dfreq, "g").join(sizes, "doc_id")
-      .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= col("sz") -
-        expr(s"(sz * $num + ${den - 1}) div $den") + 1)
-      .select("doc_id", "g")
+    val pref = ManagedCache.persist(
+      inv.join(dfreq, "g").join(sizes, "doc_id")
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= col("sz") -
+          expr(s"(sz * $num + ${den - 1}) div $den") + 1)
+        .select("doc_id", "g"))
     val cand = pref.alias("l").join(pref.alias("r"),
         col("l.g") === col("r.g") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
