@@ -327,6 +327,76 @@ object Graph {
       .collect().head
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  /** All-pairs BFS → CLOSENESS centrality — the shortest-path family
+    * (g01–g06 cover ranking/components/motifs/degree but no distances).
+    * Level-synchronous frontier expansion: round r joins the depth-r
+    * frontier against the symmetrized edge list and anti-joins the
+    * visited set, so each (source, node) pair is settled exactly once at
+    * its TRUE distance (BFS invariant: first touch is shortest on an
+    * unweighted graph). Emits per source: reachable count, total
+    * distance, and closeness (n_reached / total_dist — NULL for
+    * isolated sources, one double division at readout).
+    *
+    * Scale: each round is one join + one anti-join over the frontier —
+    * the O(diameter)-round protocol of [[ccLargeSmallStar]]/[[kCore]],
+    * with the same per-round persist + count materialization and
+    * lineage cut. ALL-PAIRS state is O(V²) — this is the
+    * analytics-on-a-projected-subgraph form (here: the 30-residue
+    * domain graph); single/multi-source BFS over a corpus-sized graph
+    * drops the source dimension, same loop. Frontier-still-growing at
+    * `maxDepth` aborts loudly rather than returning truncated
+    * distances. */
+  def bfsCloseness(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxDepth: Int = 16): DataFrame = {
+    val spark = nodes.sparkSession
+    val idCol = nodes.columns.head
+    val und = ManagedCache.persist(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .union(edges.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var all = ManagedCache.persist(
+      nodes.select(col(idCol).as("srcn"), col(idCol).as("node"),
+        lit(0).as("d")))
+    all.count()
+    var frontier = all
+    var depth = 0
+    var growing = true
+    while (growing && depth < maxDepth) {
+      val nxt0 = frontier.alias("f")
+        .join(und.alias("e"), col("f.node") === col("e.src"))
+        .select(col("f.srcn").as("srcn"), col("e.dst").as("node"),
+          (col("f.d") + 1).as("d"))
+        .distinct()
+        .join(all.select("srcn", "node"), Seq("srcn", "node"),
+          "left_anti")
+      val nxt = ManagedCache.persist(nxt0)
+      if (nxt.count() == 0) growing = false
+      else {
+        val merged = ManagedCache.persist(all.unionByName(nxt))
+        merged.count()
+        all.unpersist(blocking = false)
+        // lineage cut: each round's plan must not stack on the last
+        all = spark.createDataFrame(merged.rdd, merged.schema)
+        frontier = nxt
+        depth += 1
+      }
+    }
+    if (growing)
+      throw new IllegalStateException(
+        s"bfsCloseness: frontier still growing after $maxDepth rounds " +
+          "— graph diameter exceeds maxDepth; raise it")
+    all.groupBy(col("srcn").as(idCol))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("d")).cast("long").as("total_dist"))
+      .withColumn("closeness",
+        when(col("total_dist") > 0,
+          col("n_reached").cast("double") / col("total_dist")))
+  }
 }
 
 object GraphQueries {
@@ -525,6 +595,44 @@ object GraphQueries {
              |SELECT doc_id,
              |CAST(CASE WHEN idx < cs AND cs >= 4 THEN 1 ELSE 0 END
              |AS INTEGER) AS in_kcore FROM c"""
+        .stripMargin.replace('\n', ' '))),
+
+    // BFS CLOSENESS under the hash gate — see [[Graph.bfsCloseness]].
+    // Graph: the 30-residue ring + 7-chord circulant (connected,
+    // diameter ~4), constructed identically on both engines. The
+    // oracle's recursive CTE enumerates bounded walks (d < 10 >
+    // diameter) and takes min(d) per pair — the SAME distances BFS
+    // settles by first touch, so reach counts, total distances, and the
+    // one closeness division must agree exactly. Spark must actually
+    // ITERATE to the answer (4 frontier rounds, loud abort beyond 16).
+    Q("g07_bfs_closeness",
+      (s, d) => {
+        val nodes = Tables.t(s, d, "documents")
+          .select((col("doc_id") % 30).as("id")).distinct()
+        val edges = nodes
+          .select(col("id").as("src"), ((col("id") + 1) % 30).as("dst"))
+          .unionByName(nodes.select(col("id").as("src"),
+            ((col("id") + 7) % 30).as("dst")))
+        Graph.bfsCloseness(nodes, edges)
+      },
+      Some("""WITH RECURSIVE n AS (SELECT DISTINCT doc_id % 30 AS id
+             |FROM documents),
+             |e0 AS (SELECT id AS src, (id + 1) % 30 AS dst FROM n
+             |UNION SELECT id, (id + 7) % 30 FROM n),
+             |e AS (SELECT src, dst FROM e0 WHERE src <> dst
+             |UNION SELECT dst, src FROM e0 WHERE src <> dst),
+             |walk(src, node, d) AS (
+             |SELECT id, id, 0 FROM n
+             |UNION
+             |SELECT w.src, e.dst, w.d + 1 FROM walk w
+             |JOIN e ON w.node = e.src WHERE w.d < 10),
+             |sp AS (SELECT src, node, min(d) AS d FROM walk
+             |GROUP BY 1, 2)
+             |SELECT src AS id, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+             |CAST(sum(d) AS BIGINT) AS total_dist,
+             |CASE WHEN sum(d) > 0 THEN
+             |CAST(count(*) - 1 AS DOUBLE) / sum(d) END AS closeness
+             |FROM sp GROUP BY src"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -198,6 +198,44 @@ object SamplingQueries {
              |1 PRECEDING), 0) / 4096) AS BIGINT) AS shard_id
              |FROM t"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // REPRODUCIBLE EPOCH SHUFFLE — the training-order primitive every
+    // large-scale run needs (MosaicML-streaming / T5-style): each epoch
+    // draws its global order from md5(epoch:doc_id), a SEEDED,
+    // content-independent key, so (a) every rerun/cluster shape
+    // produces the SAME order (no RNG state), (b) a mid-epoch resume
+    // recomputes any row's (shard, rank) from its id alone, and (c)
+    // epochs decorrelate (epoch is in the key). Output is the complete
+    // assignment — (doc_id, epoch, shard, rk) — so the gate hashes the
+    // entire order, not a summary. Scale: ONE exchange on
+    // (epoch, shard) + an in-shard sort by the 16-byte key; shards
+    // sized to the reader fleet, no global sort, no driver state.
+    Q("t44_epoch_shuffle",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "shard").orderBy("k", "doc_id")
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(1))).as("epoch"))
+          .withColumn("k", md5(concat(col("epoch").cast("string"),
+            lit(":"), col("doc_id").cast("string"))))
+          .withColumn("shard",
+            conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 4)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select("doc_id", "epoch", "shard", "rk")
+      },
+      Some("""WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS ep
+             |FROM documents),
+             |k AS (SELECT doc_id, CAST(ep AS INTEGER) AS epoch,
+             |md5(CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+             |AS k FROM e),
+             |s AS (SELECT doc_id, epoch, k,
+             |CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 4 AS shard
+             |FROM k)
+             |SELECT doc_id, epoch, shard,
+             |CAST(row_number() OVER (PARTITION BY epoch, shard
+             |ORDER BY k, doc_id) AS BIGINT) AS rk FROM s"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -140,4 +140,24 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fixed point"))
   }
+
+  test("bfsCloseness on a hand-computed path graph: 0-1-2-3 gives " +
+    "distances (1+2+3, 1+1+2, ...) and an isolated node reads NULL " +
+    "closeness; too-small maxDepth aborts loudly") {
+    val sq = spark; import sq.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.bfsCloseness(nodes, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(0L) == ((3L, 6L, Some(3.0 / 6))))   // 1+2+3
+    assert(out(1L) == ((3L, 4L, Some(3.0 / 4))))   // 1+1+2
+    assert(out(2L) == ((3L, 4L, Some(3.0 / 4))))
+    assert(out(3L) == ((3L, 6L, Some(3.0 / 6))))
+    assert(out(9L) == ((0L, 0L, None)), "isolated: no reach, NULL")
+    val e = intercept[IllegalStateException] {
+      Graph.bfsCloseness(nodes, edges, maxDepth = 1)
+    }
+    assert(e.getMessage.contains("frontier still growing"))
+  }
 }

@@ -122,4 +122,23 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(again.toSet == rows.toSet, "packing must be deterministic")
   }
+
+  test("t44 epoch shuffle: epochs are decorrelated (per-shard orders " +
+    "differ between epoch 0 and 1) and every (epoch, shard) rank " +
+    "sequence is dense from 1") {
+    val out = q("t44_epoch_shuffle").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    val byEp = out.groupBy(_._2)
+    // same doc population per epoch, but a different assignment
+    assert(byEp(0).map(_._1).toSet == byEp(1).map(_._1).toSet)
+    val a0 = byEp(0).map(t => t._1 -> ((t._3, t._4))).toMap
+    val a1 = byEp(1).map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(a0 != a1, "epoch key must change the order")
+    // dense ranks: each (epoch, shard) is 1..n with no gaps
+    out.groupBy(t => (t._2, t._3)).foreach { case (k, rows) =>
+      val rks = rows.map(_._4).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq, s"$k ranks not dense: $rks")
+    }
+  }
 }
