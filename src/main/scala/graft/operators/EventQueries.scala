@@ -1207,6 +1207,66 @@ object EventQueries {
              |AS INTEGER) WHEN 0 THEN 0 WHEN 1 THEN 4000
              |ELSE 3600 END) AS TIMESTAMP) AS last_ts
              |FROM events"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s34: EXECUTED FULL OUTER stream-stream join — the class s30 can't
+    // exercise: the BUY side null-pads too. Five classes by event_id%4
+    // (uid = event_id): 0 = matched (view 00:10, buy 00:40); 1 = view
+    // only → (view, nulls) once wm > 01:10; 2 = view at 00:10 AND an
+    // OUT-OF-WINDOW buy at 02:30 → TWO rows, (view, nulls) and (nulls,
+    // buy) — the buy evicts when wm > its own buy_ts, the latest
+    // possible matching view time, which is precisely the rule that
+    // bounds buy-side state; 3 = view at 03:50, too close to
+    // end-of-stream → PENDING (absent); plus a buy_user=-1 driver at
+    // 04:00 that pushes the buy-side maximum so the global watermark
+    // (min of sides) lands at 03:50 — the driver itself stays pending
+    // (absent). Every eviction compares with >1h margin to the
+    // watermark; nothing sits on a boundary.
+    Q("s34_stream_full_outer_join",
+      (s, d) => {
+        val base = 1767225600L
+        val ev = Tables.t(s, d, "events").select(col("event_id"))
+        def at(off: org.apache.spark.sql.Column) =
+          timestamp_seconds(lit(base) + off)
+        val views = ev.select(col("event_id").as("user_id"),
+          at(when(col("event_id") % 4 === 3, 3 * 3600 + 3000)
+            .otherwise(600)).as("view_ts"))
+        val buys = ev.filter(col("event_id") % 4 === 0)
+          .select(col("event_id").as("buy_user"),
+            at(lit(2400)).as("buy_ts"),
+            col("event_id").cast("double").as("buy_value"))
+          .unionByName(ev.filter(col("event_id") % 4 === 2)
+            .select(col("event_id").as("buy_user"),
+              at(lit(2 * 3600 + 1800)).as("buy_ts"),
+              col("event_id").cast("double").as("buy_value")))
+          .unionByName(s.range(1).select(lit(-1L).as("buy_user"),
+            at(lit(4 * 3600)).as("buy_ts"),
+            lit(0.0).as("buy_value")))
+        val vDir = Dml.work("s34_views", d)
+        val bDir = Dml.work("s34_buys", d)
+        EventStreams.writeBatchLanding(s, vDir, Seq(views))
+        EventStreams.writeBatchLanding(s, bDir, Seq(buys))
+        val vs = s.readStream.schema(views.schema).parquet(vDir)
+        val bs = s.readStream.schema(buys.schema).parquet(bDir)
+        drainStream(s, EventStreams.attributionJoinFull(vs, bs),
+          mode = "append")
+      },
+      Some("""WITH e AS (SELECT event_id FROM events),
+             |m AS (SELECT event_id AS user_id,
+             |CAST(to_timestamp(1767225600 + 600) AS TIMESTAMP)
+             |AS view_ts,
+             |CAST(to_timestamp(1767225600 + 2400) AS TIMESTAMP)
+             |AS buy_ts,
+             |CAST(event_id AS DOUBLE) AS buy_value
+             |FROM e WHERE event_id % 4 = 0
+             |UNION ALL SELECT event_id,
+             |CAST(to_timestamp(1767225600 + 600) AS TIMESTAMP),
+             |NULL, NULL FROM e WHERE event_id % 4 IN (1, 2)
+             |UNION ALL SELECT event_id, NULL,
+             |CAST(to_timestamp(1767225600 + 9000) AS TIMESTAMP),
+             |CAST(event_id AS DOUBLE)
+             |FROM e WHERE event_id % 4 = 2)
+             |SELECT user_id, view_ts, buy_ts, buy_value FROM m"""
         .stripMargin.replace('\n', ' ')))
   )
 

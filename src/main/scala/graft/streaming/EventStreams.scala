@@ -236,6 +236,30 @@ object EventStreams {
         col("buy_value"))
   }
 
+  /** s34: watermarked FULL OUTER stream-stream attribution — completes
+    * the join family (inner s14, left s30): BOTH sides null-pad.
+    * An unmatched view emits (view, null-buy) once the global watermark
+    * passes `view_ts + window`; an unmatched purchase emits
+    * (null-view, buy) once the watermark passes `buy_ts` — the latest
+    * possible matching view time under the condition, which is what
+    * makes the BUY side's state evictable too. The output key is
+    * `coalesce` of the two sides' user columns, so every row carries
+    * its user regardless of which side survived. */
+  def attributionJoinFull(
+      views: DataFrame,
+      buys: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("view_ts", "0 seconds")
+    val b = buys.withWatermark("buy_ts", "0 seconds")
+    v.join(b,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("buy_user")).as("user_id"),
+        col("view_ts"), col("buy_ts"), col("buy_value"))
+  }
+
   /** Latest-event-per-user reduction — the MERGE function of the
     * streaming upsert: `max(struct(ts, event_id, …))` compares ts first,
     * then the unique event_id, so the pick is total-order deterministic
