@@ -622,4 +622,48 @@ class StreamingSpec extends SparkSpec {
       UserFinal(1L, 1L, t(0)),
       UserFinal(2L, 1L, t(100))), got.toString)
   }
+
+  test("s34 full outer: an orphan BUY null-pads its view side once the " +
+    "view watermark passes buy_ts; a buy near end-of-stream stays " +
+    "pending; matched and view-orphan classes behave as in left outer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    def t(sec: Long) = new Timestamp((1767225600L + sec) * 1000)
+    val vDir = Dml.work("s34spec_v", sf) + "_landing"
+    val bDir = Dml.work("s34spec_b", sf) + "_landing"
+    // views: u1 (will match), u2 (orphan view), late u9 at 03:00 that
+    // drives the view-side watermark
+    val views = Seq((1L, t(600)), (2L, t(600)), (9L, t(3 * 3600)))
+      .toDF("user_id", "view_ts")
+    // buys, batch 0: u1's match + u3's orphan buy at 00:20 (no view —
+    // evicts once view-wm 03:00 > 00:20); batch 1: u8's buy at 03:30,
+    // PAST the final view watermark -> must stay pending (absent)
+    val buys0 = Seq((1L, t(2400), 7.5), (3L, t(1200), 3.0))
+      .toDF("buy_user", "buy_ts", "buy_value")
+    val buys1 = Seq((8L, t(3 * 3600 + 1800), 1.0))
+      .toDF("buy_user", "buy_ts", "buy_value")
+    EventStreams.writeBatchLanding(spark, vDir, Seq(views))
+    EventStreams.writeBatchLanding(spark, bDir, Seq(buys0, buys1))
+    val vs = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(vDir)
+    val bs = spark.readStream.schema(buys0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(bDir)
+    val sink = "s34spec_out"
+    val q = EventStreams.attributionJoinFull(vs, bs).writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table(sink).collect().map(r => (r.getLong(0),
+      Option(r.getTimestamp(1)).map(_.getTime / 1000 - 1767225600L),
+      Option(r.getTimestamp(2)).map(_.getTime / 1000 - 1767225600L)))
+      .toSet
+    spark.catalog.dropTempView(sink)
+    assert(got == Set(
+      (1L, Some(600L), Some(2400L)),      // matched
+      (2L, Some(600L), None),             // orphan view, buy side null
+      (3L, None, Some(1200L))),           // orphan buy, view side null
+      got.toString)
+    // u9 (wm driver, window open past wm) and u8 (buy past the view
+    // watermark) both stay PENDING — absence is the assertion
+  }
 }
