@@ -288,6 +288,54 @@ object Multimodal {
       ceil(h * scale).cast("int").as("out_height"))
   }
 
+  /** MPEG-1 LAYER III FRAME HEADER (MP3) — the fifth container grammar
+    * (PNG/BMP/GIF fixed-offset, JPEG marker walk, WAV RIFF, MP4 box
+    * walk; this is the BIT-FIELD family: four bytes carrying sync,
+    * version, layer, and three table-indexed fields). Parses the strict
+    * MPEG1-L3-unprotected frame: sync+version+layer byte pair
+    * `FF FB`, bitrate index 1–14 (0 = freeform, 15 = invalid) via the
+    * published kbps table, sample-rate index 0–2 (3 = reserved), the
+    * padding bit, and mono/stereo from the channel-mode bits. Emits the
+    * derived frame length `144·bitrate/sample_rate + padding` — the hop
+    * distance an MP3 stream walker uses, exact integer division.
+    * Malformed/other payloads read well_formed=false with NULL fields
+    * (UTF-8 text can never start 0xFF, so the dispatch is crisp).
+    * Per-row codegen'd byte arithmetic; the tables are literal arrays,
+    * not lookups. */
+  def mp3FrameStats(bin: Column): Column = {
+    val b2 = byteAt(bin, 2)
+    val b3 = byteAt(bin, 3)
+    val b4 = byteAt(bin, 4)
+    val bri = (b3 / 16).cast("int")
+    val sri = ((b3 / 4) % 4).cast("int")
+    val pad = ((b3 / 2) % 2).cast("int")
+    val valid = octet_length(bin) >= 4 &&
+      byteAt(bin, 1) === 255L && b2 === 251L &&
+      bri >= 1 && bri <= 14 && sri <= 2
+    val br = element_at(typedlit(Seq(32, 40, 48, 56, 64, 80, 96, 112,
+      128, 160, 192, 224, 256, 320)), bri)
+    val sr = element_at(typedlit(Seq(44100, 48000, 32000)), sri + 1)
+    val ch = when((b4 / 64) === 3L, 1).otherwise(2).cast("int")
+    when(valid, struct(
+      lit(true).as("well_formed"),
+      br.as("bitrate_kbps"),
+      sr.as("sample_rate"),
+      ch.as("channels"),
+      pad.as("padding"),
+      // exact: integer-valued quotients of <2^26 ints are IEEE-exact,
+      // and non-integer ones sit ≥ 1/sr from any integer — floor of
+      // the double equals the integer division on both engines
+      floor(lit(144.0) * br * 1000 / sr).cast("long")
+        .as("frame_bytes_raw")))
+      .otherwise(struct(
+        lit(false).as("well_formed"),
+        lit(null).cast("int").as("bitrate_kbps"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("int").as("padding"),
+        lit(null).cast("long").as("frame_bytes_raw")))
+  }
+
   /** Big-endian uint32 at a DYNAMIC 1-based offset (ISO-BMFF's integer
     * encoding). */
   private def dynBeU32(bin: Column, off: Column): Column =
@@ -862,6 +910,59 @@ object MultimodalQueries {
              |CAST(3 AS INTEGER) AS channels,
              |CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END
              |AS version FROM documents"""
+        .stripMargin.replace('\n', ' '))),
+
+    // mm14: MP3 frame-header parse over a MIXED corpus — doc_id%3==0
+    // rows carry a constructed MPEG1-L3 header (bitrate index
+    // doc_id%14+1, sample-rate index (doc_id DIV 3)%3, padding
+    // (doc_id DIV 2)%2, mono doc_id%2 — all four bit-fields sweep
+    // their ranges), the rest carry raw text bytes and must land on
+    // the well_formed=false NULL arm (UTF-8 never starts 0xFF). The
+    // oracle restates the kbps/Hz tables and the frame-length integer
+    // division, so the gate holds the BIT-FIELD decode — div/mod
+    // arithmetic, two table lookups, channel-mode collapse — and the
+    // dispatch itself, per row.
+    Q("mm14_mp3_frames",
+      (s, d) => {
+        val bri = (col("doc_id") % 14 + 1).cast("long")
+        val sri = expr("(doc_id DIV 3) % 3").cast("long")
+        val pad = expr("(doc_id DIV 2) % 2").cast("long")
+        val mono = (col("doc_id") % 2).cast("long")
+        val hdr = concat(lit("FFFB"),
+          lpad(hex(bri * 16 + sri * 4 + pad * 2), 2, "0"),
+          lpad(hex(mono * 192), 2, "0"))
+        val bin = when(col("doc_id") % 3 === 0, unhex(hdr))
+          .otherwise(payload(col("text")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), mp3FrameStats(bin).as("m"))
+          .select(col("doc_id"), col("m.well_formed").as("well_formed"),
+            col("m.bitrate_kbps").as("bitrate_kbps"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.padding").as("padding"),
+            (col("m.frame_bytes_raw") + col("m.padding"))
+              .as("frame_bytes"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |doc_id % 14 + 1 AS bri, (doc_id // 3) % 3 AS sri,
+             |(doc_id // 2) % 2 AS pad, doc_id % 2 AS mono
+             |FROM documents WHERE doc_id % 3 = 0),
+             |v AS (SELECT doc_id,
+             |CAST(CASE bri WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+             |WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96
+             |WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160
+             |WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256
+             |ELSE 320 END AS INTEGER) AS bitrate_kbps,
+             |CAST(CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |ELSE 32000 END AS INTEGER) AS sample_rate,
+             |CAST(CASE WHEN mono = 1 THEN 1 ELSE 2 END AS INTEGER)
+             |AS channels, CAST(pad AS INTEGER) AS padding FROM m)
+             |SELECT doc_id, TRUE AS well_formed, bitrate_kbps,
+             |sample_rate, channels, padding,
+             |CAST(144 * bitrate_kbps * 1000 // sample_rate + padding
+             |AS BIGINT) AS frame_bytes FROM v
+             |UNION ALL SELECT doc_id, FALSE, NULL, NULL, NULL, NULL,
+             |NULL FROM documents WHERE doc_id % 3 <> 0"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -382,4 +382,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rt.getLong(2) == 360000000L && rt.getLong(3) == 360001500L,
       rt.toString)
   }
+
+  test("mp3FrameStats on byte literals: FFFB9000 reads 128 kbps / " +
+    "44100 Hz / stereo / frame 417; padding adds a byte; bitrate " +
+    "index 15, reserved sample rate, truncation, and a non-sync " +
+    "prefix all read malformed") {
+    val sq = spark; import sq.implicits._
+    def parse(hexStr: String) = Seq(Tuple1(hexStr)).toDF("h")
+      .select(Multimodal.mp3FrameStats(unhex(col("h"))).as("m"))
+      .select("m.*").collect().head
+    val ok = parse("FFFB9000")
+    assert(ok.getBoolean(0) && ok.getInt(1) == 128 &&
+      ok.getInt(2) == 44100 && ok.getInt(3) == 2 &&
+      ok.getInt(4) == 0 && ok.getLong(5) == 417L, ok.toString)
+    // padding bit set: same frame math + 1; mono mode bits 11
+    val padded = parse("FFFB92C0")
+    assert(padded.getBoolean(0) && padded.getInt(4) == 1 &&
+      padded.getInt(3) == 1 && padded.getLong(5) == 417L,
+      padded.toString)
+    for (bad <- Seq("FFFBF000", // bitrate index 15 = invalid
+      "FFFB9C00",               // sample-rate index 3 = reserved
+      "FFFB",                   // truncated
+      "FEFB9000",               // no sync
+      "48656C6C6F"))            // "Hello" text bytes
+      assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
+  }
 }
