@@ -158,10 +158,10 @@ class ExecutionContext(
       case ExecutionContext.DeleteRe(tbl, whereExpr) =>
         sqlDelete(ExecutionContext.unquote(tbl), Option(whereExpr))
       case ExecutionContext.MergeRe(tbl, tblAlias, src, srcAlias, onText,
-          setList, insCols, insVals) =>
+          setList, insCols, insVals, bySourceDelete) =>
         sqlMerge(ExecutionContext.unquote(tbl), Option(tblAlias),
           ExecutionContext.unquote(src), Option(srcAlias), onText, setList,
-          Option(insCols), Option(insVals))
+          Option(insCols), Option(insVals), bySourceDelete != null)
       // INSERT INTO bridges to the Dml store ONLY for temp-view targets:
       // catalog tables (m05's CREATE TABLE … USING parquet) take Spark's
       // native INSERT path, which appends in place with its own semantics
@@ -278,7 +278,8 @@ class ExecutionContext(
       table: String, tableAlias: Option[String],
       src: String, srcAlias: Option[String],
       onText: String, setList: String,
-      insCols: Option[String], insVals: Option[String]): DataFrame = {
+      insCols: Option[String], insVals: Option[String],
+      bySourceDelete: Boolean = false): DataFrame = {
     requireTable(table)
     requireTable(src)
     val tAlias = tableAlias.getOrElse(table)
@@ -328,7 +329,8 @@ class ExecutionContext(
       .map(v => expr(v.trim)))
     val out = Dml.merge(spark.table(table), sqlDmlDir(table),
       spark.table(src), expr(onText), assignments, cols, vals,
-      targetAlias = tAlias, sourceAlias = sAlias)
+      targetAlias = tAlias, sourceAlias = sAlias,
+      notMatchedBySourceDelete = bySourceDelete)
     out.createOrReplaceTempView(table)
     out
   }
@@ -625,18 +627,24 @@ object ExecutionContext {
 
   // MERGE INTO <t> [AS a] USING <s> [AS b] ON <cond>
   // WHEN MATCHED THEN UPDATE SET <assignments>
-  // [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)] — the alias
+  // [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
+  // [WHEN NOT MATCHED BY SOURCE THEN DELETE] — the alias
   // slots negative-lookahead the clause keywords so a bare `USING`/`ON`/
   // `WHEN` is never captured as an alias; the multi-word WHEN
   // [NOT] MATCHED boundaries make lazy-group mis-binding against
   // literals a non-issue (single-word FROM/WHERE needed the scanner).
+  // The INSERT arm's `MATCHED\s+THEN` cannot bind the BY SOURCE clause
+  // (THEN does not follow MATCHED there), and the greedy VALUES group
+  // still closes at the statement's last ')' — the clause carries none.
   private[graft] val MergeRe =
     (s"""(?is)^\\s*MERGE\\s+INTO\\s+($Ident)""" +
       s"""(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?\\s+USING\\s+($Ident)""" +
       s"""(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)""" +
       s"""\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+(.+?)""" +
       s"""(?:\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s*""" +
-      s"""(?:\\(([^)]*)\\)\\s*)?VALUES\\s*\\((.+)\\))?\\s*$$""").r
+      s"""(?:\\(([^)]*)\\)\\s*)?VALUES\\s*\\((.+)\\))?""" +
+      s"""(?:\\s+WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+""" +
+      s"""(DELETE))?\\s*$$""").r
 
   // INSERT INTO only (INSERT OVERWRITE keeps Spark's native path). The
   // VALUES tail re-parses through `SELECT * FROM (VALUES …)`, so tuple

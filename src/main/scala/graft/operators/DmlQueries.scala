@@ -185,7 +185,8 @@ object Dml {
       insertVals: Option[Seq[org.apache.spark.sql.Column]],
       targetAlias: String = "t",
       sourceAlias: String = "s",
-      checkCardinality: Boolean = true): DataFrame = {
+      checkCardinality: Boolean = true,
+      notMatchedBySourceDelete: Boolean = false): DataFrame = {
     val v0 = snapshot(base, dir, "v0")
     val marker = "__graft_matched"
     val rowid = "__graft_rowid"
@@ -209,14 +210,20 @@ object Dml {
     }
     val marked = v0.alias(targetAlias).join(
       source.withColumn(marker, lit(true)).alias(sourceAlias), cond, "left")
-    val updated = marked.select(v0.columns.toIndexedSeq.map { c =>
+    val updatedAll = marked.select(v0.columns.toIndexedSeq.map { c =>
       assignments.get(c) match {
         case Some(newVal) =>
           when(coalesce(col(marker), lit(false)), newVal)
             .otherwise(col(s"$targetAlias.$c")).as(c)
         case None => col(s"$targetAlias.$c").as(c)
       }
-    }: _*)
+    } :+ coalesce(col(marker), lit(false)).as(marker): _*)
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE — the table-SYNC clause:
+    // target rows no source row matched drop out, so target converges
+    // to (updated ∩ source) ∪ inserts. Default keeps them (ANSI MERGE
+    // without the clause).
+    val updated = (if (notMatchedBySourceDelete)
+      updatedAll.filter(col(marker)) else updatedAll).drop(marker)
     val merged = insertVals match {
       case Some(vals) =>
         val cols = insertCols.getOrElse(v0.columns.toSeq.take(vals.length))
@@ -662,6 +669,39 @@ object DmlQueries {
              |FROM nation n LEFT JOIN src s ON n.n_nationkey = s.nk),
              |ins AS (SELECT s.nk AS n_nationkey, s.nm AS n_name,
              |CAST(99 AS INTEGER) AS n_regionkey FROM src s
+             |LEFT JOIN nation n ON s.nk = n.n_nationkey
+             |WHERE n.n_nationkey IS NULL)
+             |SELECT * FROM upd UNION ALL SELECT * FROM ins"""
+        .stripMargin.replace('\n', ' '))),
+
+    // m19: the FULL three-clause MERGE — m11 plus WHEN NOT MATCHED BY
+    // SOURCE THEN DELETE, the table-SYNC statement (replicate a source
+    // into a target in one MERGE: update the intersection, insert the
+    // source-only rows, DELETE the target-only rows). Source keys
+    // 10..29 against nation's 0..24 exercise all three fates: 10–24
+    // update, 25–29 insert, 0–9 DELETE — the oracle restates each as
+    // its relational definition (inner join / anti-join both ways).
+    Q("m19_merge_sync",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        Tables.t(s, d, "nation").createOrReplaceTempView("g_sync_nation")
+        s.sql("""SELECT n_nationkey + 10 AS nk,
+          concat('SYNC_', n_name) AS nm FROM g_sync_nation
+          WHERE n_nationkey < 20""").createOrReplaceTempView("g_sync_src")
+        ctx.execute("""MERGE INTO g_sync_nation USING g_sync_src
+          ON g_sync_nation.n_nationkey = g_sync_src.nk
+          WHEN MATCHED THEN UPDATE SET n_name = g_sync_src.nm
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+          VALUES (g_sync_src.nk, g_sync_src.nm, 77)
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        ctx.execute("SELECT * FROM g_sync_nation")
+      },
+      Some("""WITH src AS (SELECT n_nationkey + 10 AS nk,
+             |'SYNC_' || n_name AS nm FROM nation WHERE n_nationkey < 20),
+             |upd AS (SELECT n.n_nationkey, s.nm AS n_name, n.n_regionkey
+             |FROM nation n JOIN src s ON n.n_nationkey = s.nk),
+             |ins AS (SELECT s.nk AS n_nationkey, s.nm AS n_name,
+             |CAST(77 AS INTEGER) AS n_regionkey FROM src s
              |LEFT JOIN nation n ON s.nk = n.n_nationkey
              |WHERE n.n_nationkey IS NULL)
              |SELECT * FROM upd UNION ALL SELECT * FROM ins"""

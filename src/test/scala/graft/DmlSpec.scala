@@ -375,4 +375,40 @@ class DmlSpec extends SparkSpec {
     assert(Dml.currentVersion(dir) == "v4")
     assert(rows(Dml.readLatest(spark, dir)) == Set((2, "b"), (3, "c")))
   }
+
+  test("MERGE clause matrix: BY SOURCE DELETE works with and without " +
+    "the INSERT arm, and its absence keeps unmatched target rows " +
+    "(m11's contract unchanged)") {
+    val sq = spark; import sq.implicits._
+    val ctx = new ExecutionContext(spark)
+    def freshTarget(name: String): Unit =
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+        .createOrReplaceTempView(name)
+    Seq((2, "B"), (9, "I")).toDF("sk", "sv")
+      .createOrReplaceTempView("g_sync_spec_src")
+    def rows(name: String) = spark.table(name).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // update + insert + by-source delete: full sync
+    freshTarget("g_sync_spec_t1")
+    ctx.execute("""MERGE INTO g_sync_spec_t1 USING g_sync_spec_src
+      ON g_sync_spec_t1.k = g_sync_spec_src.sk
+      WHEN MATCHED THEN UPDATE SET v = g_sync_spec_src.sv
+      WHEN NOT MATCHED THEN INSERT (k, v)
+      VALUES (g_sync_spec_src.sk, g_sync_spec_src.sv)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows("g_sync_spec_t1") == Set((2, "B"), (9, "I")))
+    // update + by-source delete, NO insert arm: converge to matches
+    freshTarget("g_sync_spec_t2")
+    ctx.execute("""MERGE INTO g_sync_spec_t2 USING g_sync_spec_src
+      ON g_sync_spec_t2.k = g_sync_spec_src.sk
+      WHEN MATCHED THEN UPDATE SET v = g_sync_spec_src.sv
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows("g_sync_spec_t2") == Set((2, "B")))
+    // no by-source clause: unmatched target rows survive (m11 form)
+    freshTarget("g_sync_spec_t3")
+    ctx.execute("""MERGE INTO g_sync_spec_t3 USING g_sync_spec_src
+      ON g_sync_spec_t3.k = g_sync_spec_src.sk
+      WHEN MATCHED THEN UPDATE SET v = g_sync_spec_src.sv""")
+    assert(rows("g_sync_spec_t3") == Set((1, "a"), (2, "B"), (3, "c")))
+  }
 }
