@@ -100,5 +100,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => new AsOfJoinFilterPushdown)
   }
 }

@@ -71,6 +71,11 @@ object AsOfJoin {
         _.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[AsOfJoinFilterPushdown]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          new AsOfJoinFilterPushdown
     // fresh exprIds on the dim side (Alias always mints new ones)
     val dimFresh = dim.select(
       dim.columns.map(c => org.apache.spark.sql.functions.col(c).as(c))
@@ -114,6 +119,38 @@ class AsOfJoinStrategy extends SparkStrategy {
     case AsOfJoinPlan(l, r, lk, lt, rk, rt, lo) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, lo) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rule: push probe-side filters BELOW the as-of join.
+  * Catalyst's own PushDownPredicates stops at nodes it doesn't know, so
+  * without this rule a `asofJoinNative(...).filter(probe-col = x)`
+  * scans and shuffles the ENTIRE probe side before filtering — at
+  * 100 TB that's the difference between a pruned parquet scan and a
+  * full one. A predicate referencing only `left.output` commutes with
+  * the join: the as-of match of a probe row depends only on that row
+  * and the dim side, never on other probe rows. Dim-side predicates do
+  * NOT commute (dropping a dim row can change which row is "the last
+  * at-or-before" for some probe) and are left alone — as is anything
+  * referencing the (possibly null-padded) carried dim columns under
+  * leftOuter. The rule is the fourth Catalyst extension point the
+  * operator exercises (LogicalPlan, Rule, Strategy, SparkPlan). */
+class AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val leftSet = j.left.outputSet
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(leftSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        if (kept.isEmpty) pushed else Filter(kept.reduce(And), pushed)
+      }
   }
 }
 

@@ -109,4 +109,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(nat.size == probes.count())
     assert(nat.exists(r => r(3) == null && r(4) == null))
   }
+
+  test("filter pushdown rule: a probe-side predicate above the as-of " +
+    "join reaches the parquet scan (PushedFilters), a carried-dim " +
+    "predicate stays above, and results are unchanged") {
+    val ev = Tables.t(spark, sf, "events")
+    def build() = AsOfJoin.asofJoinNative(
+      probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      dim = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("d_v"))
+        .select(col("user_id"), col("ts").as("d_ts"), col("d_v")),
+      key = "user_id", ts = "ts", dimTs = "d_ts")
+    val filtered = build().filter(col("event_id") < 500)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the predicate crossed the custom node all the way into the scan
+    assert(plan.contains("LessThan(event_id,500)"), plan.take(1500))
+    // and the optimized plan has no Filter ABOVE the join anymore
+    val opt = filtered.queryExecution.optimizedPlan
+    assert(!opt.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Filter], opt.nodeName)
+    // a predicate on the CARRIED dim column must not push: the top
+    // optimized node stays a Filter over the join
+    val dimFiltered = build().filter(col("d_v") > 1.0)
+    assert(dimFiltered.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Filter])
+    // pushdown changed the plan, not the answer
+    val viaPush = filtered.collect().map(_.toSeq).toSet
+    val viaPre = build().collect().map(_.toSeq)
+      .filter(r => r(0).asInstanceOf[Long] < 500).toSet
+    assert(viaPush == viaPre)
+  }
 }
