@@ -236,6 +236,62 @@ object SamplingQueries {
              |SELECT doc_id, epoch, shard,
              |CAST(row_number() OVER (PARTITION BY epoch, shard
              |ORDER BY k, doc_id) AS BIGINT) AS rk FROM s"""
+        .stripMargin.replace('\n', ' '))),
+
+    // p14: TRAIN-READY SHARD EXPORT — the last mile of a training-data
+    // pipeline, composing three gated primitives into one physical
+    // artifact: t44's seeded global order (md5(0:doc_id) → 8 shards),
+    // t12's token-budget packing WITHIN each shard in that order
+    // (running ws-token sum → chunk = floor(prev_cum / 4096); a chunk
+    // is one training-file's worth), and io03's layout proof — the
+    // assignment WRITES as shard-partitioned parquet and the gated
+    // readout aggregates what was READ BACK from disk, so file
+    // round-trip losslessness is inside the gate, not assumed. One
+    // oracle restates order, packing, and manifest arithmetic
+    // together. Scale: one (shard) exchange + per-shard sort by the
+    // hash key; the write is the partitioned-layout write every
+    // shard-export job does; chunk files downstream stream
+    // sequentially with zero further shuffles.
+    Q("p14_shard_export",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("k", "doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val assigned = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCountWs(col("text")).as("n_tokens"),
+            md5(concat(lit("0:"), col("doc_id").cast("string"))).as("k"))
+          .withColumn("shard",
+            conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 8)
+          .withColumn("chunk",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+              4096).cast("long"))
+        val dir = Dml.work("p14_shards", d)
+        Layouts.deleteDir(s, dir)
+        assigned.write.partitionBy("shard").parquet(dir)
+        s.read.parquet(dir)
+          // the partition column comes back via directory-name
+          // inference as int32; restore the written long
+          .groupBy(col("shard").cast("long").as("shard"), col("chunk"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc"))
+      },
+      Some("""WITH a AS (SELECT doc_id,
+             |CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+             |AS BIGINT) AS n_tokens,
+             |md5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+             |sh AS (SELECT doc_id, n_tokens, k,
+             |CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 8 AS shard
+             |FROM a),
+             |ck AS (SELECT doc_id, n_tokens, shard,
+             |CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+             |ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |1 PRECEDING), 0) / 4096) AS BIGINT) AS chunk FROM sh)
+             |SELECT shard, chunk, count(*) AS n_docs,
+             |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |min(doc_id) AS min_doc FROM ck GROUP BY 1, 2"""
         .stripMargin.replace('\n', ' ')))
   )
 }
