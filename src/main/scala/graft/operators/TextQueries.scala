@@ -1979,6 +1979,112 @@ object TextQueries {
              |ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
              |SELECT DISTINCT doc_id, 2097151 - (v % 2097152) AS pos,
              |v // 2097152 AS h FROM w WHERE n = 4"""
+        .stripMargin.replace('\n', ' '))),
+
+    // GOPHER QUALITY RULES (Rae et al. 2021, the MassiveText filter
+    // set) — the published pretraining-corpus gate, each rule stated as
+    // EXACT INTEGER arithmetic so no float threshold can tie-break
+    // differently cross-engine: word count in [5, 100000] (floor
+    // lowered from the paper's web-scale 50 so the fixture corpus
+    // exercises both outcomes), mean word length in [3, 10] via
+    // 3n ≤ Σlen ≤ 10n, symbol-to-word ratio < 0.1 via 10·sym < n
+    // (sym = '#' chars + '...' occurrences), bullet-led lines < 90%
+    // via 10·bullets < 9·lines, ellipsis-ended lines < 30% via
+    // 10·ell < 3·lines, alphabetic-word fraction > 80% via
+    // 10·alpha > 8·n, and ≥ 2 distinct required stop words. The entry
+    // emits every per-rule flag plus the conjunction, so the gate
+    // hashes the whole decision surface, not just the keep bit.
+    // Scale: per-row HOF counting fused into the scan — no shuffle,
+    // no UDF; the lines/words arrays never leave the row.
+    Q("t45_gopher_rules",
+      (s, d) => Tables.t(s, d, "documents").selectExpr(
+        "doc_id",
+        "size(filter(split(lower(trim(text)), '\\\\s+'), " +
+          "x -> x != '')) AS n_words",
+        "aggregate(filter(split(lower(trim(text)), '\\\\s+'), " +
+          "x -> x != ''), 0L, (a, x) -> a + length(x)) AS sum_len",
+        "CAST(length(text) - length(replace(text, '#', '')) + " +
+          "(length(text) - length(replace(text, '...', ''))) DIV 3 " +
+          "AS BIGINT) AS n_sym",
+        "size(split(text, '\\n')) AS n_lines",
+        "size(filter(split(text, '\\n'), x -> " +
+          "startswith(ltrim(x), '-') OR startswith(ltrim(x), '*'))) " +
+          "AS n_bullet",
+        "size(filter(split(text, '\\n'), x -> " +
+          "endswith(rtrim(x), '...'))) AS n_ell",
+        "size(filter(split(lower(trim(text)), '\\\\s+'), " +
+          "x -> x rlike '[a-z]')) AS n_alpha",
+        "(CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'the') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'data') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'key') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'row') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'join') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'fast') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'slow') THEN 1 ELSE 0 END + " +
+          "CASE WHEN array_contains(split(lower(trim(text)), '\\\\s+')," +
+          " 'a') THEN 1 ELSE 0 END) AS n_stop")
+        .selectExpr("doc_id", "n_words", "sum_len", "n_sym", "n_lines",
+          "n_bullet", "n_ell", "n_alpha", "n_stop",
+          "n_words >= 5 AND n_words <= 100000 AS r_words",
+          "3 * n_words <= sum_len AND sum_len <= 10 * n_words " +
+            "AS r_meanlen",
+          "10 * n_sym < n_words AS r_sym",
+          "10 * n_bullet < 9 * n_lines AS r_bullet",
+          "10 * n_ell < 3 * n_lines AS r_ell",
+          "10 * n_alpha > 8 * n_words AS r_alpha",
+          "n_stop >= 2 AS r_stop")
+        .withColumn("keep", col("r_words") && col("r_meanlen") &&
+          col("r_sym") && col("r_bullet") && col("r_ell") &&
+          col("r_alpha") && col("r_stop")),
+      Some("""WITH b AS (SELECT doc_id, text,
+             |list_filter(string_split_regex(trim(lower(text)),
+             |'\s+'), x -> x != '') AS ws,
+             |string_split(text, chr(10)) AS ls FROM documents),
+             |c AS (SELECT doc_id,
+             |CAST(len(ws) AS INTEGER) AS n_words,
+             |CAST(COALESCE(list_sum(list_transform(ws,
+             |x -> length(x))), 0) AS BIGINT) AS sum_len,
+             |CAST(length(text) - length(replace(text, '#', '')) +
+             |(length(text) - length(replace(text, '...', ''))) // 3
+             |AS BIGINT) AS n_sym,
+             |CAST(len(ls) AS INTEGER) AS n_lines,
+             |CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '-')
+             |OR starts_with(ltrim(x), '*'))) AS INTEGER) AS n_bullet,
+             |CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...')))
+             |AS INTEGER) AS n_ell,
+             |CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+             |AS INTEGER) AS n_alpha,
+             |CAST(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'data') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'key') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'row') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'fast') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END
+             |+ CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+             |AS INTEGER) AS n_stop FROM b)
+             |SELECT doc_id, n_words, sum_len, n_sym, n_lines, n_bullet,
+             |n_ell, n_alpha, n_stop,
+             |n_words >= 5 AND n_words <= 100000 AS r_words,
+             |3 * n_words <= sum_len AND sum_len <= 10 * n_words
+             |AS r_meanlen,
+             |10 * n_sym < n_words AS r_sym,
+             |10 * n_bullet < 9 * n_lines AS r_bullet,
+             |10 * n_ell < 3 * n_lines AS r_ell,
+             |10 * n_alpha > 8 * n_words AS r_alpha,
+             |n_stop >= 2 AS r_stop,
+             |(n_words >= 5 AND n_words <= 100000) AND
+             |(3 * n_words <= sum_len AND sum_len <= 10 * n_words) AND
+             |10 * n_sym < n_words AND 10 * n_bullet < 9 * n_lines AND
+             |10 * n_ell < 3 * n_lines AND 10 * n_alpha > 8 * n_words
+             |AND n_stop >= 2 AS keep FROM c"""
         .stripMargin.replace('\n', ' ')))
   )
 
