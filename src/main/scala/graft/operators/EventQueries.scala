@@ -1267,6 +1267,42 @@ object EventQueries {
              |CAST(event_id AS DOUBLE)
              |FROM e WHERE event_id % 4 = 2)
              |SELECT user_id, view_ts, buy_ts, buy_value FROM m"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s35: EXECUTED UPDATE-mode gate — the third output mode (complete:
+    // s07; append: s13/s29-s34). Update emits, per micro-batch, ONLY
+    // the groups that micro-batch changed — the incremental-view
+    // maintenance contract a downstream upsert sink keys on. Two
+    // deterministic batches (event_id parity); the memory sink in
+    // update mode appends each batch's emissions, so the settled table
+    // is batch 0's partial counts PLUS, for every type touched by
+    // batch 1, the cumulative count — exactly what the oracle states
+    // (a type absent from batch 1 appears once; a type in both
+    // appears twice, partial then total). No watermark: unevicted
+    // state is precisely what update mode lets you run without one.
+    Q("s35_stream_update_mode",
+      (s, d) => {
+        val ev = Tables.t(s, d, "events")
+          .select(col("event_id"), col("event_type"))
+        val dir = Dml.work("s35_landing", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1)))
+        val st = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        drainStream(s,
+          st.groupBy("event_type").agg(count(lit(1)).as("n")),
+          mode = "update")
+      },
+      Some("""WITH b0 AS (SELECT event_type, count(*) AS n FROM events
+             |WHERE event_id % 2 = 0 GROUP BY 1),
+             |tot AS (SELECT event_type, count(*) AS n FROM events
+             |GROUP BY 1),
+             |b1t AS (SELECT DISTINCT event_type FROM events
+             |WHERE event_id % 2 = 1)
+             |SELECT event_type, n FROM b0
+             |UNION ALL SELECT t.event_type, t.n FROM tot t
+             |JOIN b1t USING (event_type)"""
         .stripMargin.replace('\n', ' ')))
   )
 
