@@ -65,7 +65,8 @@ object AsOfJoin {
       key: String,
       ts: String,
       dimTs: String,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      forward: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.exists(
         _.isInstanceOf[AsOfJoinStrategy]))
@@ -87,7 +88,7 @@ object AsOfJoin {
         s"asofJoinNative: no column '$n' in ${p.output.map(_.name)}"))
     GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, dimTs),
-      leftOuter))
+      leftOuter, forward))
   }
 }
 
@@ -100,7 +101,8 @@ case class AsOfJoinPlan(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    leftOuter: Boolean = false)
+    leftOuter: Boolean = false,
+    forward: Boolean = false)
   extends BinaryNode {
 
   // left-outer null-pads the dim payload, so its attributes turn nullable
@@ -116,8 +118,9 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, lo) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, lo) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, lo, fw) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, lo, fw) ::
+        Nil
     case _ => Nil
   }
 }
@@ -169,7 +172,8 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    leftOuter: Boolean = false)
+    leftOuter: Boolean = false,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -182,13 +186,19 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // forward (earliest-at-or-AFTER) flips only the TIME sort: scanning
+  // time descending makes the merge's "last advanced" row the smallest
+  // timestamp ≥ the probe's — the mirror image of the backward walk
+  private def tsDir = if (forward)
+    org.apache.spark.sql.catalyst.expressions.Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)) ::
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ::
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir)) ::
       Nil
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
@@ -229,8 +239,9 @@ case class AsOfJoinExec(
               dimBuf.next() // null keys/timestamps never match
             } else {
               val kc = kOrd.compare(d.get(rKeyIdx, keyType), pk)
-              if (kc < 0 ||
-                  (kc == 0 && tOrd.compare(d.get(rTsIdx, tsType), pt) <= 0))
+              val tc = tOrd.compare(d.get(rTsIdx, tsType), pt)
+              if (kc < 0 || (kc == 0 && (if (forward) tc >= 0
+                else tc <= 0)))
                 cand = dimBuf.next().copy()
               else advancing = false
             }

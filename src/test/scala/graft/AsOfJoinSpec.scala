@@ -110,6 +110,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(nat.exists(r => r(3) == null && r(4) == null))
   }
 
+  test("forward native: earliest dim at-or-after per key equals the " +
+    "composed forward form; equal-ts still matches") {
+    val (probes, dims) = fixture
+    val nat = AsOfJoin.asofJoinNative(
+      probes, dims.select(col("k"), col("ts").as("d_ts"),
+        col("dim_v").as("d_v")),
+      key = "k", ts = "ts", dimTs = "d_ts", forward = true)
+      .select("pid", "k", "ts", "d_ts", "d_v")
+      .collect().map(_.toSeq).toSet
+    val composed = EventQueries.asofJoin(
+      probe = probes, dim = dims, key = "k", ts = "ts", tsOut = "d_ts",
+      dimCols = Seq("dim_v" -> "d_v"), forward = true)
+      .select("pid", "k", "ts", "d_ts", "d_v")
+      .collect().map(_.toSeq).toSet
+    assert(nat.nonEmpty && nat == composed,
+      s"native ${nat.size} vs composed ${composed.size}")
+    // probe exactly on a dim tick matches THAT tick, not the next
+    val sq = spark; import sq.implicits._
+    val one = AsOfJoin.asofJoinNative(
+      Seq((1L, 7L, t(100))).toDF("pid", "k", "ts"),
+      Seq((7L, t(100), 42L), (7L, t(101), 43L))
+        .toDF("k", "ts", "dim_v")
+        .select(col("k"), col("ts").as("d_ts"), col("dim_v").as("d_v")),
+      key = "k", ts = "ts", dimTs = "d_ts", forward = true).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 42L,
+      one.mkString(";"))
+  }
+
   test("filter pushdown rule: a probe-side predicate above the as-of " +
     "join reaches the parquet scan (PushedFilters), a carried-dim " +
     "predicate stays above, and results are unchanged") {
