@@ -424,6 +424,37 @@ object SourceQueries {
         Tables.t(s, d, "orders").write.mode("overwrite").orc(dir)
         s.read.orc(dir)
       },
-      Some("SELECT * FROM orders"))
+      Some("SELECT * FROM orders")),
+
+    // io14: DYNAMIC partition overwrite — the BACKFILL write semantic:
+    // re-running one day/category's pipeline must replace ONLY the
+    // partitions the new data touches, not truncate the table (static
+    // overwrite mode — Spark's default — wipes every partition first;
+    // at 100 TB that difference is a catastrophic data-loss footgun,
+    // which is why this is a gated semantic, not a config footnote).
+    // Harness: write events partitioned by type, then overwrite JUST
+    // the 'click' partition with value-doubled rows under
+    // partitionOverwriteMode=dynamic; the gated read-back must show
+    // doubled clicks AND untouched other partitions — the oracle
+    // states exactly that CASE split. Scale: the rewrite IO is
+    // proportional to the touched partition, never the table.
+    Q("io14_dynamic_overwrite",
+      (s, d) => {
+        val dir = Dml.work("io14", d) + "/events_by_type"
+        val ev = Tables.t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type").parquet(dir)
+        s.read.parquet(dir)
+      },
+      Some("""SELECT event_id, user_id,
+             |CASE WHEN event_type = 'click' THEN value * 2
+             |ELSE value END AS value, event_type FROM events"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -322,4 +322,28 @@ class SkewLayoutSpec extends SparkSpec {
       .filter(col("length") < 4)
     assert(filtered.count() == 1)
   }
+
+  test("io14 contrast: STATIC overwrite truncates untouched partitions; " +
+    "dynamic replaces only the written ones — the backfill-safety gap") {
+    val sq = spark; import sq.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "part", "v")
+    val patch = Seq((9L, "a", 9.0)).toDF("id", "part", "v")
+    val d1 = Dml.work("io14spec_static", sf)
+    Layouts.deleteDir(spark, d1)
+    base.write.partitionBy("part").parquet(d1)
+    patch.write.mode("overwrite").partitionBy("part").parquet(d1)
+    // static (default): partition b is GONE
+    assert(spark.read.parquet(d1).count() == 1)
+    val d2 = Dml.work("io14spec_dynamic", sf)
+    Layouts.deleteDir(spark, d2)
+    base.write.partitionBy("part").parquet(d2)
+    patch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(d2)
+    val rows = spark.read.parquet(d2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // partition a replaced wholesale (1 and 3 gone, 9 in); b intact
+    assert(rows == Set((9L, "a"), (2L, "b")), rows.toString)
+  }
 }
