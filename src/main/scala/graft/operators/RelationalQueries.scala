@@ -1025,7 +1025,38 @@ object RelationalQueries {
         Seq(msg).toDF("error_msg")
       },
       Some("SELECT 'Table: no_such_table does not exist in database' " +
-        "AS error_msg"))
+        "AS error_msg")),
+
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    // semantic plain `=` can't express: NULL keys MATCH each other
+    // instead of vanishing (three-valued logic drops them from every
+    // ordinary join). The construction derives a nullable key on both
+    // sides (orders: NULL for the 1-URGENT priority class; customer
+    // probe: NULL for segment BUILDING) so the null-bucket join arm
+    // demonstrably fires — counts per matched pair prove both arms.
+    // Scale note: `<=>` hashes NULL like any other key value, so ALL
+    // null-keyed rows land in ONE partition — the documented skew
+    // hazard of null-safe joins (salt or pre-split the null bucket at
+    // 100 TB); the semantic, not the layout, is what's gated here.
+    Q("q54_nullsafe_join",
+      (s, d) => {
+        val o = Tables.t(s, d, "orders").select(
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_custkey") % 10).as("k"))
+        val c = Tables.t(s, d, "customer").select(
+          when(col("c_mktsegment") === "BUILDING", lit(null))
+            .otherwise(col("c_custkey") % 10).as("k"))
+        o.join(c, o("k") <=> c("k"))
+          .groupBy(o("k").as("k"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH o AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+             |THEN NULL ELSE o_custkey % 10 END AS k FROM orders),
+             |c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING'
+             |THEN NULL ELSE c_custkey % 10 END AS k FROM customer)
+             |SELECT o.k, count(*) AS n_pairs FROM o JOIN c
+             |ON o.k IS NOT DISTINCT FROM c.k GROUP BY o.k"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */

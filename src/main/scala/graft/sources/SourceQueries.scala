@@ -455,6 +455,30 @@ object SourceQueries {
       Some("""SELECT event_id, user_id,
              |CASE WHEN event_type = 'click' THEN value * 2
              |ELSE value END AS value, event_type FROM events"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // io15: ZSTD parquet round trip — the compression codec a 100 TB
+    // lake actually runs (snappy is Spark's default for historical
+    // speed reasons; zstd cuts storage ~30-40% at comparable scan
+    // cost, and at petabyte scale the storage bill IS the argument).
+    // The gate carries lineitem — the widest, most numeric table —
+    // through write-zstd → read and must hash-match the original;
+    // codec choice must be a pure layout concern with zero value
+    // drift, which is exactly what a bit-hash proves. The codec
+    // actually being zstd is asserted on the file names in-entry (a
+    // misspelled option silently falls back to snappy — that silence
+    // is the trap worth guarding).
+    Q("io15_zstd_roundtrip",
+      (s, d) => {
+        val dir = Dml.work("io15", d) + "/lineitem_zstd"
+        Tables.t(s, d, "lineitem").write.mode("overwrite")
+          .option("compression", "zstd").parquet(dir)
+        val files = new java.io.File(dir).listFiles()
+          .map(_.getName).filter(_.endsWith(".parquet"))
+        require(files.nonEmpty && files.forall(_.contains(".zstd.")),
+          s"expected zstd-compressed parts, got ${files.toSeq}")
+        s.read.parquet(dir)
+      },
+      Some("SELECT * FROM lineitem"))
   )
 }
