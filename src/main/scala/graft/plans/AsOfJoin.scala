@@ -39,8 +39,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   * Scale: one hash exchange per side on the join key, then a single
   * forward pass over each partition holding ONE buffered dim row — O(1)
   * state, no per-key buffering, no range explosion; the same shuffle
-  * floor as an equi-join at 100 TB. Skewed hot keys split fine under AQE
-  * because the dim side advance is monotone within a partition.
+  * floor as an equi-join at 100 TB. AQE honesty: it coalesces this
+  * exec's post-shuffle partitions, but its skew-JOIN splitting only
+  * rewrites SortMergeJoin/ShuffledHashJoin — a pathologically hot key
+  * here is NOT auto-split (splitting a key's probe rows would need the
+  * dim run replicated to each split, a rewrite AQE doesn't know). The
+  * merge is O(probe+dim) per partition with O(1) state, so a hot key
+  * degrades linearly, not quadratically; beyond that, pre-bucket the
+  * hot keys' time range (compose with a range filter) as with any
+  * stateful keyed operator.
   *
   * Correctness gate: s32 shares s05's oracle VERBATIM — one oracle, two
   * physical plans (window-composed vs native exec), so the driver's hash
