@@ -292,6 +292,68 @@ object SamplingQueries {
              |SELECT shard, chunk, count(*) AS n_docs,
              |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |min(doc_id) AS min_doc FROM ck GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // t46: TRAINING-SEQUENCE MATERIALIZATION — the step after p14's
+    // file packing: the per-shard token-id STREAM (doc word-ids + an
+    // EOS=0 after each doc, docs in t44's seeded hash order) cut into
+    // fixed 64-token sequences, each token addressed by its position
+    // IN its sequence. This is the batch shape a trainer mmaps; the
+    // gate hashes a position-weighted checksum per sequence —
+    // Σ id·(pos_in_seq+1) — so a single token shifted by one position
+    // anywhere in the corpus flips a sequence's hash. Word-ids are
+    // md5-derived (mod 32000, the BPE-vocab stand-in; +1 reserves 0
+    // for EOS) so both engines derive the identical stream. Scale:
+    // one (shard) exchange; the running offset is a per-shard window,
+    // the explode is O(tokens), and sequences never materialize as
+    // arrays — only their aggregates do.
+    Q("t46_sequence_pack",
+      (s, d) => {
+        val wOff = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("k", "doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat(lit("0:"), col("doc_id").cast("string"))).as("k"),
+            expr("concat(transform(filter(split(lower(trim(text)), " +
+              "'\\\\s+'), x -> x != ''), w -> " +
+              "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) " +
+              "% 32000 + 1), array(0L)) AS ids"))
+          .withColumn("shard",
+            conv(substring(col("k"), 1, 15), 16, 10).cast("long") % 8)
+          .withColumn("nt", size(col("ids")).cast("long"))
+          .withColumn("cum",
+            coalesce(sum(col("nt")).over(wOff), lit(0L)))
+          .select(col("shard"), col("cum"),
+            posexplode(col("ids")).as(Seq("pos", "id")))
+          .withColumn("g", col("cum") + col("pos"))
+          .groupBy(col("shard"), expr("g DIV 64").as("seq_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("id") === 0, 1)).as("n_eos"),
+            sum(col("id") * (col("g") % 64 + 1)).as("checksum"))
+      },
+      Some("""WITH a AS (SELECT doc_id,
+             |md5('0:' || CAST(doc_id AS VARCHAR)) AS k,
+             |list_append(list_transform(list_filter(
+             |string_split_regex(trim(lower(text)), '\s+'),
+             |x -> x != ''), w -> CAST(('0x' || substr(md5(w), 1, 15))
+             |AS BIGINT) % 32000 + 1), 0) AS ids FROM documents),
+             |sh AS (SELECT doc_id, k, ids,
+             |CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 8 AS shard,
+             |CAST(len(ids) AS BIGINT) AS nt FROM a),
+             |c AS (SELECT *, COALESCE(sum(nt) OVER (PARTITION BY shard
+             |ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |1 PRECEDING), 0) AS cum FROM sh),
+             |e AS (SELECT shard,
+             |CAST(cum + generate_subscripts(ids, 1) - 1 AS BIGINT) AS g,
+             |unnest(ids) AS id FROM c)
+             |SELECT shard, CAST(g // 64 AS BIGINT) AS seq_id,
+             |count(*) AS n_tokens,
+             |count(CASE WHEN id = 0 THEN 1 END) AS n_eos,
+             |CAST(sum(id * (g % 64 + 1)) AS BIGINT) AS checksum
+             |FROM e GROUP BY 1, 2"""
         .stripMargin.replace('\n', ' ')))
   )
 }
