@@ -181,6 +181,24 @@ class ExecutionContext(
         if (isTempView(name)) sqlInsert(name, Option(cols),
           spark.sql(selectText))
         else spark.sql(stmt)
+      case ExecutionContext.AlterAddRe(tbl, colName, colType) =>
+        sqlAlter(tbl, stmt) { df =>
+          require(!df.columns.exists(_.equalsIgnoreCase(colName)),
+            s"ALTER TABLE ADD COLUMN: column '$colName' already exists")
+          df.withColumn(colName, expr(s"CAST(NULL AS $colType)"))
+        }
+      case ExecutionContext.AlterRenameRe(tbl, from, to) =>
+        sqlAlter(tbl, stmt) { df =>
+          require(df.columns.exists(_.equalsIgnoreCase(from)),
+            s"ALTER TABLE RENAME COLUMN: no column '$from'")
+          df.withColumnRenamed(from, to)
+        }
+      case ExecutionContext.AlterDropRe(tbl, colName) =>
+        sqlAlter(tbl, stmt) { df =>
+          require(df.columns.exists(_.equalsIgnoreCase(colName)),
+            s"ALTER TABLE DROP COLUMN: no column '$colName'")
+          df.drop(colName)
+        }
       case _ =>
         // CREATE TABLE with constraint clauses: strip them into graft.*
         // TBLPROPERTIES (the registry the typed createTable uses) so the
@@ -333,6 +351,19 @@ class ExecutionContext(
       notMatchedBySourceDelete = bySourceDelete)
     out.createOrReplaceTempView(table)
     out
+  }
+
+  /** Apply a schema-evolution transform to a session view (re-registered
+    * under the same name); catalog tables keep Spark's native ALTER. */
+  private def sqlAlter(tblRaw: String, stmt: String)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val name = ExecutionContext.unquote(tblRaw)
+    requireTable(name)
+    if (isTempView(name)) {
+      val out = f(spark.table(name))
+      out.createOrReplaceTempView(name)
+      out
+    } else spark.sql(stmt)
   }
 
   private def isTempView(name: String): Boolean =
@@ -649,6 +680,21 @@ object ExecutionContext {
   // INSERT INTO only (INSERT OVERWRITE keeps Spark's native path). The
   // VALUES tail re-parses through `SELECT * FROM (VALUES …)`, so tuple
   // syntax/typing stays Catalyst's problem, not a regex's.
+  // ALTER TABLE on the session-view store: the three column-evolution
+  // forms a schema migration needs. ADD COLUMN takes any SQL type text
+  // (the new column is typed NULL via CAST(NULL AS <type>) — reference
+  // semantics for rows that predate the column); RENAME/DROP are pure
+  // projections. Catalog tables keep Spark's native ALTER path.
+  private[graft] val AlterAddRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+COLUMNS?\\s*""" +
+      s"""\\(?\\s*(\\w+)\\s+([^()]+?(?:\\([^)]*\\))?)\\s*\\)?\\s*$$$$""").r
+  private[graft] val AlterRenameRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+RENAME\\s+COLUMN\\s+""" +
+      s"""(\\w+)\\s+TO\\s+(\\w+)\\s*$$$$""").r
+  private[graft] val AlterDropRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+DROP\\s+COLUMNS?\\s*""" +
+      s"""\\(?\\s*(\\w+)\\s*\\)?\\s*$$$$""").r
+
   private[graft] val InsertValuesRe =
     (s"""(?is)^\\s*INSERT\\s+INTO\\s+($Ident)\\s*""" +
       s"""(?:\\(([^)]*)\\)\\s*)?VALUES\\s+(.+?)\\s*$$""").r

@@ -707,6 +707,32 @@ object DmlQueries {
              |SELECT * FROM upd UNION ALL SELECT * FROM ins"""
         .stripMargin.replace('\n', ' '))),
 
+    // m20: ALTER TABLE column evolution — the WRITE side of io04's
+    // schema-evolution read: ADD COLUMN (typed NULL for rows predating
+    // the column — the lakehouse backfill contract), an UPDATE
+    // populating it for a predicate class, RENAME, and DROP, each a
+    // separate SQL statement against the session view, with the final
+    // SELECT reading the evolved schema. The oracle restates the whole
+    // five-statement session as one expression. DROP removes the money
+    // column, which also keeps the gated output float-free.
+    Q("m20_alter_table",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        Tables.t(s, d, "supplier")
+          .createOrReplaceTempView("g_alter_supplier")
+        ctx.execute("ALTER TABLE g_alter_supplier ADD COLUMN tier STRING")
+        ctx.execute("""UPDATE g_alter_supplier SET tier = 'premium'
+          WHERE s_acctbal > 5000.0""")
+        ctx.execute(
+          "ALTER TABLE g_alter_supplier RENAME COLUMN tier TO band")
+        ctx.execute("ALTER TABLE g_alter_supplier DROP COLUMN s_acctbal")
+        ctx.execute("SELECT * FROM g_alter_supplier")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey,
+             |CASE WHEN s_acctbal > 5000.0 THEN 'premium' END AS band
+             |FROM supplier"""
+        .stripMargin.replace('\n', ' '))),
+
     // CREATE TABLE AS SELECT — the remaining DDL statement form after
     // m05's column-list CREATE: the derived summary materializes as a
     // real parquet catalog table and the follow-up SELECT reads it

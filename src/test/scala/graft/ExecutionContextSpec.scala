@@ -656,4 +656,36 @@ class ExecutionContextSpec extends SparkSpec {
     assert(r1.count() == Tables.t(spark, sf, "region").count())
     spark.catalog.dropTempView("spec_sql_iso")
   }
+
+  test("ALTER TABLE guards: duplicate ADD, missing RENAME/DROP columns, " +
+    "and a parenthesized decimal type all behave; missing table gets " +
+    "the reference error") {
+    val sq = spark; import sq.implicits._
+    val ctx = new ExecutionContext(spark)
+    Seq((1L, "x")).toDF("id", "name")
+      .createOrReplaceTempView("spec_alter_t")
+    ctx.execute("ALTER TABLE spec_alter_t ADD COLUMN score DECIMAL(18,2)")
+    assert(spark.table("spec_alter_t").schema("score").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    // pre-existing rows read typed NULL in the new column
+    assert(spark.table("spec_alter_t").filter(org.apache.spark.sql.functions.col("score").isNull)
+      .count() == 1)
+    val dup = intercept[IllegalArgumentException] {
+      ctx.execute("ALTER TABLE spec_alter_t ADD COLUMN score INT")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    val mis = intercept[IllegalArgumentException] {
+      ctx.execute("ALTER TABLE spec_alter_t RENAME COLUMN nope TO x")
+    }
+    assert(mis.getMessage.contains("no column"))
+    val misD = intercept[IllegalArgumentException] {
+      ctx.execute("ALTER TABLE spec_alter_t DROP COLUMN nope")
+    }
+    assert(misD.getMessage.contains("no column"))
+    val noTbl = intercept[IllegalArgumentException] {
+      ctx.execute("ALTER TABLE spec_alter_missing ADD COLUMN a INT")
+    }
+    assert(noTbl.getMessage.contains("does not exist in database"))
+    spark.catalog.dropTempView("spec_alter_t")
+  }
 }
