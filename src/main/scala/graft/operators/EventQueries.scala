@@ -1303,6 +1303,54 @@ object EventQueries {
              |SELECT event_type, n FROM b0
              |UNION ALL SELECT t.event_type, t.n FROM tot t
              |JOIN b1t USING (event_type)"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s36: STREAMING MERGE SINK — foreachBatch applying each micro-batch
+    // as a MERGE into the copy-on-write store (the production CDC-apply
+    // / streaming-upsert pattern: Structured Streaming provides ordered
+    // exactly-once batch delivery, the store provides the atomic
+    // committed version, and MERGE is the idempotent-ish apply in
+    // between). Two deterministic batches of per-user event counts;
+    // each foreachBatch MERGEs batch aggregates into the running
+    // per-user totals (matched: n = t.n + s.n; unmatched: insert), and
+    // the gate reads the store's final committed version — a user
+    // active in both batches must show the SUM, which only holds if
+    // batch 2's merge read batch 1's commit. The oracle restates the
+    // converged state as plain totals.
+    Q("s36_stream_merge_sink",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.t(s, d, "events")
+          .select(col("event_id"), col("user_id"))
+        val landing = Dml.work("s36_landing", d)
+        EventStreams.writeBatchLanding(s, landing, Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1)))
+        val store = Dml.work("s36_store", d)
+        Layouts.deleteDir(s, store)
+        val st = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+        val q = st.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            val agg = batch.groupBy("user_id")
+              .agg(count(lit(1)).as("n"))
+            val base =
+              if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(store, "_latest")))
+                Dml.readLatest(s, store)
+              else agg.limit(0) // empty target with the store schema
+            Dml.merge(base, store, agg,
+              col("t.user_id") === col("s.user_id"),
+              Map("n" -> (col("t.n") + col("s.n"))),
+              Some(Seq("user_id", "n")),
+              Some(Seq(col("s.user_id"), col("s.n"))))
+            ()
+        }.trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        Dml.readLatest(s, store)
+      },
+      Some("""SELECT user_id, count(*) AS n FROM events
+             |GROUP BY user_id"""
         .stripMargin.replace('\n', ' ')))
   )
 
