@@ -53,6 +53,47 @@ object Graph {
         (col("rank_num").cast("double") / lit(20000.0 / 50 * n)).as("rank"))
   }
 
+  /** Two exact PERSONALIZED-PageRank iterations — [[domainPagerank2]]
+    * with the teleport mass restricted to a SEED set (the graph-based
+    * data-selection primitive: "rank everything by relevance to these
+    * trusted domains"; unlike global PR, mass only enters at seeds and
+    * decays through links). Same integer-numerator discipline: with
+    * damping 17/20 and uniform start over the |S| seeds, scaling by
+    * |S|·20^t gives
+    *   N_0(v) = 1_S(v)
+    *   N_{t+1}(v) = 3·20^t·1_S(v) + 17·Σ_{u→v} N_t(u)
+    * — integer sums only on the out-degree-1 graph; the final score is
+    * one exact division by |S|·400 (the denominator), rendered DOUBLE.
+    * |S| rides the plan as a broadcast scalar (one-row cross join), so
+    * nothing is collected. Scale: two edge-join + groupBy rounds, the
+    * g01 shuffle classes; production iterates to tolerance with the
+    * fixed-point protocol. */
+  def domainPpr2(
+      docs: DataFrame,
+      n: Int = 50,
+      seedBelow: Int = 10): DataFrame = {
+    val nodes = docs.select((col("doc_id") % n).as("v")).distinct()
+    val edges = docs.select((col("doc_id") % n).as("src"),
+      ((col("doc_id") * col("doc_id") + 1) % n).as("dst")).distinct()
+    val seeded = nodes.withColumn("s",
+      when(col("v") < seedBelow, 1L).otherwise(0L))
+    val n0 = seeded.withColumn("nv", col("s"))
+    def round(prev: DataFrame, teleport: Long): DataFrame = {
+      val contrib = edges.join(prev, edges("src") === prev("v"))
+        .groupBy(col("dst")).agg(sum(col("nv")).as("c"))
+      seeded.join(contrib, seeded("v") === contrib("dst"), "left")
+        .select(col("v"), col("s"),
+          (lit(teleport) * col("s") +
+            lit(17L) * coalesce(col("c"), lit(0L))).as("nv"))
+    }
+    val n2 = round(round(n0, 3L), 60L)
+    val nSeeds = seeded.agg(sum(col("s")).as("n_seeds"))
+    n2.crossJoin(nSeeds)
+      .select(col("v").as("domain"), col("nv").as("ppr_num"),
+        (col("nv").cast("double") /
+          (col("n_seeds").cast("double") * 400.0)).as("ppr"))
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the production-scale alternative to [[Dedup
@@ -595,6 +636,36 @@ object GraphQueries {
              |SELECT doc_id,
              |CAST(CASE WHEN idx < cs AND cs >= 4 THEN 1 ELSE 0 END
              |AS INTEGER) AS in_kcore FROM c"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PERSONALIZED PAGERANK under the hash gate — see [[Graph
+    // .domainPpr2]]. Same constructed functional graph as g01; seeds =
+    // domains 0–9. The oracle replays the two integer-numerator rounds
+    // as CTEs; ppr_num is exact cross-engine and ppr is ONE division of
+    // identical integers. A non-seed domain with no seed-reachable
+    // in-path must read 0 — teleport locality, the property global PR
+    // (g01) cannot express.
+    Q("g08_domain_ppr",
+      (s, d) => Graph.domainPpr2(Tables.t(s, d, "documents")),
+      Some("""WITH nodes AS (SELECT DISTINCT doc_id % 50 AS v
+             |FROM documents),
+             |e AS (SELECT DISTINCT doc_id % 50 AS src,
+             |(doc_id * doc_id + 1) % 50 AS dst FROM documents),
+             |sd AS (SELECT v, CASE WHEN v < 10 THEN 1 ELSE 0 END AS s
+             |FROM nodes),
+             |c0 AS (SELECT e.dst, CAST(sum(sd.s) AS BIGINT) AS c
+             |FROM e JOIN sd ON e.src = sd.v GROUP BY e.dst),
+             |n1 AS (SELECT sd.v, sd.s,
+             |3 * sd.s + 17 * COALESCE(c0.c, 0) AS nv
+             |FROM sd LEFT JOIN c0 ON sd.v = c0.dst),
+             |c1 AS (SELECT e.dst, CAST(sum(n1.nv) AS BIGINT) AS c
+             |FROM e JOIN n1 ON e.src = n1.v GROUP BY e.dst),
+             |n2 AS (SELECT sd.v, 60 * sd.s + 17 * COALESCE(c1.c, 0)
+             |AS nv FROM sd LEFT JOIN c1 ON sd.v = c1.dst),
+             |k AS (SELECT CAST(sum(s) AS BIGINT) AS n_seeds FROM sd)
+             |SELECT n2.v AS domain, CAST(n2.nv AS BIGINT) AS ppr_num,
+             |CAST(n2.nv AS DOUBLE) / (CAST(k.n_seeds AS DOUBLE) * 400.0)
+             |AS ppr FROM n2 CROSS JOIN k"""
         .stripMargin.replace('\n', ' '))),
 
     // BFS CLOSENESS under the hash gate — see [[Graph.bfsCloseness]].

@@ -160,4 +160,20 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("frontier still growing"))
   }
+
+  test("g08 teleport locality: PPR mass is zero on domains with no " +
+    "seed-reachable in-path within two hops, while global PR (g01) is " +
+    "strictly positive everywhere — the property that distinguishes them") {
+    val docs = Tables.t(spark, sf, "documents")
+    val ppr = Graph.domainPpr2(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.domainPagerank2(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.values.forall(_ > 0L), "global PR teleports everywhere")
+    assert(ppr.values.exists(_ == 0L),
+      s"expected at least one zero-mass domain, got ${ppr.values.min}")
+    // seeds themselves always carry at least the teleport term
+    (0L to 9L).filter(ppr.contains).foreach(v =>
+      assert(ppr(v) >= 60L, s"seed $v lost its teleport mass: ${ppr(v)}"))
+  }
 }
