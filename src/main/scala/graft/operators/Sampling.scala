@@ -292,7 +292,8 @@ object SamplingQueries {
              |SELECT shard, chunk, count(*) AS n_docs,
              |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |min(doc_id) AS min_doc FROM ck GROUP BY 1, 2"""
-        .stripMargin.replace('\n', ' '))),
+        .stripMargin.replace('\n', ' ')),
+      bench = true),
 
     // t46: TRAINING-SEQUENCE MATERIALIZATION — the step after p14's
     // file packing: the per-shard token-id STREAM (doc word-ids + an
@@ -354,6 +355,7 @@ object SamplingQueries {
              |count(CASE WHEN id = 0 THEN 1 END) AS n_eos,
              |CAST(sum(id * (g % 64 + 1)) AS BIGINT) AS checksum
              |FROM e GROUP BY 1, 2"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

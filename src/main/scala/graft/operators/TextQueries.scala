@@ -2085,7 +2085,8 @@ object TextQueries {
              |10 * n_sym < n_words AND 10 * n_bullet < 9 * n_lines AND
              |10 * n_ell < 3 * n_lines AND 10 * n_alpha > 8 * n_words
              |AND n_stop >= 2 AS keep FROM c"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 
   /** Shared t41/p13 builder: construct the deterministic conversation
