@@ -438,6 +438,118 @@ object Graph {
         when(col("total_dist") > 0,
           col("n_reached").cast("double") / col("total_dist")))
   }
+
+  /** LINK PREDICTION by common-neighbor count + neighborhood Jaccard —
+    * the "which domains SHOULD link" primitive behind crawl-frontier
+    * expansion and related-source discovery: a non-adjacent pair whose
+    * neighborhoods overlap heavily is the top candidate edge. For every
+    * non-adjacent pair (a < b) with at least one shared neighbor:
+    * cn = |Γ(a) ∩ Γ(b)|, deg_a/deg_b, and
+    * jaccard = cn / (deg_a + deg_b − cn) — integer statistics end to
+    * end, ONE exact division at readout (the g05 discipline; identical
+    * integers render identical doubles on both engines).
+    *
+    * Plan: the wedge self-join adj(m,a) ⋈ adj(m,b) on the shared
+    * MIDDLE vertex m — one shuffle keyed by m, then one pair-keyed
+    * aggregation, an anti-join against the edge set (candidates must
+    * be non-edges), and two degree joins. Scale: wedge fan-out is
+    * Σ_m deg(m)², dominated by hub middles — production caps or
+    * samples middles above a degree bound before the self-join (the
+    * d03 maxBucket pattern applied to vertices); the cap drops only
+    * candidates whose ONLY evidence is a hub, which is exactly the
+    * weak-signal tail (everything is a hub's neighbor). */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
+    val adj = e.select(col("lo").as("m"), col("hi").as("x"))
+      .union(e.select(col("hi").as("m"), col("lo").as("x")))
+    val deg = adj.groupBy(col("m").as("v")).agg(count(lit(1)).as("d"))
+    val cn = adj.as("p").join(adj.as("q"),
+        col("p.m") === col("q.m") && col("p.x") < col("q.x"))
+      .groupBy(col("p.x").as("a"), col("q.x").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = cn.join(e,
+        cn("a") === e("lo") && cn("b") === e("hi"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("a"), col("d").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn"))).as("jaccard"))
+  }
+
+  /** k-TRUSS — the triangle-reinforced subgraph: keep exactly the edges
+    * that sit in ≥ k−2 triangles WITHIN the surviving edge set, to a
+    * fixed point. Where [[kCore]] peels weak NODES, the truss peels
+    * weak EDGES, and it is the standard next rung of cohesion: a
+    * spam-ring/community detector that a degree filter cannot fake
+    * (pendant stars have high degree hubs but zero triangles). The
+    * fixed point matters — support counts REFERENCE the surviving set,
+    * so removals cascade (a "book" of triangles over a shared spine
+    * edge keeps the spine's support high until the page edges peel,
+    * THEN the spine collapses a round later); any single-pass support
+    * filter gets exactly that shape wrong, which the gated entry's
+    * constructed corpus exercises.
+    *
+    * Per round: the oriented a<b<c triangle enumeration (the g03
+    * two-join plan — each triangle found once), exploded back onto its
+    * three edges, one groupBy(lo,hi) support count, and a semi-join
+    * keep — all edge-keyed shuffles. Convergence by the [[kCore]]
+    * protocol: persist + order-independent checksum per round, lineage
+    * cut via RDD rebuild, loud abort at maxIter (peel chains deeper
+    * than the budget must not return a half-peeled set silently).
+    * Scale: round count is the peel depth (graph-diameter-ish, small
+    * in practice); each round's cost is the triangle join, bounded by
+    * Σ deg(v)^1.5 under degree orientation. Returns every input edge
+    * with an `in_truss` 0/1 flag. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val base0 = edges
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
+    val base = ManagedCache.persist(base0)
+    var e = base
+    var cached = base
+    var sig = checksum(e)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val tris = e.as("ab")
+        .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+        .join(e.as("ac"), col("ac.lo") === col("ab.lo") &&
+          col("ac.hi") === col("bc.hi"))
+        .select(col("ab.lo").as("a"), col("ab.hi").as("b"),
+          col("bc.hi").as("c"))
+      val support = tris
+        .select(col("a").as("lo"), col("b").as("hi"))
+        .union(tris.select(col("b").as("lo"), col("c").as("hi")))
+        .union(tris.select(col("a").as("lo"), col("c").as("hi")))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+      val next0 = e.join(support.select("lo", "hi"),
+        Seq("lo", "hi"), "left_semi")
+      val next = ManagedCache.persist(next0)
+      val nextSig = checksum(next) // materializes `next`
+      done = nextSig == sig
+      sig = nextSig
+      if (cached ne base) cached.unpersist(blocking = false)
+      cached = next
+      val slim = next.select("lo", "hi")
+      e = spark.createDataFrame(slim.rdd, slim.schema)
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"kTruss(k=$k) did not reach a fixed point in $maxIter rounds " +
+          "— the peel cascade is deeper than maxIter; raise it")
+    base
+      .join(e.withColumn("__in", lit(1)), Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"),
+        coalesce(col("__in"), lit(0)).as("in_truss"))
+  }
 }
 
 object GraphQueries {
@@ -704,6 +816,93 @@ object GraphQueries {
              |CASE WHEN sum(d) > 0 THEN
              |CAST(count(*) - 1 AS DOUBLE) / sum(d) END AS closeness
              |FROM sp GROUP BY src"""
+        .stripMargin.replace('\n', ' '))),
+
+    // LINK PREDICTION under the hash gate — see [[Graph
+    // .linkPrediction]]. Graph: g03's constructed 30-domain graph
+    // (three residue generators), so both engines derive identical
+    // edges and the gate holds the wedge self-join, the non-edge
+    // anti-join, the degree joins, and the one exact Jaccard division
+    // bit-for-bit. Every candidate is a NON-edge with >= 1 shared
+    // neighbor — the frontier-expansion shortlist.
+    Q("g09_link_prediction",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val a = (col("doc_id") % 30).as("a")
+        def gen(b: org.apache.spark.sql.Column) =
+          docs.select(a, (b % 30).as("b"))
+        val raw = gen(col("doc_id") * col("doc_id") + 1)
+          .union(gen(col("doc_id") + 2))
+          .union(gen(col("doc_id") * 3 + 5))
+        Graph.linkPrediction(
+          raw.filter(col("a") =!= col("b"))
+            .select(col("a").as("lo"), col("b").as("hi")))
+      },
+      Some("""WITH raw AS (SELECT doc_id % 30 AS a,
+             |(doc_id*doc_id+1) % 30 AS b FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id+2) % 30 FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id*3+5) % 30
+             |FROM documents),
+             |e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+             |FROM raw WHERE a != b),
+             |adj AS (SELECT lo AS m, hi AS x FROM e
+             |UNION ALL SELECT hi, lo FROM e),
+             |deg AS (SELECT m AS v, count(*) AS d FROM adj GROUP BY 1),
+             |cn AS (SELECT p.x AS a, q.x AS b, count(*) AS cn
+             |FROM adj p JOIN adj q ON p.m = q.m AND p.x < q.x
+             |GROUP BY 1, 2),
+             |cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
+             |LEFT JOIN e ON e.lo = cn.a AND e.hi = cn.b
+             |WHERE e.lo IS NULL)
+             |SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn,
+             |CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+             |CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn) AS jaccard
+             |FROM cand c JOIN deg da ON da.v = c.a
+             |JOIN deg db ON db.v = c.b"""
+        .stripMargin.replace('\n', ' '))),
+
+    // 4-TRUSS under the hash gate — see [[Graph.kTruss]]. The corpus
+    // constructs, per group of 10 docs, a clique of size cs = 2+(g%5)
+    // among the first cs members PLUS a "book": every remaining member
+    // p joins to members 0 and 1, adding triangle (m0, m1, p). The
+    // book is the cascade trap: the spine edge (m0, m1) starts with
+    // support (cs−2) + #pendants >= 2 in EVERY group, so a single-pass
+    // support filter keeps it everywhere — but the page edges (support
+    // exactly 1) peel in round 1, and for cs < 4 the spine then
+    // collapses in round 2. The fixed point the oracle states: exactly
+    // the clique edges of groups with cs >= 4 survive. The Spark side
+    // must actually cascade its way there through the iterative peel.
+    Q("g10_ktruss",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val m = docs.select(col("doc_id"),
+          (col("doc_id") / 10).cast("long").as("g"),
+          (col("doc_id") % 10).as("idx"))
+          .withColumn("cs", lit(2) + pmod(col("g"), lit(5)))
+        val members = m.filter(col("idx") < col("cs"))
+        val clique = members.as("a").join(members.as("b"),
+            col("a.g") === col("b.g") && col("a.idx") < col("b.idx"))
+          .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+        val pend = m.filter(col("idx") >= col("cs"))
+        val book = pend
+          .select((col("g") * 10).as("lo"), col("doc_id").as("hi"))
+          .union(pend.select((col("g") * 10 + 1).as("lo"),
+            col("doc_id").as("hi")))
+        Graph.kTruss(clique.union(book), k = 4)
+      },
+      Some("""WITH n AS (SELECT doc_id, doc_id // 10 AS g,
+             |doc_id % 10 AS idx FROM documents),
+             |c AS (SELECT doc_id, g, idx, 2 + (g % 5) AS cs FROM n),
+             |edges AS (
+             |SELECT a.doc_id AS lo, b.doc_id AS hi,
+             |CASE WHEN a.cs >= 4 THEN 1 ELSE 0 END AS t
+             |FROM c a JOIN c b ON a.g = b.g AND a.idx < b.idx
+             |AND a.idx < a.cs AND b.idx < b.cs
+             |UNION ALL SELECT p.g * 10, p.doc_id, 0 FROM c p
+             |WHERE p.idx >= p.cs
+             |UNION ALL SELECT p.g * 10 + 1, p.doc_id, 0 FROM c p
+             |WHERE p.idx >= p.cs)
+             |SELECT lo, hi, CAST(t AS INTEGER) AS in_truss FROM edges"""
         .stripMargin.replace('\n', ' ')))
   )
 }

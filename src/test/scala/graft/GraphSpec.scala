@@ -176,4 +176,48 @@ class GraphSpec extends SparkSpec {
     (0L to 9L).filter(ppr.contains).foreach(v =>
       assert(ppr(v) >= 60L, s"seed $v lost its teleport mass: ${ppr(v)}"))
   }
+
+  test("link prediction: hand-computed candidates on a 4-cycle (both " +
+    "diagonals at jaccard 1.0) and a path (endpoints share the middle); " +
+    "adjacent pairs never appear") {
+    val sq = spark; import sq.implicits._
+    // square 0-1-2-3-0: non-edges (0,2) and (1,3); each pair shares
+    // BOTH its neighbors -> cn=2, deg 2/2, jaccard 2/(2+2-2)=1.0
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("lo", "hi")
+    val gotSq = Graph.linkPrediction(square).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(gotSq == Map(
+      (0L, 2L) -> ((2L, 2L, 2L, 1.0)), (1L, 3L) -> ((2L, 2L, 2L, 1.0))),
+      gotSq.toString)
+    // path 10-11-12: one candidate (10,12), cn=1, jaccard 1/(1+1-1)=1
+    val gotPath = Graph.linkPrediction(
+        Seq((10L, 11L), (11L, 12L)).toDF("lo", "hi")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(gotPath.toSeq == Seq((10L, 12L, 1L, 1.0)), gotPath.toSeq)
+  }
+
+  test("kTruss cascades: a triangle book's spine starts above the " +
+    "support threshold (a single-pass filter would keep it) but " +
+    "collapses once the pages peel; an attached 4-clique survives") {
+    val sq = spark; import sq.implicits._
+    // book: spine (0,1) + pages 2,3 -> spine support 2 (= k-2 for
+    // k=4), page edges support 1. Round 1 peels pages, round 2 the
+    // spine. 4-clique {10,11,12,13} (every edge support 2, stable)
+    // bridged to the book via (1,10) so the frame is one component.
+    val book = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L))
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L))
+    val edges = (book ++ k4 :+ ((1L, 10L))).toDF("lo", "hi")
+    val got = Graph.kTruss(edges, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((0L, 1L)) == 0,
+      "the book spine must cascade out after its pages peel")
+    book.foreach(e => assert(got(e) == 0, s"book edge $e"))
+    k4.foreach(e => assert(got(e) == 1, s"clique edge $e must survive"))
+    assert(got((1L, 10L)) == 0, "the bridge sits in no triangle")
+    assert(got.size == 12, s"every input edge must be flagged: $got")
+  }
 }
