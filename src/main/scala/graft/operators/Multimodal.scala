@@ -106,6 +106,10 @@ object Multimodal {
     val be = lpad(hex(v), 4, "0")
     concat(substring(be, 3, 2), substring(be, 1, 2))
   }
+  private[graft] def le24hexCol(v: Column): Column = {
+    val be = lpad(hex(v), 6, "0")
+    concat(substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
+  }
 
   /** Hex text of a minimal PNG signature + IHDR prefix (width, height,
     * color-type hex byte) — the payload-CONSTRUCTION twin of
@@ -459,6 +463,83 @@ object Multimodal {
         expr(s"substring(payload, f * $frameBytes + 1, $frameBytes)"))
       .withColumn("frame_hash", xxhash64(col("frame_bytes")))
       .drop("frame_bytes")
+
+  /** WebP CONTAINER METADATA — the fifth real container grammar
+    * (PNG/BMP fixed-offset, JPEG marker walk, WAV/RIFF, ISO-BMFF box
+    * walk; WebP is RIFF with THREE mutually-exclusive payload
+    * grammars, so the parse is a fourcc dispatch). Layout (1-based
+    * byte offsets): `RIFF` 1-4, riff size LE32 5-8, `WEBP` 9-12,
+    * chunk fourcc 13-16, chunk size LE32 17-20, payload from 21.
+    *
+    *  - `VP8 ` (lossy): 3-byte frame tag 21-23, sync `9D 01 2A`
+    *    24-26, then width/height as LE16 fields at 27/29 with the low
+    *    14 bits the dimension (top 2 bits are the upscale hint).
+    *  - `VP8L` (lossless): signature byte 0x2F at 21, then ONE LE32
+    *    bitfield at 22-25: bits 0-13 = width−1, 14-27 = height−1,
+    *    bit 28 = alpha-is-used.
+    *  - `VP8X` (extended): feature flags at 21 (bit 4 = alpha), 3
+    *    reserved bytes, then canvas width−1 / height−1 as LE24 at
+    *    25/28.
+    *
+    * Anything failing the RIFF/WEBP magic or its variant's signature
+    * reads well_formed=false with NULL fields — same frozen-terminal
+    * discipline as [[mp3FrameStats]]. Pure codegen'd byte arithmetic
+    * per row; no UDF, no codec library. */
+  def webpMeta(bin: Column): Column = {
+    val hx = hex(bin)
+    val riffOk = octet_length(bin) >= 21 &&
+      substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57454250"
+    val fourcc = substring(hx, 25, 8)
+    def leU24(off: Int): Column =
+      byteAt(bin, off) + byteAt(bin, off + 1) * 256L +
+        byteAt(bin, off + 2) * 65536L
+    val vp8Ok = octet_length(bin) >= 30 && fourcc === "56503820" &&
+      substring(hx, 47, 6) === "9D012A"
+    val vp8lOk = octet_length(bin) >= 25 && fourcc === "5650384C" &&
+      byteAt(bin, 21) === 47L
+    val vp8xOk = octet_length(bin) >= 30 && fourcc === "56503858"
+    val lbits = leU32(bin, 22)
+    def out(variant: String, w: Column, h: Column, a: Column): Column =
+      struct(lit(true).as("well_formed"), lit(variant).as("variant"),
+        w.cast("long").as("width"), h.cast("long").as("height"),
+        a.cast("int").as("has_alpha"))
+    when(riffOk && vp8Ok, out("vp8",
+        leU16(bin, 27).bitwiseAND(lit(16383L)),
+        leU16(bin, 29).bitwiseAND(lit(16383L)), lit(0)))
+      .when(riffOk && vp8lOk, out("vp8l",
+        lbits.bitwiseAND(lit(16383L)) + 1L,
+        call_function("shiftright", lbits, lit(14))
+          .bitwiseAND(lit(16383L)) + 1L,
+        call_function("shiftright", lbits, lit(28)).bitwiseAND(lit(1L))))
+      .when(riffOk && vp8xOk, out("vp8x", leU24(25) + 1L, leU24(28) + 1L,
+        when(byteAt(bin, 21).bitwiseAND(lit(16L)) =!= 0L, 1).otherwise(0)))
+      .otherwise(struct(lit(false).as("well_formed"),
+        lit(null).cast("string").as("variant"),
+        lit(null).cast("long").as("width"),
+        lit(null).cast("long").as("height"),
+        lit(null).cast("int").as("has_alpha")))
+  }
+
+  /** Hex text of a minimal WebP payload for each variant — the
+    * construction twin of [[webpMeta]], shared by the mm15 gate and
+    * MultimodalSpec so encode and parse can never drift. `variant`:
+    * 0 = VP8 lossy, 1 = VP8L lossless, 2 = VP8X extended. */
+  private[graft] def webpHex(
+      variant: Int, w: Column, h: Column, alpha: Column): Column = {
+    val pre = concat(lit("52494646"),
+      le32hexCol(lit(if (variant == 1) 17 else 22)), lit("57454250"))
+    variant match {
+      case 0 => concat(pre, lit("56503820"), le32hexCol(lit(10)),
+        lit("000000"), lit("9D012A"), le16hexCol(w), le16hexCol(h))
+      case 1 => concat(pre, lit("5650384C"), le32hexCol(lit(5)),
+        lit("2F"), le32hexCol(
+          w - 1 + (h - 1) * 16384L + alpha * 268435456L))
+      case _ => concat(pre, lit("56503858"), le32hexCol(lit(10)),
+        when(alpha === 1, lit("10")).otherwise(lit("00")), lit("000000"),
+        le24hexCol(w - 1), le24hexCol(h - 1))
+    }
+  }
 }
 
 /** Driver-facing multimodal queries over `documents` (as the binary
@@ -963,6 +1044,43 @@ object MultimodalQueries {
              |AS BIGINT) AS frame_bytes FROM v
              |UNION ALL SELECT doc_id, FALSE, NULL, NULL, NULL, NULL,
              |NULL FROM documents WHERE doc_id % 3 <> 0"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // mm15: WebP metadata under the hash gate — see [[Multimodal
+    // .webpMeta]]. The mixed corpus cycles all FOUR arms (VP8 lossy /
+    // VP8L lossless / VP8X extended / raw text → malformed), each
+    // constructed from doc_id arithmetic via [[Multimodal.webpHex]],
+    // so the fourcc dispatch, all three dimension encodings (masked
+    // LE16, packed LE32 bitfield, LE24+1), and both alpha flags sit
+    // under the driver gate; the oracle states the construction.
+    Q("mm15_webp_meta",
+      (s, d) => {
+        val w = (col("doc_id") % 600 + 16).cast("long")
+        val h = ((col("doc_id") * 7) % 400 + 16).cast("long")
+        val al = (col("doc_id") % 2).cast("long")
+        val bin = when(col("doc_id") % 4 === 0,
+            unhex(webpHex(0, w, h, al)))
+          .when(col("doc_id") % 4 === 1, unhex(webpHex(1, w, h, al)))
+          .when(col("doc_id") % 4 === 2, unhex(webpHex(2, w, h, al)))
+          .otherwise(payload(col("text")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), webpMeta(bin).as("m"))
+          .select(col("doc_id"),
+            col("m.well_formed").as("well_formed"),
+            col("m.variant").as("variant"),
+            col("m.width").as("width"),
+            col("m.height").as("height"),
+            col("m.has_alpha").as("has_alpha"))
+      },
+      Some("""SELECT doc_id, doc_id % 4 < 3 AS well_formed,
+             |CASE doc_id % 4 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+             |WHEN 2 THEN 'vp8x' END AS variant,
+             |CASE WHEN doc_id % 4 < 3
+             |THEN CAST(doc_id % 600 + 16 AS BIGINT) END AS width,
+             |CASE WHEN doc_id % 4 < 3
+             |THEN CAST((doc_id * 7) % 400 + 16 AS BIGINT) END AS height,
+             |CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN doc_id % 2
+             |WHEN 2 THEN doc_id % 2 END AS INTEGER) AS has_alpha
+             |FROM documents""".stripMargin.replace('\n', ' ')))
   )
 }

@@ -479,6 +479,27 @@ object SourceQueries {
           s"expected zstd-compressed parts, got ${files.toSeq}")
         s.read.parquet(dir)
       },
-      Some("SELECT * FROM lineitem"))
+      Some("SELECT * FROM lineitem")),
+
+    // io16: XML round trip through Spark 4's NATIVE xml source (the
+    // spark-xml donation, SPARK-44265) — the remaining interchange
+    // format real lakes still ingest (feeds, sitemaps, legacy B2B
+    // drops). Same contract as io01/io02/io13: write a table out
+    // through the format's edge, read it back WITH an explicit schema
+    // (inference is a second full scan at 100 TB — never pay it on a
+    // known feed), and the gate hash-matches the original — XML
+    // escaping, element ordering, and type restoration must be
+    // value-lossless. rowTag is the per-record element; the read is
+    // splittable per file like the other text-edge sources.
+    Q("io16_xml_source",
+      (s, d) => {
+        val dir = Dml.work("io16", d) + "/nation_xml"
+        val base = Tables.t(s, d, "nation")
+        base.write.mode("overwrite").option("rowTag", "nation")
+          .format("xml").save(dir)
+        s.read.format("xml").option("rowTag", "nation")
+          .schema(base.schema).load(dir)
+      },
+      Some("SELECT * FROM nation"))
   )
 }

@@ -407,4 +407,38 @@ class MultimodalSpec extends SparkSpec {
       "48656C6C6F"))            // "Hello" text bytes
       assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
   }
+
+  test("webpMeta on byte literals: all three variant grammars parse " +
+    "(VP8 masks its 2 upscale bits, VP8L unpacks the LE32 bitfield, " +
+    "VP8X reads 24-bit dims past the LE16 range); bad sync, bad " +
+    "signature, truncation, and text bytes read malformed") {
+    val sq = spark; import sq.implicits._
+    def parse(hexStr: String) = Seq(Tuple1(hexStr)).toDF("h")
+      .select(Multimodal.webpMeta(unhex(col("h"))).as("m"))
+      .select("m.*").collect().head
+    def read(r: org.apache.spark.sql.Row) =
+      (r.getBoolean(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))
+    val pre = "52494646" + "16000000" + "57454250"
+    // VP8 lossy, 320x240; then the same with both upscale bits set in
+    // the width field (0xC140 LE) — the 14-bit mask must strip them
+    val vp8 = "56503820" + "0A000000" + "000000" + "9D012A"
+    assert(read(parse(pre + vp8 + "4001" + "F000")) ==
+      ((true, "vp8", 320L, 240L, 0)))
+    assert(read(parse(pre + vp8 + "40C1" + "F000")) ==
+      ((true, "vp8", 320L, 240L, 0)), "upscale bits must be masked")
+    // VP8L 100x50 alpha: bits = 99 | 49<<14 | 1<<28 = 0x100C4063
+    assert(read(parse(pre + "5650384C" + "05000000" + "2F63400C10")) ==
+      ((true, "vp8l", 100L, 50L, 1)))
+    // VP8X 16384x2000 (needs the LE24 field), alpha flag 0x10
+    assert(read(parse(pre + "56503858" + "0A000000" + "10" + "000000" +
+      "FF3F00" + "CF0700")) == ((true, "vp8x", 16384L, 2000L, 1)))
+    for (bad <- Seq(
+      pre + vp8.dropRight(6) + "9D012B" + "4001F000", // bad VP8 sync
+      pre + "5650384C" + "05000000" + "2E63400C10",   // bad VP8L sig
+      "52494646",                                     // truncated
+      "52494646160000005741564550",                   // RIFF but not WEBP
+      "48656C6C6F20776F726C64"))                      // text bytes
+      assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
+  }
 }
