@@ -2086,7 +2086,76 @@ object TextQueries {
              |10 * n_ell < 3 * n_lines AND 10 * n_alpha > 8 * n_words
              |AND n_stop >= 2 AS keep FROM c"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // CODE-vs-PROSE DETECTION (t47) — the corpus-routing decision every
+    // pretraining mix makes (code gets its own dedup basis, quality
+    // rules, and mix weight; running prose heuristics on code — or
+    // vice versa — silently wrecks both). Heuristic = exact integer
+    // counters only (the t45 discipline): punctuation density
+    // (';', '{', '}', '='), code keywords on the lowercased text
+    // (substring-occurrence via the replace trick — non-overlapping,
+    // identical semantics cross-engine), and indented-line count
+    // (4-space or tab). The corpus is MIXED by construction: doc_id%5
+    // == 0 rows get a deterministic code snippet appended, so both
+    // flag arms and the counter deltas sit under the hash gate.
+    // is_code := n_kw >= 2 AND n_indent >= 2 — a conjunction of
+    // integer comparisons, no float threshold anywhere. Scale: per-row
+    // scan-fused counting, no shuffle, no UDF.
+    Q("t47_code_detect",
+      (s, d) => Tables.t(s, d, "documents")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 5 = 0 THEN concat(text, chr(10), " +
+            "'def f(x):', chr(10), '    return x + 1;', chr(10), " +
+            "'    y = {z: 1}') ELSE text END AS t")
+        .selectExpr("doc_id", "t", "lower(t) AS lt")
+        .selectExpr("doc_id",
+          "CAST(size(split(t, chr(10))) AS BIGINT) AS n_lines",
+          "CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) " +
+            "AS n_semi",
+          "CAST(length(t) - length(replace(t, '{', '')) + length(t) " +
+            "- length(replace(t, '}', '')) AS BIGINT) AS n_brace",
+          "CAST(length(t) - length(replace(t, '=', '')) AS BIGINT) " +
+            "AS n_eq",
+          "CAST(size(filter(split(t, chr(10)), x -> " +
+            "startswith(x, '    ') OR startswith(x, chr(9)))) " +
+            "AS BIGINT) AS n_indent",
+          "CAST((length(lt) - length(replace(lt, 'def ', ''))) DIV 4 " +
+            "+ (length(lt) - length(replace(lt, 'class ', ''))) DIV 6 " +
+            "+ (length(lt) - length(replace(lt, 'import ', ''))) DIV 7 " +
+            "+ (length(lt) - length(replace(lt, 'return', ''))) DIV 6 " +
+            "+ (length(lt) - length(replace(lt, 'function', ''))) DIV 8 " +
+            "+ (length(lt) - length(replace(lt, '#include', ''))) DIV 8 " +
+            "AS BIGINT) AS n_kw")
+        .selectExpr("doc_id", "n_lines", "n_semi", "n_brace", "n_eq",
+          "n_indent", "n_kw",
+          "n_kw >= 2 AND n_indent >= 2 AS is_code"),
+      Some("""WITH a AS (SELECT doc_id,
+             |CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+             |'def f(x):' || chr(10) || '    return x + 1;' || chr(10)
+             ||| '    y = {z: 1}' ELSE text END AS t FROM documents),
+             |b AS (SELECT doc_id, t, lower(t) AS lt FROM a),
+             |c AS (SELECT doc_id,
+             |CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             |CAST(length(t) - length(replace(t, ';', '')) AS BIGINT)
+             |AS n_semi,
+             |CAST(length(t) - length(replace(t, '{', '')) + length(t)
+             |- length(replace(t, '}', '')) AS BIGINT) AS n_brace,
+             |CAST(length(t) - length(replace(t, '=', '')) AS BIGINT)
+             |AS n_eq,
+             |CAST(len(list_filter(string_split(t, chr(10)), x ->
+             |starts_with(x, '    ') OR starts_with(x, chr(9))))
+             |AS BIGINT) AS n_indent,
+             |CAST((length(lt) - length(replace(lt, 'def ', ''))) // 4
+             |+ (length(lt) - length(replace(lt, 'class ', ''))) // 6
+             |+ (length(lt) - length(replace(lt, 'import ', ''))) // 7
+             |+ (length(lt) - length(replace(lt, 'return', ''))) // 6
+             |+ (length(lt) - length(replace(lt, 'function', ''))) // 8
+             |+ (length(lt) - length(replace(lt, '#include', ''))) // 8
+             |AS BIGINT) AS n_kw FROM b)
+             |SELECT doc_id, n_lines, n_semi, n_brace, n_eq, n_indent,
+             |n_kw, n_kw >= 2 AND n_indent >= 2 AS is_code FROM c"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** Shared t41/p13 builder: construct the deterministic conversation

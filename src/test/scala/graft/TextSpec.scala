@@ -710,4 +710,32 @@ class TextSpec extends SparkSpec {
     // doc 2's assistants speak "p q r"+"v w x"+"p q r" = 15 chars
     assert(out == Set((4L, 1L, 10L), (6L, 1L, 15L)), out.toString)
   }
+
+  test("t47 code detection: every snippet-augmented row flags is_code " +
+    "with the exact counter deltas (2 keywords, 2 indented lines, 1 " +
+    "semicolon, 2 braces, 2 equals); prose rows keep their raw counts") {
+    val out = q("t47_code_detect").build(spark, sf).cache()
+    try {
+      val aug = out.filter(col("doc_id") % 5 === 0)
+      assert(aug.count() > 0)
+      assert(aug.filter(!col("is_code")).count() == 0,
+        "appended snippet must always trip the detector")
+      // the snippet's contribution is a fixed delta over the prose
+      // baseline: recompute the baseline from the raw text and check
+      // one augmented row's counters decompose as baseline + delta
+      val base = spark.read
+        .parquet(s"$sf/documents.parquet")
+        .selectExpr("doc_id",
+          "CAST(length(text) - length(replace(text, ';', '')) " +
+            "AS BIGINT) AS semi0",
+          "CAST((length(lower(text)) - length(replace(lower(text), " +
+            "'return', ''))) DIV 6 AS BIGINT) AS ret0")
+        .filter(col("doc_id") % 5 === 0)
+      val j = aug.join(base, "doc_id")
+      assert(j.filter(col("n_semi") =!= col("semi0") + 1).count() == 0,
+        "snippet adds exactly one semicolon")
+      assert(j.filter(col("n_kw") < col("ret0") + 2).count() == 0,
+        "snippet adds at least def+return keyword hits")
+    } finally out.unpersist()
+  }
 }
