@@ -330,6 +330,51 @@ object Similarity {
     rankTopK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
+  /** PRE-FILTER vs POST-FILTER kNN — the filtered-search semantic every
+    * vector store has to choose (and document): applying a metadata
+    * predicate BEFORE ranking returns the true top-k of the filtered
+    * candidate set; applying it AFTER (rank globally, then filter)
+    * silently returns FEWER than k — the global top-k may contain few
+    * predicate-matching rows — and the missing results are precisely
+    * the filtered-set neighbors ranked below the global horizon.
+    * Emits per query: n_pre (the filtered top-k count), n_post (how
+    * many survive post-filtering the global top-k), and the deficit —
+    * post-filter recall loss made exact and gateable.
+    *
+    * Both branches share the one broadcast-query corpus scan shape of
+    * [[bruteForceTopK]]; ranking uses the rounded-sim + neighbor-id
+    * tie-break discipline (e01) so both engines rank identically.
+    * Scale: pre-filtering SHRINKS the scored set (the predicate
+    * reaches the scan; selective predicates skip most of the corpus),
+    * which is why pre-filter is also the 100 TB-efficient choice —
+    * post-filter pays the full scan AND loses recall. */
+  def filteredKnnDeficit(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("embedding").as("qv"))
+    val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
+      col("label").as("clabel"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
+    val pre = rankTopK(scored.filter(col("qlabel") === col("clabel"))
+        .select("query_id", "neighbor_id", "sim"), k)
+      .groupBy("query_id").agg(count(lit(1)).as("n_pre"))
+    val post = rankTopK(
+        scored.select("query_id", "neighbor_id", "sim"), k)
+      .join(c.select("neighbor_id", "clabel"), "neighbor_id")
+      .join(q.select("query_id", "qlabel"), "query_id")
+      .filter(col("qlabel") === col("clabel"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_post"))
+    pre.join(post, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        (col("n_pre") - coalesce(col("n_post"), lit(0L))).as("deficit"))
+  }
+
   private[graft] case class MmrCand(
       query_id: Long, neighbor_id: Long, sim: Double, cv: Array[Float])
   private[graft] case class MmrHit(
@@ -1898,6 +1943,43 @@ object SimilarityQueries {
              |FROM dd a JOIN dd b ON a.vec_id = b.vec_id
              |AND a.ord <= b.ord
              |WHERE a.ord <= 16 AND b.ord <= 16 GROUP BY 1, 2"""
+        .stripMargin.replace('\n', ' '))),
+
+    // PRE- vs POST-FILTER kNN under the hash gate — see [[Similarity
+    // .filteredKnnDeficit]]. Queries vec_id < 8 search WITHIN their own
+    // label (~50 same-label candidates per query, so the filtered
+    // top-10 is always full); the oracle replays both branches with
+    // e01's rounded-sim + id tie-break and must agree on every count —
+    // including the per-query deficit, the number a post-filtering
+    // vector store silently drops.
+    Q("e24_filtered_knn",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        filteredKnnDeficit(emb.filter(col("vec_id") < 8), emb, 10)
+      },
+      Some("""WITH s AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+             |c.vec_id AS neighbor_id, c.label AS clabel,
+             |round(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
+             |+ 0.0 AS sim
+             |FROM embeddings q, embeddings c
+             |WHERE q.vec_id < 8 AND q.vec_id != c.vec_id),
+             |pre AS (SELECT query_id, count(*) AS n_pre FROM (
+             |SELECT query_id, row_number() OVER (PARTITION BY query_id
+             |ORDER BY sim DESC, neighbor_id ASC) AS rn
+             |FROM s WHERE qlabel = clabel QUALIFY rn <= 10)
+             |GROUP BY 1),
+             |post AS (SELECT query_id, count(*) AS n_post FROM (
+             |SELECT query_id, qlabel, clabel,
+             |row_number() OVER (PARTITION BY query_id
+             |ORDER BY sim DESC, neighbor_id ASC) AS rn
+             |FROM s QUALIFY rn <= 10) WHERE qlabel = clabel
+             |GROUP BY 1)
+             |SELECT pre.query_id, CAST(n_pre AS BIGINT) AS n_pre,
+             |CAST(COALESCE(post.n_post, 0) AS BIGINT) AS n_post,
+             |CAST(n_pre - COALESCE(post.n_post, 0) AS BIGINT)
+             |AS deficit
+             |FROM pre LEFT JOIN post ON post.query_id = pre.query_id"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -715,4 +715,40 @@ class SimilaritySpec extends SparkSpec {
     // no lower-triangle duplicates
     assert(cells.keys.forall { case (i, j) => i <= j })
   }
+
+  test("filteredKnnDeficit: pre-filter always fills k, and the deficit " +
+    "is exactly the same-label shortfall of the GLOBAL top-k " +
+    "(cross-checked against an independent window-ranking replay)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.filteredKnnDeficit(
+        emb.filter(col("vec_id") < 8), emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 8, s"one row per query: ${out.length}")
+    out.foreach { case (qid, pre, post, deficit) =>
+      assert(pre == 10L, s"q$qid: ~50 same-label candidates must fill k")
+      assert(post >= 0L && post <= pre, s"q$qid post=$post")
+      assert(deficit == pre - post, s"q$qid deficit mismatch")
+    }
+    // independent replay of the post branch: global window top-10,
+    // then count label matches per query
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val globalTopK = Similarity.rankTopKWindow(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("label").as("qlabel"))
+        .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(
+          VectorExpressions.cosineSim(col("qv"), col("cv")), 4)), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = globalTopK.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.count { case (_, n) => labels(n) == labels(q) }.toLong
+    }
+    out.foreach { case (qid, _, post, _) =>
+      assert(post == expected(qid),
+        s"q$qid: post=$post vs window replay ${expected(qid)}")
+    }
+  }
 }
