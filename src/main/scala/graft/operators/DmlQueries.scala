@@ -50,12 +50,13 @@ object Dml {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the committed version of the table at `dir`. */
+  /** Read the committed version of the table at `dir` (ref-aware, so a
+    * freshly shallow-cloned table resolves to its source's data). */
   def readLatest(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val v = java.nio.file.Files
       .readString(java.nio.file.Paths.get(dir, "_latest")).trim
-    spark.read.parquet(s"$dir/$v")
+    spark.read.parquet(versionPath(dir, v))
   }
 
   private def snapshot(df: DataFrame, dir: String, name: String): DataFrame = {
@@ -267,12 +268,56 @@ object Dml {
     java.nio.file.Files
       .readString(java.nio.file.Paths.get(dir, "_latest")).trim
 
+  /** Resolve a version name to its DATA directory: normally
+    * `<dir>/<version>`, but a `<version>_ref` file (written by
+    * [[shallowClone]]) redirects to another table's committed version
+    * directory — the metadata-only indirection that makes a clone
+    * zero-copy. */
+  private[graft] def versionPath(dir: String, version: String): String = {
+    val ref = java.nio.file.Paths.get(dir, s"${version}_ref")
+    if (java.nio.file.Files.exists(ref))
+      java.nio.file.Files.readString(ref).trim
+    else s"$dir/$version"
+  }
+
   /** TIME TRAVEL: read a specific committed version of the table at
     * `dir` (`VERSION AS OF` on the commit-pointer store). */
   def readVersion(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String): DataFrame =
-    spark.read.parquet(s"$dir/$version")
+    spark.read.parquet(versionPath(dir, version))
+
+  /** SHALLOW CLONE — fork a table WITHOUT copying data (the Delta
+    * `CREATE TABLE … SHALLOW CLONE` kernel): the clone's v0 is a
+    * REFERENCE file naming the source's committed version directory,
+    * plus its own commit pointer — two metadata writes regardless of
+    * table size, which is the entire point at 100 TB (a deep copy is
+    * a full second table's worth of IO and storage). The fork then
+    * diverges by plain copy-on-write: every mutation on the clone
+    * publishes REAL new version directories under the clone, and the
+    * source's own mutations publish new directories on its side —
+    * neither can touch the other's committed state because committed
+    * directories are never rewritten (the store's invariant).
+    *
+    * The real-lakehouse caveat carries over exactly: the clone holds
+    * no lease on the source's files, so a [[vacuum]] on the SOURCE
+    * that drops the referenced version breaks the clone's v0 — Delta
+    * documents the same hazard for shallow clones; retention windows
+    * must cover clone lifetimes. */
+  def shallowClone(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      dstDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val srcV = currentVersion(srcDir)
+    Files.createDirectories(Paths.get(dstDir))
+    val tmp = Paths.get(dstDir, s".v0_ref.tmp.${Thread.currentThread.getId}")
+    Files.writeString(tmp, s"$srcDir/$srcV")
+    Files.move(tmp, Paths.get(dstDir, "v0_ref"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commit(dstDir, "v0")
+    readVersion(spark, dstDir, "v0")
+  }
 
   /** DELETE applied to the COMMITTED table in place: reads `_latest`,
     * publishes the NEXT version (v<n+1>), and leaves every earlier
@@ -731,6 +776,42 @@ object DmlQueries {
       Some("""SELECT s_suppkey, s_name, s_nationkey,
              |CASE WHEN s_acctbal > 5000.0 THEN 'premium' END AS band
              |FROM supplier"""
+        .stripMargin.replace('\n', ' '))),
+
+    // m21: SHALLOW CLONE — see [[Dml.shallowClone]]. Harness: source =
+    // nation + an inserted marker row (v0, v1); clone forks at v1 via
+    // the zero-copy reference (the entry REQUIREs that no clone/v0
+    // data directory exists — the "shallow" contract is asserted, not
+    // assumed); then BOTH sides mutate independently (source deletes
+    // keys < 5, clone deletes keys >= 20 except the marker) and the
+    // gate reads both final states — divergence-by-copy-on-write with
+    // neither side seeing the other's delete, stated arithmetically
+    // by the oracle.
+    Q("m21_shallow_clone",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val src = Dml.work("m21", d) + "/src"
+        val dst = Dml.work("m21", d) + "/clone"
+        val marker = Seq((99, "ZZZ_MARKER", 0))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), marker, src) // v0,v1
+        Dml.shallowClone(s, src, dst)
+        require(!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dst, "v0")),
+          "shallow clone must not copy data")
+        Dml.deleteLatest(s, src, col("n_nationkey") < 5)       // src v2
+        Dml.deleteLatest(s, dst,                               // clone v1
+          col("n_nationkey") >= 20 && col("n_nationkey") =!= 99)
+        Dml.readLatest(s, src).withColumn("side", lit("src"))
+          .unionByName(
+            Dml.readLatest(s, dst).withColumn("side", lit("clone")))
+      },
+      Some("""WITH v1 AS (SELECT * FROM nation UNION ALL
+             |SELECT CAST(99 AS INTEGER), 'ZZZ_MARKER',
+             |CAST(0 AS INTEGER))
+             |SELECT *, 'src' AS side FROM v1 WHERE n_nationkey >= 5
+             |UNION ALL SELECT *, 'clone' FROM v1
+             |WHERE n_nationkey < 20 OR n_nationkey = 99"""
         .stripMargin.replace('\n', ' '))),
 
     // CREATE TABLE AS SELECT — the remaining DDL statement form after

@@ -411,4 +411,42 @@ class DmlSpec extends SparkSpec {
       WHEN MATCHED THEN UPDATE SET v = g_sync_spec_src.sv""")
     assert(rows("g_sync_spec_t3") == Set((1, "a"), (2, "B"), (3, "c")))
   }
+
+  test("shallow clone: zero-copy fork reads the source's committed " +
+    "version, both sides then diverge independently, and vacuuming the " +
+    "source past the referenced version breaks the clone (the " +
+    "documented retention hazard, surfaced loudly not silently)") {
+    val sq = spark; import sq.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Dml.work("clone_spec", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/src"; val dst = s"$root/clone"
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    Dml.insertValues(base, Seq((4, "d")).toDF("k", "v"), src) // v0, v1
+    Dml.shallowClone(spark, src, dst)
+    // shallow: the clone holds a ref file, no data directory
+    assert(Files.exists(Paths.get(dst, "v0_ref")))
+    assert(!Files.exists(Paths.get(dst, "v0")))
+    def read(dir: String) = Dml.readLatest(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(read(dst) == Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // divergence: source deletes k=1, clone deletes k=4; neither sees
+    // the other's mutation
+    Dml.deleteLatest(spark, src, col("k") === 1)
+    Dml.deleteLatest(spark, dst, col("k") === 4)
+    assert(read(src) == Set((2, "b"), (3, "c"), (4, "d")))
+    assert(read(dst) == Set((1, "a"), (2, "b"), (3, "c")))
+    // the clone's own v1 is a REAL directory (copy-on-write divergence)
+    assert(Files.exists(Paths.get(dst, "v1")))
+    // retention hazard: vacuum the source down to its latest version —
+    // the clone's v0 ref now dangles and time travel to it must fail
+    // loudly (Delta documents the same for shallow clones)
+    val dropped = Dml.vacuum(spark, src, keep = 1)
+    assert(dropped.contains("v1"), s"source v1 should vacuum: $dropped")
+    intercept[Exception] {
+      Dml.readVersion(spark, dst, "v0").collect()
+    }
+    // the clone's OWN committed state (v1, real files) is unaffected
+    assert(read(dst) == Set((1, "a"), (2, "b"), (3, "c")))
+  }
 }
