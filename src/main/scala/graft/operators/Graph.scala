@@ -550,6 +550,59 @@ object Graph {
       .select(col("lo"), col("hi"),
         coalesce(col("__in"), lit(0)).as("in_truss"))
   }
+
+  /** MODULARITY of a given partition (Newman's Q) — the quality number
+    * community detection optimizes and the check a curation pipeline
+    * runs on any clustering it intends to act on (source groups,
+    * dedup clusters, topic assignments): how much denser are the
+    * communities than a degree-preserving random rewiring. Exact
+    * integer form: with m edges, e_c intra-community edges and a_c the
+    * community degree sum, Q = Σ_c (4m·e_c − a_c²) / 4m² — every
+    * statistic an integer count, ONE exact division at readout (the
+    * g01/g05 discipline). Emits per community: intra-edge count,
+    * degree sum, the integer contribution numerator, m, and the global
+    * Q repeated per row.
+    *
+    * Plan: degree table (one groupBy), membership join on both edge
+    * endpoints (intra filter + per-community count), degree⋈membership
+    * rollup, and the global sums as a 1-row broadcast cross join — no
+    * single-partition window, no collect. Scale: everything keys on
+    * community or vertex ids; the output is one row per community. */
+  def modularity(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("lo"), col("hi")).as("lo"),
+        greatest(col("lo"), col("hi")).as("hi"))
+      .filter(col("lo") < col("hi")).distinct()
+    val mem = membership.select(col("v"), col("c"))
+    val deg = e.select(col("lo").as("v"))
+      .union(e.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tagged = e
+      .join(mem.select(col("v").as("lo"), col("c").as("cl")), Seq("lo"))
+      .join(mem.select(col("v").as("hi"), col("c").as("ch")), Seq("hi"))
+    val intra = tagged.filter(col("cl") === col("ch"))
+      .groupBy(col("cl").as("c")).agg(count(lit(1)).as("n_intra"))
+    val degSum = deg.join(mem, Seq("v"))
+      .groupBy("c").agg(sum(col("d")).as("deg_sum"))
+    val m = e.agg(count(lit(1)).as("m_edges"))
+    val perC = mem.select(col("c")).distinct()
+      .join(intra, Seq("c"), "left")
+      .join(degSum, Seq("c"), "left")
+      .crossJoin(m)
+      .select(col("c").as("community"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        col("m_edges"))
+      .withColumn("contrib_num",
+        lit(4L) * col("m_edges") * col("n_intra") -
+          col("deg_sum") * col("deg_sum"))
+    val total = perC.agg(sum(col("contrib_num")).as("q_num"))
+    perC.crossJoin(total)
+      .select(col("community"), col("n_intra"), col("deg_sum"),
+        col("contrib_num"), col("m_edges"),
+        (col("q_num").cast("double") /
+          (lit(4.0) * col("m_edges") * col("m_edges"))).as("q_total"))
+  }
 }
 
 object GraphQueries {
@@ -903,6 +956,52 @@ object GraphQueries {
              |UNION ALL SELECT p.g * 10 + 1, p.doc_id, 0 FROM c p
              |WHERE p.idx >= p.cs)
              |SELECT lo, hi, CAST(t AS INTEGER) AS in_truss FROM edges"""
+        .stripMargin.replace('\n', ' '))),
+
+    // MODULARITY under the hash gate — see [[Graph.modularity]]. The
+    // corpus constructs g06's clique+pendant groups PLUS a hub ring
+    // across groups (member 0 of group g links to member 0 of group
+    // (g+1) % 50), communities = the groups, so every statistic is
+    // arithmetically statable: e_c = cs(cs−1)/2 + (10−cs) intra edges,
+    // a_c = 2e_c + 2 (each hub carries exactly 2 ring edges), m =
+    // Σe_c + 50. The Spark side must COMPUTE its way there through
+    // the generic membership-join operator; the oracle restates the
+    // closed form, so a miscounted degree or a ring edge classified
+    // intra flips the hash.
+    Q("g11_modularity",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val mfr = docs.select(col("doc_id"),
+          (col("doc_id") / 10).cast("long").as("g"),
+          (col("doc_id") % 10).as("idx"))
+          .withColumn("cs", lit(2) + pmod(col("g"), lit(5)))
+        val members = mfr.filter(col("idx") < col("cs"))
+        val clique = members.as("a").join(members.as("b"),
+            col("a.g") === col("b.g") && col("a.idx") < col("b.idx"))
+          .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+        val pendant = mfr.filter(col("idx") >= col("cs"))
+          .select((col("g") * 10).as("lo"), col("doc_id").as("hi"))
+        val ring = mfr.select(col("g")).distinct()
+          .select((col("g") * 10).as("lo"),
+            (pmod(col("g") + 1, lit(50)) * 10).as("hi"))
+        Graph.modularity(clique.union(pendant).union(ring),
+          mfr.select(col("doc_id").as("v"), col("g").as("c")))
+      },
+      Some("""WITH gs AS (SELECT DISTINCT doc_id // 10 AS g
+             |FROM documents),
+             |c AS (SELECT g, 2 + (g % 5) AS cs FROM gs),
+             |e AS (SELECT g, cs*(cs-1)//2 + (10-cs) AS ec FROM c),
+             |m AS (SELECT CAST(sum(ec) + count(*) AS BIGINT) AS m_edges
+             |FROM e),
+             |o AS (SELECT e.g AS community, CAST(ec AS BIGINT)
+             |AS n_intra, CAST(2*ec + 2 AS BIGINT) AS deg_sum,
+             |CAST(4*m.m_edges*ec - (2*ec+2)*(2*ec+2) AS BIGINT)
+             |AS contrib_num, m.m_edges FROM e CROSS JOIN m),
+             |t AS (SELECT CAST(sum(contrib_num) AS BIGINT) AS q_num
+             |FROM o)
+             |SELECT community, n_intra, deg_sum, contrib_num, m_edges,
+             |CAST(t.q_num AS DOUBLE) / (4.0 * m_edges * m_edges)
+             |AS q_total FROM o CROSS JOIN t"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -220,4 +220,27 @@ class GraphSpec extends SparkSpec {
     assert(got((1L, 10L)) == 0, "the bridge sits in no triangle")
     assert(got.size == 12, s"every input edge must be flagged: $got")
   }
+
+  test("modularity: two bridged triangles give the hand-computed " +
+    "Q = 70/196 under the triangle partition, and exactly 0 under " +
+    "the trivial one-community partition") {
+    val sq = spark; import sq.implicits._
+    // triangles {0,1,2} and {3,4,5}, bridge (2,3): m=7, each side has
+    // e_c=3 intra edges and degree sum 7 -> contrib 4*7*3 - 49 = 35
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L)).toDF("lo", "hi")
+    val twoCs = (0L to 5L).map(v => (v, v / 3)).toDF("v", "c")
+    val got = Graph.modularity(edges, twoCs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 3L, 7L, 35L, 7L, 70.0 / 196.0),
+      (1L, 3L, 7L, 35L, 7L, 70.0 / 196.0)), got.toSeq.toString)
+    // degenerate partition: everything in one community -> Q = 0
+    // (4m*m - (2m)^2 = 0), the classic normalization property
+    val oneC = (0L to 5L).map(v => (v, 0L)).toDF("v", "c")
+    val q0 = Graph.modularity(edges, oneC).collect()
+    assert(q0.length == 1 && q0.head.getDouble(5) == 0.0 &&
+      q0.head.getLong(3) == 0L, q0.toSeq.toString)
+  }
 }
