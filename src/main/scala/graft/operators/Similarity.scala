@@ -304,6 +304,64 @@ object Similarity {
       |CAST(NULL AS DOUBLE) AS recall WHERE 1=0"""
       .stripMargin.replace('\n', ' ')
 
+  /** IVF RECALL CURVE — the nprobe/recall trade-off every deployed IVF
+    * index is TUNED on (probe more cells → scan more of the corpus →
+    * higher recall; the published recipe is "sweep nprobe, pick the
+    * knee"). One row per swept nprobe: total exact-neighbor count over
+    * the query set, how many the probe setting recovered, and the
+    * recall ratio. The index is built ONCE and reused across the sweep
+    * (the [[ivfTopK]] session cache), exactly as a tuning run amortizes
+    * index construction; the brute-force reference is computed once and
+    * persisted. */
+  def ivfRecallCurve(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    val exact = ManagedCache.persist(
+      bruteForceTopK(queries, corpus, k)
+        .select("query_id", "neighbor_id"))
+    nprobes.map { np =>
+      val hit = ivfTopK(queries, corpus, k, nlist, np)
+        .select("query_id", "neighbor_id").withColumn("_hit", lit(1L))
+      exact.join(hit, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum("_hit"), lit(0L)).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"),
+          col("n_hit"),
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(col("n_hit").cast("double") / col("n_exact"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Violations of the two THEOREMS an IVF recall curve must satisfy —
+    * the audit twin that makes the rows-only curve driver-gateable:
+    * (a) MONOTONICITY: probing more cells can only grow the candidate
+    * set, and under the total (sim, id) ranking order a new candidate
+    * can only displace a true positive from the approximate top-k if
+    * it outranks it — in which case the newcomer is itself in the
+    * exact top-k — so n_hit is non-decreasing in nprobe; (b) FULL
+    * PROBE IS EXACT: nprobe = nlist scans every cell, so the "approx"
+    * and exact answers coincide. A violation row of either kind means
+    * the index, the probe ranking, or the tie-break discipline broke.
+    * Both checks are plain relational algebra over the (tiny) curve. */
+  def recallCurveViolations(curve: DataFrame, nlist: Int): DataFrame = {
+    val c = curve.select(col("nprobe"), col("n_exact"), col("n_hit"))
+    val mono = c.as("a").join(c.as("b"),
+        col("a.nprobe") < col("b.nprobe") &&
+          col("b.n_hit") < col("a.n_hit"))
+      .select(lit("monotonicity").as("kind"),
+        col("b.nprobe").as("nprobe"), col("b.n_hit").as("n_hit"),
+        col("a.n_hit").as("n_ref"))
+    val full = c.filter(col("nprobe") >= nlist &&
+        col("n_hit") =!= col("n_exact"))
+      .select(lit("full_probe_exact").as("kind"), col("nprobe"),
+        col("n_hit"), col("n_exact").as("n_ref"))
+    mono.unionByName(full)
+  }
+
   /** HARD-NEGATIVE MINING — contrastive-training data prep: for each
     * query vector, the top-k most similar corpus vectors with a DIFFERENT
     * label (high-similarity wrong-class examples are the negatives that
@@ -1980,6 +2038,36 @@ object SimilarityQueries {
              |CAST(n_pre - COALESCE(post.n_post, 0) AS BIGINT)
              |AS deficit
              |FROM pre LEFT JOIN post ON post.query_id = pre.query_id"""
+        .stripMargin.replace('\n', ' '))),
+
+    // IVF NPROBE SWEEP — see [[Similarity.ivfRecallCurve]]. Rows-only
+    // (recall depends on the trained quantizer); the theorem-audit twin
+    // below is the driver-visible gate.
+    Q("e25_ivf_recall_curve",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        ivfRecallCurve(emb.filter(col("vec_id") < 20), emb, 10,
+          nlist = 16, nprobes = Seq(1, 2, 4, 16))
+      },
+      None),
+
+    // The e25 audit twin under the hash gate — see [[Similarity
+    // .recallCurveViolations]]: monotonicity in nprobe and
+    // full-probe-equals-exact stated as an EMPTY violation relation,
+    // so a probe-ranking or tie-break regression flips the driver row
+    // compare red even though absolute recall is model-dependent.
+    Q("e25_recall_curve_audit",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        recallCurveViolations(
+          ivfRecallCurve(emb.filter(col("vec_id") < 20), emb, 10,
+            nlist = 16, nprobes = Seq(1, 2, 4, 16)),
+          nlist = 16)
+      },
+      Some("""SELECT CAST(NULL AS VARCHAR) AS kind,
+             |CAST(NULL AS BIGINT) AS nprobe,
+             |CAST(NULL AS BIGINT) AS n_hit,
+             |CAST(NULL AS BIGINT) AS n_ref WHERE 1=0"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -751,4 +751,25 @@ class SimilaritySpec extends SparkSpec {
         s"q$qid: post=$post vs window replay ${expected(qid)}")
     }
   }
+
+  test("ivfRecallCurve: one row per swept nprobe, hits monotone " +
+    "non-decreasing, full probe exactly recovers brute force, and the " +
+    "theorem audit is empty") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 20)
+    val curve = Similarity.ivfRecallCurve(
+      qs, emb, 10, nlist = 16, nprobes = Seq(1, 2, 4, 16))
+    val rows = curve.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == 4, rows.toSeq.toString)
+    assert(rows.forall(_._2 == rows.head._2),
+      "the exact reference is probe-independent")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3, s"recall must not drop: $lo -> $hi")
+    }
+    assert(rows.last._3 == rows.last._2,
+      "nprobe = nlist must recover every exact neighbor")
+    assert(Similarity.recallCurveViolations(curve, 16).count() == 0)
+  }
 }
