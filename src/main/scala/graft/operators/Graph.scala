@@ -603,6 +603,67 @@ object Graph {
         (col("q_num").cast("double") /
           (lit(4.0) * col("m_edges") * col("m_edges"))).as("q_total"))
   }
+
+  /** STRONGLY CONNECTED COMPONENTS — the DIRECTED-graph component
+    * notion ([[ccLargeSmallStar]] is undirected): u and v share an SCC
+    * iff each reaches the other, the structure that finds redirect
+    * rings and crawl traps in a link graph where undirected CC just
+    * merges everything a hub touches. Here: directed reachability
+    * closure by level-synchronous frontier expansion (the
+    * [[bfsCloseness]] loop WITHOUT symmetrizing the edges), then
+    * mutual-reach pairs via one self-join of the closure against its
+    * transpose, then min-label + size per node. Returns (v, scc_rep,
+    * scc_size); singletons are their own rep.
+    *
+    * Scale: the reachability closure is O(V·reach) state — this is
+    * the projected-subgraph analytics form (the gated entry runs it
+    * on the 50-domain graph). Web-scale SCC replaces the closure with
+    * forward-backward pivot partitioning (reach ∩ reach⁻¹ from ONE
+    * pivot splits the graph into 4 disjoint parts, recurse) — same
+    * frontier-join primitive, avoids all-pairs state. Loud abort if
+    * the frontier outlives maxIter, per the house fixed-point rule. */
+  def sccLabels(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 32): DataFrame = {
+    val spark = nodes.sparkSession
+    val idCol = nodes.columns.head
+    val dir = ManagedCache.persist(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct())
+    var all = ManagedCache.persist(
+      nodes.select(col(idCol).as("srcn"), col(idCol).as("node")))
+    all.count()
+    var frontier = all
+    var depth = 0
+    var growing = true
+    while (growing && depth < maxIter) {
+      val nxt0 = frontier.alias("f")
+        .join(dir.alias("e"), col("f.node") === col("e.src"))
+        .select(col("f.srcn").as("srcn"), col("e.dst").as("node"))
+        .distinct()
+        .join(all, Seq("srcn", "node"), "left_anti")
+      val nxt = ManagedCache.persist(nxt0)
+      if (nxt.count() == 0) growing = false
+      else {
+        val merged = ManagedCache.persist(all.unionByName(nxt))
+        merged.count()
+        all.unpersist(blocking = false)
+        all = spark.createDataFrame(merged.rdd, merged.schema)
+        frontier = nxt
+        depth += 1
+      }
+    }
+    if (growing)
+      throw new IllegalStateException(
+        s"sccLabels: reachability still growing after $maxIter rounds " +
+          "— longest path exceeds the budget; raise maxIter")
+    val mutual = all.as("a").join(all.as("b"),
+        col("a.srcn") === col("b.node") && col("a.node") === col("b.srcn"))
+      .select(col("a.srcn").as("v"), col("a.node").as("w"))
+    mutual.groupBy("v")
+      .agg(min(col("w")).as("scc_rep"), count(lit(1)).as("scc_size"))
+  }
 }
 
 object GraphQueries {
@@ -1002,6 +1063,39 @@ object GraphQueries {
              |SELECT community, n_intra, deg_sum, contrib_num, m_edges,
              |CAST(t.q_num AS DOUBLE) / (4.0 * m_edges * m_edges)
              |AS q_total FROM o CROSS JOIN t"""
+        .stripMargin.replace('\n', ' '))),
+
+    // STRONGLY CONNECTED COMPONENTS under the hash gate — see [[Graph
+    // .sccLabels]]. Graph: g01's DIRECTED functional map v → (v²+1) %
+    // 50, whose SCC structure is one 6-cycle {1,2,5,26,27,30} plus 44
+    // singletons — small enough for the oracle to COMPUTE (recursive-
+    // CTE reachability closure, then mutual-reach grouping, the same
+    // algebra the Spark side iterates to), so the gate checks the
+    // algorithm against an independent derivation, not a restated
+    // constant. Undirected CC (g02) on this graph would glue the
+    // tails onto the cycle — the directed/undirected distinction IS
+    // the tested semantic.
+    Q("g12_scc",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val nodes = docs.select((col("doc_id") % 50).as("v")).distinct()
+        val edges = docs.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * col("doc_id") + 1) % 50).as("dst")).distinct()
+        Graph.sccLabels(nodes, edges)
+      },
+      Some("""WITH RECURSIVE n AS (SELECT DISTINCT doc_id % 50 AS v
+             |FROM documents),
+             |e AS (SELECT DISTINCT doc_id % 50 AS src,
+             |(doc_id * doc_id + 1) % 50 AS dst FROM documents
+             |WHERE doc_id % 50 != (doc_id * doc_id + 1) % 50),
+             |walk(src, node) AS (
+             |SELECT v, v FROM n
+             |UNION
+             |SELECT w.src, e.dst FROM walk w JOIN e ON w.node = e.src),
+             |m AS (SELECT a.src AS u, a.node AS v FROM walk a
+             |JOIN walk b ON a.src = b.node AND a.node = b.src)
+             |SELECT u AS v, CAST(min(v) AS BIGINT) AS scc_rep,
+             |CAST(count(*) AS BIGINT) AS scc_size FROM m GROUP BY u"""
         .stripMargin.replace('\n', ' ')))
   )
 }

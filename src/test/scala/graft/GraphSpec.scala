@@ -243,4 +243,26 @@ class GraphSpec extends SparkSpec {
     assert(q0.length == 1 && q0.head.getDouble(5) == 0.0 &&
       q0.head.getLong(3) == 0L, q0.toSeq.toString)
   }
+
+  test("sccLabels separates a directed 3-cycle from its tail and from " +
+    "a 2-cycle a one-way bridge points at — undirected CC would merge " +
+    "all three") {
+    val sq = spark; import sq.implicits._
+    // 0->1->2->0 (3-cycle), 3->0 (tail INTO the cycle), 2->4 (one-way
+    // bridge), 4<->5 (2-cycle)
+    val nodes = (0L to 5L).map(Tuple1(_)).toDF("v")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (2L, 4L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val got = Graph.sccLabels(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L), // the 3-cycle
+      (3L, 3L, 1L),                             // tail: reaches, never
+                                                // reached back
+      (4L, 4L, 2L), (5L, 4L, 2L)), got.toString) // the 2-cycle
+    // contrast: undirected CC on the same edges is ONE component
+    val cc = Graph.ccLargeSmallStar(nodes.toDF("doc_id"), edges)
+      .collect().map(_.getLong(1)).toSet
+    assert(cc == Set(0L), s"undirected CC must merge everything: $cc")
+  }
 }
