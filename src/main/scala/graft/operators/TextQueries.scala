@@ -2155,6 +2155,108 @@ object TextQueries {
              |AS BIGINT) AS n_kw FROM b)
              |SELECT doc_id, n_lines, n_semi, n_brace, n_eq, n_indent,
              |n_kw, n_kw >= 2 AND n_indent >= 2 AS is_code FROM c"""
+        .stripMargin.replace('\n', ' '))),
+
+    // C4 LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2) — the companion
+    // to t45's doc-level Gopher gate: C4 filters LINES first (keep only
+    // lines ending in terminal punctuation with >= 3 words that do not
+    // mention 'javascript'), then drops whole pages on raw-text signals
+    // ('{' = code, 'lorem ipsum' = placeholder) plus a >= 5 sentence
+    // floor counted on the CLEANED text. The fixture corpus is
+    // single-line prose with no terminal punctuation, so the corpus is
+    // MIXED BY CONSTRUCTION (the t47 discipline): seven deterministic
+    // lines are appended per doc — two always-dropped arms (terminal
+    // punct missing / < 3 words), a doc_id%7 javascript arm, a %5
+    // brace arm, a %11 lorem arm, and always-kept '.'/'!'/'?'/'"'
+    // terminators — so every rule and both outcomes of each page flag
+    // fire under the hash gate, which covers the reconstructed cleaned
+    // text itself, not just the keep bit. All rules are exact
+    // integer/string predicates (t45 discipline). Scale: per-row HOF
+    // line filtering fused into the scan — the line array never leaves
+    // the row; no shuffle, no UDF, whole-stage codegen.
+    Q("t49_c4_line_rules",
+      (s, d) => Tables.t(s, d, "documents")
+        .selectExpr("doc_id",
+          "concat(text, chr(10), " +
+            "'Two words.', chr(10), " +
+            "'no terminal punctuation on this line', chr(10), " +
+            "CASE WHEN doc_id % 7 = 0 " +
+            "THEN 'Please enable javascript to continue.' " +
+            "ELSE 'Another good sentence appears right here!' END, " +
+            "chr(10), " +
+            "CASE WHEN doc_id % 5 = 0 THEN 'var x = {a: 1};' " +
+            "ELSE 'Is this a question with many words?' END, " +
+            "chr(10), " +
+            "CASE WHEN doc_id % 11 = 0 " +
+            "THEN 'Lorem ipsum dolor sit amet.' " +
+            "ELSE 'The final line concludes the page today.' END, " +
+            "chr(10), " +
+            "'This line ends with a period and has words.', " +
+            "chr(10), 'She said the cleaner works.\"') AS t")
+        .selectExpr("doc_id", "t",
+          "filter(split(t, chr(10)), x -> " +
+            "(endswith(rtrim(x), '.') OR endswith(rtrim(x), '!') OR " +
+            "endswith(rtrim(x), '?') OR endswith(rtrim(x), '\"')) " +
+            "AND size(filter(split(trim(x), '\\\\s+'), " +
+            "y -> y != '')) >= 3 " +
+            "AND NOT contains(lower(x), 'javascript')) AS kept")
+        .selectExpr("doc_id",
+          "CAST(size(split(t, chr(10))) AS BIGINT) AS n_lines",
+          "CAST(size(kept) AS BIGINT) AS n_kept",
+          "array_join(kept, chr(10)) AS cleaned",
+          "NOT contains(t, '{') AS r_brace",
+          "NOT contains(lower(t), 'lorem ipsum') AS r_lorem")
+        .selectExpr("doc_id", "n_lines", "n_kept", "cleaned",
+          "r_brace", "r_lorem",
+          "CAST(length(cleaned) - length(replace(cleaned, '.', '')) + " +
+            "length(cleaned) - length(replace(cleaned, '!', '')) + " +
+            "length(cleaned) - length(replace(cleaned, '?', '')) " +
+            "AS BIGINT) AS n_sent")
+        .selectExpr("doc_id", "n_lines", "n_kept", "cleaned",
+          "r_brace", "r_lorem", "n_sent",
+          "r_brace AND r_lorem AND n_kept >= 1 AND n_sent >= 5 " +
+            "AS keep"),
+      Some("""WITH t0 AS (SELECT doc_id, text || chr(10) ||
+             |'Two words.' || chr(10) ||
+             |'no terminal punctuation on this line' || chr(10) ||
+             |CASE WHEN doc_id % 7 = 0
+             |THEN 'Please enable javascript to continue.'
+             |ELSE 'Another good sentence appears right here!' END ||
+             |chr(10) ||
+             |CASE WHEN doc_id % 5 = 0 THEN 'var x = {a: 1};'
+             |ELSE 'Is this a question with many words?' END ||
+             |chr(10) ||
+             |CASE WHEN doc_id % 11 = 0
+             |THEN 'Lorem ipsum dolor sit amet.'
+             |ELSE 'The final line concludes the page today.' END ||
+             |chr(10) ||
+             |'This line ends with a period and has words.' ||
+             |chr(10) || 'She said the cleaner works."' AS t
+             |FROM documents),
+             |a AS (SELECT doc_id, t,
+             |list_filter(string_split(t, chr(10)), x ->
+             |(ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!') OR
+             |ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '"')) AND
+             |len(list_filter(string_split_regex(trim(x), '\s+'),
+             |y -> y != '')) >= 3 AND
+             |NOT contains(lower(x), 'javascript')) AS kept FROM t0),
+             |b AS (SELECT doc_id,
+             |CAST(len(string_split(t, chr(10))) AS BIGINT)
+             |AS n_lines,
+             |CAST(len(kept) AS BIGINT) AS n_kept,
+             |COALESCE(array_to_string(kept, chr(10)), '') AS cleaned,
+             |NOT contains(t, '{') AS r_brace,
+             |NOT contains(lower(t), 'lorem ipsum') AS r_lorem
+             |FROM a),
+             |c AS (SELECT doc_id, n_lines, n_kept, cleaned, r_brace,
+             |r_lorem,
+             |CAST(length(cleaned) - length(replace(cleaned, '.', '')) +
+             |length(cleaned) - length(replace(cleaned, '!', '')) +
+             |length(cleaned) - length(replace(cleaned, '?', ''))
+             |AS BIGINT) AS n_sent FROM b)
+             |SELECT doc_id, n_lines, n_kept, cleaned, r_brace, r_lorem,
+             |n_sent, r_brace AND r_lorem AND n_kept >= 1 AND
+             |n_sent >= 5 AS keep FROM c"""
         .stripMargin.replace('\n', ' ')))
   )
 

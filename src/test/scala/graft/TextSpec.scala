@@ -738,4 +738,40 @@ class TextSpec extends SparkSpec {
         "snippet adds at least def+return keyword hits")
     } finally out.unpersist()
   }
+
+  test("t49 C4 line rules: dropped arms never reach cleaned, the " +
+    "quote terminator survives, each page flag fires on its residue " +
+    "class, and only fully-clean pages pass the 5-sentence floor") {
+    val out = q("t49_c4_line_rules").build(spark, sf).cache()
+    try {
+      // the two always-dropped constructed lines never appear
+      assert(out.filter(col("cleaned").contains("Two words.") ||
+        col("cleaned").contains("no terminal punctuation"))
+        .count() == 0, "punct/word-count-dropped lines leaked through")
+      // the '"'-terminated line is kept on EVERY page
+      assert(out.filter(!col("cleaned")
+        .contains("She said the cleaner works.\"")).count() == 0,
+        "quote-terminated line must survive the punct rule")
+      // javascript lines are dropped from cleaned even where kept
+      assert(out.filter(lower(col("cleaned")).contains("javascript"))
+        .count() == 0)
+      // page flags fire exactly on their residue classes
+      assert(out.filter(col("doc_id") % 5 === 0 && col("r_brace"))
+        .count() == 0)
+      assert(out.filter(col("doc_id") % 5 =!= 0 && !col("r_brace"))
+        .count() == 0)
+      assert(out.filter(col("doc_id") % 11 === 0 && col("r_lorem"))
+        .count() == 0)
+      // a page clean of all three residues keeps: 5 constructed
+      // sentence enders clear the floor; any residue page fails
+      val clean = out.filter(col("doc_id") % 5 =!= 0 &&
+        col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
+      assert(clean.count() > 0)
+      assert(clean.filter(!col("keep")).count() == 0,
+        "residue-free pages must pass all rules")
+      assert(out.filter(col("doc_id") % 7 === 0 && col("keep"))
+        .count() == 0,
+        "javascript pages lose a sentence and miss the floor")
+    } finally out.unpersist()
+  }
 }
