@@ -340,6 +340,59 @@ object Multimodal {
         lit(null).cast("long").as("frame_bytes_raw")))
   }
 
+  /** FLAC STREAMINFO — the sixth container grammar and the deepest
+    * bit-field packing in the family: after the 4-byte `fLaC` magic
+    * and the 4-byte metadata-block header (last-flag bit + 7-bit
+    * type, u24be length — STREAMINFO is type 0, length 34), the
+    * rate/layout fields pack 20+3+5+36 bits into EXACTLY eight bytes:
+    * sample rate (20 bits), channels−1 (3), bits-per-sample−1 (5),
+    * and total samples (36, straddling byte 22's nibble boundary).
+    * Decoded with div/mod byte arithmetic only — the (x/k).cast
+    * truncation is exact because the fractional tail stays below the
+    * next modulus. `seconds` = total_samples DIV sample_rate via the
+    * exact (ts − ts%sr)/sr form: the subtraction makes the double
+    * division exact (the quotient is integral and < 2^53). Payloads
+    * failing the magic / block-type / length / 42-byte floor read
+    * well_formed=false with NULL fields (the corpus text is
+    * lowercase, so the case-sensitive `fLaC` magic can never
+    * collide). Per-row codegen'd byte arithmetic, one scan. */
+  def flacStreamInfo(bin: Column): Column = {
+    val b5 = byteAt(bin, 5)
+    val len24 = byteAt(bin, 6) * 65536L + byteAt(bin, 7) * 256L +
+      byteAt(bin, 8)
+    val valid = octet_length(bin) >= 42 &&
+      substring(bin, 1, 4).cast("string") === "fLaC" &&
+      (b5 % 128) === 0L && len24 === 34L
+    val b21 = byteAt(bin, 21)
+    val b22 = byteAt(bin, 22)
+    val sr = (byteAt(bin, 19) * 256L + byteAt(bin, 20)) * 16L +
+      (b21 / 16).cast("long")
+    val ts = (b22 % 16) * 4294967296L + beU32(bin, 23)
+    when(valid, struct(
+      lit(true).as("well_formed"),
+      (b5 / 128).cast("int").as("last_block"),
+      (byteAt(bin, 9) * 256L + byteAt(bin, 10)).cast("int")
+        .as("min_block"),
+      (byteAt(bin, 11) * 256L + byteAt(bin, 12)).cast("int")
+        .as("max_block"),
+      sr.cast("int").as("sample_rate"),
+      ((b21 / 2).cast("long") % 8L + 1L).cast("int").as("channels"),
+      ((b21 % 2) * 16L + (b22 / 16).cast("long") + 1L).cast("int")
+        .as("bits_per_sample"),
+      ts.as("total_samples"),
+      ((ts - ts % sr) / sr).cast("long").as("seconds")))
+      .otherwise(struct(
+        lit(false).as("well_formed"),
+        lit(null).cast("int").as("last_block"),
+        lit(null).cast("int").as("min_block"),
+        lit(null).cast("int").as("max_block"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("channels"),
+        lit(null).cast("int").as("bits_per_sample"),
+        lit(null).cast("long").as("total_samples"),
+        lit(null).cast("long").as("seconds")))
+  }
+
   /** Big-endian uint32 at a DYNAMIC 1-based offset (ISO-BMFF's integer
     * encoding). */
   private def dynBeU32(bin: Column, off: Column): Column =
@@ -1081,6 +1134,76 @@ object MultimodalQueries {
              |THEN CAST((doc_id * 7) % 400 + 16 AS BIGINT) END AS height,
              |CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN doc_id % 2
              |WHEN 2 THEN doc_id % 2 END AS INTEGER) AS has_alpha
-             |FROM documents""".stripMargin.replace('\n', ' ')))
+             |FROM documents""".stripMargin.replace('\n', ' '))),
+
+    // mm16: FLAC STREAMINFO parse over a MIXED corpus — doc_id%3==0
+    // rows carry a constructed 42-byte fLaC header whose five packed
+    // fields all sweep (20-bit sample rate, 3-bit channel count,
+    // 5-bit bit depth, 36-bit total-sample count crossing the nibble
+    // boundary via doc_id%16 in the high nibble, and the
+    // metadata-block last-flag bit on doc_id%2); the rest carry raw
+    // text and must land on the well_formed=false NULL arm. The
+    // oracle restates the construction plus the seconds integer
+    // division, so the gate holds the whole bit-unpacking — including
+    // the 36-bit straddle — per row. See [[Multimodal.flacStreamInfo]].
+    Q("mm16_flac_streaminfo",
+      (s, d) => {
+        val srv = (lit(8000L) + (col("doc_id") * 37) % 180000)
+          .cast("long")
+        val chv = (col("doc_id") % 8 + 1).cast("long")
+        val bpv = ((col("doc_id") * 3) % 32 + 1).cast("long")
+        val tsv = ((col("doc_id") % 16) * 4294967296L +
+          (col("doc_id") * 977) % 1000000007L).cast("long")
+        val mbv = (col("doc_id") % 60000 + 16).cast("long")
+        val xbv = (mbv + col("doc_id") % 100).cast("long")
+        val packed = srv * 17592186044416L +        // << 44
+          (chv - 1L) * 2199023255552L +             // << 41
+          (bpv - 1L) * 68719476736L +               // << 36
+          tsv
+        val hdr = concat(lit("664C6143"),
+          when(col("doc_id") % 2 === 0, "80").otherwise("00"),
+          lit("000022"),
+          lpad(hex(mbv), 4, "0"), lpad(hex(xbv), 4, "0"),
+          lit("000000"), lit("000000"),
+          lpad(hex(packed), 16, "0"),
+          lit("0" * 32))
+        val bin = when(col("doc_id") % 3 === 0, unhex(hdr))
+          .otherwise(payload(col("text")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), flacStreamInfo(bin).as("m"))
+          .select(col("doc_id"),
+            col("m.well_formed").as("well_formed"),
+            col("m.last_block").as("last_block"),
+            col("m.min_block").as("min_block"),
+            col("m.max_block").as("max_block"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.bits_per_sample").as("bits_per_sample"),
+            col("m.total_samples").as("total_samples"),
+            col("m.seconds").as("seconds"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |8000 + (doc_id * 37) % 180000 AS sr,
+             |doc_id % 8 + 1 AS ch,
+             |(doc_id * 3) % 32 + 1 AS bp,
+             |(doc_id % 16) * 4294967296 +
+             |(doc_id * 977) % 1000000007 AS ts,
+             |doc_id % 60000 + 16 AS mb,
+             |doc_id % 60000 + 16 + doc_id % 100 AS xb
+             |FROM documents WHERE doc_id % 3 = 0)
+             |SELECT doc_id, TRUE AS well_formed,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+             |AS INTEGER) AS last_block,
+             |CAST(mb AS INTEGER) AS min_block,
+             |CAST(xb AS INTEGER) AS max_block,
+             |CAST(sr AS INTEGER) AS sample_rate,
+             |CAST(ch AS INTEGER) AS channels,
+             |CAST(bp AS INTEGER) AS bits_per_sample,
+             |CAST(ts AS BIGINT) AS total_samples,
+             |CAST(ts // sr AS BIGINT) AS seconds FROM m
+             |UNION ALL SELECT doc_id, FALSE, NULL, NULL, NULL, NULL,
+             |NULL, NULL, NULL, NULL FROM documents
+             |WHERE doc_id % 3 <> 0"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -408,6 +408,40 @@ class MultimodalSpec extends SparkSpec {
       assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
   }
 
+  test("flacStreamInfo on byte literals: a 44.1 kHz stereo 16-bit " +
+    "stream with a 36-bit sample count crossing the nibble boundary " +
+    "decodes exactly (incl. the seconds division); wrong magic, " +
+    "non-STREAMINFO type, wrong block length, truncation, and text " +
+    "bytes all read malformed") {
+    val sq = spark; import sq.implicits._
+    def parse(hexStr: String) = Seq(Tuple1(hexStr)).toDF("h")
+      .select(Multimodal.flacStreamInfo(unhex(col("h"))).as("m"))
+      .select("m.*").collect().head
+    // sr 44100, ch 2, bps 16, ts 5*2^32+4410000 (high nibble = 5
+    // exercises the straddle), min/max block 4096/4160, last flag set
+    val ok = parse("664C614380000022100010400000000000000AC442F5" +
+      "00434A9000000000000000000000000000000000")
+    assert(ok.getBoolean(0) && ok.getInt(1) == 1 &&
+      ok.getInt(2) == 4096 && ok.getInt(3) == 4160 &&
+      ok.getInt(4) == 44100 && ok.getInt(5) == 2 &&
+      ok.getInt(6) == 16 && ok.getLong(7) == 21479246480L &&
+      ok.getLong(8) == 487057L, ok.toString)
+    // last flag clear reads 0 and stays well-formed
+    val nf = parse("664C614300000022100010400000000000000AC442F5" +
+      "00434A9000000000000000000000000000000000")
+    assert(nf.getBoolean(0) && nf.getInt(1) == 0, nf.toString)
+    for (bad <- Seq(
+      "664C614480000022100010400000000000000AC442F5" +
+        "00434A9000000000000000000000000000000000", // magic fLaD
+      "664C614381000022100010400000000000000AC442F5" +
+        "00434A9000000000000000000000000000000000", // block type 1
+      "664C614380000021100010400000000000000AC442F5" +
+        "00434A9000000000000000000000000000000000", // length 33
+      "664C61438000002210001040",                   // truncated
+      "48656C6C6F20776F726C64"))                    // text bytes
+      assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
+  }
+
   test("webpMeta on byte literals: all three variant grammars parse " +
     "(VP8 masks its 2 upscale bits, VP8L unpacks the LE32 bitfield, " +
     "VP8X reads 24-bit dims past the LE16 range); bad sync, bad " +
