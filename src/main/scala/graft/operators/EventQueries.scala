@@ -1051,6 +1051,40 @@ object EventQueries {
              |FROM cls WHERE h IS NOT NULL GROUP BY h"""
         .stripMargin.replace('\n', ' '))),
 
+    // s37: CHAINED STATEFUL OPERATORS under the hash gate — dedup →
+    // windowed agg in ONE streaming query (SPARK-42376), the shape an
+    // at-least-once firehose needs. The corpus is doubled by
+    // construction (explode over two copies, identical rows), so the
+    // hourly counts prove the in-stream dedup actually fired: without
+    // it every n would read 2×. A distinct-id driver row at 04:05
+    // advances the zero-lateness watermark past the three data hours,
+    // so append mode emits exactly hours 0–2 and holds the driver's
+    // own window — the same emission boundary s29 pins. The oracle is
+    // the batch per-hour distinct count.
+    Q("s37_chained_stateful",
+      (s, d) => {
+        val base = 1767225600L // 2026-01-01 00:00:00 UTC
+        val ev = Tables.t(s, d, "events").select(col("event_id"))
+        val data = ev.select(col("event_id"),
+          timestamp_seconds(
+            lit(base) + pmod(col("event_id"), lit(3)) * 3600 + 600)
+            .as("ts"))
+        val driver = ev.filter(col("event_id") % 7 === 0)
+          .select((col("event_id") + 1000000000L).as("event_id"),
+            timestamp_seconds(lit(base) + 4 * 3600 + 300).as("ts"))
+        val doubled = data.union(driver)
+          .withColumn("__c", explode(typedlit(Seq(0, 1)))).drop("__c")
+        val dir = Dml.work("s37_chain", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(doubled))
+        val stream = s.readStream.schema(doubled.schema).parquet(dir)
+        drainStream(s, EventStreams.dedupThenHourlyCounts(stream),
+          mode = "append")
+      },
+      Some("""SELECT CAST(to_timestamp(1767225600 +
+             |(event_id % 3) * 3600) AS TIMESTAMP) AS window_start,
+             |count(*) AS n FROM events GROUP BY 1"""
+        .stripMargin.replace('\n', ' '))),
+
     // s30: EXECUTED LEFT OUTER stream-stream join gate — the
     // null-padding half s14's inner join can't exercise. Four
     // constructed classes (user key = event_id, two landing dirs →

@@ -71,6 +71,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w").getField("start").as("window_start"), col("n"))
 
+  /** CHAINED STATEFUL OPERATORS (s37): dropDuplicatesWithinWatermark
+    * feeding a windowed aggregation in ONE streaming query — the
+    * multi-stateful pipeline (SPARK-42376) that an ingest firehose
+    * actually runs (dedup the at-least-once transport, then aggregate
+    * the survivors) without materializing an intermediate topic.
+    * Append mode is mandatory for the chain; the dedup operator
+    * forwards the event-time watermark so the downstream agg evicts
+    * and emits exactly as if fed from a clean source. State: dedup
+    * keyed by event_id inside the watermark horizon, agg keyed by
+    * (window) — both bounded, both sharded on their keys across
+    * executors. */
+  def dedupThenHourlyCounts(rows: DataFrame,
+      lateness: String = "0 seconds"): DataFrame =
+    rows
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w").getField("start").as("window_start"), col("n"))
+
   /** Multi-micro-batch landing-dir harness (s29 + spec): write each
     * frame as a single parquet FILE with strictly increasing
     * modification times, so a file stream with maxFilesPerTrigger=1

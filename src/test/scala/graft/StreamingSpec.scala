@@ -508,6 +508,39 @@ class StreamingSpec extends SparkSpec {
       s"dropped, got $dropped")
   }
 
+  test("s37 chained stateful: a duplicate id arriving a BATCH LATER " +
+    "still collapses in the dedup stage before the windowed agg " +
+    "counts it; the unclosed tail window is held back") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("s37spec", sf) + "_landing"
+    def t(sec: Long) = new Timestamp((1767225600L + sec) * 1000)
+    // batch 0: ids 1,2 in hour 0 (id 1 twice IN-batch), id 3 in hour 1
+    val a = Seq((1L, t(600)), (1L, t(600)), (2L, t(900)),
+      (3L, t(3600 + 600))).toDF("event_id", "ts")
+    // batch 1: id 3 AGAIN at exactly its 01:10 timestamp — ON the
+    // batch-0 watermark, so the late filter (ts < wm) cannot touch it
+    // and only the dedup STATE can explain its absence from the count
+    // — plus id 9 at 03:05 driving the final watermark
+    val b = Seq((3L, t(3600 + 600)), (9L, t(3 * 3600 + 300)))
+      .toDF("event_id", "ts")
+    EventStreams.writeBatchLanding(spark, dir, Seq(a, b))
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sink = "s37spec_out"
+    val q = EventStreams.dedupThenHourlyCounts(stream).writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => ((r.getTimestamp(0).getTime / 1000 - 1767225600L) / 3600,
+        r.getLong(1))).toMap
+    spark.catalog.dropTempView(sink)
+    // hour 0 counts ids {1,2} once each; hour 1 counts id 3; the
+    // watermark driver's own hour-3 window is unclosed -> absent
+    assert(got == Map(0L -> 2L, 1L -> 1L), got.toString)
+  }
+
   test("s30 outer join: a purchase arriving a BATCH AFTER its view " +
     "matches from state; an unmatched view null-pads only after its " +
     "window provably closed; a tail view stays pending (absent)") {
