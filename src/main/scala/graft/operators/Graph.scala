@@ -568,6 +568,49 @@ object Graph {
     * rollup, and the global sums as a 1-row broadcast cross join — no
     * single-partition window, no collect. Scale: everything keys on
     * community or vertex ids; the output is one row per community. */
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) — community
+    * detection by iterated neighbor-majority vote, made DETERMINISTIC:
+    * labels start as node ids; each round every node adopts the
+    * MINIMUM label among the maximum-frequency labels of its
+    * neighbors (classic LPA breaks frequency ties randomly — the min
+    * rule is the standard reproducible variant), isolated nodes keep
+    * their label. Synchronous (all nodes update from the previous
+    * round's labels), so the result is independent of any visit
+    * order. Emits one labels column per round — hashing EVERY round's
+    * assignment, not just the settled one, puts the
+    * argmax-with-tie-break itself under the gate round by round.
+    *
+    * Scale: each round is one edge-side shuffle (adjacency JOIN labels
+    * on the neighbor key, groupBy (node, label) count) plus a
+    * per-node window max — the per-round cost of PageRank with the
+    * same O(m) partitioning; rounds are a fixed small constant here
+    * (LPA converges in a handful of sweeps; synchronous LPA may
+    * 2-cycle on bipartite structure, which a fixed round budget
+    * sidesteps deterministically). Labels stay (node, label) pairs —
+    * never collected, never densified. */
+  def labelPropagation(
+      nodes: DataFrame, edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val adj = edges.select(col("lo").as("v"), col("hi").as("u"))
+      .union(edges.select(col("hi").as("v"), col("lo").as("u")))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("v")
+    var out = nodes.select(col("v"))
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+    for (r <- 1 to rounds) {
+      val cnt = adj
+        .join(labels.select(col("v").as("u"), col("lab")), "u")
+        .groupBy("v", "lab").agg(count(lit(1)).as("c"))
+      val next = cnt
+        .withColumn("mc", max(col("c")).over(win))
+        .filter(col("c") === col("mc"))
+        .groupBy("v").agg(min(col("lab")).as("lab"))
+      labels = nodes.select(col("v"))
+        .join(next, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
+      out = out.join(labels.withColumnRenamed("lab", s"lab$r"), "v")
+    }
+    out.withColumnRenamed("v", "node")
+  }
+
   def modularity(edges: DataFrame, membership: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("lo"), col("hi")).as("lo"),
@@ -1096,6 +1139,60 @@ object GraphQueries {
              |JOIN walk b ON a.src = b.node AND a.node = b.src)
              |SELECT u AS v, CAST(min(v) AS BIGINT) AS scc_rep,
              |CAST(count(*) AS BIGINT) AS scc_size FROM m GROUP BY u"""
+        .stripMargin.replace('\n', ' '))),
+
+    // LABEL PROPAGATION COMMUNITIES under the hash gate — g03's
+    // constructed 30-node undirected graph through
+    // [[Graph.labelPropagation]]: two synchronous min-tie-break
+    // majority-vote rounds, the oracle unrolling both (round 1's
+    // all-ones counts reduce to min-neighbor; round 2 exercises real
+    // multiplicities and frequency ties). Both rounds' assignments are
+    // hashed, so the argmax-with-tie-break is gated per round.
+    Q("g13_label_propagation",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val a = (col("doc_id") % 30).as("a")
+        def gen(b: org.apache.spark.sql.Column) =
+          docs.select(a, (b % 30).as("b"))
+        val raw = gen(col("doc_id") * col("doc_id") + 1)
+          .union(gen(col("doc_id") + 2))
+          .union(gen(col("doc_id") * 3 + 5))
+        val edges = raw.filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("lo"),
+            greatest(col("a"), col("b")).as("hi"))
+          .distinct()
+        Graph.labelPropagation(
+          docs.select((col("doc_id") % 30).as("v")).distinct(), edges)
+      },
+      Some("""WITH nodes AS (SELECT DISTINCT doc_id % 30 AS v
+             |FROM documents),
+             |raw AS (SELECT doc_id % 30 AS a, (doc_id*doc_id+1) % 30 AS b
+             |FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id+2) % 30 FROM documents
+             |UNION ALL SELECT doc_id % 30, (doc_id*3+5) % 30 FROM documents),
+             |e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+             |FROM raw WHERE a != b),
+             |adj AS (SELECT lo AS v, hi AS u FROM e
+             |UNION ALL SELECT hi, lo FROM e),
+             |c1 AS (SELECT v, u AS nl, count(*) AS c FROM adj
+             |GROUP BY 1, 2),
+             |w1 AS (SELECT v, nl, c, max(c) OVER (PARTITION BY v) AS mc
+             |FROM c1),
+             |l1 AS (SELECT v, min(nl) AS lab FROM w1 WHERE c = mc
+             |GROUP BY v),
+             |lab1 AS (SELECT n.v, COALESCE(l1.lab, n.v) AS lab
+             |FROM nodes n LEFT JOIN l1 ON l1.v = n.v),
+             |c2 AS (SELECT a.v, b.lab AS nl, count(*) AS c FROM adj a
+             |JOIN lab1 b ON b.v = a.u GROUP BY 1, 2),
+             |w2 AS (SELECT v, nl, c, max(c) OVER (PARTITION BY v) AS mc
+             |FROM c2),
+             |l2 AS (SELECT v, min(nl) AS lab FROM w2 WHERE c = mc
+             |GROUP BY v),
+             |lab2 AS (SELECT n.v, COALESCE(l2.lab, n.v) AS lab
+             |FROM nodes n LEFT JOIN l2 ON l2.v = n.v)
+             |SELECT n.v AS node, lab1.lab AS lab1, lab2.lab AS lab2
+             |FROM nodes n JOIN lab1 ON lab1.v = n.v
+             |JOIN lab2 ON lab2.v = n.v"""
         .stripMargin.replace('\n', ' ')))
   )
 }

@@ -265,4 +265,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(cc == Set(0L), s"undirected CC must merge everything: $cc")
   }
+
+  test("labelPropagation: round 1 reduces to min-neighbor, round 2 " +
+    "follows the true majority, a frequency TIE resolves to the min " +
+    "label, and an isolated node keeps its own label both rounds") {
+    val sq = spark; import sq.implicits._
+    // 1-2, 1-3, 2-3, 2-4, 3-4, 2-5, 4-5; 9 isolated.
+    // round 2 at node 5: neighbor labels {1 (from 2), 2 (from 4)} —
+    // a 1:1 frequency tie that must resolve to label 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).map(Tuple1(_)).toDF("v")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 5L), (4L, 5L)).toDF("lo", "hi")
+    val got = Graph.labelPropagation(nodes, edges, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (2L, 1L, 2L), (3L, 1L, 2L), (4L, 2L, 1L),
+      (5L, 2L, 1L),   // round-2 tie -> min label
+      (9L, 9L, 9L)),  // isolated: self label survives both rounds
+      got.toString)
+  }
 }
