@@ -287,6 +287,38 @@ object Dml {
       dir: String, version: String): DataFrame =
     spark.read.parquet(versionPath(dir, version))
 
+  /** TABLE HISTORY (DESCRIBE HISTORY reduced to the pointer-store
+    * kernel): one row per committed version — its row count, the row
+    * delta vs the previous version, and whether `_latest` points at
+    * it. Versions are the immutable `v<N>` directories, ordered by N;
+    * the listing is a driver-side METADATA op (a handful of names —
+    * the commit log, not data), while the counts aggregate in ONE
+    * Spark plan (union of version reads tagged by name → groupBy),
+    * so no version's data ever collects to the driver. A real
+    * lakehouse log reads footer stats instead of counting; the
+    * contract — immutable versions enumerated in commit order with
+    * their deltas — is identical. */
+  def history(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cur = currentVersion(dir)
+    val base = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    val versions = java.nio.file.Files.list(base).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+(_ref)?")) // a _ref FILE is a version too
+      .map(_.stripSuffix("_ref"))        // (shallow-clone indirection)
+      .toSeq.distinct.sortBy(_.drop(1).toInt)
+    val tagged = versions.map { v =>
+      readVersion(spark, dir, v).select(lit(v).as("version"))
+    }.reduce(_ union _)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(expr("CAST(substring(version, 2) AS INT)")) // v10 > v9
+    tagged.groupBy("version").agg(count(lit(1)).as("n_rows"))
+      .withColumn("delta_rows",
+        col("n_rows") - lag(col("n_rows"), 1).over(ord))
+      .withColumn("is_current", col("version") === lit(cur))
+  }
+
   /** SHALLOW CLONE — fork a table WITHOUT copying data (the Delta
     * `CREATE TABLE … SHALLOW CLONE` kernel): the clone's v0 is a
     * REFERENCE file naming the source's committed version directory,
@@ -812,6 +844,32 @@ object DmlQueries {
              |SELECT *, 'src' AS side FROM v1 WHERE n_nationkey >= 5
              |UNION ALL SELECT *, 'clone' FROM v1
              |WHERE n_nationkey < 20 OR n_nationkey = 99"""
+        .stripMargin.replace('\n', ' '))),
+
+    // TABLE HISTORY (DESCRIBE HISTORY) — the introspection the
+    // versioned store earns from immutable version directories plus
+    // the commit pointer: m09's three-version lineage (import, +2
+    // insert, −1 delete) read back as a history relation with row
+    // counts, per-commit deltas, and the current-pointer flag. The
+    // oracle derives every count from the live nation cardinality, so
+    // the gate holds the enumeration order, the lag-delta arithmetic,
+    // and pointer resolution. See [[Dml.history]].
+    Q("m22_history",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m22", d)
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, dir) // v0, v1
+        Dml.deleteLatest(s, dir, col("n_nationkey") === 25)   // v2
+        Dml.history(s, dir)
+      },
+      Some("""WITH n AS (SELECT count(*) AS c FROM nation)
+             |SELECT 'v0' AS version, c AS n_rows,
+             |CAST(NULL AS BIGINT) AS delta_rows, FALSE AS is_current
+             |FROM n
+             |UNION ALL SELECT 'v1', c + 2, 2, FALSE FROM n
+             |UNION ALL SELECT 'v2', c + 1, -1, TRUE FROM n"""
         .stripMargin.replace('\n', ' '))),
 
     // CREATE TABLE AS SELECT — the remaining DDL statement form after

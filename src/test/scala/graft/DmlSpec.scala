@@ -449,4 +449,33 @@ class DmlSpec extends SparkSpec {
     // the clone's OWN committed state (v1, real files) is unaffected
     assert(read(dst) == Set((1, "a"), (2, "b"), (3, "c")))
   }
+
+  test("history: counts/deltas/current flag track the commit log in " +
+    "order; a RESTORE appends a new version (never rewinds) whose " +
+    "delta undoes the delete; a shallow clone's ref version counts " +
+    "the source's rows through the indirection") {
+    val sq = spark; import sq.implicits._
+    val root = Dml.work("hist_spec", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/src"
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    Dml.insertValues(base, Seq((4, "d")).toDF("k", "v"), src) // v0:3 v1:4
+    Dml.deleteLatest(spark, src, col("k") <= 2)               // v2: 2
+    Dml.restore(spark, src, "v1")                             // v3: 4
+    def hist(dir: String) = Dml.history(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toLong),
+          r.getBoolean(3)))).toMap
+    val h = hist(src)
+    assert(h == Map(
+      "v0" -> ((3L, None, false)),
+      "v1" -> ((4L, Some(1L), false)),
+      "v2" -> ((2L, Some(-2L), false)),
+      "v3" -> ((4L, Some(2L), true))), h.toString) // restore = forward
+    // a shallow clone's history resolves its ref version's data
+    val dst = s"$root/clone"
+    Dml.shallowClone(spark, src, dst)
+    val hc = hist(dst)
+    assert(hc == Map("v0" -> ((4L, None, true))), hc.toString)
+  }
 }
