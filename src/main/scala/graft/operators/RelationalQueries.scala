@@ -1056,6 +1056,49 @@ object RelationalQueries {
              |THEN NULL ELSE c_custkey % 10 END AS k FROM customer)
              |SELECT o.k, count(*) AS n_pairs FROM o JOIN c
              |ON o.k IS NOT DISTINCT FROM c.k GROUP BY o.k"""
+        .stripMargin.replace('\n', ' '))),
+
+    // VARIANT (Spark 4's semi-structured type, SPARK-45891) under the
+    // hash gate: per-row JSON is CONSTRUCTED with nesting the flat
+    // fixture props lacks — a number, an array holding the
+    // event_type, a nested object, and a doc_id%5 JSON-null arm — so
+    // parse_json → variant_get exercises typed path extraction at
+    // depth, array indexing (0-based '$.tags[1]'), number→string
+    // coercion, and the VARIANT-NULL vs MISSING-KEY distinction
+    // (is_variant_null is true only for the explicit null; a missing
+    // path is SQL NULL — coalesced to false on both sides). The
+    // oracle replays the paths with DuckDB's JSON functions. Scale:
+    // per-row parse, no shuffle; variant's binary encoding is the
+    // point — parse once, extract many times without re-parsing.
+    Q("q55_variant_json",
+      (s, d) => Tables.t(s, d, "events")
+        .selectExpr("event_id",
+          "concat('{\"k\":', CAST(event_id % 100 AS STRING), " +
+            "',\"tags\":[\"a\",\"', event_type, '\"],\"m\":{\"x\":', " +
+            "CAST(event_id % 7 AS STRING), '}', " +
+            "CASE WHEN event_id % 5 = 0 THEN ',\"opt\":null' " +
+            "ELSE '' END, '}') AS js")
+        .selectExpr("event_id", "parse_json(js) AS v")
+        .selectExpr("event_id",
+          "variant_get(v, '$.k', 'bigint') AS k",
+          "variant_get(v, '$.m.x', 'bigint') AS mx",
+          "variant_get(v, '$.tags[1]', 'string') AS tag1",
+          "variant_get(v, '$.k', 'string') AS k_str",
+          "COALESCE(is_variant_null(variant_get(v, '$.opt')), false) " +
+            "AS opt_json_null"),
+      Some("""WITH j AS (SELECT event_id,
+             |'{"k":' || CAST(event_id % 100 AS VARCHAR) ||
+             |',"tags":["a","' || event_type || '"],"m":{"x":' ||
+             |CAST(event_id % 7 AS VARCHAR) || '}' ||
+             |CASE WHEN event_id % 5 = 0 THEN ',"opt":null'
+             |ELSE '' END || '}' AS js FROM events)
+             |SELECT event_id,
+             |CAST(json_extract(js, '$.k') AS BIGINT) AS k,
+             |CAST(json_extract(js, '$.m.x') AS BIGINT) AS mx,
+             |json_extract_string(js, '$.tags[1]') AS tag1,
+             |json_extract_string(js, '$.k') AS k_str,
+             |COALESCE(json_type(js, '$.opt') = 'NULL', FALSE)
+             |AS opt_json_null FROM j"""
         .stripMargin.replace('\n', ' ')))
   )
 
