@@ -85,6 +85,47 @@ object Skew {
           spreadBig("_salt") === explodedSmall("_salt"))
       .drop("_salt")
   }
+
+  /** AQE RUNTIME SKEW-JOIN — the mitigation you reach for BEFORE
+    * salting: declare a plain sort-merge join (MERGE hints pin the
+    * strategy — a broadcast would dissolve the skew instead of
+    * exercising the split) and let adaptive execution split oversized
+    * shuffle partitions at runtime, replicating the matching dim-side
+    * partition per split. No rewrite of the query, no salt column, and
+    * the split preserves join semantics exactly — which is precisely
+    * what the k03 hash gate holds (row-exact output under whatever
+    * split AQE chose). Thresholds are session confs; the entry scopes
+    * aggressive values so the split fires even at fixture scale, and
+    * SkewLayoutSpec asserts the executed plan really shows the
+    * skew-split join. */
+  def aqeSkewJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      bigKey: String,
+      dimKey: String): DataFrame =
+    big.hint("MERGE").join(dim.hint("MERGE"),
+      col(bigKey) === col(dimKey))
+
+  /** Run `body` with aggressive AQE skew-split thresholds, restoring
+    * the session values after — the scoped-conf discipline the
+    * RocksDB streaming entries use. */
+  private[graft] def withSkewConfs[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "1.0")
+      spark.conf.set(keys(1), "16384")
+      spark.conf.set(keys(2), "16384")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
 
 /** Oracle-checked twin for the skew machinery: a salted aggregate equals
@@ -108,6 +149,38 @@ object SkewQueries {
         .select("o_orderkey", "c_name"),
       Some("""SELECT o_orderkey, c_name FROM orders
              |JOIN customer ON o_custkey = c_custkey"""
+        .stripMargin.replace('\n', ' '))),
+
+    // AQE RUNTIME SKEW-JOIN under the hash gate — ~75% of lineitem
+    // collapses onto hot key 0 (the rest spread over 50 keys), the
+    // 50-row dim comes from spark.range, and the sort-merge join runs
+    // under scoped aggressive split thresholds so AQE's skew handling
+    // fires at fixture scale. Execution happens INSIDE the conf scope
+    // via an eager localCheckpoint (AQE reads confs at execution, not
+    // plan-build), then the confs restore so no later entry inherits
+    // 16 KB advisory partitions. The output is row-exact per lineitem
+    // line, so a split that duplicated or dropped a row (the failure
+    // mode replicating the dim side guards against) would flip the
+    // driver gate. SkewLayoutSpec holds the runtime evidence that the
+    // executed plan really contains the skew=true join.
+    Q("k03_skew_join_aqe",
+      (s, d) => Skew.withSkewConfs(s) {
+        val big = Tables.t(s, d, "lineitem").select(
+          when(col("l_orderkey") % 4 =!= 0, 0L)
+            .otherwise(col("l_orderkey") % 50).as("hk"),
+          col("l_orderkey"), col("l_linenumber"))
+        val dim = s.range(0, 50).select(col("id").as("dk"),
+          concat(lit("d"), col("id")).as("dname"))
+        Skew.aqeSkewJoin(big, dim, "hk", "dk")
+          .select("l_orderkey", "l_linenumber", "hk", "dname")
+          .localCheckpoint()
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CASE WHEN l_orderkey % 4 <> 0 THEN 0
+             |ELSE l_orderkey % 50 END AS hk,
+             |'d' || CAST(CASE WHEN l_orderkey % 4 <> 0 THEN 0
+             |ELSE l_orderkey % 50 END AS VARCHAR) AS dname
+             |FROM lineitem"""
         .stripMargin.replace('\n', ' ')))
   )
 }

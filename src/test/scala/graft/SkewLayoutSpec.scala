@@ -128,6 +128,31 @@ class SkewLayoutSpec extends SparkSpec {
     }
   }
 
+  test("k03 path: withSkewConfs scopes the aggressive thresholds and " +
+    "restores them after; aqeSkewJoin's MERGE hints pin the sort-merge " +
+    "join so the runtime skew split fires on it") {
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = spark.conf.getOption(key)
+    val plan = Skew.withSkewConfs(spark) {
+      assert(spark.conf.get(key) == "16384", "scope must be active")
+      val left = spark.range(200000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("hk"),
+        col("id").as("p"))
+      val dim = spark.range(100).select(col("id").as("dk"),
+        concat(lit("d"), col("id")).as("dname"))
+      val j = Skew.aqeSkewJoin(left, dim, "hk", "dk")
+      val n = j.collect().length // finalize THIS QueryExecution's plan
+      assert(n == 200000, s"join must stay exact under the split: $n")
+      j.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("SortMergeJoin"),
+      s"MERGE hint must pin SMJ:\n${plan.take(800)}")
+    assert(plan.contains("skew=true"),
+      s"runtime skew split must fire:\n${plan.take(1200)}")
+    assert(spark.conf.getOption(key) == before,
+      "withSkewConfs must restore the session value")
+  }
+
   test("AQE converts a planned sort-merge join to broadcast at runtime " +
     "when the built side turns out tiny (the selective-filter case " +
     "static stats cannot see)") {
