@@ -356,6 +356,81 @@ object SamplingQueries {
              |CAST(sum(id * (g % 64 + 1)) AS BIGINT) AS checksum
              |FROM e GROUP BY 1, 2"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // p15: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack et
+    // al. 2009) — the RAG-serving capstone composing two already-gated
+    // rankers: t25's BM25 top-20 (keyword arm) and e01's brute cosine
+    // top-20 for query vector 0 (semantic arm; vec_id aligns with
+    // doc_id by fixture construction). Both ranks are deterministic
+    // (rounded scores, id tie-break — the t25/e01 disciplines), and
+    // RRF = Σ 1/(60+rank) is two IEEE divisions of identical integers
+    // plus one sum — bit-equal cross-engine, no rounding needed. The
+    // FULL OUTER fusion keeps single-arm hits (absent rank contributes
+    // 0), and the final ordering ties-break on doc_id. Scale: the two
+    // arms are the gated operators' own plans (explode-agg; broadcast
+    // query × corpus scan); fusion is a 40-row join — serving cost
+    // lives entirely in the arms.
+    Q("p15_hybrid_rrf",
+      (s, d) => {
+        val wT = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val text = CorpusStats.bm25TopK(Tables.t(s, d, "documents"),
+            terms = Seq("spark", "join", "vector"), k = 20)
+          .select(col("doc_id"), col("score"))
+          .withColumn("rt", row_number().over(wT))
+          .drop("score")
+        val emb = Tables.t(s, d, "embeddings")
+        val vec = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 20)
+          .select(col("neighbor_id").as("doc_id"), col("rn").as("rv"))
+        val rrf = coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))
+        text.join(vec, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", rrf)
+          .withColumn("final_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("rrf").desc, col("doc_id").asc)))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |string_split_regex(trim(lower(text)), '\s+') AS toks
+             |FROM documents),
+             |st AS (SELECT count(*) AS nd,
+             |CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM docs),
+             |hits AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             |unnest(toks) AS w FROM docs),
+             |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM hits
+             |WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2, 3),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |ts AS (SELECT doc_id,
+             |round(ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (CAST(df AS
+             |DOUBLE) + 0.5)) * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+             |(CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+             |CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) /
+             |CAST(nd AS DOUBLE))))), 4) AS ts
+             |FROM tf JOIN dfq USING (w) CROSS JOIN st),
+             |bs AS (SELECT doc_id, round(sum(ts), 4) AS score FROM ts
+             |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),
+             |tr AS (SELECT doc_id, CAST(row_number() OVER
+             |(ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rt
+             |FROM bs),
+             |vr AS (SELECT c.vec_id AS doc_id, CAST(row_number() OVER
+             |(ORDER BY round(list_cosine_similarity(
+             |list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             |list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
+             |DESC, c.vec_id ASC) AS INTEGER) AS rv
+             |FROM embeddings q, embeddings c
+             |WHERE q.vec_id = 0 AND c.vec_id != 0 QUALIFY rv <= 20)
+             |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             |tr.rt, vr.rv,
+             |COALESCE(1.0 / (60 + tr.rt), 0.0) +
+             |COALESCE(1.0 / (60 + vr.rv), 0.0) AS rrf,
+             |CAST(row_number() OVER (ORDER BY
+             |COALESCE(1.0 / (60 + tr.rt), 0.0) +
+             |COALESCE(1.0 / (60 + vr.rv), 0.0) DESC,
+             |COALESCE(tr.doc_id, vr.doc_id) ASC) AS INTEGER)
+             |AS final_rank
+             |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id"""
+        .stripMargin.replace('\n', ' ')))
   )
 }
