@@ -1099,7 +1099,21 @@ object RelationalQueries {
              |json_extract_string(js, '$.k') AS k_str,
              |COALESCE(json_type(js, '$.opt') = 'NULL', FALSE)
              |AS opt_json_null FROM j"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' '))),
+
+    // CORRELATED scalar subqueries in the SELECT list — the
+    // decorrelation rewrite (Catalyst's RewriteCorrelatedScalarSubquery
+    // / DecorrelateInnerQuery) that q17's uncorrelated form never
+    // fires, including the classic COUNT-over-empty-group case (must
+    // read 0, not NULL — the "COUNT bug" both engines get right) and
+    // a MAX that correctly nulls on the empty group. One SQL text runs
+    // verbatim on both engines. Scale: Catalyst rewrites both
+    // subqueries into a single left-outer aggregate join on the
+    // correlation key — no per-row subquery execution survives.
+    Q("q56_correlated_scalar",
+      (s, d) => { Tables.ensureRegistered(s, d)
+        s.sql(Sql.correlatedScalar) },
+      Some(Sql.correlatedScalar))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
@@ -1147,6 +1161,15 @@ object RelationalQueries {
         |WHERE c_acctbal > (SELECT
         |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |FROM customer)"""
+        .stripMargin.replace('\n', ' ')
+
+    val correlatedScalar: String =
+      """SELECT n_nationkey, n_name,
+        |(SELECT count(*) FROM supplier
+        |WHERE s_nationkey = n_nationkey) AS n_suppliers,
+        |(SELECT CAST(max(s_acctbal) AS DOUBLE) FROM supplier
+        |WHERE s_nationkey = n_nationkey) AS max_bal
+        |FROM nation"""
         .stripMargin.replace('\n', ' ')
 
     val nestedBody: String =

@@ -113,4 +113,20 @@ class RelationalSpec extends SparkSpec {
     val i = q("q21_setop_intersect").build(spark, sf).count()
     assert(i <= 25L && i > 0)
   }
+
+  test("q56 correlated scalars decorrelate: the physical plan joins " +
+    "per-key aggregates (no per-row subquery survives), the empty " +
+    "group reads count 0 with a NULL max, and every nation row " +
+    "survives the rewrite") {
+    val out = q("q56_correlated_scalar").build(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"subqueries must rewrite to joins:\n${plan.take(800)}")
+    val rows = out.collect()
+    assert(rows.length == 25, s"one row per nation: ${rows.length}")
+    val empty = rows.filter(_.getLong(2) == 0L)
+    assert(empty.nonEmpty, "fixture must exercise the empty group")
+    assert(empty.forall(_.isNullAt(3)),
+      "COUNT reads 0 on an empty group while MAX reads NULL")
+  }
 }
