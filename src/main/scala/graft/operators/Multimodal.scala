@@ -393,6 +393,100 @@ object Multimodal {
         lit(null).cast("long").as("seconds")))
   }
 
+  /** TIFF BASELINE HEADER + IFD SCAN — the seventh container grammar
+    * and the first with an ENDIANNESS DISPATCH: the two-byte order
+    * mark (`II` little / `MM` big) selects how EVERY subsequent
+    * integer reads, so the same field layout parses through two byte
+    * orders chosen per row at runtime. After the mark: u16 magic 42,
+    * u32 offset to the first IFD (0-based from file start), then the
+    * IFD: u16 entry count and 12-byte entries
+    * [tag:u16][type:u16][count:u32][value:4B] — a value of type SHORT
+    * (3) sits left-justified in the first two value bytes REGARDLESS
+    * of endianness (the TIFF spec's one asymmetry), LONG (4) fills
+    * all four. The scan walks a bounded entry budget collecting
+    * ImageWidth (256) and ImageLength (257), skipping unknown tags —
+    * width is constructed as SHORT and height as LONG so both inline
+    * encodings sit under the gate. Malformed payloads (no byte-order
+    * mark, wrong magic, entry table overrunning the payload, missing
+    * dimension tags) read well_formed=false with NULL fields. Pure
+    * per-row byte arithmetic, one scan, no shuffle. */
+  def tiffMeta(bin: Column, maxEntries: Int = 8): Column = {
+    val olen = octet_length(bin).cast("long")
+    def bD(off: Column) =
+      conv(hex(substring(bin, off.cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    val le = substring(bin, 1, 2).cast("string") === "II"
+    val isBe = substring(bin, 1, 2).cast("string") === "MM"
+    // Branch on the byte order ONCE, at the top: a per-read
+    // when(le,...) would duplicate both orders inside every integer of
+    // every IFD entry (a multi-MiB expression tree); two flat parses
+    // selected by one condition stay codegen-friendly.
+    def parse(little: Boolean): Column = {
+      def u16(off: Column) =
+        if (little) bD(off) + bD(off + 1) * 256L
+        else bD(off) * 256L + bD(off + 1)
+      def u32(off: Column) =
+        if (little)
+          bD(off) + bD(off + 1) * 256L + bD(off + 2) * 65536L +
+            bD(off + 3) * 16777216L
+        else bD(off) * 16777216L + bD(off + 1) * 65536L +
+          bD(off + 2) * 256L + bD(off + 3)
+      // singleton-array transform = a LET BINDING inside one Column:
+      // ifd, n, and the decoded entry array each evaluate ONCE instead
+      // of inlining their byte-read chains at every use site (the
+      // naive inlining codegens a multi-MiB task binary)
+      def bind(v: Column)(body: Column => Column): Column =
+        try_element_at(transform(array(v), body), lit(1))
+      val magic42 = u16(lit(3L)) === 42L
+      bind(u32(lit(5L)) + 1L) { ifd => // 0-based offset -> 1-based pos
+        bind(u16(ifd)) { n =>
+          val entries =
+            transform(sequence(lit(0), lit(maxEntries - 1)), i => {
+              val e = ifd + lit(2L) + i.cast("long") * 12L
+              val typ = u16(e + 2L)
+              val v = when(typ === 3L, u16(e + 8L))
+                .when(typ === 4L, u32(e + 8L))
+                .otherwise(lit(null).cast("long"))
+              struct(
+                when(i.cast("long") < n, u16(e)).otherwise(lit(-1L))
+                  .as("tag"),
+                v.as("v"))
+            })
+          bind(entries.cast(
+              "array<struct<tag:bigint,v:bigint>>")) { es =>
+            def tagVal(t: Long) = try_element_at(
+              filter(es, x => x.getField("tag") === t), lit(1))
+              .getField("v")
+            val width = tagVal(256L)
+            val height = tagVal(257L)
+            val valid = olen >= 8L && magic42 &&
+              n >= 1L && n <= maxEntries &&
+              olen >= ifd + 2L + n * 12L + 3L && // + next-IFD ptr
+              width.isNotNull && height.isNotNull
+            when(valid, struct(
+              lit(true).as("well_formed"),
+              lit(if (little) "II" else "MM").as("endian"),
+              n.cast("int").as("n_entries"),
+              width.as("width"),
+              height.as("height")))
+              .otherwise(badTiff)
+          }
+        }
+      }
+    }
+    when(le, parse(little = true))
+      .when(isBe, parse(little = false))
+      .otherwise(badTiff)
+  }
+
+  /** [[tiffMeta]]'s malformed arm (shared by both endian branches). */
+  private def badTiff: Column = struct(
+    lit(false).as("well_formed"),
+    lit(null).cast("string").as("endian"),
+    lit(null).cast("int").as("n_entries"),
+    lit(null).cast("long").as("width"),
+    lit(null).cast("long").as("height"))
+
   /** Big-endian uint32 at a DYNAMIC 1-based offset (ISO-BMFF's integer
     * encoding). */
   private def dynBeU32(bin: Column, off: Column): Column =
@@ -1204,6 +1298,63 @@ object MultimodalQueries {
              |UNION ALL SELECT doc_id, FALSE, NULL, NULL, NULL, NULL,
              |NULL, NULL, NULL, NULL FROM documents
              |WHERE doc_id % 3 <> 0"""
+        .stripMargin.replace('\n', ' '))),
+
+    // mm17: TIFF parse over a MIXED corpus with BOTH byte orders —
+    // doc_id%3==0 builds the little-endian (`II`) file, %3==1 the
+    // SAME logical file big-endian (`MM`), %3==2 raw text (malformed
+    // arm). Width is a SHORT entry (left-justified 2-byte value),
+    // height a LONG (4-byte), and a third Compression entry must be
+    // skipped by the tag scan — so the endian dispatch, both inline
+    // value encodings, and unknown-tag skipping all sit under the
+    // gate. See [[Multimodal.tiffMeta]].
+    Q("mm17_tiff_meta",
+      (s, d) => {
+        val w = (col("doc_id") % 2000 + 1).cast("long")
+        val h = ((col("doc_id") * 7) % 100000 + 1).cast("long")
+        def be16(v: Column) = lpad(hex(v), 4, "0")
+        def be32(v: Column) = lpad(hex(v), 8, "0")
+        val leHex = concat(lit("49492A00"), le32hexCol(lit(8)),
+          le16hexCol(lit(3)),
+          // ImageWidth: SHORT in the first two value bytes
+          lit("0001"), lit("0300"), le32hexCol(lit(1)),
+          le16hexCol(w), lit("0000"),
+          // ImageLength: LONG fills the value field
+          lit("0101"), lit("0400"), le32hexCol(lit(1)), le32hexCol(h),
+          // Compression (tag 259): present, must be skipped
+          lit("0301"), lit("0300"), le32hexCol(lit(1)),
+          le16hexCol(lit(1)), lit("0000"),
+          lit("00000000"))
+        val beHex = concat(lit("4D4D002A"), be32(lit(8)),
+          be16(lit(3)),
+          lit("0100"), lit("0003"), be32(lit(1)),
+          be16(w), lit("0000"),
+          lit("0101"), lit("0004"), be32(lit(1)), be32(h),
+          lit("0103"), lit("0003"), be32(lit(1)),
+          be16(lit(1)), lit("0000"),
+          lit("00000000"))
+        val bin = when(col("doc_id") % 3 === 0, unhex(leHex))
+          .when(col("doc_id") % 3 === 1, unhex(beHex))
+          .otherwise(payload(col("text")))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), tiffMeta(bin).as("m"))
+          .select(col("doc_id"),
+            col("m.well_formed").as("well_formed"),
+            col("m.endian").as("endian"),
+            col("m.n_entries").as("n_entries"),
+            col("m.width").as("width"),
+            col("m.height").as("height"))
+      },
+      Some("""SELECT doc_id, doc_id % 3 < 2 AS well_formed,
+             |CASE doc_id % 3 WHEN 0 THEN 'II' WHEN 1 THEN 'MM' END
+             |AS endian,
+             |CAST(CASE WHEN doc_id % 3 < 2 THEN 3 END AS INTEGER)
+             |AS n_entries,
+             |CASE WHEN doc_id % 3 < 2
+             |THEN CAST(doc_id % 2000 + 1 AS BIGINT) END AS width,
+             |CASE WHEN doc_id % 3 < 2
+             |THEN CAST((doc_id * 7) % 100000 + 1 AS BIGINT) END
+             |AS height FROM documents"""
         .stripMargin.replace('\n', ' ')))
   )
 }

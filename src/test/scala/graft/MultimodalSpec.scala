@@ -442,6 +442,43 @@ class MultimodalSpec extends SparkSpec {
       assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
   }
 
+  test("tiffMeta on byte literals: the same logical file parses " +
+    "through BOTH byte orders (SHORT width left-justified, LONG " +
+    "height, Compression tag skipped); wrong magic, a dimension tag " +
+    "missing, truncation, and text bytes read malformed") {
+    val sq = spark; import sq.implicits._
+    def parse(hexStr: String) = Seq(Tuple1(hexStr)).toDF("h")
+      .select(Multimodal.tiffMeta(unhex(col("h"))).as("m"))
+      .select("m.*").collect().head
+    val leBody = "0300" +
+      "0001" + "0300" + "01000000" + "4001" + "0000" + // width 320
+      "0101" + "0400" + "01000000" + "F0000000" +      // height 240
+      "0301" + "0300" + "01000000" + "0100" + "0000" + // compression
+      "00000000"
+    val beBody = "0003" +
+      "0100" + "0003" + "00000001" + "0140" + "0000" +
+      "0101" + "0004" + "00000001" + "000000F0" +
+      "0103" + "0003" + "00000001" + "0001" + "0000" +
+      "00000000"
+    val le = parse("49492A00" + "08000000" + leBody)
+    assert(le.getBoolean(0) && le.getString(1) == "II" &&
+      le.getInt(2) == 3 && le.getLong(3) == 320L &&
+      le.getLong(4) == 240L, le.toString)
+    val be = parse("4D4D002A" + "00000008" + beBody)
+    assert(be.getBoolean(0) && be.getString(1) == "MM" &&
+      be.getInt(2) == 3 && be.getLong(3) == 320L &&
+      be.getLong(4) == 240L, "byte orders must parse identically: " +
+      be.toString)
+    for (bad <- Seq(
+      "49492B00" + "08000000" + leBody,            // magic 43
+      "49492A00" + "08000000" + "0100" +           // width only —
+        "0001" + "0300" + "01000000" + "4001" +
+        "0000" + "00000000",                       // height missing
+      "49492A00" + "08000000" + "0300" + "0001",   // truncated table
+      "48656C6C6F20776F726C64"))                   // text bytes
+      assert(!parse(bad).getBoolean(0), s"$bad must be malformed")
+  }
+
   test("webpMeta on byte literals: all three variant grammars parse " +
     "(VP8 masks its 2 upscale bits, VP8L unpacks the LE32 bitfield, " +
     "VP8X reads 24-bit dims past the LE16 range); bad sync, bad " +
