@@ -287,6 +287,26 @@ object Dml {
       dir: String, version: String): DataFrame =
     spark.read.parquet(versionPath(dir, version))
 
+  /** OPTIMIZE — compact the committed version's many small files into
+    * `targetFiles` by publishing the SAME ROWS as a new version (the
+    * lakehouse small-file compaction statement, on the store's
+    * copy-on-write + pointer protocol — the layout-level twin is
+    * io08's [[Layouts]] compaction). Content identity is the entire
+    * contract: the m23 gate hash-compares the post-OPTIMIZE table to
+    * the logical state, and DmlSpec asserts the file count actually
+    * dropped and the pointer moved forward (readers mid-compaction
+    * see old or new, never a mix). Scale: repartition is one
+    * round-robin shuffle sized by the target count; a real OPTIMIZE
+    * bin-packs per partition and commits the file swap as metadata. */
+  def optimize(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetFiles: Int = 1): DataFrame = {
+    val cur = currentVersion(dir)
+    val next = "v" + (cur.stripPrefix("v").toInt + 1)
+    snapshot(readLatest(spark, dir).repartition(targetFiles), dir, next)
+  }
+
   /** TABLE HISTORY (DESCRIBE HISTORY reduced to the pointer-store
     * kernel): one row per committed version — its row count, the row
     * delta vs the previous version, and whether `_latest` points at
@@ -870,6 +890,29 @@ object DmlQueries {
              |FROM n
              |UNION ALL SELECT 'v1', c + 2, 2, FALSE FROM n
              |UNION ALL SELECT 'v2', c + 1, -1, TRUE FROM n"""
+        .stripMargin.replace('\n', ' '))),
+
+    // OPTIMIZE (small-file compaction) — see [[Dml.optimize]]: the
+    // insert's multi-file v1 rewrites into a single-file v2 holding
+    // the IDENTICAL rows, and the gate hash-compares the post-compact
+    // read, so any row lost/duplicated/mutated by the rewrite flips
+    // the driver red. The file-count drop and pointer advance are
+    // DmlSpec's runtime evidence (file layout is partition-count
+    // dependent — not oracle territory).
+    Q("m23_optimize",
+      (s, d) => {
+        val sq = s; import sq.implicits._
+        val dir = Dml.work("m23", d)
+        val rows = Seq((25, "LEMURIA", 2), (26, "ZEALANDIA", 3))
+          .toDF("n_nationkey", "n_name", "n_regionkey")
+        Dml.insertValues(Tables.t(s, d, "nation"), rows, dir) // v0, v1
+        Dml.optimize(s, dir)                                  // v2
+        Dml.readLatest(s, dir)
+      },
+      Some("""SELECT * FROM nation
+             |UNION ALL SELECT * FROM (VALUES
+             |(CAST(25 AS INTEGER), 'LEMURIA', CAST(2 AS INTEGER)),
+             |(26, 'ZEALANDIA', 3)) t(n_nationkey, n_name, n_regionkey)"""
         .stripMargin.replace('\n', ' '))),
 
     // CREATE TABLE AS SELECT — the remaining DDL statement form after

@@ -478,4 +478,41 @@ class DmlSpec extends SparkSpec {
     val hc = hist(dst)
     assert(hc == Map("v0" -> ((4L, None, true))), hc.toString)
   }
+
+  test("optimize: compaction rewrites many small files into one, the " +
+    "pointer moves FORWARD to a new version (old layout stays " +
+    "readable), and the row multiset is bit-identical") {
+    val sq = spark; import sq.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Dml.work("opt_spec", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // 8-partition write -> v0 lands as many small parquet files
+    val base = spark.range(0, 1000).repartition(8)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    Dml.insertValues(base,
+      Seq((5000L, 1L)).toDF("k", "v"), dir)               // v0, v1
+    def parquetFiles(version: String) =
+      Files.list(Paths.get(dir, version)).iterator()
+    val beforeFiles = {
+      import scala.jdk.CollectionConverters._
+      parquetFiles("v1").asScala.count(
+        _.getFileName.toString.endsWith(".parquet"))
+    }
+    assert(beforeFiles > 1, s"need a small-file state: $beforeFiles")
+    val before = Dml.readLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    Dml.optimize(spark, dir)                               // v2
+    assert(Dml.currentVersion(dir) == "v2", "pointer must advance")
+    val afterFiles = {
+      import scala.jdk.CollectionConverters._
+      parquetFiles("v2").asScala.count(
+        _.getFileName.toString.endsWith(".parquet"))
+    }
+    assert(afterFiles == 1, s"compaction target: $afterFiles")
+    val after = Dml.readLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.sameElements(before), "rows must survive bit-identical")
+    // the pre-compaction layout is still time-travel readable
+    assert(Dml.readVersion(spark, dir, "v1").count() == 1001L)
+  }
 }
