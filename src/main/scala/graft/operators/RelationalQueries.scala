@@ -1113,7 +1113,30 @@ object RelationalQueries {
     Q("q56_correlated_scalar",
       (s, d) => { Tables.ensureRegistered(s, d)
         s.sql(Sql.correlatedScalar) },
-      Some(Sql.correlatedScalar))
+      Some(Sql.correlatedScalar)),
+
+    // EXACT interpolated percentiles (the ordered-set aggregate /
+    // percentile_cont semantics) — t09's approx-sketch family gets its
+    // exact twin: Spark's percentile() and DuckDB's quantile_cont both
+    // compute lo + frac·(hi − lo) on the sorted group, and with
+    // integer-valued quantities and dyadic fractions (.25/.5/.75)
+    // every interpolation is IEEE-exact — no rounding needed, the
+    // rare fully-safe float gate. Scale: exact percentile buffers the
+    // group's values (unlike the mergeable t09 sketch) — fine keyed by
+    // a low-cardinality flag, wrong for per-user quantiles at 100 TB;
+    // that trade is the scaladoc'd reason BOTH forms exist.
+    Q("q57_exact_percentiles",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.25) AS p25,
+             |quantile_cont(l_quantity, 0.5) AS p50,
+             |quantile_cont(l_quantity, 0.75) AS p75,
+             |count(*) AS n FROM lineitem GROUP BY l_returnflag"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** SQL texts that run verbatim on BOTH Spark and DuckDB. */
