@@ -1193,6 +1193,7 @@ object GraphQueries {
              |SELECT n.v AS node, lab1.lab AS lab1, lab2.lab AS lab2
              |FROM nodes n JOIN lab1 ON lab1.v = n.v
              |JOIN lab2 ON lab2.v = n.v"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

@@ -431,6 +431,7 @@ object SamplingQueries {
              |COALESCE(tr.doc_id, vr.doc_id) ASC) AS INTEGER)
              |AS final_rank
              |FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

@@ -181,6 +181,7 @@ object SkewQueries {
              |'d' || CAST(CASE WHEN l_orderkey % 4 <> 0 THEN 0
              |ELSE l_orderkey % 50 END AS VARCHAR) AS dname
              |FROM lineitem"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 }

@@ -2257,7 +2257,8 @@ object TextQueries {
              |SELECT doc_id, n_lines, n_kept, cleaned, r_brace, r_lorem,
              |n_sent, r_brace AND r_lorem AND n_kept >= 1 AND
              |n_sent >= 5 AS keep FROM c"""
-        .stripMargin.replace('\n', ' ')))
+        .stripMargin.replace('\n', ' ')),
+      bench = true)
   )
 
   /** Shared t41/p13 builder: construct the deterministic conversation
