@@ -38,7 +38,8 @@ object Graph {
     // integer numerators need) but squaring is non-injective mod n, so
     // indegrees vary 0..k and the aggregation round is non-trivial
     val edges = docs.select((col("doc_id") % n).as("src"),
-      ((col("doc_id") * col("doc_id") + 1) % n).as("dst")).distinct()
+      (((col("doc_id") % n) * (col("doc_id") % n) + 1) % n)
+        .as("dst")).distinct()
     val indeg = edges.groupBy("dst").agg(count(lit(1)).as("ind"))
     val r1 = nodes.join(indeg, nodes("v") === indeg("dst"), "left")
       .select(col("v"),
@@ -74,7 +75,8 @@ object Graph {
       seedBelow: Int = 10): DataFrame = {
     val nodes = docs.select((col("doc_id") % n).as("v")).distinct()
     val edges = docs.select((col("doc_id") % n).as("src"),
-      ((col("doc_id") * col("doc_id") + 1) % n).as("dst")).distinct()
+      (((col("doc_id") % n) * (col("doc_id") % n) + 1) % n)
+        .as("dst")).distinct()
     val seeded = nodes.withColumn("s",
       when(col("v") < seedBelow, 1L).otherwise(0L))
     val n0 = seeded.withColumn("nv", col("s"))
@@ -184,7 +186,8 @@ object Graph {
   def hits2(docs: DataFrame, n: Int = 50): DataFrame = {
     val nodes = docs.select((col("doc_id") % n).as("v")).distinct()
     val edges = docs.select((col("doc_id") % n).as("src"),
-      ((col("doc_id") * col("doc_id") + 1) % n).as("dst")).distinct()
+      (((col("doc_id") % n) * (col("doc_id") % n) + 1) % n)
+        .as("dst")).distinct()
     val a1 = nodes.join(
         edges.groupBy("dst").agg(count(lit(1)).as("ind")),
         nodes("v") === col("dst"), "left")
@@ -771,7 +774,7 @@ object GraphQueries {
         val a = (col("doc_id") % 30).as("a")
         def gen(b: org.apache.spark.sql.Column) =
           docs.select(a, (b % 30).as("b"))
-        val raw = gen(col("doc_id") * col("doc_id") + 1)
+        val raw = gen((col("doc_id") % 30) * (col("doc_id") % 30) + 1)
           .union(gen(col("doc_id") + 2))
           .union(gen(col("doc_id") * 3 + 5))
         val edges = raw.filter(col("a") =!= col("b"))
@@ -843,7 +846,7 @@ object GraphQueries {
         val a = (col("doc_id") % 30).as("a")
         def gen(b: org.apache.spark.sql.Column) =
           docs.select(a, (b % 30).as("b"))
-        val raw = gen(col("doc_id") * col("doc_id") + 1)
+        val raw = gen((col("doc_id") % 30) * (col("doc_id") % 30) + 1)
           .union(gen(col("doc_id") + 2))
           .union(gen(col("doc_id") * 3 + 5))
         Graph.degreeAssortativity(
@@ -988,7 +991,7 @@ object GraphQueries {
         val a = (col("doc_id") % 30).as("a")
         def gen(b: org.apache.spark.sql.Column) =
           docs.select(a, (b % 30).as("b"))
-        val raw = gen(col("doc_id") * col("doc_id") + 1)
+        val raw = gen((col("doc_id") % 30) * (col("doc_id") % 30) + 1)
           .union(gen(col("doc_id") + 2))
           .union(gen(col("doc_id") * 3 + 5))
         Graph.linkPrediction(
@@ -1123,7 +1126,8 @@ object GraphQueries {
         val docs = Tables.t(s, d, "documents")
         val nodes = docs.select((col("doc_id") % 50).as("v")).distinct()
         val edges = docs.select((col("doc_id") % 50).as("src"),
-          ((col("doc_id") * col("doc_id") + 1) % 50).as("dst")).distinct()
+          (((col("doc_id") % 50) * (col("doc_id") % 50) + 1) % 50)
+            .as("dst")).distinct()
         Graph.sccLabels(nodes, edges)
       },
       Some("""WITH RECURSIVE n AS (SELECT DISTINCT doc_id % 50 AS v
@@ -1154,7 +1158,7 @@ object GraphQueries {
         val a = (col("doc_id") % 30).as("a")
         def gen(b: org.apache.spark.sql.Column) =
           docs.select(a, (b % 30).as("b"))
-        val raw = gen(col("doc_id") * col("doc_id") + 1)
+        val raw = gen((col("doc_id") % 30) * (col("doc_id") % 30) + 1)
           .union(gen(col("doc_id") + 2))
           .union(gen(col("doc_id") * 3 + 5))
         val edges = raw.filter(col("a") =!= col("b"))
