@@ -1191,6 +1191,110 @@ object EventQueries {
              |FROM b1 LEFT JOIN b0 USING (user_id)"""
         .stripMargin.replace('\n', ' '))),
 
+    // s38: LIST-STATE gate (transformWithState's ordered bounded
+    // collection — the state shape s31's ValueState and s33's timers
+    // don't touch): per-user trailing-3 event ids across s31's
+    // two-batch landing (evens then odds, each batch sorted by the
+    // processor). The oracle replays arrival order as (parity, id):
+    // the batch-0 snapshot is the top-3 evens, the batch-1 snapshot
+    // the top-3 of the full ordered history — emitted ONLY for users
+    // active in that batch (handleInputRows fires per input key), the
+    // cross-batch list survival being exactly what the gate holds.
+    Q("s38_liststate_trailing",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.t(s, d, "events")
+          .select(col("user_id"), col("event_id"))
+        val dir = Dml.work("s38_landing", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1)))
+        val st = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[KeyedEvent]
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try drainStream(s, EventStreams.trailingEvents(st).toDF(),
+          mode = "append")
+        finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH r0 AS (SELECT user_id, event_id, row_number() OVER
+             |(PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |FROM events WHERE event_id % 2 = 0),
+             |s0 AS (SELECT user_id, CAST(0 AS BIGINT) AS batch,
+             |count(*) AS n_recent, min(event_id) AS min_r,
+             |max(event_id) AS max_r,
+             |CAST(sum(event_id) AS BIGINT) AS sum_r
+             |FROM r0 WHERE rn <= 3 GROUP BY user_id),
+             |r1 AS (SELECT user_id, event_id, row_number() OVER
+             |(PARTITION BY user_id
+             |ORDER BY event_id % 2 DESC, event_id DESC) AS rn
+             |FROM events),
+             |s1 AS (SELECT user_id, CAST(1 AS BIGINT) AS batch,
+             |count(*) AS n_recent, min(event_id) AS min_r,
+             |max(event_id) AS max_r,
+             |CAST(sum(event_id) AS BIGINT) AS sum_r
+             |FROM r1 WHERE rn <= 3 AND user_id IN
+             |(SELECT user_id FROM events WHERE event_id % 2 = 1)
+             |GROUP BY user_id)
+             |SELECT * FROM s0 UNION ALL SELECT * FROM s1"""
+        .stripMargin.replace('\n', ' '))),
+
+    // s39: MAP-STATE gate — the last transformWithState state shape
+    // (ValueState s31, ListState s38): per-user per-event-type
+    // counters, point-updated per row, read out cumulatively per
+    // batch with the g13 majority tie rule (max count, lexicographic
+    // min). Same two-batch parity landing as s31/s38; the oracle
+    // restates both snapshots, the batch-1 one over the full history
+    // for odd-active users only.
+    Q("s39_mapstate_counts",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val dir = Dml.work("s39_landing", d)
+        EventStreams.writeBatchLanding(s, dir, Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1)))
+        val st = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[TypedEvent]
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try drainStream(s, EventStreams.typeCounts(st).toDF(),
+          mode = "append")
+        finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH c0 AS (SELECT user_id, event_type, count(*) AS c
+             |FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+             |w0 AS (SELECT user_id, event_type, c,
+             |max(c) OVER (PARTITION BY user_id) AS mc FROM c0),
+             |s0 AS (SELECT user_id, CAST(0 AS BIGINT) AS batch,
+             |count(*) AS n_types, CAST(sum(c) AS BIGINT) AS cum_n,
+             |min(event_type) FILTER (WHERE c = mc) AS top_type
+             |FROM w0 GROUP BY user_id),
+             |c1 AS (SELECT user_id, event_type, count(*) AS c
+             |FROM events GROUP BY 1, 2),
+             |w1 AS (SELECT user_id, event_type, c,
+             |max(c) OVER (PARTITION BY user_id) AS mc FROM c1),
+             |s1 AS (SELECT user_id, CAST(1 AS BIGINT) AS batch,
+             |count(*) AS n_types, CAST(sum(c) AS BIGINT) AS cum_n,
+             |min(event_type) FILTER (WHERE c = mc) AS top_type
+             |FROM w1 WHERE user_id IN (SELECT user_id FROM events
+             |WHERE event_id % 2 = 1) GROUP BY user_id)
+             |SELECT * FROM s0 UNION ALL SELECT * FROM s1"""
+        .stripMargin.replace('\n', ' '))),
+
     // s33: EXECUTED event-time-TIMER gate (transformWithState's
     // handleExpiredTimer — emission driven by watermark progress, not
     // input). Three deterministic micro-batches: (1) every user (uid =

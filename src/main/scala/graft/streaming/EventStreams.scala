@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Typed event row for the custom-state pipeline (matches the `events`
   * table after [[Tables.loadEvents]]' timestamp conversion). */
@@ -652,6 +652,45 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append)
   }
 
+  /** s38: per-user TRAILING-K event window via `transformWithState`
+    * LIST STATE — the state shape [[runningTotals]]' ValueState can't
+    * express: an ordered, bounded collection per key (the "last k
+    * events per user" every feature store / abuse monitor keeps).
+    * Each batch appends that batch's ids IN A DEFINED ORDER (sorted —
+    * micro-batch row order is partition-arbitrary, so determinism
+    * must come from the processor), trims the list to its last k with
+    * one put(), and emits the settled window's exact-integer summary.
+    * ListState is the right tool precisely because the store trims
+    * IN PLACE: the untrimmed history never accumulates, so per-key
+    * state is O(k) forever — the property that makes trailing windows
+    * viable over a 100 TB-corpus-sized key space on RocksDB. */
+  def trailingEvents(
+      events: Dataset[KeyedEvent], k: Int = 3): Dataset[UserTrailing] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TrailingEventsProcessor(k),
+        TimeMode.None(), OutputMode.Append)
+  }
+
+  /** s39: per-user per-event-type counters via `transformWithState`
+    * MAP STATE — the third and last state-variable shape (ValueState
+    * s31, ListState s38): a keyed sub-map per user, point-updatable
+    * without rewriting the whole value (the property that matters when
+    * a user's map holds thousands of counters — RocksDB stores each
+    * map entry as its own KV pair, so one event touches one entry).
+    * Emits the settled cumulative readout per active user per batch:
+    * distinct types seen, total events, and the majority type
+    * (max count, ties to the lexicographically smallest — the g13
+    * tie discipline). */
+  def typeCounts(events: Dataset[TypedEvent]): Dataset[UserTypeCounts] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append)
+  }
+
   /** s33: inactivity finalization via `transformWithState` EVENT-TIME
     * TIMERS — the API half [[runningTotals]] doesn't touch. Each event
     * updates the user's (count, last-seen) state and re-arms a timer at
@@ -697,6 +736,88 @@ case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   * next event can delete-then-re-register — the handle has no
   * replace-timer op). */
 case class InactivityState(n: Long, lastMs: Long, timerMs: Long)
+
+/** Typed row for [[EventStreams.typeCounts]]. */
+case class TypedEvent(user_id: Long, event_id: Long, event_type: String)
+
+/** Per-(user, batch) cumulative type-counter readout ([[EventStreams
+  * .typeCounts]]). */
+case class UserTypeCounts(
+    user_id: Long,
+    batch: Long,
+    n_types: Long,
+    cum_n: Long,
+    top_type: String)
+
+/** The MapState processor behind [[EventStreams.typeCounts]]: one named
+  * `MapState[String, Long]` per user; each input row point-increments
+  * its type's entry. The majority readout iterates the map — O(types
+  * per user), not O(events). */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, TypedEvent, UserTypeCounts] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TypedEvent],
+      timerValues: TimerValues): Iterator[UserTypeCounts] = {
+    var batch = -1L
+    rows.foreach { e =>
+      batch = e.event_id % 2
+      val cur = if (counts.containsKey(e.event_type))
+        counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+    }
+    val m = counts.iterator().toArray
+    val total = m.map(_._2).sum
+    val top = m.sortBy { case (t, c) => (-c, t) }.head._1
+    Iterator.single(
+      UserTypeCounts(key, batch, m.length.toLong, total, top))
+  }
+}
+
+/** Per-(user, batch) settled trailing-window summary ([[EventStreams
+  * .trailingEvents]]): `batch` is the shared parity of the batch's
+  * constructed ids; the window stats are exact integers. */
+case class UserTrailing(
+    user_id: Long,
+    batch: Long,
+    n_recent: Long,
+    min_r: Long,
+    max_r: Long,
+    sum_r: Long)
+
+/** The ListState processor behind [[EventStreams.trailingEvents]]: one
+  * named `ListState[Long]` per user holding AT MOST k ids in arrival
+  * order. Batch rows are sorted before appending (micro-batch row order
+  * is partition-arbitrary; determinism is the processor's job), then
+  * the list is re-put() as its own last k — the in-place trim that
+  * keeps per-key state O(k). */
+class TrailingEventsProcessor(k: Int)
+    extends StatefulProcessor[Long, KeyedEvent, UserTrailing] {
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Long](
+      "recent", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[KeyedEvent],
+      timerValues: TimerValues): Iterator[UserTrailing] = {
+    val ids = rows.map(_.event_id).toArray.sorted
+    val batch = ids.head % 2
+    val all = (recent.get().toArray ++ ids).takeRight(k)
+    recent.put(all)
+    Iterator.single(UserTrailing(
+      key, batch, all.length.toLong, all.min, all.max, all.sum))
+  }
+}
 
 /** Finalized activity summary emitted when a user's inactivity timer
   * fires. */

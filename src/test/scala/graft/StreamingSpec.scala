@@ -541,6 +541,90 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 1L), got.toString)
   }
 
+  test("s38 list state: the trailing window trims IN PLACE at k, a " +
+    "later batch slides it (oldest id evicts), and a user absent from " +
+    "a batch emits no row for it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("s38spec", sf) + "_landing"
+    // batch 0 (evens): user 1 overflows k=3 (5 ids -> keep {6,8,10});
+    // user 2 stays under (2 ids). batch 1 (odds): only user 1 -> the
+    // window slides to {8,10,3}; user 2 must NOT re-emit.
+    val a = Seq((1L, 2L), (1L, 4L), (1L, 6L), (1L, 8L), (1L, 10L),
+      (2L, 12L), (2L, 20L)).toDF("user_id", "event_id")
+    val b = Seq((1L, 3L)).toDF("user_id", "event_id")
+    EventStreams.writeBatchLanding(spark, dir, Seq(a, b))
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[KeyedEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val sink = "s38spec_out"
+    try {
+      val q = EventStreams.trailingEvents(stream).toDF().writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val got = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(got == Map(
+        (1L, 0L) -> ((3L, 6L, 10L, 24L)),  // trimmed to {6,8,10}
+        (2L, 0L) -> ((2L, 12L, 20L, 32L)), // under k: kept whole
+        (1L, 1L) -> ((3L, 3L, 10L, 21L))), // slid to {8,10,3}
+        got.toString)
+    } finally {
+      spark.catalog.dropTempView(sink)
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("s39 map state: counters point-update across batches, a " +
+    "frequency tie reads the lexicographically smallest type, and a " +
+    "later event flips the majority") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("s39spec", sf) + "_landing"
+    // batch 0: user 1 has types a/b tied 1:1 -> top 'a' (tie rule);
+    // batch 1: one more 'b' -> majority flips to 'b'
+    val a = Seq((1L, 2L, "b"), (1L, 4L, "a"))
+      .toDF("user_id", "event_id", "event_type")
+    val b = Seq((1L, 3L, "b"))
+      .toDF("user_id", "event_id", "event_type")
+    EventStreams.writeBatchLanding(spark, dir, Seq(a, b))
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[TypedEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val sink = "s39spec_out"
+    try {
+      val q = EventStreams.typeCounts(stream).toDF().writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      val got = spark.table(sink).collect()
+        .map(r => r.getLong(1) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got == Map(
+        0L -> ((2L, 2L, "a")),  // tie -> lexicographic min
+        1L -> ((2L, 3L, "b"))), // majority flipped by the odd batch
+        got.toString)
+    } finally {
+      spark.catalog.dropTempView(sink)
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("s30 outer join: a purchase arriving a BATCH AFTER its view " +
     "matches from state; an unmatched view null-pads only after its " +
     "window provably closed; a tail view stays pending (absent)") {
