@@ -128,6 +128,29 @@ class SkewLayoutSpec extends SparkSpec {
     }
   }
 
+  test("sorted parquet prunes ROW GROUPS at the scan: a point filter " +
+    "on the sort key reads a small fraction of the file's rows (the " +
+    "min/max-stats skip that makes selective scans cheap at 100 TB)") {
+    val dir = Dml.work("rg_spec", sf) + "_rg"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // one file, sorted by k, small row groups -> many prunable units
+    spark.range(0, 500000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.option("parquet.block.size", 65536).parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("k") === 123456L)
+    // collect() (not count()) so metrics land on THIS QueryExecution
+    val hit = df.collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 123456L % 97)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < 100000,
+      s"stats must skip most row groups: scanned $scanned of 500000")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,"),
+      s"filter must reach the parquet reader:\n${plan.take(600)}")
+  }
+
   test("k03 path: withSkewConfs scopes the aggressive thresholds and " +
     "restores them after; aqeSkewJoin's MERGE hints pin the sort-merge " +
     "join so the runtime skew split fires on it") {
