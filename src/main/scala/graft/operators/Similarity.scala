@@ -2068,6 +2068,80 @@ object SimilarityQueries {
              |CAST(NULL AS BIGINT) AS nprobe,
              |CAST(NULL AS BIGINT) AS n_hit,
              |CAST(NULL AS BIGINT) AS n_ref WHERE 1=0"""
+        .stripMargin.replace('\n', ' '))),
+
+    // e26: TWO-STAGE RETRIEVAL — retrieve with the COMPRESSED corpus,
+    // rescore with full precision (the production ANN serving shape:
+    // FAISS/ScaNN's refine step). Stage 1 ranks the int8-quantized
+    // INTEGER dot product (e06's exact construction — 4x less IO and
+    // SIMD-friendly at scale) to top-50 candidates per query; stage 2
+    // fetches only those candidates' float vectors and reranks by
+    // e01's exact rounded cosine to top-10. BOTH stages are under one
+    // hash: the integer qdot rides along into the output, so a
+    // candidate-stage deviation flips the gate even when the rescore
+    // would have hidden it. Scale: stage 1 scans the 4x-smaller
+    // quantized table with the topk_neighbors partial k-heap (no
+    // corpus shuffle); stage 2 touches |Q|×50 rows — the whole point
+    // of staging. Oracle replays quantization, integer dot (exact in
+    // doubles at int8×64-dim magnitudes), and the rescore.
+    Q("e26_two_stage_rescore",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        val quant = quantizeInt8Vectors(emb)
+          .select(col("vec_id"),
+            transform(col("qv"), x => x.cast("long")).as("qvl"))
+        val q = quant.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("qvl").as("qq"))
+        val scored = quant
+          .select(col("vec_id").as("neighbor_id"), col("qvl").as("cq"))
+          .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .withColumn("sim",
+            aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).cast("double"))
+          .select("query_id", "neighbor_id", "sim")
+        val cands = rankTopK(scored, 50)
+          .select(col("query_id"), col("neighbor_id"),
+            col("sim").cast("long").as("qdot"))
+        val qe = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val rescored = cands
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ce")), "neighbor_id")
+          .join(broadcast(qe), "query_id")
+          .withColumn("sim",
+            round(VectorExpressions.cosineSim(col("qe"), col("ce")), 4))
+          .select("query_id", "neighbor_id", "sim")
+        rankTopK(rescored, 10)
+          .join(cands.withColumnRenamed("qdot", "qdot"),
+            Seq("query_id", "neighbor_id"))
+          .select("query_id", "neighbor_id", "qdot", "sim", "rn")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |FROM embeddings),
+             |sc AS (SELECT vec_id, e,
+             |greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+             |1e-12) AS scale FROM v),
+             |q8 AS (SELECT vec_id, e, list_transform(e,
+             |x -> CAST(round(x / scale) AS BIGINT)) AS qv FROM sc),
+             |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS
+             |neighbor_id,
+             |CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot,
+             |row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |CAST(list_dot_product(q.qv, c.qv) AS BIGINT) DESC,
+             |c.vec_id ASC) AS crn
+             |FROM q8 q, q8 c
+             |WHERE q.vec_id < 3 AND c.vec_id != q.vec_id
+             |QUALIFY crn <= 50),
+             |resc AS (SELECT cand.query_id, cand.neighbor_id,
+             |cand.qdot,
+             |round(list_cosine_similarity(a.e, b.e), 4) + 0.0 AS sim,
+             |CAST(row_number() OVER (PARTITION BY cand.query_id
+             |ORDER BY round(list_cosine_similarity(a.e, b.e), 4) DESC,
+             |cand.neighbor_id ASC) AS INTEGER) AS rn
+             |FROM cand JOIN v a ON a.vec_id = cand.query_id
+             |JOIN v b ON b.vec_id = cand.neighbor_id QUALIFY rn <= 10)
+             |SELECT query_id, neighbor_id, qdot, sim, rn FROM resc"""
         .stripMargin.replace('\n', ' ')))
   )
 }

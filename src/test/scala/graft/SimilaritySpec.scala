@@ -772,4 +772,20 @@ class SimilaritySpec extends SparkSpec {
       "nprobe = nlist must recover every exact neighbor")
     assert(Similarity.recallCurveViolations(curve, 16).count() == 0)
   }
+
+  test("e26 two-stage rescore: int8 candidate depth 50 contains the " +
+    "exact top-10 on the fixture, so the rescored ranking equals " +
+    "brute force row for row — the property that licenses serving " +
+    "from the compressed corpus") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val staged = QueryCatalog.byName("e26_two_stage_rescore")
+      .build(spark, sf)
+      .select("query_id", "neighbor_id", "rn")
+    val exact = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 10)
+      .select("query_id", "neighbor_id", "rn")
+    assert(staged.exceptAll(exact).isEmpty &&
+      exact.exceptAll(staged).isEmpty,
+      "two-stage must reproduce the exact ranking at this depth")
+  }
 }
