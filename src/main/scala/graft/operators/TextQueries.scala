@@ -2258,7 +2258,54 @@ object TextQueries {
              |n_sent, r_brace AND r_lorem AND n_kept >= 1 AND
              |n_sent >= 5 AS keep FROM c"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // SPECIAL-TOKEN LEAKAGE SCAN (t50) — the hygiene gate every
+    // pretraining pipeline runs before tokenization: web text
+    // containing literal control tokens ('<|endoftext|>', chat-template
+    // markers, instruction tags) silently corrupts training (the model
+    // learns to emit stop tokens mid-document, or the tokenizer splits
+    // documents at injected boundaries). The corpus is MIXED BY
+    // CONSTRUCTION (t47 discipline): doc_id%4 arms inject one family
+    // each ('<|endoftext|>' twice, '[INST]…[/INST]', '<|im_start|>'),
+    // %4==3 stays clean — so every counter and both flag outcomes sit
+    // under the gate. Counting is the replace-trick occurrence count
+    // (non-overlapping, identical cross-engine), exact integers only.
+    // Scale: per-row scan-fused string arithmetic, no shuffle, no UDF.
+    Q("t50_special_tokens",
+      (s, d) => Tables.t(s, d, "documents")
+        .selectExpr("doc_id",
+          "concat(text, " +
+            "CASE WHEN doc_id % 4 = 0 " +
+            "THEN ' <|endoftext|> tail <|endoftext|>' " +
+            "WHEN doc_id % 4 = 1 THEN ' [INST] do a thing [/INST]' " +
+            "WHEN doc_id % 4 = 2 THEN ' <|im_start|>user' " +
+            "ELSE '' END) AS t")
+        .selectExpr("doc_id",
+          "CAST((length(t) - length(replace(t, '<|endoftext|>', ''))) " +
+            "DIV 13 AS BIGINT) AS n_eot",
+          "CAST((length(t) - length(replace(t, '[INST]', ''))) " +
+            "DIV 6 AS BIGINT) AS n_inst",
+          "CAST((length(t) - length(replace(t, '<|im_start|>', ''))) " +
+            "DIV 12 AS BIGINT) AS n_im")
+        .selectExpr("doc_id", "n_eot", "n_inst", "n_im",
+          "n_eot + n_inst + n_im > 0 AS has_special"),
+      Some("""WITH a AS (SELECT doc_id, text ||
+             |CASE WHEN doc_id % 4 = 0
+             |THEN ' <|endoftext|> tail <|endoftext|>'
+             |WHEN doc_id % 4 = 1 THEN ' [INST] do a thing [/INST]'
+             |WHEN doc_id % 4 = 2 THEN ' <|im_start|>user'
+             |ELSE '' END AS t FROM documents),
+             |c AS (SELECT doc_id,
+             |CAST((length(t) - length(replace(t, '<|endoftext|>', '')))
+             |// 13 AS BIGINT) AS n_eot,
+             |CAST((length(t) - length(replace(t, '[INST]', '')))
+             |// 6 AS BIGINT) AS n_inst,
+             |CAST((length(t) - length(replace(t, '<|im_start|>', '')))
+             |// 12 AS BIGINT) AS n_im FROM a)
+             |SELECT doc_id, n_eot, n_inst, n_im,
+             |n_eot + n_inst + n_im > 0 AS has_special FROM c"""
+        .stripMargin.replace('\n', ' ')))
   )
 
   /** Shared t41/p13 builder: construct the deterministic conversation

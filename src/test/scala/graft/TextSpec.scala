@@ -774,4 +774,24 @@ class TextSpec extends SparkSpec {
         "javascript pages lose a sentence and miss the floor")
     } finally out.unpersist()
   }
+
+  test("t50 special tokens: each injection arm counts exactly its own " +
+    "family (eot twice, inst once, im once), the clean arm reads all " +
+    "zeros, and the flag partitions the corpus on the residue") {
+    val out = q("t50_special_tokens").build(spark, sf).cache()
+    try {
+      assert(out.filter(col("doc_id") % 4 === 0 &&
+        (col("n_eot") =!= 2 || col("n_inst") =!= 0)).count() == 0)
+      assert(out.filter(col("doc_id") % 4 === 1 &&
+        (col("n_inst") =!= 1 || col("n_eot") =!= 0)).count() == 0)
+      assert(out.filter(col("doc_id") % 4 === 2 && col("n_im") =!= 1)
+        .count() == 0)
+      assert(out.filter(col("doc_id") % 4 === 3 &&
+        (col("has_special") || col("n_eot") + col("n_inst") +
+          col("n_im") =!= 0)).count() == 0,
+        "the clean arm must read zero everywhere")
+      assert(out.filter((col("doc_id") % 4 < 3) !== col("has_special"))
+        .count() == 0)
+    } finally out.unpersist()
+  }
 }
