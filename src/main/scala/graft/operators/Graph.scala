@@ -1198,6 +1198,61 @@ object GraphQueries {
              |FROM nodes n JOIN lab1 ON lab1.v = n.v
              |JOIN lab2 ON lab2.v = n.v"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // BIPARTITE PROJECTION with a HUB FANOUT CAP (g14) — the
+    // co-engagement graph build (items sharing visitors), which at
+    // scale dies on exactly one thing: a hub visitor with f items
+    // emits f(f-1)/2 pairs, so the projection self-join is quadratic
+    // in the hottest key. The production fix is the d03 corpus-cap
+    // discipline applied per visitor: keep at most c=20 items per
+    // visitor by a DETERMINISTIC content rank (md5(u:i), id
+    // tie-break; c=10 here), bounding every visitor's pair emission
+    // at c(c-1)/2 before the join. Degrees and the Jaccard are
+    // computed on the SAME capped basis, so the whole capped
+    // projection -- rank, cap, self-join, degree join, integer
+    // division -- sits under one hash. The fixture fires both arms
+    // (most visitors exceed the cap, rare ones don't). Scale: one
+    // (visitor) window + one self-join shuffle on u; pair output is
+    // corpus-bounded by the cap, never by the hub.
+    Q("g14_bipartite_projection",
+      (s, d) => {
+        val be = Tables.t(s, d, "events")
+          .select((col("event_id") % 50).as("u"),
+            (col("user_id") % 30).as("i")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u")
+          .orderBy(md5(concat_ws(":", col("u"), col("i"))), col("i"))
+        val capped = be.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).drop("rk")
+        val deg = capped.groupBy("i").agg(count(lit(1)).as("d"))
+        val pairs = capped.as("a")
+          .join(capped.as("b"),
+            col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(deg.select(col("i"), col("d").as("d_i")), "i")
+          .join(deg.select(col("i").as("j"), col("d").as("d_j")), "j")
+          .withColumn("jac_bp", expr(
+            "(10000 * n_shared) DIV (d_i + d_j - n_shared)"))
+          .select("i", "j", "n_shared", "d_i", "d_j", "jac_bp")
+      },
+      Some("""WITH be AS (SELECT DISTINCT event_id % 50 AS u,
+             |user_id % 30 AS i FROM events),
+             |rk AS (SELECT u, i, row_number() OVER (PARTITION BY u
+             |ORDER BY md5(CAST(u AS VARCHAR) || ':' ||
+             |CAST(i AS VARCHAR)), i) AS rk FROM be),
+             |cp AS (SELECT u, i FROM rk WHERE rk <= 10),
+             |deg AS (SELECT i, count(*) AS d FROM cp GROUP BY i),
+             |pr AS (SELECT a.i AS i, b.i AS j, count(*) AS n_shared
+             |FROM cp a JOIN cp b ON a.u = b.u AND a.i < b.i
+             |GROUP BY 1, 2)
+             |SELECT pr.i, pr.j, n_shared, di.d AS d_i, dj.d AS d_j,
+             |CAST((10000 * n_shared) // (di.d + dj.d - n_shared)
+             |AS BIGINT) AS jac_bp
+             |FROM pr JOIN deg di ON di.i = pr.i
+             |JOIN deg dj ON dj.i = pr.j"""
+        .stripMargin.replace('\n', ' ')))
   )
 }

@@ -285,4 +285,27 @@ class GraphSpec extends SparkSpec {
       (9L, 9L, 9L)),  // isolated: self label survives both rounds
       got.toString)
   }
+
+  test("g14 projection invariants: shared count never exceeds either " +
+    "capped degree, the scaled jaccard stays <= 10000, and the " +
+    "fixture fires BOTH cap arms (hub visitors trimmed, light ones " +
+    "kept whole)") {
+    val out = QueryCatalog.byName("g14_bipartite_projection")
+      .build(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("n_shared") >
+        org.apache.spark.sql.functions.least(col("d_i"),
+        col("d_j"))).count() == 0)
+      assert(out.filter(col("jac_bp") > 10000).count() == 0)
+      val fanout = Tables.t(spark, sf, "events")
+        .select((col("event_id") % 50).as("u"),
+          (col("user_id") % 30).as("i")).distinct()
+        .groupBy("u").count()
+      assert(fanout.filter(col("count") > 10).count() > 0,
+        "fixture must contain hub visitors above the cap")
+      assert(fanout.filter(col("count") <= 10).count() > 0,
+        "fixture must contain visitors under the cap")
+    } finally out.unpersist()
+  }
 }
