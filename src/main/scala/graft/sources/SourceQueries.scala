@@ -269,6 +269,84 @@ object SourceQueries {
              |FROM documents WHERE doc_id % 2 = 1 GROUP BY source"""
         .stripMargin.replace('\n', ' '))),
 
+    // p16: INCREMENTAL CURATION ACROSS TWO INGEST CYCLES — the
+    // composed steady-state every production pipeline actually runs
+    // (io09's manifest delta + d01's content dedup + d10's
+    // stored-index discipline, under ONE oracle): cycle 1 lands the
+    // even-third drop, admits it against an empty index, PERSISTS the
+    // content-hash index, and checkpoints the manifest; cycle 2 lands
+    // fresh docs PLUS byte-identical re-drops of cycle-1 content under
+    // new doc_ids (the at-least-once transport reality). The gate
+    // holds that cycle 2 (a) reads ONLY the new files (manifest
+    // delta), (b) collapses within-cycle duplicates to the min
+    // doc_id, and (c) rejects everything already in the STORED index
+    // without rescanning cycle-1 data — per-source seen/admitted/dup
+    // counts. Scale: the index lookup is one anti-join against a
+    // persisted hash table that grows by admissions only; no cycle
+    // ever re-reads prior cycles' corpus.
+    Q("p16_incremental_curation",
+      (s, d) => {
+        val base = Dml.work("p16", d)
+        val land = base + "/landing"
+        val mf = base + "/manifest"
+        val idxDir = base + "/dedup_index"
+        Seq(land, mf, idxDir).foreach(Layouts.deleteDir(s, _))
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        // cycle 1: even-third drop -> admit all distinct, store index
+        docs.filter(col("doc_id") % 3 === 0)
+          .write.mode("append").parquet(land)
+        val l1 = Layouts.snapshotListing(s, land)
+        Layouts.incrementalScan(s, land, mf, l1)
+          .select(md5(col("text")).as("h")).distinct()
+          .write.mode("overwrite").parquet(idxDir)
+        Layouts.markProcessed(s, mf, l1)
+        // cycle 2: fresh docs + re-dropped cycle-1 content, new ids
+        docs.filter(col("doc_id") % 3 === 1)
+          .write.mode("append").parquet(land)
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("source"))
+          .write.mode("append").parquet(land)
+        val l2 = Layouts.snapshotListing(s, land)
+        val d2 = Layouts.incrementalScan(s, land, mf, l2)
+        Layouts.markProcessed(s, mf, l2)
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy("doc_id")
+        val admitted = d2
+          .withColumn("h", md5(col("text")))
+          .withColumn("rn", row_number().over(wIn))
+          .filter(col("rn") === 1)
+          .join(s.read.parquet(idxDir), Seq("h"), "left_anti")
+        d2.groupBy("source").agg(count(lit(1)).as("n_seen"))
+          .join(admitted.groupBy("source")
+            .agg(count(lit(1)).as("n_admitted")), Seq("source"), "left")
+          .select(col("source"), col("n_seen"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            (col("n_seen") - coalesce(col("n_admitted"), lit(0L)))
+              .as("n_dup"))
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h
+             |FROM documents WHERE doc_id % 3 = 0),
+             |c2 AS (SELECT doc_id, text, source FROM documents
+             |WHERE doc_id % 3 = 1
+             |UNION ALL SELECT doc_id + 1000000 AS doc_id, text, source
+             |FROM documents WHERE doc_id % 3 = 0),
+             |wd AS (SELECT doc_id, source, md5(text) AS h,
+             |row_number() OVER (PARTITION BY md5(text)
+             |ORDER BY doc_id) AS rn FROM c2),
+             |adm AS (SELECT wd.source FROM wd LEFT JOIN idx
+             |ON idx.h = wd.h WHERE rn = 1 AND idx.h IS NULL),
+             |seen AS (SELECT source, count(*) AS n_seen FROM c2
+             |GROUP BY source),
+             |a AS (SELECT source, count(*) AS n_admitted FROM adm
+             |GROUP BY source)
+             |SELECT seen.source, n_seen,
+             |COALESCE(n_admitted, 0) AS n_admitted,
+             |n_seen - COALESCE(n_admitted, 0) AS n_dup
+             |FROM seen LEFT JOIN a USING (source)"""
+        .stripMargin.replace('\n', ' '))),
+
     // MALFORMED-RECORD ACCOUNTING under the hash gate — the ingest
     // contract every raw-text feed needs: a CSV drop where every tenth
     // record is garbage is read in PERMISSIVE mode with an explicit

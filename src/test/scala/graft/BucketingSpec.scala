@@ -244,4 +244,29 @@ class BucketingSpec extends SparkSpec {
       .doubleValue() == 60.0)
     assert(m("nd").asInstanceOf[Long] == 2L)
   }
+
+  test("p16 incremental curation: every re-dropped duplicate is " +
+    "rejected by the STORED index (admissions = distinct fresh " +
+    "content only), seen counts cover exactly the cycle-2 drops, and " +
+    "dup accounting reconciles") {
+    import org.apache.spark.sql.functions._
+    val out = QueryCatalog.byName("p16_incremental_curation")
+      .build(spark, sf).cache()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      val evenH = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+      val odd = docs.filter(col("doc_id") % 3 === 1)
+      // admissions = distinct odd content not already in cycle 1
+      val expAdmitted = odd.select(md5(col("text")).as("h")).distinct()
+        .join(evenH, Seq("h"), "left_anti").count()
+      val evenCnt = docs.filter(col("doc_id") % 3 === 0).count()
+      val t = out.agg(sum("n_seen"), sum("n_admitted"), sum("n_dup"))
+        .collect().head
+      assert(t.getLong(0) == odd.count() + evenCnt, t.toString)
+      assert(t.getLong(1) == expAdmitted,
+        s"index must reject all re-drops: ${t.toString}")
+      assert(t.getLong(2) == t.getLong(0) - t.getLong(1))
+    } finally out.unpersist()
+  }
 }
