@@ -1125,6 +1125,46 @@ object RelationalQueries {
     // group's values (unlike the mergeable t09 sketch) — fine keyed by
     // a low-cardinality flag, wrong for per-user quantiles at 100 TB;
     // that trade is the scaladoc'd reason BOTH forms exist.
+    // §2.13 PLAN RENDERING as a DRIVER-VISIBLE gate (the q53 move
+    // applied to the reference's only observable output): three
+    // statement shapes — filter/scan, agg/sort/limit, join — render
+    // through ExecutionContext.explainReference into the reference's
+    // `-> Node: detail` one-space-indent format, emitted as
+    // (query_id, line_no, line) rows against a VALUES oracle of the
+    // exact expected text. The byte-shape contract was previously
+    // spec-only (ExecutionContextSpec pins the main.rs:7 query); this
+    // entry puts the Filter/Aggregate/Sort/Limit/Join vocabulary and
+    // the indent discipline under the driver's hash every round.
+    Q("q58_plan_render",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        val sq = s; import sq.implicits._
+        Seq(
+          ("a", "SELECT n_name FROM nation WHERE n_regionkey = 1"),
+          ("b", "SELECT r_regionkey, count(*) AS n FROM region " +
+            "GROUP BY r_regionkey ORDER BY r_regionkey LIMIT 3"),
+          ("c", "SELECT n_name, r_name FROM nation " +
+            "JOIN region ON n_regionkey = r_regionkey"))
+          .flatMap { case (id, sql) =>
+            ctx.explainReference(sql).split("\n").toSeq.zipWithIndex
+              .map { case (l, i) => (id, i + 1, l) }
+          }.toDF("query_id", "line_no", "line")
+      },
+      Some("""SELECT * FROM (VALUES
+             |('a', 1, '-> Projection: [n_name]'),
+             |('a', 2, ' -> Filter: n_regionkey = 1'),
+             |('a', 3, '  -> TableScan: nation projection=[n_nationkey, n_name, n_regionkey]'),
+             |('b', 1, '-> Limit: LIMIT 3'),
+             |('b', 2, ' -> Sort: [r_regionkey ASC]'),
+             |('b', 3, '  -> Aggregate: group=[r_regionkey] agg=[COUNT(*) AS n]'),
+             |('b', 4, '   -> TableScan: region projection=[r_regionkey, r_name]'),
+             |('c', 1, '-> Projection: [n_name, r_name]'),
+             |('c', 2, ' -> Join: Inner ON n_regionkey = r_regionkey'),
+             |('c', 3, '  -> TableScan: nation projection=[n_nationkey, n_name, n_regionkey]'),
+             |('c', 4, '  -> TableScan: region projection=[r_regionkey, r_name]'))
+             |t(query_id, line_no, line)"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("q57_exact_percentiles",
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
         expr("percentile(l_quantity, 0.25)").as("p25"),
