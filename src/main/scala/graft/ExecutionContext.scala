@@ -413,12 +413,157 @@ class ExecutionContext(
       ExecutionContext.firstStatement(sql), dialect)
 
   /** Render the analyzed plan in the reference's own `format_plan` text
-    * shape (`tmp/select.rs:625-746`): `-> Node: detail` lines, one-space
-    * indent per level — the last §2.13 parity gap. [[explain]] stays the
-    * richer Catalyst `treeString`; this is the byte-shape twin. */
-  def explainReference(sql: String): String =
-    graft.plans.ReferencePlanFormat.format(
-      spark.sql(normalized(sql)).queryExecution.analyzed)
+    * shape: `-> Node: detail` lines, one-space indent per level.
+    * [[explain]] stays the richer Catalyst `treeString`; this is the
+    * byte-shape twin. Covers BOTH halves of the reference formatter:
+    * queries (`tmp/select.rs:625-746`) analyze through Catalyst and
+    * render node-by-node, while DML/DDL statements
+    * (`tmp/crud.txt:652-857`: Insert/Update/Delete/CreateTable/
+    * CreateIndex/DropTable/DropIndex) render from the parsed statement
+    * WITHOUT executing — the reference's planner builds IR and prints
+    * it, never runs it, and Spark would eagerly run a command handed to
+    * `spark.sql`. Any other command form is rejected rather than
+    * silently executed. */
+  def explainReference(sql: String): String = {
+    val stmt = normalized(sql)
+    formatDmlReference(stmt).getOrElse {
+      if (!ExecutionContext.QueryHeadRe.pattern.matcher(stmt).find())
+        throw new IllegalArgumentException(
+          "Unsupported statement for plan rendering: " + stmt.trim.take(40))
+      graft.plans.ReferencePlanFormat.format(
+        spark.sql(stmt).queryExecution.analyzed)
+    }
+  }
+
+  /** The DML/DDL side of `format_plan` (`tmp/crud.txt:652-857`).
+    * WHERE/SET/source expressions resolve against the session catalog
+    * and print through [[graft.plans.ReferencePlanFormat]]'s vocabulary
+    * — the q58 discipline: the node shape is the parity target, the
+    * reference's Rust `{:?}` struct noise is not. Two reference quirks
+    * deliberately not replicated (the #34 pointer-address precedent):
+    * its CreateIndex line splices ` IF NOT EXISTS` twice, gluing
+    * `EXISTSINDEX` (`tmp/crud.txt:772-790`) — we print one splice after
+    * the index name; an unnamed index renders our deterministic
+    * `idx_<table>_<cols>` instead of a pointer address. Returns None
+    * for non-DML statements (the SELECT formatter path). */
+  private def formatDmlReference(stmt: String): Option[String] = {
+    import ExecutionContext._
+    def colList(cols: String): String =
+      Option(cols).map(c => " (" + splitList(c).map(unquote)
+        .filter(_.nonEmpty).mkString(", ") + ")").getOrElse("")
+    stmt match {
+      case CreateIndexRe(unique, ifNot, idxName, tbl, cols) =>
+        val t = unquote(tbl)
+        val cs = splitList(cols).map(unquote).filter(_.nonEmpty)
+        val name = Option(idxName).map(unquote).map(_.trim)
+          .filter(_.nonEmpty).getOrElse(s"idx_${t}_${cs.mkString("_")}")
+        val u = if (unique != null) "UNIQUE " else ""
+        val ine = if (ifNot != null) " IF NOT EXISTS" else ""
+        Some(s"-> CreateIndex: ${u}INDEX $name$ine ON $t (${cs.mkString(", ")})\n")
+      case DropIndexRe(ifExists, names, cascade) =>
+        val ns = splitList(names).map(unquote).filter(_.nonEmpty)
+        val ie = if (ifExists != null) " IF EXISTS" else ""
+        val ca = if (cascade != null) " CASCADE" else ""
+        Some(s"-> DropIndex: ${ns.mkString(", ")}$ie$ca\n")
+      case DropTableRe(ifExists, names, cascade) =>
+        val ns = splitList(names).map(unquote).filter(_.nonEmpty)
+        val ie = if (ifExists != null) " IF EXISTS" else ""
+        val ca = if (cascade != null) " CASCADE" else ""
+        Some(s"-> DropTable: ${ns.mkString(", ")}$ie$ca\n")
+      case UpdateRe(tbl, tail) =>
+        val name = unquote(tbl)
+        requireTable(name)
+        val (setList, fromTbl, whereExpr) = splitUpdateTail(tail)
+        // resolution frame: target × FROM source, so a SET value or
+        // WHERE predicate may reference either side (the reference's
+        // Update IR carries `from` as a child plan)
+        val frame = fromTbl.fold(spark.table(name))(f =>
+          spark.table(name).crossJoin(fromDataFrame(f)))
+        val sets = splitTopLevel(setList).map(_.trim).filter(_.nonEmpty)
+          .map { a =>
+            val eq = a.indexOf('=')
+            s"${unquote(a.take(eq))} = ${refExprOn(frame, a.drop(eq + 1))}"
+          }
+        val sb = new StringBuilder(
+          s"-> Update: $name SET [${sets.mkString(", ")}]\n")
+        whereExpr.foreach(w =>
+          sb ++= s"  WHERE: ${refPredicateOn(frame, w)}\n")
+        fromTbl.foreach { f =>
+          sb ++= "  FROM:\n"
+          sb ++= refTableScanLine(f, indent = 2)
+        }
+        Some(sb.result())
+      case DeleteRe(tbl, whereExpr) =>
+        val name = unquote(tbl)
+        requireTable(name)
+        val sb = new StringBuilder(s"-> Delete: $name\n")
+        Option(whereExpr).foreach(w =>
+          sb ++= s"  WHERE: ${refPredicateOn(spark.table(name), w)}\n")
+        Some(sb.result())
+      case InsertValuesRe(tbl, cols, valuesText) =>
+        val name = unquote(tbl)
+        requireTable(name)
+        val n = splitTopLevel(valuesText).count(_.trim.nonEmpty)
+        Some(s"-> Insert: $name${colList(cols)}\n  Values: $n row(s)\n")
+      case InsertSelectRe(tbl, cols, selectText) =>
+        val name = unquote(tbl)
+        requireTable(name)
+        val src = graft.plans.ReferencePlanFormat.format(
+          spark.sql(selectText).queryExecution.analyzed)
+          .linesIterator.map("  " + _).mkString("", "\n", "\n")
+        Some(s"-> Insert: $name${colList(cols)}\n  Source:\n$src")
+      case _ => ExecutionContext.formatCreateTableReference(stmt)
+    }
+  }
+
+  /** `name [AS] alias` → (table, alias). */
+  private def fromParts(f: String): (String, Option[String]) = {
+    val toks = f.trim.split("""\s+""").toSeq
+    val alias =
+      toks.drop(1).filterNot(_.equalsIgnoreCase("AS")).headOption
+    (ExecutionContext.unquote(toks.head),
+      alias.map(ExecutionContext.unquote))
+  }
+
+  private def fromDataFrame(f: String): DataFrame = {
+    val (n, a) = fromParts(f)
+    requireTable(n)
+    a.fold(spark.table(n))(spark.table(n).as(_))
+  }
+
+  /** Resolve a scalar expression against `frame` and render it in the
+    * reference vocabulary. */
+  private def refExprOn(frame: DataFrame, text: String): String = {
+    val an = frame.select(expr(text.trim).as("__v"))
+      .queryExecution.analyzed
+    val e = an.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.last
+    }.get
+    graft.plans.ReferencePlanFormat.formatExpr(e match {
+      case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+      case other => other
+    })
+  }
+
+  /** Resolve a predicate against `frame` and render it. */
+  private def refPredicateOn(frame: DataFrame, text: String): String = {
+    val an = frame.where(expr(text.trim)).queryExecution.analyzed
+    val cond = an.collectFirst {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        fl.condition
+    }.get
+    graft.plans.ReferencePlanFormat.formatExpr(cond)
+  }
+
+  /** One reference `TableScan` line for an Update FROM source. */
+  private def refTableScanLine(f: String, indent: Int): String = {
+    val (n, a) = fromParts(f)
+    requireTable(n)
+    val aliasStr = a.filter(_ != n).map(x => s" AS $x").getOrElse("")
+    val cols = spark.table(n).columns.mkString(", ")
+    " " * indent + s"-> TableScan: $n$aliasStr projection=[$cols]\n"
+  }
 
   // ---- DDL: tables ------------------------------------------------------
 
@@ -645,6 +790,17 @@ object ExecutionContext {
   // group, so `DROP INDEX my_cascade` parsed as name `my_` + CASCADE.
   private[graft] val DropIndexRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
+
+  // DROP TABLE for the plan FORMATTER only (`tmp/crud.txt:349-371,819-833`);
+  // execute() keeps Spark's native DROP TABLE path and the multi-name API
+  // lives on [[ExecutionContext.dropTable]].
+  private[graft] val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
+
+  // A statement explainReference may hand to spark.sql without running a
+  // side effect: query heads only (commands execute eagerly in spark.sql).
+  private[graft] val QueryHeadRe =
+    """(?is)^\s*(?:SELECT|WITH|VALUES|TABLE|\()""".r
 
   // UPDATE <t> SET <tail> — the regex binds only the statement head; the
   // FROM/WHERE clause boundaries inside the tail are found by
@@ -889,6 +1045,77 @@ object ExecutionContext {
     (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?UNIQUE\\s*\\((.*)\\)\\s*$$""").r
   private val TcCkRe =
     (s"""(?is)^(?:CONSTRAINT\\s+$IdentPart\\s+)?CHECK\\s*\\((.*)\\)\\s*$$""").r
+
+  // CREATE TABLE head with captures for the plan FORMATTER (the rewrite
+  // path's CreateTableHeadRe deliberately captures nothing).
+  private val CreateTableFmtRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?($Ident)\\s*\\(""").r
+
+  /** SQL type text → the reference's `DataTypeEnum` vocabulary
+    * (`tmp/crud.txt:88-98,423-437`), printed readable (`Varchar(50)`)
+    * rather than Rust-Debug (`Varchar(Some(50))`) per the q58 rendering
+    * discipline. Spark's STRING maps to `Text` (closest reference type);
+    * a type outside the reference's enum passes through uppercased —
+    * the reference would bail there, we render what was written. */
+  private[graft] def refTypeName(t: String): String = {
+    val up = t.trim.replaceAll("\\s+", " ").toUpperCase(java.util.Locale.ROOT)
+    val VarcharRe = """(?:VARCHAR|CHAR)(?:\s*\((\d+)\))?""".r
+    up match {
+      case VarcharRe(null) => "Varchar"
+      case VarcharRe(n) => s"Varchar($n)"
+      case "TEXT" | "STRING" => "Text"
+      case "INT" | "INTEGER" => "Integer"
+      case "BIGINT" => "BigInt"
+      case "FLOAT" | "REAL" => "Float"
+      case "DOUBLE" | "DOUBLE PRECISION" => "Double"
+      case "BOOLEAN" => "Boolean"
+      case "DATE" => "Date"
+      case s if s.startsWith("TIMESTAMP") => "Timestamp"
+      case other => other
+    }
+  }
+
+  /** The `CreateTable` arm of the reference formatter
+    * (`tmp/crud.txt:735-771`): the head line, one `  Column:` line per
+    * column with the reference's `(nullable: b, pk: b)` booleans (a
+    * PRIMARY KEY column is non-nullable, `tmp/crud.txt:404-409`), then
+    * one `  Constraint:` line per table constraint in the
+    * `convert_table_constraint` vocabulary. Reuses the execute path's
+    * comment-stripping and quote/paren/angle-aware column scanner, so
+    * formatter and executor agree on what a statement means. None when
+    * the statement is not a CREATE TABLE with a column list (CTAS has
+    * none — it renders via its SELECT side only on the execute path). */
+  private[graft] def formatCreateTableReference(stmt: String): Option[String] = {
+    val clean = stripComments(stmt)
+    CreateTableFmtRe.findPrefixMatchOf(clean).flatMap { m =>
+      val close = findMatchingParen(clean, m.end)
+      if (close < 0) None
+      else {
+        val ifNot = if (m.group(1) != null) " IF NOT EXISTS" else ""
+        val name = unquote(m.group(2))
+        def names(list: String): String =
+          splitList(list).map(unquote).filter(_.nonEmpty).mkString(", ")
+        val sb = new StringBuilder(s"-> CreateTable: $name$ifNot\n")
+        val consts = Seq.newBuilder[String]
+        splitTopLevel(clean.substring(m.end, close))
+          .map(_.trim).filter(_.nonEmpty).foreach {
+            case TcPkRe(list) => consts += s"PrimaryKey(${names(list)})"
+            case TcFkRe(cols, ft, fcols) =>
+              consts += s"ForeignKey(${names(cols)} REFERENCES " +
+                s"${unquote(ft)}(${names(fcols)}))"
+            case TcUqRe(list) => consts += s"Unique(${names(list)})"
+            case TcCkRe(ex) => consts += s"Check(${ex.trim})"
+            case item => parseColumnItem(item).foreach { c =>
+              val nullable = !c.notNull && !c.primaryKey
+              sb ++= s"  Column: ${c.name} ${refTypeName(c.kept)} " +
+                s"(nullable: $nullable, pk: ${c.primaryKey})\n"
+            }
+          }
+        consts.result().foreach(c => sb ++= s"  Constraint: $c\n")
+        Some(sb.result())
+      }
+    }
+  }
 
   /** Replace SQL comments with nothing (line `--`) or a space (block
     * `/* */`, nested) — quote-aware with backslash escapes, mirroring

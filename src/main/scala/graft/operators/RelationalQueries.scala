@@ -1165,6 +1165,88 @@ object RelationalQueries {
              |t(query_id, line_no, line)"""
         .stripMargin.replace('\n', ' '))),
 
+    // §2.13's OTHER half as a driver-visible gate: the reference's
+    // DML/DDL formatter (`tmp/crud.txt:652-857` — its single largest
+    // function group: Insert/Update/Delete/CreateTable/CreateIndex/
+    // DropTable/DropIndex node renderings) was spec-covered but not
+    // hash-gated in r12 (VERDICT item 1). Twelve statements cover every
+    // node family and sub-arm: Insert Values-count vs Source-subplan,
+    // Update with WHERE and with FROM (the source TableScan child),
+    // Delete WHERE, CreateTable plain / IF NOT EXISTS / with PK-FK-UNIQUE
+    // constraint lines and the full DataTypeEnum vocabulary
+    // (Integer/BigInt/Float/Double/Boolean/Date/Timestamp/Text/
+    // Varchar(n)), CreateIndex named-unique and auto-named IF NOT
+    // EXISTS, multi-name DropTable CASCADE, DropIndex. Statements are
+    // FORMATTED, never executed (reference semantics: the planner
+    // prints IR), so the entry is side-effect-free and idempotent.
+    Q("q59_plan_render_dml",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        val sq = s; import sq.implicits._
+        Seq(
+          ("a", "INSERT INTO nation (n_name, n_regionkey) " +
+            "VALUES ('ATLANTIS', 1), ('LEMURIA', 2)"),
+          ("b", "INSERT INTO nation (n_nationkey, n_name) " +
+            "SELECT r_regionkey, r_name FROM region"),
+          ("c", "UPDATE nation SET n_name = 'X' WHERE n_regionkey = 1"),
+          ("d", "UPDATE nation SET n_name = r_name FROM region " +
+            "WHERE n_regionkey = r_regionkey"),
+          ("e", "DELETE FROM nation WHERE n_nationkey = 3"),
+          ("f", "CREATE TABLE dims (id INT PRIMARY KEY, " +
+            "name VARCHAR(50), score DOUBLE NOT NULL, tag TEXT, " +
+            "UNIQUE (name))"),
+          ("g", "CREATE TABLE IF NOT EXISTS spans (id BIGINT, " +
+            "when_ts TIMESTAMP, flag BOOLEAN, born DATE, ratio FLOAT)"),
+          ("h", "CREATE TABLE facts (fid INT, did INT, " +
+            "PRIMARY KEY (fid), FOREIGN KEY (did) REFERENCES dims (id))"),
+          ("i", "CREATE UNIQUE INDEX idx_n ON nation (n_name)"),
+          ("j", "CREATE INDEX IF NOT EXISTS ON nation (n_regionkey)"),
+          ("k", "DROP TABLE IF EXISTS dims, facts CASCADE"),
+          ("l", "DROP INDEX IF EXISTS idx_n"))
+          .flatMap { case (id, sql) =>
+            ctx.explainReference(sql).split("\n").toSeq.zipWithIndex
+              .map { case (l, i) => (id, i + 1, l) }
+          }.toDF("stmt_id", "line_no", "line")
+      },
+      Some("""SELECT * FROM (VALUES
+             |('a', 1, '-> Insert: nation (n_name, n_regionkey)'),
+             |('a', 2, '  Values: 2 row(s)'),
+             |('b', 1, '-> Insert: nation (n_nationkey, n_name)'),
+             |('b', 2, '  Source:'),
+             |('b', 3, '  -> Projection: [r_regionkey, r_name]'),
+             |('b', 4, '   -> TableScan: region projection=[r_regionkey, r_name]'),
+             |('c', 1, '-> Update: nation SET [n_name = ''X'']'),
+             |('c', 2, '  WHERE: n_regionkey = 1'),
+             |('d', 1, '-> Update: nation SET [n_name = r_name]'),
+             |('d', 2, '  WHERE: n_regionkey = r_regionkey'),
+             |('d', 3, '  FROM:'),
+             |('d', 4, '  -> TableScan: region projection=[r_regionkey, r_name]'),
+             |('e', 1, '-> Delete: nation'),
+             |('e', 2, '  WHERE: n_nationkey = 3'),
+             |('f', 1, '-> CreateTable: dims'),
+             |('f', 2, '  Column: id Integer (nullable: false, pk: true)'),
+             |('f', 3, '  Column: name Varchar(50) (nullable: true, pk: false)'),
+             |('f', 4, '  Column: score Double (nullable: false, pk: false)'),
+             |('f', 5, '  Column: tag Text (nullable: true, pk: false)'),
+             |('f', 6, '  Constraint: Unique(name)'),
+             |('g', 1, '-> CreateTable: spans IF NOT EXISTS'),
+             |('g', 2, '  Column: id BigInt (nullable: true, pk: false)'),
+             |('g', 3, '  Column: when_ts Timestamp (nullable: true, pk: false)'),
+             |('g', 4, '  Column: flag Boolean (nullable: true, pk: false)'),
+             |('g', 5, '  Column: born Date (nullable: true, pk: false)'),
+             |('g', 6, '  Column: ratio Float (nullable: true, pk: false)'),
+             |('h', 1, '-> CreateTable: facts'),
+             |('h', 2, '  Column: fid Integer (nullable: true, pk: false)'),
+             |('h', 3, '  Column: did Integer (nullable: true, pk: false)'),
+             |('h', 4, '  Constraint: PrimaryKey(fid)'),
+             |('h', 5, '  Constraint: ForeignKey(did REFERENCES dims(id))'),
+             |('i', 1, '-> CreateIndex: UNIQUE INDEX idx_n ON nation (n_name)'),
+             |('j', 1, '-> CreateIndex: INDEX idx_nation_n_regionkey IF NOT EXISTS ON nation (n_regionkey)'),
+             |('k', 1, '-> DropTable: dims, facts IF EXISTS CASCADE'),
+             |('l', 1, '-> DropIndex: idx_n IF EXISTS'))
+             |t(stmt_id, line_no, line)"""
+        .stripMargin.replace('\n', ' '))),
+
     Q("q57_exact_percentiles",
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
         expr("percentile(l_quantity, 0.25)").as("p25"),

@@ -22,6 +22,12 @@ object ReferencePlanFormat {
 
   def format(plan: LogicalPlan): String = render(plan, 0, Map.empty)
 
+  /** Render one expression in the same vocabulary the plan nodes use —
+    * the DML statement formatter (`ExecutionContext.explainReference` on
+    * Update/Delete, `tmp/crud.txt:823-857`) prints WHERE/SET expressions
+    * through this so both halves of the formatter agree. */
+  def formatExpr(e: Expression): String = expr(e)
+
   // ---- plan nodes --------------------------------------------------------
 
   private def render(
@@ -193,6 +199,12 @@ object ReferencePlanFormat {
     case IsNull(c) => s"${expr(c)} IS NULL"
     case IsNotNull(c) => s"${expr(c)} IS NOT NULL"
     case s: ScalarSubquery => s"SUBQUERY(${onePlanLine(s.plan)})"
+    // generic scalar function call: UPPER(r_name) — recursing through
+    // expr() keeps arguments in this vocabulary (Expression.sql would
+    // qualify attributes as region.r_name and lowercase the name)
+    case other if other.children.nonEmpty =>
+      s"${other.prettyName.toUpperCase}(" +
+        s"${other.children.map(expr).mkString(", ")})"
     case other =>
       scala.util.Try(other.sql).getOrElse(other.simpleString(100))
   }

@@ -166,6 +166,57 @@ class ExecutionContextSpec extends SparkSpec {
       plan.contains("SubqueryAlias: big"), s"got:\n$plan")
   }
 
+  test("explainReference: DML/DDL statements render the crud formatter's " +
+    "node vocabulary (tmp/crud.txt:652-857) WITHOUT executing") {
+    val c = ctx
+    val before = c.execute("SELECT count(*) AS n FROM nation")
+      .collect().head.getLong(0)
+    // Insert both arms: Values row count vs Source subplan at indent+2
+    assert(c.explainReference(
+      "INSERT INTO nation (n_name) VALUES ('A'), ('B'), ('C')") ==
+      "-> Insert: nation (n_name)\n  Values: 3 row(s)\n")
+    val ins = c.explainReference(
+      "INSERT INTO nation (n_nationkey) SELECT r_regionkey FROM region")
+    assert(ins.startsWith("-> Insert: nation (n_nationkey)\n  Source:\n" +
+      "  -> Projection: [r_regionkey]\n"), s"got:\n$ins")
+    // Update: SET list + WHERE resolved against target × FROM frame
+    assert(c.explainReference(
+      "UPDATE nation SET n_name = upper(r_name) FROM region " +
+        "WHERE n_regionkey = r_regionkey") ==
+      "-> Update: nation SET [n_name = UPPER(r_name)]\n" +
+        "  WHERE: n_regionkey = r_regionkey\n  FROM:\n" +
+        "  -> TableScan: region projection=[r_regionkey, r_name]\n")
+    assert(c.explainReference("DELETE FROM nation WHERE n_nationkey < 2") ==
+      "-> Delete: nation\n  WHERE: n_nationkey < 2\n")
+    // formatting is planning, not execution — nation is untouched and no
+    // table `t9` came into existence
+    assert(c.explainReference(
+      "CREATE TABLE t9 (a INT PRIMARY KEY, b VARCHAR(8) NOT NULL)") ==
+      "-> CreateTable: t9\n" +
+        "  Column: a Integer (nullable: false, pk: true)\n" +
+        "  Column: b Varchar(8) (nullable: false, pk: false)\n")
+    assert(!c.tableExists("t9"))
+    assert(c.execute("SELECT count(*) AS n FROM nation")
+      .collect().head.getLong(0) == before)
+    // CreateIndex: ONE ` IF NOT EXISTS` splice after the name — the
+    // reference glues it twice ("UNIQUE  IF NOT EXISTSINDEX …",
+    // tmp/crud.txt:772-790), a formatting bug deliberately not
+    // replicated (the #34 pointer-address precedent)
+    val ci = c.explainReference(
+      "CREATE UNIQUE INDEX IF NOT EXISTS ix ON nation (n_name)")
+    assert(ci ==
+      "-> CreateIndex: UNIQUE INDEX ix IF NOT EXISTS ON nation (n_name)\n")
+    assert(!ci.contains("EXISTSINDEX"))
+    assert(c.explainReference("DROP TABLE a1, b2 CASCADE") ==
+      "-> DropTable: a1, b2 CASCADE\n")
+    assert(c.explainReference("DROP INDEX IF EXISTS ix") ==
+      "-> DropIndex: ix IF EXISTS\n")
+    // a command outside both formatter halves is rejected, never handed
+    // to spark.sql (which would run it eagerly)
+    intercept[IllegalArgumentException](
+      c.explainReference("DROP VIEW nation"))
+  }
+
   test("scalar-function passthrough resolves arbitrary registry functions " +
     "(tmp/select.rs:583-611)") {
     val row = ctx.execute(
