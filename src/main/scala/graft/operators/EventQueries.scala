@@ -887,43 +887,53 @@ object EventQueries {
     // s26: TIME-SERIES RESAMPLE + GAP-FILL under the hash gate — the
     // dense-calendar operator every monitoring rollup needs: a sparse
     // event subset (minute==7 keeps ~1/60 of events, guaranteeing empty
-    // hours) is counted per hour, a COMPLETE hour calendar is generated
-    // from the full stream's bounds (sequence + explode — planning-side
-    // tiny, hours not events), counts left-join onto it with zero-fill,
-    // and a 3-hour rolling sum runs over the DENSE series — the whole
-    // point of gap-filling: ROWS-frame windows over a sparse series
-    // silently skip the empty buckets and overstate every rolling
-    // statistic. Scale: the calendar is O(hours) rows regardless of
-    // event volume; the global orderBy window is the verify-side form —
-    // production partitions the frame per series key (s18's shape).
+    // hours) is counted per (series, hour), a COMPLETE series×hour grid
+    // is generated from the stream's bounds (sequence + explode crossed
+    // with the distinct series keys — O(series × hours), planning-side
+    // tiny, never event-scale), counts left-join onto it with
+    // zero-fill, and a 3-hour rolling sum runs over each DENSE series —
+    // the whole point of gap-filling: ROWS-frame windows over a sparse
+    // series silently skip the empty buckets and overstate every
+    // rolling statistic. This IS the production form (r12 verdict item
+    // 3): the rolling frame is partitionBy(event_type) — s18's shape —
+    // so no executor ever sorts more than one series' calendar and the
+    // battery carries no single-partition WindowExec warning.
     Q("s26_hourly_gapfill",
       (s, d) => {
         val all = Tables.t(s, d, "events")
         val hc = all.filter(minute(col("ts")) === 7)
-          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n"))
         val cal = all
           .agg(date_trunc("hour", min(col("ts"))).as("h0"),
             date_trunc("hour", max(col("ts"))).as("h1"))
           .select(explode(sequence(col("h0"), col("h1"),
             expr("interval 1 hour"))).as("h"))
-        val filled = cal.join(hc, Seq("h"), "left")
-          .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+        val grid = all.select("event_type").distinct().crossJoin(cal)
+        val filled = grid.join(hc, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n"))
         filled.withColumn("n3",
-          sum(col("n")).over(Window.orderBy(col("h"))
-            .rowsBetween(-2, 0)))
+          sum(col("n")).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("h")).rowsBetween(-2, 0)))
       },
-      Some("""WITH hc AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+      Some("""WITH hc AS (SELECT event_type,
+             |CAST(date_trunc('hour', ts) AS TIMESTAMP)
              |AS h, count(*) AS n FROM events
-             |WHERE date_part('minute', ts) = 7 GROUP BY 1),
+             |WHERE date_part('minute', ts) = 7 GROUP BY 1, 2),
              |b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP)
              |AS h0, CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
              |FROM events),
              |cal AS (SELECT unnest(generate_series(h0, h1,
              |INTERVAL 1 HOUR)) AS h FROM b),
-             |f AS (SELECT cal.h, COALESCE(hc.n, 0) AS n FROM cal
-             |LEFT JOIN hc ON hc.h = cal.h)
-             |SELECT h, n, CAST(sum(n) OVER (ORDER BY h
+             |grid AS (SELECT s.event_type, cal.h FROM
+             |(SELECT DISTINCT event_type FROM events) s CROSS JOIN cal),
+             |f AS (SELECT grid.event_type, grid.h, COALESCE(hc.n, 0)
+             |AS n FROM grid LEFT JOIN hc
+             |ON hc.event_type = grid.event_type AND hc.h = grid.h)
+             |SELECT event_type, h, n, CAST(sum(n) OVER
+             |(PARTITION BY event_type ORDER BY h
              |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n3
              |FROM f"""
         .stripMargin.replace('\n', ' '))),
