@@ -181,11 +181,21 @@ class ExecutionContext(
         if (isTempView(name)) sqlInsert(name, Option(cols),
           spark.sql(selectText))
         else spark.sql(stmt)
-      case ExecutionContext.AlterAddRe(tbl, colName, colType) =>
+      case ExecutionContext.AlterAddRe(tbl, rawSpecs) =>
+        val SpecRe = """(?s)^(\w+)\s+(.+)$""".r
+        val specs = ExecutionContext.splitTopLevel(
+            ExecutionContext.stripOuterParens(rawSpecs))
+          .map(_.trim).filter(_.nonEmpty).map {
+            case SpecRe(colName, colType) => (colName, colType.trim)
+            case bad => throw new IllegalArgumentException(
+              s"ALTER TABLE ADD COLUMN: cannot parse column spec '$bad'")
+          }
         sqlAlter(tbl, stmt) { df =>
-          require(!df.columns.exists(_.equalsIgnoreCase(colName)),
-            s"ALTER TABLE ADD COLUMN: column '$colName' already exists")
-          df.withColumn(colName, expr(s"CAST(NULL AS $colType)"))
+          specs.foldLeft(df) { case (acc, (colName, colType)) =>
+            require(!acc.columns.exists(_.equalsIgnoreCase(colName)),
+              s"ALTER TABLE ADD COLUMN: column '$colName' already exists")
+            acc.withColumn(colName, expr(s"CAST(NULL AS $colType)"))
+          }
         }
       case ExecutionContext.AlterRenameRe(tbl, from, to) =>
         sqlAlter(tbl, stmt) { df =>
@@ -837,13 +847,28 @@ object ExecutionContext {
   // VALUES tail re-parses through `SELECT * FROM (VALUES …)`, so tuple
   // syntax/typing stays Catalyst's problem, not a regex's.
   // ALTER TABLE on the session-view store: the three column-evolution
-  // forms a schema migration needs. ADD COLUMN takes any SQL type text
-  // (the new column is typed NULL via CAST(NULL AS <type>) — reference
-  // semantics for rows that predate the column); RENAME/DROP are pure
-  // projections. Catalog tables keep Spark's native ALTER path.
+  // forms a schema migration needs. ADD COLUMN(S) captures the raw spec
+  // tail; the handler strips one balanced outer paren pair and splits on
+  // top-level commas, so the multi-column form `ADD COLUMNS (a INT,
+  // b STRING)` adds both (each new column is typed NULL via
+  // CAST(NULL AS <type>) — reference semantics for rows that predate
+  // the column) instead of mis-binding `INT, b STRING` as a type.
+  // RENAME/DROP are pure projections. Catalog tables keep Spark's
+  // native ALTER path.
   private[graft] val AlterAddRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+ADD\\s+COLUMNS?\\s*""" +
-      s"""\\(?\\s*(\\w+)\\s+([^()]+?(?:\\([^)]*\\))?)\\s*\\)?\\s*$$$$""").r
+      s"""(.+?)\\s*$$$$""").r
+
+  /** Strip ONE outer paren pair when it wraps the whole text (the
+    * optional `ADD COLUMNS (…)` list form) — a trailing type paren like
+    * `DECIMAL(10,2)` is left alone (its close paren does not match the
+    * leading open paren). */
+  private[graft] def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && findMatchingParen(t, 1) == t.length - 1)
+      t.substring(1, t.length - 1).trim
+    else t
+  }
   private[graft] val AlterRenameRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+RENAME\\s+COLUMN\\s+""" +
       s"""(\\w+)\\s+TO\\s+(\\w+)\\s*$$$$""").r

@@ -897,6 +897,14 @@ object GraphQueries {
         val clique = members.as("a").join(members.as("b"),
             col("a.g") === col("b.g") && col("a.idx") < col("b.idx"))
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        // anchor g*10 = the decade's idx-0 member. DENSE-ID FIXTURE
+        // ASSUMPTION (shared with g10/g11, ADVICE r12): the testdata's
+        // doc_ids are contiguous per block — the fixture generator emits
+        // 0..N-1 and ScaleUp strides by 1e9 (10-aligned), so every
+        // decade that contains any member contains its anchor. A gapped
+        // corpus would need min(doc_id) per g as the anchor on BOTH
+        // engine and oracle sides; the closed-form membership oracle
+        // below is only valid under this density assumption.
         val pendant = m.filter(col("idx") >= col("cs"))
           .select((col("g") * 10).as("src"), col("doc_id").as("dst"))
         Graph.kCore(docs.select(col("doc_id")),
@@ -1044,6 +1052,8 @@ object GraphQueries {
             col("a.g") === col("b.g") && col("a.idx") < col("b.idx"))
           .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
         val pend = m.filter(col("idx") >= col("cs"))
+        // g*10 / g*10+1 book anchors: dense-id fixture assumption —
+        // see the g06 pendant construction's note
         val book = pend
           .select((col("g") * 10).as("lo"), col("doc_id").as("hi"))
           .union(pend.select((col("g") * 10 + 1).as("lo"),
@@ -1086,6 +1096,8 @@ object GraphQueries {
         val clique = members.as("a").join(members.as("b"),
             col("a.g") === col("b.g") && col("a.idx") < col("b.idx"))
           .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+        // g*10 anchors: dense-id fixture assumption — see the g06
+        // pendant construction's note
         val pendant = mfr.filter(col("idx") >= col("cs"))
           .select((col("g") * 10).as("lo"), col("doc_id").as("hi"))
         val ring = mfr.select(col("g")).distinct()

@@ -1937,10 +1937,15 @@ object TextQueries {
     // at least one fingerprint, at expected density 2/(w+1) of grams —
     // the local-similarity index plagiarism/clone detection builds on.
     // The min-with-rightmost-tie selection collapses to ONE window-min:
-    // encode v = h·2^21 + (2^21-1-pos), so min v is (min h, max pos);
+    // encode v = h·2^31 + (2^31-1-pos), so min v is (min h, max pos);
     // decode by div/mod. All integers on the shared md5 basis (d18's
-    // 60-bit rule, folded to 40 bits so the encode can't overflow) —
-    // bit-exact cross-engine. Scale: the explode is O(chars), then one
+    // 60-bit rule, folded to 32 bits so the encode can't overflow:
+    // max v = (2^32-1)·2^31 + 2^31-1 = 2^63-1, exactly signed-64) —
+    // bit-exact cross-engine. The 31-bit position field covers any
+    // document Spark can hold (its strings cap at 2^31 bytes); the r12
+    // 21-bit field silently corrupted the encode past ~2.1M chars, a
+    // shared-formula bug the hash gate could not see (ADVICE r12).
+    // Scale: the explode is O(chars), then one
     // doc_id shuffle for the pos-ordered window — running ROWS frame,
     // incrementally maintained; fingerprint output is ~2/(w+1) of gram
     // volume, the index you'd then band-join exactly like d07/d24.
@@ -1954,17 +1959,17 @@ object TextQueries {
             "explode(transform(sequence(1, length(text) - 4), p -> " +
               "named_struct('pos', CAST(p AS BIGINT), " +
               "'h', CAST(conv(substring(md5(substring(text, p, 5)), " +
-              "1, 15), 16, 10) AS BIGINT) % 1099511627776))) AS g")
+              "1, 15), 16, 10) AS BIGINT) % 4294967296))) AS g")
           .select(col("doc_id"), col("g.pos").as("pos"),
             col("g.h").as("h"))
           .select(col("doc_id"), col("pos"),
             count(lit(1)).over(win).as("n"),
-            min(col("h") * 2097152L + (lit(2097151L) - col("pos")))
-              .over(win).as("v"))
+            min(col("h") * 2147483648L +
+              (lit(2147483647L) - col("pos"))).over(win).as("v"))
           .filter(col("n") === 4)
           .select(col("doc_id"),
-            (lit(2097151L) - (col("v") % 2097152L)).as("pos"),
-            expr("v DIV 2097152").as("h"))
+            (lit(2147483647L) - (col("v") % 2147483648L)).as("pos"),
+            expr("v DIV 2147483648").as("h"))
           .distinct()
       },
       Some("""WITH px AS (SELECT doc_id, text,
@@ -1972,13 +1977,15 @@ object TextQueries {
              |FROM documents WHERE length(text) >= 5),
              |g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
              |CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER),
-             |5)), 1, 15)) AS BIGINT) % 1099511627776 AS h FROM px),
+             |5)), 1, 15)) AS BIGINT) % 4294967296 AS h FROM px),
              |w AS (SELECT doc_id, pos, h, count(*) OVER fr AS n,
-             |min(h * 2097152 + (2097151 - pos)) OVER fr AS v FROM g
+             |min(h * 2147483648 + (2147483647 - pos)) OVER fr AS v
+             |FROM g
              |WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
              |ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
-             |SELECT DISTINCT doc_id, 2097151 - (v % 2097152) AS pos,
-             |v // 2097152 AS h FROM w WHERE n = 4"""
+             |SELECT DISTINCT doc_id, 2147483647 - (v % 2147483648)
+             |AS pos,
+             |v // 2147483648 AS h FROM w WHERE n = 4"""
         .stripMargin.replace('\n', ' '))),
 
     // GOPHER QUALITY RULES (Rae et al. 2021, the MassiveText filter

@@ -75,12 +75,21 @@ object AsOfJoin {
       leftOuter: Boolean = false,
       forward: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
-    if (!spark.experimental.extraStrategies.exists(
-        _.isInstanceOf[AsOfJoinStrategy]))
+    // planner.strategies covers BOTH registration paths — a session
+    // built with GraftExtensions (injectPlannerStrategy) and a prior
+    // experimental registration — so neither gets a redundant second
+    // copy running on every query (ADVICE r12: the old guard checked
+    // only the experimental list and double-registered under
+    // GraftExtensions). Same for the optimizer rule via
+    // extendedOperatorOptimizationRules.
+    if (!(spark.sessionState.planner.strategies ++
+        spark.experimental.extraStrategies)
+        .exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
-    if (!spark.experimental.extraOptimizations.exists(
-        _.isInstanceOf[AsOfJoinFilterPushdown]))
+    if (!(spark.sessionState.optimizer.extendedOperatorOptimizationRules ++
+        spark.experimental.extraOptimizations)
+        .exists(_.isInstanceOf[AsOfJoinFilterPushdown]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           new AsOfJoinFilterPushdown

@@ -45,6 +45,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllMatchIn(plan).size >= 2, plan.take(1200))
   }
 
+  test("registration is idempotent: repeated native builds keep exactly " +
+    "one strategy and one optimizer rule (the r12 guard checked only " +
+    "the experimental lists; it now also sees GraftExtensions-injected " +
+    "copies via planner.strategies / extendedOperatorOptimizationRules)") {
+    val (probes, dims) = fixture
+    native(probes, dims).count()
+    native(probes, dims).count()
+    assert(spark.experimental.extraStrategies
+      .count(_.isInstanceOf[AsOfJoinStrategy]) == 1)
+    assert(spark.experimental.extraOptimizations
+      .count(_.isInstanceOf[AsOfJoinFilterPushdown]) == 1)
+    assert(spark.sessionState.planner.strategies
+      .count(_.isInstanceOf[AsOfJoinStrategy]) == 1)
+  }
+
   test("native equals the composed window form row-for-row (ties at " +
     "equal ts match; probes before any dim drop out)") {
     val (probes, dims) = fixture

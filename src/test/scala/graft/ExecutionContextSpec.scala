@@ -737,6 +737,14 @@ class ExecutionContextSpec extends SparkSpec {
       ctx.execute("ALTER TABLE spec_alter_missing ADD COLUMN a INT")
     }
     assert(noTbl.getMessage.contains("does not exist in database"))
+    // multi-column ADD COLUMNS (a, b) adds BOTH typed-NULL columns — the
+    // single-column regex used to swallow `INT, b STRING` as one type
+    ctx.execute("ALTER TABLE spec_alter_t ADD COLUMNS " +
+      "(tag STRING, ratio DECIMAL(10,2))")
+    val sch = spark.table("spec_alter_t").schema
+    assert(sch("tag").dataType == org.apache.spark.sql.types.StringType)
+    assert(sch("ratio").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
     spark.catalog.dropTempView("spec_alter_t")
   }
 }
