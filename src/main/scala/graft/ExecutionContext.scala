@@ -4,13 +4,20 @@ import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.types.StructType
 
-/** One index registry entry (CREATE INDEX is metadata-only — Spark has no
-  * secondary-index analog; see SURVEY §2.11 #34). */
+/** One index registry entry. CREATE INDEX is metadata-only by default —
+  * Spark has no secondary-index analog (SURVEY §2.11 #34) — but an index
+  * may be MATERIALIZED as a bucketed+sorted copy of the table on the
+  * leading index column ([[ExecutionContext.createIndex]] with
+  * `materialize = true`), which is what an "index" buys on a Spark
+  * cluster: a key join against the copy plans with zero Exchange (the
+  * shuffle paid once at index-build time, like any index build).
+  * `materializedTable` names that managed bucketed table when present. */
 final case class IndexDef(
     name: String,
     table: String,
     columns: Seq[String],
-    unique: Boolean)
+    unique: Boolean,
+    materializedTable: Option[String] = None)
 
 /** Column definition with the reference's recorded per-column options —
   * nullable / DEFAULT / PRIMARY KEY (`tmp/crud.txt:388-421` converts these
@@ -734,15 +741,27 @@ class ExecutionContext(
     scala.collection.mutable.LinkedHashMap.empty[String, IndexDef]
 
   /** CREATE [UNIQUE] INDEX [name] ON table (cols) [IF NOT EXISTS] —
-    * metadata-only (`tmp/crud.txt:312-347`). Auto-name is the deterministic
-    * `idx_<table>_<cols>` (SURVEY §7.4-2; the reference derives it from a
-    * raw pointer address, `tmp/crud.txt:316` — a bug we do not replicate). */
+    * metadata-only by default (`tmp/crud.txt:312-347`). Auto-name is the
+    * deterministic `idx_<table>_<cols>` (SURVEY §7.4-2; the reference
+    * derives it from a raw pointer address, `tmp/crud.txt:316` — a bug we
+    * do not replicate).
+    *
+    * `materialize = true` additionally BUILDS the index in the only form
+    * that pays off on a Spark cluster: a managed parquet copy of the
+    * table bucketed+sorted on the LEADING index column
+    * ([[Layouts.writeBucketed]]). The one-time build shuffle is the
+    * index-build cost; afterwards [[indexedScan]] serves the copy and a
+    * key join between two same-bucket-count indexed tables plans with
+    * ZERO Exchange (io05's property, now reachable through the DDL
+    * surface — r12 verdict item 9). */
   def createIndex(
       name: Option[String],
       table: String,
       columns: Seq[String],
       unique: Boolean = false,
-      ifNotExists: Boolean = false): IndexDef = {
+      ifNotExists: Boolean = false,
+      materialize: Boolean = false,
+      buckets: Int = 8): IndexDef = {
     requireTable(table)
     val idxName = name.getOrElse(s"idx_${table}_${columns.mkString("_")}")
     if (indexRegistry.contains(idxName)) {
@@ -750,10 +769,36 @@ class ExecutionContext(
         throw new IllegalArgumentException(s"Index: $idxName already exists")
       indexRegistry(idxName)
     } else {
-      val ix = IndexDef(idxName, table, columns, unique)
+      val mat =
+        if (!materialize) None
+        else {
+          val matName =
+            "g_idx_" + idxName.replaceAll("\\W", "_")
+              .toLowerCase(java.util.Locale.ROOT)
+          Layouts.writeBucketed(
+            spark.table(table), matName, columns.head, buckets)
+          Some(matName)
+        }
+      val ix = IndexDef(idxName, table, columns, unique, mat)
       indexRegistry += idxName -> ix
       ix
     }
+  }
+
+  /** Index-aware read: the bucketed materialization of `table` when a
+    * materialized index leads on `key`, else the table itself. The
+    * caller's join/aggregate on `key` then plans against the bucketed
+    * layout (no Exchange on that side); with no usable index this is
+    * exactly `table(name)` — same rows either way, which is what lets
+    * m24 share io05's oracle. */
+  def indexedScan(table: String, key: String): DataFrame = {
+    requireTable(table)
+    indexRegistry.values
+      .find(ix => ix.table == table && ix.columns.headOption.contains(key)
+        && ix.materializedTable.isDefined)
+      .flatMap(_.materializedTable)
+      .map(spark.table)
+      .getOrElse(spark.table(table))
   }
 
   /** DROP INDEX [IF EXISTS] name[, ...] [CASCADE] (`tmp/crud.txt:372-383`;
@@ -769,7 +814,13 @@ class ExecutionContext(
         if (!ifExists)
           throw new IllegalArgumentException(
             s"Index: $n does not exist in database")
-      } else indexRegistry -= n
+      } else {
+        // a materialized index owns its bucketed copy — drop the
+        // physical build with the metadata (catalog entry + location)
+        indexRegistry(n).materializedTable
+          .foreach(Layouts.freshManagedTable(spark, _))
+        indexRegistry -= n
+      }
     }
 
   def indexes: Seq[IndexDef] = indexRegistry.values.toSeq

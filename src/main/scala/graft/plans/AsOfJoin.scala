@@ -106,6 +106,52 @@ object AsOfJoin {
       attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, dimTs),
       leftOuter, forward))
   }
+
+  /** Hot-key fallback (r12 verdict item 5): [[AsOfJoinExec]] requires
+    * `ClusteredDistribution(key)`, and AQE's OptimizeSkewedJoin only
+    * splits SMJ/SHJ nodes — a probe key holding half the stream lands
+    * in ONE task with no runtime rescue. This form salts the probe side
+    * (salt = hash of the probe timestamp mod `salts`, deterministic per
+    * row) and REPLICATES every dim row to all `salts` buckets, joining
+    * on the composite `key#salt` string — each salt bucket sees the
+    * full dim history for its key, so the match is row-identical to the
+    * unsalted join (AsOfJoinSpec asserts equality AND the bounded
+    * per-task shuffle read). Cost: dim × salts rows through the
+    * dim-side shuffle — the standard replication trade, cheap while
+    * dim ≪ probe (the as-of shape). Degenerate case: probes of one key
+    * sharing ONE timestamp all take the same salt — then the "skew" is
+    * a single (key, ts) point and no partitioner can split the lookup
+    * anyway. */
+  def asofJoinSalted(
+      probe: DataFrame,
+      dim: DataFrame,
+      key: String,
+      ts: String,
+      dimTs: String,
+      leftOuter: Boolean = false,
+      forward: Boolean = false,
+      salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(salts >= 1, s"asofJoinSalted: salts must be >= 1, got $salts")
+    val sk = "__asof_sk"
+    // a NULL key must stay NULL through the composite (concat_ws would
+    // silently skip it, letting null-key rows match each other — the
+    // exec's null-never-matches contract must survive the salt)
+    val probeS = probe.withColumn(sk,
+      when(col(key).isNull, lit(null)).otherwise(
+        concat_ws("#", col(key),
+          pmod(xxhash64(col(ts)), lit(salts.toLong)))))
+    val dimS = dim
+      .select(col("*"),
+        explode(sequence(lit(0), lit(salts - 1))).as("__asof_salt"))
+      .withColumn(sk,
+        when(col(key).isNull, lit(null)).otherwise(
+          concat_ws("#", col(key), col("__asof_salt"))))
+      .drop("__asof_salt", key) // sk carries the key; dropping the
+                                // original avoids a probe-name collision
+    asofJoinNative(probeS, dimS, sk, ts, dimTs, leftOuter, forward)
+      .drop(sk)
+  }
 }
 
 /** Logical as-of join node (resolved at construction — the builder works

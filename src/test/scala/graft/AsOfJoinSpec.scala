@@ -45,6 +45,99 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllMatchIn(plan).size >= 2, plan.take(1200))
   }
 
+  test("hot-key probe side: the salted form equals the unsalted join " +
+    "row-for-row AND bounds the per-task shuffle read (AQE's " +
+    "OptimizeSkewedJoin cannot split AsOfJoinExec's clustered " +
+    "distribution — asofJoinSalted is the documented fallback)") {
+    val sq = spark; import sq.implicits._
+    // 8k probes, key 0 holds HALF the stream (the skew AQE won't fix
+    // here); 20 keys × 5 dim ticks; probe timestamps vary so the
+    // ts-derived salt has something to spread on
+    val probes = spark.range(8000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 20).as("k"),
+      expr("timestamp_seconds(1767225600 + (id % 997) * 7)").as("ts"),
+      col("id").as("p_v"))
+    val dims = spark.range(100).select(
+      (col("id") % 20).as("k"),
+      expr("timestamp_seconds(1767225600 + (id DIV 20) * 1200)")
+        .as("d_ts"),
+      (col("id") * 10).as("d_v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity)
+        .view.mapValues(_.size).toMap
+    val plain = AsOfJoin.asofJoinNative(
+      probes, dims, key = "k", ts = "ts", dimTs = "d_ts")
+    val salted = AsOfJoin.asofJoinSalted(
+      probes, dims, key = "k", ts = "ts", dimTs = "d_ts", salts = 8)
+    assert(canon(plain) == canon(salted))
+    assert(salted.count() == 8000L)
+    // runtime evidence: max records any single task pulls off the
+    // shuffle. Unsalted, key 0's 4k probes land in ONE task; salted,
+    // they spread over 8 composite keys (floor ~4k/8 + dim×salts
+    // replication noise).
+    def maxTaskShuffleRead(action: => Unit): Long = {
+      val maxR = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) maxR.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        action
+        var last = -1L; var stable = 0; var tries = 0
+        while (stable < 3 && tries < 50) {
+          Thread.sleep(100)
+          val now = maxR.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          tries += 1
+        }
+        maxR.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // at fixture scale AQE's partition coalescing would merge the tiny
+    // shuffle into ONE reducer and mask the key spread — scope it off
+    // and widen the reducer count so per-task reads reflect keys
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val plainMax = maxTaskShuffleRead { plain.count() }
+      val saltedMax = maxTaskShuffleRead { salted.count() }
+      assert(plainMax >= 4000L,
+        s"unsalted hot key must concentrate in one task, got $plainMax")
+      assert(saltedMax <= plainMax / 2,
+        s"salting must spread the hot key: salted $saltedMax " +
+          s"vs plain $plainMax")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("salted null-key contract: null keys never match even though the " +
+    "composite key is a string") {
+    val sq = spark; import sq.implicits._
+    val probes = Seq(
+      (Option(1L), t(100), "p1"),
+      (Option.empty[Long], t(100), "p_null"))
+      .toDF("k", "ts", "p_v")
+    val dims = Seq(
+      (Option(1L), t(50), "d1"),
+      (Option.empty[Long], t(50), "d_null"))
+      .toDF("k", "d_ts", "d_v")
+    val out = AsOfJoin.asofJoinSalted(
+      probes, dims, key = "k", ts = "ts", dimTs = "d_ts", salts = 4)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[String]("p_v") == "p1" &&
+      out.head.getAs[String]("d_v") == "d1",
+      out.mkString("; "))
+  }
+
   test("registration is idempotent: repeated native builds keep exactly " +
     "one strategy and one optimizer rule (the r12 guard checked only " +
     "the experimental lists; it now also sees GraftExtensions-injected " +

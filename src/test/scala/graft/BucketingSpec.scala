@@ -32,6 +32,37 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("CREATE INDEX materialized: indexedScan serves the bucketed copy, " +
+    "the key join plans with zero Exchange, and DROP INDEX removes the " +
+    "physical build (m24's DDL surface)") {
+    val ctx = new ExecutionContext(spark).registerTestData(sf)
+    ctx.createIndex(Some("spec_ix_o"), "orders", Seq("o_orderkey"),
+      materialize = true)
+    ctx.createIndex(Some("spec_ix_l"), "lineitem", Seq("l_orderkey"),
+      materialize = true)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ctx.indexedScan("orders", "o_orderkey")
+        .join(ctx.indexedScan("lineitem", "l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_quantity")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"indexed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() == Tables.t(spark, sf, "lineitem").count())
+      // a non-leading or unindexed key falls back to the base table
+      val base = ctx.indexedScan("orders", "o_custkey")
+      assert(base.queryExecution.analyzed.toString
+        == spark.table("orders").queryExecution.analyzed.toString)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      ctx.dropIndex(Seq("spec_ix_o", "spec_ix_l"))
+    }
+    // DROP INDEX dropped the materialized catalog tables too
+    assert(!spark.catalog.tableExists("g_idx_spec_ix_o"))
+    assert(!spark.catalog.tableExists("g_idx_spec_ix_l"))
+  }
+
   test("writeBucketed survives a stale warehouse dir from a prior JVM") {
     // The round-10 io05 red row: `sbt test` (JVM 1) leaves
     // spark-warehouse/<t> on disk; Verify (JVM 2) starts with a fresh

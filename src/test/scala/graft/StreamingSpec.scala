@@ -700,6 +700,89 @@ class StreamingSpec extends SparkSpec {
       got.toString)
   }
 
+  test("transformWithState at 1e5 distinct keys: RocksDB state scales " +
+    "to a corpus-sized key space — state rows == keys, rocksdb custom " +
+    "metrics live in the progress, per-task execution memory bounded " +
+    "(r12 verdict item 4)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark; import sq.implicits._
+    val keys = 100000L
+    val dir = Dml.work("twsscale_spec", sf) + "_landing"
+    // two batches × 100k users: every user appears in both, so the
+    // second batch's output proves 100k states were persisted and
+    // reloaded, not just created
+    val b0 = spark.range(keys)
+      .select(col("id").as("user_id"), (col("id") * 2).as("event_id"))
+    val b1 = spark.range(keys)
+      .select(col("id").as("user_id"), (col("id") * 2 + 1).as("event_id"))
+    EventStreams.writeBatchLanding(spark, dir, Seq(b0, b1))
+    val st = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[KeyedEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val sink = "twsscale_out"
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) peakMem.getAndUpdate(v =>
+          math.max(v, m.peakExecutionMemory))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    var progress: Array[org.apache.spark.sql.streaming
+      .StreamingQueryProgress] = Array.empty
+    try {
+      val q = EventStreams.runningTotals(st).toDF().writeStream
+        .format("memory").queryName(sink).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { progress = q.recentProgress; q.stop() }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val out = spark.table(sink)
+    // batch 0: every user (1, 1, 2id); batch 1: every user (1, 2, 4id+1)
+    assert(out.count() == 2 * keys)
+    val settled = out.filter(col("cum_events") === 2)
+    assert(settled.count() == keys,
+      "every key's state must survive into batch 1")
+    assert(settled
+      .filter(col("cum_id_sum") =!= col("user_id") * 4 + 1)
+      .count() == 0, "cross-batch checksum must fold both events")
+    spark.catalog.dropTempView(sink)
+    // state-store evidence from the query's own progress: the stateful
+    // operator tracked one state row per key, through RocksDB (its
+    // custom metrics namespace present), with a live changelog/commit
+    val stateProgress = progress.filter(_.stateOperators.nonEmpty)
+    assert(stateProgress.nonEmpty, "no stateOperators progress recorded")
+    val lastOp = stateProgress.last.stateOperators.head
+    assert(lastOp.numRowsTotal == keys,
+      s"state rows ${lastOp.numRowsTotal} != $keys keys")
+    val custom = lastOp.customMetrics
+    import scala.jdk.CollectionConverters._
+    val rocksKeys = custom.keySet.asScala.filter(
+      _.toLowerCase(java.util.Locale.ROOT).contains("rocksdb"))
+    assert(rocksKeys.nonEmpty,
+      s"expected rocksdb custom metrics, got ${custom.keySet}")
+    // commit work actually flowed through the store
+    assert(rocksKeys.exists(k => Option(custom.get(k))
+      .exists(_.longValue() > 0)),
+      s"all rocksdb metrics zero: $custom")
+    // execution memory stays bounded: state lives off-heap in RocksDB,
+    // not in the operator's execution memory (512 MB is generous; an
+    // on-heap 100k-key map would not show here anyway — the metric
+    // guards the shuffle/sort path feeding the operator)
+    assert(peakMem.get() < 512L * 1024 * 1024,
+      s"peak per-task execution memory ${peakMem.get()}")
+  }
+
   test("s33 timers: expiry at or below the final watermark fires — " +
     "the boundary is INCLUSIVE (expiry == watermark emits), and a " +
     "fired user's state is cleared (no second emission)") {
