@@ -12,7 +12,12 @@ final case class Q(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** Included in the per-round Bench headline set. */
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** PLANS.md dump override for entries whose `build` hides the
+      * interesting plan (an eager checkpoint erases lineage; an adaptive
+      * plan only finalizes on execution). Returns the exact plan text the
+      * dump should carry instead of `build`'s pre-execution explain. */
+    explainOverride: Option[(SparkSession, String) => String] = None)
 
 /** Aggregates every query family into the driver-facing registry. */
 object QueryCatalog {

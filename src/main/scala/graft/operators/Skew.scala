@@ -106,6 +106,27 @@ object Skew {
     big.hint("MERGE").join(dim.hint("MERGE"),
       col(bigKey) === col(dimKey))
 
+  /** k03's skewed probe side. The leading hash repartition on
+    * `l_orderkey` stands in for MAPPER PARALLELISM: AQE's skew split
+    * carves a hot reduce partition along map-output boundaries
+    * (`PartialReducerPartitionSpec` ranges of map indices), so it needs
+    * many mappers feeding the join exchange. A 100 TB scan has thousands;
+    * the sf0.1 fixture is one single-row-group file = ONE mapper, which
+    * leaves AQE nothing to split (r12's PLANS.md showed the hot partition
+    * surviving as `coalesced`). The uniform-key repartition restores the
+    * mapper granularity the split needs without touching row content, so
+    * the committed plan carries the same `skew=true` join a production
+    * scan would get for free. */
+  private[graft] def k03Big(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .repartition(32, col("l_orderkey"))
+      .select(
+        when(col("l_orderkey") % 4 =!= 0, 0L)
+          .otherwise(col("l_orderkey") % 50).as("hk"),
+        col("l_orderkey"), col("l_linenumber"))
+
   /** Run `body` with aggressive AQE skew-split thresholds, restoring
     * the session values after — the scoped-conf discipline the
     * RocksDB streaming entries use. */
@@ -165,10 +186,7 @@ object SkewQueries {
     // executed plan really contains the skew=true join.
     Q("k03_skew_join_aqe",
       (s, d) => Skew.withSkewConfs(s) {
-        val big = Tables.t(s, d, "lineitem").select(
-          when(col("l_orderkey") % 4 =!= 0, 0L)
-            .otherwise(col("l_orderkey") % 50).as("hk"),
-          col("l_orderkey"), col("l_linenumber"))
+        val big = Skew.k03Big(s, d)
         val dim = s.range(0, 50).select(col("id").as("dk"),
           concat(lit("d"), col("id")).as("dname"))
         Skew.aqeSkewJoin(big, dim, "hk", "dk")
@@ -182,6 +200,23 @@ object SkewQueries {
              |ELSE l_orderkey % 50 END AS VARCHAR) AS dname
              |FROM lineitem"""
         .stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true,
+      // The entry's localCheckpoint erases lineage, so a pre-execution
+      // explain of `build` shows only `Scan ExistingRDD`. The dump instead
+      // executes the same join inside the conf scope (collect() finalizes
+      // the adaptive plan on THIS QueryExecution) and commits the final
+      // plan — the `skew=true` sort-merge join SkewLayoutSpec asserts.
+      explainOverride = Some((s, d) => Skew.withSkewConfs(s) {
+        val big = Skew.k03Big(s, d)
+        val dim = s.range(0, 50).select(col("id").as("dk"),
+          concat(lit("d"), col("id")).as("dname"))
+        val joined = Skew.aqeSkewJoin(big, dim, "hk", "dk")
+          .select("l_orderkey", "l_linenumber", "hk", "dname")
+        joined.collect()
+        joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode) +
+          "\n== Executed plan (simpleString — carries the skew flag) ==\n" +
+          joined.queryExecution.executedPlan.toString
+      }))
   )
 }

@@ -176,6 +176,24 @@ class SkewLayoutSpec extends SparkSpec {
       "withSkewConfs must restore the session value")
   }
 
+  test("k03 ENTRY shape: the lineitem-based probe (leading uniform-key " +
+    "repartition standing in for production mapper parallelism) gets the " +
+    "runtime skew split — the committed PLANS.md evidence, asserted live") {
+    val joined = Skew.withSkewConfs(spark) {
+      val dim = spark.range(0, 50).select(col("id").as("dk"),
+        concat(lit("d"), col("id")).as("dname"))
+      val j = Skew.aqeSkewJoin(Skew.k03Big(spark, sf), dim, "hk", "dk")
+        .select("l_orderkey", "l_linenumber", "hk", "dname")
+      val n = j.collect().length // finalize THIS QueryExecution's plan
+      val expected = spark.read.parquet(s"$sf/lineitem.parquet").count()
+      assert(n == expected, s"join must stay row-exact: $n vs $expected")
+      j
+    }
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"),
+      s"entry shape must carry the skew-split SMJ:\n${plan.take(1200)}")
+  }
+
   test("AQE converts a planned sort-merge join to broadcast at runtime " +
     "when the built side turns out tiny (the selective-filter case " +
     "static stats cannot see)") {
