@@ -129,9 +129,23 @@ object Skew {
 
   /** Run `body` with aggressive AQE skew-split thresholds, restoring
     * the session values after — the scoped-conf discipline the
-    * RocksDB streaming entries use. */
+    * RocksDB streaming entries use.
+    *
+    * `advisoryBytes` is the split granularity AND the skew threshold.
+    * It must SCALE WITH THE INPUT: the advisory size bounds every
+    * AQE-read partition in the query, so a fixed tiny value (16 KiB,
+    * the r12 setting) that merely guarantees a fixture-scale split
+    * turns into tens of thousands of sub-16KiB tasks at sf2+ — the
+    * r13 scale run measured k03 at 22.5 s/2x-data from exactly that.
+    * Callers with a real input should pass [[advisoryFor]]'s value
+    * (input/64, i.e. a constant ~48-way split of the hot partition
+    * whatever the scale); the default stays tiny only for synthetic
+    * spark.range fixtures in specs. At production scale none of this
+    * applies: the defaults (256 MiB threshold / 64 MiB advisory) are
+    * already right when partitions carry gigabytes. */
   private[graft] def withSkewConfs[T](
-      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+      spark: org.apache.spark.sql.SparkSession,
+      advisoryBytes: Long = 16384)(body: => T): T = {
     val keys = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
@@ -139,13 +153,29 @@ object Skew {
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     try {
       spark.conf.set(keys(0), "1.0")
-      spark.conf.set(keys(1), "16384")
-      spark.conf.set(keys(2), "16384")
+      spark.conf.set(keys(1), advisoryBytes.toString)
+      spark.conf.set(keys(2), advisoryBytes.toString)
       body
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  /** Scale-aware advisory size for [[withSkewConfs]]: 1/64 of the
+    * on-disk input, clamped to [16 KiB, 64 MiB]. The hot partition is a
+    * constant fraction of the input by construction, so this yields a
+    * roughly constant split COUNT (~48 for k03's 75%-hot key) at every
+    * scale factor — the property a fixed byte value lacks. The 64 MiB
+    * ceiling is Spark's own default advisory: past it the fixture
+    * argument is moot and production defaults take over. */
+  private[graft] def advisoryFor(dir: String, table: String): Long = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val bytes =
+      if (f.isDirectory) f.listFiles.map(_.length).sum
+      else if (f.isFile) f.length
+      else 0L
+    math.min(math.max(bytes / 64, 16384L), 64L << 20)
   }
 }
 
@@ -185,7 +215,7 @@ object SkewQueries {
     // driver gate. SkewLayoutSpec holds the runtime evidence that the
     // executed plan really contains the skew=true join.
     Q("k03_skew_join_aqe",
-      (s, d) => Skew.withSkewConfs(s) {
+      (s, d) => Skew.withSkewConfs(s, Skew.advisoryFor(d, "lineitem")) {
         val big = Skew.k03Big(s, d)
         val dim = s.range(0, 50).select(col("id").as("dk"),
           concat(lit("d"), col("id")).as("dname"))
@@ -206,7 +236,8 @@ object SkewQueries {
       // executes the same join inside the conf scope (collect() finalizes
       // the adaptive plan on THIS QueryExecution) and commits the final
       // plan — the `skew=true` sort-merge join SkewLayoutSpec asserts.
-      explainOverride = Some((s, d) => Skew.withSkewConfs(s) {
+      explainOverride = Some((s, d) =>
+        Skew.withSkewConfs(s, Skew.advisoryFor(d, "lineitem")) {
         val big = Skew.k03Big(s, d)
         val dim = s.range(0, 50).select(col("id").as("dk"),
           concat(lit("d"), col("id")).as("dname"))

@@ -63,6 +63,48 @@ class BucketingSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("g_idx_spec_ix_l"))
   }
 
+  test("CREATE INDEX rebuild elision: a fresh context over the SAME source " +
+    "files reuses the existing bucketed copy (no rewrite — an index build " +
+    "is a one-time cost, not a per-session one), and DROP INDEX " +
+    "invalidates so the next build is physical again") {
+    def matFiles(): Map[String, Long] = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), "g_idx_spec_ix_reuse")
+      loc.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val ctx1 = new ExecutionContext(spark).registerTestData(sf)
+    ctx1.createIndex(Some("spec_ix_reuse"), "orders", Seq("o_orderkey"),
+      materialize = true)
+    val built = matFiles()
+    assert(built.nonEmpty)
+    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+    // a new context (empty per-context registry) over identical source
+    // files must NOT rewrite the physical copy
+    val ctx2 = new ExecutionContext(spark).registerTestData(sf)
+    ctx2.createIndex(Some("spec_ix_reuse"), "orders", Seq("o_orderkey"),
+      materialize = true)
+    assert(matFiles() == built,
+      "identical source files must elide the physical rebuild")
+    // the reused copy still serves an exchange-free keyed aggregate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = ctx2.indexedScan("orders", "o_orderkey")
+        .groupBy("o_orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.count() == Tables.t(spark, sf, "orders").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // drop invalidates: the next create is a real build again
+    ctx2.dropIndex(Seq("spec_ix_reuse"))
+    assert(!spark.catalog.tableExists("g_idx_spec_ix_reuse"))
+    val ctx3 = new ExecutionContext(spark).registerTestData(sf)
+    ctx3.createIndex(Some("spec_ix_reuse"), "orders", Seq("o_orderkey"),
+      materialize = true)
+    assert(matFiles().nonEmpty, "post-drop create must rebuild physically")
+    ctx3.dropIndex(Seq("spec_ix_reuse"))
+  }
+
   test("writeBucketed survives a stale warehouse dir from a prior JVM") {
     // The round-10 io05 red row: `sbt test` (JVM 1) leaves
     // spark-warehouse/<t> on disk; Verify (JVM 2) starts with a fresh
