@@ -102,7 +102,11 @@ object Bench {
     val cal = Seq(
       guarded("scan")(() => calScan()),
       guarded("join")(() => calJoin()))
-    val calUnit = cal.map(_._2(1)).filter(_ > 0).sum
+    // the unit is scan+join BY DEFINITION: if either workload failed,
+    // norm must read -1 everywhere rather than silently renormalizing
+    // against a half-unit no other round's numbers share
+    val calUnit =
+      if (cal.forall(_._2(1) > 0)) cal.map(_._2(1)).sum else -1.0
 
     val names = QueryCatalog.all.filter(_.bench).map(_.name)
     val results = names.map(name => guarded(name)(() => force(name)))

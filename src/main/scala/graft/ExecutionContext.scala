@@ -189,11 +189,16 @@ class ExecutionContext(
           spark.sql(selectText))
         else spark.sql(stmt)
       case ExecutionContext.AlterAddRe(tbl, rawSpecs) =>
-        val SpecRe = """(?s)^(\w+)\s+(.+)$""".r
-        val specs = ExecutionContext.splitTopLevel(
+        // `def`, not `val`: parsing must stay LAZY so a catalog table's
+        // statement reaches sqlAlter's native spark.sql path even when a
+        // spec uses syntax this scanner can't bind — eager parsing threw
+        // on specs Spark itself handles. Backtick-quoted names accepted.
+        val SpecRe = """(?s)^(?:`([^`]+)`|(\w+))\s+(.+)$""".r
+        def specs = ExecutionContext.splitTopLevel(
             ExecutionContext.stripOuterParens(rawSpecs))
           .map(_.trim).filter(_.nonEmpty).map {
-            case SpecRe(colName, colType) => (colName, colType.trim)
+            case SpecRe(quoted, plain, colType) =>
+              (Option(quoted).getOrElse(plain), colType.trim)
             case bad => throw new IllegalArgumentException(
               s"ALTER TABLE ADD COLUMN: cannot parse column spec '$bad'")
           }
@@ -442,7 +447,10 @@ class ExecutionContext(
     * `spark.sql`. Any other command form is rejected rather than
     * silently executed. */
   def explainReference(sql: String): String = {
-    val stmt = normalized(sql)
+    // comments stripped up front: the statement-shape regexes and the
+    // query-head guard are ^-anchored, so a leading `/* tag */` or `--`
+    // line would otherwise reject a statement spark.sql renders fine
+    val stmt = ExecutionContext.stripComments(normalized(sql)).trim
     formatDmlReference(stmt).getOrElse {
       if (!ExecutionContext.QueryHeadRe.pattern.matcher(stmt).find())
         throw new IllegalArgumentException(
@@ -772,8 +780,13 @@ class ExecutionContext(
       val mat =
         if (!materialize) None
         else {
+          // table name in the physical name: the per-context registry
+          // allows two contexts to hold the same INDEX name on different
+          // tables in one JVM — without the table qualifier they would
+          // share one managed location and the second build would
+          // overwrite the first context's copy in place.
           val matName =
-            "g_idx_" + idxName.replaceAll("\\W", "_")
+            (s"g_idx_${table}_$idxName").replaceAll("\\W", "_")
               .toLowerCase(java.util.Locale.ROOT)
           // Same-JVM rebuild elision: an index build is a ONE-TIME cost
           // in a real engine, but each fresh ExecutionContext starts
@@ -783,21 +796,21 @@ class ExecutionContext(
           // inside every timed iteration — 15 s at sf2 for a join
           // whose steady state is sub-second). The copy is reusable
           // iff the SOURCE IS BYTE-IDENTICAL: fingerprint = the
-          // source's input files + bucket spec. Immutable fixtures
-          // keep their paths; DML copy-on-write produces new version
-          // dirs, so any update changes the fingerprint and forces a
-          // rebuild. An empty inputFiles (non-file source) never
-          // elides.
+          // source's input files + key + bucket spec. Immutable
+          // fixtures keep their paths; DML copy-on-write produces new
+          // version dirs, so any update changes the fingerprint and
+          // forces a rebuild. An empty inputFiles (non-file source)
+          // never elides.
           val src = spark.table(table)
-          val files = src.inputFiles
-          val fp = files.sorted.mkString("\n") +
-            s"|${columns.head}|$buckets"
-          val hit = files.nonEmpty &&
-            ExecutionContext.materializedBuilds.get(matName) == fp &&
+          val fp = ExecutionContext.sourceFingerprint(src)
+          val hit = fp.nonEmpty &&
+            ExecutionContext.materializedBuilds.get(matName) ==
+              ExecutionContext.MatBuild(fp, columns.head, buckets) &&
             spark.catalog.tableExists(matName)
           if (!hit) {
             Layouts.writeBucketed(src, matName, columns.head, buckets)
-            ExecutionContext.materializedBuilds.put(matName, fp)
+            ExecutionContext.materializedBuilds.put(matName,
+              ExecutionContext.MatBuild(fp, columns.head, buckets))
           }
           Some(matName)
         }
@@ -819,6 +832,23 @@ class ExecutionContext(
       .find(ix => ix.table == table && ix.columns.headOption.contains(key)
         && ix.materializedTable.isDefined)
       .flatMap(_.materializedTable)
+      // STALENESS GUARD — the copy serves only while provably current:
+      // the build ledger must still carry this physical table AND the
+      // base table's input files must equal the fingerprint captured at
+      // build time. DML on the base (copy-on-write: new version dirs →
+      // new input files) or a DROP INDEX from any context (ledger entry
+      // removed with the physical drop) silently falls back to the base
+      // table — same rows as an index-maintaining engine, minus the
+      // layout win, never stale data or a missing-table error. A real
+      // deployment maintains the index transactionally on write; this
+      // engine's contract is rebuild-on-CREATE, verify-on-SCAN.
+      .filter { m =>
+        Option(ExecutionContext.materializedBuilds.get(m)).exists(b =>
+          b.key == key &&
+            b.filesFp == ExecutionContext.sourceFingerprint(
+              spark.table(table))) &&
+          spark.catalog.tableExists(m)
+      }
       .map(spark.table)
       .getOrElse(spark.table(table))
   }
@@ -853,13 +883,27 @@ class ExecutionContext(
 
 object ExecutionContext {
 
-  /** Same-JVM index-materialization ledger: managed-table name → source
-    * fingerprint (sorted input files + bucket spec). `createIndex` skips
-    * the physical rebuild when the fingerprint matches; never persisted,
-    * so a new JVM always rebuilds (stale cross-process copies are
-    * impossible — `freshManagedTable` clears them anyway). */
+  /** One materialized-index build: the source's input-file fingerprint
+    * at build time plus the physical layout spec. */
+  private[graft] final case class MatBuild(
+      filesFp: String, key: String, buckets: Int)
+
+  /** Same-JVM index-materialization ledger: managed-table name →
+    * [[MatBuild]]. `createIndex` skips the physical rebuild when the
+    * entry matches; `indexedScan` serves the copy only while the entry
+    * matches the CURRENT source files (DML invalidates); `dropIndex`
+    * removes the entry with the physical table, so other contexts
+    * holding the same index name fall back to the base table instead of
+    * scanning a dropped table. Never persisted: a new JVM always
+    * rebuilds (stale cross-process copies are impossible —
+    * `freshManagedTable` clears them anyway). */
   private[graft] val materializedBuilds =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, MatBuild]()
+
+  /** Sorted input-file listing of a frame — empty for non-file sources
+    * (which therefore never elide or serve a materialized copy). */
+  private[graft] def sourceFingerprint(df: DataFrame): String =
+    df.inputFiles.sorted.mkString("\n")
 
   /** The reference's 11 accepted dialect keys (`src/lib.rs:9-23`). Spark
     * parses one dialect; the parameter is validated for API parity and

@@ -243,7 +243,11 @@ object SkewQueries {
           concat(lit("d"), col("id")).as("dname"))
         val joined = Skew.aqeSkewJoin(big, dim, "hk", "dk")
           .select("l_orderkey", "l_linenumber", "hk", "dname")
-        joined.collect()
+        // finalize THIS QueryExecution's adaptive plan without pulling
+        // the join output to the driver (collect() would materialize
+        // the whole lineitem-sized result when the dump runs at a
+        // larger fixture)
+        joined.queryExecution.toRdd.count()
         joined.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode) +
           "\n== Executed plan (simpleString — carries the skew flag) ==\n" +

@@ -199,6 +199,18 @@ object ReferencePlanFormat {
     case IsNull(c) => s"${expr(c)} IS NULL"
     case IsNotNull(c) => s"${expr(c)} IS NOT NULL"
     case s: ScalarSubquery => s"SUBQUERY(${onePlanLine(s.plan)})"
+    // SQL special forms keep their surface syntax — the generic
+    // function-call catch-all below would render them as pseudo-calls
+    // (LIKE(n_name, 'A%'), CASEWHEN(...)) that match no SQL dialect
+    case l: Like => s"${expr(l.left)} LIKE ${expr(l.right)}"
+    case i: In =>
+      s"${expr(i.value)} IN (${i.list.map(expr).mkString(", ")})"
+    case cw: CaseWhen =>
+      val branches = cw.branches
+        .map { case (c, v) => s"WHEN ${expr(c)} THEN ${expr(v)}" }
+        .mkString(" ")
+      val els = cw.elseValue.map(e => s" ELSE ${expr(e)}").getOrElse("")
+      s"CASE $branches$els END"
     // generic scalar function call: UPPER(r_name) — recursing through
     // expr() keeps arguments in this vocabulary (Expression.sql would
     // qualify attributes as region.r_name and lowercase the name)

@@ -59,8 +59,8 @@ class BucketingSpec extends SparkSpec {
       ctx.dropIndex(Seq("spec_ix_o", "spec_ix_l"))
     }
     // DROP INDEX dropped the materialized catalog tables too
-    assert(!spark.catalog.tableExists("g_idx_spec_ix_o"))
-    assert(!spark.catalog.tableExists("g_idx_spec_ix_l"))
+    assert(!spark.catalog.tableExists("g_idx_orders_spec_ix_o"))
+    assert(!spark.catalog.tableExists("g_idx_lineitem_spec_ix_l"))
   }
 
   test("CREATE INDEX rebuild elision: a fresh context over the SAME source " +
@@ -70,7 +70,7 @@ class BucketingSpec extends SparkSpec {
     def matFiles(): Map[String, Long] = {
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), "g_idx_spec_ix_reuse")
+          .stripPrefix("file:"), "g_idx_orders_spec_ix_reuse")
       loc.listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> f.lastModified()).toMap
     }
@@ -97,12 +97,52 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     // drop invalidates: the next create is a real build again
     ctx2.dropIndex(Seq("spec_ix_reuse"))
-    assert(!spark.catalog.tableExists("g_idx_spec_ix_reuse"))
+    assert(!spark.catalog.tableExists("g_idx_orders_spec_ix_reuse"))
     val ctx3 = new ExecutionContext(spark).registerTestData(sf)
     ctx3.createIndex(Some("spec_ix_reuse"), "orders", Seq("o_orderkey"),
       materialize = true)
     assert(matFiles().nonEmpty, "post-drop create must rebuild physically")
     ctx3.dropIndex(Seq("spec_ix_reuse"))
+  }
+
+  test("indexedScan staleness guard: DML-style source replacement (new " +
+    "input files under the same table name) makes the scan fall back to " +
+    "the base table — never stale materialized rows; same-named indexes " +
+    "on different tables get distinct physical copies") {
+    val ctx = new ExecutionContext(spark).registerTestData(sf)
+    ctx.createIndex(Some("spec_ix_stale"), "orders", Seq("o_orderkey"),
+      materialize = true)
+    val before = Tables.t(spark, sf, "orders").count()
+    assert(ctx.indexedScan("orders", "o_orderkey").count() == before)
+    val work = java.nio.file.Files
+      .createTempDirectory("ix_stale").toString
+    try {
+      // simulate a DML version bump: the copy-on-write store re-points
+      // the view at a NEW directory — here, orders minus one key
+      spark.table("orders").where(col("o_orderkey") =!= 1L)
+        .write.mode("overwrite").parquet(s"$work/orders_v2")
+      spark.read.parquet(s"$work/orders_v2")
+        .createOrReplaceTempView("orders")
+      val scanned = ctx.indexedScan("orders", "o_orderkey")
+      assert(scanned.count() < before,
+        "post-DML scan must serve the new version, not the stale copy")
+      assert(!scanned.queryExecution.analyzed.toString
+        .contains("g_idx_orders_spec_ix_stale"),
+        "post-DML scan must not touch the materialized table")
+      // same index NAME on a different table: distinct physical copy,
+      // and the orders index still serves orders rows
+      val ctx2 = new ExecutionContext(spark).registerTestData(sf)
+      ctx2.createIndex(Some("spec_ix_stale"), "customer",
+        Seq("c_custkey"), materialize = true)
+      assert(spark.catalog.tableExists("g_idx_customer_spec_ix_stale"))
+      assert(ctx2.indexedScan("customer", "c_custkey").count() ==
+        Tables.t(spark, sf, "customer").count())
+      ctx2.dropIndex(Seq("spec_ix_stale"))
+    } finally {
+      // restore the fixture view for later suites in this JVM
+      Tables.ensureRegistered(spark, sf)
+      ctx.dropIndex(Seq("spec_ix_stale"))
+    }
   }
 
   test("writeBucketed survives a stale warehouse dir from a prior JVM") {

@@ -155,6 +155,26 @@ class ExecutionContextSpec extends SparkSpec {
         "SUM(n_nationkey) AS s]\n"))
   }
 
+  test("explainReference: SQL special forms keep surface syntax (LIKE / " +
+    "IN / CASE WHEN — not pseudo-function calls), and a leading comment " +
+    "does not reject the statement") {
+    val c = ctx
+    val p = c.explainReference(
+      "SELECT CASE WHEN n_regionkey > 2 THEN 'hi' ELSE 'lo' END AS b " +
+        "FROM nation WHERE n_name LIKE 'A%' AND n_regionkey IN (0, 1, 4)")
+    assert(p.contains("n_name LIKE 'A%'"), p)
+    assert(p.contains("n_regionkey IN (0, 1, 4)"), p)
+    assert(p.contains(
+      "CASE WHEN n_regionkey > 2 THEN 'hi' ELSE 'lo' END"), p)
+    assert(!p.toUpperCase.contains("CASEWHEN("), p)
+    // comments are stripped before the shape dispatch: both the query
+    // head and a DML head render despite a leading block/line comment
+    assert(c.explainReference("/* tagged */ SELECT n_name FROM nation")
+      .contains("-> TableScan: nation"))
+    assert(c.explainReference("-- audit\nDELETE FROM nation WHERE n_nationkey = 1")
+      .startsWith("-> Delete: nation"))
+  }
+
   test("explainReference: CTE renders the reference's With node and the " +
     "CTE reference renders as a TableScan of the CTE name") {
     val c = ctx
