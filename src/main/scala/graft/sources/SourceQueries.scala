@@ -578,6 +578,52 @@ object SourceQueries {
         s.read.format("xml").option("rowTag", "nation")
           .schema(base.schema).load(dir)
       },
-      Some("SELECT * FROM nation"))
+      Some("SELECT * FROM nation")),
+
+    // io17: DYNAMIC PARTITION PRUNING — the runtime complement of io03's
+    // static pruning and the single biggest scan-saver on a partitioned
+    // 100 TB fact: when the partition-key predicate lives on the DIM side
+    // of a join (the star-schema norm — "sum sales for the priorities in
+    // this lookup"), no static filter reaches the fact scan, and without
+    // DPP the whole table is read. Spark plans a dynamicpruning#
+    // subquery on the fact's PartitionFilters, reuses the dim's
+    // broadcast, and skips non-matching partitions at RUNTIME. Harness:
+    // orders hive-partitioned by o_orderpriority; the dim is a parquet
+    // LOOKUP TABLE (priority → tier) filtered on tier — an INDEPENDENT
+    // attribute. That independence is the whole point: any predicate
+    // expressible as a function of the join key transfers to the fact
+    // STATICALLY via constraint inference (two earlier cuts of this
+    // entry proved it — both `o_orderpriority < '3'` and
+    // `cast(substring(o_orderpriority,1,1) as int) <= 2` appeared as
+    // static PartitionFilters), demonstrating nothing about DPP. A tier
+    // column only the lookup carries cannot be inferred across the
+    // join, so the runtime dynamicpruning filter is the ONLY partition
+    // pruning in the plan — the spec asserts it is present, is alone,
+    // and that the scan metric read 2 of 5 partitions.
+    Q("io17_dynamic_partition_pruning",
+      (s, d) => {
+        val dir = Dml.work("io17", d) + "/orders_by_priority"
+        Tables.t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+        val lookDir = Dml.work("io17", d) + "/priority_lookup"
+        s.createDataFrame(Seq(
+            ("1-URGENT", "fast"), ("2-HIGH", "fast"),
+            ("3-MEDIUM", "slow"), ("4-NOT SPECIFIED", "slow"),
+            ("5-LOW", "slow")))
+          .toDF("o_orderpriority", "tier")
+          .write.mode("overwrite").parquet(lookDir)
+        val fact = s.read.parquet(dir)
+        val dim = s.read.parquet(lookDir).filter(col("tier") === "fast")
+        fact.join(broadcast(dim), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS total FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
 }

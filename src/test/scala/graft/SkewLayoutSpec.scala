@@ -389,6 +389,48 @@ class SkewLayoutSpec extends SparkSpec {
     assert(filtered.count() == 1)
   }
 
+  test("io17 dynamic partition pruning: a dim-side-only predicate on an " +
+    "independent lookup attribute (statically non-inferable) prunes the " +
+    "partitioned fact scan at RUNTIME: the executed plan's only " +
+    "PartitionFilter is dynamicpruning, and the scan read 2 of 5 " +
+    "partitions") {
+    val joined = q("io17_dynamic_partition_pruning").build(spark, sf)
+    val rows = joined.collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("1-URGENT", "2-HIGH"), "only the two matching priorities survive")
+    // descend AQE stages: FileSourceScanExec lives inside materialized
+    // QueryStageExec subtrees, which plain collect() does not enter
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case qs: QueryStageExec => scansOf(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }
+    val dppScans = scansOf(joined.queryExecution.executedPlan)
+      .filter(_.metadata.get("PartitionFilters")
+        .exists(_.contains("dynamicpruning")))
+    assert(dppScans.nonEmpty,
+      "the fact scan must carry a runtime dynamicpruning PartitionFilter:\n" +
+        joined.queryExecution.executedPlan.toString.take(1200))
+    // pruning is RUNTIME-ONLY: the partition filters carry nothing but
+    // null-safety and the dynamicpruning subquery (a dim predicate
+    // expressible from the join key would transfer statically via
+    // constraint inference and the entry would prove nothing about DPP)
+    val pf = dppScans.head.metadata("PartitionFilters")
+    val residue = pf
+      .replaceAll("dynamicpruningexpression\\([^)]*\\)", "")
+      .replaceAll("isnotnull\\([^)]*\\)", "")
+    assert(!residue.exists(c => c == '<' || c == '>' || c == '='),
+      s"partition filters must be runtime-only, found static: $pf")
+    // the runtime metric proves partitions were SKIPPED, not post-filtered
+    val partsRead = dppScans.head.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.contains(2L),
+      s"expected 2 of 5 partitions read, metric said $partsRead " +
+        s"(metrics: ${dppScans.head.metrics.keys.mkString(", ")})")
+  }
+
   test("io14 contrast: STATIC overwrite truncates untouched partitions; " +
     "dynamic replaces only the written ones — the backfill-safety gap") {
     val sq = spark; import sq.implicits._
