@@ -162,6 +162,34 @@ object Skew {
     }
   }
 
+  /** Run `body` with runtime bloom-filter injection live at fixture
+    * scale, restoring session values after. Two overrides, both scale
+    * artifacts, not semantics: the application-side scan threshold
+    * (default 10 GiB — InjectRuntimeFilter refuses to protect a scan
+    * that small because the filter costs more than it saves on a real
+    * cluster) drops to 0, and broadcast is disabled because the rule
+    * only fires for SHUFFLE joins (a broadcast join never shuffles the
+    * fact, so there is nothing for a bloom filter to save). At
+    * production scale neither override exists: a 100 TB fact clears the
+    * threshold on its own and a corpus-scale dim is not broadcastable. */
+  private[graft] def withBloomConfs[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Scale-aware advisory size for [[withSkewConfs]]: 1/64 of the
     * on-disk input, clamped to [16 KiB, 64 MiB]. The hot partition is a
     * constant fraction of the input by construction, so this yields a
@@ -252,6 +280,55 @@ object SkewQueries {
           org.apache.spark.sql.execution.FormattedMode) +
           "\n== Executed plan (simpleString — carries the skew flag) ==\n" +
           joined.queryExecution.executedPlan.toString
+      })),
+
+    // RUNTIME BLOOM-FILTER JOIN — the row-level complement of io17's
+    // partition-level DPP, and the one that works on UNPARTITIONED join
+    // keys: when a selective predicate lives on the dim side of a
+    // shuffle join, Catalyst's InjectRuntimeFilter builds a
+    // bloom_filter_agg over the filtered dim keys and plants
+    // might_contain on the fact side BELOW the shuffle, so non-matching
+    // fact rows drop before they are ever shuffled — at 100 TB that is
+    // the difference between shuffling the full fact and shuffling the
+    // selectivity fraction. Scoped confs: the application-side
+    // size threshold (10 GiB default — sized for clusters) drops to 0
+    // so injection fires at fixture scale, and broadcast is disabled
+    // because a broadcast join needs no runtime filter (the mechanism
+    // under test only exists for shuffle joins). The bloom is
+    // semantically transparent (false positives re-checked by the
+    // join), so the hash gate proves end-to-end correctness;
+    // SkewLayoutSpec asserts might_contain really sits on the fact scan.
+    Q("k04_runtime_bloom_join",
+      (s, d) => Skew.withBloomConfs(s) {
+        val fact = Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val dim = Tables.t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority")
+        fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("qty"))
+          .localCheckpoint()
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(l_quantity AS DOUBLE) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'"""
+        .stripMargin.replace('\n', ' ')),
+      bench = true,
+      explainOverride = Some((s, d) => Skew.withBloomConfs(s) {
+        val fact = Tables.t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val dim = Tables.t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority")
+        val joined = fact
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("qty"))
+        joined.queryExecution.toRdd.count()
+        joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
       }))
   )
 }

@@ -431,6 +431,38 @@ class SkewLayoutSpec extends SparkSpec {
         s"(metrics: ${dppScans.head.metrics.keys.mkString(", ")})")
   }
 
+  test("k04 runtime bloom-filter join: a selective dim predicate plants " +
+    "might_contain on the FACT side below the shuffle (rows drop before " +
+    "they are shuffled), and the filtered result is row-exact") {
+    val (plan, n, expected) = Skew.withBloomConfs(spark) {
+      val fact = Tables.t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+      val dim = Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val n = j.count()
+      val expected = Tables.t(spark, sf, "lineitem")
+        .join(
+          Tables.t(spark, sf, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .count()
+      (j.queryExecution.optimizedPlan.toString, n, expected)
+    }
+    assert(n == expected && n > 0, s"bloom must be transparent: $n vs $expected")
+    assert(plan.contains("might_contain"),
+      s"the optimized plan must carry the injected runtime bloom filter:\n" +
+        plan.take(1200))
+    assert(plan.contains("bloom_filter_agg"),
+      "the creation side must aggregate the filtered dim keys into a bloom")
+    // the filter guards the FACT side: might_contain probes the fact's
+    // join key (l_orderkey), not the dim's
+    val mcLine = plan.linesIterator.find(_.contains("might_contain")).get
+    assert(mcLine.contains("l_orderkey") && !mcLine.contains("o_orderkey"),
+      s"might_contain must probe the fact join key:\n$mcLine")
+  }
+
   test("io14 contrast: STATIC overwrite truncates untouched partitions; " +
     "dynamic replaces only the written ones — the backfill-safety gap") {
     val sq = spark; import sq.implicits._
