@@ -23,6 +23,51 @@ import TextFunctions._
   */
 object Dedup {
 
+  /** The constructed URL-variant fixture shared by d17 and p06 — ONE
+    * definition per engine side (this Column and [[urlCtesSql]]'s text),
+    * so a change to the variant families or tracking params cannot
+    * silently desynchronize the two gates (each previously carried a
+    * verbatim copy of both the Scala block and the oracle CTE). */
+  private[graft] def constructedUrl: org.apache.spark.sql.Column = {
+    val pid = (col("doc_id") % 50).cast("string")
+    val v = col("doc_id") % 4
+    when(v === 0,
+      concat(lit("https://example.com/page/"), pid))
+      .when(v === 1,
+        concat(lit("http://www.Example.COM/page/"), pid, lit("/")))
+      .when(v === 2, concat(lit("https://example.com/page/"), pid,
+        lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("https://example.com/page/"), pid,
+        lit("?id="), pid, lit("&utm_medium=email#frag")))
+  }
+
+  /** DuckDB twin of [[constructedUrl]] + [[normalizedUrl]]: the `u`
+    * (constructed variants) and `n` (normalized key) CTEs, parameterized
+    * only by the passthrough column list (d17 carries `doc_id`, p06
+    * `doc_id, text`). */
+  private[graft] def urlCtesSql(cols: String): String =
+    (s"""WITH u AS (SELECT $cols,
+        |CASE doc_id % 4
+        |WHEN 0 THEN 'https://example.com/page/' || (doc_id % 50)
+        |WHEN 1 THEN 'http://www.Example.COM/page/' || (doc_id % 50) || '/'
+        |WHEN 2 THEN 'https://example.com/page/' || (doc_id % 50) ||
+        |'?utm_source=feed&utm_campaign=x'
+        |ELSE 'https://example.com/page/' || (doc_id % 50) ||
+        |'?id=' || (doc_id % 50) || '&utm_medium=email#frag'
+        |END AS url FROM documents),
+        |n AS (SELECT $cols,
+        |regexp_replace(lower(regexp_extract(url,
+        |'^[a-z]+://([^/?#]+)', 1)), '^www\\.', '') ||
+        |regexp_replace(regexp_extract(url,
+        |'^[a-z]+://[^/?#]+([^?#]*)', 1), '/$$', '') ||
+        |CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm_url
+        |FROM (SELECT $cols, url,
+        |COALESCE(array_to_string(list_filter(string_split(
+        |regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        |p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
+        |'&'), '') AS kept FROM u))""")
+      .stripMargin.replace('\n', ' ')
+
   /** Canonical crawl-dedup URL key (d17): lowercase host minus a leading
     * `www.`, path minus a trailing slash, query minus the tracking params
     * (utm_ prefix, ref, fbclid, gclid — real params survive), fragment
@@ -221,6 +266,7 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    requireBanding(k, bands)
     val rows = k / bands
     // Persisted (tracked — callers release via ManagedCache.releaseAll):
     // the shingle/signature scan feeds banding AND the verify join; without
@@ -512,6 +558,7 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    requireBanding(k, bands)
     val rows = k / bands
     val prepNew = ManagedCache.persist(minhashPrep(newDocs, shingleN, k))
     val bandedNew = bandedKeys(prepNew, bands, rows)
@@ -607,12 +654,33 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 
+  /** Guard shared by every MinHash banding path: a non-dividing (k,
+    * bands) silently degraded — k=16,bands=24 gave rows=0, so every band
+    * sliced an EMPTY signature slice → one universal band key → either
+    * the all-pairs quadratic join the banding exists to avoid or, past
+    * maxBucket, ZERO pairs (100% recall loss with no error); a remainder
+    * quietly ignored the signature tail, so measured recall no longer
+    * matched the configured k. Same contract md5MinHashBandedPairs
+    * already enforced. */
+  private def requireBanding(k: Int, bands: Int): Unit =
+    require(bands > 0 && k % bands == 0,
+      s"minhash banding needs bands to divide k exactly, got k=$k bands=$bands")
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
     * via equality on (maxHamming+1 or more) bit-chunks (pigeonhole). */
   def simhashNearDupPairs(
       docs: DataFrame,
       maxHamming: Int = 7,
       chunks: Int = 8): DataFrame = {
+    // the pigeonhole argument NEEDS chunks > maxHamming: with chunks ==
+    // maxHamming a qualifying pair can differ in every chunk and never
+    // become a candidate — silently missing results, the contract's
+    // worst failure. 64 % chunks == 0 keeps every chunk the same width
+    // (a ragged last chunk weakens its collision bound). Same contract
+    // md5SimHashPairs already enforced.
+    require(chunks > maxHamming && chunks > 0 && 64 % chunks == 0,
+      s"simhash pigeonhole needs chunks > maxHamming and chunks | 64, " +
+        s"got maxHamming=$maxHamming chunks=$chunks")
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
     // Native codegen'd expression (TextExpressions.SimHash64): one fused
@@ -1814,16 +1882,7 @@ object DedupQueries {
     Q("p06_frontier_pipeline",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val pid = (col("doc_id") % 50).cast("string")
-        val v = col("doc_id") % 4
-        val url = when(v === 0,
-          concat(lit("https://example.com/page/"), pid))
-          .when(v === 1,
-            concat(lit("http://www.Example.COM/page/"), pid, lit("/")))
-          .when(v === 2, concat(lit("https://example.com/page/"), pid,
-            lit("?utm_source=feed&utm_campaign=x")))
-          .otherwise(concat(lit("https://example.com/page/"), pid,
-            lit("?id="), pid, lit("&utm_medium=email#frag")))
+        val url = Dedup.constructedUrl
         val sel = col("doc_id") % 5
         val domain = when(sel === 0 || sel === 1, lit("example.com"))
           .when(sel === 2 || sel === 3, lit("example.org"))
@@ -1843,27 +1902,8 @@ object DedupQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
       },
-      Some("""WITH u AS (SELECT doc_id, text,
-             |CASE doc_id % 4
-             |WHEN 0 THEN 'https://example.com/page/' || (doc_id % 50)
-             |WHEN 1 THEN 'http://www.Example.COM/page/' || (doc_id % 50) || '/'
-             |WHEN 2 THEN 'https://example.com/page/' || (doc_id % 50) ||
-             |'?utm_source=feed&utm_campaign=x'
-             |ELSE 'https://example.com/page/' || (doc_id % 50) ||
-             |'?id=' || (doc_id % 50) || '&utm_medium=email#frag'
-             |END AS url FROM documents),
-             |n AS (SELECT doc_id, text,
-             |regexp_replace(lower(regexp_extract(url,
-             |'^[a-z]+://([^/?#]+)', 1)), '^www\.', '') ||
-             |regexp_replace(regexp_extract(url,
-             |'^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', '') ||
-             |CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm_url
-             |FROM (SELECT doc_id, text, url,
-             |COALESCE(array_to_string(list_filter(string_split(
-             |regexp_extract(url, '\?([^#]*)', 1), '&'),
-             |p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
-             |'&'), '') AS kept FROM u)),
-             |sv AS (SELECT doc_id, text FROM
+      Some(Dedup.urlCtesSql("doc_id, text") +
+        """, sv AS (SELECT doc_id, text FROM
              |(SELECT doc_id, text,
              |doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
              |FROM n) WHERE keep),
@@ -2447,47 +2487,17 @@ object DedupQueries {
     Q("d17_url_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val pid = (col("doc_id") % 50).cast("string")
-        val v = col("doc_id") % 4
-        val url = when(v === 0,
-          concat(lit("https://example.com/page/"), pid))
-          .when(v === 1,
-            concat(lit("http://www.Example.COM/page/"), pid, lit("/")))
-          .when(v === 2, concat(lit("https://example.com/page/"), pid,
-            lit("?utm_source=feed&utm_campaign=x")))
-          .otherwise(concat(lit("https://example.com/page/"), pid,
-            lit("?id="), pid, lit("&utm_medium=email#frag")))
         Tables.t(s, d, "documents")
-          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), Dedup.constructedUrl.as("url"))
           .withColumn("norm_url", Dedup.normalizedUrl(col("url")))
           .withColumn("keep", col("doc_id") === min(col("doc_id"))
             .over(Window.partitionBy(col("norm_url"))))
           .select(col("doc_id"), col("norm_url"), col("keep"))
       },
-      Some("""WITH u AS (SELECT doc_id,
-             |CASE doc_id % 4
-             |WHEN 0 THEN 'https://example.com/page/' || (doc_id % 50)
-             |WHEN 1 THEN 'http://www.Example.COM/page/' || (doc_id % 50) || '/'
-             |WHEN 2 THEN 'https://example.com/page/' || (doc_id % 50) ||
-             |'?utm_source=feed&utm_campaign=x'
-             |ELSE 'https://example.com/page/' || (doc_id % 50) ||
-             |'?id=' || (doc_id % 50) || '&utm_medium=email#frag'
-             |END AS url FROM documents),
-             |n AS (SELECT doc_id,
-             |regexp_replace(lower(regexp_extract(url,
-             |'^[a-z]+://([^/?#]+)', 1)), '^www\.', '') ||
-             |regexp_replace(regexp_extract(url,
-             |'^[a-z]+://[^/?#]+([^?#]*)', 1), '/$', '') ||
-             |CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm_url
-             |FROM (SELECT doc_id, url,
-             |COALESCE(array_to_string(list_filter(string_split(
-             |regexp_extract(url, '\?([^#]*)', 1), '&'),
-             |p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')),
-             |'&'), '') AS kept FROM u))
-             |SELECT doc_id, norm_url,
-             |doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
-             |FROM n"""
-        .stripMargin.replace('\n', ' '))),
+      Some(Dedup.urlCtesSql("doc_id") +
+        """ SELECT doc_id, norm_url,
+          |doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
+          |FROM n""".stripMargin.replace('\n', ' '))),
 
     // MD5-BASIS SIMHASH SIGNATURES under the hash gate — the twin that
     // finally puts the simhash FAMILY's arithmetic (per-term bit basis,

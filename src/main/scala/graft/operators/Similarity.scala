@@ -165,7 +165,12 @@ object Similarity {
     val sgn = when(substring(md5(concat_ws(":",
       col("bit").cast("string"), col("ord").cast("string"))), 1, 1) < "8",
       lit(1L)).otherwise(lit(-1L))
-    val buckets = d
+    // Persisted: the self-join below reads `buckets` from both sides —
+    // without it the dominant explode + two-aggregate signature pipeline
+    // computes twice per run (the same discipline simhashNearDupPairs
+    // and minhashNearDupPairs apply to their banding frames; (vec_id,
+    // bucket) is one long per vector, always small vs the corpus).
+    val buckets = ManagedCache.persist(d
       .select(col("vec_id"), col("ord"), col("v"),
         explode(sequence(lit(0), lit(bits - 1))).as("bit"))
       .withColumn("sv", col("v") * sgn)
@@ -173,7 +178,7 @@ object Similarity {
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0,
         call_function("shiftleft", lit(1L), col("bit")))
-        .otherwise(lit(0L))).as("bucket"))
+        .otherwise(lit(0L))).as("bucket")))
     val cand = buckets.alias("l").join(buckets.alias("r"),
         col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
@@ -427,10 +432,18 @@ object Similarity {
       .join(q.select("query_id", "qlabel"), "query_id")
       .filter(col("qlabel") === col("clabel"))
       .groupBy("query_id").agg(count(lit(1)).as("n_post"))
-    pre.join(post, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_pre"),
+    // anchored on the QUERY list, not on pre: a query with zero
+    // same-label candidates (unique/new label) produces no pre row, and
+    // a pre-anchored report silently dropped it — the most degenerate
+    // query is exactly the one a deficit report exists to surface
+    q.select(col("query_id"))
+      .join(pre, Seq("query_id"), "left")
+      .join(post, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_pre"), lit(0L)).as("n_pre"),
         coalesce(col("n_post"), lit(0L)).as("n_post"),
-        (col("n_pre") - coalesce(col("n_post"), lit(0L))).as("deficit"))
+        (coalesce(col("n_pre"), lit(0L)) -
+          coalesce(col("n_post"), lit(0L))).as("deficit"))
   }
 
   private[graft] case class MmrCand(
@@ -549,14 +562,7 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .select(col("vec_id"), col("label"),
         transform(col("qv"), x => x.cast("long")).as("qvl")))
-    val cent = q
-      .select(col("label"), posexplode(col("qvl")).as(Seq("ord", "v")))
-      .groupBy("label", "ord").agg(sum(col("v")).as("s"))
-      .groupBy("label").agg(
-        transform(array_sort(collect_list(struct(col("ord"), col("s")))),
-          x => x.getField("s")).as("cs"))
-      .withColumn("i3",
-        aggregate(col("cs"), lit(0L), (a, x) => a + x * x))
+    val cent = labelCentroids(q)
     val scored = q
       .withColumn("i2",
         aggregate(col("qvl"), lit(0L), (a, x) => a + x * x))
@@ -843,19 +849,29 @@ object Similarity {
     * runs under the DuckDB hash gate. Scale: one quantize scan, one
     * (label, ord) partial agg; the pairwise join is labels² over a
     * label-count-sized table — trivially broadcastable. */
+  /** Integer label-centroid frame (label, cs, i3) shared by e12's
+    * nearest-centroid classifier and e14's centroid matrix: per-dimension
+    * SUM of the int8-quantized components (ordered via array_sort of
+    * (ord, s) structs — deterministic after the shuffle) plus the squared
+    * second moment. ONE definition of this oracle-critical integer
+    * arithmetic — both hash gates depend on it being bit-identical, and
+    * the two entries previously carried verbatim copies that could
+    * silently drift apart. Input must carry (label, qvl). */
+  private def labelCentroids(q: DataFrame): DataFrame = q
+    .select(col("label"), posexplode(col("qvl")).as(Seq("ord", "v")))
+    .groupBy("label", "ord").agg(sum(col("v")).as("s"))
+    .groupBy("label").agg(
+      transform(array_sort(collect_list(struct(col("ord"), col("s")))),
+        x => x.getField("s")).as("cs"))
+    .withColumn("i3",
+      aggregate(col("cs"), lit(0L), (a, x) => a + x * x))
+
   def labelCentroidMatrix(emb: DataFrame): DataFrame = {
     val q = quantizeInt8Vectors(emb)
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
       .select(col("label"),
         transform(col("qv"), x => x.cast("long")).as("qvl"))
-    val cent = q
-      .select(col("label"), posexplode(col("qvl")).as(Seq("ord", "v")))
-      .groupBy("label", "ord").agg(sum(col("v")).as("s"))
-      .groupBy("label").agg(
-        transform(array_sort(collect_list(struct(col("ord"), col("s")))),
-          x => x.getField("s")).as("cs"))
-      .withColumn("i3",
-        aggregate(col("cs"), lit(0L), (a, x) => a + x * x))
+    val cent = labelCentroids(q)
     cent.alias("a").join(cent.alias("b"), col("a.label") < col("b.label"))
       .withColumn("i1", aggregate(
         zip_with(col("a.cs"), col("b.cs"), (x, y) => x * y),
@@ -2033,11 +2049,15 @@ object SimilarityQueries {
              |ORDER BY sim DESC, neighbor_id ASC) AS rn
              |FROM s QUALIFY rn <= 10) WHERE qlabel = clabel
              |GROUP BY 1)
-             |SELECT pre.query_id, CAST(n_pre AS BIGINT) AS n_pre,
+             |SELECT qs.query_id,
+             |CAST(COALESCE(pre.n_pre, 0) AS BIGINT) AS n_pre,
              |CAST(COALESCE(post.n_post, 0) AS BIGINT) AS n_post,
-             |CAST(n_pre - COALESCE(post.n_post, 0) AS BIGINT)
-             |AS deficit
-             |FROM pre LEFT JOIN post ON post.query_id = pre.query_id"""
+             |CAST(COALESCE(pre.n_pre, 0) - COALESCE(post.n_post, 0)
+             |AS BIGINT) AS deficit
+             |FROM (SELECT vec_id AS query_id FROM embeddings
+             |WHERE vec_id < 8) qs
+             |LEFT JOIN pre ON pre.query_id = qs.query_id
+             |LEFT JOIN post ON post.query_id = qs.query_id"""
         .stripMargin.replace('\n', ' '))),
 
     // IVF NPROBE SWEEP — see [[Similarity.ivfRecallCurve]]. Rows-only

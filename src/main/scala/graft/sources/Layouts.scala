@@ -114,12 +114,21 @@ object Layouts {
     // producer has created the directory.
     if (!fs.exists(p)) return Seq.empty
     val it = fs.listFiles(p, true)
+    val rootUri = fs.makeQualified(p).toUri
     val b = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith("."))
-        b += ((f.getPath.toString, f.getLen))
+      // hidden-ness applies to EVERY path segment below the root, not
+      // just the leaf: a producer mid-write (or crashed) leaves
+      // _temporary/.../part-00000.parquet whose BASENAME is clean — a
+      // leaf-only filter listed those uncommitted files, read torn
+      // footers, and recorded manifest paths that the producer's job
+      // commit then moved (re-ingesting the rows under the final path).
+      // spark.read.parquet skips these; the hand-rolled lister must too.
+      val rel = rootUri.relativize(f.getPath.toUri).getPath
+      val hidden = rel.split('/')
+        .exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden) b += ((f.getPath.toString, f.getLen))
     }
     b.result()
   }
@@ -143,6 +152,10 @@ object Layouts {
       outDir: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val files = dataFiles(spark, inDir)
+    // dataFiles tolerates a missing/metadata-only dir (first maintenance
+    // cycle before any append); compaction of nothing is a no-op, not a
+    // PATH_NOT_FOUND crash out of spark.read below
+    if (files.isEmpty) return (0, 0)
     val total = files.map(_._2).sum
     val nOut = math.max(1L,
       (total + targetBytes - 1) / targetBytes).toInt
@@ -160,12 +173,19 @@ object Layouts {
     (files.size, nOut)
   }
 
-  /** Scheme-stripped absolute path — the manifest key. Full paths, not
-    * basenames: externally-produced drops (no writer-task UUIDs) can
-    * repeat a basename across subdirectories, and a basename key would
-    * silently drop the second file's rows. */
+  /** Canonicalized FULLY-QUALIFIED path — the manifest key AND the read
+    * path. Full paths, not basenames: externally-produced drops (no
+    * writer-task UUIDs) can repeat a basename across subdirectories, and
+    * a basename key would silently drop the second file's rows. The
+    * scheme and authority are KEPT: an earlier cut stripped the scheme
+    * and folded the authority into the path ('s3a://bucket/landing/f' →
+    * '/bucket/landing/f'), so on any authority-bearing filesystem the
+    * listing keys were unreadable as paths — invisible on local file:/
+    * fixtures, broken on a real cluster. Hadoop's Path normalizes slash
+    * runs and dot segments, so two spellings of one file still collide
+    * to one key. */
   private def normalizePath(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    new org.apache.hadoop.fs.Path(p).toString
 
   /** ONE listing snapshot of the landing dir — the unit an
     * incremental-ingestion cycle operates on. Take it once and pass the

@@ -248,7 +248,8 @@ class BucketingSpec extends SparkSpec {
 
   test("incremental scan lifecycle: bootstrap reads everything, a " +
     "checkpoint quiesces it, the next drop surfaces only itself, and a " +
-    "file landing between snapshot and checkpoint is NOT lost") {
+    "file landing between snapshot and checkpoint is NOT lost; an " +
+    "in-flight producer's _temporary debris is invisible to the listing") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_incr").toString
     val land = s"$base/landing"
@@ -257,8 +258,27 @@ class BucketingSpec extends SparkSpec {
     val d1 = docs.filter(col("doc_id") % 2 === 0)
     val d2 = docs.filter(col("doc_id") % 2 === 1)
     d1.write.mode("append").parquet(land)
+    // an in-flight producer: a clean-basenamed parquet nested under a
+    // hidden (_-prefixed) directory must be invisible (a leaf-only
+    // hidden filter read uncommitted files and double-ingested them
+    // after job commit). NOT named `_temporary`: that exact dir is
+    // Spark's own commit staging area, and the d2 append's job commit
+    // would PROMOTE a planted task-shaped subdir into the landing root
+    // (observed) — which is producer interference, not the listing
+    // semantics under test.
+    val tmpDir = new java.io.File(s"$land/_wip/0/attempt_1")
+    tmpDir.mkdirs()
+    docs.limit(3).coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/inflight")
+    val part = new java.io.File(s"$base/inflight").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(tmpDir, "part-00000.parquet").toPath)
     def scan() = Layouts.incrementalScan(spark, land, mf,
       Layouts.snapshotListing(spark, land))
+    assert(Layouts.snapshotListing(spark, land)
+      .forall(!_.contains("_wip")),
+      "uncommitted producer files must not be listed")
     // no manifest yet -> bootstrap reads the full landing dir
     assert(scan().count() == d1.count())
     val snap1 = Layouts.snapshotListing(spark, land)
