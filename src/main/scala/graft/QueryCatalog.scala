@@ -32,7 +32,8 @@ object QueryCatalog {
       SkewQueries.queries ++
       SamplingQueries.queries ++
       SourceQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++
+      CboQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

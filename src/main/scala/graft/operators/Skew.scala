@@ -197,13 +197,26 @@ object Skew {
     * scale factor — the property a fixed byte value lacks. The 64 MiB
     * ceiling is Spark's own default advisory: past it the fixture
     * argument is moot and production defaults take over. */
-  private[graft] def advisoryFor(dir: String, table: String): Long = {
-    val f = new java.io.File(s"$dir/$table.parquet")
+  private[graft] def advisoryFor(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): Long = {
+    // Hadoop FileSystem, not java.io.File: a java.io probe returns 0 for
+    // any non-local dir (hdfs://, s3a://, even a file: URI), which
+    // clamped every cluster run to the 16 KiB floor — tens of thousands
+    // of tiny advisory splits, the exact pathology this sizing exists to
+    // fix (r13 advice). getContentSummary resolves through whatever
+    // filesystem the path names.
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val bytes =
-      if (f.isDirectory) f.listFiles.map(_.length).sum
-      else if (f.isFile) f.length
-      else 0L
-    math.min(math.max(bytes / 64, 16384L), 64L << 20)
+      try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case _: java.io.IOException => 0L }
+    // Probe found nothing → Spark's own default advisory (64 MiB), NOT
+    // the 16 KiB floor: an unknown input is far more likely production-
+    // sized than fixture-sized, and the floor is the dangerous end.
+    if (bytes == 0L) 64L << 20
+    else math.min(math.max(bytes / 64, 16384L), 64L << 20)
   }
 }
 
@@ -243,7 +256,7 @@ object SkewQueries {
     // driver gate. SkewLayoutSpec holds the runtime evidence that the
     // executed plan really contains the skew=true join.
     Q("k03_skew_join_aqe",
-      (s, d) => Skew.withSkewConfs(s, Skew.advisoryFor(d, "lineitem")) {
+      (s, d) => Skew.withSkewConfs(s, Skew.advisoryFor(s, d, "lineitem")) {
         val big = Skew.k03Big(s, d)
         val dim = s.range(0, 50).select(col("id").as("dk"),
           concat(lit("d"), col("id")).as("dname"))
@@ -265,7 +278,7 @@ object SkewQueries {
       // the adaptive plan on THIS QueryExecution) and commits the final
       // plan — the `skew=true` sort-merge join SkewLayoutSpec asserts.
       explainOverride = Some((s, d) =>
-        Skew.withSkewConfs(s, Skew.advisoryFor(d, "lineitem")) {
+        Skew.withSkewConfs(s, Skew.advisoryFor(s, d, "lineitem")) {
         val big = Skew.k03Big(s, d)
         val dim = s.range(0, 50).select(col("id").as("dk"),
           concat(lit("d"), col("id")).as("dname"))

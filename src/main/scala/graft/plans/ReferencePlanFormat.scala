@@ -202,7 +202,12 @@ object ReferencePlanFormat {
     // SQL special forms keep their surface syntax — the generic
     // function-call catch-all below would render them as pseudo-calls
     // (LIKE(n_name, 'A%'), CASEWHEN(...)) that match no SQL dialect
-    case l: Like => s"${expr(l.left)} LIKE ${expr(l.right)}"
+    case l: Like =>
+      // a non-default escape char changes the pattern's semantics —
+      // dropping it would render a DIFFERENT predicate (r13 advice)
+      val esc =
+        if (l.escapeChar == '\\') "" else s" ESCAPE '${l.escapeChar}'"
+      s"${expr(l.left)} LIKE ${expr(l.right)}$esc"
     case i: In =>
       s"${expr(i.value)} IN (${i.list.map(expr).mkString(", ")})"
     case cw: CaseWhen =>

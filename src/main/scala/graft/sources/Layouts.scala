@@ -187,6 +187,20 @@ object Layouts {
   private def normalizePath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toString
 
+  /** The PRE-qualification manifest key for the same file — scheme
+    * stripped, authority folded into the path ('s3a://bucket/landing/f'
+    * → '/bucket/landing/f', 'file:/root/x' → '/root/x'). Manifests are
+    * append-only logs, so entries written under the old format persist
+    * forever; [[deltaPaths]] treats a file as processed if EITHER key
+    * form appears, otherwise every pre-upgrade file would miss the
+    * anti-join and re-ingest — silent row duplication on upgrade (r13
+    * advice). New marks are always written in the qualified format. */
+  private def legacyKey(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty)
+    auth.fold(u.getPath)(a => s"/$a${u.getPath}")
+  }
+
   /** ONE listing snapshot of the landing dir — the unit an
     * incremental-ingestion cycle operates on. Take it once and pass the
     * SAME value to [[incrementalScan]] and [[markProcessed]]: re-listing
@@ -220,9 +234,19 @@ object Layouts {
       listing: Seq[String]): Seq[String] = {
     import spark.implicits._
     if (listing.isEmpty) Seq.empty
-    else listing.toDF("_file")
-      .join(manifestDf(spark, manifestDir), Seq("_file"), "left_anti")
-      .as[String].collect().toSeq
+    else {
+      val manifest = manifestDf(spark, manifestDir)
+      // Two anti-joins, one per manifest key format: qualified (current)
+      // and legacy scheme-stripped ([[legacyKey]]) — a pre-upgrade
+      // manifest keeps suppressing its files. The legacy column is
+      // computed driver-side over the LISTING (bounded by one cycle's
+      // file count), never over the manifest relation.
+      listing.map(f => (f, legacyKey(f))).toDF("_file", "_legacy")
+        .join(manifest, Seq("_file"), "left_anti")
+        .join(manifest.withColumnRenamed("_file", "_legacy"),
+          Seq("_legacy"), "left_anti")
+        .select("_file").as[String].collect().toSeq
+    }
   }
 
   /** INCREMENTAL INGESTION over a landing directory (the Auto

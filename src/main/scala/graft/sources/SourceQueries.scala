@@ -602,16 +602,7 @@ object SourceQueries {
     // and that the scan metric read 2 of 5 partitions.
     Q("io17_dynamic_partition_pruning",
       (s, d) => {
-        val dir = Dml.work("io17", d) + "/orders_by_priority"
-        Tables.t(s, d, "orders").write.mode("overwrite")
-          .partitionBy("o_orderpriority").parquet(dir)
-        val lookDir = Dml.work("io17", d) + "/priority_lookup"
-        s.createDataFrame(Seq(
-            ("1-URGENT", "fast"), ("2-HIGH", "fast"),
-            ("3-MEDIUM", "slow"), ("4-NOT SPECIFIED", "slow"),
-            ("5-LOW", "slow")))
-          .toDF("o_orderpriority", "tier")
-          .write.mode("overwrite").parquet(lookDir)
+        val (dir, lookDir) = ensureDppFixture(s, d)
         val fact = s.read.parquet(dir)
         val dim = s.read.parquet(lookDir).filter(col("tier") === "fast")
         fact.join(broadcast(dim), Seq("o_orderpriority"))
@@ -624,6 +615,37 @@ object SourceQueries {
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS total FROM orders
              |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')),
+      bench = true)
   )
+
+  /** io17's partitioned fact + lookup dim, written ONCE per
+    * (session, sfDir). Promotion to the bench headline set (r13
+    * verdict item 4: DPP is the single biggest scan-saver on a
+    * partitioned 100 TB fact, and had no timing) requires the setup
+    * OUT of the timed path: the old in-build `overwrite` re-wrote the
+    * whole partitioned table on every invocation, so the bench would
+    * have measured the write, not the pruned join. The memo key is the
+    * (session, dir) pair — octave runs at a new sfDir re-write (the
+    * Tables.ensureRegistered discipline); orders is a read-only driver
+    * fixture, so within one session the copy can never go stale. */
+  private val dppFixtureFor = scala.collection.mutable.Map[(Int, String), (String, String)]()
+  private def ensureDppFixture(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    synchronized {
+      dppFixtureFor.getOrElseUpdate(
+        (System.identityHashCode(s), d), {
+          val dir = Dml.work("io17", d) + "/orders_by_priority"
+          Tables.t(s, d, "orders").write.mode("overwrite")
+            .partitionBy("o_orderpriority").parquet(dir)
+          val lookDir = Dml.work("io17", d) + "/priority_lookup"
+          s.createDataFrame(Seq(
+              ("1-URGENT", "fast"), ("2-HIGH", "fast"),
+              ("3-MEDIUM", "slow"), ("4-NOT SPECIFIED", "slow"),
+              ("5-LOW", "slow")))
+            .toDF("o_orderpriority", "tier")
+            .write.mode("overwrite").parquet(lookDir)
+          (dir, lookDir)
+        })
+    }
 }

@@ -402,4 +402,73 @@ class BucketingSpec extends SparkSpec {
       assert(t.getLong(2) == t.getLong(0) - t.getLong(1))
     } finally out.unpersist()
   }
+
+  test("indexedScan never serves a copy built from a NON-FILE source: " +
+    "an empty fingerprint is 'no proof of currency', not 'trivially " +
+    "current' (r13 advice - \"\" == \"\" kept a stale copy serving after " +
+    "the view was replaced)") {
+    val sq = spark; import sq.implicits._
+    val ctx = new ExecutionContext(spark)
+    // a createDataFrame view has no input files -> fingerprint ""
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("spec_nofile")
+    try {
+      ctx.createIndex(Some("spec_ix_nofile"), "spec_nofile", Seq("k"),
+        materialize = true)
+      // replace the view IN PLACE - the classic staleness trap: the
+      // source changed but its (empty) fingerprint did not
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .createOrReplaceTempView("spec_nofile")
+      val scanned = ctx.indexedScan("spec_nofile", "k")
+      assert(scanned.count() == 3,
+        "scan must serve the replaced view, never the stale copy")
+      assert(!scanned.queryExecution.analyzed.toString
+        .contains("g_idx_spec_nofile"),
+        "a non-file source must always fall back to the base table")
+    } finally {
+      ctx.dropIndex(Seq("spec_ix_nofile"), ifExists = true)
+      spark.catalog.dropTempView("spec_nofile")
+    }
+  }
+
+  test("incremental ingestion honors PRE-qualification manifest keys: " +
+    "a manifest written in the old scheme-stripped format still " +
+    "suppresses its files after the key-format upgrade (r13 advice - " +
+    "otherwise every previously-ingested file silently re-ingests)") {
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_legacy_mf").toString
+    val land = s"$base/landing"
+    val mf = s"$base/manifest"
+    val docs = Tables.t(spark, sf, "documents")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(land)
+    val listing = Layouts.snapshotListing(spark, land)
+    assert(listing.forall(_.startsWith("file:")),
+      s"qualified listing keys expected, got ${listing.headOption}")
+    // hand-write the manifest the way the PRE-upgrade code keyed it:
+    // scheme stripped, authority folded into the path
+    val legacy = listing.map { p =>
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      Option(u.getAuthority).filter(_.nonEmpty)
+        .fold(u.getPath)(a => s"/$a${u.getPath}")
+    }
+    assert(legacy.forall(!_.startsWith("file:")))
+    legacy.toDF("_file").coalesce(1).write.mode("append").parquet(mf)
+    // upgrade-time read: every file is recorded (in the old format) ->
+    // the delta must be EMPTY, not a full re-ingest
+    assert(Layouts.incrementalScan(spark, land, mf, listing).count() == 0,
+      "legacy-keyed manifest entries must still suppress their files")
+    // and a genuinely new drop still surfaces
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(land)
+    val listing2 = Layouts.snapshotListing(spark, land)
+    assert(Layouts.incrementalScan(spark, land, mf, listing2).count() ==
+      docs.filter(col("doc_id") % 2 === 1).count())
+    // checkpointing the mixed state writes only the NEW paths (in the
+    // qualified format) - the legacy rows keep suppressing theirs
+    Layouts.markProcessed(spark, mf, listing2)
+    assert(Layouts.incrementalScan(spark, land, mf, listing2).count() == 0)
+    val mfRows = spark.read.parquet(mf).as[String].collect()
+    assert(mfRows.length == listing2.size,
+      s"each file recorded exactly once across formats, got ${mfRows.length}")
+  }
 }

@@ -164,6 +164,12 @@ class ExecutionContextSpec extends SparkSpec {
         "FROM nation WHERE n_name LIKE 'A%' AND n_regionkey IN (0, 1, 4)")
     assert(p.contains("n_name LIKE 'A%'"), p)
     assert(p.contains("n_regionkey IN (0, 1, 4)"), p)
+    // a non-default ESCAPE changes pattern semantics and must survive
+    // rendering (r13 advice: it was silently dropped); the default
+    // backslash escape stays unspelled, matching surface syntax
+    val pe = c.explainReference(
+      "SELECT n_name FROM nation WHERE n_name LIKE 'A!_%' ESCAPE '!'")
+    assert(pe.contains("n_name LIKE 'A!_%' ESCAPE '!'"), pe)
     assert(p.contains(
       "CASE WHEN n_regionkey > 2 THEN 'hi' ELSE 'lo' END"), p)
     assert(!p.toUpperCase.contains("CASEWHEN("), p)

@@ -179,7 +179,7 @@ class SkewLayoutSpec extends SparkSpec {
   test("k03 ENTRY shape: the lineitem-based probe (leading uniform-key " +
     "repartition standing in for production mapper parallelism) gets the " +
     "runtime skew split — the committed PLANS.md evidence, asserted live") {
-    val joined = Skew.withSkewConfs(spark, Skew.advisoryFor(sf, "lineitem")) {
+    val joined = Skew.withSkewConfs(spark, Skew.advisoryFor(spark, sf, "lineitem")) {
       val dim = spark.range(0, 50).select(col("id").as("dk"),
         concat(lit("d"), col("id")).as("dname"))
       val j = Skew.aqeSkewJoin(Skew.k03Big(spark, sf), dim, "hk", "dk")
