@@ -153,34 +153,23 @@ object Bench {
     // best-of-two values absorbed it
     val passTotals = passes.map(
       _._2.map(_._2(1)).filter(_ >= 0).sum)
-    // ARTIFACT-SIZE DISCIPLINE (round-5 post-mortem): the driver captures
-    // only the last ~2,000 bytes of output, and full-precision doubles
-    // (17 sig figs × 29 queries × 4 numbers) overflowed that window,
-    // truncating the head — including the headline total. Two fixes:
-    // fixed %.4f precision (0.1 ms granularity, ample for second-scale
-    // timings) shrinks the line ~3×, and the "metric"/"value" headline
-    // pair moves to the END of the JSON object so it survives inside the
-    // captured tail even if the line still truncates from the front.
-    // JSON key order is semantically irrelevant, so parsers are unaffected.
+    // ARTIFACT-SIZE DISCIPLINE (round-5 post-mortem, re-measured round
+    // 14): the driver captures only the last ~2,000 bytes of output and
+    // records {tail, parsed} — BENCH_r13.json came back "parsed": null
+    // because the line had quietly grown past the window (56 queries ×
+    // %.4f + a spread map + the two-pass fields = 2,336 bytes at 58).
+    // The stdout line is therefore the COMPACT view: queries at %.2f
+    // (10 ms granularity — headline values are 0.1-5 s; cross-round
+    // trend analysis reads the in-tree mirror, which keeps %.4f
+    // med/min/max/by_pass/norm per query), no per-query spread map
+    // (the mirror carries max; stdout "max" was unbounded under
+    // interference — exactly when the window must not overflow), and
+    // the "metric"/"value" headline pair LAST so it survives the tail
+    // capture even if a future growth spurt truncates the head again.
+    // Measured at 58 queries: ~1,650 bytes, ~350 of headroom.
     def f4(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
-    val qs = results.map { case (k, t) => JsonOut.str(k) + ":" + f4(t(1)) }
-      .mkString("{", ",", "}")
-    // Per-query MAX of the three timed runs (the median is already the
-    // "queries" value): max/median > 1.5 in the recorded artifact flags
-    // external interference (GC storm, CPU contention) without a separate
-    // profiling run — the round-3 phantom (one noisy iteration recorded
-    // as THE number) is self-diagnosing in the artifact. Max alone IS the
-    // diagnostic (min tracks the median on a quiet box), at 1 ms
-    // granularity: the single short number keeps the WHOLE line under
-    // the driver's ~2,000-byte capture at 32 queries. Drivers parse only
-    // the "queries" map; "max" and "failed" are additive.
-    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
-    // Only OUTLIER maxes (max/median > 1.2) are recorded: max's entire
-    // role is flagging external interference, and a full per-query copy
-    // doubled the line — overflowing the capture window as the query
-    // set grows. An absent key reads "max ≈ median" (quiet run).
-    val spread = results.filter { case (_, t) => t(1) > 0 && t(2) / t(1) > 1.2 }
-      .map { case (k, t) => JsonOut.str(k) + ":" + f3(t(2)) }
+    def f2(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
+    val qs = results.map { case (k, t) => JsonOut.str(k) + ":" + f2(t(1)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2(1)).filter(_ >= 0).sum
     // a failed query is -1 in "queries" and EXCLUDED from "value" — the
@@ -197,7 +186,7 @@ object Bench {
     val calJson = cal.map { case (k, t) => JsonOut.str(k) + ":" + f4(t(1)) }
       .mkString("{", ",", "}")
     val passesJson = passTotals.map(f4).mkString("[", ",", "]")
-    val line = s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"runs":3,"stat":"best-of-$nPasses-pass median","passes":$passesJson,"cal":$calJson,"queries":$qs,"max":$spread,"unit":"sec","metric":"total","value":${f4(total)}}"""
+    val line = s"""{"sf":${JsonOut.str(sfName)},"failed":$failed,"runs":3,"stat":"best-of-$nPasses-pass median","passes":$passesJson,"cal":$calJson,"queries":$qs,"unit":"sec","metric":"total","value":${f4(total)}}"""
     println(line)
     // In-tree mirror (VERIFY_ERRORS.json precedent): the driver's
     // ~2,000-byte tail capture can truncate the stdout line's head as

@@ -103,9 +103,18 @@ object Cbo {
           |WHERE c_acctbal > 9000.0
           |GROUP BY c_mktsegment""".stripMargin)
       // force every QueryExecution phase inside the conf scope — the
-      // lazy-val memoization is what carries the CBO-on plan out of it
+      // lazy-val memoization pins the CBO-on executedPlan for callers
+      // that act on THIS frame (the spec's collect, explainOverride)
       df.queryExecution.executedPlan
-      df
+      // …but downstream WRITES (Bench's noop sink, Verify's parquet
+      // dump) wrap the frame in a NEW QueryExecution outside this conf
+      // scope, where CostBasedJoinReorder is off — they would silently
+      // re-plan the SYNTACTIC order. So hand back a frame built FROM
+      // the optimized plan: re-optimization without CBO preserves an
+      // existing join order (every join keeps its condition), it just
+      // cannot re-derive the reorder. The benched plan is the CBO plan.
+      org.apache.spark.sql.GraftBridge
+        .ofRows(spark, df.queryExecution.optimizedPlan)
     }
   }
 
@@ -139,6 +148,7 @@ object CboQueries {
              |JOIN customer ON o_custkey = c_custkey
              |WHERE c_acctbal > 9000.0 GROUP BY c_mktsegment"""
         .stripMargin.replace('\n', ' ')),
+      bench = true,
       explainOverride = Some((s, d) => {
         val off = Cbo.reorderJoin(s, d, reorder = false)
         val on = Cbo.reorderJoin(s, d, reorder = true)
