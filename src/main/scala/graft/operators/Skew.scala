@@ -206,12 +206,18 @@ object Skew {
     // of tiny advisory splits, the exact pathology this sizing exists to
     // fix (r13 advice). getContentSummary resolves through whatever
     // filesystem the path names.
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    // The WHOLE probe degrades to "unknown" on any failure — including
+    // Path's own IllegalArgumentException on a malformed URI and
+    // non-IO RuntimeExceptions from getFileSystem: the old java.io
+    // probe could never throw, and a sizing heuristic must not be the
+    // thing that kills the query (it has a safe default for exactly
+    // this case).
     val bytes =
       try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-      } catch { case _: java.io.IOException => 0L }
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     // Probe found nothing → Spark's own default advisory (64 MiB), NOT
     // the 16 KiB floor: an unknown input is far more likely production-
     // sized than fixture-sized, and the floor is the dangerous end.

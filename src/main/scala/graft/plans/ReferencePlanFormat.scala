@@ -206,7 +206,11 @@ object ReferencePlanFormat {
       // a non-default escape char changes the pattern's semantics —
       // dropping it would render a DIFFERENT predicate (r13 advice)
       val esc =
-        if (l.escapeChar == '\\') "" else s" ESCAPE '${l.escapeChar}'"
+        if (l.escapeChar == '\\') ""
+        // SQL string literal: a quote escape char must itself be
+        // doubled, or ESCAPE ''' renders as an unterminated literal
+        else if (l.escapeChar == '\'') " ESCAPE ''''"
+        else s" ESCAPE '${l.escapeChar}'"
       s"${expr(l.left)} LIKE ${expr(l.right)}$esc"
     case i: In =>
       s"${expr(i.value)} IN (${i.list.map(expr).mkString(", ")})"
