@@ -51,12 +51,14 @@ object Dml {
   }
 
   /** Read the committed version of the table at `dir` (ref-aware, so a
-    * freshly shallow-cloned table resolves to its source's data). */
+    * freshly shallow-cloned table resolves to its source's data, and
+    * DV-aware via [[readVersion]], so a deletion-vector commit reads as
+    * data minus vector). */
   def readLatest(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val v = java.nio.file.Files
       .readString(java.nio.file.Paths.get(dir, "_latest")).trim
-    spark.read.parquet(versionPath(dir, v))
+    readVersion(spark, dir, v)
   }
 
   private def snapshot(df: DataFrame, dir: String, name: String): DataFrame = {
@@ -256,6 +258,73 @@ object Dml {
     snapshot(kept, dir, "v1")
   }
 
+  /** DELETE … WHERE pred committed as a DELETION VECTOR (the Delta
+    * deletion-vectors / Iceberg position-delete kernel). [[delete]]
+    * rewrites the surviving complement — O(table) write amplification
+    * for a 0.01% delete, the dominant DML cost at 100 TB. Here the new
+    * version REUSES the current version's data directory untouched
+    * (the same `_ref` indirection [[shallowClone]] uses) and adds a
+    * `<version>_dv` parquet sidecar holding the DELETED ROWS, applied
+    * as a null-safe broadcast anti-join at read time ([[readVersion]]).
+    * Write cost is O(deleted rows); the committed data files are
+    * byte-identical before and after (DmlSpec asserts the file list).
+    *
+    * Semantics are EXACT with no primary-key assumption: the sidecar
+    * stores FULL ROWS, and any duplicate of a deleted tuple evaluates
+    * the predicate identically — so a full-tuple anti-join removes
+    * precisely the predicate's rows. Multiplicity is preserved in the
+    * sidecar (no distinct), so [[history]]'s footer arithmetic
+    * (data rows − sidecar rows) stays exact under duplicates too.
+    *
+    * Read overhead is one small broadcast anti-join per scan until
+    * [[optimize]] (or any copy-on-write mutation — they all read the
+    * LOGICAL table) folds the vector back into plain data files: the
+    * same compaction escape hatch Delta applies when a vector grows
+    * past its read-overhead budget. Like [[delete]], this snapshots an
+    * external base as v0 then publishes the DV commit as v1; the
+    * chained in-place form is [[dvDeleteLatest]]. */
+  def deleteWithDv(
+      base: DataFrame,
+      dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    snapshot(base, dir, "v0")
+    dvDeleteLatest(base.sparkSession, dir, pred)
+  }
+
+  /** One deletion-vector DELETE commit against the committed table
+    * (the chained form of [[deleteWithDv]], mirroring [[deleteLatest]]).
+    * Successive DV commits ACCUMULATE: the new sidecar unions the
+    * current version's vector with the newly deleted rows, so every
+    * version stays self-describing — exactly one data directory plus
+    * at most one sidecar, never a chain of vectors to replay. */
+  def dvDeleteLatest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = currentVersion(dir)
+    val next = "v" + (cur.stripPrefix("v").toInt + 1)
+    // deletions are evaluated against the LOGICAL current table (its own
+    // vector already applied), and the previous vector carries forward
+    val newlyDeleted = readVersion(spark, dir, cur)
+      .filter(coalesce(pred, lit(false)))
+    val curDv = Paths.get(dir, s"${cur}_dv")
+    val vector =
+      if (Files.exists(curDv))
+        spark.read.parquet(curDv.toString).unionByName(newlyDeleted)
+      else newlyDeleted
+    // sidecar + data ref land BEFORE the pointer flips (commit is last),
+    // so a concurrent reader resolves either the old or the new version
+    // complete — the store's atomicity contract, unchanged
+    vector.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_dv")
+    val tmp = Paths.get(dir, s".${next}_ref.tmp.${Thread.currentThread.getId}")
+    Files.writeString(tmp, versionPath(dir, cur))
+    Files.move(tmp, Paths.get(dir, s"${next}_ref"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commit(dir, next)
+    readVersion(spark, dir, next)
+  }
+
   // ---- time travel -------------------------------------------------------
   // Every committed version directory is IMMUTABLE once the pointer moves
   // past it (the copy-on-write discipline above never rewrites a published
@@ -281,11 +350,25 @@ object Dml {
   }
 
   /** TIME TRAVEL: read a specific committed version of the table at
-    * `dir` (`VERSION AS OF` on the commit-pointer store). */
+    * `dir` (`VERSION AS OF` on the commit-pointer store). A version
+    * carrying a `<version>_dv` sidecar ([[deleteWithDv]]) reads as its
+    * data directory MINUS the vector: a null-safe anti-join on every
+    * column — plain equi-join keys would never match a deleted row
+    * carrying a NULL field, silently resurrecting it. The vector is
+    * broadcast (it is small by construction — a vector past the
+    * broadcast budget is the signal to [[optimize]] it away). */
   def readVersion(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, version: String): DataFrame =
-    spark.read.parquet(versionPath(dir, version))
+      dir: String, version: String): DataFrame = {
+    val data = spark.read.parquet(versionPath(dir, version))
+    val dvDir = java.nio.file.Paths.get(dir, s"${version}_dv")
+    if (!java.nio.file.Files.exists(dvDir)) data
+    else {
+      val dv = spark.read.parquet(dvDir.toString)
+      val cond = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
+      data.join(broadcast(dv), cond, "left_anti")
+    }
+  }
 
   /** OPTIMIZE — compact the committed version's many small files into
     * `targetFiles` by publishing the SAME ROWS as a new version (the
@@ -330,8 +413,17 @@ object Dml {
       .filter(_.matches("v\\d+(_ref)?")) // a _ref FILE is a version too
       .map(_.stripSuffix("_ref"))        // (shallow-clone indirection)
       .toSeq.distinct.sortBy(_.drop(1).toInt)
-    val counts = versions.map(v =>
-      (v, footerRowCount(spark, versionPath(dir, v))))
+    // a DV version's logical count is data rows minus sidecar rows —
+    // exact because the sidecar preserves multiplicity (every deleted
+    // base row contributes exactly one sidecar row, see deleteWithDv)
+    val counts = versions.map { v =>
+      val dvDir = java.nio.file.Paths.get(dir, s"${v}_dv")
+      val dvRows =
+        if (java.nio.file.Files.exists(dvDir))
+          footerRowCount(spark, dvDir.toString)
+        else 0L
+      (v, footerRowCount(spark, versionPath(dir, v)) - dvRows)
+    }
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(expr("CAST(substring(version, 2) AS INT)")) // v10 > v9
     spark.createDataFrame(counts).toDF("version", "n_rows")
@@ -383,9 +475,22 @@ object Dml {
     val srcV = currentVersion(srcDir)
     Files.createDirectories(Paths.get(dstDir))
     val tmp = Paths.get(dstDir, s".v0_ref.tmp.${Thread.currentThread.getId}")
-    Files.writeString(tmp, s"$srcDir/$srcV")
+    // resolve through the source's own ref (a DV commit or a prior clone
+    // stores no data directory under its version name — writing the raw
+    // `$srcDir/$srcV` would dangle)
+    Files.writeString(tmp, versionPath(srcDir, srcV))
     Files.move(tmp, Paths.get(dstDir, "v0_ref"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // a DV source version: copy the (small, O(deleted rows)) sidecar so
+    // the clone's v0 preserves the source's LOGICAL view — the data stays
+    // zero-copy, which is the feature's contract
+    val srcDv = new org.apache.hadoop.fs.Path(s"$srcDir/${srcV}_dv")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = srcDv.getFileSystem(hconf)
+    if (fs.exists(srcDv))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, srcDv, fs, new org.apache.hadoop.fs.Path(s"$dstDir/v0_dv"),
+        false, true, hconf)
     commit(dstDir, "v0")
     readVersion(spark, dstDir, "v0")
   }
@@ -501,14 +606,41 @@ object Dml {
     require(keep >= 1, s"vacuum: keep must be >= 1, got $keep")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(base)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .sortBy(_.getPath.getName.stripPrefix("v").toInt)
+    // LOGICAL versions: plain `vN` data directories plus `vN_ref`-only
+    // commits (deletion-vector versions own no data directory of their
+    // own — dropping the ref file and sidecar IS dropping the version)
+    val names = fs.listStatus(base).map(_.getPath.getName)
+    val versions = names.collect {
+      case n if n.matches("v\\d+") => n
+      case n if n.matches("v\\d+_ref") => n.stripSuffix("_ref")
+    }.distinct.sortBy(_.stripPrefix("v").toInt).toSeq
     val cur = currentVersion(dir)
-    val retain = versions.takeRight(keep).map(_.getPath.getName).toSet + cur
-    val dropped = versions.filterNot(s => retain(s.getPath.getName))
-    dropped.foreach(s => fs.delete(s.getPath, true))
-    dropped.map(_.getPath.getName).toSeq
+    val window = versions.takeRight(keep).toSet + cur
+    // a retained DV version READS an earlier version's data directory
+    // through its _ref — that target version must survive even when its
+    // own number falls outside the window, or the retained commit
+    // dangles (the within-table twin of the documented cross-table
+    // shallow-clone retention hazard)
+    val refTargets = window.flatMap { v =>
+      val rp = java.nio.file.Paths.get(dir, s"${v}_ref")
+      if (!java.nio.file.Files.exists(rp)) None
+      else {
+        val target = new org.apache.hadoop.fs.Path(
+          java.nio.file.Files.readString(rp).trim)
+        val parent = Option(target.getParent).map(_.toUri.getPath)
+        if (parent.contains(base.toUri.getPath) &&
+            target.getName.matches("v\\d+")) Some(target.getName)
+        else None // cross-table ref: not this table's vacuum to manage
+      }
+    }
+    val retain = window ++ refTargets
+    val dropped = versions.filterNot(retain)
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${v}_dv"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${v}_ref"), false)
+    }
+    dropped
   }
 
   /** SNAPSHOT DIFF — the change feed between two committed versions:
@@ -973,6 +1105,26 @@ object DmlQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1""".stripMargin.replace('\n', ' ')),
       bench = true),
+
+    // DELETE as a DELETION VECTOR — see [[Dml.deleteWithDv]]: the
+    // commit reuses v0's data directory untouched and adds an
+    // O(deleted-rows) sidecar, applied as a broadcast anti-join at
+    // read. The gate holds the LOGICAL result to m04's relational
+    // contract (negated WHERE with the same NULL semantics); the
+    // zero-rewrite property, null-field deletes, duplicate-row
+    // semantics, accumulation, compaction, and vacuum's dangling-ref
+    // guard are DmlSpec's runtime evidence (file layout is not
+    // oracle territory).
+    Q("m25_deletion_vector",
+      (s, d) =>
+        Dml.deleteWithDv(
+          Tables.t(s, d, "orders"),
+          Dml.work("m25", d),
+          col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") < 50000.0),
+      Some("""SELECT * FROM orders WHERE NOT coalesce(
+             |o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0,
+             |FALSE)""".stripMargin.replace('\n', ' '))),
 
     // CREATE TABLE AS SELECT — the remaining DDL statement form after
     // m05's column-list CREATE: the derived summary materializes as a

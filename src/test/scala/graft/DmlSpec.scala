@@ -515,4 +515,115 @@ class DmlSpec extends SparkSpec {
     // the pre-compaction layout is still time-travel readable
     assert(Dml.readVersion(spark, dir, "v1").count() == 1001L)
   }
+
+  test("deletion vector (m25): logical result equals copy-on-write " +
+    "delete row for row, with ZERO data rewrite — the DV commit owns " +
+    "no data directory and serves v0's files") {
+    val base = Tables.t(spark, sf, "orders")
+    val pred = col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") < 50000.0
+    val out = q("m25_deletion_vector").build(spark, sf)
+    val dir = Dml.work("m25", sf)
+    assert(out.filter(pred).count() == 0)
+    assert(out.count() == base.filter(!coalesce(pred, lit(false))).count())
+    // zero rewrite: no v1 data dir; the version resolves into v0's files
+    assert(!new java.io.File(s"$dir/v1").exists,
+      "a DV commit must not write a data directory")
+    assert(Dml.versionPath(dir, "v1") == s"$dir/v0")
+    assert(new java.io.File(s"$dir/v1_dv").exists, "sidecar must exist")
+    // multiset identity with the copy-on-write twin
+    val cow = Dml.delete(base, Dml.work("spec_dv_cow", sf), pred)
+    assert(out.exceptAll(cow).isEmpty && cow.exceptAll(out).isEmpty,
+      "DV read must equal the rewritten complement exactly")
+  }
+
+  test("deletion vector: NULL-bearing deleted rows stay deleted (the " +
+    "anti-join is null-safe), duplicates follow predicate semantics, " +
+    "and successive DV commits accumulate into ONE sidecar") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_dv_nulls", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val df = Seq((1, Option("a")), (2, Option.empty[String]),
+      (2, Option.empty[String]), (3, Option("kill")), (3, Option("kill")))
+      .toDF("id", "tag")
+    // a plain equi-join would never match the NULL-tag rows
+    val out = Dml.deleteWithDv(df, dir, col("tag").isNull)
+    assert(out.count() == 3 && out.filter(col("tag").isNull).count() == 0)
+    // duplicate tuples evaluate the predicate identically: both copies go
+    val out2 = Dml.dvDeleteLatest(spark, dir, col("tag") === "kill")
+    assert(out2.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // still zero rewrite: v2 reads v0's data dir through its own ref,
+    // with v1's vector folded into v2's sidecar (no chain replay)
+    assert(Dml.versionPath(dir, "v2") == s"$dir/v0")
+    assert(Dml.readVersion(spark, dir, "v1").count() == 3,
+      "time travel to the intermediate DV version must still work")
+  }
+
+  test("deletion vector: history reports LOGICAL counts (footer minus " +
+    "sidecar), time travel reads pre-delete state, and optimize folds " +
+    "the vector back into plain data files") {
+    val dir = Dml.work("spec_dv_hist", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val base = Tables.t(spark, sf, "nation")
+    val total = base.count()
+    val deleted = base.filter(col("n_regionkey") === 0).count()
+    assert(deleted > 0, "fixture must exercise the delete")
+    Dml.deleteWithDv(base, dir, col("n_regionkey") === 0)
+    val h = Dml.history(spark, dir).orderBy("version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(h == Seq(("v0", total), ("v1", total - deleted)),
+      s"history must count the DV version logically: $h")
+    assert(Dml.readVersion(spark, dir, "v0").count() == total)
+    Dml.optimize(spark, dir) // v2: reads the logical table, writes plain
+    assert(new java.io.File(s"$dir/v2").exists, "compaction must own data")
+    assert(!new java.io.File(s"$dir/v2_dv").exists, "vector folded away")
+    assert(Dml.readLatest(spark, dir).count() == total - deleted)
+  }
+
+  test("deletion vector: vacuum retains the data directory a retained " +
+    "DV commit reads through its ref (dangling-ref guard), and a " +
+    "DROPPED DV version loses its ref file and sidecar too") {
+    val sq = spark; import sq.implicits._
+    val dir = Dml.work("spec_dv_vacuum", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Dml.insertValues(Seq(1, 2, 3, 4, 5).toDF("id"),
+      Seq(6).toDF("id"), dir)                        // v0 (5), v1 (6)
+    Dml.dvDeleteLatest(spark, dir, col("id") === 1)  // v2: ref -> v1
+    val dropped = Dml.vacuum(spark, dir, keep = 1)
+    assert(dropped == Seq("v0"),
+      s"v1 must survive as v2's ref target: dropped $dropped")
+    assert(new java.io.File(s"$dir/v1").exists)
+    assert(Dml.readLatest(spark, dir).orderBy("id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3, 4, 5, 6))
+    // roll forward to a plain version, vacuum again: the DV version and
+    // its ref target both drop, sidecar and ref file included
+    Dml.deleteLatest(spark, dir, lit(false))         // v3: plain snapshot
+    val dropped2 = Dml.vacuum(spark, dir, keep = 1)
+    assert(dropped2 == Seq("v1", "v2"), s"got $dropped2")
+    assert(!new java.io.File(s"$dir/v1").exists)
+    assert(!new java.io.File(s"$dir/v2_dv").exists, "sidecar must drop")
+    assert(!new java.io.File(s"$dir/v2_ref").exists, "ref file must drop")
+    assert(Dml.readLatest(spark, dir).count() == 5)
+  }
+
+  test("deletion vector: shallow clone of a DV-latest source stays " +
+    "zero-copy on DATA (clone resolves into the source's data dir) " +
+    "while carrying the sidecar, so the clone preserves the logical " +
+    "view independently of the source's later compaction") {
+    val src = Dml.work("spec_dv_clone_src", sf)
+    val dst = Dml.work("spec_dv_clone_dst", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+    val base = Tables.t(spark, sf, "nation")
+    val kept = Dml.deleteWithDv(base, src, col("n_regionkey") === 0).count()
+    val clone = Dml.shallowClone(spark, src, dst)
+    assert(clone.count() == kept)
+    assert(Dml.versionPath(dst, "v0") == s"$src/v0",
+      "clone data must be zero-copy into the source's v0")
+    assert(new java.io.File(s"$dst/v0_dv").exists, "sidecar must carry")
+    // source compacts (vector folded into new files); the clone's view
+    // is unaffected because it holds its own sidecar copy
+    Dml.optimize(spark, src)
+    assert(Dml.readLatest(spark, dst).count() == kept)
+  }
 }
