@@ -286,8 +286,19 @@ class ExecutionContext(
   private def sqlDelete(
       table: String, whereExpr: Option[String]): DataFrame = {
     requireTable(table)
-    val out = Dml.delete(spark.table(table), sqlDmlDir(table),
-      whereExpr.map(expr).getOrElse(lit(true)))
+    val pred = whereExpr.map(expr).getOrElse(lit(true))
+    // DELETE strategy is a session choice (`spark.graft.delete.mode`):
+    // "rewrite" (default) publishes the surviving complement —
+    // O(table) write; "dv" commits a deletion vector
+    // ([[Dml.deleteWithDv]]) — O(deleted rows) write, the right mode
+    // for small deletes against a large table. Either mode yields the
+    // same logical state (m26 shares m04's oracle under the hash gate).
+    val out =
+      spark.conf.get("spark.graft.delete.mode", "rewrite") match {
+        case "dv" => Dml.deleteWithDv(spark.table(table),
+          sqlDmlDir(table), pred)
+        case _ => Dml.delete(spark.table(table), sqlDmlDir(table), pred)
+      }
     out.createOrReplaceTempView(table)
     out
   }

@@ -1126,6 +1126,29 @@ object DmlQueries {
              |o_orderpriority = '1-URGENT' AND o_totalprice < 50000.0,
              |FALSE)""".stripMargin.replace('\n', ' '))),
 
+    // The SQL surface of the deletion vector: `spark.graft.delete.mode`
+    // = "dv" routes ExecutionContext's DELETE statement through
+    // [[Dml.deleteWithDv]] instead of the complement rewrite. Shares
+    // m04's relational contract — one oracle, two commit strategies,
+    // the mode switch proven semantically invisible under the hash
+    // gate (the store-shape evidence is ExecutionContextSpec's). The
+    // entry mutates its OWN registered view name (m10's discipline),
+    // never the shared catalog tables, and restores the session conf.
+    Q("m26_sql_dv_delete",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        Tables.t(s, d, "customer")
+          .createOrReplaceTempView("g_dv_customer")
+        val saved = s.conf.getOption("spark.graft.delete.mode")
+        s.conf.set("spark.graft.delete.mode", "dv")
+        try ctx.execute("DELETE FROM g_dv_customer WHERE c_acctbal < 0")
+        finally saved match {
+          case Some(v) => s.conf.set("spark.graft.delete.mode", v)
+          case None    => s.conf.unset("spark.graft.delete.mode")
+        }
+      },
+      Some("SELECT * FROM customer WHERE NOT coalesce(c_acctbal < 0, FALSE)")),
+
     // CREATE TABLE AS SELECT — the remaining DDL statement form after
     // m05's column-list CREATE: the derived summary materializes as a
     // real parquet catalog table and the follow-up SELECT reads it

@@ -103,6 +103,61 @@ object Layouts {
           j * 2 + 1))
   }
 
+  /** FILE-LEVEL MIN/MAX DATA SKIPPING, write side: range-partition +
+    * sort `df` by `keyCol` into ~`nFiles` files under `dir/data`, then
+    * restate each file's (min, max, rows) on the key as a parquet stats
+    * manifest under `dir/_filestats` — the per-file stats block every
+    * lakehouse log (Delta `stats`, Iceberg manifest entries) carries.
+    * The sort is what makes the stats SELECTIVE: each file owns a
+    * narrow, near-disjoint key range, so a point/range predicate
+    * intersects few files. A real log collects the stats in the writer
+    * itself; the one-pass restatement here reads back what was written,
+    * which is the same information one scan later. */
+  def writeWithStats(
+      spark: SparkSession, df: DataFrame, dir: String,
+      keyCol: String, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    deleteDir(spark, s"$dir/data")
+    deleteDir(spark, s"$dir/_filestats")
+    df.repartitionByRange(nFiles, df(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    spark.read.parquet(s"$dir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_filestats")
+  }
+
+  /** FILE-LEVEL MIN/MAX DATA SKIPPING, read side: prune the FILE LIST
+    * from the stats manifest before the scan even plans — only files
+    * whose [min_key, max_key] intersects [lo, hi] are handed to the
+    * reader. This is planning-time listing reduction on a NON-partition
+    * column (the mechanism behind Delta/Iceberg data skipping): distinct
+    * from partition pruning (io03/io17 — needs the column in the path)
+    * and from parquet row-group skipping (io07 — the reader still opens
+    * every file's footer). At 100 TB with millions of files, not
+    * touching the excluded files' footers IS the win. The driver-side
+    * collect is file-count-sized metadata — the log read every
+    * lakehouse planner performs — never data. Returns (frame, files
+    * read, files total) so callers can assert the skipping happened. */
+  def skippingScan(
+      spark: SparkSession, dir: String, keyCol: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(s"$dir/_filestats")
+    val total = stats.count().toInt
+    val keep = stats
+      .filter(!(col("max_key") < lo || col("min_key") > hi))
+      .select("file").collect().map(_.getString(0))
+    val pred = col(keyCol) >= lo && col(keyCol) <= hi
+    val df =
+      if (keep.isEmpty) // schema from the full layout, zero rows
+        spark.read.parquet(s"$dir/data").filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)
+    (df, keep.length, total)
+  }
+
   /** Parquet data files under `dir` (recursive; `_`-prefixed metadata and
     * hidden files excluded) with their sizes. */
   private def dataFiles(spark: SparkSession, dir: String)

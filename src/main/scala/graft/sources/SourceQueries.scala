@@ -616,7 +616,34 @@ object SourceQueries {
              |AS total FROM orders
              |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
              |GROUP BY 1""".stripMargin.replace('\n', ' ')),
-      bench = true)
+      bench = true),
+
+    // FILE-LEVEL MIN/MAX DATA SKIPPING ([[Layouts.writeWithStats]] /
+    // [[Layouts.skippingScan]]): planning-time FILE-LIST pruning from a
+    // per-file stats manifest on a NON-partition column — the
+    // Delta/Iceberg data-skipping mechanism, distinct from partition
+    // pruning (io03/io17) and parquet row-group skipping (io07). The
+    // gate holds the pruned read to the plain relational range query;
+    // the files-read < files-total evidence is SkewLayoutSpec's (file
+    // counts are layout-dependent, not oracle territory). The key range
+    // sits in replica 0's key space, so octave runs skip even harder.
+    Q("io18_stats_skipping",
+      (s, d) => {
+        val dir = Dml.work("io18", d)
+        Layouts.writeWithStats(
+          s, Tables.t(s, d, "lineitem"), dir, "l_orderkey", 16)
+        val (df, _, _) =
+          Layouts.skippingScan(s, dir, "l_orderkey", 100L, 2000L)
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS qty FROM lineitem
+             |WHERE l_orderkey >= 100 AND l_orderkey <= 2000
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
 
   /** io17's partitioned fact + lookup dim, written ONCE per

@@ -535,6 +535,11 @@ class DmlSpec extends SparkSpec {
     val cow = Dml.delete(base, Dml.work("spec_dv_cow", sf), pred)
     assert(out.exceptAll(cow).isEmpty && cow.exceptAll(out).isEmpty,
       "DV read must equal the rewritten complement exactly")
+    // plan-level evidence: the vector applies as a BROADCAST anti-join
+    // (the read-overhead contract — no shuffle of the data side)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV read must plan a broadcast anti-join:\n$plan")
   }
 
   test("deletion vector: NULL-bearing deleted rows stay deleted (the " +

@@ -773,4 +773,44 @@ class ExecutionContextSpec extends SparkSpec {
       org.apache.spark.sql.types.DecimalType(10, 2))
     spark.catalog.dropTempView("spec_alter_t")
   }
+
+  test("spark.graft.delete.mode=dv routes the SQL DELETE through a " +
+    "deletion-vector commit (broadcast anti-join in the read plan); " +
+    "the default stays the complement rewrite; both modes agree row " +
+    "for row") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val ctx = new ExecutionContext(spark)
+    // private view names (m10's discipline): a SQL DELETE re-registers
+    // its target view, so mutating the shared fixture views would leak
+    // post-delete state into every later test in this session
+    Tables.t(spark, sf, "customer")
+      .createOrReplaceTempView("spec_dvmode_a")
+    Tables.t(spark, sf, "customer")
+      .createOrReplaceTempView("spec_dvmode_b")
+    val expected = Tables.t(spark, sf, "customer")
+      .filter(!coalesce(col("c_acctbal") < 0, lit(false))).count()
+    // default mode: plain rewrite — the read is a bare scan, no anti-join
+    val rewrite = ctx.execute("DELETE FROM spec_dvmode_a WHERE c_acctbal < 0")
+    assert(rewrite.count() == expected)
+    assert(!rewrite.queryExecution.executedPlan.toString
+      .contains("LeftAnti"), "rewrite mode must not plan an anti-join")
+    // dv mode: the returned state reads data-minus-vector
+    val saved = spark.conf.getOption("spark.graft.delete.mode")
+    spark.conf.set("spark.graft.delete.mode", "dv")
+    try {
+      val dv = ctx.execute("DELETE FROM spec_dvmode_b WHERE c_acctbal < 0")
+      assert(dv.count() == expected)
+      val plan = dv.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("LeftAnti"),
+        s"dv mode must plan a broadcast anti-join:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.delete.mode", v)
+        case None    => spark.conf.unset("spark.graft.delete.mode")
+      }
+      spark.catalog.dropTempView("spec_dvmode_a")
+      spark.catalog.dropTempView("spec_dvmode_b")
+    }
+  }
 }

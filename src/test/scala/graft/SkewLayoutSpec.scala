@@ -96,6 +96,30 @@ class SkewLayoutSpec extends SparkSpec {
       s"z-order must concentrate the y-slice: z=$zTouched x=$xTouched")
   }
 
+  test("file-level stats skipping: the manifest prunes the FILE LIST " +
+    "before the scan plans (files read < files total), the pruned read " +
+    "equals the full-scan filter row for row, and a miss range reads " +
+    "ZERO files with the right schema") {
+    val dir = Dml.work("layout_statskip", sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    Layouts.writeWithStats(spark, li, dir, "l_orderkey", 16)
+    val (lo, hi) = (100L, 2000L)
+    val (pruned, kept, total) =
+      Layouts.skippingScan(spark, dir, "l_orderkey", lo, hi)
+    assert(total >= 8, s"need a multi-file layout: $total")
+    assert(kept > 0 && kept < total,
+      s"the narrow range must skip files: read $kept of $total")
+    val full = li.filter(col("l_orderkey").between(lo, hi))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruning must be lossless against the plain filter")
+    // a range past every file's max: zero files, empty frame, full schema
+    val maxKey = li.agg(max("l_orderkey")).collect().head.getLong(0)
+    val (missDf, missKept, _) = Layouts.skippingScan(
+      spark, dir, "l_orderkey", maxKey + 10, maxKey + 20)
+    assert(missKept == 0 && missDf.isEmpty)
+    assert(missDf.schema == spark.read.parquet(s"$dir/data").schema)
+  }
+
   test("AQE splits a skewed join partition at runtime (the no-code-change " +
     "complement to k02's explicit salting: OptimizeSkewedJoin marks the " +
     "sort-merge join skew=true and the result stays exact)") {
