@@ -158,6 +158,74 @@ object Layouts {
     (df, keep.length, total)
   }
 
+  /** Z-ORDERED MULTI-COLUMN DATA SKIPPING, write side (the
+    * `OPTIMIZE ZORDER BY (a, b)` kernel): linearly quantize BOTH columns
+    * to `bits`-bit grid cells against their observed min/max (one cheap
+    * agg — two driver scalars per column, never data), interleave the
+    * cells with [[zOrderValue]], range-partition + sort by the curve
+    * value, and restate each file's (min, max) ON EACH ORIGINAL COLUMN
+    * into a parquet stats manifest under `dir/_filestats`. A single-key
+    * sort ([[writeWithStats]]) makes the stats selective on ONE column
+    * and leaves every other column's per-file bounds at full width; the
+    * space-filling curve keeps rows that are close in EITHER dimension
+    * in the same few files, so the SAME manifest prunes on BOTH columns
+    * — at 100 TB that is one layout serving two query families instead
+    * of two copies of the table. Linear quantization (not rank) keeps
+    * the pass count at one agg + one shuffle; heavily skewed columns
+    * would swap in approx-quantile boundaries, same curve. */
+  def writeZOrdered(
+      spark: SparkSession, df: DataFrame, dir: String,
+      colA: String, colB: String, nFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    deleteDir(spark, s"$dir/data")
+    deleteDir(spark, s"$dir/_filestats")
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect().head
+    val top = (1L << bits) - 1
+    def cell(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L) // constant column: every row in cell 0
+      else least(lit(top), greatest(lit(0L),
+        ((col(c).cast("double") - lo) / (hi - lo) * top).cast("long")))
+    val z = zOrderValue(
+      cell(colA, b.getDouble(0), b.getDouble(1)),
+      cell(colB, b.getDouble(2), b.getDouble(3)), bits)
+    df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    spark.read.parquet(s"$dir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(col(colA)).as(s"min_$colA"), max(col(colA)).as(s"max_$colA"),
+        min(col(colB)).as(s"min_$colB"), max(col(colB)).as(s"max_$colB"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_filestats")
+  }
+
+  /** Read side of [[writeZOrdered]]: prune the file list on ANY column
+    * the manifest carries (`min_<col>`/`max_<col>` pairs), then apply
+    * the exact predicate. Same planning-time listing reduction as
+    * [[skippingScan]], generalized to the multi-column manifest — the
+    * caller picks whichever z-ordered column the query constrains. */
+  def skippingScanOn(
+      spark: SparkSession, dir: String, keyCol: String,
+      lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val stats = spark.read.parquet(s"$dir/_filestats")
+    require(stats.columns.contains(s"min_$keyCol"),
+      s"skippingScanOn: manifest carries no stats for column '$keyCol' " +
+        s"(have: ${stats.columns.mkString(", ")})")
+    val total = stats.count().toInt
+    val keep = stats
+      .filter(!(col(s"max_$keyCol") < lo || col(s"min_$keyCol") > hi))
+      .select("file").collect().map(_.getString(0))
+    val pred = col(keyCol) >= lo && col(keyCol) <= hi
+    val df =
+      if (keep.isEmpty) spark.read.parquet(s"$dir/data").filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*).filter(pred)
+    (df, keep.length, total)
+  }
+
   /** Parquet data files under `dir` (recursive; `_`-prefixed metadata and
     * hidden files excluded) with their sizes. */
   private def dataFiles(spark: SparkSession, dir: String)

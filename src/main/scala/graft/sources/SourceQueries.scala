@@ -643,6 +643,35 @@ object SourceQueries {
              |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |AS qty FROM lineitem
              |WHERE l_orderkey >= 100 AND l_orderkey <= 2000
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // Z-ORDERED MULTI-COLUMN SKIPPING ([[Layouts.writeZOrdered]] /
+    // [[Layouts.skippingScanOn]]): ONE space-filling-curve layout whose
+    // per-file stats prune on EITHER clustered column — here the gate
+    // reads through a predicate on the SECOND column (l_partkey), the
+    // one a single-key sort leaves unprunable (every first-key-sorted
+    // file spans the full partkey range). The hash gate holds the
+    // pruned read to the plain relational range query; the
+    // files-read < files-total evidence on BOTH columns is
+    // SkewLayoutSpec's. Range in replica 0's key space (octave runs
+    // skip harder, like io18).
+    Q("io19_zorder_skipping",
+      (s, d) => {
+        val dir = Dml.work("io19", d)
+        Layouts.writeZOrdered(
+          s, Tables.t(s, d, "lineitem"), dir,
+          "l_orderkey", "l_partkey", 16)
+        val (df, _, _) =
+          Layouts.skippingScanOn(s, dir, "l_partkey", 50d, 400d)
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS revenue FROM lineitem
+             |WHERE l_partkey >= 50 AND l_partkey <= 400
              |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
 

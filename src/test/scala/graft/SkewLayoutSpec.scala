@@ -120,6 +120,53 @@ class SkewLayoutSpec extends SparkSpec {
     assert(missDf.schema == spark.read.parquet(s"$dir/data").schema)
   }
 
+  test("z-ordered stats skipping: ONE layout's manifest prunes the file " +
+    "list on EITHER clustered column (the multi-column property a " +
+    "single-key sort cannot give), losslessly, and a single-key-sorted " +
+    "control of the same data cannot prune the second column") {
+    val dir = Dml.work("layout_zskip", sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    Layouts.writeZOrdered(spark, li, dir, "l_orderkey", "l_partkey", 16)
+    // narrow windows (1/8 of each column's observed range, off the low
+    // edge) — sized to the fixture, not hard-coded key values, so the
+    // spec holds at any sf
+    val ext = li.agg(
+      min("l_orderkey").cast("double"), max("l_orderkey").cast("double"),
+      min("l_partkey").cast("double"), max("l_partkey").cast("double"))
+      .collect().head
+    def window(lo: Double, hi: Double): (Double, Double) = {
+      val w = math.max((hi - lo) / 8, 1d)
+      (lo + w / 2, lo + w / 2 + w)
+    }
+    val (aLo, aHi) = window(ext.getDouble(0), ext.getDouble(1))
+    val (bLo, bHi) = window(ext.getDouble(2), ext.getDouble(3))
+    val (onA, keptA, totalA) =
+      Layouts.skippingScanOn(spark, dir, "l_orderkey", aLo, aHi)
+    val (onB, keptB, totalB) =
+      Layouts.skippingScanOn(spark, dir, "l_partkey", bLo, bHi)
+    assert(totalA >= 8 && totalA == totalB, s"multi-file layout: $totalA")
+    assert(keptA > 0 && keptA < totalA,
+      s"first-column range must skip files: read $keptA of $totalA")
+    assert(keptB > 0 && keptB < totalB,
+      s"SECOND-column range must skip files too: read $keptB of $totalB")
+    // lossless on both columns vs the plain filter
+    val fullA = li.filter(col("l_orderkey").between(aLo, aHi))
+    val fullB = li.filter(col("l_partkey").between(bLo, bHi))
+    assert(onA.exceptAll(fullA).isEmpty && fullA.exceptAll(onA).isEmpty)
+    assert(onB.exceptAll(fullB).isEmpty && fullB.exceptAll(onB).isEmpty)
+    // control: the io18 single-key layout on l_orderkey leaves every
+    // file's l_partkey bounds at (nearly) full width — the same
+    // second-column window prunes nothing (or close to it)
+    val ctl = Dml.work("layout_zskip_ctl", sf)
+    Layouts.writeWithStats(spark, li, ctl, "l_orderkey", 16)
+    val ctlTouched = spark.read.parquet(s"$ctl/data")
+      .filter(col("l_partkey").between(bLo, bHi))
+      .select(input_file_name()).distinct().count()
+    assert(keptB < ctlTouched,
+      s"z-order must beat the single-key sort on the second column: " +
+        s"z=$keptB vs single-key=$ctlTouched")
+  }
+
   test("AQE splits a skewed join partition at runtime (the no-code-change " +
     "complement to k02's explicit salting: OptimizeSkewedJoin marks the " +
     "sort-merge join skew=true and the result stays exact)") {
