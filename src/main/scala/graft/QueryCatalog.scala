@@ -33,7 +33,8 @@ object QueryCatalog {
       SamplingQueries.queries ++
       SourceQueries.queries ++
       GraphQueries.queries ++
-      CboQueries.queries
+      CboQueries.queries ++
+      MvQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Materialized-view auto-rewrite: the rule redirects matching rollups to
+  * the summary scan, declines everything unsound, and never changes rows. */
+class MvSpec extends SparkSpec {
+
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }.toSet
+  private def mvScanned(df: org.apache.spark.sql.DataFrame): Boolean =
+    scanRoots(df).exists(_.contains("q61_mv"))
+  private def baseScanned(df: org.apache.spark.sql.DataFrame): Boolean =
+    scanRoots(df).exists(_.contains("lineitem.parquet"))
+
+  test("the rollup query rewrites to the summary scan and its rows equal " +
+    "the base-table answer exactly (count, widened-sum, max all roll up)") {
+    MvQueries.ensureMv(spark, sf)
+    val on = MvQueries.rollupQuery(spark, sf)
+    assert(mvScanned(on) && !baseScanned(on),
+      s"rewrite must swap the scan:\n${on.queryExecution.optimizedPlan}")
+    val got = on.orderBy("l_returnflag").collect()
+    val want = Mv.withDisabled {
+      val off = MvQueries.rollupQuery(spark, sf)
+      assert(baseScanned(off) && !mvScanned(off),
+        "control arm must scan the base table")
+      off.orderBy("l_returnflag").collect()
+    }
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+      s"rewrite must be row-invisible:\n got ${got.mkString("|")}\nwant " +
+        want.mkString("|"))
+    assert(got.nonEmpty && got.head.schema.fieldNames.toSeq ==
+      Seq("l_returnflag", "n", "sum_qty", "max_price"))
+  }
+
+  test("grouping by ALL MV dims (no filter) also rewrites, and a parent " +
+    "operator above the aggregate re-binds the preserved exprIds") {
+    MvQueries.ensureMv(spark, sf)
+    val on = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("l_returnflag"), col("l_linestatus"))
+    assert(mvScanned(on), on.queryExecution.optimizedPlan.toString)
+    val got = on.collect()
+    val want = Mv.withDisabled {
+      Tables.t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("l_returnflag"), col("l_linestatus"))
+        .collect()
+    }
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("unsound shapes DECLINE: a non-dim filter, a non-registered " +
+    "measure, a DISTINCT aggregate, and an avg each fall back to the base " +
+    "scan (wrong rewrites fail toward no-rewrite)") {
+    MvQueries.ensureMv(spark, sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    val nonDimFilter = li.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val nonMeasure = li.groupBy("l_returnflag")
+      .agg(sum(col("l_tax").cast("decimal(18,2)")).as("t"))
+    val distinctAgg = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("d"))
+    val avgAgg = li.groupBy("l_returnflag")
+      .agg(avg(col("l_quantity")).as("a"))
+    for ((df, label) <- Seq(
+        (nonDimFilter, "non-dim filter"), (nonMeasure, "non-measure"),
+        (distinctAgg, "distinct"), (avgAgg, "avg")))
+      assert(baseScanned(df) && !mvScanned(df),
+        s"$label must decline the rewrite:\n" +
+          df.queryExecution.optimizedPlan.toString)
+    // and they still answer correctly off the base
+    assert(nonDimFilter.collect().nonEmpty && avgAgg.collect().nonEmpty)
+  }
+
+  test("freshness guard: a base table that gained files since " +
+    "registration serves the BASE scan, never the stale summary") {
+    val baseDir = Dml.work("mv_stale", sf) + "/base"
+    Layouts.deleteDir(spark, baseDir)
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+    li.write.parquet(baseDir)
+    Mv.register(spark, "stale_probe", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = Dml.work("mv_stale", sf) + "/summary")
+    def probe() = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(probe()).exists(_.contains("summary")),
+      "fresh registration must rewrite")
+    // the base gains a file — the MV is now stale
+    li.limit(7).write.mode("append").parquet(baseDir)
+    val after = probe()
+    assert(!scanRoots(after).exists(_.contains("summary")),
+      s"stale MV must not serve:\n${after.queryExecution.optimizedPlan}")
+    // and the answer reflects the appended rows
+    assert(after.agg(sum("n")).collect().head.getLong(0) ==
+      li.count() + 7)
+  }
+
+  test("incremental refresh folds ONLY the appended files into the " +
+    "summary (delta=1 of 5 files), the refreshed MV serves the rewrite, " +
+    "its answer equals the full recompute, and a no-change refresh is " +
+    "a 0-delta no-op") {
+    val root = Dml.work("mv_inc_spec", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    li.repartition(4).write.parquet(baseDir) // 4 base files
+    val d0 = Mv.register(spark, "inc_probe", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(
+        count(lit(1)).as("mv_cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum"),
+        min(col("l_orderkey")).as("mv_min")),
+      mvPath = s"$root/summary")
+    li.filter(col("l_orderkey") % 97 === 0)
+      .repartition(1).write.mode("append").parquet(baseDir) // +1 file
+    val (delta, total) = Mv.refreshIncremental(spark, d0.baseRoots)
+    assert((delta, total) == (1, 5),
+      s"refresh must fold exactly the appended file: $delta/$total")
+    def probe() = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("s"),
+        min(col("l_orderkey")).as("m"))
+    val served = probe()
+    assert(scanRoots(served).exists(_.contains("summary_r1")),
+      s"rewrite must serve the refreshed summary:\n" +
+        served.queryExecution.optimizedPlan.toString)
+    val got = served.orderBy("l_returnflag").collect()
+    val want = Mv.withDisabled {
+      probe().orderBy("l_returnflag").collect()
+    }
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq,
+      "the O(delta) fold must equal the full recompute exactly")
+    // idle refresh: nothing new, nothing folded
+    assert(Mv.refreshIncremental(spark, d0.baseRoots) == (0, 5))
+  }
+
+  test("incremental refresh REBUILDS when a base file disappears " +
+    "(partial folds can't un-fold a min) — correct at full cost, never " +
+    "silently wrong") {
+    val root = Dml.work("mv_inc_rebuild", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity")
+    li.repartition(3).write.parquet(baseDir)
+    val d0 = Mv.register(spark, "rebuild_probe",
+      spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary")
+    // a compaction-style rewrite: fewer, different files
+    val snapshot = spark.read.parquet(baseDir).cache()
+    snapshot.count()
+    snapshot.repartition(1).write.mode("overwrite").parquet(baseDir)
+    snapshot.unpersist()
+    val (delta, _) = Mv.refreshIncremental(spark, d0.baseRoots)
+    assert(delta == -1, "a removed file must take the rebuild path")
+    val served = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(served).exists(_.contains("summary_r1")),
+      "the rebuilt summary must serve")
+    val got = served.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Mv.withDisabled {
+      spark.read.parquet(baseDir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(got == want)
+  }
+
+  test("registration rejects a measure that cannot roll up losslessly") {
+    val e = intercept[IllegalArgumentException] {
+      Mv.register(spark, "bad", Tables.t(spark, sf, "lineitem"),
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(avg("l_quantity").as("mv_avg")),
+        mvPath = Dml.work("mv_bad", sf) + "/summary")
+    }
+    assert(e.getMessage.contains("roll"))
+  }
+}
