@@ -364,10 +364,26 @@ class ExecutionContext(
       })
     val vals = insVals.map(ExecutionContext.splitList(_)
       .map(v => expr(v.trim)))
-    val out = Dml.merge(spark.table(table), sqlDmlDir(table),
-      spark.table(src), expr(onText), assignments, cols, vals,
-      targetAlias = tAlias, sourceAlias = sAlias,
-      notMatchedBySourceDelete = bySourceDelete)
+    // MERGE commit strategy is a session choice (`spark.graft.merge
+    // .mode`): "rewrite" (default) publishes the merged table —
+    // O(table) write; "dv" commits merge-on-read ([[Dml.mergeWithDv]])
+    // — O(changed rows) sidecars, the right mode for a small upsert
+    // against a large table. Either mode yields the same logical state
+    // (m28 shares m11's oracle under the hash gate). The SYNC clause
+    // (WHEN NOT MATCHED BY SOURCE THEN DELETE) always takes the
+    // rewrite path: it touches the whole non-matched complement, so a
+    // merge-on-read commit would still be O(table) — nothing to save.
+    val mor = !bySourceDelete &&
+      spark.conf.get("spark.graft.merge.mode", "rewrite") == "dv"
+    val out =
+      if (mor)
+        Dml.mergeWithDv(spark.table(table), sqlDmlDir(table),
+          spark.table(src), expr(onText), assignments, cols, vals,
+          targetAlias = tAlias, sourceAlias = sAlias)
+      else Dml.merge(spark.table(table), sqlDmlDir(table),
+        spark.table(src), expr(onText), assignments, cols, vals,
+        targetAlias = tAlias, sourceAlias = sAlias,
+        notMatchedBySourceDelete = bySourceDelete)
     out.createOrReplaceTempView(table)
     out
   }

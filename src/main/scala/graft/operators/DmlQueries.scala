@@ -247,6 +247,24 @@ object Dml {
     snapshot(merged, dir, "v1")
   }
 
+  /** [[mergeOnRead]] against an external base: snapshot `base` as v0,
+    * then commit the merge as v1's sidecar pair (the [[deleteWithDv]]
+    * convenience shape, for MERGE). */
+  def mergeWithDv(
+      base: DataFrame,
+      dir: String,
+      source: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      insertCols: Option[Seq[String]],
+      insertVals: Option[Seq[org.apache.spark.sql.Column]],
+      targetAlias: String = "t",
+      sourceAlias: String = "s"): DataFrame = {
+    snapshot(base, dir, "v0")
+    mergeOnRead(base.sparkSession, dir, source, cond, assignments,
+      insertCols, insertVals, targetAlias, sourceAlias)
+  }
+
   /** DELETE FROM t WHERE pred — keep the complement, publish v1 via the
     * commit pointer. */
   def delete(
@@ -304,19 +322,150 @@ object Dml {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val cur = currentVersion(dir)
     val next = "v" + (cur.stripPrefix("v").toInt + 1)
-    // deletions are evaluated against the LOGICAL current table (its own
-    // vector already applied), and the previous vector carries forward
-    val newlyDeleted = readVersion(spark, dir, cur)
-      .filter(coalesce(pred, lit(false)))
+    // deletions split by ORIGIN: base-data rows delete through the
+    // vector (anti-joined at read, so footer arithmetic stays exact —
+    // one sidecar row per deleted base row); append-sidecar rows (a
+    // prior mergeOnRead's delta) delete by REWRITING the O(changes)
+    // append copy — the vector never addresses append rows, which is
+    // what lets readVersion apply it to the data directory alone.
+    val data = spark.read.parquet(versionPath(dir, cur))
     val curDv = Paths.get(dir, s"${cur}_dv")
+    val dataLogical =
+      if (!Files.exists(curDv)) data
+      else {
+        val dv = spark.read.parquet(curDv.toString)
+        val cnd = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
+        data.join(broadcast(dv), cnd, "left_anti")
+      }
+    val matchedData = dataLogical.filter(coalesce(pred, lit(false)))
     val vector =
       if (Files.exists(curDv))
-        spark.read.parquet(curDv.toString).unionByName(newlyDeleted)
-      else newlyDeleted
+        spark.read.parquet(curDv.toString).unionByName(matchedData)
+      else matchedData
     // sidecar + data ref land BEFORE the pointer flips (commit is last),
     // so a concurrent reader resolves either the old or the new version
     // complete — the store's atomicity contract, unchanged
     vector.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_dv")
+    val curAp = Paths.get(dir, s"${cur}_append")
+    if (Files.exists(curAp))
+      spark.read.parquet(curAp.toString)
+        .filter(!coalesce(pred, lit(false)))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_append")
+    val tmp = Paths.get(dir, s".${next}_ref.tmp.${Thread.currentThread.getId}")
+    Files.writeString(tmp, versionPath(dir, cur))
+    Files.move(tmp, Paths.get(dir, s"${next}_ref"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    commit(dir, next)
+    readVersion(spark, dir, next)
+  }
+
+  /** MERGE-ON-READ MERGE — the upsert as an O(changes) commit (Delta
+    * deletion-vector MERGE / Iceberg merge-on-read): the new version
+    * REUSES the current data directory untouched (the `_ref`
+    * indirection), records the matched rows' PRE-IMAGES in the
+    * `_dv` sidecar, and lands updated images + inserts in an
+    * `_append` sidecar; [[readVersion]] composes them as
+    * (data − vector) ∪ append. At 100 TB this is the difference
+    * between rewriting the table and writing O(changed rows) for a
+    * 0.01% upsert — the copy-on-write [[merge]] stays the right call
+    * when the match fraction is large (and [[optimize]] folds the
+    * sidecars back to plain files either way).
+    *
+    * Semantics are identical to [[merge]]'s two-clause form (WHEN
+    * MATCHED UPDATE / WHEN NOT MATCHED INSERT), including the ANSI
+    * cardinality check; the m27 gate holds this commit strategy to
+    * m11's relational MERGE oracle. Origin split: the vector gets the
+    * matched BASE-DATA pre-images only (multiplicity-preserving, so
+    * history's footer arithmetic stays exact); matched rows living in
+    * the CURRENT version's append sidecar are dropped by rewriting
+    * that O(changes) copy instead — the vector never addresses append
+    * rows, so an updated image equal to its pre-image (the identity
+    * assignment) survives its own commit. Every written column CASTS
+    * to the base schema (a drifted type in the append dir would
+    * poison later unions). */
+  def mergeOnRead(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      source: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      insertCols: Option[Seq[String]],
+      insertVals: Option[Seq[org.apache.spark.sql.Column]],
+      targetAlias: String = "t",
+      sourceAlias: String = "s",
+      checkCardinality: Boolean = true): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cur = currentVersion(dir)
+    val next = "v" + (cur.stripPrefix("v").toInt + 1)
+    val rowid = "__graft_rowid"
+    val data = spark.read.parquet(versionPath(dir, cur))
+    val curDvP = Paths.get(dir, s"${cur}_dv")
+    val dataLogical =
+      if (!Files.exists(curDvP)) data
+      else {
+        val dv = spark.read.parquet(curDvP.toString)
+        val cnd = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
+        data.join(broadcast(dv), cnd, "left_anti")
+      }
+    val curApP = Paths.get(dir, s"${cur}_append")
+    val curAppend =
+      if (Files.exists(curApP)) Some(spark.read.parquet(curApP.toString))
+      else None
+    val logical = curAppend.fold(dataLogical)(dataLogical.unionByName(_))
+    require(!logical.columns.contains(rowid) &&
+      !source.columns.contains(rowid),
+      s"mergeOnRead: reserved rowid column $rowid present in input")
+    if (checkCardinality) {
+      val multi = logical.withColumn(rowid, monotonically_increasing_id())
+        .alias(targetAlias)
+        .join(source.alias(sourceAlias), cond, "inner")
+        .groupBy(col(rowid)).count()
+        .filter(col("count") > 1)
+      require(multi.isEmpty,
+        "mergeOnRead: MERGE cardinality violation — a target row " +
+          "matches more than one source row (source must be unique on " +
+          "the match keys); deduplicate the source or pre-aggregate it")
+    }
+    val fields = data.schema.fields.toIndexedSeq
+    // updated images: one per matched logical row (cardinality-checked)
+    val updated = logical.alias(targetAlias)
+      .join(source.alias(sourceAlias), cond, "inner")
+      .select(fields.map { f =>
+        assignments.getOrElse(f.name, col(s"$targetAlias.${f.name}"))
+          .cast(f.dataType).as(f.name)
+      }: _*)
+    val inserts = insertVals match {
+      case Some(vals) =>
+        val cols = insertCols.getOrElse(fields.map(_.name).take(vals.length))
+        require(cols.length == vals.length,
+          s"mergeOnRead: INSERT column list (${cols.length}) and VALUES " +
+            s"(${vals.length}) differ in arity")
+        val byName = cols.zip(vals).toMap
+        val unmatched = source.alias(sourceAlias)
+          .join(logical.alias(targetAlias), cond, "left_anti")
+        Some(unmatched.select(fields.map { f =>
+          byName.get(f.name).map(_.cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*))
+      case None => None
+    }
+    // origin split: base-data pre-images -> vector; append pre-images
+    // -> dropped from the rewritten O(changes) append copy
+    val matchedData = dataLogical.alias(targetAlias)
+      .join(source.alias(sourceAlias), cond, "left_semi")
+    val appendSurvivors = curAppend.map(_.alias(targetAlias)
+      .join(source.alias(sourceAlias), cond, "left_anti"))
+    val nextAppend = (appendSurvivors.toSeq ++ Seq(updated) ++ inserts)
+      .reduce(_.unionByName(_))
+    // sidecars + ref land before the pointer flips (atomicity contract)
+    nextAppend.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_append")
+    if (Files.exists(curDvP) || !matchedData.isEmpty) {
+      val vector =
+        if (Files.exists(curDvP))
+          spark.read.parquet(curDvP.toString).unionByName(matchedData)
+        else matchedData
+      vector.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_dv")
+    }
     val tmp = Paths.get(dir, s".${next}_ref.tmp.${Thread.currentThread.getId}")
     Files.writeString(tmp, versionPath(dir, cur))
     Files.move(tmp, Paths.get(dir, s"${next}_ref"),
@@ -356,18 +505,26 @@ object Dml {
     * column — plain equi-join keys would never match a deleted row
     * carrying a NULL field, silently resurrecting it. The vector is
     * broadcast (it is small by construction — a vector past the
-    * broadcast budget is the signal to [[optimize]] it away). */
+    * broadcast budget is the signal to [[optimize]] it away). A
+    * `<version>_append` sidecar ([[mergeOnRead]]) unions AFTER the
+    * vector is applied: the vector addresses BASE-DATA rows only, so an
+    * updated image that happens to equal its pre-image (the identity
+    * assignment) is never re-deleted by its own commit. */
   def readVersion(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String): DataFrame = {
     val data = spark.read.parquet(versionPath(dir, version))
     val dvDir = java.nio.file.Paths.get(dir, s"${version}_dv")
-    if (!java.nio.file.Files.exists(dvDir)) data
-    else {
-      val dv = spark.read.parquet(dvDir.toString)
-      val cond = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
-      data.join(broadcast(dv), cond, "left_anti")
-    }
+    val surviving =
+      if (!java.nio.file.Files.exists(dvDir)) data
+      else {
+        val dv = spark.read.parquet(dvDir.toString)
+        val cond = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
+        data.join(broadcast(dv), cond, "left_anti")
+      }
+    val apDir = java.nio.file.Paths.get(dir, s"${version}_append")
+    if (!java.nio.file.Files.exists(apDir)) surviving
+    else surviving.unionByName(spark.read.parquet(apDir.toString))
   }
 
   /** OPTIMIZE — compact the committed version's many small files into
@@ -413,16 +570,18 @@ object Dml {
       .filter(_.matches("v\\d+(_ref)?")) // a _ref FILE is a version too
       .map(_.stripSuffix("_ref"))        // (shallow-clone indirection)
       .toSeq.distinct.sortBy(_.drop(1).toInt)
-    // a DV version's logical count is data rows minus sidecar rows —
-    // exact because the sidecar preserves multiplicity (every deleted
-    // base row contributes exactly one sidecar row, see deleteWithDv)
+    // a sidecar-carrying version's logical count is data minus vector
+    // plus append — exact because the vector preserves multiplicity
+    // (one sidecar row per deleted base row, see deleteWithDv /
+    // mergeOnRead's origin split) and the append dir holds real rows
     val counts = versions.map { v =>
-      val dvDir = java.nio.file.Paths.get(dir, s"${v}_dv")
-      val dvRows =
-        if (java.nio.file.Files.exists(dvDir))
-          footerRowCount(spark, dvDir.toString)
+      def side(suffix: String): Long = {
+        val p = java.nio.file.Paths.get(dir, s"$v$suffix")
+        if (java.nio.file.Files.exists(p)) footerRowCount(spark, p.toString)
         else 0L
-      (v, footerRowCount(spark, versionPath(dir, v)) - dvRows)
+      }
+      (v, footerRowCount(spark, versionPath(dir, v))
+        - side("_dv") + side("_append"))
     }
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(expr("CAST(substring(version, 2) AS INT)")) // v10 > v9
@@ -481,16 +640,19 @@ object Dml {
     Files.writeString(tmp, versionPath(srcDir, srcV))
     Files.move(tmp, Paths.get(dstDir, "v0_ref"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // a DV source version: copy the (small, O(deleted rows)) sidecar so
-    // the clone's v0 preserves the source's LOGICAL view — the data stays
-    // zero-copy, which is the feature's contract
-    val srcDv = new org.apache.hadoop.fs.Path(s"$srcDir/${srcV}_dv")
+    // a sidecar-carrying source version: copy the (small, O(changes))
+    // vector and append dirs so the clone's v0 preserves the source's
+    // LOGICAL view — the data stays zero-copy, which is the contract
     val hconf = spark.sessionState.newHadoopConf()
-    val fs = srcDv.getFileSystem(hconf)
-    if (fs.exists(srcDv))
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, srcDv, fs, new org.apache.hadoop.fs.Path(s"$dstDir/v0_dv"),
-        false, true, hconf)
+    Seq("_dv", "_append").foreach { suffix =>
+      val side = new org.apache.hadoop.fs.Path(s"$srcDir/$srcV$suffix")
+      val fs = side.getFileSystem(hconf)
+      if (fs.exists(side))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, side, fs,
+          new org.apache.hadoop.fs.Path(s"$dstDir/v0$suffix"),
+          false, true, hconf)
+    }
     commit(dstDir, "v0")
     readVersion(spark, dstDir, "v0")
   }
@@ -638,6 +800,7 @@ object Dml {
     dropped.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${v}_dv"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${v}_append"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${v}_ref"), false)
     }
     dropped
@@ -1148,6 +1311,80 @@ object DmlQueries {
         }
       },
       Some("SELECT * FROM customer WHERE NOT coalesce(c_acctbal < 0, FALSE)")),
+
+    // MERGE as an O(changes) commit: the same upsert as m11, committed
+    // through the merge-on-read sidecar pair (data dir untouched via
+    // _ref; matched pre-images in _dv; updated images + inserts in
+    // _append) instead of m11's full-table rewrite. Shares m11's oracle
+    // VERBATIM — one relational contract, two commit strategies, the
+    // strategy switch proven semantically invisible under the hash
+    // gate; the store-shape evidence (zero-rewrite, sidecar sizes,
+    // history arithmetic, optimize fold) is DmlSpec's.
+    Q("m27_merge_on_read",
+      (s, d) => {
+        val nation = Tables.t(s, d, "nation")
+        val src = nation.filter(col("n_nationkey") < 10)
+          .select((col("n_nationkey") + 20).as("nk"),
+            concat(lit("NEW_"), col("n_name")).as("nm"))
+        Dml.mergeWithDv(nation, Dml.work("m27", d), src,
+          cond = col("t.n_nationkey") === col("s.nk"),
+          assignments = Map("n_name" -> col("s.nm")),
+          insertCols = Some(Seq("n_nationkey", "n_name", "n_regionkey")),
+          insertVals = Some(Seq(col("s.nk"), col("s.nm"), lit(99))))
+      },
+      Some("""WITH src AS (SELECT n_nationkey + 20 AS nk,
+             |'NEW_' || n_name AS nm FROM nation WHERE n_nationkey < 10),
+             |upd AS (SELECT n.n_nationkey,
+             |CASE WHEN s.nk IS NOT NULL THEN s.nm ELSE n.n_name END
+             |AS n_name, n.n_regionkey
+             |FROM nation n LEFT JOIN src s ON n.n_nationkey = s.nk),
+             |ins AS (SELECT s.nk AS n_nationkey, s.nm AS n_name,
+             |CAST(99 AS INTEGER) AS n_regionkey FROM src s
+             |LEFT JOIN nation n ON s.nk = n.n_nationkey
+             |WHERE n.n_nationkey IS NULL)
+             |SELECT * FROM upd UNION ALL SELECT * FROM ins"""
+        .stripMargin.replace('\n', ' '))),
+
+    // The SQL surface of merge-on-read: `spark.graft.merge.mode` = "dv"
+    // routes ExecutionContext's MERGE statement through
+    // [[Dml.mergeWithDv]] instead of the full-table rewrite. Shares
+    // m11's relational contract — one oracle, two commit strategies
+    // (m26's discipline applied to MERGE); the store-shape evidence is
+    // ExecutionContextSpec's. The entry mutates its OWN registered view
+    // name and restores the session conf.
+    Q("m28_sql_mor_merge",
+      (s, d) => {
+        val ctx = new ExecutionContext(s)
+        Tables.t(s, d, "nation").createOrReplaceTempView("g_mor_nation")
+        s.sql("""SELECT n_nationkey + 20 AS nk,
+          concat('NEW_', n_name) AS nm FROM g_mor_nation
+          WHERE n_nationkey < 10""").createOrReplaceTempView("g_mor_src")
+        val saved = s.conf.getOption("spark.graft.merge.mode")
+        s.conf.set("spark.graft.merge.mode", "dv")
+        try {
+          ctx.execute("""MERGE INTO g_mor_nation USING g_mor_src
+            ON g_mor_nation.n_nationkey = g_mor_src.nk
+            WHEN MATCHED THEN UPDATE SET n_name = g_mor_src.nm
+            WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            VALUES (g_mor_src.nk, g_mor_src.nm, 99)""")
+          ctx.execute("SELECT * FROM g_mor_nation")
+        } finally saved match {
+          case Some(v) => s.conf.set("spark.graft.merge.mode", v)
+          case None    => s.conf.unset("spark.graft.merge.mode")
+        }
+      },
+      Some("""WITH src AS (SELECT n_nationkey + 20 AS nk,
+             |'NEW_' || n_name AS nm FROM nation WHERE n_nationkey < 10),
+             |upd AS (SELECT n.n_nationkey,
+             |CASE WHEN s.nk IS NOT NULL THEN s.nm ELSE n.n_name END
+             |AS n_name, n.n_regionkey
+             |FROM nation n LEFT JOIN src s ON n.n_nationkey = s.nk),
+             |ins AS (SELECT s.nk AS n_nationkey, s.nm AS n_name,
+             |CAST(99 AS INTEGER) AS n_regionkey FROM src s
+             |LEFT JOIN nation n ON s.nk = n.n_nationkey
+             |WHERE n.n_nationkey IS NULL)
+             |SELECT * FROM upd UNION ALL SELECT * FROM ins"""
+        .stripMargin.replace('\n', ' '))),
 
     // CREATE TABLE AS SELECT — the remaining DDL statement form after
     // m05's column-list CREATE: the derived summary materializes as a

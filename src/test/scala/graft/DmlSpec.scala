@@ -631,4 +631,129 @@ class DmlSpec extends SparkSpec {
     Dml.optimize(spark, src)
     assert(Dml.readLatest(spark, dst).count() == kept)
   }
+
+  test("merge-on-read (m27): logical result equals the copy-on-write " +
+    "MERGE row for row, with ZERO data rewrite — the commit is the " +
+    "sidecar pair, each O(changes)") {
+    val nation = Tables.t(spark, sf, "nation")
+    val out = q("m27_merge_on_read").build(spark, sf)
+    val dir = Dml.work("m27", sf)
+    assert(!new java.io.File(s"$dir/v1").exists,
+      "a merge-on-read commit must not write a data directory")
+    assert(Dml.versionPath(dir, "v1") == s"$dir/v0")
+    // 5 matched pre-images (keys 20..24) in the vector; 5 updated
+    // images + 5 inserts (nk 25..29) in the append — O(changes), not
+    // O(table)
+    assert(spark.read.parquet(s"$dir/v1_dv").count() == 5)
+    assert(spark.read.parquet(s"$dir/v1_append").count() == 10)
+    // multiset identity with the copy-on-write MERGE
+    val src = nation.filter(col("n_nationkey") < 10)
+      .select((col("n_nationkey") + 20).as("nk"),
+        concat(lit("NEW_"), col("n_name")).as("nm"))
+    val cow = Dml.merge(nation, Dml.work("spec_mor_cow", sf), src,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("s.nm")),
+      Some(Seq("n_nationkey", "n_name", "n_regionkey")),
+      Some(Seq(col("s.nk"), col("s.nm"), lit(99))))
+    assert(out.exceptAll(cow).isEmpty && cow.exceptAll(out).isEmpty,
+      "merge-on-read must equal the rewritten merge exactly")
+  }
+
+  test("merge-on-read: the identity assignment (SET x = x) loses no " +
+    "rows — the vector addresses BASE data only, so the updated image " +
+    "that equals its pre-image survives in the append sidecar") {
+    val dir = Dml.work("spec_mor_ident", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, sf, "nation")
+    val src = nation.filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey").as("nk"))
+    val out = Dml.mergeWithDv(nation, dir, src,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("t.n_name")), // identity: image == pre-image
+      None, None)
+    assert(out.exceptAll(nation).isEmpty && nation.exceptAll(out).isEmpty,
+      "identity merge must be a logical no-op")
+  }
+
+  test("merge-on-read interplay: a later DV delete drops an " +
+    "APPEND-origin row by rewriting the O(changes) append copy and a " +
+    "BASE-origin row via the vector; history's footer arithmetic stays " +
+    "exact throughout") {
+    val dir = Dml.work("spec_mor_chain", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, sf, "nation")
+    val n = nation.count() // 25
+    val src = nation.filter(col("n_nationkey") < 10)
+      .select((col("n_nationkey") + 20).as("nk"),
+        concat(lit("NEW_"), col("n_name")).as("nm"))
+    Dml.mergeWithDv(nation, dir, src,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("s.nm")),
+      Some(Seq("n_nationkey", "n_name", "n_regionkey")),
+      Some(Seq(col("s.nk"), col("s.nm"), lit(99)))) // v1: 30 rows
+    // append-origin delete: the updated image of key 20
+    Dml.dvDeleteLatest(spark, dir, col("n_name") === "NEW_NATION_0")
+    assert(spark.read.parquet(s"$dir/v2_dv").count() == 5,
+      "an append-origin delete must not grow the vector")
+    assert(spark.read.parquet(s"$dir/v2_append").count() == 9,
+      "the append copy must drop the deleted image")
+    // base-origin delete: key 5 lives in the data directory
+    Dml.dvDeleteLatest(spark, dir, col("n_nationkey") === 5)
+    assert(spark.read.parquet(s"$dir/v3_dv").count() == 6,
+      "a base-origin delete must grow the vector by its multiplicity")
+    assert(Dml.readLatest(spark, dir).count() == n + 5 - 2)
+    val hist = Dml.history(spark, dir)
+      .orderBy("version").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hist.toSeq == Seq(
+      ("v0", n), ("v1", n + 5), ("v2", n + 4), ("v3", n + 3)),
+      s"history must track logical counts: ${hist.mkString(",")}")
+    // optimize folds BOTH sidecars back into plain files
+    Dml.optimize(spark, dir)
+    assert(new java.io.File(s"$dir/v4").exists &&
+      !new java.io.File(s"$dir/v4_dv").exists &&
+      !new java.io.File(s"$dir/v4_append").exists)
+    assert(Dml.readLatest(spark, dir).count() == n + 3)
+  }
+
+  test("merge-on-read: shallow clone of a merge-latest source carries " +
+    "BOTH sidecars, so the clone's logical view survives source-side " +
+    "compaction") {
+    val srcDir = Dml.work("spec_mor_clone_src", sf)
+    val dstDir = Dml.work("spec_mor_clone_dst", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstDir))
+    val nation = Tables.t(spark, sf, "nation")
+    val src = nation.filter(col("n_nationkey") < 10)
+      .select((col("n_nationkey") + 20).as("nk"),
+        concat(lit("NEW_"), col("n_name")).as("nm"))
+    val merged = Dml.mergeWithDv(nation, srcDir, src,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("s.nm")),
+      Some(Seq("n_nationkey", "n_name", "n_regionkey")),
+      Some(Seq(col("s.nk"), col("s.nm"), lit(99))))
+    val want = merged.count()
+    val clone = Dml.shallowClone(spark, srcDir, dstDir)
+    assert(clone.count() == want)
+    assert(new java.io.File(s"$dstDir/v0_dv").exists &&
+      new java.io.File(s"$dstDir/v0_append").exists,
+      "both sidecars must carry to the clone")
+    Dml.optimize(spark, srcDir)
+    assert(Dml.readLatest(spark, dstDir).count() == want)
+  }
+
+  test("merge-on-read: the ANSI cardinality check rejects a source with " +
+    "duplicate match keys") {
+    val dir = Dml.work("spec_mor_card", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, sf, "nation")
+    val dupSrc = nation.filter(col("n_nationkey") < 2)
+      .select(lit(0).as("nk"), col("n_name").as("nm")) // both rows key 0
+    val e = intercept[IllegalArgumentException] {
+      Dml.mergeWithDv(nation, dir, dupSrc,
+        col("t.n_nationkey") === col("s.nk"),
+        Map("n_name" -> col("s.nm")), None, None)
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
 }

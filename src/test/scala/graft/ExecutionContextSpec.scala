@@ -813,4 +813,80 @@ class ExecutionContextSpec extends SparkSpec {
       spark.catalog.dropTempView("spec_dvmode_b")
     }
   }
+
+  test("spark.graft.merge.mode=dv routes the SQL MERGE through a " +
+    "merge-on-read commit (sidecar pair, no data rewrite); the default " +
+    "stays the table rewrite; both modes agree row for row; the SYNC " +
+    "clause always rewrites") {
+    val ctx = new ExecutionContext(spark)
+    Tables.t(spark, sf, "nation")
+      .createOrReplaceTempView("spec_mormode_a")
+    Tables.t(spark, sf, "nation")
+      .createOrReplaceTempView("spec_mormode_b")
+    Tables.t(spark, sf, "nation")
+      .createOrReplaceTempView("spec_mormode_c")
+    spark.sql("""SELECT n_nationkey + 20 AS nk,
+      concat('M_', n_name) AS nm FROM spec_mormode_a
+      WHERE n_nationkey < 10""").createOrReplaceTempView("spec_mormode_src")
+    def mergeSql(target: String, sync: Boolean = false): String =
+      s"""MERGE INTO $target USING spec_mormode_src
+         ON $target.n_nationkey = spec_mormode_src.nk
+         WHEN MATCHED THEN UPDATE SET n_name = spec_mormode_src.nm
+         WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+         VALUES (spec_mormode_src.nk, spec_mormode_src.nm, 99)""" +
+        (if (sync) "\nWHEN NOT MATCHED BY SOURCE THEN DELETE" else "")
+    // default mode: plain rewrite — a real v1 data directory
+    val rewrite = ctx.execute(mergeSql("spec_mormode_a"))
+    val dirA = Dml.work("sql_spec_mormode_a", "ctx")
+    val saved = spark.conf.getOption("spark.graft.merge.mode")
+    spark.conf.set("spark.graft.merge.mode", "dv")
+    try {
+      val mor = ctx.execute(mergeSql("spec_mormode_b"))
+      assert(mor.count() == rewrite.count())
+      assert(mor.exceptAll(rewrite).isEmpty &&
+        rewrite.exceptAll(mor).isEmpty,
+        "the two commit strategies must agree row for row")
+      // store shape: the MoR target's dir holds the sidecar pair and
+      // NO v1 data directory; the rewrite target's holds a real v1
+      val dirB = ExecutionContextSpec.sqlDmlDirOf(spark, "spec_mormode_b")
+      assert(!new java.io.File(s"$dirB/v1").exists &&
+        new java.io.File(s"$dirB/v1_append").exists &&
+        new java.io.File(s"$dirB/v1_ref").exists,
+        s"dv mode must commit sidecars, not data: $dirB")
+      val dirARewrite =
+        ExecutionContextSpec.sqlDmlDirOf(spark, "spec_mormode_a")
+      assert(new java.io.File(s"$dirARewrite/v1").exists,
+        "rewrite mode must publish a data directory")
+      // the SYNC clause falls back to rewrite even in dv mode (the
+      // non-matched complement is O(table) either way)
+      val sync = ctx.execute(mergeSql("spec_mormode_c", sync = true))
+      val dirC = ExecutionContextSpec.sqlDmlDirOf(spark, "spec_mormode_c")
+      assert(new java.io.File(s"$dirC/v1").exists &&
+        !new java.io.File(s"$dirC/v1_append").exists,
+        "the SYNC clause must take the rewrite path")
+      assert(sync.count() == 10) // 5 updates (20..24) + 5 inserts (25..29)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.merge.mode", v)
+        case None    => spark.conf.unset("spark.graft.merge.mode")
+      }
+      Seq("spec_mormode_a", "spec_mormode_b", "spec_mormode_c",
+        "spec_mormode_src").foreach(spark.catalog.dropTempView)
+    }
+  }
+}
+
+object ExecutionContextSpec {
+  /** The work dir ExecutionContext's SQL DML used for a session view:
+    * sqlDmlDir is per-statement sequenced
+    * (target/dmltmp/sql/<view>/p<pid>-c<ctx>-s<seq>), so take the
+    * newest entry under the view's root. */
+  def sqlDmlDirOf(
+      spark: org.apache.spark.sql.SparkSession, table: String): String = {
+    val root = new java.io.File(s"/root/repo/target/dmltmp/sql/$table")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    require(dirs.nonEmpty, s"no SQL DML work dirs under $root")
+    dirs.maxBy(_.lastModified).getAbsolutePath
+  }
 }
