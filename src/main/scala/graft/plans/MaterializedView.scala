@@ -276,6 +276,11 @@ object Mv {
     }
 
     private def tryRewrite(agg: Aggregate): Option[Aggregate] = for {
+      // GLOBAL aggregates decline: their single group exists even over
+      // zero rows, and count-rolled-to-sum returns NULL there where
+      // count returns 0 (grouped queries have no empty groups, so the
+      // rollup is only sound under a GROUP BY)
+      _ <- if (agg.groupingExpressions.nonEmpty) Some(()) else None
       (filters, leaf) <- unwrap(agg.child)
       mv <- Option(registry.get(rootsOf(leaf)))
       // freshness: the query's own scan listing vs the registered one

@@ -184,13 +184,16 @@ object Layouts {
       min(col(colB)).cast("double"), max(col(colB)).cast("double"))
       .collect().head
     val top = (1L << bits) - 1
+    // an empty table or an all-NULL column has no extrema — every row
+    // (there may be none) maps to cell 0 rather than NPE'ing below
+    def ext(i: Int): Double = if (b.isNullAt(i)) 0d else b.getDouble(i)
     def cell(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L) // constant column: every row in cell 0
       else least(lit(top), greatest(lit(0L),
         ((col(c).cast("double") - lo) / (hi - lo) * top).cast("long")))
     val z = zOrderValue(
-      cell(colA, b.getDouble(0), b.getDouble(1)),
-      cell(colB, b.getDouble(2), b.getDouble(3)), bits)
+      cell(colA, ext(0), ext(1)),
+      cell(colB, ext(2), ext(3)), bits)
     df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     spark.read.parquet(s"$dir/data")

@@ -657,10 +657,7 @@ object SourceQueries {
     // skip harder, like io18).
     Q("io19_zorder_skipping",
       (s, d) => {
-        val dir = Dml.work("io19", d)
-        Layouts.writeZOrdered(
-          s, Tables.t(s, d, "lineitem"), dir,
-          "l_orderkey", "l_partkey", 16)
+        val dir = ensureZOrderFixture(s, d)
         val (df, _, _) =
           Layouts.skippingScanOn(s, dir, "l_partkey", 50d, 400d)
         df.groupBy("l_returnflag")
@@ -672,8 +669,30 @@ object SourceQueries {
              |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS revenue FROM lineitem
              |WHERE l_partkey >= 50 AND l_partkey <= 400
-             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')),
+      bench = true)
   )
+
+  /** io19's z-ordered layout, written ONCE per (session, sfDir) — the
+    * io17 promotion discipline: benching the skipping read requires the
+    * layout write OUT of the timed path (an in-build write would time
+    * the shuffle+sort, not the pruned scan). lineitem is a read-only
+    * driver fixture, so the copy can never go stale within a session;
+    * octave runs at a new sfDir re-write. */
+  private val zOrderFixtureFor =
+    scala.collection.mutable.Map[(Int, String), String]()
+  private def ensureZOrderFixture(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    synchronized {
+      zOrderFixtureFor.getOrElseUpdate(
+        (System.identityHashCode(s), d), {
+          val dir = Dml.work("io19", d)
+          Layouts.writeZOrdered(
+            s, Tables.t(s, d, "lineitem"), dir,
+            "l_orderkey", "l_partkey", 16)
+          dir
+        })
+    }
 
   /** io17's partitioned fact + lookup dim, written ONCE per
     * (session, sfDir). Promotion to the bench headline set (r13

@@ -742,6 +742,24 @@ class DmlSpec extends SparkSpec {
     assert(Dml.readLatest(spark, dstDir).count() == want)
   }
 
+  test("merge-on-read: a merge with ZERO matches and no insert clause " +
+    "commits an empty append sidecar that reads back cleanly (the " +
+    "no-op-merge corner)") {
+    val dir = Dml.work("spec_mor_noop", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, sf, "nation")
+    val src = nation.filter(col("n_nationkey") < 3)
+      .select((col("n_nationkey") + 1000).as("nk")) // matches nothing
+    val out = Dml.mergeWithDv(nation, dir, src,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("t.n_name")), None, None)
+    assert(out.exceptAll(nation).isEmpty && nation.exceptAll(out).isEmpty,
+      "a no-op merge must leave the logical table unchanged")
+    // and the committed version still time-travels / histories cleanly
+    assert(Dml.readVersion(spark, dir, "v1").count() == nation.count())
+    assert(Dml.history(spark, dir).count() == 2)
+  }
+
   test("merge-on-read: the ANSI cardinality check rejects a source with " +
     "duplicate match keys") {
     val dir = Dml.work("spec_mor_card", sf)

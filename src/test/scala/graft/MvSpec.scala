@@ -184,6 +184,19 @@ class MvSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a GLOBAL aggregate declines the rewrite: count over a " +
+    "no-match filter must return 0, and sum-of-counts over the empty " +
+    "summary would return NULL") {
+    MvQueries.ensureMv(spark, sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    val global = li.filter(col("l_linestatus") === "ZZ") // matches nothing
+      .agg(count(lit(1)).as("n"))
+    assert(!mvScanned(global) && baseScanned(global),
+      s"global aggregates must decline:\n" +
+        global.queryExecution.optimizedPlan.toString)
+    assert(global.collect().head.getLong(0) == 0L)
+  }
+
   test("registration rejects a measure that cannot roll up losslessly") {
     val e = intercept[IllegalArgumentException] {
       Mv.register(spark, "bad", Tables.t(spark, sf, "lineitem"),
