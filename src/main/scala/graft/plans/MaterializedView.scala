@@ -293,9 +293,12 @@ object Mv {
         }
         if (names.forall(_.isDefined)) Some(names.flatten.toSet) else None
       }
-      // filters: deterministic, over dim attributes only
-      if filters.forall(f => f.deterministic && f.references.forall(a =>
-        mv.dims(a.name)))
+      // filters: deterministic, over dim attributes only, and free of
+      // subqueries (their inner plans hold bindings the scan swap
+      // cannot re-map)
+      if filters.forall(f => f.deterministic &&
+        f.references.forall(a => mv.dims(a.name)) &&
+        !f.exists(_.isInstanceOf[PlanExpression[_]]))
       rewritten <- rewriteAgg(agg, filters, mv, groupNames)
     } yield rewritten
 
@@ -330,6 +333,10 @@ object Mv {
         case a: AttributeReference =>
           if (groupNames(a.name)) mvAttr.get(a.name) else None
         case l: Literal => Some(l)
+        // a subquery carries its own PLAN, not children — the generic
+        // recursion below would wave it through while it may reference
+        // the very relation being swapped; decline
+        case _: PlanExpression[_] => None
         case other if other.deterministic && other.children.nonEmpty =>
           val kids = other.children.map(rw)
           if (kids.forall(_.isDefined))

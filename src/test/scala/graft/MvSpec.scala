@@ -73,9 +73,19 @@ class MvSpec extends SparkSpec {
       .agg(countDistinct(col("l_linestatus")).as("d"))
     val avgAgg = li.groupBy("l_returnflag")
       .agg(avg(col("l_quantity")).as("a"))
+    // a dim-only filter CARRYING A SCALAR SUBQUERY: even though its
+    // outer references are all dims, the inner plan holds bindings the
+    // scan swap cannot guarantee to re-map (a correlated variant would
+    // break outright) — the PlanExpression guard declines it
+    Tables.ensureRegistered(spark, sf)
+    val subqFilter = spark.sql(
+      """SELECT l_returnflag, count(1) AS n FROM lineitem
+        |WHERE l_returnflag = (SELECT max(l_returnflag) FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin)
     for ((df, label) <- Seq(
         (nonDimFilter, "non-dim filter"), (nonMeasure, "non-measure"),
-        (distinctAgg, "distinct"), (avgAgg, "avg")))
+        (distinctAgg, "distinct"), (avgAgg, "avg"),
+        (subqFilter, "scalar-subquery filter")))
       assert(baseScanned(df) && !mvScanned(df),
         s"$label must decline the rewrite:\n" +
           df.queryExecution.optimizedPlan.toString)
