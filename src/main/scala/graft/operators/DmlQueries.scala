@@ -63,8 +63,44 @@ object Dml {
 
   private def snapshot(df: DataFrame, dir: String, name: String): DataFrame = {
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    // a snapshot publishes a PLAIN version; work dirs are deterministic
+    // per (name, sfDir) and explicitly re-runnable, so sidecars a
+    // PREVIOUS incarnation left under this version name must die here
+    // or readVersion would apply an orphaned vector/append to the
+    // fresh data (silently dropping or resurrecting rows)
+    Seq("_dv", "_append", "_ref").foreach { sfx =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name$sfx")
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     commit(dir, name)
     df.sparkSession.read.parquet(s"$dir/$name")
+  }
+
+  /** The origin-split read of one committed version: the base data
+    * directory with its vector applied (`dataLogical`) and the append
+    * sidecar, if any — the shared kernel of [[readVersion]],
+    * [[dvDeleteLatest]] and [[mergeOnRead]] (one implementation of the
+    * vector semantics, not three hand-maintained copies). */
+  private def versionParts(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: String): (DataFrame, Option[DataFrame]) = {
+    val data = spark.read.parquet(versionPath(dir, version))
+    val dvDir = java.nio.file.Paths.get(dir, s"${version}_dv")
+    val dataLogical =
+      if (!java.nio.file.Files.exists(dvDir)) data
+      else {
+        val dv = spark.read.parquet(dvDir.toString)
+        val cond = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
+        data.join(broadcast(dv), cond, "left_anti")
+      }
+    val apDir = java.nio.file.Paths.get(dir, s"${version}_append")
+    val append =
+      if (java.nio.file.Files.exists(apDir))
+        Some(spark.read.parquet(apDir.toString))
+      else None
+    (dataLogical, append)
   }
 
   /** INSERT INTO t [(cols)] VALUES (...), (...): publish `v1 = v0 ∪ rows`
@@ -328,15 +364,8 @@ object Dml {
     // prior mergeOnRead's delta) delete by REWRITING the O(changes)
     // append copy — the vector never addresses append rows, which is
     // what lets readVersion apply it to the data directory alone.
-    val data = spark.read.parquet(versionPath(dir, cur))
+    val (dataLogical, curAppend) = versionParts(spark, dir, cur)
     val curDv = Paths.get(dir, s"${cur}_dv")
-    val dataLogical =
-      if (!Files.exists(curDv)) data
-      else {
-        val dv = spark.read.parquet(curDv.toString)
-        val cnd = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
-        data.join(broadcast(dv), cnd, "left_anti")
-      }
     val matchedData = dataLogical.filter(coalesce(pred, lit(false)))
     val vector =
       if (Files.exists(curDv))
@@ -346,11 +375,15 @@ object Dml {
     // so a concurrent reader resolves either the old or the new version
     // complete — the store's atomicity contract, unchanged
     vector.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_dv")
-    val curAp = Paths.get(dir, s"${cur}_append")
-    if (Files.exists(curAp))
-      spark.read.parquet(curAp.toString)
-        .filter(!coalesce(pred, lit(false)))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_append")
+    curAppend match {
+      case Some(ap) =>
+        ap.filter(!coalesce(pred, lit(false)))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_append")
+      case None =>
+        // dir reuse: a previous incarnation's ${next}_append must not
+        // survive into this commit (readVersion would union orphans)
+        Layouts.deleteDir(spark, s"$dir/${next}_append")
+    }
     val tmp = Paths.get(dir, s".${next}_ref.tmp.${Thread.currentThread.getId}")
     Files.writeString(tmp, versionPath(dir, cur))
     Files.move(tmp, Paths.get(dir, s"${next}_ref"),
@@ -398,19 +431,8 @@ object Dml {
     val cur = currentVersion(dir)
     val next = "v" + (cur.stripPrefix("v").toInt + 1)
     val rowid = "__graft_rowid"
-    val data = spark.read.parquet(versionPath(dir, cur))
+    val (dataLogical, curAppend) = versionParts(spark, dir, cur)
     val curDvP = Paths.get(dir, s"${cur}_dv")
-    val dataLogical =
-      if (!Files.exists(curDvP)) data
-      else {
-        val dv = spark.read.parquet(curDvP.toString)
-        val cnd = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
-        data.join(broadcast(dv), cnd, "left_anti")
-      }
-    val curApP = Paths.get(dir, s"${cur}_append")
-    val curAppend =
-      if (Files.exists(curApP)) Some(spark.read.parquet(curApP.toString))
-      else None
     val logical = curAppend.fold(dataLogical)(dataLogical.unionByName(_))
     require(!logical.columns.contains(rowid) &&
       !source.columns.contains(rowid),
@@ -426,7 +448,7 @@ object Dml {
           "matches more than one source row (source must be unique on " +
           "the match keys); deduplicate the source or pre-aggregate it")
     }
-    val fields = data.schema.fields.toIndexedSeq
+    val fields = dataLogical.schema.fields.toIndexedSeq
     // updated images: one per matched logical row (cardinality-checked)
     val updated = logical.alias(targetAlias)
       .join(source.alias(sourceAlias), cond, "inner")
@@ -459,13 +481,15 @@ object Dml {
       .reduce(_.unionByName(_))
     // sidecars + ref land before the pointer flips (atomicity contract)
     nextAppend.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_append")
-    if (Files.exists(curDvP) || !matchedData.isEmpty) {
-      val vector =
-        if (Files.exists(curDvP))
-          spark.read.parquet(curDvP.toString).unionByName(matchedData)
-        else matchedData
-      vector.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_dv")
-    }
+    // unconditional: the old isEmpty probe re-ran the O(table)
+    // semi-join just to skip an empty sidecar that reads back fine
+    // (dvDeleteLatest precedent) — and skipping the write left a
+    // PREVIOUS incarnation's ${next}_dv orphaned under dir reuse
+    val vector =
+      if (Files.exists(curDvP))
+        spark.read.parquet(curDvP.toString).unionByName(matchedData)
+      else matchedData
+    vector.write.mode(SaveMode.Overwrite).parquet(s"$dir/${next}_dv")
     val tmp = Paths.get(dir, s".${next}_ref.tmp.${Thread.currentThread.getId}")
     Files.writeString(tmp, versionPath(dir, cur))
     Files.move(tmp, Paths.get(dir, s"${next}_ref"),
@@ -513,18 +537,8 @@ object Dml {
   def readVersion(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, version: String): DataFrame = {
-    val data = spark.read.parquet(versionPath(dir, version))
-    val dvDir = java.nio.file.Paths.get(dir, s"${version}_dv")
-    val surviving =
-      if (!java.nio.file.Files.exists(dvDir)) data
-      else {
-        val dv = spark.read.parquet(dvDir.toString)
-        val cond = data.columns.map(c => data(c) <=> dv(c)).reduce(_ && _)
-        data.join(broadcast(dv), cond, "left_anti")
-      }
-    val apDir = java.nio.file.Paths.get(dir, s"${version}_append")
-    if (!java.nio.file.Files.exists(apDir)) surviving
-    else surviving.unionByName(spark.read.parquet(apDir.toString))
+    val (dataLogical, append) = versionParts(spark, dir, version)
+    append.fold(dataLogical)(dataLogical.unionByName(_))
   }
 
   /** OPTIMIZE — compact the committed version's many small files into

@@ -147,12 +147,19 @@ object Mv {
       base: DataFrame,
       dims: Seq[String],
       aggCols: Seq[Column],
-      mvPath: String): MvDef = {
+      mvPath: String,
+      epoch: Int = 0): MvDef = {
     require(aggCols.nonEmpty, "register: at least one measure")
     val mvDf = base.groupBy(dims.map(base(_)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     Layouts.deleteDir(spark, mvPath)
-    mvDf.write.mode(SaveMode.Overwrite).parquet(mvPath)
+    // materialize with the rule OFF: a prior registration for the SAME
+    // base is still live, and the summary query matches it by
+    // construction — the write would otherwise be rewritten to scan
+    // the very directory the line above just deleted
+    Mv.withDisabled {
+      mvDf.write.mode(SaveMode.Overwrite).parquet(mvPath)
+    }
     val baseLeaf = leafRelation(base.queryExecution.analyzed).getOrElse(
       throw new IllegalArgumentException(
         "register: base must be a single file-relation scan"))
@@ -167,12 +174,19 @@ object Mv {
               "up losslessly; use sum/count/min/max"))
         Some(structKey(ae.aggregateFunction) -> (kind, al.name))
       case _ => None // the dim columns
-    }.toMap
+    }
+    // two measures with one underlying expression collapse to a single
+    // structural key — the survivor's column would silently serve both
+    // aliases and refresh would lose the other column; reject loudly
+    require(measures.map(_._1).distinct.size == measures.size,
+      "register: duplicate measure expressions " +
+        s"(${measures.map(_._1).mkString("; ")}) — alias ONE column per " +
+        "distinct aggregate expression")
     val mvRel = leafRelation(
       spark.read.parquet(mvPath).queryExecution.analyzed).get
     val files = filesOf(baseLeaf)
     val d = MvDef(name, rootsOf(baseLeaf), files.toSet, fingerprint(files),
-      dims.toSet, dims, aggCols, measures, mvPath, 0, mvRel)
+      dims.toSet, dims, aggCols, measures.toMap, mvPath, epoch, mvRel)
     registry.put(d.baseRoots, d)
     install(spark)
     d
@@ -208,9 +222,13 @@ object Mv {
     val removed = d.baseFiles -- nowFiles
     if (removed.nonEmpty) {
       // compaction/delete rewrote history — partial folds can't track
-      // that; rebuild the summary from the current base
+      // that; rebuild the summary from the current base. The epoch
+      // carries forward: a rebuild registered at epoch 0 would compute
+      // its NEXT refresh path equal to its own live path and delete
+      // the summary out from under the fold's read
       register(spark, d.name, baseNow, d.dimCols, d.aggCols,
-        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}")
+        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}",
+        epoch = d.epoch + 1)
       return (-1, nowFiles.size)
     }
     val delta = (nowFiles -- d.baseFiles).toSeq
@@ -330,6 +348,11 @@ object Mv {
               if (rolled.dataType == ae.dataType) rolled
               else Cast(rolled, ae.dataType)
           }
+        // an aggregate the case above did NOT take (FILTER clause,
+        // DISTINCT, unregistered function) must STOP here — the generic
+        // recursion below would rebuild it over MV rows and silently
+        // answer from the wrong grain
+        case _: AggregateExpression => None
         case a: AttributeReference =>
           if (groupNames(a.name)) mvAttr.get(a.name) else None
         case l: Literal => Some(l)

@@ -760,6 +760,42 @@ class DmlSpec extends SparkSpec {
     assert(Dml.history(spark, dir).count() == 2)
   }
 
+  test("dir reuse leaves no orphaned sidecars: a second merge-on-read " +
+    "with zero matches, and a plain rewrite after a MoR commit, both " +
+    "serve exactly the fresh logical table (no stale vector drops " +
+    "rows, no stale append resurrects them)") {
+    val dir = Dml.work("spec_mor_reuse", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val nation = Tables.t(spark, sf, "nation")
+    val matching = nation.filter(col("n_nationkey") < 10)
+      .select((col("n_nationkey") + 20).as("nk"),
+        concat(lit("NEW_"), col("n_name")).as("nm"))
+    // run 1: real matches + inserts -> v1_dv (5 rows) + v1_append (10)
+    Dml.mergeWithDv(nation, dir, matching,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("s.nm")),
+      Some(Seq("n_nationkey", "n_name", "n_regionkey")),
+      Some(Seq(col("s.nk"), col("s.nm"), lit(99))))
+    // run 2 on the SAME dir: nothing matches, nothing inserts — run
+    // 1's sidecars must not leak into run 2's v1
+    val noMatch = nation.filter(col("n_nationkey") < 3)
+      .select((col("n_nationkey") + 1000).as("nk"))
+    val out2 = Dml.mergeWithDv(nation, dir, noMatch,
+      col("t.n_nationkey") === col("s.nk"),
+      Map("n_name" -> col("t.n_name")), None, None)
+    assert(out2.exceptAll(nation).isEmpty && nation.exceptAll(out2).isEmpty,
+      "run 2 must serve the fresh table — stale sidecars leaked")
+    // run 3: the copy-on-write DELETE (snapshot path) on the same dir —
+    // v1 becomes a PLAIN version; run 1/2's v1 sidecars must die
+    val out3 = Dml.delete(nation, dir, lit(false))
+    assert(out3.exceptAll(nation).isEmpty && nation.exceptAll(out3).isEmpty)
+    assert(Dml.readLatest(spark, dir).count() == nation.count())
+    assert(!new java.io.File(s"$dir/v1_append").exists &&
+      !new java.io.File(s"$dir/v1_dv").exists &&
+      !new java.io.File(s"$dir/v1_ref").exists,
+      "a plain snapshot must clear the version's stale sidecars")
+  }
+
   test("merge-on-read: the ANSI cardinality check rejects a source with " +
     "duplicate match keys") {
     val dir = Dml.work("spec_mor_card", sf)

@@ -207,6 +207,93 @@ class MvSpec extends SparkSpec {
     assert(global.collect().head.getLong(0) == 0L)
   }
 
+  test("an aggregate with a FILTER clause declines — the generic " +
+    "translation must not rebuild it over summary rows (it would " +
+    "count MV rows, not base rows)") {
+    MvQueries.ensureMv(spark, sf)
+    Tables.ensureRegistered(spark, sf)
+    val filtered = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |count(1) FILTER (WHERE l_linestatus = 'F') AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin)
+    assert(!mvScanned(filtered) && baseScanned(filtered),
+      s"FILTER-clause aggregate must decline:\n" +
+        filtered.queryExecution.optimizedPlan.toString)
+    // and the base answer is the true row count, not 0/1-per-group
+    assert(filtered.collect().exists(_.getLong(2) > 1))
+  }
+
+  test("re-registering the same base to the same path works: the " +
+    "materialization itself must not be rewritten onto the summary " +
+    "directory register just deleted") {
+    val root = Dml.work("mv_rereg", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").write.parquet(baseDir)
+    def reg() = Mv.register(spark, "rereg_probe",
+      spark.read.parquet(baseDir), dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary")
+    reg()
+    // first registration live and matching — a rewritten second
+    // materialization would read the just-deleted summary dir
+    reg()
+    val served = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(served).exists(_.contains("summary")))
+    val want = Mv.withDisabled {
+      spark.read.parquet(baseDir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(served.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == want, "the re-registered summary must hold real counts")
+  }
+
+  test("epoch survives a rebuild: refresh after rebuild lands at the " +
+    "NEXT versioned path instead of deleting the live summary out " +
+    "from under its own fold") {
+    val root = Dml.work("mv_epoch", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity")
+    li.repartition(2).write.parquet(baseDir)
+    val d0 = Mv.register(spark, "epoch_probe",
+      spark.read.parquet(baseDir), dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary")
+    // force the rebuild path (fewer, different files)
+    val snap = spark.read.parquet(baseDir).cache(); snap.count()
+    snap.repartition(1).write.mode("overwrite").parquet(baseDir)
+    snap.unpersist()
+    assert(Mv.refreshIncremental(spark, d0.baseRoots)._1 == -1)
+    // now APPEND and refresh incrementally on top of the rebuild —
+    // with epoch reset to 0 this deleted summary_r1 mid-fold
+    li.limit(5).repartition(1).write.mode("append").parquet(baseDir)
+    val (delta, _) = Mv.refreshIncremental(spark, d0.baseRoots)
+    assert(delta == 1, s"expected a 1-file fold, got $delta")
+    val served = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(served).exists(_.contains("summary_r2")),
+      s"post-rebuild refresh must land at _r2:\n" +
+        served.queryExecution.optimizedPlan.toString)
+    assert(served.agg(sum("n")).collect().head.getLong(0) ==
+      li.count() + 5)
+  }
+
+  test("registration rejects duplicate measure expressions (one " +
+    "structural key cannot serve two columns)") {
+    val e = intercept[IllegalArgumentException] {
+      Mv.register(spark, "dup", Tables.t(spark, sf, "lineitem"),
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(count(lit(1)).as("a"), count(lit(1)).as("b")),
+        mvPath = Dml.work("mv_dup", sf) + "/summary")
+    }
+    assert(e.getMessage.contains("duplicate measure"))
+  }
+
   test("registration rejects a measure that cannot roll up losslessly") {
     val e = intercept[IllegalArgumentException] {
       Mv.register(spark, "bad", Tables.t(spark, sf, "lineitem"),
