@@ -127,6 +127,20 @@ class ExecutionContext(
     val stmt = ExecutionContext.normalizeDialect(
       ExecutionContext.firstStatement(sql), dialect)
     stmt match {
+      case ExecutionContext.CreateMvRe(name, selectList, tbl, groupList) =>
+        sqlCreateMv(ExecutionContext.unquote(name),
+          selectList, ExecutionContext.unquote(tbl), groupList)
+      case ExecutionContext.RefreshMvRe(name) =>
+        val (delta, total) =
+          Mv.refreshIncremental(spark, ExecutionContext.unquote(name))
+        import spark.implicits._
+        Seq((delta, total)).toDF("delta_files", "total_files")
+      case ExecutionContext.DropMvRe(ifExists, name) =>
+        val dropped = Mv.drop(spark, ExecutionContext.unquote(name))
+        require(dropped || ifExists != null,
+          s"Materialized view: ${ExecutionContext.unquote(name)} " +
+            "does not exist")
+        spark.emptyDataFrame
       case ExecutionContext.CreateIndexRe(unique, ifNot, idxName, tbl, cols) =>
         createIndex(
           Option(idxName).map(ExecutionContext.unquote).filter(_.nonEmpty),
@@ -386,6 +400,34 @@ class ExecutionContext(
         notMatchedBySourceDelete = bySourceDelete)
     out.createOrReplaceTempView(table)
     out
+  }
+
+  /** CREATE MATERIALIZED VIEW <n> AS SELECT … FROM <t> GROUP BY <dims> —
+    * register + materialize the rollup summary through [[Mv.register]];
+    * every subsequent matching aggregate over <t> (through this context
+    * or plain DataFrame code — the rule is session-global) transparently
+    * reads the summary. The SELECT list may restate the GROUP BY dims
+    * (conventional SQL); they are already the summary's key columns, so
+    * bare dim identifiers are skipped and everything else must be an
+    * aliased sum/count/min/max measure ([[Mv.register]] rejects the
+    * rest loudly). */
+  private def sqlCreateMv(
+      name: String, selectList: String,
+      table: String, groupList: String): DataFrame = {
+    requireTable(table)
+    val dims = ExecutionContext.splitList(groupList)
+      .map(ExecutionContext.unquote).filter(_.nonEmpty)
+    val dimSet = dims.toSet
+    val aggCols = ExecutionContext.splitList(selectList)
+      .map(_.trim).filter(_.nonEmpty)
+      .filterNot(item => dimSet(ExecutionContext.unquote(item)))
+      .map(expr)
+    require(aggCols.nonEmpty,
+      s"CREATE MATERIALIZED VIEW $name: no measures in the SELECT list " +
+        "(everything was a GROUP BY dimension)")
+    Mv.register(spark, name, spark.table(table), dims, aggCols,
+      sqlDmlDir(s"mv_$name"))
+    spark.emptyDataFrame
   }
 
   /** Apply a schema-evolution transform to a session view (re-registered
@@ -790,6 +832,22 @@ object ExecutionContext {
   // lives on [[ExecutionContext.dropTable]].
   private[graft] val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
+
+  // CREATE MATERIALIZED VIEW <n> AS SELECT <list> FROM <t> GROUP BY <cols>
+  // — the restricted rollup-summary form [[Mv.register]] accepts (bare
+  // dim identifiers + sum/count/min/max measures); REFRESH folds the
+  // base's appended files in, DROP unregisters. Spark has no native
+  // MATERIALIZED VIEW statement, so these route BEFORE the spark.sql
+  // fallback (which would throw PARSE_SYNTAX_ERROR).
+  private[graft] val CreateMvRe =
+    (s"""(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s+AS\\s+""" +
+      s"""SELECT\\s+(.+?)\\s+FROM\\s+($Ident)\\s+GROUP\\s+BY\\s+""" +
+      s"""([`"\\w\\s,.]+?)\\s*$$""").r
+  private[graft] val RefreshMvRe =
+    s"""(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s*$$""".r
+  private[graft] val DropMvRe =
+    (s"""(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?""" +
+      s"""($Ident)\\s*$$""").r
 
   // A statement explainReference may hand to spark.sql without running a
   // side effect: query heads only (commands execute eagerly in spark.sql).

@@ -263,6 +263,31 @@ object Mv {
     (delta.size, nowFiles.size)
   }
 
+  /** The registered MV named `name`, if any (names are unique per
+    * registration call; the last registration under a name wins). */
+  def byName(name: String): Option[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.find(_.name == name)
+  }
+
+  /** [[refreshIncremental]] by MV name — the SQL statement surface's
+    * lookup form. */
+  def refreshIncremental(spark: SparkSession, name: String): (Int, Int) =
+    refreshIncremental(spark,
+      byName(name).getOrElse(throw new IllegalArgumentException(
+        s"Materialized view: $name does not exist")).baseRoots)
+
+  /** Unregister `name` and delete its materialization. Returns false
+    * when no such MV exists (the IF EXISTS contract). */
+  def drop(spark: SparkSession, name: String): Boolean =
+    byName(name) match {
+      case Some(d) =>
+        registry.remove(d.baseRoots)
+        Layouts.deleteDir(spark, d.mvPath)
+        true
+      case None => false
+    }
+
   /** Idempotently add [[MvRewrite]] to the session optimizer's
     * user-rule batch. */
   def install(spark: SparkSession): Unit = {
@@ -477,6 +502,34 @@ object MvQueries {
              |SELECT l_returnflag, count(*) AS n,
              |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |AS sum_qty FROM base WHERE l_linestatus = 'F'
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // The SQL statement surface of the MV subsystem: CREATE
+    // MATERIALIZED VIEW registers + materializes through Mv.register,
+    // and the follow-up aggregate — issued as PLAIN SQL with no
+    // mention of the view — reads the summary transparently. On
+    // `orders`, not lineitem: the registry keys by base scan roots,
+    // and a second lineitem registration would replace q61's (last
+    // wins) with a different measure set mid-session. The oracle is
+    // the same aggregate on the base table, so the hash gate proves
+    // statement-created summaries answer exactly. REFRESH/DROP
+    // lifecycle evidence is MvSpec's.
+    Q("q63_sql_mv",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        ctx.execute("DROP MATERIALIZED VIEW IF EXISTS sql_orders_summary")
+        ctx.execute("""CREATE MATERIALIZED VIEW sql_orders_summary AS
+          SELECT o_orderpriority, o_orderstatus, count(1) AS mv_cnt,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mv_total
+          FROM orders GROUP BY o_orderpriority, o_orderstatus""")
+        ctx.execute("""SELECT o_orderpriority, count(1) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS total FROM orders WHERE o_orderstatus = 'F'
              |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
 

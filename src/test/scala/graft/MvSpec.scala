@@ -283,6 +283,53 @@ class MvSpec extends SparkSpec {
       li.count() + 5)
   }
 
+  test("SQL statement lifecycle: CREATE MATERIALIZED VIEW serves plain " +
+    "SQL aggregates, REFRESH folds an append in, DROP unregisters, and " +
+    "a bare DROP of a missing view errors while IF EXISTS does not") {
+    val ctx = new ExecutionContext(spark)
+    val root = Dml.work("mv_sql_spec", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity")
+      .repartition(3).write.parquet(baseDir)
+    def freshView(): Unit = spark.read.parquet(baseDir)
+      .createOrReplaceTempView("spec_mvsql_base")
+    freshView()
+    ctx.execute("""CREATE MATERIALIZED VIEW spec_mvsql AS
+      SELECT l_returnflag, count(1) AS c FROM spec_mvsql_base
+      GROUP BY l_returnflag""")
+    def probe() = ctx.execute(
+      "SELECT l_returnflag, count(1) AS n FROM spec_mvsql_base " +
+        "GROUP BY l_returnflag")
+    assert(scanRoots(probe()).exists(_.contains("mv_spec_mvsql")),
+      s"statement-created MV must serve:\n" +
+        probe().queryExecution.optimizedPlan.toString)
+    // base gains a file; a fresh view sees it and DECLINES (stale fp)
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").limit(7)
+      .repartition(1).write.mode("append").parquet(baseDir)
+    freshView()
+    assert(!scanRoots(probe()).exists(_.contains("mv_spec_mvsql")),
+      "a stale statement-created MV must not serve")
+    // REFRESH folds exactly the appended file and serving resumes
+    val r = ctx.execute("REFRESH MATERIALIZED VIEW spec_mvsql").collect()
+    assert(r.head.getInt(0) == 1 && r.head.getInt(1) == 4,
+      s"refresh must report a 1-of-4-file fold: ${r.head}")
+    assert(scanRoots(probe()).exists(_.contains("mv_spec_mvsql")))
+    val total = probe().agg(sum("n")).collect().head.getLong(0)
+    assert(total == spark.read.parquet(baseDir).count())
+    // DROP unregisters; the aggregate falls back to the base
+    ctx.execute("DROP MATERIALIZED VIEW spec_mvsql")
+    assert(!scanRoots(probe()).exists(_.contains("mv_spec_mvsql")))
+    val e = intercept[IllegalArgumentException] {
+      ctx.execute("DROP MATERIALIZED VIEW spec_mvsql")
+    }
+    assert(e.getMessage.contains("does not exist"))
+    ctx.execute("DROP MATERIALIZED VIEW IF EXISTS spec_mvsql") // no throw
+    spark.catalog.dropTempView("spec_mvsql_base")
+  }
+
   test("registration rejects duplicate measure expressions (one " +
     "structural key cannot serve two columns)") {
     val e = intercept[IllegalArgumentException] {
