@@ -127,6 +127,38 @@ object Mv {
       case _ => Seq.empty
     }
 
+  /** Per-FileIndex fingerprint memo: the freshness check runs on EVERY
+    * matching aggregate's optimization, and at 100 TB a base table's
+    * listing is millions of paths — MB-scale hashing per query plan. A
+    * FileIndex instance's listing is immutable (a new scan of a changed
+    * table builds a NEW index), so the fingerprint is cached weakly per
+    * instance: repeated plans over one relation hash once. */
+  // IDENTITY-keyed, not equals-keyed: FileIndex.equals compares root
+  // paths, so an equals-keyed map would serve a PRE-append fingerprint
+  // for a fresh index over the changed table — exactly the staleness
+  // the check exists to catch. A hit must be the same INSTANCE (`eq`);
+  // an identityHashCode collision therefore degrades to a miss, never
+  // a wrong answer. Weak refs + a size-bounded sweep keep dead index
+  // instances from pinning the map.
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[
+    Integer, (java.lang.ref.WeakReference[AnyRef], String)]()
+  private def fingerprintOf(l: LogicalRelation): String = l.relation match {
+    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      val loc = fs.location
+      val k = Integer.valueOf(System.identityHashCode(loc))
+      val hit = fpCache.get(k)
+      if (hit != null && (hit._1.get() eq loc)) hit._2
+      else {
+        val fp = fingerprint(filesOf(l))
+        fpCache.put(k,
+          (new java.lang.ref.WeakReference[AnyRef](loc), fp))
+        if (fpCache.size() > 1024)
+          fpCache.entrySet().removeIf(e => e.getValue._1.get() == null)
+        fp
+      }
+    case _ => fingerprint(filesOf(l))
+  }
+
   /** The lossless-rollup kind for an MV-defining aggregate function, or
     * None when the function does not decompose over partial groups. */
   private def rollupKind(af: AggregateFunction): Option[String] = af match {
@@ -327,7 +359,7 @@ object Mv {
       (filters, leaf) <- unwrap(agg.child)
       mv <- Option(registry.get(rootsOf(leaf)))
       // freshness: the query's own scan listing vs the registered one
-      if fingerprint(filesOf(leaf)) == mv.baseFilesFp
+      if fingerprintOf(leaf) == mv.baseFilesFp
       // grouping: bare dim attributes only (subsets roll up)
       groupNames <- {
         val names = agg.groupingExpressions.map {
