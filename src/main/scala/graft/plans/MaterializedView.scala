@@ -160,12 +160,21 @@ object Mv {
   }
 
   /** The lossless-rollup kind for an MV-defining aggregate function, or
-    * None when the function does not decompose over partial groups. */
+    * None when the function does not decompose over partial groups.
+    * `hll` is the MERGEABLE-SKETCH measure: an HLL sketch of a union is
+    * exactly the register-wise max of the parts' sketches, so a summary
+    * storing `hll_sketch_agg(x)` per group answers
+    * `hll_sketch_estimate(hll_sketch_agg(x))` at ANY coarser grain via
+    * `hll_union_agg` — the 100 TB distinct-count pattern (distinct
+    * users per segment/day without rescanning the fact), and the one
+    * approximate aggregate that folds EXACTLY (same binary sketches in,
+    * same estimate out). */
   private def rollupKind(af: AggregateFunction): Option[String] = af match {
     case _: Sum => Some("sum")
     case _: Count => Some("sum") // counts roll up by summing per-group counts
     case _: Min => Some("min")
     case _: Max => Some("max")
+    case _: HllSketchAgg => Some("hll")
     case _ => None
   }
 
@@ -269,13 +278,14 @@ object Mv {
     val deltaAgg = deltaDf.groupBy(d.dimCols.map(deltaDf(_)): _*)
       .agg(d.aggCols.head, d.aggCols.tail: _*)
     val oldMv = spark.read.parquet(d.mvPath)
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+    import org.apache.spark.sql.functions.{col, hll_union_agg, max => fmax, min => fmin, sum => fsum}
     val folds = d.measures.values.toSeq.map { case (kind, name) =>
       val t = oldMv.schema(name).dataType
       (kind match {
         case "sum" => fsum(col(name))
         case "min" => fmin(col(name))
         case "max" => fmax(col(name))
+        case "hll" => hll_union_agg(col(name))
       }).cast(t).as(name) // sum widens; fold back to the MV type
     }
     val folded = oldMv.unionByName(deltaAgg)
@@ -400,6 +410,7 @@ object Mv {
                 case "sum" => Sum(mvAttr(mvCol))
                 case "min" => Min(mvAttr(mvCol))
                 case "max" => Max(mvAttr(mvCol))
+                case "hll" => new HllUnionAgg(mvAttr(mvCol))
               }
               val rolled = AggregateExpression(f, Complete, isDistinct = false)
               if (rolled.dataType == ae.dataType) rolled
@@ -562,8 +573,61 @@ object MvQueries {
       Some("""SELECT o_orderpriority, count(*) AS n,
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS total FROM orders WHERE o_orderstatus = 'F'
-             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // MERGEABLE-SKETCH MEASURE: the MV stores hll_sketch_agg(c_custkey)
+    // per (mktsegment, nation) and the query's coarser-grain
+    // hll_sketch_estimate(hll_sketch_agg(...)) rewrites to
+    // estimate(hll_union_agg(sketch)) — distinct customers per segment
+    // answered from the summary. Rows-only: the estimate is
+    // sketch-implementation-specific (no DuckDB twin), but it is
+    // DETERMINISTIC, and MvSpec proves the rewrite returns the
+    // BIT-IDENTICAL estimate of the unrewritten plan (union of
+    // per-group sketches == sketch of the union). The audit twin below
+    // carries the exact-distinct contract under the driver hash.
+    Q("q64_mv_hll",
+      (s, d) => {
+        ensureHll(s, d)
+        Tables.t(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))
+              .as("approx_customers"))
+      },
+      None),
+
+    // The exact twin of q64 under the driver hash: the same grouping
+    // with COUNT(DISTINCT) — declined by the rewrite (distinct does not
+    // decompose), so it runs on the base and pins the true values the
+    // sketch approximates; MvSpec asserts the relative error bound.
+    Q("q64_mv_hll_audit",
+      (s, d) => {
+        ensureHll(s, d)
+        Tables.t(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("c_custkey")).as("exact_customers"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |count(DISTINCT c_custkey) AS exact_customers
+             |FROM customer GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
+
+  // (session, sfDir) -> the customer sketch summary registration.
+  private val hllFor = scala.collection.mutable.Map[(Int, String), Unit]()
+  private[graft] def ensureHll(s: SparkSession, d: String): Unit =
+    synchronized {
+      hllFor.getOrElseUpdate((System.identityHashCode(s), d), {
+        Mv.register(s, "customer_sketches",
+          Tables.t(s, d, "customer"),
+          dims = Seq("c_mktsegment", "c_nationkey"),
+          aggCols = Seq(
+            count(lit(1)).as("mv_cnt"),
+            hll_sketch_agg(col("c_custkey")).as("mv_customers")),
+          mvPath = Dml.work("q64_mv", d) + "/customer_summary")
+        ()
+      })
+    }
 
   // (session, sfDir) -> the appended base-copy dir with its summary
   // registered AND incrementally refreshed; built once per pair.

@@ -330,6 +330,63 @@ class MvSpec extends SparkSpec {
     spark.catalog.dropTempView("spec_mvsql_base")
   }
 
+  test("HLL sketch measure: the coarser-grain estimate rewrites to a " +
+    "sketch-union over the summary, returns the BIT-IDENTICAL estimate " +
+    "of the base-table plan, stays within 5% of exact, and an " +
+    "incremental refresh folds sketches without changing the answer") {
+    val root = Dml.work("mv_hll_spec", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val cust = Tables.t(spark, sf, "customer")
+      .select("c_mktsegment", "c_nationkey", "c_custkey")
+    cust.repartition(3).write.parquet(baseDir)
+    val d0 = Mv.register(spark, "hll_probe", spark.read.parquet(baseDir),
+      dims = Seq("c_mktsegment", "c_nationkey"),
+      aggCols = Seq(hll_sketch_agg(col("c_custkey")).as("mv_cust")),
+      mvPath = s"$root/summary")
+    def probe() = spark.read.parquet(baseDir)
+      .groupBy("c_mktsegment")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("c_custkey")))
+        .as("approx"))
+    val served = probe()
+    assert(scanRoots(served).exists(_.contains("summary")),
+      s"sketch rollup must rewrite:\n" +
+        served.queryExecution.optimizedPlan.toString)
+    val got = served.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Mv.withDisabled {
+      probe().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(got == want,
+      s"union-of-sketches must equal sketch-of-union exactly:\n$got\n$want")
+    val exact = spark.read.parquet(baseDir).groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (seg, e) =>
+      assert(math.abs(got(seg) - e).toDouble / e <= 0.05,
+        s"estimate off by >5% for $seg: ${got(seg)} vs $e")
+    }
+    // append new customers (shifted keys so they are genuinely new
+    // distincts) and fold incrementally — the refreshed summary's
+    // estimate must equal the full recompute's, bit for bit
+    spark.read.parquet(baseDir)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .limit(500).repartition(1)
+      .write.mode("append").parquet(baseDir)
+    val (delta, _) = Mv.refreshIncremental(spark, d0.baseRoots)
+    assert(delta == 1, s"expected a 1-file sketch fold, got $delta")
+    val refreshed = probe()
+    assert(scanRoots(refreshed).exists(_.contains("summary_r1")))
+    val got2 = refreshed.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want2 = Mv.withDisabled {
+      probe().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(got2 == want2,
+      "folded sketches must estimate identically to the recompute")
+    assert(got2.values.sum > got.values.sum,
+      "the appended distincts must be visible through the fold")
+  }
+
   test("registration rejects duplicate measure expressions (one " +
     "structural key cannot serve two columns)") {
     val e = intercept[IllegalArgumentException] {
