@@ -127,9 +127,11 @@ class ExecutionContext(
     val stmt = ExecutionContext.normalizeDialect(
       ExecutionContext.firstStatement(sql), dialect)
     stmt match {
-      case ExecutionContext.CreateMvRe(name, selectList, tbl, groupList) =>
+      case ExecutionContext.CreateMvRe(name, selectList, tbl, whereText,
+          groupList) =>
         sqlCreateMv(ExecutionContext.unquote(name),
-          selectList, ExecutionContext.unquote(tbl), groupList)
+          selectList, ExecutionContext.unquote(tbl),
+          Option(whereText).map(_.trim).filter(_.nonEmpty), groupList)
       case ExecutionContext.RefreshMvRe(name) =>
         val (delta, total) =
           Mv.refreshIncremental(spark, ExecutionContext.unquote(name))
@@ -257,6 +259,13 @@ class ExecutionContext(
   // other's version directories.
   private val sqlDmlCtx = ExecutionContext.nextCtxId()
   private var sqlDmlSeq = 0
+
+  /** Per-view dv-merge continuity: (committed store dir, the exact
+    * DataFrame last published to the view from it). Lets repeated
+    * dv-mode MERGEs extend one version chain instead of re-snapshotting
+    * the table per statement. */
+  private val dvMergeState =
+    scala.collection.mutable.Map[String, (String, DataFrame)]()
   private def sqlDmlDir(table: String): String = {
     sqlDmlSeq += 1
     val safe = table.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -380,21 +389,42 @@ class ExecutionContext(
       .map(v => expr(v.trim)))
     // MERGE commit strategy is a session choice (`spark.graft.merge
     // .mode`): "rewrite" (default) publishes the merged table —
-    // O(table) write; "dv" commits merge-on-read ([[Dml.mergeWithDv]])
-    // — O(changed rows) sidecars, the right mode for a small upsert
-    // against a large table. Either mode yields the same logical state
-    // (m28 shares m11's oracle under the hash gate). The SYNC clause
-    // (WHEN NOT MATCHED BY SOURCE THEN DELETE) always takes the
-    // rewrite path: it touches the whole non-matched complement, so a
-    // merge-on-read commit would still be O(table) — nothing to save.
+    // O(table) write; "dv" commits merge-on-read ([[Dml.mergeOnRead]]).
+    // The FIRST dv merge against a view pays an O(table) v0 snapshot
+    // (the store needs committed data files to address); every later
+    // dv merge on the same view REUSES that committed dir and extends
+    // the version chain at O(changed rows) — the small-repeated-upsert
+    // case dv mode exists for. The reuse guard is sameResult against
+    // the state this context last published for the view: any
+    // interleaved rewrite-path DML re-registers the view under a
+    // different plan and safely falls back to a fresh snapshot. Either
+    // mode yields the same logical state (m28 shares m11's oracle
+    // under the hash gate). The SYNC clause (WHEN NOT MATCHED BY
+    // SOURCE THEN DELETE) always takes the rewrite path: it touches
+    // the whole non-matched complement, so a merge-on-read commit
+    // would still be O(table) — nothing to save.
     val mor = !bySourceDelete &&
       spark.conf.get("spark.graft.merge.mode", "rewrite") == "dv"
     val out =
-      if (mor)
-        Dml.mergeWithDv(spark.table(table), sqlDmlDir(table),
-          spark.table(src), expr(onText), assignments, cols, vals,
-          targetAlias = tAlias, sourceAlias = sAlias)
-      else Dml.merge(spark.table(table), sqlDmlDir(table),
+      if (mor) {
+        val priorDir = dvMergeState.get(table).collect {
+          case (d, published)
+              if spark.table(table).queryExecution.analyzed
+                .sameResult(published.queryExecution.analyzed) => d
+        }
+        val dvDir = priorDir.getOrElse(sqlDmlDir(table))
+        val o =
+          if (priorDir.isDefined)
+            Dml.mergeOnRead(spark, dvDir, spark.table(src), expr(onText),
+              assignments, cols, vals,
+              targetAlias = tAlias, sourceAlias = sAlias)
+          else
+            Dml.mergeWithDv(spark.table(table), dvDir, spark.table(src),
+              expr(onText), assignments, cols, vals,
+              targetAlias = tAlias, sourceAlias = sAlias)
+        dvMergeState(table) = (dvDir, o)
+        o
+      } else Dml.merge(spark.table(table), sqlDmlDir(table),
         spark.table(src), expr(onText), assignments, cols, vals,
         targetAlias = tAlias, sourceAlias = sAlias,
         notMatchedBySourceDelete = bySourceDelete)
@@ -402,18 +432,22 @@ class ExecutionContext(
     out
   }
 
-  /** CREATE MATERIALIZED VIEW <n> AS SELECT … FROM <t> GROUP BY <dims> —
-    * register + materialize the rollup summary through [[Mv.register]];
-    * every subsequent matching aggregate over <t> (through this context
-    * or plain DataFrame code — the rule is session-global) transparently
-    * reads the summary. The SELECT list may restate the GROUP BY dims
+  /** CREATE MATERIALIZED VIEW <n> AS SELECT … FROM <t> [WHERE <pred>]
+    * GROUP BY <dims> — register + materialize the rollup summary through
+    * [[Mv.register]]; every subsequent matching aggregate over <t>
+    * (through this context or plain DataFrame code — the rule is
+    * session-global) transparently reads the summary. A WHERE clause
+    * defines a PARTIAL summary: only predicate rows are aggregated and
+    * a query rewrites only when its own filters restate the predicate
+    * exactly. The SELECT list may restate the GROUP BY dims
     * (conventional SQL); they are already the summary's key columns, so
     * bare dim identifiers are skipped and everything else must be an
     * aliased sum/count/min/max measure ([[Mv.register]] rejects the
     * rest loudly). */
   private def sqlCreateMv(
       name: String, selectList: String,
-      table: String, groupList: String): DataFrame = {
+      table: String, whereText: Option[String],
+      groupList: String): DataFrame = {
     requireTable(table)
     val dims = ExecutionContext.splitList(groupList)
       .map(ExecutionContext.unquote).filter(_.nonEmpty)
@@ -426,7 +460,7 @@ class ExecutionContext(
       s"CREATE MATERIALIZED VIEW $name: no measures in the SELECT list " +
         "(everything was a GROUP BY dimension)")
     Mv.register(spark, name, spark.table(table), dims, aggCols,
-      sqlDmlDir(s"mv_$name"))
+      sqlDmlDir(s"mv_$name"), where = whereText.map(expr))
     spark.emptyDataFrame
   }
 
@@ -833,15 +867,18 @@ object ExecutionContext {
   private[graft] val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
 
-  // CREATE MATERIALIZED VIEW <n> AS SELECT <list> FROM <t> GROUP BY <cols>
-  // — the restricted rollup-summary form [[Mv.register]] accepts (bare
-  // dim identifiers + sum/count/min/max measures); REFRESH folds the
-  // base's appended files in, DROP unregisters. Spark has no native
-  // MATERIALIZED VIEW statement, so these route BEFORE the spark.sql
-  // fallback (which would throw PARSE_SYNTAX_ERROR).
+  // CREATE MATERIALIZED VIEW <n> AS SELECT <list> FROM <t> [WHERE <pred>]
+  // GROUP BY <cols> — the restricted rollup-summary form [[Mv.register]]
+  // accepts (bare dim identifiers + sum/count/min/max measures); the
+  // optional WHERE defines a PARTIAL summary (only predicate rows are
+  // aggregated; queries rewrite only when they restate the predicate).
+  // REFRESH folds the base's appended files in, DROP unregisters. Spark
+  // has no native MATERIALIZED VIEW statement, so these route BEFORE the
+  // spark.sql fallback (which would throw PARSE_SYNTAX_ERROR).
   private[graft] val CreateMvRe =
     (s"""(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s+AS\\s+""" +
-      s"""SELECT\\s+(.+?)\\s+FROM\\s+($Ident)\\s+GROUP\\s+BY\\s+""" +
+      s"""SELECT\\s+(.+?)\\s+FROM\\s+($Ident)""" +
+      s"""(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+""" +
       s"""([`"\\w\\s,.]+?)\\s*$$""").r
   private[graft] val RefreshMvRe =
     s"""(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s*$$""".r

@@ -70,40 +70,84 @@ object Mv {
   final case class MvDef(
       name: String,
       baseRoots: Set[String],
-      baseFiles: Set[String],
+      /** base file path -> (length, modificationTime) at registration —
+        * the staleness identity. Path-only tracking let a file rewritten
+        * IN PLACE under the same name serve a stale summary; (len, mtime)
+        * comes from the FileIndex's already-listed statuses (no extra
+        * IO), the Delta/Iceberg freshness convention. */
+      baseMeta: Map[String, (Long, Long)],
       baseFilesFp: String,
       dims: Set[String],
       dimCols: Seq[String],
       aggCols: Seq[Column],
       measures: Map[String, (String, String)],
+      /** Canonicalized conjuncts of the defining WHERE predicate (empty
+        * for a full-table summary). A query rewrites only when its own
+        * filter conjuncts COVER these exactly (the exact-match partial-MV
+        * contract); the covered conjuncts are consumed, not re-applied —
+        * they may reference non-dim base columns the summary no longer
+        * carries. */
+      predConjuncts: Set[String],
+      /** Column NAMES provably non-null on every summary row because a
+        * null-intolerant predicate conjunct references them. The
+        * optimizer infers `isnotnull(c)` next to every pushed filter;
+        * on the query side those inferred conjuncts are implied by the
+        * consumed predicate and must be consumable too — but ONLY when
+        * the predicate actually null-rejects the column (`c IS NULL`
+        * as a defining predicate implies nothing of the sort). */
+      predNotNullable: Set[String],
+      /** The WHERE predicate itself, for refresh (delta files must be
+        * filtered identically) and rebuild re-registration. */
+      whereCol: Option[Column],
       mvPath: String,
+      /** Summary row count — the cost key when several registered MVs
+        * cover one query: the rewrite picks the smallest. */
+      mvRows: Long,
       epoch: Int,
       mvRelation: LogicalRelation)
 
-  /** Registered MVs, keyed by base-relation root-path set. One MV per
-    * base table is the POC surface; a production registry holds many and
-    * picks the cheapest covering summary. */
+  /** Registered MVs, keyed by NAME. Several summaries may share one base
+    * (different grains / predicates); the rewrite matches by the scan's
+    * root paths and picks the cheapest covering candidate by row count.
+    * Re-registering a name replaces that definition only. */
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[Set[String], MvDef]()
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private def candidatesFor(roots: Set[String]): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.filter(_.baseRoots == roots).toSeq
+      .sortBy(d => (d.mvRows, d.name))
+  }
 
   /** Kill switch for control-arm measurements (spec/bench baselines). */
   @volatile private[graft] var enabled = true
 
+  /** Depth of live [[withDisabled]] scopes. A save/restore of the global
+    * flag was not safe under interleaving: two concurrent register()
+    * calls could restore enabled=true while the other was still
+    * materializing, re-firing the rewrite onto the summary directory
+    * registration had just deleted. A counter nests and interleaves
+    * correctly: the rule stays off until EVERY scope has exited. */
+  private val disabledDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Run `body` with the rewrite disabled — the control arm. */
   private[graft] def withDisabled[T](body: => T): T = {
-    val was = enabled
-    enabled = false
-    try body finally enabled = was
+    disabledDepth.incrementAndGet()
+    try body finally disabledDepth.decrementAndGet()
   }
+
+  private def rewriteOff: Boolean = !enabled || disabledDepth.get() > 0
 
   private def structKey(af: Expression): String =
     af.transform {
       case a: AttributeReference => a.withQualifier(Nil)
     }.sql
 
-  private def fingerprint(files: Seq[String]): String = {
+  private def fingerprint(meta: Map[String, (Long, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    files.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    meta.toSeq.sortBy(_._1).foreach { case (p, (len, mtime)) =>
+      md.update(s"$p|$len|$mtime".getBytes("UTF-8"))
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -120,11 +164,16 @@ object Mv {
       case _ => Set.empty
     }
 
-  private def filesOf(l: LogicalRelation): Seq[String] =
+  /** (path, length, modificationTime) per base file, from the
+    * FileIndex's already-materialized listing — the statuses are in
+    * memory from the scan's own planning, so this costs no IO. */
+  private def fileMeta(l: LogicalRelation): Map[String, (Long, Long)] =
     l.relation match {
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        fs.location.inputFiles.toSeq
-      case _ => Seq.empty
+        fs.location.listFiles(Nil, Nil).flatMap(_.files).map { f =>
+          f.getPath.toString -> (f.getLen, f.getModificationTime)
+        }.toMap
+      case _ => Map.empty
     }
 
   /** Per-FileIndex fingerprint memo: the freshness check runs on EVERY
@@ -149,15 +198,20 @@ object Mv {
       val hit = fpCache.get(k)
       if (hit != null && (hit._1.get() eq loc)) hit._2
       else {
-        val fp = fingerprint(filesOf(l))
+        val fp = fingerprint(fileMeta(l))
         fpCache.put(k,
           (new java.lang.ref.WeakReference[AnyRef](loc), fp))
         if (fpCache.size() > 1024)
           fpCache.entrySet().removeIf(e => e.getValue._1.get() == null)
         fp
       }
-    case _ => fingerprint(filesOf(l))
+    case _ => fingerprint(fileMeta(l))
   }
+
+  /** Canonical text of a predicate conjunct for exact-match comparison
+    * across plan instances (qualifiers stripped; exprIds don't print). */
+  private[graft] def canon(e: Expression): String =
+    e.transform { case a: AttributeReference => a.withQualifier(Nil) }.sql
 
   /** The lossless-rollup kind for an MV-defining aggregate function, or
     * None when the function does not decompose over partial groups.
@@ -178,10 +232,22 @@ object Mv {
     case _ => None
   }
 
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
   /** Define + materialize a summary over `base` and register it for
     * rewrite. `aggCols` must be ALIASED aggregate columns (sum/count/
-    * min/max); anything else is rejected here, at registration, rather
-    * than silently never matching at query time. */
+    * min/max, plain — DISTINCT and FILTER-clause forms do not decompose
+    * over partial groups and the query-side guard would mis-match them
+    * against the plain call); anything else is rejected here, at
+    * registration, rather than silently never matching (or worse,
+    * silently wrong-matching) at query time. `where` defines a PARTIAL
+    * summary: only base rows satisfying it are aggregated, and queries
+    * rewrite only when their own filters restate it exactly.
+    * Synchronized: two interleaved registrations must not re-enable the
+    * rewrite mid-materialization (see [[withDisabled]]). */
   def register(
       spark: SparkSession,
       name: String,
@@ -189,9 +255,15 @@ object Mv {
       dims: Seq[String],
       aggCols: Seq[Column],
       mvPath: String,
-      epoch: Int = 0): MvDef = {
+      epoch: Int = 0,
+      where: Option[Column] = None): MvDef = synchronized {
     require(aggCols.nonEmpty, "register: at least one measure")
-    val mvDf = base.groupBy(dims.map(base(_)): _*)
+    require(!base.queryExecution.analyzed.exists(_.isInstanceOf[Filter]),
+      "register: base must be the unfiltered scan — define a partial " +
+        "summary via the `where` parameter so the predicate is tracked " +
+        "for query matching and refresh")
+    val filtered = where.map(base.filter).getOrElse(base)
+    val mvDf = filtered.groupBy(dims.map(base(_)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     Layouts.deleteDir(spark, mvPath)
     // materialize with the rule OFF: a prior registration for the SAME
@@ -209,6 +281,19 @@ object Mv {
     }.get
     val measures = aggPlan.aggregateExpressions.flatMap {
       case al @ Alias(ae: AggregateExpression, _) =>
+        // DISTINCT / FILTER-clause aggregates must be rejected HERE:
+        // rollupKind sees only the AggregateFunction and structKey
+        // drops both flags, so count(DISTINCT x) would register under
+        // the same key as plain count(x) — a later plain count(x)
+        // query would pass the query-side guard and silently sum
+        // distinct partials (and refresh would sum-fold them, doubly
+        // wrong). Mirror the query-side guard exactly.
+        if (ae.isDistinct || ae.filter.nonEmpty)
+          throw new IllegalArgumentException(
+            s"register: measure '${al.name}' (${ae.sql}) uses DISTINCT " +
+              "or FILTER — neither decomposes over partial groups; " +
+              "use plain sum/count/min/max (or hll_sketch_agg for " +
+              "mergeable distinct counts)")
         val kind = rollupKind(ae.aggregateFunction).getOrElse(
           throw new IllegalArgumentException(
             s"register: measure '${al.name}' (${ae.sql}) does not roll " +
@@ -223,12 +308,37 @@ object Mv {
       "register: duplicate measure expressions " +
         s"(${measures.map(_._1).mkString("; ")}) — alias ONE column per " +
         "distinct aggregate expression")
-    val mvRel = leafRelation(
-      spark.read.parquet(mvPath).queryExecution.analyzed).get
-    val files = filesOf(baseLeaf)
-    val d = MvDef(name, rootsOf(baseLeaf), files.toSet, fingerprint(files),
-      dims.toSet, dims, aggCols, measures.toMap, mvPath, epoch, mvRel)
-    registry.put(d.baseRoots, d)
+    // the defining predicate's canonical conjuncts, from the ANALYZED
+    // filter (so dialect/typing normalization has already run)
+    val predParts: Seq[Expression] =
+      if (where.isEmpty) Seq.empty
+      else filtered.queryExecution.analyzed match {
+        case Filter(cond, _) => conjunctsOf(cond)
+        case p => throw new IllegalStateException(
+          s"register: filtered base did not analyze to a Filter:\n$p")
+      }
+    val predConjuncts = predParts.map(canon).toSet
+    // a comparison/IN conjunct evaluates to NULL (row dropped) when its
+    // attribute is null — so on summary rows those attributes are
+    // provably non-null and inferred `isnotnull` conjuncts consume.
+    // EqualNullSafe deliberately excluded: `c <=> NULL` KEEPS nulls.
+    val predNotNullable: Set[String] = predParts.flatMap {
+      case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
+        cmp.references.map(_.name).toSeq
+      case in: In => in.references.map(_.name).toSeq
+      case in: InSet => in.references.map(_.name).toSeq
+      case _ => Seq.empty
+    }.toSet
+    val mvBack = spark.read.parquet(mvPath)
+    val mvRel = leafRelation(mvBack.queryExecution.analyzed).get
+    // row count from the freshly-written footers (metadata-only scan) —
+    // the cost key for cheapest-covering selection among several MVs
+    val mvRows = Mv.withDisabled { mvBack.count() }
+    val meta = fileMeta(baseLeaf)
+    val d = MvDef(name, rootsOf(baseLeaf), meta, fingerprint(meta),
+      dims.toSet, dims, aggCols, measures.toMap, predConjuncts,
+      predNotNullable, where, mvPath, mvRows, epoch, mvRel)
+    registry.put(name, d)
     install(spark)
     d
   }
@@ -254,14 +364,24 @@ object Mv {
     * total base files now; -1 delta signals the rebuild path). */
   def refreshIncremental(
       spark: SparkSession, baseRoots: Set[String]): (Int, Int) = {
-    val d = Option(registry.get(baseRoots)).getOrElse(
-      throw new IllegalArgumentException(
-        s"refreshIncremental: no MV registered for $baseRoots"))
+    val cands = candidatesFor(baseRoots)
+    require(cands.size == 1,
+      if (cands.isEmpty) s"refreshIncremental: no MV registered for $baseRoots"
+      else "refreshIncremental: several MVs share this base " +
+        s"(${cands.map(_.name).mkString(", ")}) — refresh by name")
+    refreshOne(spark, cands.head)
+  }
+
+  private def refreshOne(spark: SparkSession, d: MvDef): (Int, Int) = {
     val baseNow = spark.read.parquet(d.baseRoots.toSeq: _*)
     val leaf = leafRelation(baseNow.queryExecution.analyzed).get
-    val nowFiles = filesOf(leaf).toSet
-    val removed = d.baseFiles -- nowFiles
-    if (removed.nonEmpty) {
+    val nowMeta = fileMeta(leaf)
+    // a path that vanished OR changed content in place ((len, mtime)
+    // differs) invalidates partial folds — both take the rebuild path
+    val removedOrChanged = d.baseMeta.exists { case (p, m) =>
+      !nowMeta.get(p).contains(m)
+    }
+    if (removedOrChanged) {
       // compaction/delete rewrote history — partial folds can't track
       // that; rebuild the summary from the current base. The epoch
       // carries forward: a rebuild registered at epoch 0 would compute
@@ -269,13 +389,15 @@ object Mv {
       // the summary out from under the fold's read
       register(spark, d.name, baseNow, d.dimCols, d.aggCols,
         s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}",
-        epoch = d.epoch + 1)
-      return (-1, nowFiles.size)
+        epoch = d.epoch + 1, where = d.whereCol)
+      return (-1, nowMeta.size)
     }
-    val delta = (nowFiles -- d.baseFiles).toSeq
-    if (delta.isEmpty) return (0, nowFiles.size)
-    val deltaDf = spark.read.parquet(delta: _*)
-    val deltaAgg = deltaDf.groupBy(d.dimCols.map(deltaDf(_)): _*)
+    val delta = (nowMeta.keySet -- d.baseMeta.keySet).toSeq
+    if (delta.isEmpty) return (0, nowMeta.size)
+    val deltaRaw = spark.read.parquet(delta: _*)
+    // a partial MV aggregates only predicate rows — the delta must too
+    val deltaDf = d.whereCol.map(deltaRaw.filter).getOrElse(deltaRaw)
+    val deltaAgg = deltaDf.groupBy(d.dimCols.map(deltaRaw(_)): _*)
       .agg(d.aggCols.head, d.aggCols.tail: _*)
     val oldMv = spark.read.parquet(d.mvPath)
     import org.apache.spark.sql.functions.{col, hll_union_agg, max => fmax, min => fmin, sum => fsum}
@@ -296,35 +418,36 @@ object Mv {
       .select(oldMv.columns.map(col).toIndexedSeq: _*)
     val newPath = s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}"
     Layouts.deleteDir(spark, newPath)
-    folded.write.mode(SaveMode.Overwrite).parquet(newPath)
-    val newRel = leafRelation(
-      spark.read.parquet(newPath).queryExecution.analyzed).get
-    registry.put(d.baseRoots, d.copy(
-      baseFiles = nowFiles, baseFilesFp = fingerprint(nowFiles.toSeq),
-      mvPath = newPath, epoch = d.epoch + 1, mvRelation = newRel))
-    (delta.size, nowFiles.size)
+    Mv.withDisabled {
+      folded.write.mode(SaveMode.Overwrite).parquet(newPath)
+    }
+    val newBack = spark.read.parquet(newPath)
+    val newRel = leafRelation(newBack.queryExecution.analyzed).get
+    val newRows = Mv.withDisabled { newBack.count() }
+    registry.put(d.name, d.copy(
+      baseMeta = nowMeta, baseFilesFp = fingerprint(nowMeta),
+      mvPath = newPath, mvRows = newRows,
+      epoch = d.epoch + 1, mvRelation = newRel))
+    (delta.size, nowMeta.size)
   }
 
-  /** The registered MV named `name`, if any (names are unique per
-    * registration call; the last registration under a name wins). */
-  def byName(name: String): Option[MvDef] = {
-    import scala.jdk.CollectionConverters._
-    registry.values.asScala.find(_.name == name)
-  }
+  /** The registered MV named `name`, if any (names are unique; a
+    * re-registration under a name replaces that definition only). */
+  def byName(name: String): Option[MvDef] = Option(registry.get(name))
 
   /** [[refreshIncremental]] by MV name — the SQL statement surface's
-    * lookup form. */
+    * lookup form, and the only unambiguous one when several summaries
+    * share a base. */
   def refreshIncremental(spark: SparkSession, name: String): (Int, Int) =
-    refreshIncremental(spark,
+    refreshOne(spark,
       byName(name).getOrElse(throw new IllegalArgumentException(
-        s"Materialized view: $name does not exist")).baseRoots)
+        s"Materialized view: $name does not exist")))
 
   /** Unregister `name` and delete its materialization. Returns false
     * when no such MV exists (the IF EXISTS contract). */
   def drop(spark: SparkSession, name: String): Boolean =
-    byName(name) match {
+    Option(registry.remove(name)) match {
       case Some(d) =>
-        registry.remove(d.baseRoots)
         Layouts.deleteDir(spark, d.mvPath)
         true
       case None => false
@@ -340,89 +463,296 @@ object Mv {
   }
 
   /** The optimizer rule. Matches registered (base, shape) pairs and
-    * swaps the scan; declines everything else untouched. */
+    * swaps the scan; declines everything else untouched. Two shapes
+    * rewrite: the single-relation rollup (Aggregate over Filter/Project
+    * over the base scan) and the STAR-JOIN rollup (Aggregate over
+    * fact ⋈ dim where the fact side is the base and every fact-side
+    * reference in the join is an MV dimension) — the most common 100 TB
+    * dashboard shape. When several registered summaries cover a query,
+    * the smallest one (by row count) serves. */
   object MvRewrite extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      if (!enabled || registry.isEmpty) plan
+      if (rewriteOff || registry.isEmpty) plan
       else plan.transformDown {
-        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+        case agg: Aggregate =>
+          tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
       }
 
     /** Peel pruning Projects / Filters down to the single scan leaf,
-      * collecting filter predicates. Any other operator declines. */
+      * collecting filter CONJUNCTS. Any other operator declines. */
     private def unwrap(p: LogicalPlan)
         : Option[(Seq[Expression], LogicalRelation)] = p match {
       case Filter(cond, c) =>
-        unwrap(c).map { case (fs, leaf) => (cond +: fs, leaf) }
+        unwrap(c).map { case (fs, leaf) => (conjunctsOf(cond) ++ fs, leaf) }
       case Project(cols, c) if cols.forall(_.isInstanceOf[AttributeReference]) =>
         unwrap(c)
       case l: LogicalRelation => Some((Seq.empty, l))
       case _ => None
     }
 
-    private def tryRewrite(agg: Aggregate): Option[Aggregate] = for {
+    /** Partial-MV matching: every conjunct of the MV's defining WHERE
+      * must appear (canonically) among the query's conjuncts — the
+      * summary only holds predicate rows, so a query NOT restating the
+      * predicate asks for rows the MV lost. Covered conjuncts are
+      * CONSUMED (the summary already applied them; they may reference
+      * non-dim columns the summary no longer carries); the leftover
+      * conjuncts are returned for the usual dim-only filter check.
+      * None = not covered = decline. */
+    private def consumePredicate(
+        conjs: Seq[Expression], mv: MvDef): Option[Seq[Expression]] =
+      if (mv.predConjuncts.isEmpty) Some(conjs)
+      else {
+        val tagged = conjs.map(c => (c, canon(c)))
+        if (!mv.predConjuncts.forall(n => tagged.exists(_._2 == n))) None
+        else Some(tagged.filterNot { case (c, cn) =>
+          mv.predConjuncts(cn) || (c match {
+            // the optimizer infers `isnotnull(c)` beside every pushed
+            // comparison; implied by the consumed predicate, so consume
+            case IsNotNull(a: AttributeReference) =>
+              mv.predNotNullable(a.name)
+            case _ => false
+          })
+        }.map(_._1))
+      }
+
+    private def okFilter(f: Expression): Boolean =
+      f.deterministic && !f.exists(_.isInstanceOf[PlanExpression[_]])
+
+    private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
       // GLOBAL aggregates decline: their single group exists even over
       // zero rows, and count-rolled-to-sum returns NULL there where
       // count returns 0 (grouped queries have no empty groups, so the
       // rollup is only sound under a GROUP BY)
-      _ <- if (agg.groupingExpressions.nonEmpty) Some(()) else None
-      (filters, leaf) <- unwrap(agg.child)
-      mv <- Option(registry.get(rootsOf(leaf)))
+      if (agg.groupingExpressions.isEmpty) return None
+      unwrap(agg.child).flatMap { case (allConjs, leaf) =>
+        // candidates ascend by summary row count — cheapest covering wins
+        candidatesFor(rootsOf(leaf)).iterator
+          .map(mv => rewriteSingle(agg, allConjs, leaf, mv))
+          .collectFirst { case Some(r) => r }
+      }
+    }
+
+    private def rewriteSingle(
+        agg: Aggregate,
+        allConjs: Seq[Expression],
+        leaf: LogicalRelation,
+        mv: MvDef): Option[Aggregate] = for {
       // freshness: the query's own scan listing vs the registered one
-      if fingerprintOf(leaf) == mv.baseFilesFp
+      _ <- if (fingerprintOf(leaf) == mv.baseFilesFp) Some(()) else None
+      filters <- consumePredicate(allConjs, mv)
       // grouping: bare dim attributes only (subsets roll up)
-      groupNames <- {
-        val names = agg.groupingExpressions.map {
-          case a: AttributeReference if mv.dims(a.name) => Some(a.name)
+      groupIds <- {
+        val ids = agg.groupingExpressions.map {
+          case a: AttributeReference if mv.dims(a.name) => Some(a.exprId)
           case _ => None
         }
-        if (names.forall(_.isDefined)) Some(names.flatten.toSet) else None
+        if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None
       }
-      // filters: deterministic, over dim attributes only, and free of
-      // subqueries (their inner plans hold bindings the scan swap
-      // cannot re-map)
-      if filters.forall(f => f.deterministic &&
-        f.references.forall(a => mv.dims(a.name)) &&
-        !f.exists(_.isInstanceOf[PlanExpression[_]]))
-      rewritten <- rewriteAgg(agg, filters, mv, groupNames)
+      // leftover filters: deterministic, over dim attributes only, and
+      // free of subqueries (their inner plans hold bindings the scan
+      // swap cannot re-map)
+      if filters.forall(f => okFilter(f) &&
+        f.references.forall(a => mv.dims(a.name)))
+      rewritten <- {
+        val rel = mv.mvRelation.newInstance()
+        val mvAttr = rel.output.map(a => a.name -> a).toMap
+        val factDim = leaf.output
+          .filter(a => mv.dims(a.name) && mvAttr.contains(a.name))
+          .map(a => a.exprId -> mvAttr(a.name)).toMap
+        val tr = new Translator(mv, mvAttr, _ => true, factDim, groupIds)
+        val newRes = agg.aggregateExpressions.map {
+          case a: AttributeReference =>
+            tr.rw(a).map(e => Alias(e, a.name)(exprId = a.exprId))
+          case al: Alias =>
+            tr.rw(al.child).map(e => Alias(e, al.name)(exprId = al.exprId))
+          case _ => None
+        }
+        if (newRes.exists(_.isEmpty)) None
+        else {
+          val newGrouping = agg.groupingExpressions.map {
+            case a: AttributeReference => mvAttr(a.name)
+          }
+          val newChild =
+            if (filters.isEmpty) rel
+            else Filter(filters.reduce(And).transform {
+              case a: AttributeReference => mvAttr(a.name)
+            }, rel)
+          Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
+        }
+      }
     } yield rewritten
 
-    private def rewriteAgg(
-        agg: Aggregate,
-        filters: Seq[Expression],
-        mv: MvDef,
-        groupNames: Set[String]): Option[Aggregate] = {
-      // fresh attribute ids per use — two rewrites in one query must not
-      // collide on the shared analyzed relation's ids
-      val rel = mv.mvRelation.newInstance()
-      val mvAttr = rel.output.map(a => a.name -> a).toMap
+    // ---- the star-join path ---------------------------------------
 
-      /** Translate a result-side expression: aggregate calls roll up to
-        * the MV measure, grouped dims rebind to the MV attribute, and
-        * any deterministic scaffold (casts, arithmetic, literals) maps
-        * over its children. None anywhere declines the whole rewrite. */
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+
+    /** Rewrite `Aggregate over (fact ⋈ dim)` when the fact side is a
+      * registered base and every fact-side reference in the join
+      * condition, the filters, and the grouping is an MV dimension.
+      *
+      * SOUNDNESS: the join condition references only fact DIMS, so
+      * every fact row of an MV group joins exactly the same dim rows
+      * as the group itself does — join multiplicity applies uniformly
+      * to the group. Hence sum/count measures (Σ over (row, dim) pairs
+      * = Σ over (group, dim) pairs of partial sums), min/max (same
+      * value SET per dim match), and hll (idempotent union) all roll
+      * up across ANY theta condition over dims, with no dim-side key
+      * uniqueness assumption. Join types: Inner always; outer/semi/
+      * anti only when the FACT side is the preserved/driving side
+      * (fact-preserved ⇒ fact columns never null-extended, so fact
+      * filters commute across the join and every output row carries a
+      * real measure; a dim-preserved outer join emits null-measure
+      * rows that count(*) counts but sum(mv_cnt) would skip).
+      * Aggregates over DIM columns decline (multiplicity-sensitive). */
+    private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
+      if (agg.groupingExpressions.isEmpty) return None
+      def peel(p: LogicalPlan): Option[(Seq[Expression], Join)] = p match {
+        case Filter(cond, c) =>
+          peel(c).map { case (fs, j) => (conjunctsOf(cond) ++ fs, j) }
+        case Project(cols, c)
+            if cols.forall(_.isInstanceOf[AttributeReference]) =>
+          peel(c)
+        case j: Join => Some((Seq.empty, j))
+        case _ => None
+      }
+      peel(agg.child).flatMap { case (topConjs, join) =>
+        Seq(true, false).iterator.flatMap { factLeft =>
+          val (factPlan, dimPlan) =
+            if (factLeft) (join.left, join.right)
+            else (join.right, join.left)
+          val typeOk = join.joinType match {
+            case Inner => true
+            case LeftOuter | LeftSemi | LeftAnti => factLeft
+            case RightOuter => !factLeft
+            case _ => false
+          }
+          if (!typeOk) Iterator.empty
+          else unwrap(factPlan).iterator.flatMap { case (factConjs, leaf) =>
+            candidatesFor(rootsOf(leaf)).iterator.flatMap { mv =>
+              rewriteJoin(agg, topConjs, join, factLeft, factConjs,
+                leaf, dimPlan, mv).iterator
+            }
+          }
+        }.nextOption()
+      }
+    }
+
+    private def rewriteJoin(
+        agg: Aggregate,
+        topConjs: Seq[Expression],
+        join: Join,
+        factLeft: Boolean,
+        factConjs: Seq[Expression],
+        leaf: LogicalRelation,
+        dimPlan: LogicalPlan,
+        mv: MvDef): Option[Aggregate] = {
+      if (fingerprintOf(leaf) != mv.baseFilesFp) return None
+      val factIds = leaf.output.map(_.exprId).toSet
+      def isFact(a: Attribute): Boolean = factIds(a.exprId)
+      def factRefsAreDims(e: Expression): Boolean = {
+        val byId = leaf.output.map(a => a.exprId -> a.name).toMap
+        e.references.forall(a =>
+          !isFact(a) || byId.get(a.exprId).exists(mv.dims))
+      }
+      // the MV predicate may sit below the join (pushed) or above it
+      // (fact-preserved joins commute fact filters) — consume jointly,
+      // then split survivors back to their origin by reference identity
+      for {
+        leftover <- consumePredicate(factConjs ++ topConjs, mv)
+        factLeft0 = leftover.filter(c => factConjs.exists(_ eq c))
+        topLeft0 = leftover.filterNot(c => factConjs.exists(_ eq c))
+        // fact-side filters: dim-only; top filters: fact refs must be
+        // dims, dim-side refs pass through untouched
+        if factLeft0.forall(f => okFilter(f) && f.references.forall(a =>
+          leaf.output.exists(o => o.exprId == a.exprId && mv.dims(o.name))))
+        if topLeft0.forall(f => okFilter(f) && factRefsAreDims(f))
+        // join condition: deterministic, no subquery, fact refs ⊆ dims
+        if join.condition.forall(c => okFilter(c) && factRefsAreDims(c))
+        rewritten <- {
+          val rel = mv.mvRelation.newInstance()
+          val mvAttr = rel.output.map(a => a.name -> a).toMap
+          val factDim = leaf.output
+            .filter(a => mv.dims(a.name) && mvAttr.contains(a.name))
+            .map(a => a.exprId -> mvAttr(a.name)).toMap
+          def mapFact(e: Expression): Expression = e.transform {
+            case a: AttributeReference if factDim.contains(a.exprId) =>
+              factDim(a.exprId)
+          }
+          // grouping: fact attrs must be dims; dim-side attrs stay
+          val groupIds = agg.groupingExpressions.map {
+            case a: AttributeReference =>
+              if (!isFact(a)) Some(a.exprId)
+              else if (factDim.contains(a.exprId)) Some(a.exprId)
+              else None
+            case _ => None
+          }
+          if (groupIds.exists(_.isEmpty)) None
+          else {
+            val tr = new Translator(mv, mvAttr, isFact, factDim,
+              groupIds.flatten.toSet)
+            val newRes = agg.aggregateExpressions.map {
+              case a: AttributeReference =>
+                tr.rw(a).map(e => Alias(e, a.name)(exprId = a.exprId))
+              case al: Alias =>
+                tr.rw(al.child)
+                  .map(e => Alias(e, al.name)(exprId = al.exprId))
+              case _ => None
+            }
+            if (newRes.exists(_.isEmpty)) None
+            else {
+              val newFact =
+                if (factLeft0.isEmpty) rel
+                else Filter(mapFact(factLeft0.reduce(And)), rel)
+              val newJoin = Join(
+                if (factLeft) newFact else dimPlan,
+                if (factLeft) dimPlan else newFact,
+                join.joinType, join.condition.map(mapFact), join.hint)
+              val newChild =
+                if (topLeft0.isEmpty) newJoin
+                else Filter(mapFact(topLeft0.reduce(And)), newJoin)
+              val newGrouping = agg.groupingExpressions.map {
+                case a: AttributeReference =>
+                  if (isFact(a)) factDim(a.exprId) else a
+              }
+              Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
+            }
+          }
+        }
+      } yield rewritten
+    }
+
+    /** Translates result-side expressions onto the summary: aggregate
+      * calls roll up to the MV measure (including avg via a sum/count
+      * measure pair), grouped fact dims rebind to the MV attribute,
+      * dim-side (non-fact) attributes pass through untouched, and any
+      * deterministic scaffold (casts, arithmetic, literals) maps over
+      * its children. None anywhere declines the whole rewrite. */
+    private final class Translator(
+        mv: MvDef,
+        mvAttr: Map[String, Attribute],
+        isFact: Attribute => Boolean,
+        factDim: Map[ExprId, Attribute],
+        groupedIds: Set[ExprId]) {
+
       def rw(e: Expression): Option[Expression] = e match {
         case ae: AggregateExpression
             if ae.filter.isEmpty && !ae.isDistinct =>
-          mv.measures.get(structKey(ae.aggregateFunction)).map {
-            case (kind, mvCol) =>
-              val f = kind match {
-                case "sum" => Sum(mvAttr(mvCol))
-                case "min" => Min(mvAttr(mvCol))
-                case "max" => Max(mvAttr(mvCol))
-                case "hll" => new HllUnionAgg(mvAttr(mvCol))
-              }
-              val rolled = AggregateExpression(f, Complete, isDistinct = false)
-              if (rolled.dataType == ae.dataType) rolled
-              else Cast(rolled, ae.dataType)
-          }
+          // measures must be over FACT columns only: a dim column
+          // sharing a fact column's NAME would structurally collide
+          // (structKey strips qualifiers), and dim-side aggregates are
+          // join-multiplicity-sensitive — both decline by exprId here
+          if (!ae.references.forall(isFact(_))) None
+          else rollup(ae)
         // an aggregate the case above did NOT take (FILTER clause,
         // DISTINCT, unregistered function) must STOP here — the generic
         // recursion below would rebuild it over MV rows and silently
         // answer from the wrong grain
         case _: AggregateExpression => None
         case a: AttributeReference =>
-          if (groupNames(a.name)) mvAttr.get(a.name) else None
+          if (!isFact(a)) Some(a) // dim-side column: untouched
+          else if (groupedIds(a.exprId)) factDim.get(a.exprId)
+          else None
         case l: Literal => Some(l)
         // a subquery carries its own PLAN, not children — the generic
         // recursion below would wave it through while it may reference
@@ -436,25 +766,68 @@ object Mv {
         case _ => None
       }
 
-      val newRes: Seq[Option[NamedExpression]] =
-        agg.aggregateExpressions.map {
-          case a: AttributeReference =>
-            rw(a).map(e => Alias(e, a.name)(exprId = a.exprId))
-          case al: Alias =>
-            rw(al.child).map(e => Alias(e, al.name)(exprId = al.exprId))
-          case _ => None
+      private def rollup(ae: AggregateExpression): Option[Expression] =
+        ae.aggregateFunction match {
+          case av: Average => rollupAvg(ae, av)
+          case af =>
+            mv.measures.get(structKey(af)).map { case (kind, mvCol) =>
+              val f = kind match {
+                case "sum" => Sum(mvAttr(mvCol))
+                case "min" => Min(mvAttr(mvCol))
+                case "max" => Max(mvAttr(mvCol))
+                case "hll" => new HllUnionAgg(mvAttr(mvCol))
+              }
+              val rolled =
+                AggregateExpression(f, Complete, isDistinct = false)
+              if (rolled.dataType == ae.dataType) rolled
+              else Cast(rolled, ae.dataType)
+            }
         }
-      if (newRes.exists(_.isEmpty)) return None
-      val newGrouping = agg.groupingExpressions.map {
-        case a: AttributeReference => mvAttr(a.name)
+
+      /** avg(x) from a (sum(x), count(x)) measure PAIR — the
+        * production-registry convention: avg itself does not decompose,
+        * but sum-of-sums / sum-of-counts re-derives it exactly. Both
+        * component measures must be registered over the SAME child
+        * expression (count(x), not count(*): avg skips nulls, so the
+        * divisor must too). The division is Average's OWN
+        * `evaluateExpression` with its buffer attributes substituted by
+        * the rolled partials, so every type corner (decimal widening +
+        * HALF_UP result scale, the null-sum/zero-count all-null group
+        * → NULL) is byte-identical to the unrewritten plan. Exact only
+        * when partial sums re-add losslessly — integral and decimal
+        * children qualify; float/double re-association perturbs low
+        * bits, so they decline toward the base scan. */
+      private def rollupAvg(
+          ae: AggregateExpression, av: Average): Option[Expression] = {
+        import org.apache.spark.sql.types._
+        val exact = av.child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
+          case _ => false
+        }
+        if (!exact) return None
+        for {
+          s <- mv.measures.get(structKey(Sum(av.child)))
+          if s._1 == "sum"
+          c <- mv.measures.get(structKey(Count(av.child)))
+          if c._1 == "sum"
+        } yield {
+          val Seq(sumAttr, cntAttr) = av.aggBufferAttributes
+          def rolledAs(col: String, t: org.apache.spark.sql.types.DataType)
+              : Expression = {
+            val r = AggregateExpression(
+              Sum(mvAttr(col)), Complete, isDistinct = false)
+            if (r.dataType == t) r else Cast(r, t)
+          }
+          val out = av.evaluateExpression.transform {
+            case a: AttributeReference if a.exprId == sumAttr.exprId =>
+              rolledAs(s._2, sumAttr.dataType)
+            case a: AttributeReference if a.exprId == cntAttr.exprId =>
+              rolledAs(c._2, cntAttr.dataType)
+          }
+          if (out.dataType == ae.dataType) out else Cast(out, ae.dataType)
+        }
       }
-      val newChild =
-        if (filters.isEmpty) rel
-        else Filter(
-          filters.reduce(And).transform {
-            case a: AttributeReference => mvAttr(a.name)
-          }, rel)
-      Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
     }
   }
 }
@@ -479,8 +852,34 @@ object MvQueries {
           aggCols = Seq(
             count(lit(1)).as("mv_cnt"),
             sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty"),
+            // the count HALF of the avg measure pair: avg(x) rewrites
+            // to sum(mv_sum_x)/sum(mv_cnt_x) only when count is over
+            // the SAME expression (avg skips nulls; count(*) wouldn't)
+            count(col("l_quantity").cast("decimal(18,2)"))
+              .as("mv_cnt_qty"),
             max(col("l_extendedprice")).as("mv_max_price")),
           mvPath = Dml.work("q61_mv", d) + "/lineitem_summary")
+        ()
+      })
+    }
+
+  // (session, sfDir) -> the SECOND lineitem summary, keyed by the
+  // supplier FK — several MVs per base coexist in the name-keyed
+  // registry, and the star-join rewrite (q65) matches this one while
+  // q61's flag/status rollups keep matching the other.
+  private val joinMvFor = scala.collection.mutable.Map[(Int, String), Unit]()
+  private[graft] def ensureJoinMv(s: SparkSession, d: String): Unit =
+    synchronized {
+      joinMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
+        Mv.register(s, "lineitem_by_supp",
+          Tables.t(s, d, "lineitem"),
+          dims = Seq("l_suppkey"),
+          aggCols = Seq(
+            count(lit(1)).as("mv_cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .as("mv_rev"),
+            max(col("l_quantity")).as("mv_max_qty")),
+          mvPath = Dml.work("q65_mv", d) + "/lineitem_by_supp")
         ()
       })
     }
@@ -550,13 +949,10 @@ object MvQueries {
     // The SQL statement surface of the MV subsystem: CREATE
     // MATERIALIZED VIEW registers + materializes through Mv.register,
     // and the follow-up aggregate — issued as PLAIN SQL with no
-    // mention of the view — reads the summary transparently. On
-    // `orders`, not lineitem: the registry keys by base scan roots,
-    // and a second lineitem registration would replace q61's (last
-    // wins) with a different measure set mid-session. The oracle is
-    // the same aggregate on the base table, so the hash gate proves
-    // statement-created summaries answer exactly. REFRESH/DROP
-    // lifecycle evidence is MvSpec's.
+    // mention of the view — reads the summary transparently. The
+    // oracle is the same aggregate on the base table, so the hash
+    // gate proves statement-created summaries answer exactly.
+    // REFRESH/DROP lifecycle evidence is MvSpec's.
     Q("q63_sql_mv",
       (s, d) => {
         val ctx = new ExecutionContext(s).registerTestData(d)
@@ -610,8 +1006,114 @@ object MvQueries {
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
              |count(DISTINCT c_custkey) AS exact_customers
-             |FROM customer GROUP BY 1""".stripMargin.replace('\n', ' ')))
+             |FROM customer GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // STAR-JOIN MV REWRITE — the most common 100 TB dashboard shape:
+    // fact ⋈ dim GROUP BY dim.attr. The summary is keyed by the join
+    // FK (l_suppkey), so the rewrite swaps ONLY the fact side and
+    // keeps the join: sum(mv_cnt)/sum(mv_rev) over MV ⋈ supplier.
+    // The dim-side filter (s_nationkey) passes through untouched; the
+    // oracle is the same join-aggregate on the base tables, so the
+    // hash gate proves join multiplicity folds correctly through the
+    // group-level rollup. At sf0.1 the MV is ~10^3 rows vs a 6·10^5
+    // row fact — the scan the rewrite removes is the whole cost.
+    Q("q65_mv_join",
+      (s, d) => {
+        joinQuery(s, d)
+      },
+      Some("""SELECT s_name, count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS revenue, max(l_quantity) AS max_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey < 10
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')),
+      bench = true,
+      explainOverride = Some((s, d) => {
+        val on = joinQuery(s, d).queryExecution.optimizedPlan.toString
+        val off = Mv.withDisabled {
+          joinQuery(s, d).queryExecution.optimizedPlan.toString
+        }
+        "== Optimized plan, star-join MV rewrite ON (fact side = " +
+          "lineitem_by_supp) ==\n" + on +
+          "\n== Optimized plan, rewrite OFF (fact side = base lineitem) " +
+          "==\n" + off
+      })),
+
+    // AVG VIA THE SUM/COUNT MEASURE PAIR: avg(x) itself does not
+    // decompose over partial groups, but with sum(x) AND count(x)
+    // both registered the rewrite answers it as
+    // sum(mv_sum_x)/sum(mv_cnt_x) — exactly, because x is DECIMAL
+    // (partial decimal sums re-add losslessly; MvSpec holds the
+    // rewrite bit-identical to the unrewritten plan). The oracle
+    // restates Spark's decimal-avg semantics (exact sum, HALF_UP at
+    // scale 6, then one exact-input double division) in integer
+    // arithmetic, so the gate is exact across engines.
+    Q("q66_mv_avg",
+      (s, d) => {
+        ensureMv(s, d)
+        Tables.t(s, d, "lineitem")
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            avg(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("avg_qty"))
+      },
+      // oracle arithmetic: with S = exact decimal sum and n = count,
+      // Spark's avg is round_half_up(S·10^6/n)/10^6 cast to double;
+      // (2·(S·10^4)·100 + n) // (2n) is that half-up rounding in exact
+      // BIGINT arithmetic (S·10^4 is integral at scale 2), and BIGINT
+      // / 1000000.0 is one correctly-rounded double division — the
+      // identical double both engines produce.
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+             |* 10000 AS BIGINT) * 100 + count(*)) // (2 * count(*)))
+             |/ 1000000.0 AS avg_qty
+             |FROM lineitem WHERE l_linestatus = 'F'
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // PARTIAL (FILTERED) MATERIALIZED VIEW through the SQL statement
+    // surface: the WHERE clause in CREATE MATERIALIZED VIEW restricts
+    // the summary to predicate rows, and a query rewrites only when
+    // its own filters restate the predicate exactly (the consumed
+    // conjunct is not re-applied — the summary no longer carries the
+    // filter column). The oracle is the same aggregate on the base.
+    Q("q67_mv_partial",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        ctx.execute("DROP MATERIALIZED VIEW IF EXISTS sql_orders_partial")
+        ctx.execute("""CREATE MATERIALIZED VIEW sql_orders_partial AS
+          SELECT o_orderpriority, count(1) AS pmv_cnt,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS pmv_total
+          FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority""")
+        ctx.execute("""SELECT o_orderpriority, count(1) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS total FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
+
+  /** q65's star-join rollup: groups by a DIM-side attribute, filters on
+    * a DIM-side column, joins on the MV's FK dimension — the summary
+    * replaces the fact scan while the supplier side stays as-is. */
+  private[graft] def joinQuery(s: SparkSession, d: String): DataFrame = {
+    ensureJoinMv(s, d)
+    Tables.t(s, d, "lineitem")
+      .join(Tables.t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") < 10)
+      .groupBy("s_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        max(col("l_quantity")).as("max_qty"))
+  }
 
   // (session, sfDir) -> the customer sketch summary registration.
   private val hllFor = scala.collection.mutable.Map[(Int, String), Unit]()

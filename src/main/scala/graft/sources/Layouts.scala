@@ -159,41 +159,77 @@ object Layouts {
   }
 
   /** Z-ORDERED MULTI-COLUMN DATA SKIPPING, write side (the
-    * `OPTIMIZE ZORDER BY (a, b)` kernel): linearly quantize BOTH columns
-    * to `bits`-bit grid cells against their observed min/max (one cheap
-    * agg — two driver scalars per column, never data), interleave the
-    * cells with [[zOrderValue]], range-partition + sort by the curve
-    * value, and restate each file's (min, max) ON EACH ORIGINAL COLUMN
-    * into a parquet stats manifest under `dir/_filestats`. A single-key
-    * sort ([[writeWithStats]]) makes the stats selective on ONE column
-    * and leaves every other column's per-file bounds at full width; the
-    * space-filling curve keeps rows that are close in EITHER dimension
-    * in the same few files, so the SAME manifest prunes on BOTH columns
-    * — at 100 TB that is one layout serving two query families instead
-    * of two copies of the table. Linear quantization (not rank) keeps
-    * the pass count at one agg + one shuffle; heavily skewed columns
-    * would swap in approx-quantile boundaries, same curve. */
+    * `OPTIMIZE ZORDER BY (a, b)` kernel): quantize BOTH columns to grid
+    * cells, interleave the cells with [[zOrderValue]], range-partition +
+    * sort by the curve value, and restate each file's (min, max) ON EACH
+    * ORIGINAL COLUMN into a parquet stats manifest under
+    * `dir/_filestats`. A single-key sort ([[writeWithStats]]) makes the
+    * stats selective on ONE column and leaves every other column's
+    * per-file bounds at full width; the space-filling curve keeps rows
+    * that are close in EITHER dimension in the same few files, so the
+    * SAME manifest prunes on BOTH columns — at 100 TB that is one
+    * layout serving two query families instead of two copies of the
+    * table.
+    *
+    * Quantization is QUANTILE-BASED by default (`quantize="quantile"`):
+    * cell boundaries are ~equi-depth `approxQuantile` cuts (one extra
+    * pass at write time, two ≤256-double driver arrays — bounded
+    * metadata, never data), so every cell holds ≈1/cells of the ROWS
+    * regardless of the value distribution. The alternative linear
+    * min/max mapping (`quantize="linear"`, one agg, two scalars) is
+    * cheaper but SKEW-FRAGILE: one 6-sigma outlier stretches the grid
+    * until the real data collapses into a single cell and the manifest
+    * loses all selectivity on that column — at 100 TB an outlier row is
+    * a certainty, so equi-depth is the default and SkewLayoutSpec holds
+    * the contrast. Per-row mapping is a fold over the boundary array
+    * (codegen'd, O(cells) with cells ≤ 256 — a write-time cost only). */
   def writeZOrdered(
       spark: SparkSession, df: DataFrame, dir: String,
-      colA: String, colB: String, nFiles: Int, bits: Int = 16): Unit = {
+      colA: String, colB: String, nFiles: Int, bits: Int = 16,
+      quantize: String = "quantile"): Unit = {
     import org.apache.spark.sql.functions._
     deleteDir(spark, s"$dir/data")
     deleteDir(spark, s"$dir/_filestats")
-    val b = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-      .collect().head
-    val top = (1L << bits) - 1
-    // an empty table or an all-NULL column has no extrema — every row
-    // (there may be none) maps to cell 0 rather than NPE'ing below
-    def ext(i: Int): Double = if (b.isNullAt(i)) 0d else b.getDouble(i)
-    def cell(c: String, lo: Double, hi: Double) =
-      if (hi <= lo) lit(0L) // constant column: every row in cell 0
-      else least(lit(top), greatest(lit(0L),
-        ((col(c).cast("double") - lo) / (hi - lo) * top).cast("long")))
-    val z = zOrderValue(
-      cell(colA, ext(0), ext(1)),
-      cell(colB, ext(2), ext(3)), bits)
+    val z = quantize match {
+      case "quantile" =>
+        // equi-depth boundaries; file-level skipping saturates long
+        // before per-column resolution exceeds the file count, so the
+        // grid is capped at 256 cells (8 bits) per column
+        val cellBits = math.min(bits, 8)
+        val cells = 1 << cellBits
+        val probs = (1 until cells).map(_.toDouble / cells).toArray
+        val cast = df.select(
+          col(colA).cast("double").as("__qa"),
+          col(colB).cast("double").as("__qb"))
+        val Array(bndA, bndB) =
+          cast.stat.approxQuantile(Array("__qa", "__qb"), probs, 0.001)
+        // cell index = #boundaries ≤ value (a codegen'd searchsorted);
+        // NULLs and empty/constant columns land in cell 0
+        def cell(c: String, bnds: Array[Double]) =
+          if (bnds.isEmpty) lit(0L)
+          else aggregate(typedLit(bnds.toSeq), lit(0L), (acc, b) =>
+            acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+        zOrderValue(cell(colA, bndA), cell(colB, bndB), cellBits)
+      case "linear" =>
+        val b = df.agg(
+          min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+          min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+          .collect().head
+        val top = (1L << bits) - 1
+        // an empty table or an all-NULL column has no extrema — every
+        // row (there may be none) maps to cell 0 rather than NPE'ing
+        def ext(i: Int): Double = if (b.isNullAt(i)) 0d else b.getDouble(i)
+        def cell(c: String, lo: Double, hi: Double) =
+          if (hi <= lo) lit(0L) // constant column: every row in cell 0
+          else least(lit(top), greatest(lit(0L),
+            ((col(c).cast("double") - lo) / (hi - lo) * top).cast("long")))
+        zOrderValue(
+          cell(colA, ext(0), ext(1)),
+          cell(colB, ext(2), ext(3)), bits)
+      case other => throw new IllegalArgumentException(
+        s"writeZOrdered: unknown quantize mode '$other' " +
+          "(quantile | linear)")
+    }
     df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     spark.read.parquet(s"$dir/data")

@@ -874,6 +874,65 @@ class ExecutionContextSpec extends SparkSpec {
         "spec_mormode_src").foreach(spark.catalog.dropTempView)
     }
   }
+
+  test("repeated dv-mode SQL MERGEs against one view REUSE its " +
+    "committed store: the second statement extends the version chain " +
+    "(v2 sidecars in the SAME dir, no re-snapshot) — the O(changes) " +
+    "claim dv mode makes — and an interleaved rewrite-path commit " +
+    "safely falls back to a fresh snapshot") {
+    val ctx = new ExecutionContext(spark)
+    Tables.t(spark, sf, "nation")
+      .createOrReplaceTempView("spec_dvreuse_t")
+    spark.sql("""SELECT n_nationkey AS nk, concat('U1_', n_name) AS nm
+      FROM spec_dvreuse_t WHERE n_nationkey < 5""")
+      .createOrReplaceTempView("spec_dvreuse_s1")
+    spark.sql("""SELECT n_nationkey AS nk, concat('U2_', n_name) AS nm
+      FROM spec_dvreuse_t WHERE n_nationkey >= 5 AND n_nationkey < 8""")
+      .createOrReplaceTempView("spec_dvreuse_s2")
+    def mergeSql(srcView: String): String =
+      s"""MERGE INTO spec_dvreuse_t USING $srcView
+         ON spec_dvreuse_t.n_nationkey = $srcView.nk
+         WHEN MATCHED THEN UPDATE SET n_name = $srcView.nm"""
+    val saved = spark.conf.getOption("spark.graft.merge.mode")
+    spark.conf.set("spark.graft.merge.mode", "dv")
+    try {
+      ctx.execute(mergeSql("spec_dvreuse_s1"))
+      val dir1 = ExecutionContextSpec.sqlDmlDirOf(spark, "spec_dvreuse_t")
+      assert(new java.io.File(s"$dir1/v1_append").exists)
+      val out2 = ctx.execute(mergeSql("spec_dvreuse_s2"))
+      val dir2 = ExecutionContextSpec.sqlDmlDirOf(spark, "spec_dvreuse_t")
+      assert(dir1 == dir2,
+        "the second dv merge must continue the committed store, not " +
+          s"snapshot a new one: $dir1 vs $dir2")
+      assert(new java.io.File(s"$dir1/v2_append").exists &&
+        !new java.io.File(s"$dir1/v2").exists,
+        s"the second commit must be v2 SIDECARS in the same store: $dir1")
+      val names = out2.select("n_nationkey", "n_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert((0 to 4).forall(k => names(k).startsWith("U1_")))
+      assert((5 to 7).forall(k => names(k).startsWith("U2_")))
+      assert(names.size ==
+        Tables.t(spark, sf, "nation").count().toInt)
+      // an interleaved REWRITE-mode commit re-publishes the view under
+      // a different plan: the next dv merge must NOT graft onto the
+      // stale dv chain (it would resurrect pre-rewrite state)
+      spark.conf.set("spark.graft.merge.mode", "rewrite")
+      ctx.execute(mergeSql("spec_dvreuse_s1"))
+      spark.conf.set("spark.graft.merge.mode", "dv")
+      ctx.execute(mergeSql("spec_dvreuse_s2"))
+      val dir3 = ExecutionContextSpec.sqlDmlDirOf(spark, "spec_dvreuse_t")
+      assert(dir3 != dir1,
+        "after a rewrite-path commit the dv chain must restart fresh")
+      assert(new java.io.File(s"$dir3/v1_append").exists)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.merge.mode", v)
+        case None    => spark.conf.unset("spark.graft.merge.mode")
+      }
+      Seq("spec_dvreuse_t", "spec_dvreuse_s1", "spec_dvreuse_s2")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
 }
 
 object ExecutionContextSpec {

@@ -407,4 +407,301 @@ class MvSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("roll"))
   }
+
+  test("registration rejects DISTINCT and FILTER-clause measures: both " +
+    "would structurally collide with the plain call and rewrite plain " +
+    "aggregates to the wrong partials") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val e1 = intercept[IllegalArgumentException] {
+      Mv.register(spark, "bad_distinct", li,
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(countDistinct(col("l_linestatus")).as("mv_d")),
+        mvPath = Dml.work("mv_bad_d", sf) + "/summary")
+    }
+    assert(e1.getMessage.contains("DISTINCT or FILTER"))
+    val e2 = intercept[IllegalArgumentException] {
+      Mv.register(spark, "bad_filter", li,
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(
+          expr("count(l_quantity) FILTER (WHERE l_linestatus = 'F')")
+            .as("mv_f")),
+        mvPath = Dml.work("mv_bad_f", sf) + "/summary")
+    }
+    assert(e2.getMessage.contains("DISTINCT or FILTER"))
+  }
+
+  test("registration rejects a PRE-FILTERED base (the predicate would " +
+    "be invisible to query matching) and directs to the where parameter") {
+    val e = intercept[IllegalArgumentException] {
+      Mv.register(spark, "bad_prefiltered",
+        Tables.t(spark, sf, "lineitem").filter(col("l_quantity") > 10),
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(count(lit(1)).as("mv_cnt")),
+        mvPath = Dml.work("mv_bad_pref", sf) + "/summary")
+    }
+    assert(e.getMessage.contains("where"))
+  }
+
+  test("a base file rewritten IN PLACE (same path, new length/mtime) is " +
+    "caught: the summary declines and refresh takes the rebuild path — " +
+    "a path-only fingerprint served stale answers here") {
+    val root = Dml.work("mv_inplace", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity")
+    li.repartition(2).write.parquet(baseDir)
+    val d0 = Mv.register(spark, "inplace_probe",
+      spark.read.parquet(baseDir), dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary")
+    def probe() = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(probe()).exists(_.contains("summary")))
+    // replace one committed part file IN PLACE: same path, new content
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = basePath.getFileSystem(conf)
+    val part = fs.listStatus(basePath)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val tmpDir = s"$root/replacement"
+    li.limit(5).repartition(1).write.parquet(tmpDir)
+    val repl = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(part, false)
+    fs.rename(repl, part)
+    val after = probe()
+    assert(!scanRoots(after).exists(_.contains("summary")),
+      s"an in-place rewritten base file must decline the stale summary:\n" +
+        after.queryExecution.optimizedPlan.toString)
+    // and refresh classifies the changed path as a rebuild, not a fold
+    val (delta, _) = Mv.refreshIncremental(spark, "inplace_probe")
+    assert(delta == -1, s"in-place change must rebuild, got delta=$delta")
+    val served = probe()
+    assert(scanRoots(served).exists(_.contains("summary_r1")))
+    assert(served.agg(sum("n")).collect().head.getLong(0) ==
+      spark.read.parquet(baseDir).count())
+  }
+
+  test("several summaries over ONE base coexist (register no longer " +
+    "clobbers) and the coarser query is served by the SMALLEST covering " +
+    "summary") {
+    val root = Dml.work("mv_multi", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.parquet(baseDir)
+    Mv.register(spark, "grain_fine", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag", "l_linestatus"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/fine")
+    Mv.register(spark, "grain_coarse", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/coarse")
+    assert(Mv.byName("grain_fine").isDefined &&
+      Mv.byName("grain_coarse").isDefined,
+      "both summaries must stay registered")
+    assert(Mv.byName("grain_coarse").get.mvRows <
+      Mv.byName("grain_fine").get.mvRows)
+    val coarseQ = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(coarseQ).exists(_.endsWith("coarse")),
+      s"the coarse query must pick the smaller summary:\n" +
+        coarseQ.queryExecution.optimizedPlan.toString)
+    val fineQ = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    assert(scanRoots(fineQ).exists(_.endsWith("fine")),
+      s"only the fine summary covers the fine grain:\n" +
+        fineQ.queryExecution.optimizedPlan.toString)
+    for (df <- Seq(coarseQ, fineQ)) {
+      val got = df.collect().map(_.toSeq).toSet
+      val want = Mv.withDisabled {
+        spark.read.parquet(baseDir)
+          .groupBy(df.columns.dropRight(1).map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+      }
+      assert(got == want)
+    }
+  }
+
+  test("STAR-JOIN rewrite: fact ⋈ dim GROUP BY dim.attr swaps only the " +
+    "fact side to the summary, keeps the supplier scan, and matches the " +
+    "base answer exactly") {
+    MvQueries.ensureJoinMv(spark, sf)
+    val on = MvQueries.joinQuery(spark, sf)
+    assert(scanRoots(on).exists(_.contains("q65_mv")),
+      s"fact side must be the summary:\n" +
+        on.queryExecution.optimizedPlan.toString)
+    assert(!scanRoots(on).exists(_.contains("lineitem.parquet")),
+      "the base fact scan must be gone")
+    assert(scanRoots(on).exists(_.contains("supplier.parquet")),
+      "the dim side must stay")
+    val got = on.orderBy("s_name").collect().map(_.toSeq).toSeq
+    val want = Mv.withDisabled {
+      val off = MvQueries.joinQuery(spark, sf)
+      assert(scanRoots(off).exists(_.contains("lineitem.parquet")))
+      off.orderBy("s_name").collect().map(_.toSeq).toSeq
+    }
+    assert(got == want, s"join rewrite must be row-invisible:\n$got\n$want")
+  }
+
+  test("star-join declines: non-dim join key, fact-side non-dim filter, " +
+    "full-outer join, and a DIM column renamed to collide with a fact " +
+    "measure's name (the exprId guard, not names, must decide)") {
+    MvQueries.ensureJoinMv(spark, sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    val supp = Tables.t(spark, sf, "supplier")
+    def mvServed(df: org.apache.spark.sql.DataFrame) =
+      scanRoots(df).exists(_.contains("q65_mv"))
+    val nonDimKey = li
+      .join(supp, col("l_orderkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    val nonDimFilter = li.filter(col("l_quantity") > 10)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    val fullOuter = li
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "full_outer")
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    // supplier's s_acctbal renamed to the fact measure child's name:
+    // sum(CAST(l_extendedprice AS ...)) over the DIM side structurally
+    // collides with the registered mv_rev key — only the exprId
+    // fact-reference guard stops a silently wrong rewrite
+    val renamed = supp.withColumnRenamed("s_acctbal", "l_extendedprice")
+    val nameTrap = li.select("l_suppkey", "l_returnflag")
+      .join(renamed, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("t"))
+    for ((df, label) <- Seq(
+        (nonDimKey, "non-dim join key"),
+        (nonDimFilter, "fact-side non-dim filter"),
+        (fullOuter, "full-outer join"),
+        (nameTrap, "dim column renamed onto a fact measure")))
+      assert(!mvServed(df),
+        s"$label must decline the star-join rewrite:\n" +
+          df.queryExecution.optimizedPlan.toString)
+    // and the name trap still answers correctly off the base
+    val got = nameTrap.orderBy("s_name").collect().map(_.toSeq)
+    val want = Mv.withDisabled {
+      nameTrap.orderBy("s_name").collect().map(_.toSeq)
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("avg rewrites via the (sum, count) measure pair BIT-IDENTICALLY " +
+    "for decimal and long children, returns NULL for an all-null group, " +
+    "and DECLINES for a double child (partial double sums re-associate)") {
+    // decimal child through the q61 summary (which carries the pair)
+    MvQueries.ensureMv(spark, sf)
+    val decQ = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(avg(col("l_quantity").cast("decimal(18,2)")).as("avg_qty"))
+    assert(scanRoots(decQ).exists(_.contains("q61_mv")),
+      s"decimal avg must serve from the pair:\n" +
+        decQ.queryExecution.optimizedPlan.toString)
+    val gotDec = decQ.orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val wantDec = Mv.withDisabled {
+      decQ.orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    }
+    assert(gotDec == wantDec,
+      s"decimal avg must be bit-identical:\n$gotDec\n$wantDec")
+    // long child + an ALL-NULL group, on a private base
+    val root = Dml.work("mv_avg", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    import spark.implicits._
+    Seq(("a", Some(10L)), ("a", Some(20L)), ("b", None), ("b", None),
+      ("c", Some(7L)))
+      .toDF("g", "x").write.parquet(baseDir)
+    Mv.register(spark, "avg_pair_probe", spark.read.parquet(baseDir),
+      dims = Seq("g"),
+      aggCols = Seq(sum(col("x")).as("mv_s"), count(col("x")).as("mv_c")),
+      mvPath = s"$root/summary")
+    val longQ = spark.read.parquet(baseDir)
+      .groupBy("g").agg(avg(col("x")).as("a"))
+    assert(scanRoots(longQ).exists(_.contains("mv_avg")),
+      s"long avg must serve:\n${longQ.queryExecution.optimizedPlan}")
+    val gotLong = longQ.orderBy("g").collect().map(_.toSeq).toSeq
+    val wantLong = Mv.withDisabled {
+      longQ.orderBy("g").collect().map(_.toSeq).toSeq
+    }
+    assert(gotLong == wantLong)
+    assert(gotLong.exists(r => r.head == "b" && r(1) == null),
+      s"the all-null group must average to NULL: $gotLong")
+    // double child declines even WITH a registered pair
+    val dblDir = s"$root/dbl"
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").write.parquet(dblDir)
+    Mv.register(spark, "avg_dbl_probe", spark.read.parquet(dblDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(sum(col("l_quantity")).as("mv_s"),
+        count(col("l_quantity")).as("mv_c")),
+      mvPath = s"$root/dbl_summary")
+    val dblQ = spark.read.parquet(dblDir)
+      .groupBy("l_returnflag").agg(avg(col("l_quantity")).as("a"))
+    assert(!scanRoots(dblQ).exists(_.contains("dbl_summary")),
+      s"double avg must decline (re-association):\n" +
+        dblQ.queryExecution.optimizedPlan.toString)
+    // but the PAIR still serves sum and count themselves for doubles
+    val pairQ = spark.read.parquet(dblDir)
+      .groupBy("l_returnflag")
+      .agg(count(col("l_quantity")).as("n"))
+    assert(scanRoots(pairQ).exists(_.contains("dbl_summary")))
+  }
+
+  test("a WHERE-clause (partial) summary serves only queries restating " +
+    "the predicate, consumes it rather than re-applying it, declines " +
+    "without it, and refresh folds the delta THROUGH the predicate") {
+    val root = Dml.work("mv_partial", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    li.repartition(3).write.parquet(baseDir)
+    Mv.register(spark, "partial_probe", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary",
+      where = Some(col("l_linestatus") === "F"))
+    def withPred() = spark.read.parquet(baseDir)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val served = withPred()
+    assert(scanRoots(served).exists(_.contains("summary")),
+      s"a query restating the predicate must serve:\n" +
+        served.queryExecution.optimizedPlan.toString)
+    val got = served.orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val want = Mv.withDisabled {
+      withPred().orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    }
+    assert(got == want, "the consumed predicate must not change rows")
+    // no predicate, or a DIFFERENT predicate: the summary lost rows
+    val noPred = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val otherPred = spark.read.parquet(baseDir)
+      .filter(col("l_linestatus") === "O")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    for ((df, label) <- Seq((noPred, "no predicate"),
+        (otherPred, "different predicate")))
+      assert(!scanRoots(df).exists(_.contains("summary")),
+        s"$label must decline the partial summary:\n" +
+          df.queryExecution.optimizedPlan.toString)
+    // append rows of BOTH statuses; the fold must only count the
+    // predicate's rows
+    li.filter(col("l_orderkey") % 97 === 0)
+      .repartition(1).write.mode("append").parquet(baseDir)
+    val (delta, _) = Mv.refreshIncremental(spark, "partial_probe")
+    assert(delta == 1, s"expected a 1-file fold, got $delta")
+    val refreshed = withPred()
+    assert(scanRoots(refreshed).exists(_.contains("summary_r1")))
+    val got2 = refreshed.orderBy("l_returnflag").collect().map(_.toSeq)
+    val want2 = Mv.withDisabled {
+      withPred().orderBy("l_returnflag").collect().map(_.toSeq)
+    }
+    assert(got2.toSeq == want2.toSeq,
+      "the predicate-filtered fold must equal the full recompute")
+  }
 }

@@ -120,6 +120,49 @@ class SkewLayoutSpec extends SparkSpec {
     assert(missDf.schema == spark.read.parquet(s"$dir/data").schema)
   }
 
+  test("z-order quantization is SKEW-PROOF: with a 6-sigma outlier in " +
+    "one column, linear min/max quantization collapses the dense mass " +
+    "into one grid cell (files-read == files-total, no selectivity) " +
+    "while the default equi-depth quantile boundaries keep pruning") {
+    val root = Dml.work("layout_zskew", sf)
+    // dense values in [0, 1000) on both axes (hash-decorrelated), plus
+    // ONE outlier at 10^12 — the row that stretches a linear grid until
+    // every real value lands in cell 0
+    val dense = spark.range(60000).select(
+      pmod(hash(col("id")), lit(1000)).cast("long").as("xk"),
+      pmod(hash(col("id") * 7 + 3), lit(1000)).cast("long").as("yk"))
+    val skewed = dense.union(
+      spark.range(1).select(lit(1000000000000L).as("xk"),
+        lit(500L).as("yk")))
+    val linDir = s"$root/linear"
+    val qDir = s"$root/quantile"
+    Layouts.writeZOrdered(spark, skewed, linDir, "xk", "yk", 16,
+      quantize = "linear")
+    Layouts.writeZOrdered(spark, skewed, qDir, "xk", "yk", 16)
+    val (linDf, linKept, linTotal) =
+      Layouts.skippingScanOn(spark, linDir, "xk", 100d, 200d)
+    val (qDf, qKept, qTotal) =
+      Layouts.skippingScanOn(spark, qDir, "xk", 100d, 200d)
+    assert(linTotal >= 8 && qTotal >= 8,
+      s"need multi-file layouts: $linTotal / $qTotal")
+    // linear: the outlier owns the whole grid range; every dense row is
+    // cell 0 on xk, so the curve orders by yk alone and every file
+    // spans the full dense xk range — zero pruning
+    assert(linKept == linTotal,
+      s"linear quantization must have LOST xk selectivity to the " +
+        s"outlier (read $linKept of $linTotal)")
+    // quantile: boundaries are equi-depth over the data, the outlier
+    // only shifts the last cut — the narrow window still skips files
+    assert(qKept > 0 && qKept < qTotal,
+      s"quantile boundaries must keep pruning: read $qKept of $qTotal")
+    assert(qKept < linKept)
+    // both remain lossless against the plain filter
+    val full = skewed.filter(col("xk").between(100L, 200L))
+    for (df <- Seq(linDf, qDf))
+      assert(df.exceptAll(full).isEmpty && full.exceptAll(df).isEmpty,
+        "pruned reads must stay lossless")
+  }
+
   test("z-ordered stats skipping: ONE layout's manifest prunes the file " +
     "list on EITHER clustered column (the multi-column property a " +
     "single-key sort cannot give), losslessly, and a single-key-sorted " +
