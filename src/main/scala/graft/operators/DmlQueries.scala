@@ -389,7 +389,45 @@ object Dml {
     Files.move(tmp, Paths.get(dir, s"${next}_ref"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     commit(dir, next)
-    readVersion(spark, dir, next)
+    maybeAutoCompact(spark, dir)
+      .getOrElse(readVersion(spark, dir, next))
+  }
+
+  /** SIDECAR AUTO-COMPACTION trigger (the Delta auto-compaction
+    * analog): after a merge-on-read / deletion-vector commit, when the
+    * committed version's accumulated sidecar rows (vector + append)
+    * exceed `spark.graft.dv.autoCompactRatio` (default 0.5) of its
+    * data-directory rows AND at least
+    * `spark.graft.dv.autoCompactMinRows` (default 1000) sidecar rows
+    * exist, publish ONE further PLAIN version folding the composition
+    * back into data files. Without a trigger the vector and the
+    * per-commit-rewritten append copy grow without bound until a
+    * manual [[optimize]] — every read paying a bigger anti-join +
+    * union, every MoR commit rewriting a bigger append copy. The
+    * check itself is parquet-FOOTER arithmetic (metadata reads, no
+    * data); the fold costs one O(table) write exactly when the
+    * amortized read/write tax already exceeds it. The floor keeps
+    * small fixtures and genuinely tiny tables on the sidecar path —
+    * compacting a 25-row table saves nothing. */
+  private def maybeAutoCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val ratio = spark.conf
+      .get("spark.graft.dv.autoCompactRatio", "0.5").toDouble
+    val minRows = spark.conf
+      .get("spark.graft.dv.autoCompactMinRows", "1000").toLong
+    val cur = currentVersion(dir)
+    def side(sfx: String): Long = {
+      val p = java.nio.file.Paths.get(dir, s"$cur$sfx")
+      if (java.nio.file.Files.exists(p)) footerRowCount(spark, p.toString)
+      else 0L
+    }
+    val sidecar = side("_dv") + side("_append")
+    if (sidecar < minRows) return None
+    val dataRows = footerRowCount(spark, versionPath(dir, cur))
+    if (dataRows == 0 || sidecar.toDouble / dataRows <= ratio) return None
+    val next = "v" + (cur.stripPrefix("v").toInt + 1)
+    Some(snapshot(readVersion(spark, dir, cur), dir, next))
   }
 
   /** MERGE-ON-READ MERGE — the upsert as an O(changes) commit (Delta
@@ -495,7 +533,8 @@ object Dml {
     Files.move(tmp, Paths.get(dir, s"${next}_ref"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     commit(dir, next)
-    readVersion(spark, dir, next)
+    maybeAutoCompact(spark, dir)
+      .getOrElse(readVersion(spark, dir, next))
   }
 
   // ---- time travel -------------------------------------------------------

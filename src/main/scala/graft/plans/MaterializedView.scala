@@ -104,7 +104,11 @@ object Mv {
         * cover one query: the rewrite picks the smallest. */
       mvRows: Long,
       epoch: Int,
-      mvRelation: LogicalRelation)
+      mvRelation: LogicalRelation,
+      /** Set when the base is a versioned-store table ([[registerStore]]);
+        * refresh then classifies commits by version composition instead
+        * of raw file listings. */
+      storeState: Option[StoreState] = None)
 
   /** Registered MVs, keyed by NAME. Several summaries may share one base
     * (different grains / predicates); the rewrite matches by the scan's
@@ -237,6 +241,78 @@ object Mv {
     case other => Seq(other)
   }
 
+  /** Anchor of an MV registered over a VERSIONED-STORE table ([[Dml]]
+    * commit-pointer dir): which version the summary reflects and that
+    * version's composition (data path + sidecar row counts), so
+    * refresh can classify the NEXT commit as foldable or not. */
+  final case class StoreState(
+      storeDir: String,
+      version: String,
+      dataPath: String,
+      dvRows: Long,
+      appendPath: Option[String])
+
+  private def storeSideRows(
+      spark: SparkSession, dir: String, version: String,
+      suffix: String): Long = {
+    val p = java.nio.file.Paths.get(dir, s"$version$suffix")
+    if (java.nio.file.Files.exists(p)) Dml.footerRowCount(spark, p.toString)
+    else 0L
+  }
+
+  /** The measure catalog of a defining aggregate: structural key →
+    * (rollup kind, summary column). Rejects DISTINCT / FILTER-clause
+    * and non-decomposable functions at registration (see [[register]]'s
+    * scaladoc for why each would be silently wrong later). */
+  private def extractMeasures(
+      mvDf: DataFrame): Map[String, (String, String)] = {
+    val aggPlan = mvDf.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+    }.get
+    val measures = aggPlan.aggregateExpressions.flatMap {
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.isDistinct || ae.filter.nonEmpty)
+          throw new IllegalArgumentException(
+            s"register: measure '${al.name}' (${ae.sql}) uses DISTINCT " +
+              "or FILTER — neither decomposes over partial groups; " +
+              "use plain sum/count/min/max (or hll_sketch_agg for " +
+              "mergeable distinct counts)")
+        val kind = rollupKind(ae.aggregateFunction).getOrElse(
+          throw new IllegalArgumentException(
+            s"register: measure '${al.name}' (${ae.sql}) does not roll " +
+              "up losslessly; use sum/count/min/max"))
+        Some(structKey(ae.aggregateFunction) -> (kind, al.name))
+      case _ => None // the dim columns
+    }
+    require(measures.map(_._1).distinct.size == measures.size,
+      "register: duplicate measure expressions " +
+        s"(${measures.map(_._1).mkString("; ")}) — alias ONE column per " +
+        "distinct aggregate expression")
+    measures.toMap
+  }
+
+  /** Canonical conjuncts + provably-non-null column names of a defining
+    * WHERE predicate (see the [[MvDef]] field docs). */
+  private def predInfo(
+      filtered: DataFrame,
+      where: Option[Column]): (Set[String], Set[String]) =
+    if (where.isEmpty) (Set.empty, Set.empty)
+    else {
+      val parts = filtered.queryExecution.analyzed match {
+        case Filter(cond, _) => conjunctsOf(cond)
+        case p => throw new IllegalStateException(
+          s"register: filtered base did not analyze to a Filter:\n$p")
+      }
+      val notNullable = parts.flatMap {
+        case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
+          cmp.references.map(_.name).toSeq
+        case in: In => in.references.map(_.name).toSeq
+        case in: InSet => in.references.map(_.name).toSeq
+        case _ => Seq.empty
+      }.toSet
+      (parts.map(canon).toSet, notNullable)
+    }
+
   /** Define + materialize a summary over `base` and register it for
     * rewrite. `aggCols` must be ALIASED aggregate columns (sum/count/
     * min/max, plain — DISTINCT and FILTER-clause forms do not decompose
@@ -276,59 +352,8 @@ object Mv {
     val baseLeaf = leafRelation(base.queryExecution.analyzed).getOrElse(
       throw new IllegalArgumentException(
         "register: base must be a single file-relation scan"))
-    val aggPlan = mvDf.queryExecution.analyzed.collectFirst {
-      case a: Aggregate => a
-    }.get
-    val measures = aggPlan.aggregateExpressions.flatMap {
-      case al @ Alias(ae: AggregateExpression, _) =>
-        // DISTINCT / FILTER-clause aggregates must be rejected HERE:
-        // rollupKind sees only the AggregateFunction and structKey
-        // drops both flags, so count(DISTINCT x) would register under
-        // the same key as plain count(x) — a later plain count(x)
-        // query would pass the query-side guard and silently sum
-        // distinct partials (and refresh would sum-fold them, doubly
-        // wrong). Mirror the query-side guard exactly.
-        if (ae.isDistinct || ae.filter.nonEmpty)
-          throw new IllegalArgumentException(
-            s"register: measure '${al.name}' (${ae.sql}) uses DISTINCT " +
-              "or FILTER — neither decomposes over partial groups; " +
-              "use plain sum/count/min/max (or hll_sketch_agg for " +
-              "mergeable distinct counts)")
-        val kind = rollupKind(ae.aggregateFunction).getOrElse(
-          throw new IllegalArgumentException(
-            s"register: measure '${al.name}' (${ae.sql}) does not roll " +
-              "up losslessly; use sum/count/min/max"))
-        Some(structKey(ae.aggregateFunction) -> (kind, al.name))
-      case _ => None // the dim columns
-    }
-    // two measures with one underlying expression collapse to a single
-    // structural key — the survivor's column would silently serve both
-    // aliases and refresh would lose the other column; reject loudly
-    require(measures.map(_._1).distinct.size == measures.size,
-      "register: duplicate measure expressions " +
-        s"(${measures.map(_._1).mkString("; ")}) — alias ONE column per " +
-        "distinct aggregate expression")
-    // the defining predicate's canonical conjuncts, from the ANALYZED
-    // filter (so dialect/typing normalization has already run)
-    val predParts: Seq[Expression] =
-      if (where.isEmpty) Seq.empty
-      else filtered.queryExecution.analyzed match {
-        case Filter(cond, _) => conjunctsOf(cond)
-        case p => throw new IllegalStateException(
-          s"register: filtered base did not analyze to a Filter:\n$p")
-      }
-    val predConjuncts = predParts.map(canon).toSet
-    // a comparison/IN conjunct evaluates to NULL (row dropped) when its
-    // attribute is null — so on summary rows those attributes are
-    // provably non-null and inferred `isnotnull` conjuncts consume.
-    // EqualNullSafe deliberately excluded: `c <=> NULL` KEEPS nulls.
-    val predNotNullable: Set[String] = predParts.flatMap {
-      case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
-        cmp.references.map(_.name).toSeq
-      case in: In => in.references.map(_.name).toSeq
-      case in: InSet => in.references.map(_.name).toSeq
-      case _ => Seq.empty
-    }.toSet
+    val measures = extractMeasures(mvDf)
+    val (predConjuncts, predNotNullable) = predInfo(filtered, where)
     val mvBack = spark.read.parquet(mvPath)
     val mvRel = leafRelation(mvBack.queryExecution.analyzed).get
     // row count from the freshly-written footers (metadata-only scan) —
@@ -336,8 +361,73 @@ object Mv {
     val mvRows = Mv.withDisabled { mvBack.count() }
     val meta = fileMeta(baseLeaf)
     val d = MvDef(name, rootsOf(baseLeaf), meta, fingerprint(meta),
-      dims.toSet, dims, aggCols, measures.toMap, predConjuncts,
+      dims.toSet, dims, aggCols, measures, predConjuncts,
       predNotNullable, where, mvPath, mvRows, epoch, mvRel)
+    registry.put(name, d)
+    install(spark)
+    d
+  }
+
+  /** Register a summary over a VERSIONED-STORE table ([[Dml]]'s
+    * commit-pointer dir) at its CURRENT version. A plain version (no
+    * sidecars) anchors to its data directory like [[register]] — raw
+    * scans of that directory rewrite as usual. A version carrying a
+    * deletion vector or append sidecar anchors to a sentinel no scan
+    * can match (a raw data-directory scan is NOT the logical table
+    * there — serving the summary for it would resurrect deleted rows
+    * or hide appended ones); the summary then lives for MAINTENANCE:
+    * [[refreshIncremental]] reads the store's version composition and
+    * folds an insert-only MoR commit at O(new appended rows) instead
+    * of taking the O(base) rebuild a raw file diff would force —
+    * every sidecar commit changes sidecar FILES, so a file-level delta
+    * can never fold them. */
+  def registerStore(
+      spark: SparkSession,
+      name: String,
+      storeDir: String,
+      dims: Seq[String],
+      aggCols: Seq[Column],
+      mvPath: String,
+      epoch: Int = 0,
+      where: Option[Column] = None): MvDef = synchronized {
+    require(aggCols.nonEmpty, "registerStore: at least one measure")
+    val version = Dml.currentVersion(storeDir)
+    val base = Dml.readVersion(spark, storeDir, version)
+    val filtered = where.map(base.filter).getOrElse(base)
+    val mvDf = filtered.groupBy(dims.map(base(_)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    Layouts.deleteDir(spark, mvPath)
+    Mv.withDisabled {
+      mvDf.write.mode(SaveMode.Overwrite).parquet(mvPath)
+    }
+    val measures = extractMeasures(mvDf)
+    val (predConjuncts, predNotNullable) = predInfo(filtered, where)
+    val mvBack = spark.read.parquet(mvPath)
+    val mvRel = leafRelation(mvBack.queryExecution.analyzed).get
+    val mvRows = Mv.withDisabled { mvBack.count() }
+    val dataPath = Dml.versionPath(storeDir, version)
+    val dvRows = storeSideRows(spark, storeDir, version, "_dv")
+    val appendPath = Some(s"$storeDir/${version}_append")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val appendRows = storeSideRows(spark, storeDir, version, "_append")
+    val plain = dvRows == 0 && appendRows == 0
+    val (roots, meta, fp) =
+      if (plain)
+        leafRelation(spark.read.parquet(dataPath)
+            .queryExecution.analyzed) match {
+          case Some(leaf) =>
+            val m = fileMeta(leaf)
+            (rootsOf(leaf), m, fingerprint(m))
+          case None => (Set(s"graft-store:$storeDir"),
+            Map.empty[String, (Long, Long)], "store:unservable")
+        }
+      else (Set(s"graft-store:$storeDir"),
+        Map.empty[String, (Long, Long)], "store:unservable")
+    val d = MvDef(name, roots, meta, fp,
+      dims.toSet, dims, aggCols, measures, predConjuncts,
+      predNotNullable, where, mvPath, mvRows, epoch, mvRel,
+      storeState = Some(StoreState(
+        storeDir, version, dataPath, dvRows, appendPath)))
     registry.put(name, d)
     install(spark)
     d
@@ -372,7 +462,11 @@ object Mv {
     refreshOne(spark, cands.head)
   }
 
-  private def refreshOne(spark: SparkSession, d: MvDef): (Int, Int) = {
+  private def refreshOne(spark: SparkSession, d: MvDef): (Int, Int) =
+    if (d.storeState.isDefined) refreshStore(spark, d)
+    else refreshFiles(spark, d)
+
+  private def refreshFiles(spark: SparkSession, d: MvDef): (Int, Int) = {
     val baseNow = spark.read.parquet(d.baseRoots.toSeq: _*)
     val leaf = leafRelation(baseNow.queryExecution.analyzed).get
     val nowMeta = fileMeta(leaf)
@@ -399,6 +493,22 @@ object Mv {
     val deltaDf = d.whereCol.map(deltaRaw.filter).getOrElse(deltaRaw)
     val deltaAgg = deltaDf.groupBy(d.dimCols.map(deltaRaw(_)): _*)
       .agg(d.aggCols.head, d.aggCols.tail: _*)
+    val (newPath, newRel, newRows) = foldDelta(spark, d, deltaAgg)
+    registry.put(d.name, d.copy(
+      baseMeta = nowMeta, baseFilesFp = fingerprint(nowMeta),
+      mvPath = newPath, mvRows = newRows,
+      epoch = d.epoch + 1, mvRelation = newRel))
+    (delta.size, nowMeta.size)
+  }
+
+  /** The measure-by-measure fold of a partial (delta) summary into the
+    * live one, written to the next versioned path: sum += sum, count
+    * += count (via its sum column), min/max fold, hll union — exact
+    * because every registered measure is decomposable by construction.
+    * Shared by the file-delta and store-composition refresh paths. */
+  private def foldDelta(
+      spark: SparkSession, d: MvDef, deltaAgg: DataFrame)
+      : (String, LogicalRelation, Long) = {
     val oldMv = spark.read.parquet(d.mvPath)
     import org.apache.spark.sql.functions.{col, hll_union_agg, max => fmax, min => fmin, sum => fsum}
     val folds = d.measures.values.toSeq.map { case (kind, name) =>
@@ -424,11 +534,93 @@ object Mv {
     val newBack = spark.read.parquet(newPath)
     val newRel = leafRelation(newBack.queryExecution.analyzed).get
     val newRows = Mv.withDisabled { newBack.count() }
-    registry.put(d.name, d.copy(
-      baseMeta = nowMeta, baseFilesFp = fingerprint(nowMeta),
-      mvPath = newPath, mvRows = newRows,
-      epoch = d.epoch + 1, mvRelation = newRel))
-    (delta.size, nowMeta.size)
+    (newPath, newRel, newRows)
+  }
+
+  /** Refresh an MV anchored to a versioned-store table by reading the
+    * store's VERSION COMPOSITION (data − vector + append) instead of
+    * raw file listings — a sidecar commit rewrites sidecar files every
+    * time, so a file diff would force the O(base) rebuild forever.
+    * Classification:
+    *  - same version, same composition → no-op (0, rows);
+    *  - data directory swapped (optimize / plain snapshot / rewrite
+    *    DML) or the deletion vector GREW (base rows deleted/updated —
+    *    a min can't un-fold) → REBUILD from the current version;
+    *  - append-origin rows vanished or changed (an update/delete hit
+    *    the append sidecar — those rewrite the append copy without
+    *    touching the vector) → REBUILD;
+    *  - otherwise the commit was PURE INSERT: fold the appended-row
+    *    multiset delta (new append ∖ old append) at O(append) cost.
+    * Returns (-1, total logical rows) on rebuild, (folded delta rows,
+    * total logical rows) otherwise. */
+  private def refreshStore(spark: SparkSession, d: MvDef): (Int, Int) = {
+    val ss = d.storeState.get
+    val dir = ss.storeDir
+    val cur = Dml.currentVersion(dir)
+    val curData = Dml.versionPath(dir, cur)
+    val curDvRows = storeSideRows(spark, dir, cur, "_dv")
+    val curAppendP = Some(s"$dir/${cur}_append")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    def totalRows: Int = (Dml.footerRowCount(spark, curData) - curDvRows +
+      storeSideRows(spark, dir, cur, "_append")).toInt
+    def rebuild(): (Int, Int) = {
+      registerStore(spark, d.name, dir, d.dimCols, d.aggCols,
+        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}",
+        epoch = d.epoch + 1, where = d.whereCol)
+      (-1, totalRows)
+    }
+    if (cur == ss.version) return (0, totalRows)
+    if (curData != ss.dataPath || curDvRows != ss.dvRows) return rebuild()
+    // data untouched, vector unchanged (it only ever grows — equal
+    // count means equal content): classify the append transition.
+    // Versions are immutable, so the REGISTERED version's append dir
+    // is still on disk to diff against.
+    val oldAppend = ss.appendPath.map(spark.read.parquet(_))
+    val newAppend = curAppendP.map(spark.read.parquet(_))
+    (oldAppend, newAppend) match {
+      case (Some(o), None) =>
+        if (Mv.withDisabled { o.isEmpty }) anchorOnly(spark, d, cur,
+          curData, curDvRows, curAppendP, totalRows)
+        else rebuild() // append rows vanished wholesale
+      case (o, Some(n)) =>
+        val old = o.getOrElse(n.limit(0))
+        val removed = Mv.withDisabled { !old.exceptAll(n).isEmpty }
+        if (removed) return rebuild() // an append-origin row changed
+        val delta = n.exceptAll(old)
+        val deltaRows = Mv.withDisabled { delta.count() }
+        if (deltaRows == 0)
+          return anchorOnly(spark, d, cur, curData, curDvRows,
+            curAppendP, totalRows)
+        val deltaF = d.whereCol.map(delta.filter).getOrElse(delta)
+        val deltaAgg = deltaF.groupBy(d.dimCols.map(delta(_)): _*)
+          .agg(d.aggCols.head, d.aggCols.tail: _*)
+        val (newPath, newRel, newRows) = foldDelta(spark, d, deltaAgg)
+        registry.put(d.name, d.copy(
+          // sidecars now exist: raw data-dir scans are no longer the
+          // logical table, so the serve anchor flips to the sentinel
+          baseRoots = Set(s"graft-store:$dir"),
+          baseMeta = Map.empty, baseFilesFp = "store:unservable",
+          mvPath = newPath, mvRows = newRows,
+          epoch = d.epoch + 1, mvRelation = newRel,
+          storeState = Some(StoreState(
+            dir, cur, curData, curDvRows, curAppendP))))
+        (deltaRows.toInt, totalRows)
+      case (None, None) =>
+        anchorOnly(spark, d, cur, curData, curDvRows, curAppendP,
+          totalRows)
+    }
+  }
+
+  /** A commit that changed nothing the summary reflects (pointer moved,
+    * composition identical): advance the anchor without touching the
+    * materialization. */
+  private def anchorOnly(
+      spark: SparkSession, d: MvDef, cur: String, curData: String,
+      curDvRows: Long, curAppendP: Option[String],
+      totalRows: Int): (Int, Int) = {
+    registry.put(d.name, d.copy(storeState = Some(StoreState(
+      d.storeState.get.storeDir, cur, curData, curDvRows, curAppendP))))
+    (0, totalRows)
   }
 
   /** The registered MV named `name`, if any (names are unique; a
@@ -1095,8 +1287,70 @@ object MvQueries {
       Some("""SELECT o_orderpriority, count(*) AS n,
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS total FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // MV MAINTENANCE OVER THE VERSIONED STORE: the summary is anchored
+    // to a Dml commit-pointer table, the table takes an INSERT-ONLY
+    // merge-on-read commit (new rows land in an append sidecar; the
+    // data directory never changes), and the refresh reads the store's
+    // VERSION COMPOSITION to fold exactly the appended-row delta —
+    // O(append), where a raw file diff would see rewritten sidecar
+    // files and rebuild from scratch on every commit. The gated result
+    // restates the refreshed summary; the oracle recomputes the same
+    // rollup over base ∪ slice on the fixture tables, so the hash gate
+    // proves the composition-aware fold equals the full recompute.
+    Q("q68_mv_store",
+      (s, d) => {
+        val mvPath = ensureStoreMv(s, d)
+        s.read.parquet(mvPath).select(
+          col("l_returnflag"),
+          col("mv_cnt").as("n"),
+          col("mv_sum_qty").cast("double").as("sum_qty"))
+      },
+      Some("""WITH base AS (SELECT * FROM lineitem UNION ALL
+             |SELECT * FROM lineitem WHERE l_orderkey % 89 = 0)
+             |SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS sum_qty FROM base
              |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
+
+  // (session, sfDir) -> the store-anchored summary's current path:
+  // store published from lineitem, one insert-only MoR commit of the
+  // l_orderkey % 89 slice, refresh folds the append delta.
+  private val storeMvFor = scala.collection.mutable.Map[(Int, String), Unit]()
+  private[graft] def ensureStoreMv(s: SparkSession, d: String): String =
+    synchronized {
+      storeMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
+        val root = Dml.work("q68_mv_store", d)
+        Layouts.deleteDir(s, root)
+        val storeDir = s"$root/store"
+        val li = Tables.t(s, d, "lineitem")
+        // publish the committed table (v0 snapshot, v1 = all rows)
+        Dml.delete(li, storeDir, lit(false))
+        Mv.registerStore(s, "lineitem_store", storeDir,
+          dims = Seq("l_returnflag"),
+          aggCols = Seq(
+            count(lit(1)).as("mv_cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty")),
+          mvPath = s"$root/summary")
+        // insert-only MoR commit: the slice's join key can never match
+        // a committed row, so every source row lands in the append
+        // sidecar and the data directory stays untouched
+        val cols = li.columns.toSeq
+        val src = li.filter(col("l_orderkey") % 89 === 0)
+          .withColumn("sk", -col("l_orderkey") - 1)
+        Dml.mergeOnRead(s, storeDir, src,
+          col("t.l_orderkey") === col("s.sk"),
+          Map("l_quantity" -> col("t.l_quantity")),
+          Some(cols), Some(cols.map(c => col(s"s.$c"))))
+        val (delta, total) = Mv.refreshIncremental(s, "lineitem_store")
+        require(delta > 0 && delta < total,
+          s"q68 fixture: expected a strict append fold, got $delta/$total")
+        ()
+      })
+      Mv.byName("lineitem_store").get.mvPath
+    }
 
   /** q65's star-join rollup: groups by a DIM-side attribute, filters on
     * a DIM-side column, joins on the MV's FK dimension — the summary

@@ -810,4 +810,72 @@ class DmlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cardinality"))
   }
+
+  test("dv sidecar auto-compaction: repeated MoR commits stay " +
+    "O(changes) — the data directory untouched behind a _ref — until " +
+    "the sidecar/data row ratio crosses the threshold, then ONE commit " +
+    "folds to a plain version; history arithmetic stays exact across " +
+    "the fold") {
+    val dir = Dml.work("spec_autocompact", sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val base = spark.range(5000).select(col("id"),
+      (col("id") % 7).as("grp"), (col("id") * 2).as("v"))
+    val savedRatio = spark.conf.getOption("spark.graft.dv.autoCompactRatio")
+    val savedMin = spark.conf.getOption("spark.graft.dv.autoCompactMinRows")
+    spark.conf.set("spark.graft.dv.autoCompactRatio", "0.2")
+    spark.conf.set("spark.graft.dv.autoCompactMinRows", "100")
+    try {
+      // publish a plain committed table (v0 snapshot, v1 = all rows)
+      Dml.delete(base, dir, lit(false))
+      val dataDirV1 = new java.io.File(s"$dir/v1")
+      assert(dataDirV1.exists, "v1 must be a plain data version")
+      def insertOnly(i: Int) = spark.range(5000 + i * 300L,
+          5000 + (i + 1) * 300L)
+        .select(col("id").as("sk"), (col("id") % 7).as("sg"),
+          lit(-1L).as("sv"))
+      def mor(i: Int) = Dml.mergeOnRead(spark, dir, insertOnly(i),
+        col("t.id") === col("s.sk"), Map("v" -> col("t.v")),
+        Some(Seq("id", "grp", "v")),
+        Some(Seq(col("s.sk"), col("s.sg"), col("s.sv"))))
+      // commits 1-3: 300/5000, 600/5000, 900/5000 — all under 20%;
+      // each version must still point at v1's data via _ref (O(changes))
+      for (i <- 0 until 3) {
+        mor(i)
+        val cur = Dml.currentVersion(dir)
+        assert(new java.io.File(s"$dir/${cur}_ref").exists &&
+          new java.io.File(s"$dir/${cur}_append").exists &&
+          !new java.io.File(s"$dir/$cur").exists,
+          s"commit ${i + 1} must stay a sidecar commit: $cur")
+      }
+      // commit 4: 1200/5000 = 24% > 20% — the trigger folds to a plain
+      // version in the SAME call
+      val out = mor(3)
+      val cur = Dml.currentVersion(dir)
+      assert(new java.io.File(s"$dir/$cur").exists &&
+        !new java.io.File(s"$dir/${cur}_append").exists &&
+        !new java.io.File(s"$dir/${cur}_dv").exists &&
+        !new java.io.File(s"$dir/${cur}_ref").exists,
+        s"the threshold-crossing commit must fold to a PLAIN version: $cur")
+      assert(out.count() == 5000 + 4 * 300)
+      assert(Dml.readLatest(spark, dir).count() == 6200)
+      // history: 300-row deltas per MoR commit, a 0-row delta for the
+      // fold, exact logical counts throughout
+      val h = Dml.history(spark, dir).orderBy("version")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_ => r.getLong(2))))
+        .toMap
+      assert(h(cur)._1 == 6200 && h(cur)._2.contains(0L),
+        s"the fold must add zero rows: ${h(cur)}")
+      val prev = "v" + (cur.stripPrefix("v").toInt - 1)
+      assert(h(prev)._1 == 6200 && h(prev)._2.contains(300L),
+        s"the last sidecar commit must show its 300-row delta: ${h(prev)}")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.graft.dv.autoCompactRatio", savedRatio)
+      restore("spark.graft.dv.autoCompactMinRows", savedMin)
+    }
+  }
 }

@@ -652,6 +652,80 @@ class MvSpec extends SparkSpec {
     assert(scanRoots(pairQ).exists(_.contains("dbl_summary")))
   }
 
+  test("MV over the VERSIONED STORE: a plain version serves raw scans; " +
+    "an insert-only MoR commit refreshes as an O(append) FOLD (raw file " +
+    "diffing would rebuild forever — sidecar files change every " +
+    "commit); an update commit (vector grew) takes the rebuild path; " +
+    "the summary equals the full recompute throughout") {
+    val root = Dml.work("mv_store", sf)
+    Layouts.deleteDir(spark, root)
+    val storeDir = s"$root/store"
+    val base = spark.range(4000).select(col("id"),
+      (col("id") % 5).cast("string").as("g"),
+      (col("id") % 97).as("x"))
+    // publish a plain committed table (v0 snapshot, v1 = all rows)
+    Dml.delete(base, storeDir, lit(false))
+    val d0 = Mv.registerStore(spark, "store_probe", storeDir,
+      dims = Seq("g"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt"), sum(col("x")).as("mv_s")),
+      mvPath = s"$root/summary")
+    def recompute() = Mv.withDisabled {
+      Dml.readLatest(spark, storeDir).groupBy("g")
+        .agg(count(lit(1)).as("mv_cnt"), sum(col("x")).as("mv_s"))
+        .collect().map(_.toSeq).toSet
+    }
+    def summary() = Mv.withDisabled {
+      spark.read.parquet(Mv.byName("store_probe").get.mvPath)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(summary() == recompute())
+    // a PLAIN version's data dir serves raw aggregate scans
+    val served = spark.read.parquet(s"$storeDir/v1")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scanRoots(served).exists(_.contains("summary")),
+      s"a plain store version must serve:\n" +
+        served.queryExecution.optimizedPlan.toString)
+    // INSERT-ONLY MoR commit: 500 new rows land in the append sidecar
+    val inserts = spark.range(4000, 4500).select(col("id").as("sk"),
+      (col("id") % 5).cast("string").as("sg"), (col("id") % 97).as("sx"))
+    Dml.mergeOnRead(spark, storeDir, inserts,
+      col("t.id") === col("s.sk"), Map("x" -> col("t.x")),
+      Some(Seq("id", "g", "x")),
+      Some(Seq(col("s.sk"), col("s.sg"), col("s.sx"))))
+    val (delta1, total1) = Mv.refreshIncremental(spark, "store_probe")
+    assert(delta1 == 500 && total1 == 4500,
+      s"insert-only commit must FOLD exactly the appended rows: " +
+        s"($delta1, $total1)")
+    assert(summary() == recompute(),
+      "the O(append) fold must equal the full recompute")
+    // a second insert-only commit folds only ITS delta (the append
+    // sidecar is rewritten each commit; the row-multiset diff must
+    // not re-fold the first 500)
+    val inserts2 = spark.range(4500, 4800).select(col("id").as("sk"),
+      (col("id") % 5).cast("string").as("sg"), (col("id") % 97).as("sx"))
+    Dml.mergeOnRead(spark, storeDir, inserts2,
+      col("t.id") === col("s.sk"), Map("x" -> col("t.x")),
+      Some(Seq("id", "g", "x")),
+      Some(Seq(col("s.sk"), col("s.sg"), col("s.sx"))))
+    val (delta2, total2) = Mv.refreshIncremental(spark, "store_probe")
+    assert(delta2 == 300 && total2 == 4800, s"($delta2, $total2)")
+    assert(summary() == recompute())
+    // UPDATE commit: matched base rows grow the deletion vector — a
+    // partial fold can't un-count them; the refresh must REBUILD
+    val updates = spark.range(100).select(col("id").as("sk"),
+      lit("zz").as("sg"), lit(-1L).as("sx"))
+    Dml.mergeOnRead(spark, storeDir, updates,
+      col("t.id") === col("s.sk"), Map("x" -> col("s.sx")),
+      None, None)
+    val (delta3, _) = Mv.refreshIncremental(spark, "store_probe")
+    assert(delta3 == -1,
+      s"an update commit must take the rebuild path, got $delta3")
+    assert(summary() == recompute(),
+      "the rebuilt summary must equal the full recompute")
+    // idle refresh after the rebuild: no commit, no work
+    assert(Mv.refreshIncremental(spark, "store_probe")._1 == 0)
+  }
+
   test("a WHERE-clause (partial) summary serves only queries restating " +
     "the predicate, consumes it rather than re-applying it, declines " +
     "without it, and refresh folds the delta THROUGH the predicate") {
