@@ -671,16 +671,58 @@ object Mv {
       }
 
     /** Peel pruning Projects / Filters down to the single scan leaf,
-      * collecting filter CONJUNCTS. Any other operator declines. */
+      * collecting filter CONJUNCTS and a substitution map for aliased
+      * projections. The optimizer's PullOutGroupingExpressions rewrites
+      * `GROUP BY f(x)` into `Aggregate(_groupingexpression) over
+      * Project(f(x) AS _groupingexpression, …)` BEFORE user rules run,
+      * so grouping-by-expression queries always reach this rule in the
+      * pulled-out shape — the aliases are recorded (deterministic,
+      * subquery-free ones only) and [[inlineSubst]] folds them back
+      * into the grouping/result expressions for the dim checks. Any
+      * other operator declines. */
     private def unwrap(p: LogicalPlan)
-        : Option[(Seq[Expression], LogicalRelation)] = p match {
+        : Option[(Seq[Expression], LogicalRelation,
+            Map[ExprId, Expression])] = p match {
       case Filter(cond, c) =>
-        unwrap(c).map { case (fs, leaf) => (conjunctsOf(cond) ++ fs, leaf) }
-      case Project(cols, c) if cols.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(c)
-      case l: LogicalRelation => Some((Seq.empty, l))
+        unwrap(c).map { case (fs, leaf, s) =>
+          (conjunctsOf(cond) ++ fs, leaf, s)
+        }
+      case Project(cols, c) if cols.forall {
+          case _: AttributeReference => true
+          case Alias(e, _) => e.deterministic &&
+            !e.exists(_.isInstanceOf[PlanExpression[_]])
+          case _ => false
+        } =>
+        unwrap(c).map { case (fs, leaf, s) =>
+          val add = cols.collect { case al @ Alias(e, _) =>
+            al.exprId -> e
+          }
+          (fs, leaf, s ++ add)
+        }
+      case l: LogicalRelation => Some((Seq.empty, l, Map.empty))
       case _ => None
     }
+
+    /** Replace references to peeled Project aliases by their defining
+      * expressions, to fixpoint (aliases can chain across Projects). */
+    private def inlineSubst(
+        e: Expression, subst: Map[ExprId, Expression]): Expression =
+      if (subst.isEmpty) e
+      else {
+        var cur = e
+        var rounds = 0
+        var changed = true
+        while (changed && rounds < 10) {
+          val next = cur.transformUp {
+            case a: AttributeReference if subst.contains(a.exprId) =>
+              subst(a.exprId)
+          }
+          changed = !next.fastEquals(cur)
+          cur = next
+          rounds += 1
+        }
+        cur
+      }
 
     /** Partial-MV matching: every conjunct of the MV's defining WHERE
       * must appear (canonically) among the query's conjuncts — the
@@ -716,10 +758,10 @@ object Mv {
       // count returns 0 (grouped queries have no empty groups, so the
       // rollup is only sound under a GROUP BY)
       if (agg.groupingExpressions.isEmpty) return None
-      unwrap(agg.child).flatMap { case (allConjs, leaf) =>
+      unwrap(agg.child).flatMap { case (allConjs, leaf, subst) =>
         // candidates ascend by summary row count — cheapest covering wins
         candidatesFor(rootsOf(leaf)).iterator
-          .map(mv => rewriteSingle(agg, allConjs, leaf, mv))
+          .map(mv => rewriteSingle(agg, allConjs, leaf, subst, mv))
           .collectFirst { case Some(r) => r }
       }
     }
@@ -728,51 +770,63 @@ object Mv {
         agg: Aggregate,
         allConjs: Seq[Expression],
         leaf: LogicalRelation,
-        mv: MvDef): Option[Aggregate] = for {
-      // freshness: the query's own scan listing vs the registered one
-      _ <- if (fingerprintOf(leaf) == mv.baseFilesFp) Some(()) else None
-      filters <- consumePredicate(allConjs, mv)
-      // grouping: bare dim attributes only (subsets roll up)
-      groupIds <- {
-        val ids = agg.groupingExpressions.map {
-          case a: AttributeReference if mv.dims(a.name) => Some(a.exprId)
-          case _ => None
-        }
-        if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None
-      }
-      // leftover filters: deterministic, over dim attributes only, and
-      // free of subqueries (their inner plans hold bindings the scan
-      // swap cannot re-map)
-      if filters.forall(f => okFilter(f) &&
-        f.references.forall(a => mv.dims(a.name)))
-      rewritten <- {
-        val rel = mv.mvRelation.newInstance()
-        val mvAttr = rel.output.map(a => a.name -> a).toMap
-        val factDim = leaf.output
-          .filter(a => mv.dims(a.name) && mvAttr.contains(a.name))
-          .map(a => a.exprId -> mvAttr(a.name)).toMap
-        val tr = new Translator(mv, mvAttr, _ => true, factDim, groupIds)
-        val newRes = agg.aggregateExpressions.map {
-          case a: AttributeReference =>
-            tr.rw(a).map(e => Alias(e, a.name)(exprId = a.exprId))
-          case al: Alias =>
-            tr.rw(al.child).map(e => Alias(e, al.name)(exprId = al.exprId))
-          case _ => None
-        }
-        if (newRes.exists(_.isEmpty)) None
-        else {
-          val newGrouping = agg.groupingExpressions.map {
-            case a: AttributeReference => mvAttr(a.name)
+        subst: Map[ExprId, Expression],
+        mv: MvDef): Option[Aggregate] = {
+      val grouping = agg.groupingExpressions.map(inlineSubst(_, subst))
+      val conjs = allConjs.map(inlineSubst(_, subst))
+      for {
+        // freshness: the query's own scan listing vs the registered one
+        _ <- if (fingerprintOf(leaf) == mv.baseFilesFp) Some(()) else None
+        filters <- consumePredicate(conjs, mv)
+        // grouping: bare dim attributes (subsets roll up) OR any
+        // deterministic, subquery-free EXPRESSION over dims — grouping
+        // by f(dim) partitions the dim groups COARSER (each output
+        // group is a union of whole MV groups), and every registered
+        // measure folds across group unions, so the time-grain
+        // hierarchy (GROUP BY year(order_date) over a daily summary)
+        // rolls up
+        _ <- if (grouping.forall {
+            case a: AttributeReference => mv.dims(a.name)
+            case g => okFilter(g) &&
+              g.references.forall(a => mv.dims(a.name))
+          }) Some(()) else None
+        // leftover filters: deterministic, over dim attributes only,
+        // and free of subqueries (their inner plans hold bindings the
+        // scan swap cannot re-map)
+        if filters.forall(f => okFilter(f) &&
+          f.references.forall(a => mv.dims(a.name)))
+        rewritten <- {
+          val rel = mv.mvRelation.newInstance()
+          val mvAttr = rel.output.map(a => a.name -> a).toMap
+          val factDim = leaf.output
+            .filter(a => mv.dims(a.name) && mvAttr.contains(a.name))
+            .map(a => a.exprId -> mvAttr(a.name)).toMap
+          val tr = new Translator(mv, mvAttr, _ => true, factDim, grouping)
+          val newRes = agg.aggregateExpressions.map {
+            case a: AttributeReference =>
+              tr.rw(inlineSubst(a, subst))
+                .map(e => Alias(e, a.name)(exprId = a.exprId))
+            case al: Alias =>
+              tr.rw(inlineSubst(al.child, subst))
+                .map(e => Alias(e, al.name)(exprId = al.exprId))
+            case _ => None
           }
-          val newChild =
-            if (filters.isEmpty) rel
-            else Filter(filters.reduce(And).transform {
-              case a: AttributeReference => mvAttr(a.name)
-            }, rel)
-          Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
+          if (newRes.exists(_.isEmpty)) None
+          else {
+            val newGrouping = grouping.map(g =>
+              g.transform {
+                case a: AttributeReference => mvAttr(a.name)
+              })
+            val newChild =
+              if (filters.isEmpty) rel
+              else Filter(filters.reduce(And).transform {
+                case a: AttributeReference => mvAttr(a.name)
+              }, rel)
+            Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
+          }
         }
-      }
-    } yield rewritten
+      } yield rewritten
+    }
 
     // ---- the star-join path ---------------------------------------
 
@@ -799,16 +853,27 @@ object Mv {
       * Aggregates over DIM columns decline (multiplicity-sensitive). */
     private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
       if (agg.groupingExpressions.isEmpty) return None
-      def peel(p: LogicalPlan): Option[(Seq[Expression], Join)] = p match {
+      def peel(p: LogicalPlan): Option[(Seq[Expression], Join,
+          Map[ExprId, Expression])] = p match {
         case Filter(cond, c) =>
-          peel(c).map { case (fs, j) => (conjunctsOf(cond) ++ fs, j) }
-        case Project(cols, c)
-            if cols.forall(_.isInstanceOf[AttributeReference]) =>
-          peel(c)
-        case j: Join => Some((Seq.empty, j))
+          peel(c).map { case (fs, j, s) =>
+            (conjunctsOf(cond) ++ fs, j, s)
+          }
+        case Project(cols, c) if cols.forall {
+            case _: AttributeReference => true
+            case Alias(e, _) => e.deterministic &&
+              !e.exists(_.isInstanceOf[PlanExpression[_]])
+            case _ => false
+          } =>
+          peel(c).map { case (fs, j, s) =>
+            (fs, j, s ++ cols.collect { case al @ Alias(e, _) =>
+              al.exprId -> e
+            })
+          }
+        case j: Join => Some((Seq.empty, j, Map.empty))
         case _ => None
       }
-      peel(agg.child).flatMap { case (topConjs, join) =>
+      peel(agg.child).flatMap { case (topConjs, join, topSubst) =>
         Seq(true, false).iterator.flatMap { factLeft =>
           val (factPlan, dimPlan) =
             if (factLeft) (join.left, join.right)
@@ -820,11 +885,12 @@ object Mv {
             case _ => false
           }
           if (!typeOk) Iterator.empty
-          else unwrap(factPlan).iterator.flatMap { case (factConjs, leaf) =>
-            candidatesFor(rootsOf(leaf)).iterator.flatMap { mv =>
-              rewriteJoin(agg, topConjs, join, factLeft, factConjs,
-                leaf, dimPlan, mv).iterator
-            }
+          else unwrap(factPlan).iterator.flatMap {
+            case (factConjs, leaf, factSubst) =>
+              candidatesFor(rootsOf(leaf)).iterator.flatMap { mv =>
+                rewriteJoin(agg, topConjs, join, factLeft, factConjs,
+                  leaf, dimPlan, topSubst ++ factSubst, mv).iterator
+              }
           }
         }.nextOption()
       }
@@ -832,14 +898,18 @@ object Mv {
 
     private def rewriteJoin(
         agg: Aggregate,
-        topConjs: Seq[Expression],
+        topConjsRaw: Seq[Expression],
         join: Join,
         factLeft: Boolean,
-        factConjs: Seq[Expression],
+        factConjsRaw: Seq[Expression],
         leaf: LogicalRelation,
         dimPlan: LogicalPlan,
+        subst: Map[ExprId, Expression],
         mv: MvDef): Option[Aggregate] = {
       if (fingerprintOf(leaf) != mv.baseFilesFp) return None
+      val factConjs = factConjsRaw.map(inlineSubst(_, subst))
+      val topConjs = topConjsRaw.map(inlineSubst(_, subst))
+      val grouping = agg.groupingExpressions.map(inlineSubst(_, subst))
       val factIds = leaf.output.map(_.exprId).toSet
       def isFact(a: Attribute): Boolean = factIds(a.exprId)
       def factRefsAreDims(e: Expression): Boolean = {
@@ -871,23 +941,21 @@ object Mv {
             case a: AttributeReference if factDim.contains(a.exprId) =>
               factDim(a.exprId)
           }
-          // grouping: fact attrs must be dims; dim-side attrs stay
-          val groupIds = agg.groupingExpressions.map {
-            case a: AttributeReference =>
-              if (!isFact(a)) Some(a.exprId)
-              else if (factDim.contains(a.exprId)) Some(a.exprId)
-              else None
-            case _ => None
-          }
-          if (groupIds.exists(_.isEmpty)) None
+          // grouping: any deterministic, subquery-free expression whose
+          // FACT-side references are all dims (bare dim attrs, dim-side
+          // attrs, and f(dim) time-grain rollups all qualify)
+          val groupOk = grouping.forall(g =>
+            okFilter(g) && g.references.forall(a =>
+              !isFact(a) || factDim.contains(a.exprId)))
+          if (!groupOk) None
           else {
-            val tr = new Translator(mv, mvAttr, isFact, factDim,
-              groupIds.flatten.toSet)
+            val tr = new Translator(mv, mvAttr, isFact, factDim, grouping)
             val newRes = agg.aggregateExpressions.map {
               case a: AttributeReference =>
-                tr.rw(a).map(e => Alias(e, a.name)(exprId = a.exprId))
+                tr.rw(inlineSubst(a, subst))
+                  .map(e => Alias(e, a.name)(exprId = a.exprId))
               case al: Alias =>
-                tr.rw(al.child)
+                tr.rw(inlineSubst(al.child, subst))
                   .map(e => Alias(e, al.name)(exprId = al.exprId))
               case _ => None
             }
@@ -903,10 +971,7 @@ object Mv {
               val newChild =
                 if (topLeft0.isEmpty) newJoin
                 else Filter(mapFact(topLeft0.reduce(And)), newJoin)
-              val newGrouping = agg.groupingExpressions.map {
-                case a: AttributeReference =>
-                  if (isFact(a)) factDim(a.exprId) else a
-              }
+              val newGrouping = grouping.map(mapFact)
               Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
             }
           }
@@ -925,7 +990,12 @@ object Mv {
         mvAttr: Map[String, Attribute],
         isFact: Attribute => Boolean,
         factDim: Map[ExprId, Attribute],
-        groupedIds: Set[ExprId]) {
+        grouping: Seq[Expression]) {
+
+      private def mapFact(e: Expression): Expression = e.transform {
+        case a: AttributeReference if factDim.contains(a.exprId) =>
+          factDim(a.exprId)
+      }
 
       def rw(e: Expression): Option[Expression] = e match {
         case ae: AggregateExpression
@@ -941,10 +1011,17 @@ object Mv {
         // recursion below would rebuild it over MV rows and silently
         // answer from the wrong grain
         case _: AggregateExpression => None
+        // an expression that IS one of the grouping expressions (a bare
+        // grouped dim, or f(dim) in the time-grain-rollup case) maps
+        // wholesale — the physical aggregate binds it to the grouping
+        // value, so its dim references need not be grouped themselves
+        case g if grouping.exists(_.semanticEquals(g)) &&
+            g.references.forall(a =>
+              !isFact(a) || factDim.contains(a.exprId)) =>
+          Some(mapFact(g))
         case a: AttributeReference =>
           if (!isFact(a)) Some(a) // dim-side column: untouched
-          else if (groupedIds(a.exprId)) factDim.get(a.exprId)
-          else None
+          else None // a fact attr that is not (part of) a grouping expr
         case l: Literal => Some(l)
         // a subquery carries its own PLAN, not children — the generic
         // recursion below would wave it through while it may reference
@@ -1312,8 +1389,48 @@ object MvQueries {
              |SELECT l_returnflag, count(*) AS n,
              |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |AS sum_qty FROM base
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // TIME-GRAIN HIERARCHY ROLLUP: the summary is kept at DAILY grain
+    // (dims = o_orderdate, a 6× rollup at sf0.01 and ~60× at sf1 —
+    // dates don't scale with the fact), and the query groups by
+    // year(o_orderdate) — an EXPRESSION over the dim, the every-
+    // dashboard date-hierarchy shape. Grouping by f(dim) partitions
+    // the dim groups coarser (each year is a union of whole days), so
+    // every registered measure folds across the union and the daily
+    // summary answers any calendar grain above it. The oracle is the
+    // same aggregate on the base table.
+    Q("q69_mv_time_grain",
+      (s, d) => {
+        ensureDateMv(s, d)
+        Tables.t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             |count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS total FROM orders
              |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
+
+  // (session, sfDir) -> the daily-grain orders summary (q69).
+  private val dateMvFor = scala.collection.mutable.Map[(Int, String), Unit]()
+  private[graft] def ensureDateMv(s: SparkSession, d: String): Unit =
+    synchronized {
+      dateMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
+        Mv.register(s, "orders_by_day",
+          Tables.t(s, d, "orders"),
+          dims = Seq("o_orderdate"),
+          aggCols = Seq(
+            count(lit(1)).as("mv_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("mv_total")),
+          mvPath = Dml.work("q69_mv", d) + "/orders_by_day")
+        ()
+      })
+    }
 
   // (session, sfDir) -> the store-anchored summary's current path:
   // store published from lineitem, one insert-only MoR commit of the

@@ -652,6 +652,53 @@ class MvSpec extends SparkSpec {
     assert(scanRoots(pairQ).exists(_.contains("dbl_summary")))
   }
 
+  test("TIME-GRAIN rollup: GROUP BY year(dim) (and a year+month pair) " +
+    "over a daily-grain summary rewrites and matches the base answer; " +
+    "an expression over a NON-dim column declines") {
+    val root = Dml.work("mv_grain", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    Tables.t(spark, sf, "orders")
+      .select("o_orderdate", "o_totalprice", "o_orderkey")
+      .write.parquet(baseDir)
+    Mv.register(spark, "grain_probe", spark.read.parquet(baseDir),
+      dims = Seq("o_orderdate"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mv_t")),
+      mvPath = s"$root/summary")
+    val yearQ = spark.read.parquet(baseDir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
+    assert(scanRoots(yearQ).exists(_.contains("mv_grain/summary")),
+      s"year(dim) must roll up from the daily summary:\n" +
+        yearQ.queryExecution.optimizedPlan.toString)
+    val got = yearQ.orderBy("y").collect().map(_.toSeq).toSeq
+    val want = Mv.withDisabled {
+      yearQ.orderBy("y").collect().map(_.toSeq).toSeq
+    }
+    assert(got == want, s"time-grain rollup must be row-invisible")
+    // two grouping expressions over one dim: (year, month)
+    val ymQ = spark.read.parquet(baseDir)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanRoots(ymQ).exists(_.contains("mv_grain/summary")),
+      ymQ.queryExecution.optimizedPlan.toString)
+    val gotYm = ymQ.orderBy("y", "m").collect().map(_.toSeq).toSeq
+    val wantYm = Mv.withDisabled {
+      ymQ.orderBy("y", "m").collect().map(_.toSeq).toSeq
+    }
+    assert(gotYm == wantYm)
+    // an expression over a NON-dim column cannot roll up
+    val nonDim = spark.read.parquet(baseDir)
+      .groupBy((col("o_orderkey") % 10).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanRoots(nonDim).exists(_.contains("mv_grain/summary")),
+      s"f(non-dim) must decline:\n" +
+        nonDim.queryExecution.optimizedPlan.toString)
+  }
+
   test("MV over the VERSIONED STORE: a plain version serves raw scans; " +
     "an insert-only MoR commit refreshes as an O(append) FOLD (raw file " +
     "diffing would rebuild forever — sidecar files change every " +
