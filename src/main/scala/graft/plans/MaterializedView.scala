@@ -1434,8 +1434,11 @@ object MvQueries {
 
   // (session, sfDir) -> the store-anchored summary's current path:
   // store published from lineitem, one insert-only MoR commit of the
-  // l_orderkey % 89 slice, refresh folds the append delta.
-  private val storeMvFor = scala.collection.mutable.Map[(Int, String), Unit]()
+  // l_orderkey % 89 slice, refresh folds the append delta. The PATH is
+  // what the memo stores — a byName lookup after a second sfDir
+  // registered under the same name would cross dirs.
+  private val storeMvFor =
+    scala.collection.mutable.Map[(Int, String), String]()
   private[graft] def ensureStoreMv(s: SparkSession, d: String): String =
     synchronized {
       storeMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
@@ -1464,9 +1467,8 @@ object MvQueries {
         val (delta, total) = Mv.refreshIncremental(s, "lineitem_store")
         require(delta > 0 && delta < total,
           s"q68 fixture: expected a strict append fold, got $delta/$total")
-        ()
+        Mv.byName("lineitem_store").get.mvPath
       })
-      Mv.byName("lineitem_store").get.mvPath
     }
 
   /** q65's star-join rollup: groups by a DIM-side attribute, filters on
