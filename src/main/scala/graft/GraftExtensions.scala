@@ -95,11 +95,19 @@ object GraftFunctions {
   * injects the native as-of join's planner strategy ([[AsOfJoinStrategy]])
   * so sessions built with `spark.sql.extensions=graft.GraftExtensions`
   * plan [[AsOfJoinPlan]] without touching `experimental.extraStrategies`
-  * (the builder-side fallback [[AsOfJoin.asofJoinNative]] installs). */
+  * (the builder-side fallback [[AsOfJoin.asofJoinNative]] installs), and
+  * the materialized-view rewrite ([[Mv.MvRewrite]]) so extension-built
+  * sessions serve registered summaries without an explicit
+  * [[Mv.install]] — `Mv.register` installs on ITS session's
+  * experimental batch, but a second session in the same JVM shares the
+  * registry and would otherwise silently never rewrite. Double
+  * installation is harmless: the rule is idempotent (a rewritten
+  * aggregate scans the summary, whose roots match no registered base). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => new AsOfJoinFilterPushdown)
+    ext.injectOptimizerRule(_ => Mv.MvRewrite)
   }
 }

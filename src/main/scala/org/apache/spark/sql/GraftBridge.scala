@@ -36,4 +36,14 @@ object GraftBridge {
       ext: SparkSessionExtensions,
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : Unit = ext.registerFunctions(registry)
+
+  /** The optimizer rules a `SparkSessionExtensions` would install on a
+    * session (`buildOptimizerRules` is `private[sql]`) — exposed so the
+    * extension-injection path (as-of pushdown + MV rewrite) is testable
+    * without building a second session. */
+  def injectedOptimizerRules(
+      ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

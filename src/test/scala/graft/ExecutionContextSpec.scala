@@ -263,6 +263,16 @@ class ExecutionContextSpec extends SparkSpec {
     GraftFunctions.all.foreach { case (name, _, _, _, _) =>
       assert(reg.functionExists(FunctionIdentifier(name)), name)
     }
+    // the optimizer-rule injections ride the same extension object: an
+    // extension-built session must get the MV rewrite (the registry is
+    // JVM-global, but rule installation is per-session — without the
+    // injection a second session would silently never rewrite) and the
+    // as-of filter pushdown
+    val rules = org.apache.spark.sql.GraftBridge
+      .injectedOptimizerRules(ext, spark)
+    assert(rules.contains(Mv.MvRewrite),
+      "extension sessions must carry the MV rewrite rule")
+    assert(rules.exists(_.isInstanceOf[AsOfJoinFilterPushdown]))
   }
 
   test("DESCRIBE FUNCTION surfaces a usage line for every engine function") {
