@@ -417,17 +417,25 @@ object Dml {
     val minRows = spark.conf
       .get("spark.graft.dv.autoCompactMinRows", "1000").toLong
     val cur = currentVersion(dir)
-    def side(sfx: String): Long = {
-      val p = java.nio.file.Paths.get(dir, s"$cur$sfx")
-      if (java.nio.file.Files.exists(p)) footerRowCount(spark, p.toString)
-      else 0L
-    }
-    val sidecar = side("_dv") + side("_append")
+    val sidecar = sidecarRows(spark, dir, cur, "_dv") +
+      sidecarRows(spark, dir, cur, "_append")
     if (sidecar < minRows) return None
     val dataRows = footerRowCount(spark, versionPath(dir, cur))
     if (dataRows == 0 || sidecar.toDouble / dataRows <= ratio) return None
     val next = "v" + (cur.stripPrefix("v").toInt + 1)
     Some(snapshot(readVersion(spark, dir, cur), dir, next))
+  }
+
+  /** Footer row count of a version's sidecar (`_dv` / `_append`), 0
+    * when absent — the shared probe behind the auto-compaction trigger,
+    * [[history]]'s arithmetic, and the MV store anchor's composition
+    * classification (one path construction, one existence rule). */
+  private[graft] def sidecarRows(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: String, suffix: String): Long = {
+    val p = java.nio.file.Paths.get(dir, s"$version$suffix")
+    if (java.nio.file.Files.exists(p)) footerRowCount(spark, p.toString)
+    else 0L
   }
 
   /** MERGE-ON-READ MERGE — the upsert as an O(changes) commit (Delta
@@ -628,13 +636,9 @@ object Dml {
     // (one sidecar row per deleted base row, see deleteWithDv /
     // mergeOnRead's origin split) and the append dir holds real rows
     val counts = versions.map { v =>
-      def side(suffix: String): Long = {
-        val p = java.nio.file.Paths.get(dir, s"$v$suffix")
-        if (java.nio.file.Files.exists(p)) footerRowCount(spark, p.toString)
-        else 0L
-      }
       (v, footerRowCount(spark, versionPath(dir, v))
-        - side("_dv") + side("_append"))
+        - sidecarRows(spark, dir, v, "_dv")
+        + sidecarRows(spark, dir, v, "_append"))
     }
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(expr("CAST(substring(version, 2) AS INT)")) // v10 > v9

@@ -252,14 +252,6 @@ object Mv {
       dvRows: Long,
       appendPath: Option[String])
 
-  private def storeSideRows(
-      spark: SparkSession, dir: String, version: String,
-      suffix: String): Long = {
-    val p = java.nio.file.Paths.get(dir, s"$version$suffix")
-    if (java.nio.file.Files.exists(p)) Dml.footerRowCount(spark, p.toString)
-    else 0L
-  }
-
   /** The measure catalog of a defining aggregate: structural key →
     * (rollup kind, summary column). Rejects DISTINCT / FILTER-clause
     * and non-decomposable functions at registration (see [[register]]'s
@@ -292,22 +284,47 @@ object Mv {
   }
 
   /** Canonical conjuncts + provably-non-null column names of a defining
-    * WHERE predicate (see the [[MvDef]] field docs). */
+    * WHERE predicate (see the [[MvDef]] field docs). The conjuncts are
+    * read from the OPTIMIZED filter, not the analyzed one: the query
+    * side reaches the rewrite rule constant-folded (`x > 5L`, inferred
+    * `isnotnull` attached), so an analysis-time canon (`x > CAST(5 AS
+    * BIGINT)`) would never match — both sides must go through the same
+    * optimizer lens. */
   private def predInfo(
       filtered: DataFrame,
       where: Option[Column]): (Set[String], Set[String]) =
     if (where.isEmpty) (Set.empty, Set.empty)
     else {
-      val parts = filtered.queryExecution.analyzed match {
-        case Filter(cond, _) => conjunctsOf(cond)
-        case p => throw new IllegalStateException(
-          s"register: filtered base did not analyze to a Filter:\n$p")
+      def peelProj(p: LogicalPlan): LogicalPlan = p match {
+        case Project(_, c) => peelProj(c)
+        case other => other
       }
+      val parts = peelProj(filtered.queryExecution.optimizedPlan) match {
+        case Filter(cond, _) => conjunctsOf(cond)
+        // an always-true predicate folds the Filter away entirely —
+        // the summary genuinely covers the full table
+        case _: LogicalRelation => Seq.empty
+        case p => throw new IllegalArgumentException(
+          "register: the defining predicate optimized the base away " +
+            s"(always-false WHERE?) —\n$p")
+      }
+      // only a BARE-attribute operand is null-rejected by a comparison:
+      // `x > coalesce(y, 0)` drops null-x rows, but `coalesce(x, 10) > 5`
+      // KEEPS them — harvesting every reference would wrongly consume an
+      // explicit `x IS NOT NULL` the summary cannot honor
       val notNullable = parts.flatMap {
         case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
-          cmp.references.map(_.name).toSeq
-        case in: In => in.references.map(_.name).toSeq
-        case in: InSet => in.references.map(_.name).toSeq
+          Seq(cmp.left, cmp.right).collect {
+            case a: AttributeReference => a.name
+          }
+        case in: In => in.value match {
+          case a: AttributeReference => Seq(a.name)
+          case _ => Seq.empty
+        }
+        case in: InSet => in.child match {
+          case a: AttributeReference => Seq(a.name)
+          case _ => Seq.empty
+        }
         case _ => Seq.empty
       }.toSet
       (parts.map(canon).toSet, notNullable)
@@ -333,39 +350,59 @@ object Mv {
       mvPath: String,
       epoch: Int = 0,
       where: Option[Column] = None): MvDef = synchronized {
-    require(aggCols.nonEmpty, "register: at least one measure")
     require(!base.queryExecution.analyzed.exists(_.isInstanceOf[Filter]),
       "register: base must be the unfiltered scan — define a partial " +
         "summary via the `where` parameter so the predicate is tracked " +
         "for query matching and refresh")
+    val baseLeaf = leafRelation(base.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException(
+        "register: base must be a single file-relation scan"))
+    val b = materializeSummary(spark, base, dims, aggCols, mvPath, where)
+    val meta = fileMeta(baseLeaf)
+    val d = MvDef(name, rootsOf(baseLeaf), meta, fingerprint(meta),
+      dims.toSet, dims, aggCols, b.measures, b.predConjuncts,
+      b.predNotNullable, where, mvPath, b.mvRows, epoch, b.mvRelation)
+    registry.put(name, d)
+    install(spark)
+    d
+  }
+
+  private final case class BuiltSummary(
+      measures: Map[String, (String, String)],
+      predConjuncts: Set[String],
+      predNotNullable: Set[String],
+      mvRelation: LogicalRelation,
+      mvRows: Long)
+
+  /** The one materialization protocol behind BOTH registration anchors
+    * ([[register]], [[registerStore]]): write the summary with the
+    * rewrite rule OFF (a prior registration for the SAME base is still
+    * live, and the summary query matches it by construction — the
+    * write would otherwise be rewritten to scan the directory just
+    * deleted), extract the measure catalog and predicate info, and
+    * read back the relation plus the footer row count (the cost key
+    * for cheapest-covering selection). */
+  private def materializeSummary(
+      spark: SparkSession,
+      base: DataFrame,
+      dims: Seq[String],
+      aggCols: Seq[Column],
+      mvPath: String,
+      where: Option[Column]): BuiltSummary = {
+    require(aggCols.nonEmpty, "register: at least one measure")
     val filtered = where.map(base.filter).getOrElse(base)
     val mvDf = filtered.groupBy(dims.map(base(_)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     Layouts.deleteDir(spark, mvPath)
-    // materialize with the rule OFF: a prior registration for the SAME
-    // base is still live, and the summary query matches it by
-    // construction — the write would otherwise be rewritten to scan
-    // the very directory the line above just deleted
     Mv.withDisabled {
       mvDf.write.mode(SaveMode.Overwrite).parquet(mvPath)
     }
-    val baseLeaf = leafRelation(base.queryExecution.analyzed).getOrElse(
-      throw new IllegalArgumentException(
-        "register: base must be a single file-relation scan"))
     val measures = extractMeasures(mvDf)
     val (predConjuncts, predNotNullable) = predInfo(filtered, where)
     val mvBack = spark.read.parquet(mvPath)
     val mvRel = leafRelation(mvBack.queryExecution.analyzed).get
-    // row count from the freshly-written footers (metadata-only scan) —
-    // the cost key for cheapest-covering selection among several MVs
     val mvRows = Mv.withDisabled { mvBack.count() }
-    val meta = fileMeta(baseLeaf)
-    val d = MvDef(name, rootsOf(baseLeaf), meta, fingerprint(meta),
-      dims.toSet, dims, aggCols, measures, predConjuncts,
-      predNotNullable, where, mvPath, mvRows, epoch, mvRel)
-    registry.put(name, d)
-    install(spark)
-    d
+    BuiltSummary(measures, predConjuncts, predNotNullable, mvRel, mvRows)
   }
 
   /** Register a summary over a VERSIONED-STORE table ([[Dml]]'s
@@ -390,26 +427,14 @@ object Mv {
       mvPath: String,
       epoch: Int = 0,
       where: Option[Column] = None): MvDef = synchronized {
-    require(aggCols.nonEmpty, "registerStore: at least one measure")
     val version = Dml.currentVersion(storeDir)
     val base = Dml.readVersion(spark, storeDir, version)
-    val filtered = where.map(base.filter).getOrElse(base)
-    val mvDf = filtered.groupBy(dims.map(base(_)): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-    Layouts.deleteDir(spark, mvPath)
-    Mv.withDisabled {
-      mvDf.write.mode(SaveMode.Overwrite).parquet(mvPath)
-    }
-    val measures = extractMeasures(mvDf)
-    val (predConjuncts, predNotNullable) = predInfo(filtered, where)
-    val mvBack = spark.read.parquet(mvPath)
-    val mvRel = leafRelation(mvBack.queryExecution.analyzed).get
-    val mvRows = Mv.withDisabled { mvBack.count() }
+    val b = materializeSummary(spark, base, dims, aggCols, mvPath, where)
     val dataPath = Dml.versionPath(storeDir, version)
-    val dvRows = storeSideRows(spark, storeDir, version, "_dv")
+    val dvRows = Dml.sidecarRows(spark, storeDir, version, "_dv")
     val appendPath = Some(s"$storeDir/${version}_append")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-    val appendRows = storeSideRows(spark, storeDir, version, "_append")
+    val appendRows = Dml.sidecarRows(spark, storeDir, version, "_append")
     val plain = dvRows == 0 && appendRows == 0
     val (roots, meta, fp) =
       if (plain)
@@ -424,8 +449,8 @@ object Mv {
       else (Set(s"graft-store:$storeDir"),
         Map.empty[String, (Long, Long)], "store:unservable")
     val d = MvDef(name, roots, meta, fp,
-      dims.toSet, dims, aggCols, measures, predConjuncts,
-      predNotNullable, where, mvPath, mvRows, epoch, mvRel,
+      dims.toSet, dims, aggCols, b.measures, b.predConjuncts,
+      b.predNotNullable, where, mvPath, b.mvRows, epoch, b.mvRelation,
       storeState = Some(StoreState(
         storeDir, version, dataPath, dvRows, appendPath)))
     registry.put(name, d)
@@ -558,11 +583,11 @@ object Mv {
     val dir = ss.storeDir
     val cur = Dml.currentVersion(dir)
     val curData = Dml.versionPath(dir, cur)
-    val curDvRows = storeSideRows(spark, dir, cur, "_dv")
+    val curDvRows = Dml.sidecarRows(spark, dir, cur, "_dv")
     val curAppendP = Some(s"$dir/${cur}_append")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     def totalRows: Int = (Dml.footerRowCount(spark, curData) - curDvRows +
-      storeSideRows(spark, dir, cur, "_append")).toInt
+      Dml.sidecarRows(spark, dir, cur, "_append")).toInt
     def rebuild(): (Int, Int) = {
       registerStore(spark, d.name, dir, d.dimCols, d.aggCols,
         s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}",
@@ -732,20 +757,30 @@ object Mv {
       * non-dim columns the summary no longer carries); the leftover
       * conjuncts are returned for the usual dim-only filter check.
       * None = not covered = decline. */
+    /** `eligible` gates which conjuncts may satisfy/consume the MV
+      * predicate: canon strips qualifiers, so in the STAR-JOIN path a
+      * DIM-side column sharing the predicate column's NAME would both
+      * falsely satisfy coverage (the fact rows were never restricted)
+      * and be silently dropped from the rewritten plan — the join path
+      * passes `references ⊆ fact` and ineligible look-alikes stay in
+      * the leftovers, where the usual checks keep them applied. */
     private def consumePredicate(
-        conjs: Seq[Expression], mv: MvDef): Option[Seq[Expression]] =
+        conjs: Seq[Expression], mv: MvDef,
+        eligible: Expression => Boolean = _ => true)
+        : Option[Seq[Expression]] =
       if (mv.predConjuncts.isEmpty) Some(conjs)
       else {
-        val tagged = conjs.map(c => (c, canon(c)))
-        if (!mv.predConjuncts.forall(n => tagged.exists(_._2 == n))) None
-        else Some(tagged.filterNot { case (c, cn) =>
-          mv.predConjuncts(cn) || (c match {
+        val tagged = conjs.map(c => (c, canon(c), eligible(c)))
+        if (!mv.predConjuncts.forall(n =>
+            tagged.exists(t => t._2 == n && t._3))) None
+        else Some(tagged.filterNot { case (c, cn, el) =>
+          el && (mv.predConjuncts(cn) || (c match {
             // the optimizer infers `isnotnull(c)` beside every pushed
             // comparison; implied by the consumed predicate, so consume
             case IsNotNull(a: AttributeReference) =>
               mv.predNotNullable(a.name)
             case _ => false
-          })
+          }))
         }.map(_._1))
       }
 
@@ -919,9 +954,14 @@ object Mv {
       }
       // the MV predicate may sit below the join (pushed) or above it
       // (fact-preserved joins commute fact filters) — consume jointly,
-      // then split survivors back to their origin by reference identity
+      // then split survivors back to their origin by reference identity.
+      // Only FACT-referencing conjuncts may satisfy/consume the
+      // predicate: a dim-side name collision must neither cover it nor
+      // vanish from the plan (see consumePredicate's scaladoc)
       for {
-        leftover <- consumePredicate(factConjs ++ topConjs, mv)
+        leftover <- consumePredicate(factConjs ++ topConjs, mv,
+          eligible = e => e.references.nonEmpty &&
+            e.references.forall(isFact))
         factLeft0 = leftover.filter(c => factConjs.exists(_ eq c))
         topLeft0 = leftover.filterNot(c => factConjs.exists(_ eq c))
         // fact-side filters: dim-only; top filters: fact refs must be
@@ -1063,9 +1103,17 @@ object Mv {
         * the rolled partials, so every type corner (decimal widening +
         * HALF_UP result scale, the null-sum/zero-count all-null group
         * → NULL) is byte-identical to the unrewritten plan. Exact only
-        * when partial sums re-add losslessly — integral and decimal
-        * children qualify; float/double re-association perturbs low
-        * bits, so they decline toward the base scan. */
+        * when partial sums re-add losslessly — decimal children
+        * qualify unconditionally; float/double re-association perturbs
+        * low bits, so they decline toward the base scan. Integral
+        * children qualify with one honest boundary: Spark's native
+        * Average accumulates them in a DOUBLE sum buffer, so past
+        * |group sum| ≈ 2^53 the NATIVE result is itself lossy and
+        * partitioning-dependent while the rewrite's long-sum path
+        * stays exact — beyond that magnitude the two can differ in the
+        * last ulp, with the rewrite the more accurate side. Below it
+        * (every realistic measure at this engine's scales) they are
+        * bit-identical, which is what MvSpec asserts. */
       private def rollupAvg(
           ae: AggregateExpression, av: Average): Option[Expression] = {
         import org.apache.spark.sql.types._
@@ -1106,6 +1154,17 @@ object Mv {
 object MvQueries {
   import org.apache.spark.sql.functions._
 
+  /** Once-per-(session, sfDir) fixture memo: every MV fixture keys by
+    * (identityHashCode(session), dir) so octave runs at a new dir
+    * rebuild while reruns within one session reuse — one keying
+    * convention, one synchronization point, six fixtures. */
+  private def oncePer[T](
+      cache: scala.collection.mutable.Map[(Int, String), T],
+      s: SparkSession, d: String)(body: => T): T =
+    synchronized {
+      cache.getOrElseUpdate((System.identityHashCode(s), d), body)
+    }
+
   // (session, sfDir) the lineitem summary is registered for — octave
   // runs at a new sfDir re-materialize + re-register (the
   // Tables.ensureRegistered discipline); the fixture tables are
@@ -1113,23 +1172,21 @@ object MvQueries {
   // (and the rule's file-fingerprint check enforces that, not this memo).
   private val mvFor = scala.collection.mutable.Map[(Int, String), Unit]()
   private[graft] def ensureMv(s: SparkSession, d: String): Unit =
-    synchronized {
-      mvFor.getOrElseUpdate((System.identityHashCode(s), d), {
-        Mv.register(s, "lineitem_by_flag_status",
-          Tables.t(s, d, "lineitem"),
-          dims = Seq("l_returnflag", "l_linestatus"),
-          aggCols = Seq(
-            count(lit(1)).as("mv_cnt"),
-            sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty"),
-            // the count HALF of the avg measure pair: avg(x) rewrites
-            // to sum(mv_sum_x)/sum(mv_cnt_x) only when count is over
-            // the SAME expression (avg skips nulls; count(*) wouldn't)
-            count(col("l_quantity").cast("decimal(18,2)"))
-              .as("mv_cnt_qty"),
-            max(col("l_extendedprice")).as("mv_max_price")),
-          mvPath = Dml.work("q61_mv", d) + "/lineitem_summary")
-        ()
-      })
+    oncePer(mvFor, s, d) {
+      Mv.register(s, "lineitem_by_flag_status",
+        Tables.t(s, d, "lineitem"),
+        dims = Seq("l_returnflag", "l_linestatus"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty"),
+          // the count HALF of the avg measure pair: avg(x) rewrites
+          // to sum(mv_sum_x)/sum(mv_cnt_x) only when count is over
+          // the SAME expression (avg skips nulls; count(*) wouldn't)
+          count(col("l_quantity").cast("decimal(18,2)"))
+            .as("mv_cnt_qty"),
+          max(col("l_extendedprice")).as("mv_max_price")),
+        mvPath = Dml.work("q61_mv", d) + "/lineitem_summary")
+      ()
     }
 
   // (session, sfDir) -> the SECOND lineitem summary, keyed by the
@@ -1138,19 +1195,17 @@ object MvQueries {
   // q61's flag/status rollups keep matching the other.
   private val joinMvFor = scala.collection.mutable.Map[(Int, String), Unit]()
   private[graft] def ensureJoinMv(s: SparkSession, d: String): Unit =
-    synchronized {
-      joinMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
-        Mv.register(s, "lineitem_by_supp",
-          Tables.t(s, d, "lineitem"),
-          dims = Seq("l_suppkey"),
-          aggCols = Seq(
-            count(lit(1)).as("mv_cnt"),
-            sum(col("l_extendedprice").cast("decimal(18,2)"))
-              .as("mv_rev"),
-            max(col("l_quantity")).as("mv_max_qty")),
-          mvPath = Dml.work("q65_mv", d) + "/lineitem_by_supp")
-        ()
-      })
+    oncePer(joinMvFor, s, d) {
+      Mv.register(s, "lineitem_by_supp",
+        Tables.t(s, d, "lineitem"),
+        dims = Seq("l_suppkey"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .as("mv_rev"),
+          max(col("l_quantity")).as("mv_max_qty")),
+        mvPath = Dml.work("q65_mv", d) + "/lineitem_by_supp")
+      ()
     }
 
   /** The dashboard rollup: groups by a SUBSET of the MV dims, filters on
@@ -1419,17 +1474,15 @@ object MvQueries {
   // (session, sfDir) -> the daily-grain orders summary (q69).
   private val dateMvFor = scala.collection.mutable.Map[(Int, String), Unit]()
   private[graft] def ensureDateMv(s: SparkSession, d: String): Unit =
-    synchronized {
-      dateMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
-        Mv.register(s, "orders_by_day",
-          Tables.t(s, d, "orders"),
-          dims = Seq("o_orderdate"),
-          aggCols = Seq(
-            count(lit(1)).as("mv_cnt"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("mv_total")),
-          mvPath = Dml.work("q69_mv", d) + "/orders_by_day")
-        ()
-      })
+    oncePer(dateMvFor, s, d) {
+      Mv.register(s, "orders_by_day",
+        Tables.t(s, d, "orders"),
+        dims = Seq("o_orderdate"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mv_total")),
+        mvPath = Dml.work("q69_mv", d) + "/orders_by_day")
+      ()
     }
 
   // (session, sfDir) -> the store-anchored summary's current path:
@@ -1440,35 +1493,33 @@ object MvQueries {
   private val storeMvFor =
     scala.collection.mutable.Map[(Int, String), String]()
   private[graft] def ensureStoreMv(s: SparkSession, d: String): String =
-    synchronized {
-      storeMvFor.getOrElseUpdate((System.identityHashCode(s), d), {
-        val root = Dml.work("q68_mv_store", d)
-        Layouts.deleteDir(s, root)
-        val storeDir = s"$root/store"
-        val li = Tables.t(s, d, "lineitem")
-        // publish the committed table (v0 snapshot, v1 = all rows)
-        Dml.delete(li, storeDir, lit(false))
-        Mv.registerStore(s, "lineitem_store", storeDir,
-          dims = Seq("l_returnflag"),
-          aggCols = Seq(
-            count(lit(1)).as("mv_cnt"),
-            sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty")),
-          mvPath = s"$root/summary")
-        // insert-only MoR commit: the slice's join key can never match
-        // a committed row, so every source row lands in the append
-        // sidecar and the data directory stays untouched
-        val cols = li.columns.toSeq
-        val src = li.filter(col("l_orderkey") % 89 === 0)
-          .withColumn("sk", -col("l_orderkey") - 1)
-        Dml.mergeOnRead(s, storeDir, src,
-          col("t.l_orderkey") === col("s.sk"),
-          Map("l_quantity" -> col("t.l_quantity")),
-          Some(cols), Some(cols.map(c => col(s"s.$c"))))
-        val (delta, total) = Mv.refreshIncremental(s, "lineitem_store")
-        require(delta > 0 && delta < total,
-          s"q68 fixture: expected a strict append fold, got $delta/$total")
-        Mv.byName("lineitem_store").get.mvPath
-      })
+    oncePer(storeMvFor, s, d) {
+      val root = Dml.work("q68_mv_store", d)
+      Layouts.deleteDir(s, root)
+      val storeDir = s"$root/store"
+      val li = Tables.t(s, d, "lineitem")
+      // publish the committed table (v0 snapshot, v1 = all rows)
+      Dml.delete(li, storeDir, lit(false))
+      Mv.registerStore(s, "lineitem_store", storeDir,
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty")),
+        mvPath = s"$root/summary")
+      // insert-only MoR commit: the slice's join key can never match
+      // a committed row, so every source row lands in the append
+      // sidecar and the data directory stays untouched
+      val cols = li.columns.toSeq
+      val src = li.filter(col("l_orderkey") % 89 === 0)
+        .withColumn("sk", -col("l_orderkey") - 1)
+      Dml.mergeOnRead(s, storeDir, src,
+        col("t.l_orderkey") === col("s.sk"),
+        Map("l_quantity" -> col("t.l_quantity")),
+        Some(cols), Some(cols.map(c => col(s"s.$c"))))
+      val (delta, total) = Mv.refreshIncremental(s, "lineitem_store")
+      require(delta > 0 && delta < total,
+        s"q68 fixture: expected a strict append fold, got $delta/$total")
+      Mv.byName("lineitem_store").get.mvPath
     }
 
   /** q65's star-join rollup: groups by a DIM-side attribute, filters on
@@ -1491,17 +1542,15 @@ object MvQueries {
   // (session, sfDir) -> the customer sketch summary registration.
   private val hllFor = scala.collection.mutable.Map[(Int, String), Unit]()
   private[graft] def ensureHll(s: SparkSession, d: String): Unit =
-    synchronized {
-      hllFor.getOrElseUpdate((System.identityHashCode(s), d), {
-        Mv.register(s, "customer_sketches",
-          Tables.t(s, d, "customer"),
-          dims = Seq("c_mktsegment", "c_nationkey"),
-          aggCols = Seq(
-            count(lit(1)).as("mv_cnt"),
-            hll_sketch_agg(col("c_custkey")).as("mv_customers")),
-          mvPath = Dml.work("q64_mv", d) + "/customer_summary")
-        ()
-      })
+    oncePer(hllFor, s, d) {
+      Mv.register(s, "customer_sketches",
+        Tables.t(s, d, "customer"),
+        dims = Seq("c_mktsegment", "c_nationkey"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          hll_sketch_agg(col("c_custkey")).as("mv_customers")),
+        mvPath = Dml.work("q64_mv", d) + "/customer_summary")
+      ()
     }
 
   // (session, sfDir) -> the appended base-copy dir with its summary
@@ -1509,25 +1558,23 @@ object MvQueries {
   private val incFor = scala.collection.mutable.Map[(Int, String), String]()
   private[graft] def ensureIncremental(
       s: SparkSession, d: String): String =
-    synchronized {
-      incFor.getOrElseUpdate((System.identityHashCode(s), d), {
-        val root = Dml.work("q62_mv_inc", d)
-        Layouts.deleteDir(s, root)
-        val baseDir = s"$root/base"
-        Tables.t(s, d, "lineitem").write.parquet(baseDir)
-        val def0 = Mv.register(s, "lineitem_inc", s.read.parquet(baseDir),
-          dims = Seq("l_returnflag", "l_linestatus"),
-          aggCols = Seq(
-            count(lit(1)).as("mv_cnt"),
-            sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty")),
-          mvPath = s"$root/summary")
-        Tables.t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 97 === 0)
-          .write.mode("append").parquet(baseDir)
-        val (delta, total) = Mv.refreshIncremental(s, def0.baseRoots)
-        require(delta > 0 && delta < total,
-          s"q62 fixture: expected a strict delta fold, got $delta/$total")
-        baseDir
-      })
+    oncePer(incFor, s, d) {
+      val root = Dml.work("q62_mv_inc", d)
+      Layouts.deleteDir(s, root)
+      val baseDir = s"$root/base"
+      Tables.t(s, d, "lineitem").write.parquet(baseDir)
+      val def0 = Mv.register(s, "lineitem_inc", s.read.parquet(baseDir),
+        dims = Seq("l_returnflag", "l_linestatus"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty")),
+        mvPath = s"$root/summary")
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .write.mode("append").parquet(baseDir)
+      val (delta, total) = Mv.refreshIncremental(s, def0.baseRoots)
+      require(delta > 0 && delta < total,
+        s"q62 fixture: expected a strict delta fold, got $delta/$total")
+      baseDir
     }
 }

@@ -699,6 +699,91 @@ class MvSpec extends SparkSpec {
         nonDim.queryExecution.optimizedPlan.toString)
   }
 
+  test("partial-MV predicate matching in the STAR-JOIN path is " +
+    "relation-aware: a DIM-side column sharing the predicate column's " +
+    "NAME neither satisfies coverage nor is consumed, while the real " +
+    "fact-side predicate serves") {
+    val root = Dml.work("mv_jpartial", sf)
+    Layouts.deleteDir(spark, root)
+    import spark.implicits._
+    (0L until 3000L).map(i => (i % 50, if (i % 3 == 0) "F" else "O", i))
+      .toDF("k", "status", "v").write.parquet(s"$root/fact")
+    (0L until 50L).map(i => (i, "F", s"dim_$i"))
+      .toDF("kk", "status", "dname").write.parquet(s"$root/dim")
+    val f = spark.read.parquet(s"$root/fact")
+    val dm = spark.read.parquet(s"$root/dim")
+    Mv.register(spark, "jpartial_probe", f,
+      dims = Seq("k"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary",
+      where = Some(col("status") === "F"))
+    // the DIM's status column canonically collides with the predicate;
+    // consuming it would BOTH serve groups missing non-'F' fact rows
+    // AND drop the dim filter from the plan — must decline
+    val collide = f.join(dm, f("k") === dm("kk"))
+      .filter(dm("status") === "F")
+      .groupBy(dm("dname")).agg(count(lit(1)).as("n"))
+    assert(!scanRoots(collide).exists(_.contains("mv_jpartial/summary")),
+      s"a dim-side name collision must not satisfy the predicate:\n" +
+        collide.queryExecution.optimizedPlan.toString)
+    // the genuine fact-side restatement serves and is consumed
+    val served = f.filter(f("status") === "F")
+      .join(dm, f("k") === dm("kk"))
+      .groupBy(dm("dname")).agg(count(lit(1)).as("n"))
+    assert(scanRoots(served).exists(_.contains("mv_jpartial/summary")),
+      s"the fact-side predicate must serve:\n" +
+        served.queryExecution.optimizedPlan.toString)
+    val got = served.orderBy("dname").collect().map(_.toSeq).toSeq
+    val want = Mv.withDisabled {
+      served.orderBy("dname").collect().map(_.toSeq).toSeq
+    }
+    assert(got == want)
+  }
+
+  test("a null-tolerant defining predicate (coalesce) does not poison " +
+    "the provably-non-null set: an explicit IS NOT NULL on the " +
+    "predicate column DECLINES instead of being consumed (the summary " +
+    "holds the null rows the query excludes)") {
+    val root = Dml.work("mv_nulltol", sf)
+    Layouts.deleteDir(spark, root)
+    import spark.implicits._
+    Seq(("a", Some(9L)), ("a", None), ("a", None), ("b", Some(7L)),
+      ("b", None), ("b", Some(2L)))
+      .toDF("g", "x").write.parquet(s"$root/base")
+    val base = spark.read.parquet(s"$root/base")
+    // coalesce(x, 10) > 5 KEEPS null-x rows — x is NOT non-null on
+    // summary rows even though a comparison references it
+    Mv.register(spark, "nulltol_probe", base,
+      dims = Seq("g"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary",
+      where = Some(expr("coalesce(x, 10) > 5")))
+    val q = base
+      .filter(expr("coalesce(x, 10) > 5") && col("x").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(!scanRoots(q).exists(_.contains("summary")),
+      s"IS NOT NULL on a null-tolerant predicate column must decline:\n" +
+        q.queryExecution.optimizedPlan.toString)
+    // the declined query's base answer excludes the null rows the
+    // summary counted: a(9) and b(7) only
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L), got.toString)
+    // contrast: a BARE-attribute comparison predicate still consumes
+    // the inferred isnotnull and serves
+    Mv.register(spark, "nulltol_bare", base,
+      dims = Seq("g"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary_bare",
+      where = Some(col("x") > 5))
+    val bare = base.filter(col("x") > 5)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scanRoots(bare).exists(_.contains("summary_bare")),
+      s"a bare-attribute predicate must still serve:\n" +
+        bare.queryExecution.optimizedPlan.toString)
+    assert(bare.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("MV over the VERSIONED STORE: a plain version serves raw scans; " +
     "an insert-only MoR commit refreshes as an O(append) FOLD (raw file " +
     "diffing would rebuild forever — sidecar files change every " +
