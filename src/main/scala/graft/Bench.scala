@@ -41,6 +41,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] register failed: ${e.getMessage}")
     }
+    // Register every MV a bench query will register BEFORE pass 1's
+    // first timed query (r15 verdict item 1): the fixtures memoize
+    // once-per-(session, dir), so without this, queries timed before
+    // q61/q65 in pass 1 optimized under a registry pass 2 no longer
+    // reproduces — an asymmetric measurement arm that contaminated the
+    // best-of-two comparison. Both passes now run under the identical
+    // registry state. (Any future bench=true MV query must pre-register
+    // its fixture here too.)
+    try {
+      MvQueries.ensureMv(spark, sfDir)
+      MvQueries.ensureJoinMv(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mv pre-register failed: ${e.getMessage}")
+    }
 
     def force(name: String): Unit =
       QueryCatalog.byName(name).build(spark, sfDir)

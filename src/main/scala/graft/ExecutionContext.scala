@@ -127,10 +127,12 @@ class ExecutionContext(
     val stmt = ExecutionContext.normalizeDialect(
       ExecutionContext.firstStatement(sql), dialect)
     stmt match {
-      case ExecutionContext.CreateMvRe(name, selectList, tbl, whereText,
-          groupList) =>
+      case ExecutionContext.CreateMvRe(name, selectList, tbl, joinTbl,
+          joinOn, whereText, groupList) =>
         sqlCreateMv(ExecutionContext.unquote(name),
           selectList, ExecutionContext.unquote(tbl),
+          Option(joinTbl).map(ExecutionContext.unquote),
+          Option(joinOn).map(_.trim).filter(_.nonEmpty),
           Option(whereText).map(_.trim).filter(_.nonEmpty), groupList)
       case ExecutionContext.RefreshMvRe(name) =>
         val (delta, total) =
@@ -432,35 +434,107 @@ class ExecutionContext(
     out
   }
 
-  /** CREATE MATERIALIZED VIEW <n> AS SELECT … FROM <t> [WHERE <pred>]
-    * GROUP BY <dims> — register + materialize the rollup summary through
-    * [[Mv.register]]; every subsequent matching aggregate over <t>
-    * (through this context or plain DataFrame code — the rule is
-    * session-global) transparently reads the summary. A WHERE clause
-    * defines a PARTIAL summary: only predicate rows are aggregated and
-    * a query rewrites only when its own filters restate the predicate
-    * exactly. The SELECT list may restate the GROUP BY dims
-    * (conventional SQL); they are already the summary's key columns, so
-    * bare dim identifiers are skipped and everything else must be an
-    * aliased sum/count/min/max measure ([[Mv.register]] rejects the
-    * rest loudly). */
+  /** CREATE MATERIALIZED VIEW <n> AS SELECT … FROM <t>
+    * [JOIN <dim> ON <cond>] [WHERE <pred>] GROUP BY <dims> — register +
+    * materialize the rollup summary through [[Mv.register]]; every
+    * subsequent matching aggregate over <t> (through this context or
+    * plain DataFrame code — the rule is session-global) transparently
+    * reads the summary. A WHERE clause defines a PARTIAL summary: only
+    * predicate rows are aggregated and a query rewrites only when its
+    * own filters restate (or range-imply) the predicate. The JOIN form
+    * declares a STAR summary: registration stores the FACT-side spec —
+    * the summary is keyed by the fact-side join keys plus any fact-side
+    * GROUP BY columns — so the optimizer's star-join rewrite serves
+    * `fact ⋈ dim GROUP BY dim.attr` aggregates from it while the dim
+    * side stays a live join (measures must aggregate fact columns only;
+    * a WHERE must be fact-side). The SELECT list may restate the GROUP
+    * BY dims and join keys (conventional SQL); they are the summary's
+    * key columns, so bare identifiers are skipped and everything else
+    * must be an aliased sum/count/min/max measure ([[Mv.register]]
+    * rejects the rest loudly). */
   private def sqlCreateMv(
       name: String, selectList: String,
-      table: String, whereText: Option[String],
+      table: String, joinTable: Option[String], joinOn: Option[String],
+      whereText: Option[String],
       groupList: String): DataFrame = {
     requireTable(table)
-    val dims = ExecutionContext.splitList(groupList)
-      .map(ExecutionContext.unquote).filter(_.nonEmpty)
-    val dimSet = dims.toSet
-    val aggCols = ExecutionContext.splitList(selectList)
+    joinTable.foreach(requireTable)
+    def stripQual(s0: String): String =
+      ExecutionContext.unquote(s0.split('.').last.trim)
+    // column references of a statement fragment, parsed via the session
+    // parser — functions.expr() wraps the TEXT in a lazy SqlExpression
+    // node with no tree to walk, so the guard must parse for itself.
+    // Parse failures answer empty: these checks exist for ERROR QUALITY;
+    // a fragment this parser can't handle still resolves (or errors
+    // loudly) through the registration path below.
+    def parsedRefs(text: String): Seq[String] =
+      try spark.sessionState.sqlParser.parseExpression(text).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.last
+      } catch { case _: Exception => Seq.empty }
+    val groupCols = ExecutionContext.splitList(groupList)
+      .map(stripQual).filter(_.nonEmpty)
+    val fact = spark.table(table)
+    val factCols = fact.columns.toSet
+    // a WHERE predicate that fails to parse surfaces the splitter's
+    // known limitation instead of a bare parser error
+    val where = whereText.map { w =>
+      try expr(w)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: WHERE predicate '$w' failed " +
+            "to parse. The statement splitter anchors the predicate " +
+            "between WHERE and the LAST ' GROUP BY ' token, so a " +
+            "predicate whose tail itself reads like ' GROUP BY " +
+            "<identifiers>' (e.g. inside a trailing string literal) is " +
+            s"not supported by this statement form: ${e.getMessage}")
+      }
+    }
+    // the STAR form registers the FACT-side spec: dims = fact-side join
+    // keys (from ON) + fact-side GROUP BY columns; dim-side GROUP BY
+    // columns are served by the live join at query time and only need
+    // to exist on the dim table. dimSkip is what the SELECT list may
+    // restate without being a measure.
+    val (dims, dimSkip) = joinTable match {
+      case None => (groupCols, groupCols.toSet)
+      case Some(dimT) =>
+        val onText = joinOn.getOrElse(throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: JOIN requires an ON clause"))
+        val onRefs = parsedRefs(onText).map(stripQual)
+        val dimCols = spark.table(dimT).columns.toSet
+        onRefs.foreach(r => require(factCols.contains(r) ^ dimCols(r),
+          s"CREATE MATERIALIZED VIEW $name: join key '$r' must belong " +
+            s"to exactly one of $table/$dimT"))
+        val factKeys = onRefs.filter(factCols)
+        require(factKeys.nonEmpty,
+          s"CREATE MATERIALIZED VIEW $name: the ON clause references no " +
+            s"$table column — nothing keys the fact-side summary")
+        groupCols.filterNot(factCols).foreach(c => require(dimCols(c),
+          s"CREATE MATERIALIZED VIEW $name: GROUP BY column '$c' is on " +
+            s"neither $table nor $dimT"))
+        whereText.foreach(w => parsedRefs(w).map(stripQual).foreach(r =>
+          require(factCols.contains(r),
+            s"CREATE MATERIALIZED VIEW $name: a WHERE over the star form " +
+              s"may reference only fact-side columns; '$r' is not a " +
+              s"column of $table")))
+        ((groupCols.filter(factCols) ++ factKeys).distinct,
+          (groupCols ++ onRefs).toSet)
+    }
+    val aggItems = ExecutionContext.splitList(selectList)
       .map(_.trim).filter(_.nonEmpty)
-      .filterNot(item => dimSet(ExecutionContext.unquote(item)))
-      .map(expr)
-    require(aggCols.nonEmpty,
+      .filterNot(item => dimSkip(stripQual(item)))
+    require(aggItems.nonEmpty,
       s"CREATE MATERIALIZED VIEW $name: no measures in the SELECT list " +
         "(everything was a GROUP BY dimension)")
-    Mv.register(spark, name, spark.table(table), dims, aggCols,
-      sqlDmlDir(s"mv_$name"), where = whereText.map(expr))
+    if (joinTable.isDefined)
+      aggItems.foreach(a => parsedRefs(a).map(stripQual).foreach(r =>
+        require(factCols.contains(r),
+          s"CREATE MATERIALIZED VIEW $name: measure reference '$r' is " +
+            s"not a $table column — star-form measures aggregate the " +
+            "fact only (dim-side aggregates are join-multiplicity-" +
+            "sensitive and cannot be summarized)")))
+    Mv.register(spark, name, fact, dims, aggItems.map(expr),
+      sqlDmlDir(s"mv_$name"), where = where)
     spark.emptyDataFrame
   }
 
@@ -867,18 +941,30 @@ object ExecutionContext {
   private[graft] val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
 
-  // CREATE MATERIALIZED VIEW <n> AS SELECT <list> FROM <t> [WHERE <pred>]
-  // GROUP BY <cols> — the restricted rollup-summary form [[Mv.register]]
-  // accepts (bare dim identifiers + sum/count/min/max measures); the
-  // optional WHERE defines a PARTIAL summary (only predicate rows are
-  // aggregated; queries rewrite only when they restate the predicate).
+  // CREATE MATERIALIZED VIEW <n> AS SELECT <list> FROM <t>
+  // [JOIN <dim> ON <cond>] [WHERE <pred>] GROUP BY <cols> — the
+  // restricted rollup-summary form [[Mv.register]] accepts (bare dim
+  // identifiers + sum/count/min/max measures); the optional WHERE
+  // defines a PARTIAL summary (only predicate rows are aggregated;
+  // queries rewrite only when they restate or imply the predicate). The
+  // optional JOIN declares the STAR form: the summary registers over
+  // the FACT table <t> keyed by the fact-side join keys plus any
+  // fact-side GROUP BY columns, so the star-join rewrite serves
+  // fact ⋈ dim aggregates from it (the dim side stays a live join).
   // REFRESH folds the base's appended files in, DROP unregisters. Spark
-  // has no native MATERIALIZED VIEW statement, so these route BEFORE the
-  // spark.sql fallback (which would throw PARSE_SYNTAX_ERROR).
+  // has no native MATERIALIZED VIEW statement, so these route BEFORE
+  // the spark.sql fallback (which would throw PARSE_SYNTAX_ERROR).
+  // The WHERE group is GREEDY so the dims split anchors on the LAST
+  // `GROUP BY` token — a predicate containing `group by` inside a
+  // string literal no longer mis-splits (predicates whose TAIL mimics
+  // ` GROUP BY <ident list>` remain out of the regex's reach and are
+  // rejected by sqlCreateMv's parse check with a message naming this
+  // limitation).
   private[graft] val CreateMvRe =
     (s"""(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s+AS\\s+""" +
       s"""SELECT\\s+(.+?)\\s+FROM\\s+($Ident)""" +
-      s"""(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+""" +
+      s"""(?:\\s+JOIN\\s+($Ident)\\s+ON\\s+(.+?))?""" +
+      s"""(?:\\s+WHERE\\s+(.+))?\\s+GROUP\\s+BY\\s+""" +
       s"""([`"\\w\\s,.]+?)\\s*$$""").r
   private[graft] val RefreshMvRe =
     s"""(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s*$$""".r

@@ -108,7 +108,16 @@ object Mv {
       /** Set when the base is a versioned-store table ([[registerStore]]);
         * refresh then classifies commits by version composition instead
         * of raw file listings. */
-      storeState: Option[StoreState] = None)
+      storeState: Option[StoreState] = None,
+      /** Range-implicable defining conjuncts, canon → (attr name, op,
+        * literal): a query comparison over the same attribute that
+        * IMPLIES the registered one (query `x > 10` over MV `WHERE
+        * x > 5`) also satisfies coverage — the query conjunct then stays
+        * as a RESIDUAL filter on the summary, so the downstream dim-only
+        * check forces the attribute to be a dim the summary carries.
+        * Only bare `attr <cmp> literal` conjuncts parse into this map;
+        * everything else keeps the exact-canon-match-only contract. */
+      predRanges: Map[String, (String, String, Literal)] = Map.empty)
 
   /** Registered MVs, keyed by NAME. Several summaries may share one base
     * (different grains / predicates); the rewrite matches by the scan's
@@ -290,10 +299,41 @@ object Mv {
     * `isnotnull` attached), so an analysis-time canon (`x > CAST(5 AS
     * BIGINT)`) would never match — both sides must go through the same
     * optimizer lens. */
+  /** `attr <cmp> literal` (either operand order) normalized to
+    * (attr name, op-with-attr-on-the-left, literal); None for anything
+    * else — the range-implication machinery only ever reasons about this
+    * exact shape, null literals excluded (a null comparison never holds
+    * and the optimizer folds the filter away before this runs). */
+  private[graft] def rangeOf(
+      e: Expression): Option[(String, String, Literal)] = (e match {
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      Some((a.name, ">", l))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      Some((a.name, ">=", l))
+    case LessThan(a: AttributeReference, l: Literal) =>
+      Some((a.name, "<", l))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      Some((a.name, "<=", l))
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      Some((a.name, "=", l))
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      Some((a.name, "<", l))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      Some((a.name, "<=", l))
+    case LessThan(l: Literal, a: AttributeReference) =>
+      Some((a.name, ">", l))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      Some((a.name, ">=", l))
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      Some((a.name, "=", l))
+    case _ => None
+  }).filter(_._3.value != null)
+
   private def predInfo(
       filtered: DataFrame,
-      where: Option[Column]): (Set[String], Set[String]) =
-    if (where.isEmpty) (Set.empty, Set.empty)
+      where: Option[Column])
+      : (Set[String], Set[String], Map[String, (String, String, Literal)]) =
+    if (where.isEmpty) (Set.empty, Set.empty, Map.empty)
     else {
       def peelProj(p: LogicalPlan): LogicalPlan = p match {
         case Project(_, c) => peelProj(c)
@@ -327,7 +367,13 @@ object Mv {
         }
         case _ => Seq.empty
       }.toSet
-      (parts.map(canon).toSet, notNullable)
+      // inequality conjuncts additionally record their parsed range so
+      // the query side can satisfy them BY IMPLICATION (equality stays
+      // exact-match-only: an implying equality is already an exact canon)
+      val ranges = parts.flatMap { p =>
+        rangeOf(p).filter(_._2 != "=").map(canon(p) -> _)
+      }.toMap
+      (parts.map(canon).toSet, notNullable, ranges)
     }
 
   /** Define + materialize a summary over `base` and register it for
@@ -361,7 +407,8 @@ object Mv {
     val meta = fileMeta(baseLeaf)
     val d = MvDef(name, rootsOf(baseLeaf), meta, fingerprint(meta),
       dims.toSet, dims, aggCols, b.measures, b.predConjuncts,
-      b.predNotNullable, where, mvPath, b.mvRows, epoch, b.mvRelation)
+      b.predNotNullable, where, mvPath, b.mvRows, epoch, b.mvRelation,
+      predRanges = b.predRanges)
     registry.put(name, d)
     install(spark)
     d
@@ -371,6 +418,7 @@ object Mv {
       measures: Map[String, (String, String)],
       predConjuncts: Set[String],
       predNotNullable: Set[String],
+      predRanges: Map[String, (String, String, Literal)],
       mvRelation: LogicalRelation,
       mvRows: Long)
 
@@ -398,11 +446,13 @@ object Mv {
       mvDf.write.mode(SaveMode.Overwrite).parquet(mvPath)
     }
     val measures = extractMeasures(mvDf)
-    val (predConjuncts, predNotNullable) = predInfo(filtered, where)
+    val (predConjuncts, predNotNullable, predRanges) =
+      predInfo(filtered, where)
     val mvBack = spark.read.parquet(mvPath)
     val mvRel = leafRelation(mvBack.queryExecution.analyzed).get
     val mvRows = Mv.withDisabled { mvBack.count() }
-    BuiltSummary(measures, predConjuncts, predNotNullable, mvRel, mvRows)
+    BuiltSummary(measures, predConjuncts, predNotNullable, predRanges,
+      mvRel, mvRows)
   }
 
   /** Register a summary over a VERSIONED-STORE table ([[Dml]]'s
@@ -452,7 +502,8 @@ object Mv {
       dims.toSet, dims, aggCols, b.measures, b.predConjuncts,
       b.predNotNullable, where, mvPath, b.mvRows, epoch, b.mvRelation,
       storeState = Some(StoreState(
-        storeDir, version, dataPath, dvRows, appendPath)))
+        storeDir, version, dataPath, dvRows, appendPath)),
+      predRanges = b.predRanges)
     registry.put(name, d)
     install(spark)
     d
@@ -487,9 +538,22 @@ object Mv {
     refreshOne(spark, cands.head)
   }
 
-  private def refreshOne(spark: SparkSession, d: MvDef): (Int, Int) =
-    if (d.storeState.isDefined) refreshStore(spark, d)
-    else refreshFiles(spark, d)
+  /** Synchronized on the same monitor as register/registerStore: two
+    * concurrent refreshes of one MV would otherwise read the same MvDef,
+    * both target the same `_r(epoch+1)` path, and race deleteDir against
+    * the other's overwrite — a corrupt summary could then be registered
+    * and served. The definition is RE-READ under the lock: the caller's
+    * snapshot may predate a refresh that just swapped the registry, and
+    * folding a delta computed against the old listing into the old path
+    * would double-count it (the second entrant now sees the refreshed
+    * def and folds nothing). */
+  private def refreshOne(spark: SparkSession, d0: MvDef): (Int, Int) =
+    synchronized {
+      val d = byName(d0.name).getOrElse(throw new IllegalArgumentException(
+        s"Materialized view: ${d0.name} does not exist"))
+      if (d.storeState.isDefined) refreshStore(spark, d)
+      else refreshFiles(spark, d)
+    }
 
   private def refreshFiles(spark: SparkSession, d: MvDef): (Int, Int) = {
     val baseNow = spark.read.parquet(d.baseRoots.toSeq: _*)
@@ -506,9 +570,11 @@ object Mv {
       // carries forward: a rebuild registered at epoch 0 would compute
       // its NEXT refresh path equal to its own live path and delete
       // the summary out from under the fold's read
+      val rebuiltPath =
+        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}"
       register(spark, d.name, baseNow, d.dimCols, d.aggCols,
-        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}",
-        epoch = d.epoch + 1, where = d.whereCol)
+        rebuiltPath, epoch = d.epoch + 1, where = d.whereCol)
+      gcEpochs(spark, rebuiltPath, keep = Set(rebuiltPath, d.mvPath))
       return (-1, nowMeta.size)
     }
     val delta = (nowMeta.keySet -- d.baseMeta.keySet).toSeq
@@ -523,6 +589,7 @@ object Mv {
       baseMeta = nowMeta, baseFilesFp = fingerprint(nowMeta),
       mvPath = newPath, mvRows = newRows,
       epoch = d.epoch + 1, mvRelation = newRel))
+    gcEpochs(spark, newPath, keep = Set(newPath, d.mvPath))
     (delta.size, nowMeta.size)
   }
 
@@ -589,9 +656,11 @@ object Mv {
     def totalRows: Int = (Dml.footerRowCount(spark, curData) - curDvRows +
       Dml.sidecarRows(spark, dir, cur, "_append")).toInt
     def rebuild(): (Int, Int) = {
+      val rebuiltPath =
+        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}"
       registerStore(spark, d.name, dir, d.dimCols, d.aggCols,
-        s"${d.mvPath.replaceAll("_r\\d+$", "")}_r${d.epoch + 1}",
-        epoch = d.epoch + 1, where = d.whereCol)
+        rebuiltPath, epoch = d.epoch + 1, where = d.whereCol)
+      gcEpochs(spark, rebuiltPath, keep = Set(rebuiltPath, d.mvPath))
       (-1, totalRows)
     }
     if (cur == ss.version) return (0, totalRows)
@@ -629,6 +698,7 @@ object Mv {
           epoch = d.epoch + 1, mvRelation = newRel,
           storeState = Some(StoreState(
             dir, cur, curData, curDvRows, curAppendP))))
+        gcEpochs(spark, newPath, keep = Set(newPath, d.mvPath))
         (deltaRows.toInt, totalRows)
       case (None, None) =>
         anchorOnly(spark, d, cur, curData, curDvRows, curAppendP,
@@ -660,15 +730,40 @@ object Mv {
       byName(name).getOrElse(throw new IllegalArgumentException(
         s"Materialized view: $name does not exist")))
 
-  /** Unregister `name` and delete its materialization. Returns false
-    * when no such MV exists (the IF EXISTS contract). */
+  /** Unregister `name` and delete its materialization — INCLUDING every
+    * superseded `_rN` epoch sibling, which the live-path-only delete
+    * used to leak. Returns false when no such MV exists (the IF EXISTS
+    * contract). */
   def drop(spark: SparkSession, name: String): Boolean =
     Option(registry.remove(name)) match {
       case Some(d) =>
-        Layouts.deleteDir(spark, d.mvPath)
+        gcEpochs(spark, d.mvPath, keep = Set.empty)
         true
       case None => false
     }
+
+  /** Delete superseded epoch directories of `anyEpochPath`'s family
+    * (`<base>`, `<base>_r1`, `<base>_r2`, …) except `keep`. Refresh
+    * passes {new live path, the just-superseded one} — an in-flight plan
+    * optimized against the PREVIOUS epoch may still be reading its
+    * files, so exactly one stale epoch survives per refresh and a
+    * frequently refreshed MV holds at most two summary copies instead
+    * of one per refresh. drop() passes an empty keep: everything goes.
+    * Canonical-path comparison, name-anchored match — a sibling MV
+    * whose directory name merely shares a prefix is untouched. */
+  private def gcEpochs(
+      spark: SparkSession, anyEpochPath: String, keep: Set[String]): Unit = {
+    val base = new java.io.File(anyEpochPath.replaceAll("_r\\d+$", ""))
+    val keepCanon = keep.map(p => new java.io.File(p).getCanonicalPath)
+    val dir = base.getCanonicalFile.getParentFile
+    if (dir != null && dir.isDirectory) {
+      val fam = java.util.regex.Pattern.quote(base.getName) + "(_r\\d+)?"
+      dir.listFiles().foreach { f =>
+        if (f.getName.matches(fam) && !keepCanon(f.getCanonicalPath))
+          Layouts.deleteDir(spark, f.getPath)
+      }
+    }
+  }
 
   /** Idempotently add [[MvRewrite]] to the session optimizer's
     * user-rule batch. */
@@ -764,6 +859,44 @@ object Mv {
       * and be silently dropped from the rewritten plan — the join path
       * passes `references ⊆ fact` and ineligible look-alikes stay in
       * the leftovers, where the usual checks keep them applied. */
+    /** Does query conjunct `q` IMPLY the MV range `r = (attr, op, lit)`
+      * — i.e. is q's row set a subset of r's? Only for the normalized
+      * `attr <cmp> literal` shape over the SAME attribute with literals
+      * of the SAME type (the optimizer constant-folds casts before this
+      * rule, so matching predicates reach it type-aligned); anything
+      * else answers false and coverage falls back to exact canon match.
+      * The case table is the interval-containment truth table: with
+      * cmp = sign(qLit − mvLit), query `x > q` ⊆ MV `x > c` iff q ≥ c,
+      * `x ≥ q` ⊆ `x > c` iff q > c (q = c admits x = c, which the MV
+      * excludes), and symmetrically for </<=; an equality `x = q`
+      * implies any range containing q. */
+    private def implies(
+        q: Expression, r: (String, String, Literal)): Boolean =
+      rangeOf(q).exists { case (qa, qop, ql) =>
+        qa == r._1 && ql.dataType == r._3.dataType && {
+          val cmp =
+            try org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(r._3.dataType)
+              .compare(ql.value, r._3.value)
+            catch { case _: Exception => return false } // non-orderable
+          (r._2, qop) match {
+            case (">", ">") => cmp >= 0
+            case (">", ">=") => cmp > 0
+            case (">", "=") => cmp > 0
+            case (">=", ">") => cmp >= 0
+            case (">=", ">=") => cmp >= 0
+            case (">=", "=") => cmp >= 0
+            case ("<", "<") => cmp <= 0
+            case ("<", "<=") => cmp < 0
+            case ("<", "=") => cmp < 0
+            case ("<=", "<") => cmp <= 0
+            case ("<=", "<=") => cmp <= 0
+            case ("<=", "=") => cmp <= 0
+            case _ => false
+          }
+        }
+      }
+
     private def consumePredicate(
         conjs: Seq[Expression], mv: MvDef,
         eligible: Expression => Boolean = _ => true)
@@ -771,8 +904,15 @@ object Mv {
       if (mv.predConjuncts.isEmpty) Some(conjs)
       else {
         val tagged = conjs.map(c => (c, canon(c), eligible(c)))
+        // every defining conjunct must be satisfied: by exact canon
+        // match (consumed below — the summary already applied it) or by
+        // IMPLICATION from a query range over the same attribute (the
+        // implying conjunct is NOT consumed: it stays a residual the
+        // summary must re-apply, which the downstream dim-only check
+        // only allows when the attribute is a dim the summary carries)
         if (!mv.predConjuncts.forall(n =>
-            tagged.exists(t => t._2 == n && t._3))) None
+            tagged.exists(t => t._3 && (t._2 == n ||
+              mv.predRanges.get(n).exists(r => implies(t._1, r)))))) None
         else Some(tagged.filterNot { case (c, cn, el) =>
           el && (mv.predConjuncts(cn) || (c match {
             // the optimizer infers `isnotnull(c)` beside every pushed
@@ -787,12 +927,38 @@ object Mv {
     private def okFilter(f: Expression): Boolean =
       f.deterministic && !f.exists(_.isInstanceOf[PlanExpression[_]])
 
+    /** The freshness gate, with optional SELF-HEALING: on a fingerprint
+      * mismatch with spark.graft.mv.autoRefresh=true (default false),
+      * run ONE [[refreshIncremental]] — O(delta) for the append-only
+      * case, a rebuild otherwise — at the first stale probe and re-check
+      * against the refreshed definition. Without the flag (or when the
+      * refresh fails, or when the PROBING plan's own listing is itself
+      * older than the refreshed base), decline toward the base scan —
+      * sound but summary-less after every append, which is exactly the
+      * silent speedup loss the flag exists to close. Opt-in because the
+      * refresh runs Spark jobs at PLAN time from inside the optimizer;
+      * concurrent stale probes serialize on refreshOne's lock and the
+      * second entrant folds an empty delta. Returns the definition to
+      * rewrite against (the refreshed one after self-healing). */
+    private def freshDef(
+        leaf: LogicalRelation, mv: MvDef): Option[MvDef] =
+      if (fingerprintOf(leaf) == mv.baseFilesFp) Some(mv)
+      else if (org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.mv.autoRefresh", "false")
+          .toBoolean) {
+        try refreshOne(SparkSession.active, mv)
+        catch { case _: Exception => return None }
+        byName(mv.name).filter(d => fingerprintOf(leaf) == d.baseFilesFp)
+      } else None
+
     private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-      // GLOBAL aggregates decline: their single group exists even over
-      // zero rows, and count-rolled-to-sum returns NULL there where
-      // count returns 0 (grouped queries have no empty groups, so the
-      // rollup is only sound under a GROUP BY)
-      if (agg.groupingExpressions.isEmpty) return None
+      // GLOBAL aggregates (no GROUP BY) rewrite too — the coarsest
+      // single-group rollup over the whole summary. The one semantic
+      // gap a grouped query never hits: the global group exists even
+      // over ZERO input rows, where count returns 0 but sum-of-partial-
+      // counts returns NULL — the Translator coalesces count rollups to
+      // 0 exactly in the global case (grouped queries have no empty
+      // groups, so their count rollup stays a bare sum).
       unwrap(agg.child).flatMap { case (allConjs, leaf, subst) =>
         // candidates ascend by summary row count — cheapest covering wins
         candidatesFor(rootsOf(leaf)).iterator
@@ -806,12 +972,14 @@ object Mv {
         allConjs: Seq[Expression],
         leaf: LogicalRelation,
         subst: Map[ExprId, Expression],
-        mv: MvDef): Option[Aggregate] = {
+        mv0: MvDef): Option[Aggregate] = {
       val grouping = agg.groupingExpressions.map(inlineSubst(_, subst))
       val conjs = allConjs.map(inlineSubst(_, subst))
       for {
-        // freshness: the query's own scan listing vs the registered one
-        _ <- if (fingerprintOf(leaf) == mv.baseFilesFp) Some(()) else None
+        // freshness (with optional auto-refresh): the query's own scan
+        // listing vs the registered one; `mv` is the refreshed def when
+        // self-healing fired
+        mv <- freshDef(leaf, mv0)
         filters <- consumePredicate(conjs, mv)
         // grouping: bare dim attributes (subsets roll up) OR any
         // deterministic, subquery-free EXPRESSION over dims — grouping
@@ -887,6 +1055,10 @@ object Mv {
       * rows that count(*) counts but sum(mv_cnt) would skip).
       * Aggregates over DIM columns decline (multiplicity-sensitive). */
     private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
+      // the join path keeps declining GLOBAL aggregates: the zero-row
+      // count corner (see tryRewrite) would additionally interact with
+      // join-emptiness, and the single-relation path already covers the
+      // global-rollup value; decline-on-doubt
       if (agg.groupingExpressions.isEmpty) return None
       def peel(p: LogicalPlan): Option[(Seq[Expression], Join,
           Map[ExprId, Expression])] = p match {
@@ -940,11 +1112,22 @@ object Mv {
         leaf: LogicalRelation,
         dimPlan: LogicalPlan,
         subst: Map[ExprId, Expression],
-        mv: MvDef): Option[Aggregate] = {
-      if (fingerprintOf(leaf) != mv.baseFilesFp) return None
+        mv0: MvDef): Option[Aggregate] = {
+      // freshness with optional auto-refresh, as in rewriteSingle
+      val mv = freshDef(leaf, mv0).getOrElse(return None)
       val factConjs = factConjsRaw.map(inlineSubst(_, subst))
       val topConjs = topConjsRaw.map(inlineSubst(_, subst))
       val grouping = agg.groupingExpressions.map(inlineSubst(_, subst))
+      // the join condition must be inlined BEFORE the dims guard: a
+      // fact-side Project alias used as a join key is not in factIds, so
+      // the un-inlined condition would pass factRefsAreDims as "dim-side"
+      // while the rewrite drops its defining Project — a dangling
+      // reference that crashes at physical binding, and a hole that let
+      // non-dim fact refs hide behind the alias. Inlining resolves the
+      // alias to its defining expression over the leaf, so the guard
+      // sees the real fact references and the rewritten Join (built from
+      // this inlined form below) carries no orphaned exprIds.
+      val joinCond = join.condition.map(inlineSubst(_, subst))
       val factIds = leaf.output.map(_.exprId).toSet
       def isFact(a: Attribute): Boolean = factIds(a.exprId)
       def factRefsAreDims(e: Expression): Boolean = {
@@ -970,7 +1153,8 @@ object Mv {
           leaf.output.exists(o => o.exprId == a.exprId && mv.dims(o.name))))
         if topLeft0.forall(f => okFilter(f) && factRefsAreDims(f))
         // join condition: deterministic, no subquery, fact refs ⊆ dims
-        if join.condition.forall(c => okFilter(c) && factRefsAreDims(c))
+        // (checked on the INLINED condition — see joinCond above)
+        if joinCond.forall(c => okFilter(c) && factRefsAreDims(c))
         rewritten <- {
           val rel = mv.mvRelation.newInstance()
           val mvAttr = rel.output.map(a => a.name -> a).toMap
@@ -1007,7 +1191,7 @@ object Mv {
               val newJoin = Join(
                 if (factLeft) newFact else dimPlan,
                 if (factLeft) dimPlan else newFact,
-                join.joinType, join.condition.map(mapFact), join.hint)
+                join.joinType, joinCond.map(mapFact), join.hint)
               val newChild =
                 if (topLeft0.isEmpty) newJoin
                 else Filter(mapFact(topLeft0.reduce(And)), newJoin)
@@ -1078,6 +1262,7 @@ object Mv {
       private def rollup(ae: AggregateExpression): Option[Expression] =
         ae.aggregateFunction match {
           case av: Average => rollupAvg(ae, av)
+          case hpp: HyperLogLogPlusPlus => rollupApproxDistinct(ae, hpp)
           case af =>
             mv.measures.get(structKey(af)).map { case (kind, mvCol) =>
               val f = kind match {
@@ -1088,10 +1273,47 @@ object Mv {
               }
               val rolled =
                 AggregateExpression(f, Complete, isDistinct = false)
-              if (rolled.dataType == ae.dataType) rolled
-              else Cast(rolled, ae.dataType)
+              val typed =
+                if (rolled.dataType == ae.dataType) rolled
+                else Cast(rolled, ae.dataType)
+              // GLOBAL rollup only: the single group exists even over
+              // zero summary rows, where count must return 0 but the
+              // sum of per-group counts returns NULL (sum/min/max are
+              // themselves NULL over the empty base group — no coalesce)
+              if (grouping.isEmpty && af.isInstanceOf[Count])
+                Coalesce(Seq(typed, Cast(Literal(0L), ae.dataType)))
+              else typed
             }
         }
+
+      /** approx_count_distinct(x) from a registered `hll_sketch_agg(x)`
+        * measure — OPT-IN via spark.graft.mv.approxDistinctRewrite
+        * (default off): both sides are approximations of the same
+        * distinct count, but DIFFERENT estimators (HyperLogLog++ with
+        * its rsd-derived register count vs the DataSketches HLL at
+        * lgConfigK=12), so the rewrite changes the estimate within each
+        * estimator's error bound — the BigQuery/Snowflake MV convention
+        * for approximate-distinct dashboards, where "approximate" is the
+        * user's declared contract and never rescanning the fact is the
+        * point. Strictly opt-in because every other rewrite in this rule
+        * is row-identical; MvSpec pins both estimates within tolerance
+        * of the exact count. */
+      private def rollupApproxDistinct(
+          ae: AggregateExpression,
+          hpp: HyperLogLogPlusPlus): Option[Expression] = {
+        val enabled = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.mv.approxDistinctRewrite", "false")
+          .toBoolean
+        if (!enabled) return None
+        mv.measures.get(structKey(new HllSketchAgg(hpp.child)))
+          .filter(_._1 == "hll").map { case (_, mvCol) =>
+            val est = HllSketchEstimate(AggregateExpression(
+              new HllUnionAgg(mvAttr(mvCol)), Complete,
+              isDistinct = false))
+            if (est.dataType == ae.dataType) est
+            else Cast(est, ae.dataType)
+          }
+      }
 
       /** avg(x) from a (sum(x), count(x)) measure PAIR — the
         * production-registry convention: avg itself does not decompose,
@@ -1469,7 +1691,186 @@ object MvQueries {
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS total FROM orders
              |GROUP BY 1""".stripMargin.replace('\n', ' ')))
+    ,
+
+    // GLOBAL-AGGREGATE MV REWRITE: `SELECT count(*), sum(x), max(y)
+    // FROM fact WHERE dim = …` with NO GROUP BY — the coarsest rollup,
+    // a single-group fold over the summary. The one semantic gap vs
+    // grouped rollups is the zero-row global group (count must be 0,
+    // not NULL), which the rule's count-coalesce closes; the builder
+    // REQUIREs the summary scan so a silent decline can never pass as
+    // green. The oracle is the same global aggregate on the base.
+    Q("q70_mv_global",
+      (s, d) => {
+        ensureMv(s, d)
+        val df = Tables.t(s, d, "lineitem")
+          .filter(col("l_linestatus") === "F")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            max(col("l_extendedprice")).as("max_price"))
+        require(scanRootsOf(df).exists(_.contains("q61_mv")),
+          "q70: the global rollup must read the summary:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS sum_qty, max(l_extendedprice) AS max_price
+             |FROM lineitem
+             |WHERE l_linestatus = 'F'""".stripMargin.replace('\n', ' '))),
+
+    // APPROX_COUNT_DISTINCT THROUGH THE SKETCH MEASURE (opt-in conf):
+    // with spark.graft.mv.approxDistinctRewrite=true the rule answers
+    // approx_count_distinct(x) from the registered hll_sketch_agg(x)
+    // measure — a DIFFERENT estimator (DataSketches HLL vs native
+    // HyperLogLog++), so this is the one rewrite that changes values
+    // (within each estimator's error bound) and it stays off unless the
+    // user declares approximate semantics. Rows-only: both estimates
+    // are deterministic; the row carries the exact count beside both
+    // estimates plus their within-tolerance verdicts, and the hash-
+    // gated exact twin is q64_mv_hll_audit. The builder REQUIREs the ON
+    // arm scanned the summary and the OFF arm the base.
+    Q("q71_mv_approx_distinct",
+      (s, d) => {
+        ensureHll(s, d)
+        def probe() = Tables.t(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(approx_count_distinct(col("c_custkey")).as("est"))
+        val exact = Tables.t(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("c_custkey")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val offDf = probe() // conf off: the native HLL++ on the base
+        require(!scanRootsOf(offDf).exists(_.contains("q64_mv")),
+          "q71: the OFF arm must not read the summary")
+        val off = offDf.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        s.conf.set("spark.graft.mv.approxDistinctRewrite", "true")
+        val on =
+          try {
+            val onDf = probe()
+            require(scanRootsOf(onDf).exists(_.contains("q64_mv")),
+              "q71: the ON arm must fold the registered sketch:\n" +
+                onDf.queryExecution.optimizedPlan.toString)
+            onDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          } finally s.conf.unset("spark.graft.mv.approxDistinctRewrite")
+        val rows = exact.toSeq.sortBy(_._1).map { case (seg, n) =>
+          def ok(est: Long): Boolean =
+            math.abs(est - n).toDouble <= math.max(2.0, 0.15 * n)
+          (seg, n, off(seg), on(seg), ok(off(seg)), ok(on(seg)))
+        }
+        import s.implicits._
+        rows.toDF("c_mktsegment", "exact_customers", "base_est",
+          "mv_est", "base_ok", "mv_ok")
+      },
+      None),
+
+    // STAR-JOIN MV FROM PURE SQL: CREATE MATERIALIZED VIEW … FROM fact
+    // JOIN dim ON … registers the FACT-side spec (summary keyed by the
+    // fact join key), and the follow-up plain-SQL join aggregate —
+    // grouping by a DIM-side column — rewrites through tryRewriteJoin
+    // with the supplier side kept as a live join. q65 proved the join
+    // rewrite programmatically; this entry drives the same machinery
+    // end-to-end from the statement surface, hash-gated against the
+    // base-table oracle. The builder REQUIREs the summary scan.
+    Q("q72_mv_sql_star",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        ctx.execute("DROP MATERIALIZED VIEW IF EXISTS sql_star_rev")
+        // sum(l_quantity) distinguishes this summary from q65's
+        // programmatic lineitem_by_supp (same grain, no quantity sum):
+        // the probe below needs it, so only the statement-created MV
+        // covers and the REQUIRE pins the statement path specifically
+        ctx.execute("""CREATE MATERIALIZED VIEW sql_star_rev AS
+          SELECT s_nationkey, count(1) AS smv_cnt,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS smv_rev,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS smv_qty
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey""")
+        val df = ctx.execute("""SELECT s_nationkey, count(1) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS rev, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          AS qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey""")
+        require(scanRootsOf(df).exists(_.contains("mv_sql_star_rev")),
+          "q72: the statement-created star summary must serve:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS rev, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS
+             |DOUBLE) AS qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // PARTIAL-MV RANGE IMPLICATION: the summary holds only
+    // `o_orderdate >= 1995-01-01` rows; the query filters on the
+    // STRICTLY TIGHTER `>= 1996-01-01`. Exact conjunct match fails, but
+    // the query range IMPLIES the defining one, so coverage holds with
+    // the query conjunct kept as a residual on the summary (o_orderdate
+    // is a dim, so the summary can re-apply it). Private base copy: the
+    // fixture `orders` base carries other registered summaries that
+    // would also cover this query, and the entry must exercise the
+    // implication path specifically (the builder REQUIREs its summary).
+    Q("q73_mv_partial_range",
+      (s, d) => {
+        val baseDir = ensureRangeMv(s, d)
+        val df = s.read.parquet(baseDir)
+          .filter(col("o_orderdate") >=
+            lit(java.sql.Date.valueOf("1996-01-01")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+        // the private base also lives under q73_mv_range — anchor the
+        // probe on the summary subdirectory
+        require(scanRootsOf(df).exists(_.contains("q73_mv_range/summary")),
+          "q73: the implied-range rollup must read the summary:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS total FROM orders
+             |WHERE o_orderdate >= DATE '1996-01-01'
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
+
+  /** Optimized-plan scan roots of `df` — the builder-side REQUIRE probe
+    * (the MvSpec helper, shared here so gated entries can refuse to
+    * pass green on a silent decline). */
+  private def scanRootsOf(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }.toSet
+
+  // (session, sfDir) -> the private orders copy whose ONLY registered
+  // summary is the 1995+ partial MV (q73's implication probe).
+  private val rangeFor = scala.collection.mutable.Map[(Int, String), String]()
+  private[graft] def ensureRangeMv(s: SparkSession, d: String): String =
+    oncePer(rangeFor, s, d) {
+      val root = Dml.work("q73_mv_range", d)
+      Layouts.deleteDir(s, root)
+      val baseDir = s"$root/base"
+      Tables.t(s, d, "orders").write.parquet(baseDir)
+      Mv.register(s, "orders_since95", s.read.parquet(baseDir),
+        dims = Seq("o_orderdate", "o_orderpriority"),
+        aggCols = Seq(
+          count(lit(1)).as("rmv_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rmv_total")),
+        mvPath = s"$root/summary",
+        where = Some(col("o_orderdate") >=
+          lit(java.sql.Date.valueOf("1995-01-01"))))
+      baseDir
+    }
 
   // (session, sfDir) -> the daily-grain orders summary (q69).
   private val dateMvFor = scala.collection.mutable.Map[(Int, String), Unit]()

@@ -194,17 +194,35 @@ class MvSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("a GLOBAL aggregate declines the rewrite: count over a " +
-    "no-match filter must return 0, and sum-of-counts over the empty " +
-    "summary would return NULL") {
+  test("a GLOBAL aggregate (no GROUP BY) rewrites as the single-group " +
+    "rollup, and the zero-row corner returns count 0 (not NULL) through " +
+    "the count-coalesce while sum stays NULL on both arms") {
     MvQueries.ensureMv(spark, sf)
     val li = Tables.t(spark, sf, "lineitem")
-    val global = li.filter(col("l_linestatus") === "ZZ") // matches nothing
-      .agg(count(lit(1)).as("n"))
-    assert(!mvScanned(global) && baseScanned(global),
-      s"global aggregates must decline:\n" +
-        global.queryExecution.optimizedPlan.toString)
-    assert(global.collect().head.getLong(0) == 0L)
+    def global(status: String) = li
+      .filter(col("l_linestatus") === status)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+        max(col("l_extendedprice")).as("m"))
+    val on = global("F")
+    assert(mvScanned(on) && !baseScanned(on),
+      s"global rollups must rewrite:\n" +
+        on.queryExecution.optimizedPlan.toString)
+    val got = on.collect().head
+    val want = Mv.withDisabled { global("F").collect().head }
+    assert(got.toSeq == want.toSeq,
+      s"global rollup must be row-invisible: got $got want $want")
+    // the zero-row global group: the dim filter matches nothing, the
+    // summary side folds ZERO rows — count must still be 0 (the naked
+    // sum-of-counts would be NULL), sum/max NULL like the base
+    val empty = global("ZZ")
+    assert(mvScanned(empty),
+      empty.queryExecution.optimizedPlan.toString)
+    val er = empty.collect().head
+    assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2),
+      s"zero-row global group must read (0, null, null): $er")
+    val ew = Mv.withDisabled { global("ZZ").collect().head }
+    assert(er.toSeq == ew.toSeq)
   }
 
   test("an aggregate with a FILTER clause declines — the generic " +
@@ -909,5 +927,232 @@ class MvSpec extends SparkSpec {
     }
     assert(got2.toSeq == want2.toSeq,
       "the predicate-filtered fold must equal the full recompute")
+  }
+
+  test("partial-MV RANGE IMPLICATION: a strictly tighter query range " +
+    "covers the defining predicate with the residual re-applied on the " +
+    "dim; the exact boundary consumes; a looser range declines") {
+    val baseDir = MvQueries.ensureRangeMv(spark, sf)
+    def q(cut: String) = spark.read.parquet(baseDir)
+      .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf(cut)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    // the private base dir ALSO lives under q73_mv_range — the probe
+    // must anchor on the summary subdirectory specifically
+    def summaryScanned(df: org.apache.spark.sql.DataFrame) =
+      scanRoots(df).exists(_.contains("q73_mv_range/summary"))
+    // tighter: 1996 ⊂ 1995 — implication covers, residual on the dim
+    val covered = q("1996-01-01")
+    assert(summaryScanned(covered),
+      s"implied-covered must serve:\n" +
+        covered.queryExecution.optimizedPlan.toString)
+    val got = covered.orderBy("o_orderpriority").collect().map(_.toSeq)
+    val want = Mv.withDisabled {
+      q("1996-01-01").orderBy("o_orderpriority").collect().map(_.toSeq)
+    }
+    assert(got.toSeq == want.toSeq,
+      "the implied-range rewrite must be row-invisible")
+    // exact boundary: canon match, predicate CONSUMED (no residual)
+    assert(summaryScanned(q("1995-01-01")))
+    // looser: 1994 ⊅ 1995 — the summary lost 1994 rows; decline
+    val looser = q("1994-06-01")
+    assert(!summaryScanned(looser),
+      s"a looser range must decline:\n" +
+        looser.queryExecution.optimizedPlan.toString)
+  }
+
+  test("range implication declines when the residual references a " +
+    "NON-dim column the summary no longer carries") {
+    val root = Dml.work("mv_range_nondim", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").write.parquet(baseDir)
+    Mv.register(spark, "orders_price_part", spark.read.parquet(baseDir),
+      dims = Seq("o_orderpriority"),
+      aggCols = Seq(count(lit(1)).as("pmv_cnt")),
+      mvPath = s"$root/summary",
+      where = Some(col("o_totalprice") > 1000.0))
+    def q(cut: Double) = spark.read.parquet(baseDir)
+      .filter(col("o_totalprice") > cut)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    // exact restatement: consumed, serves (o_totalprice never needed
+    // on the summary side)
+    assert(scanRoots(q(1000.0)).exists(_.contains("summary")))
+    // tighter range IMPLIES the predicate, but the residual
+    // `o_totalprice > 5000` must re-apply on the summary — which has
+    // no o_totalprice column; the dim-only leftover check declines
+    val tighter = q(5000.0)
+    assert(!scanRoots(tighter).exists(_.contains("summary")),
+      s"a non-dim residual must decline:\n" +
+        tighter.queryExecution.optimizedPlan.toString)
+    Mv.drop(spark, "orders_price_part")
+  }
+
+  test("star-join rewrite survives a fact-side Project ALIAS used as " +
+    "the join key (inlined before the dims guard), and an alias hiding " +
+    "a NON-dim fact column declines instead of dangling") {
+    MvQueries.ensureJoinMv(spark, sf)
+    val sup = Tables.t(spark, sf, "supplier")
+    // alias over the dim: inlines to l_suppkey, rewrites correctly
+    val aliased = Tables.t(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("sk"), col("l_extendedprice"))
+      .join(sup, col("sk") === col("s_suppkey"))
+      .filter(col("s_nationkey") < 10)
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    assert(scanRoots(aliased).exists(_.contains("q65_mv")),
+      s"an aliased dim join key must still rewrite:\n" +
+        aliased.queryExecution.optimizedPlan.toString)
+    val got = aliased.orderBy("s_name").collect().map(_.toSeq)
+    val want = Mv.withDisabled {
+      Tables.t(spark, sf, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_extendedprice"))
+        .join(sup, col("sk") === col("s_suppkey"))
+        .filter(col("s_nationkey") < 10)
+        .groupBy("s_name").agg(count(lit(1)).as("n"))
+        .orderBy("s_name").collect().map(_.toSeq)
+    }
+    assert(got.toSeq == want.toSeq,
+      "the alias-inlined join rewrite must be row-invisible")
+    // alias hiding a NON-dim fact column: the inlined condition exposes
+    // l_orderkey (not a dim) — decline, and crucially no dangling
+    // reference crash at execution
+    val hidden = Tables.t(spark, sf, "lineitem")
+      .select((col("l_orderkey") % 100).as("sk"), col("l_extendedprice"))
+      .join(sup, col("sk") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("n"))
+    assert(!scanRoots(hidden).exists(_.contains("q65_mv")),
+      s"a non-dim fact ref behind an alias must decline:\n" +
+        hidden.queryExecution.optimizedPlan.toString)
+    assert(hidden.collect().nonEmpty) // and it executes on the base
+  }
+
+  test("spark.graft.mv.autoRefresh self-heals a stale summary at the " +
+    "first probe with ONE incremental fold; without the flag the same " +
+    "probe declines toward the base") {
+    val root = Dml.work("mv_autorefresh", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_orderkey")
+    li.repartition(2).write.parquet(baseDir)
+    Mv.register(spark, "auto_probe", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary")
+    li.filter(col("l_orderkey") % 97 === 0)
+      .repartition(1).write.mode("append").parquet(baseDir)
+    def q() = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    // flag off (default): stale fingerprint declines, base serves
+    assert(!scanRoots(q()).exists(_.contains("summary")),
+      "a stale MV must decline without autoRefresh")
+    assert(Mv.byName("auto_probe").get.epoch == 0)
+    spark.conf.set("spark.graft.mv.autoRefresh", "true")
+    try {
+      val healed = q()
+      assert(scanRoots(healed).exists(_.contains("summary_r1")),
+        s"autoRefresh must fold the delta and serve:\n" +
+          healed.queryExecution.optimizedPlan.toString)
+      val d = Mv.byName("auto_probe").get
+      assert(d.epoch == 1, s"exactly one incremental refresh: ${d.epoch}")
+      val got = healed.orderBy("l_returnflag").collect().map(_.toSeq)
+      val want = Mv.withDisabled {
+        q().orderBy("l_returnflag").collect().map(_.toSeq)
+      }
+      assert(got.toSeq == want.toSeq)
+      // a second probe is a plain fresh hit — no second refresh
+      assert(scanRoots(q()).exists(_.contains("summary_r1")))
+      assert(Mv.byName("auto_probe").get.epoch == 1)
+    } finally spark.conf.unset("spark.graft.mv.autoRefresh")
+    Mv.drop(spark, "auto_probe")
+  }
+
+  test("approx_count_distinct folds the registered sketch measure ONLY " +
+    "under the opt-in conf, and both estimators land within tolerance " +
+    "of the exact count") {
+    MvQueries.ensureHll(spark, sf)
+    def probe() = Tables.t(spark, sf, "customer")
+      .groupBy("c_mktsegment")
+      .agg(approx_count_distinct(col("c_custkey")).as("est"))
+    assert(!scanRoots(probe()).exists(_.contains("q64_mv")),
+      "the estimator swap must be opt-in (default off)")
+    val exact = Tables.t(spark, sf, "customer")
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.mv.approxDistinctRewrite", "true")
+    try {
+      val on = probe()
+      assert(scanRoots(on).exists(_.contains("q64_mv")),
+        s"the sketch measure must fold under the conf:\n" +
+          on.queryExecution.optimizedPlan.toString)
+      on.collect().foreach { r =>
+        val (seg, est) = (r.getString(0), r.getLong(1))
+        assert(math.abs(est - exact(seg)).toDouble <=
+          math.max(2.0, 0.15 * exact(seg)),
+          s"sketch estimate for $seg out of tolerance: " +
+            s"$est vs exact ${exact(seg)}")
+      }
+    } finally spark.conf.unset("spark.graft.mv.approxDistinctRewrite")
+  }
+
+  test("CREATE MATERIALIZED VIEW … JOIN guards: dim-side measures, a " +
+    "dim-side WHERE, and a join key on neither table are rejected " +
+    "loudly at the statement surface") {
+    Tables.ensureRegistered(spark, sf)
+    val ctx = new ExecutionContext(spark)
+    val dimMeasure = intercept[IllegalArgumentException] {
+      ctx.execute("""CREATE MATERIALIZED VIEW bad_star1 AS
+        SELECT s_nationkey, sum(s_acctbal) AS m
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey""")
+    }
+    assert(dimMeasure.getMessage.contains("fact"), dimMeasure.getMessage)
+    val dimWhere = intercept[IllegalArgumentException] {
+      ctx.execute("""CREATE MATERIALIZED VIEW bad_star2 AS
+        SELECT s_nationkey, count(1) AS c
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 5 GROUP BY s_nationkey""")
+    }
+    assert(dimWhere.getMessage.contains("fact-side"), dimWhere.getMessage)
+    val badKey = intercept[IllegalArgumentException] {
+      ctx.execute("""CREATE MATERIALIZED VIEW bad_star3 AS
+        SELECT s_nationkey, count(1) AS c
+        FROM lineitem JOIN supplier ON l_suppkey = no_such_col
+        GROUP BY s_nationkey""")
+    }
+    assert(badKey.getMessage.contains("exactly one"), badKey.getMessage)
+  }
+
+  test("superseded refresh epochs are garbage-collected keeping exactly " +
+    "one predecessor, and DROP removes the whole directory family") {
+    val root = Dml.work("mv_epoch_gc", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_orderkey")
+    li.repartition(2).write.parquet(baseDir)
+    Mv.register(spark, "gc_probe", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt")),
+      mvPath = s"$root/summary")
+    def exists(p: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    def append(mod: Int): Unit = li.filter(col("l_orderkey") % mod === 0)
+      .repartition(1).write.mode("append").parquet(baseDir)
+    append(97)
+    assert(Mv.refreshIncremental(spark, "gc_probe")._1 == 1)
+    // first refresh: live _r1, predecessor kept for in-flight plans
+    assert(exists(s"$root/summary_r1") && exists(s"$root/summary"))
+    append(89)
+    assert(Mv.refreshIncremental(spark, "gc_probe")._1 == 1)
+    // second refresh: live _r2, _r1 kept, the original GC'd
+    assert(exists(s"$root/summary_r2") && exists(s"$root/summary_r1"))
+    assert(!exists(s"$root/summary"),
+      "the twice-superseded epoch must be garbage-collected")
+    assert(Mv.drop(spark, "gc_probe"))
+    assert(!exists(s"$root/summary_r2") && !exists(s"$root/summary_r1"),
+      "DROP must remove every epoch sibling")
   }
 }
