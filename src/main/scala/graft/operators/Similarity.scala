@@ -909,6 +909,123 @@ object Similarity {
     (org.apache.spark.ml.clustering.KMeansModel.load(s"$path/model"),
       ManagedCache.persist(spark.read.parquet(s"$path/assigned")))
 
+  // ---- commit-anchored index lifecycle ---------------------------------
+
+  /** Build + [[saveIvfIndex]] an IVF index over a VERSIONED-STORE table
+    * ([[Dml]]'s commit-pointer dir) at its CURRENT version, recording
+    * WHICH version the index reflects in an `anchor` sidecar beside the
+    * model — the staleness identity [[refreshIvfIndexForStore]] reads.
+    * This is the maintenance story [[saveIvfIndex]] alone lacks: a
+    * saved index over a live table silently drifts as commits land; an
+    * anchored one knows exactly what it reflects and what the next
+    * commit changed. */
+  def saveIvfIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      path: String,
+      nlist: Int = 16,
+      trainCap: Int = 100000): Unit = {
+    val version = Dml.currentVersion(storeDir)
+    saveIvfIndex(path, Dml.readVersion(spark, storeDir, version),
+      nlist, trainCap)
+    writeAnchor(spark, storeDir, path, version)
+  }
+
+  /** The anchor sidecar: (storeDir, version, data path, deletion-vector
+    * rows, append path) — the same composition fingerprint
+    * [[Mv.registerStore]] anchors summaries with, so refresh classifies
+    * the next commit without ever scanning data. */
+  private def writeAnchor(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, path: String, version: String): Unit = {
+    val dataPath = Dml.versionPath(storeDir, version)
+    val dvRows = Dml.sidecarRows(spark, storeDir, version, "_dv")
+    val appendP = Some(s"$storeDir/${version}_append")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse("")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "anchor"),
+      Seq(storeDir, version, dataPath, dvRows.toString, appendP)
+        .mkString("\n"))
+  }
+
+  /** Refresh a commit-anchored IVF index against its store's CURRENT
+    * version, classified by VERSION COMPOSITION (the
+    * [[Mv.registerStore]] refresh contract — sidecar commits rewrite
+    * sidecar files every time, so a raw file diff would rebuild
+    * forever):
+    *  - pointer unmoved, or moved with identical composition → "fresh"
+    *    (anchor advances, index untouched);
+    *  - data directory swapped (optimize/rewrite DML), deletion vector
+    *    grew (rows removed/updated — their assignments cannot be
+    *    un-folded and centroids trained on them may no longer cover the
+    *    space), or append-origin rows changed → "rebuilt": retrain +
+    *    full reassign through [[saveIvfIndexForStore]];
+    *  - PURE INSERT commit → "assigned": the SAVED quantizer (whose
+    *    centroids are the index's identity) assigns JUST the appended
+    *    rows and the codes append to the assigned corpus — O(new rows),
+    *    no retraining, the IVF invariant that keeps daily ingest cheap
+    *    at 100 TB (retraining is a multi-pass k-means scan of the
+    *    corpus; assignment is one map over the delta). The recall
+    *    contract is unchanged because the partition of the space — the
+    *    centroid set — is bit-identical; only cell occupancy grows. */
+  def refreshIvfIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nlist: Int = 16,
+      trainCap: Int = 100000): String = {
+    val a = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "anchor")).split("\n", -1)
+    val (storeDir, vOld, dataOld, dvOld, appOld) =
+      (a(0), a(1), a(2), a(3).toLong, a(4))
+    val cur = Dml.currentVersion(storeDir)
+    if (cur == vOld) return "fresh"
+    def rebuild(): String = {
+      saveIvfIndexForStore(spark, storeDir, path, nlist, trainCap)
+      "rebuilt"
+    }
+    if (Dml.versionPath(storeDir, cur) != dataOld ||
+        Dml.sidecarRows(spark, storeDir, cur, "_dv") != dvOld)
+      return rebuild()
+    // data + vector untouched: classify the append transition. Versions
+    // are immutable, so the anchored version's append dir still exists
+    // to diff against.
+    val curAppP = Some(s"$storeDir/${cur}_append")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val oldApp = Some(appOld).filter(_.nonEmpty).map(spark.read.parquet(_))
+    val newApp = curAppP.map(spark.read.parquet(_))
+    def anchorOnly(): String = {
+      writeAnchor(spark, storeDir, path, cur); "fresh"
+    }
+    (oldApp, newApp) match {
+      case (Some(o), None) =>
+        if (o.isEmpty) anchorOnly() else rebuild()
+      case (o, Some(n)) =>
+        val old = o.getOrElse(n.limit(0))
+        if (!old.exceptAll(n).isEmpty) rebuild() // append rows changed
+        else {
+          val delta = n.exceptAll(old)
+          if (delta.isEmpty) anchorOnly()
+          else {
+            // ASSIGN-ONLY: same prep shape as builtIvfIndex, the saved
+            // centroids assign just the delta, codes append in place
+            import org.apache.spark.ml.functions.array_to_vector
+            val model = org.apache.spark.ml.clustering.KMeansModel
+              .load(s"$path/model")
+            model.transform(delta
+                .select(col("vec_id").as("neighbor_id"),
+                  toDouble(col("embedding")).as("cv"))
+                .withColumn("features", array_to_vector(col("cv"))))
+              .drop("features")
+              .write.mode("append").parquet(s"$path/assigned")
+            writeAnchor(spark, storeDir, path, cur)
+            "assigned"
+          }
+        }
+      case (None, None) => anchorOnly()
+    }
+  }
+
   /** The query stage of [[ivfTopK]] against an already-built (or
     * [[loadIvfIndex]]-loaded) index. */
   /** The probe-selection stage shared by [[ivfQuery]] and [[ivfPqTopK]]:

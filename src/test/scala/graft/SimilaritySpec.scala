@@ -359,6 +359,75 @@ class SimilaritySpec extends SparkSpec {
     ManagedCache.releaseAll()
   }
 
+  test("commit-anchored IVF index: a pure-insert MoR commit refreshes " +
+    "ASSIGN-ONLY (identical centroids, no retrain) and equals a " +
+    "from-scratch assignment under the saved quantizer; an update " +
+    "commit (vector grew) rebuilds") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val root = Dml.work("ivf_store", sf)
+    Layouts.deleteDir(spark, root)
+    val storeDir = s"$root/store"
+    Dml.delete(emb, storeDir, lit(false)) // publish the committed table
+    val idx = s"$root/index"
+    Similarity.saveIvfIndexForStore(spark, storeDir, idx, nlist = 16)
+    // no commit → no work
+    assert(Similarity.refreshIvfIndexForStore(spark, idx, nlist = 16)
+      == "fresh")
+    def centroids() = org.apache.spark.ml.clustering.KMeansModel
+      .load(s"$idx/model").clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroidsBefore = centroids()
+    val buildsBefore = Similarity.ivfIndexBuilds
+    // PURE-INSERT merge-on-read commit: fresh ids, join keys that can
+    // never match a committed row — everything lands in the append
+    // sidecar, the data directory never changes
+    val cols = emb.columns.toSeq
+    val src = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("sk", -col("vec_id") - 1)
+    Dml.mergeOnRead(spark, storeDir, src,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> col("t.label")),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshIvfIndexForStore(spark, idx, nlist = 16)
+      == "assigned")
+    assert(Similarity.ivfIndexBuilds == buildsBefore,
+      "assign-only refresh must not retrain")
+    assert(centroids() == centroidsBefore,
+      "assign-only refresh must keep the quantizer bit-identical")
+    // exactness: the refreshed assigned corpus equals a from-scratch
+    // assignment of the CURRENT logical table under the saved model
+    ManagedCache.releaseAll()
+    val (model, assigned) = Similarity.loadIvfIndex(spark, idx)
+    val got = assigned.select("neighbor_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    import org.apache.spark.ml.functions.array_to_vector
+    val cur = Dml.readVersion(spark, storeDir, Dml.currentVersion(storeDir))
+    val want = model.transform(cur
+        .select(col("vec_id").as("neighbor_id"),
+          Similarity.toDouble(col("embedding")).as("cv"))
+        .withColumn("features", array_to_vector(col("cv"))))
+      .select("neighbor_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want && got.size > emb.count().toInt,
+      "refreshed index must cover base + appended rows exactly")
+    // and the loaded index serves queries over the refreshed corpus
+    val res = Similarity.ivfQuery(
+      emb.filter(col("vec_id") < 5), model, assigned, 5, nprobe = 4)
+    assert(res.count() > 0)
+    // an UPDATE commit grows the deletion vector → rebuild (retrain)
+    val upd = emb.filter(col("vec_id") === 3)
+      .withColumn("sk", col("vec_id"))
+    Dml.mergeOnRead(spark, storeDir, upd,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> (col("t.label") + lit(1))),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshIvfIndexForStore(spark, idx, nlist = 16)
+      == "rebuilt")
+    assert(Similarity.ivfIndexBuilds == buildsBefore + 1,
+      "a composition-breaking commit must retrain")
+    ManagedCache.releaseAll()
+  }
+
   test("semDedup pairs are an exact-cosine subset of brute force with " +
     "usable recall, and the keep-table resolves min-id per component") {
     val emb = Tables.t(spark, sf, "embeddings")
