@@ -959,6 +959,24 @@ class MvSpec extends SparkSpec {
     assert(!summaryScanned(looser),
       s"a looser range must decline:\n" +
         looser.queryExecution.optimizedPlan.toString)
+    // BETWEEN splits into (>= lo AND <= hi): the >= conjunct implies
+    // the defining predicate, the <= conjunct is an ordinary dim-only
+    // leftover — both residuals re-apply on the summary
+    def between() = spark.read.parquet(baseDir)
+      .filter(col("o_orderdate")
+        .between(lit(java.sql.Date.valueOf("1996-01-01")),
+          lit(java.sql.Date.valueOf("1996-06-30"))))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val ranged = between()
+    assert(summaryScanned(ranged),
+      s"a BETWEEN inside the defining range must serve:\n" +
+        ranged.queryExecution.optimizedPlan.toString)
+    val gotB = ranged.orderBy("o_orderpriority").collect().map(_.toSeq)
+    val wantB = Mv.withDisabled {
+      between().orderBy("o_orderpriority").collect().map(_.toSeq)
+    }
+    assert(gotB.toSeq == wantB.toSeq)
   }
 
   test("range implication declines when the residual references a " +
