@@ -367,13 +367,26 @@ object Mv {
         }
         case _ => Seq.empty
       }.toSet
+      // a defining `isnotnull(c)` conjunct that is IMPLIED by another
+      // recorded conjunct (c ∈ notNullable — a null-intolerant
+      // comparison already rejects null c) is REDUNDANT: it adds no
+      // rows to the summary, and requiring the query to restate it
+      // would spuriously decline null-intolerant query shapes the
+      // optimizer does not decorate with an inferred isnotnull (an
+      // IN-list filter, for one). An isnotnull over a column NOTHING
+      // else constrains (the user's own `WHERE c IS NOT NULL`) is
+      // load-bearing and stays.
+      val kept = parts.filterNot {
+        case IsNotNull(a: AttributeReference) => notNullable(a.name)
+        case _ => false
+      }
       // inequality conjuncts additionally record their parsed range so
       // the query side can satisfy them BY IMPLICATION (equality stays
       // exact-match-only: an implying equality is already an exact canon)
-      val ranges = parts.flatMap { p =>
+      val ranges = kept.flatMap { p =>
         rangeOf(p).filter(_._2 != "=").map(canon(p) -> _)
       }.toMap
-      (parts.map(canon).toSet, notNullable, ranges)
+      (kept.map(canon).toSet, notNullable, ranges)
     }
 
   /** Define + materialize a summary over `base` and register it for
@@ -871,29 +884,59 @@ object Mv {
       * excludes), and symmetrically for </<=; an equality `x = q`
       * implies any range containing q. */
     private def implies(
-        q: Expression, r: (String, String, Literal)): Boolean =
-      rangeOf(q).exists { case (qa, qop, ql) =>
-        qa == r._1 && ql.dataType == r._3.dataType && {
-          val cmp =
-            try org.apache.spark.sql.catalyst.util.TypeUtils
-              .getInterpretedOrdering(r._3.dataType)
-              .compare(ql.value, r._3.value)
-            catch { case _: Exception => return false } // non-orderable
-          (r._2, qop) match {
-            case (">", ">") => cmp >= 0
-            case (">", ">=") => cmp > 0
-            case (">", "=") => cmp > 0
-            case (">=", ">") => cmp >= 0
-            case (">=", ">=") => cmp >= 0
-            case (">=", "=") => cmp >= 0
-            case ("<", "<") => cmp <= 0
-            case ("<", "<=") => cmp < 0
-            case ("<", "=") => cmp < 0
-            case ("<=", "<") => cmp <= 0
-            case ("<=", "<=") => cmp <= 0
-            case ("<=", "=") => cmp <= 0
-            case _ => false
+        q: Expression, r: (String, String, Literal)): Boolean = q match {
+      // IN-list: every element inside the range ⇒ the whole disjunction
+      // is (the optimizer rewrites single-element IN to equality, which
+      // rangeOf below already covers; >10 elements become InSet)
+      case In(a: AttributeReference, es) if a.name == r._1 &&
+          es.forall(_.isInstanceOf[Literal]) =>
+        es.forall(e => implies(EqualTo(a, e.asInstanceOf[Literal]), r))
+      case InSet(a: AttributeReference, hset) if a.name == r._1 =>
+        hset.forall(v =>
+          v != null && pointImplies(v, a.dataType, r))
+      case _ =>
+        rangeOf(q).exists { case (qa, qop, ql) =>
+          qa == r._1 && ql.dataType == r._3.dataType && {
+            val cmp =
+              try org.apache.spark.sql.catalyst.util.TypeUtils
+                .getInterpretedOrdering(r._3.dataType)
+                .compare(ql.value, r._3.value)
+              catch { case _: Exception => return false } // non-orderable
+            (r._2, qop) match {
+              case (">", ">") => cmp >= 0
+              case (">", ">=") => cmp > 0
+              case (">", "=") => cmp > 0
+              case (">=", ">") => cmp >= 0
+              case (">=", ">=") => cmp >= 0
+              case (">=", "=") => cmp >= 0
+              case ("<", "<") => cmp <= 0
+              case ("<", "<=") => cmp < 0
+              case ("<", "=") => cmp < 0
+              case ("<=", "<") => cmp <= 0
+              case ("<=", "<=") => cmp <= 0
+              case ("<=", "=") => cmp <= 0
+              case _ => false
+            }
           }
+        }
+    }
+
+    /** Is the point `v` (a RAW value of `dt`, the InSet encoding) inside
+      * the MV range? The "=" rows of the implication table. */
+    private def pointImplies(
+        v: Any, dt: org.apache.spark.sql.types.DataType,
+        r: (String, String, Literal)): Boolean =
+      dt == r._3.dataType && {
+        val cmp =
+          try org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(dt).compare(v, r._3.value)
+          catch { case _: Exception => return false }
+        r._2 match {
+          case ">" => cmp > 0
+          case ">=" => cmp >= 0
+          case "<" => cmp < 0
+          case "<=" => cmp <= 0
+          case _ => false
         }
       }
 

@@ -977,6 +977,25 @@ class MvSpec extends SparkSpec {
       between().orderBy("o_orderpriority").collect().map(_.toSeq)
     }
     assert(gotB.toSeq == wantB.toSeq)
+    // IN-list: every element inside the defining range implies it (the
+    // IN stays a dim residual); one element OUTSIDE the range declines
+    def inList(dates: String*) = spark.read.parquet(baseDir)
+      .filter(col("o_orderdate").isin(
+        dates.map(java.sql.Date.valueOf): _*))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val inCovered = inList("1996-01-01", "1996-03-15")
+    assert(summaryScanned(inCovered),
+      s"an IN-list inside the range must serve:\n" +
+        inCovered.queryExecution.optimizedPlan.toString)
+    val gotI = inCovered.orderBy("o_orderpriority").collect().map(_.toSeq)
+    val wantI = Mv.withDisabled {
+      inList("1996-01-01", "1996-03-15")
+        .orderBy("o_orderpriority").collect().map(_.toSeq)
+    }
+    assert(gotI.toSeq == wantI.toSeq)
+    assert(!summaryScanned(inList("1996-01-01", "1994-03-15")),
+      "an IN-list with an element outside the range must decline")
   }
 
   test("range implication declines when the residual references a " +
