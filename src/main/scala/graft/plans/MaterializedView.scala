@@ -1096,51 +1096,99 @@ object Mv {
       * filters commute across the join and every output row carries a
       * real measure; a dim-preserved outer join emits null-measure
       * rows that count(*) counts but sum(mv_cnt) would skip).
-      * Aggregates over DIM columns decline (multiplicity-sensitive). */
+      * Aggregates over DIM columns decline (multiplicity-sensitive).
+      *
+      * MULTI-DIM stars/snowflakes (fact ⋈ d1 ⋈ d2 …) rewrite too: the
+      * group-multiplicity argument composes level-by-level — with every
+      * join condition over fact DIMS and every join fact-preserved, all
+      * rows of an MV group share one join fate through the WHOLE tree,
+      * so the uniform-multiplicity invariant holds at the top. [[spines]]
+      * enumerates the descents; [[rewriteJoin]] checks each level. */
+    /** Peel filters / pruning-or-alias Projects down to a Join node,
+      * collecting conjuncts and the alias substitution — the join-tree
+      * analog of [[unwrap]]. */
+    private def peelToJoin(p: LogicalPlan): Option[(Seq[Expression], Join,
+        Map[ExprId, Expression])] = p match {
+      case Filter(cond, c) =>
+        peelToJoin(c).map { case (fs, j, s) =>
+          (conjunctsOf(cond) ++ fs, j, s)
+        }
+      case Project(cols, c) if cols.forall {
+          case _: AttributeReference => true
+          case Alias(e, _) => e.deterministic &&
+            !e.exists(_.isInstanceOf[PlanExpression[_]])
+          case _ => false
+        } =>
+        peelToJoin(c).map { case (fs, j, s) =>
+          (fs, j, s ++ cols.collect { case al @ Alias(e, _) =>
+            al.exprId -> e
+          })
+        }
+      case j: Join => Some((Seq.empty, j, Map.empty))
+      case _ => None
+    }
+
+    /** One descent through a join tree to the single fact-scan leaf:
+      * the unwrapped fact side (below-the-joins conjuncts, leaf, alias
+      * substitution), the MID-LEVEL conjuncts peeled between joins on
+      * the way down, and the join spine BOTTOM-UP — (join, factLeft,
+      * the dim-side subtree kept as-is) per level. */
+    private final case class Spine(
+        leaf: LogicalRelation,
+        factConjs: Seq[Expression],
+        midConjs: Seq[Expression],
+        subst: Map[ExprId, Expression],
+        levels: Seq[(Join, Boolean, LogicalPlan)])
+
+    /** Lazily enumerate fact descents of a join tree — the MULTI-DIM
+      * star/snowflake generalization (fact ⋈ d1 ⋈ d2 …, the TPC-H Q5
+      * shape): at each level the fact may continue down either side
+      * (left tried first), every level's join type must PRESERVE the
+      * fact path (Inner; outer/semi/anti only driving from the fact
+      * side — a dim-preserved outer would null-extend measures), and
+      * the descent may pass through filters/Projects between joins
+      * (their conjuncts collect as mid-level conjuncts). Depth-capped:
+      * the search branches ≤2 per level, so the cap bounds pathological
+      * plans without ever declining a realistic star. */
+    private def spines(j: Join, depth: Int = 8): Iterator[Spine] =
+      if (depth <= 0) Iterator.empty
+      else Seq(true, false).iterator.flatMap { factLeft =>
+        val (factPlan, dimPlan) =
+          if (factLeft) (j.left, j.right) else (j.right, j.left)
+        val typeOk = j.joinType match {
+          case Inner => true
+          case LeftOuter | LeftSemi | LeftAnti => factLeft
+          case RightOuter => !factLeft
+          case _ => false
+        }
+        if (!typeOk) Iterator.empty
+        else {
+          val level = (j, factLeft, dimPlan)
+          val direct = unwrap(factPlan).iterator.map {
+            case (fc, leaf, fs) => Spine(leaf, fc, Seq.empty, fs, Seq(level))
+          }
+          val nested = peelToJoin(factPlan).iterator
+            .flatMap { case (between, innerJ, betweenSubst) =>
+              spines(innerJ, depth - 1).map(sp => sp.copy(
+                midConjs = sp.midConjs ++ between,
+                subst = sp.subst ++ betweenSubst,
+                levels = sp.levels :+ level))
+            }
+          direct ++ nested
+        }
+      }
+
     private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
       // the join path keeps declining GLOBAL aggregates: the zero-row
       // count corner (see tryRewrite) would additionally interact with
       // join-emptiness, and the single-relation path already covers the
       // global-rollup value; decline-on-doubt
       if (agg.groupingExpressions.isEmpty) return None
-      def peel(p: LogicalPlan): Option[(Seq[Expression], Join,
-          Map[ExprId, Expression])] = p match {
-        case Filter(cond, c) =>
-          peel(c).map { case (fs, j, s) =>
-            (conjunctsOf(cond) ++ fs, j, s)
-          }
-        case Project(cols, c) if cols.forall {
-            case _: AttributeReference => true
-            case Alias(e, _) => e.deterministic &&
-              !e.exists(_.isInstanceOf[PlanExpression[_]])
-            case _ => false
-          } =>
-          peel(c).map { case (fs, j, s) =>
-            (fs, j, s ++ cols.collect { case al @ Alias(e, _) =>
-              al.exprId -> e
-            })
-          }
-        case j: Join => Some((Seq.empty, j, Map.empty))
-        case _ => None
-      }
-      peel(agg.child).flatMap { case (topConjs, join, topSubst) =>
-        Seq(true, false).iterator.flatMap { factLeft =>
-          val (factPlan, dimPlan) =
-            if (factLeft) (join.left, join.right)
-            else (join.right, join.left)
-          val typeOk = join.joinType match {
-            case Inner => true
-            case LeftOuter | LeftSemi | LeftAnti => factLeft
-            case RightOuter => !factLeft
-            case _ => false
-          }
-          if (!typeOk) Iterator.empty
-          else unwrap(factPlan).iterator.flatMap {
-            case (factConjs, leaf, factSubst) =>
-              candidatesFor(rootsOf(leaf)).iterator.flatMap { mv =>
-                rewriteJoin(agg, topConjs, join, factLeft, factConjs,
-                  leaf, dimPlan, topSubst ++ factSubst, mv).iterator
-              }
+      peelToJoin(agg.child).flatMap { case (topConjs, join, topSubst) =>
+        spines(join).flatMap { sp =>
+          candidatesFor(rootsOf(sp.leaf)).iterator.flatMap { mv =>
+            rewriteJoin(agg, topConjs, sp, topSubst ++ sp.subst, mv)
+              .iterator
           }
         }.nextOption()
       }
@@ -1149,28 +1197,36 @@ object Mv {
     private def rewriteJoin(
         agg: Aggregate,
         topConjsRaw: Seq[Expression],
-        join: Join,
-        factLeft: Boolean,
-        factConjsRaw: Seq[Expression],
-        leaf: LogicalRelation,
-        dimPlan: LogicalPlan,
+        spine: Spine,
         subst: Map[ExprId, Expression],
         mv0: MvDef): Option[Aggregate] = {
+      val leaf = spine.leaf
       // freshness with optional auto-refresh, as in rewriteSingle
       val mv = freshDef(leaf, mv0).getOrElse(return None)
-      val factConjs = factConjsRaw.map(inlineSubst(_, subst))
-      val topConjs = topConjsRaw.map(inlineSubst(_, subst))
+      val factConjs = spine.factConjs.map(inlineSubst(_, subst))
+      // mid-level conjuncts (filters BETWEEN joins on the fact path) and
+      // top conjuncts share one fate: checked like top filters and
+      // re-applied ABOVE the rebuilt spine. Sound because every spine
+      // level PRESERVES the fact-path subtree (spines() enforces it):
+      // a conjunct's references come from the subtree below its
+      // original level, higher fact-preserved joins never null-extend
+      // or drop those columns (semi/anti keep exactly the fact-path
+      // side; inner/outer only add columns), and filters on a
+      // preserved side commute upward across all four join types.
+      val upperConjs =
+        (spine.midConjs ++ topConjsRaw).map(inlineSubst(_, subst))
       val grouping = agg.groupingExpressions.map(inlineSubst(_, subst))
-      // the join condition must be inlined BEFORE the dims guard: a
+      // every join condition must be inlined BEFORE the dims guard: a
       // fact-side Project alias used as a join key is not in factIds, so
-      // the un-inlined condition would pass factRefsAreDims as "dim-side"
+      // an un-inlined condition would pass factRefsAreDims as "dim-side"
       // while the rewrite drops its defining Project — a dangling
       // reference that crashes at physical binding, and a hole that let
       // non-dim fact refs hide behind the alias. Inlining resolves the
       // alias to its defining expression over the leaf, so the guard
-      // sees the real fact references and the rewritten Join (built from
-      // this inlined form below) carries no orphaned exprIds.
-      val joinCond = join.condition.map(inlineSubst(_, subst))
+      // sees the real fact references and the rebuilt Joins (built from
+      // these inlined forms below) carry no orphaned exprIds.
+      val levelConds = spine.levels.map(l =>
+        l._1.condition.map(inlineSubst(_, subst)))
       val factIds = leaf.output.map(_.exprId).toSet
       def isFact(a: Attribute): Boolean = factIds(a.exprId)
       def factRefsAreDims(e: Expression): Boolean = {
@@ -1178,26 +1234,27 @@ object Mv {
         e.references.forall(a =>
           !isFact(a) || byId.get(a.exprId).exists(mv.dims))
       }
-      // the MV predicate may sit below the join (pushed) or above it
+      // the MV predicate may sit below the joins (pushed) or above them
       // (fact-preserved joins commute fact filters) — consume jointly,
       // then split survivors back to their origin by reference identity.
       // Only FACT-referencing conjuncts may satisfy/consume the
       // predicate: a dim-side name collision must neither cover it nor
       // vanish from the plan (see consumePredicate's scaladoc)
       for {
-        leftover <- consumePredicate(factConjs ++ topConjs, mv,
+        leftover <- consumePredicate(factConjs ++ upperConjs, mv,
           eligible = e => e.references.nonEmpty &&
             e.references.forall(isFact))
         factLeft0 = leftover.filter(c => factConjs.exists(_ eq c))
         topLeft0 = leftover.filterNot(c => factConjs.exists(_ eq c))
-        // fact-side filters: dim-only; top filters: fact refs must be
+        // fact-side filters: dim-only; upper filters: fact refs must be
         // dims, dim-side refs pass through untouched
         if factLeft0.forall(f => okFilter(f) && f.references.forall(a =>
           leaf.output.exists(o => o.exprId == a.exprId && mv.dims(o.name))))
         if topLeft0.forall(f => okFilter(f) && factRefsAreDims(f))
-        // join condition: deterministic, no subquery, fact refs ⊆ dims
-        // (checked on the INLINED condition — see joinCond above)
-        if joinCond.forall(c => okFilter(c) && factRefsAreDims(c))
+        // every join condition: deterministic, no subquery, fact refs ⊆
+        // dims (checked on the INLINED conditions — see levelConds)
+        if levelConds.forall(_.forall(c =>
+          okFilter(c) && factRefsAreDims(c)))
         rewritten <- {
           val rel = mv.mvRelation.newInstance()
           val mvAttr = rel.output.map(a => a.name -> a).toMap
@@ -1231,13 +1288,19 @@ object Mv {
               val newFact =
                 if (factLeft0.isEmpty) rel
                 else Filter(mapFact(factLeft0.reduce(And)), rel)
-              val newJoin = Join(
-                if (factLeft) newFact else dimPlan,
-                if (factLeft) dimPlan else newFact,
-                join.joinType, joinCond.map(mapFact), join.hint)
+              // rebuild the spine bottom-up: the fact path swaps to the
+              // summary, every dim subtree and join type/hint stays
+              val rebuilt = spine.levels.zip(levelConds)
+                .foldLeft(newFact: LogicalPlan) {
+                  case (cur, ((j, factLeft, dimPlan), cond)) =>
+                    Join(
+                      if (factLeft) cur else dimPlan,
+                      if (factLeft) dimPlan else cur,
+                      j.joinType, cond.map(mapFact), j.hint)
+                }
               val newChild =
-                if (topLeft0.isEmpty) newJoin
-                else Filter(mapFact(topLeft0.reduce(And)), newJoin)
+                if (topLeft0.isEmpty) rebuilt
+                else Filter(mapFact(topLeft0.reduce(And)), rebuilt)
               val newGrouping = grouping.map(mapFact)
               Some(Aggregate(newGrouping, newRes.map(_.get), newChild))
             }
@@ -1849,6 +1912,43 @@ object MvQueries {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY 1""".stripMargin.replace('\n', ' '))),
 
+    // MULTI-DIM STAR REWRITE — the TPC-H Q5 dashboard shape:
+    // fact ⋈ supplier ⋈ nation GROUP BY n_name. The summary is keyed by
+    // the fact join key (l_suppkey) only; the rewrite swaps the fact
+    // side and keeps BOTH dim joins live, so the nation name and the
+    // dim-side filter resolve through the joins while the 6·10^5-row
+    // fact scan disappears. The group-multiplicity soundness argument
+    // composes level-by-level (see tryRewriteJoin). Hash-gated against
+    // the same two-join aggregate on base tables; the builder REQUIREs
+    // the summary scan so a silent decline can never pass green.
+    Q("q74_mv_star_2dim",
+      (s, d) => {
+        val df = starQuery(s, d)
+        require(scanRootsOf(df).exists(_.contains("q65_mv")),
+          "q74: the 2-dim star rollup must read the summary:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT n_name, count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_regionkey < 3
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')),
+      bench = true,
+      explainOverride = Some((s, d) => {
+        val on = starQuery(s, d).queryExecution.optimizedPlan.toString
+        val off = Mv.withDisabled {
+          starQuery(s, d).queryExecution.optimizedPlan.toString
+        }
+        "== Optimized plan, 2-dim star MV rewrite ON (fact side = " +
+          "lineitem_by_supp, both dim joins live) ==\n" + on +
+          "\n== Optimized plan, rewrite OFF (fact side = base lineitem) " +
+          "==\n" + off
+      })),
+
     // PARTIAL-MV RANGE IMPLICATION: the summary holds only
     // `o_orderdate >= 1995-01-01` rows; the query filters on the
     // STRICTLY TIGHTER `>= 1996-01-01`. Exact conjunct match fails, but
@@ -1965,6 +2065,24 @@ object MvQueries {
         s"q68 fixture: expected a strict append fold, got $delta/$total")
       Mv.byName("lineitem_store").get.mvPath
     }
+
+  /** q74's two-dim star: lineitem ⋈ supplier ⋈ nation with the grouping
+    * and filter both two joins away from the fact — the summary keyed by
+    * l_suppkey swaps in at the bottom of the spine. */
+  private[graft] def starQuery(s: SparkSession, d: String): DataFrame = {
+    ensureJoinMv(s, d)
+    Tables.t(s, d, "lineitem")
+      .join(Tables.t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(s, d, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey") < 3)
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
 
   /** q65's star-join rollup: groups by a DIM-side attribute, filters on
     * a DIM-side column, joins on the MV's FK dimension — the summary

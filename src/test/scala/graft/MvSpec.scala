@@ -1064,6 +1064,36 @@ class MvSpec extends SparkSpec {
     assert(hidden.collect().nonEmpty) // and it executes on the base
   }
 
+  test("MULTI-DIM star: fact ⋈ supplier ⋈ nation rewrites through the " +
+    "join spine (summary at the bottom, both dim joins live) and " +
+    "matches the base answer; a spine condition on a non-dim fact " +
+    "column declines") {
+    val on = MvQueries.starQuery(spark, sf)
+    assert(scanRoots(on).exists(_.contains("q65_mv")) && !baseScanned(on),
+      s"the 2-dim star must swap the fact scan:\n" +
+        on.queryExecution.optimizedPlan.toString)
+    val got = on.orderBy("n_name").collect().map(_.toSeq)
+    val want = Mv.withDisabled {
+      val off = MvQueries.starQuery(spark, sf)
+      assert(baseScanned(off), "control arm must scan the base")
+      off.orderBy("n_name").collect().map(_.toSeq)
+    }
+    assert(got.toSeq == want.toSeq,
+      "the spine rewrite must be row-invisible")
+    // decline: the BOTTOM join keys on a non-dim fact column while the
+    // upper level is clean — the per-level condition guard must catch it
+    val bad = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "supplier"),
+        col("l_partkey") === col("s_suppkey")) // l_partkey not a dim
+      .join(Tables.t(spark, sf, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+    assert(!scanRoots(bad).exists(_.contains("q65_mv")) &&
+      baseScanned(bad),
+      s"a non-dim bottom join key must decline:\n" +
+        bad.queryExecution.optimizedPlan.toString)
+  }
+
   test("spark.graft.mv.autoRefresh self-heals a stale summary at the " +
     "first probe with ONE incremental fold; without the flag the same " +
     "probe declines toward the base") {
