@@ -477,9 +477,16 @@ class ExecutionContext(
     val fact = spark.table(table)
     val factCols = fact.columns.toSet
     // a WHERE predicate that fails to parse surfaces the splitter's
-    // known limitation instead of a bare parser error
+    // known limitation instead of a bare parser error. expr() wraps the
+    // text LAZILY (a SqlExpression node — see parsedRefs above), so the
+    // parse must run eagerly here for the curated diagnostic to fire;
+    // the returned Column stays the expr() form the registration path
+    // resolves.
     val where = whereText.map { w =>
-      try expr(w)
+      try {
+        spark.sessionState.sqlParser.parseExpression(w)
+        expr(w)
+      }
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"CREATE MATERIALIZED VIEW $name: WHERE predicate '$w' failed " +

@@ -1008,7 +1008,16 @@ object Similarity {
           if (delta.isEmpty) anchorOnly()
           else {
             // ASSIGN-ONLY: same prep shape as builtIvfIndex, the saved
-            // centroids assign just the delta, codes append in place
+            // centroids assign just the delta, codes append in place.
+            // CRASH SAFETY: the append and the anchor write are two
+            // non-atomic effects — a refresh that died between them
+            // leaves the delta committed under a stale anchor, so the
+            // NEXT refresh recomputes the same delta; the anti-join by
+            // neighbor_id (unique per corpus row) drops already-assigned
+            // rows before appending, so a replayed delta appends nothing
+            // and duplicate rows can never occupy top-k slots. Cost: one
+            // id-projected scan of the assigned corpus per refresh —
+            // still O(delta + index ids), never a corpus rewrite.
             import org.apache.spark.ml.functions.array_to_vector
             val model = org.apache.spark.ml.clustering.KMeansModel
               .load(s"$path/model")
@@ -1017,6 +1026,9 @@ object Similarity {
                   toDouble(col("embedding")).as("cv"))
                 .withColumn("features", array_to_vector(col("cv"))))
               .drop("features")
+              .join(spark.read.parquet(s"$path/assigned")
+                  .select("neighbor_id"),
+                Seq("neighbor_id"), "left_anti")
               .write.mode("append").parquet(s"$path/assigned")
             writeAnchor(spark, storeDir, path, cur)
             "assigned"

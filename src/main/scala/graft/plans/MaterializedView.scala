@@ -598,10 +598,18 @@ object Mv {
     val deltaAgg = deltaDf.groupBy(d.dimCols.map(deltaRaw(_)): _*)
       .agg(d.aggCols.head, d.aggCols.tail: _*)
     val (newPath, newRel, newRows) = foldDelta(spark, d, deltaAgg)
-    registry.put(d.name, d.copy(
+    // replace, not put: a definition dropped since this refresh began
+    // must never be resurrected by the final registry write (drop and
+    // refresh serialize on the shared monitor, so this is defense in
+    // depth for any future unsynchronized entry point)
+    val prev = registry.replace(d.name, d.copy(
       baseMeta = nowMeta, baseFilesFp = fingerprint(nowMeta),
       mvPath = newPath, mvRows = newRows,
       epoch = d.epoch + 1, mvRelation = newRel))
+    if (prev == null) {
+      Layouts.deleteDir(spark, newPath)
+      return (0, nowMeta.size)
+    }
     gcEpochs(spark, newPath, keep = Set(newPath, d.mvPath))
     (delta.size, nowMeta.size)
   }
@@ -702,7 +710,9 @@ object Mv {
         val deltaAgg = deltaF.groupBy(d.dimCols.map(delta(_)): _*)
           .agg(d.aggCols.head, d.aggCols.tail: _*)
         val (newPath, newRel, newRows) = foldDelta(spark, d, deltaAgg)
-        registry.put(d.name, d.copy(
+        // replace, not put — never resurrect a dropped name (see
+        // refreshFiles)
+        val prev = registry.replace(d.name, d.copy(
           // sidecars now exist: raw data-dir scans are no longer the
           // logical table, so the serve anchor flips to the sentinel
           baseRoots = Set(s"graft-store:$dir"),
@@ -711,6 +721,10 @@ object Mv {
           epoch = d.epoch + 1, mvRelation = newRel,
           storeState = Some(StoreState(
             dir, cur, curData, curDvRows, curAppendP))))
+        if (prev == null) {
+          Layouts.deleteDir(spark, newPath)
+          return (0, totalRows)
+        }
         gcEpochs(spark, newPath, keep = Set(newPath, d.mvPath))
         (deltaRows.toInt, totalRows)
       case (None, None) =>
@@ -726,7 +740,8 @@ object Mv {
       spark: SparkSession, d: MvDef, cur: String, curData: String,
       curDvRows: Long, curAppendP: Option[String],
       totalRows: Int): (Int, Int) = {
-    registry.put(d.name, d.copy(storeState = Some(StoreState(
+    // replace, not put — never resurrect a dropped name (see refreshFiles)
+    registry.replace(d.name, d.copy(storeState = Some(StoreState(
       d.storeState.get.storeDir, cur, curData, curDvRows, curAppendP))))
     (0, totalRows)
   }
@@ -746,14 +761,20 @@ object Mv {
   /** Unregister `name` and delete its materialization — INCLUDING every
     * superseded `_rN` epoch sibling, which the live-path-only delete
     * used to leak. Returns false when no such MV exists (the IF EXISTS
-    * contract). */
-  def drop(spark: SparkSession, name: String): Boolean =
+    * contract). Synchronized on the same monitor as register/refreshOne:
+    * an unsynchronized drop during an in-flight refresh would let the
+    * refresh's final registry.put resurrect the dropped definition, and
+    * this gcEpochs(keep = empty) could delete epochs the fold is still
+    * reading — serializing makes drop-then-refresh fail loudly on the
+    * byName re-read and refresh-then-drop delete only settled state. */
+  def drop(spark: SparkSession, name: String): Boolean = synchronized {
     Option(registry.remove(name)) match {
       case Some(d) =>
         gcEpochs(spark, d.mvPath, keep = Set.empty)
         true
       case None => false
     }
+  }
 
   /** Delete superseded epoch directories of `anyEpochPath`'s family
     * (`<base>`, `<base>_r1`, `<base>_r2`, …) except `keep`. Refresh
@@ -763,11 +784,21 @@ object Mv {
     * frequently refreshed MV holds at most two summary copies instead
     * of one per refresh. drop() passes an empty keep: everything goes.
     * Canonical-path comparison, name-anchored match — a sibling MV
-    * whose directory name merely shares a prefix is untouched. */
+    * whose directory name merely shares a prefix is untouched. The
+    * name-anchored family match alone cannot distinguish an UNRELATED
+    * registered MV whose directory literally reads `<thisMvDir>_r<n>`
+    * (SQL MVs named `rev` and `rev_r2` both land under sqlDmlDir as
+    * `mv_rev`/`mv_rev_r2`) from this MV's own superseded epochs, so
+    * every OTHER definition's live mvPath is excluded explicitly —
+    * ownership by registry scan, not by name inference. */
   private def gcEpochs(
       spark: SparkSession, anyEpochPath: String, keep: Set[String]): Unit = {
     val base = new java.io.File(anyEpochPath.replaceAll("_r\\d+$", ""))
-    val keepCanon = keep.map(p => new java.io.File(p).getCanonicalPath)
+    import scala.jdk.CollectionConverters._
+    val live = registry.values.asScala
+      .map(d => new java.io.File(d.mvPath).getCanonicalPath).toSet
+    val keepCanon =
+      keep.map(p => new java.io.File(p).getCanonicalPath) ++ live
     val dir = base.getCanonicalFile.getParentFile
     if (dir != null && dir.isDirectory) {
       val fam = java.util.regex.Pattern.quote(base.getName) + "(_r\\d+)?"
@@ -1179,11 +1210,16 @@ object Mv {
       }
 
     private def tryRewriteJoin(agg: Aggregate): Option[Aggregate] = {
-      // the join path keeps declining GLOBAL aggregates: the zero-row
-      // count corner (see tryRewrite) would additionally interact with
-      // join-emptiness, and the single-relation path already covers the
-      // global-rollup value; decline-on-doubt
-      if (agg.groupingExpressions.isEmpty) return None
+      // GLOBAL aggregates rewrite through the join path too — the
+      // dashboard tile `SELECT count(*) FROM fact JOIN dim WHERE …`.
+      // The zero-row corner composes with join-emptiness exactly as in
+      // the single-relation case: with every spine level fact-preserved
+      // the rewritten join replicates whole summary rows, an EMPTY join
+      // result (fact rows exist but every one filtered dim-side) makes
+      // sum(mv_cnt) NULL, and the Translator's grouping-empty count
+      // coalesce returns the 0 the base plan's count over the same
+      // empty join produces; sum/min/max are NULL over empty input on
+      // both sides.
       peelToJoin(agg.child).flatMap { case (topConjs, join, topSubst) =>
         spines(join).flatMap { sp =>
           candidatesFor(rootsOf(sp.leaf)).iterator.flatMap { mv =>
@@ -1336,10 +1372,41 @@ object Mv {
           // join-multiplicity-sensitive — both decline by exprId here
           if (!ae.references.forall(isFact(_))) None
           else rollup(ae)
-        // an aggregate the case above did NOT take (FILTER clause,
-        // DISTINCT, unregistered function) must STOP here — the generic
-        // recursion below would rebuild it over MV rows and silently
-        // answer from the wrong grain
+        // DISTINCT aggregates over DIMS fold exactly — the summary
+        // keeps ONE row per full dim tuple, and every rewritten query
+        // groups by (expressions over) dims, so each output group is a
+        // union of whole MV groups whose dim-tuple SET the summary
+        // preserves verbatim: the distinct value set of any expression
+        // over dims is identical on both sides, and count(DISTINCT …)
+        // recomputed over summary rows is the base answer (join path
+        // included: group-uniform multiplicity replicates whole summary
+        // rows, and DISTINCT collapses replication; non-fact references
+        // pass through like every dim-side column). count(DISTINCT x)
+        // over the empty global group is 0 on both sides — no coalesce
+        // corner. Count only: its value depends on nothing but the
+        // distinct set; other distinct aggregates stay declined
+        // (decline-on-doubt — sum(DISTINCT) would fold too, but no
+        // caller shape needs it yet).
+        case ae: AggregateExpression
+            if ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction.isInstanceOf[Count] &&
+              ae.aggregateFunction.children.nonEmpty &&
+              ae.aggregateFunction.children.forall(ch =>
+                ch.deterministic &&
+                  !ch.exists(_.isInstanceOf[PlanExpression[_]]) &&
+                  ch.references.forall(a =>
+                    !isFact(a) || factDim.contains(a.exprId))) &&
+              // at least one reference must exist: count(DISTINCT <lit>)
+              // is degenerate and Spark folds it anyway; requiring refs
+              // keeps this arm off constant shapes
+              ae.references.nonEmpty =>
+          Some(AggregateExpression(
+            Count(ae.aggregateFunction.children.map(mapFact)),
+            Complete, isDistinct = true))
+        // an aggregate the cases above did NOT take (FILTER clause,
+        // non-dim DISTINCT, unregistered function) must STOP here — the
+        // generic recursion below would rebuild it over MV rows and
+        // silently answer from the wrong grain
         case _: AggregateExpression => None
         // an expression that IS one of the grouping expressions (a bare
         // grouped dim, or f(dim) in the time-grain-rollup case) maps
@@ -1979,7 +2046,61 @@ object MvQueries {
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS total FROM orders
              |WHERE o_orderdate >= DATE '1996-01-01'
-             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // COUNT(DISTINCT dim) THROUGH THE MV — the most common dashboard
+    // aggregate the rule previously declined: the summary keeps ONE row
+    // per (l_returnflag, l_linestatus) tuple, so the distinct set of
+    // l_linestatus within any l_returnflag group is preserved verbatim
+    // and count(DISTINCT l_linestatus) recomputed over summary rows IS
+    // the base answer — an exact fold, not an estimate (contrast q64's
+    // sketch path). The builder REQUIREs the summary scan so a silent
+    // decline can never pass green; the oracle is the same aggregate on
+    // the base table.
+    Q("q75_mv_count_distinct_dim",
+      (s, d) => {
+        ensureMv(s, d)
+        val df = Tables.t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("l_linestatus")).as("n_status"))
+        require(scanRootsOf(df).exists(_.contains("q61_mv")),
+          "q75: the dim-distinct rollup must read the summary:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |count(DISTINCT l_linestatus) AS n_status
+             |FROM lineitem GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // GLOBAL AGGREGATE THROUGH THE STAR-JOIN PATH — the dashboard tile
+    // `SELECT count(*), sum(rev) FROM fact JOIN dim WHERE dim.attr …`
+    // with NO GROUP BY: the summary keyed by the join FK swaps in for
+    // the fact scan, the dim filter stays a live join-side filter, and
+    // the single-group rollup folds sum(mv_cnt)/sum(mv_rev) over the
+    // joined summary rows. The zero-row corner (every summary row
+    // filtered out dim-side) is pinned by MvSpec on both arms. The
+    // builder REQUIREs the summary scan; the oracle is the same global
+    // join-aggregate on base tables.
+    Q("q76_mv_global_join",
+      (s, d) => {
+        ensureJoinMv(s, d)
+        val df = Tables.t(s, d, "lineitem")
+          .join(Tables.t(s, d, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(col("s_nationkey") < 10)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("rev"))
+        require(scanRootsOf(df).exists(_.contains("q65_mv")),
+          "q76: the global join rollup must read the summary:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT count(*) AS n,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_nationkey < 10""".stripMargin.replace('\n', ' ')))
   )
 
   /** Optimized-plan scan roots of `df` — the builder-side REQUIRE probe

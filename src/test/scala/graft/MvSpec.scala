@@ -61,16 +61,23 @@ class MvSpec extends SparkSpec {
   }
 
   test("unsound shapes DECLINE: a non-dim filter, a non-registered " +
-    "measure, a DISTINCT aggregate, and an avg each fall back to the base " +
-    "scan (wrong rewrites fail toward no-rewrite)") {
+    "measure, a NON-DIM DISTINCT aggregate, and an avg each fall back to " +
+    "the base scan (wrong rewrites fail toward no-rewrite)") {
     MvQueries.ensureMv(spark, sf)
     val li = Tables.t(spark, sf, "lineitem")
     val nonDimFilter = li.filter(col("l_quantity") > 10)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     val nonMeasure = li.groupBy("l_returnflag")
       .agg(sum(col("l_tax").cast("decimal(18,2)")).as("t"))
+    // distinct over a NON-dim column: the summary collapsed l_quantity's
+    // value set per group, so the fold is impossible (the DIM-distinct
+    // fold has its own test below)
     val distinctAgg = li.groupBy("l_returnflag")
-      .agg(countDistinct(col("l_linestatus")).as("d"))
+      .agg(countDistinct(col("l_quantity")).as("d"))
+    // sum(DISTINCT dim) would fold exactly too, but stays declined
+    // (Count-only arm — decline-on-doubt for everything else)
+    val sumDistinct = li.groupBy("l_returnflag")
+      .agg(sum_distinct(col("l_quantity").cast("decimal(18,2)")).as("sd"))
     val avgAgg = li.groupBy("l_returnflag")
       .agg(avg(col("l_quantity")).as("a"))
     // a dim-only filter CARRYING A SCALAR SUBQUERY: even though its
@@ -84,13 +91,89 @@ class MvSpec extends SparkSpec {
         |GROUP BY l_returnflag""".stripMargin)
     for ((df, label) <- Seq(
         (nonDimFilter, "non-dim filter"), (nonMeasure, "non-measure"),
-        (distinctAgg, "distinct"), (avgAgg, "avg"),
-        (subqFilter, "scalar-subquery filter")))
+        (distinctAgg, "non-dim distinct"), (sumDistinct, "sum distinct"),
+        (avgAgg, "avg"), (subqFilter, "scalar-subquery filter")))
       assert(baseScanned(df) && !mvScanned(df),
         s"$label must decline the rewrite:\n" +
           df.queryExecution.optimizedPlan.toString)
     // and they still answer correctly off the base
     assert(nonDimFilter.collect().nonEmpty && avgAgg.collect().nonEmpty)
+  }
+
+  test("count(DISTINCT dim) FOLDS through the summary — grouped, global, " +
+    "over an expression of the dim, and through the star-join path — " +
+    "row-identical to the base plan; the non-dim form declines") {
+    MvQueries.ensureMv(spark, sf)
+    MvQueries.ensureJoinMv(spark, sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    def check(on: org.apache.spark.sql.DataFrame,
+        build: => org.apache.spark.sql.DataFrame, label: String): Unit = {
+      assert(!baseScanned(on),
+        s"$label must rewrite:\n${on.queryExecution.optimizedPlan}")
+      val got = on.collect().map(_.toSeq).toSet
+      val want = Mv.withDisabled { build.collect().map(_.toSeq).toSet }
+      assert(got == want, s"$label must be row-invisible: $got vs $want")
+    }
+    // grouped: distinct statuses per flag, beside a plain measure
+    def grouped = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_linestatus")).as("d"))
+    check(grouped, grouped, "grouped dim-distinct")
+    // global: one row, count(DISTINCT dim) over the whole summary
+    def global = li.agg(countDistinct(col("l_returnflag")).as("d"))
+    check(global, global, "global dim-distinct")
+    // an EXPRESSION over dims: the distinct image of f over the
+    // preserved dim set is preserved too
+    def exprForm = li.groupBy("l_returnflag")
+      .agg(countDistinct(concat(col("l_linestatus"), lit("_x"))).as("d"))
+    check(exprForm, exprForm, "dim-expression distinct")
+    // star-join path: count(DISTINCT fact dim) through fact ⋈ dim —
+    // group-uniform multiplicity replicates summary rows, DISTINCT
+    // collapses the replication
+    def joined = li
+      .join(Tables.t(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(countDistinct(col("l_suppkey")).as("d"))
+    val j = joined
+    assert(scanRoots(j).exists(_.contains("q65_mv")),
+      s"join dim-distinct must rewrite:\n${j.queryExecution.optimizedPlan}")
+    check(j, joined, "join dim-distinct")
+    // multi-child: count(DISTINCT dim1, dim2) folds the tuple set
+    def pair = li.agg(
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("d"))
+    check(pair, pair, "dim-pair distinct")
+  }
+
+  test("a GLOBAL aggregate rewrites through the STAR-JOIN path, and the " +
+    "empty-join corner (every summary row filtered out dim-side) returns " +
+    "count 0 / sum NULL on both arms") {
+    MvQueries.ensureJoinMv(spark, sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    val su = Tables.t(spark, sf, "supplier")
+    def probe(natMax: Int) = li
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") < natMax)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val on = probe(10)
+    assert(scanRoots(on).exists(_.contains("q65_mv")) && !baseScanned(on),
+      s"global join rollup must rewrite:\n${on.queryExecution.optimizedPlan}")
+    val got = on.collect().head
+    val want = Mv.withDisabled { probe(10).collect().head }
+    assert(got.toSeq == want.toSeq,
+      s"global join rollup must be row-invisible: $got vs $want")
+    // zero-row arm: a dim filter no supplier satisfies empties the join —
+    // count must be 0 (not NULL) and sum NULL on BOTH arms
+    val onEmpty = probe(-1)
+    assert(scanRoots(onEmpty).exists(_.contains("q65_mv")),
+      s"empty-corner probe must rewrite:\n" +
+        onEmpty.queryExecution.optimizedPlan.toString)
+    val gotE = onEmpty.collect().head
+    val wantE = Mv.withDisabled { probe(-1).collect().head }
+    assert(gotE.getLong(0) == 0L && gotE.isNullAt(1),
+      s"empty join must read count 0 / sum NULL, got $gotE")
+    assert(gotE.toSeq == wantE.toSeq, s"empty corner: $gotE vs $wantE")
   }
 
   test("freshness guard: a base table that gained files since " +
