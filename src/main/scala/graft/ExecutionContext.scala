@@ -127,12 +127,12 @@ class ExecutionContext(
     val stmt = ExecutionContext.normalizeDialect(
       ExecutionContext.firstStatement(sql), dialect)
     stmt match {
-      case ExecutionContext.CreateMvRe(name, selectList, tbl, joinTbl,
-          joinOn, whereText, groupList) =>
+      case ExecutionContext.CreateMvRe(name, selectList, tbl, joinChain,
+          whereText, groupList) =>
         sqlCreateMv(ExecutionContext.unquote(name),
           selectList, ExecutionContext.unquote(tbl),
-          Option(joinTbl).map(ExecutionContext.unquote),
-          Option(joinOn).map(_.trim).filter(_.nonEmpty),
+          ExecutionContext.splitJoinChain(Option(joinChain).getOrElse(""))
+            .map { case (t, on) => (ExecutionContext.unquote(t), on) },
           Option(whereText).map(_.trim).filter(_.nonEmpty), groupList)
       case ExecutionContext.RefreshMvRe(name) =>
         val (delta, total) =
@@ -435,30 +435,33 @@ class ExecutionContext(
   }
 
   /** CREATE MATERIALIZED VIEW <n> AS SELECT … FROM <t>
-    * [JOIN <dim> ON <cond>] [WHERE <pred>] GROUP BY <dims> — register +
-    * materialize the rollup summary through [[Mv.register]]; every
-    * subsequent matching aggregate over <t> (through this context or
-    * plain DataFrame code — the rule is session-global) transparently
-    * reads the summary. A WHERE clause defines a PARTIAL summary: only
-    * predicate rows are aggregated and a query rewrites only when its
-    * own filters restate (or range-imply) the predicate. The JOIN form
-    * declares a STAR summary: registration stores the FACT-side spec —
-    * the summary is keyed by the fact-side join keys plus any fact-side
-    * GROUP BY columns — so the optimizer's star-join rewrite serves
-    * `fact ⋈ dim GROUP BY dim.attr` aggregates from it while the dim
-    * side stays a live join (measures must aggregate fact columns only;
-    * a WHERE must be fact-side). The SELECT list may restate the GROUP
-    * BY dims and join keys (conventional SQL); they are the summary's
-    * key columns, so bare identifiers are skipped and everything else
-    * must be an aliased sum/count/min/max measure ([[Mv.register]]
-    * rejects the rest loudly). */
+    * [JOIN <dim1> ON <cond1> [JOIN <dim2> ON <cond2> …]] [WHERE <pred>]
+    * GROUP BY <dims> — register + materialize the rollup summary through
+    * [[Mv.register]]; every subsequent matching aggregate over <t>
+    * (through this context or plain DataFrame code — the rule is
+    * session-global) transparently reads the summary. A WHERE clause
+    * defines a PARTIAL summary: only predicate rows are aggregated and a
+    * query rewrites only when its own filters restate (or range-imply)
+    * the predicate. The JOIN form declares a STAR summary — a CHAIN of
+    * joins declares the SNOWFLAKE form (fact ⋈ d1 ⋈ d2 …, the TPC-H Q5
+    * spine the optimizer's multi-dim join rewrite serves): registration
+    * stores the FACT-side spec — the summary is keyed by the fact-side
+    * join keys of every level plus any fact-side GROUP BY columns — and
+    * the dim side stays a live join at query time, so second-level join
+    * keys (dim ⋈ dim, no fact column at all) only need to resolve
+    * against the tables in scope. Measures must aggregate fact columns
+    * only; a WHERE must be fact-side. The SELECT list may restate the
+    * GROUP BY dims and join keys (conventional SQL); they are the
+    * summary's key columns, so bare identifiers are skipped and
+    * everything else must be an aliased sum/count/min/max measure
+    * ([[Mv.register]] rejects the rest loudly). */
   private def sqlCreateMv(
       name: String, selectList: String,
-      table: String, joinTable: Option[String], joinOn: Option[String],
+      table: String, joins: Seq[(String, String)],
       whereText: Option[String],
       groupList: String): DataFrame = {
     requireTable(table)
-    joinTable.foreach(requireTable)
+    joins.foreach { case (t, _) => requireTable(t) }
     def stripQual(s0: String): String =
       ExecutionContext.unquote(s0.split('.').last.trim)
     // column references of a statement fragment, parsed via the session
@@ -497,43 +500,63 @@ class ExecutionContext(
             s"not supported by this statement form: ${e.getMessage}")
       }
     }
-    // the STAR form registers the FACT-side spec: dims = fact-side join
-    // keys (from ON) + fact-side GROUP BY columns; dim-side GROUP BY
-    // columns are served by the live join at query time and only need
-    // to exist on the dim table. dimSkip is what the SELECT list may
-    // restate without being a measure.
-    val (dims, dimSkip) = joinTable match {
-      case None => (groupCols, groupCols.toSet)
-      case Some(dimT) =>
-        val onText = joinOn.getOrElse(throw new IllegalArgumentException(
-          s"CREATE MATERIALIZED VIEW $name: JOIN requires an ON clause"))
-        val onRefs = parsedRefs(onText).map(stripQual)
-        val dimCols = spark.table(dimT).columns.toSet
-        onRefs.foreach(r => require(factCols.contains(r) ^ dimCols(r),
-          s"CREATE MATERIALIZED VIEW $name: join key '$r' must belong " +
-            s"to exactly one of $table/$dimT"))
-        val factKeys = onRefs.filter(factCols)
+    // the STAR/SNOWFLAKE form registers the FACT-side spec: dims =
+    // fact-side join keys across ALL levels + fact-side GROUP BY
+    // columns; dim-side GROUP BY columns are served by the live joins
+    // at query time and only need to exist on a table in scope. dimSkip
+    // is what the SELECT list may restate without being a measure.
+    val (dims, dimSkip) =
+      if (joins.isEmpty) (groupCols, groupCols.toSet)
+      else {
+        // each level resolves against the tables in scope so far (fact
+        // + earlier dims + this level's dim) — a snowflake level's keys
+        // may be entirely dim-side (supplier ⋈ nation), but every
+        // reference must still belong to exactly ONE scoped table, or
+        // the rebuilt join would be ambiguous
+        var scope = Seq(table -> factCols)
+        var factKeys = Seq.empty[String]
+        var allOnRefs = Seq.empty[String]
+        joins.foreach { case (dimT, onText) =>
+          require(onText.nonEmpty, s"CREATE MATERIALIZED VIEW $name: " +
+            s"JOIN $dimT requires an ON clause")
+          val dimCols = spark.table(dimT).columns.toSet
+          val inScope = scope :+ (dimT -> dimCols)
+          val onRefs = parsedRefs(onText).map(stripQual)
+          onRefs.foreach { r =>
+            val owners = inScope.filter(_._2.contains(r)).map(_._1)
+            require(owners.size == 1,
+              s"CREATE MATERIALIZED VIEW $name: join key '$r' must " +
+                s"belong to exactly one of ${inScope.map(_._1)
+                  .mkString("/")}" +
+                (if (owners.isEmpty) " — it is on none of them"
+                 else s" — it is on ${owners.mkString(" and ")}"))
+          }
+          factKeys ++= onRefs.filter(factCols)
+          allOnRefs ++= onRefs
+          scope = inScope
+        }
         require(factKeys.nonEmpty,
-          s"CREATE MATERIALIZED VIEW $name: the ON clause references no " +
+          s"CREATE MATERIALIZED VIEW $name: no ON clause references a " +
             s"$table column — nothing keys the fact-side summary")
-        groupCols.filterNot(factCols).foreach(c => require(dimCols(c),
-          s"CREATE MATERIALIZED VIEW $name: GROUP BY column '$c' is on " +
-            s"neither $table nor $dimT"))
+        groupCols.filterNot(factCols).foreach(c =>
+          require(scope.exists(_._2.contains(c)),
+            s"CREATE MATERIALIZED VIEW $name: GROUP BY column '$c' is " +
+              s"on none of ${scope.map(_._1).mkString("/")}"))
         whereText.foreach(w => parsedRefs(w).map(stripQual).foreach(r =>
           require(factCols.contains(r),
             s"CREATE MATERIALIZED VIEW $name: a WHERE over the star form " +
               s"may reference only fact-side columns; '$r' is not a " +
               s"column of $table")))
         ((groupCols.filter(factCols) ++ factKeys).distinct,
-          (groupCols ++ onRefs).toSet)
-    }
+          (groupCols ++ allOnRefs).toSet)
+      }
     val aggItems = ExecutionContext.splitList(selectList)
       .map(_.trim).filter(_.nonEmpty)
       .filterNot(item => dimSkip(stripQual(item)))
     require(aggItems.nonEmpty,
       s"CREATE MATERIALIZED VIEW $name: no measures in the SELECT list " +
         "(everything was a GROUP BY dimension)")
-    if (joinTable.isDefined)
+    if (joins.nonEmpty)
       aggItems.foreach(a => parsedRefs(a).map(stripQual).foreach(r =>
         require(factCols.contains(r),
           s"CREATE MATERIALIZED VIEW $name: measure reference '$r' is " +
@@ -949,15 +972,17 @@ object ExecutionContext {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w\s,.]+?)(?:\s+(CASCADE))?\s*$""".r
 
   // CREATE MATERIALIZED VIEW <n> AS SELECT <list> FROM <t>
-  // [JOIN <dim> ON <cond>] [WHERE <pred>] GROUP BY <cols> — the
+  // [JOIN <dim> ON <cond>]* [WHERE <pred>] GROUP BY <cols> — the
   // restricted rollup-summary form [[Mv.register]] accepts (bare dim
   // identifiers + sum/count/min/max measures); the optional WHERE
   // defines a PARTIAL summary (only predicate rows are aggregated;
   // queries rewrite only when they restate or imply the predicate). The
-  // optional JOIN declares the STAR form: the summary registers over
-  // the FACT table <t> keyed by the fact-side join keys plus any
-  // fact-side GROUP BY columns, so the star-join rewrite serves
-  // fact ⋈ dim aggregates from it (the dim side stays a live join).
+  // optional JOINs declare the STAR form — a CHAIN of them the
+  // SNOWFLAKE form: the summary registers over the FACT table <t> keyed
+  // by the fact-side join keys of every level plus any fact-side GROUP
+  // BY columns, so the (multi-dim) star-join rewrite serves
+  // fact ⋈ d1 ⋈ d2 … aggregates from it (every dim side stays a live
+  // join; the chain is captured whole and split by splitJoinChain).
   // REFRESH folds the base's appended files in, DROP unregisters. Spark
   // has no native MATERIALIZED VIEW statement, so these route BEFORE
   // the spark.sql fallback (which would throw PARSE_SYNTAX_ERROR).
@@ -970,9 +995,24 @@ object ExecutionContext {
   private[graft] val CreateMvRe =
     (s"""(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s+AS\\s+""" +
       s"""SELECT\\s+(.+?)\\s+FROM\\s+($Ident)""" +
-      s"""(?:\\s+JOIN\\s+($Ident)\\s+ON\\s+(.+?))?""" +
+      s"""((?:\\s+JOIN\\s+$Ident\\s+ON\\s+.+?)*)""" +
       s"""(?:\\s+WHERE\\s+(.+))?\\s+GROUP\\s+BY\\s+""" +
       s"""([`"\\w\\s,.]+?)\\s*$$""").r
+
+  /** Split CreateMvRe's captured JOIN-chain text into (dim table, ON
+    * condition) pairs. Token-anchored on ` JOIN <ident> ON `: an ON
+    * condition whose own text reads like that token sequence (inside a
+    * string literal) would mis-split — the same documented splitter
+    * limitation as the WHERE/GROUP BY anchor, and sqlCreateMv's eager
+    * per-condition parse keeps the failure loud rather than silent. */
+  private[graft] def splitJoinChain(chain: String): Seq[(String, String)] = {
+    val joinTok = s"""(?is)\\s+JOIN\\s+($Ident)\\s+ON\\s+""".r
+    val ms = joinTok.findAllMatchIn(chain).toSeq
+    ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.length) ms(i + 1).start else chain.length
+      (m.group(1), chain.substring(m.end, end).trim)
+    }
+  }
   private[graft] val RefreshMvRe =
     s"""(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s*$$""".r
   private[graft] val DropMvRe =

@@ -733,6 +733,18 @@ object Similarity {
       (n + targetCell - 1) / targetCell))).toInt
   }
 
+  /** Deterministic hash-thresholded training sample of ~trainCap rows
+    * (`xxhash64(id) mod M < frac·M`) — content-deterministic, unlike
+    * df.sample whose output depends on partition layout; the same ids
+    * train the same model on any cluster shape. `n` is the caller's
+    * already-paid count of `c`. Shared by every quantizer trainer. */
+  private def trainSample(c: DataFrame, n: Long, trainCap: Int): DataFrame =
+    if (n <= trainCap) c
+    else {
+      val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
+      c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L)) < thresh)
+    }
+
   /** Train-or-reuse the session-cached IVF index for `corpus`. */
   private def builtIvfIndex(
       corpus: DataFrame,
@@ -757,13 +769,7 @@ object Similarity {
         // count() is one pass over the just-cached frame, paid once per
         // built index — it sizes the deterministic training sample
         val n = c.count()
-        val train =
-          if (n <= trainCap) c
-          else {
-            val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
-            c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
-              < thresh)
-          }
+        val train = trainSample(c, n, trainCap)
         val m = new KMeans()
           .setK(nlist).setSeed(42).setMaxIter(5)
           .setFeaturesCol("features").setPredictionCol("list_id")
@@ -969,24 +975,38 @@ object Similarity {
     *    corpus; assignment is one map over the delta). The recall
     *    contract is unchanged because the partition of the space — the
     *    centroid set — is bit-identical; only cell occupancy grows. */
-  def refreshIvfIndexForStore(
+  /** The shared commit classifier behind every anchored index refresh
+    * (IVF / PQ / IVF-PQ): read the anchor, compare the store's CURRENT
+    * version composition, and route —
+    *  - pointer unmoved, or moved with identical composition → "fresh";
+    *  - data dir swapped / vector grew / append-origin rows changed →
+    *    `rebuild(storeDir)` (which must re-write the anchor) → "rebuilt";
+    *  - PURE INSERT → `applyDelta(storeDir, delta)` with the appended-row
+    *    multiset delta, anchor advanced here → `deltaLabel`.
+    * CRASH SAFETY contract for applyDelta: the delta append and the
+    * anchor write are two non-atomic effects — a refresh that died
+    * between them leaves the delta committed under a stale anchor, and
+    * the NEXT refresh recomputes the SAME delta; every applyDelta must
+    * therefore dedup against the on-disk index by neighbor_id (unique
+    * per corpus row) before appending, so a replayed delta appends
+    * nothing and duplicates can never occupy top-k slots. Cost: one
+    * id-projected index scan per refresh — never a corpus rewrite. */
+  private def refreshAnchoredIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      nlist: Int = 16,
-      trainCap: Int = 100000): String = {
+      deltaLabel: String,
+      rebuild: String => Unit,
+      applyDelta: (String, DataFrame) => Unit): String = {
     val a = java.nio.file.Files
       .readString(java.nio.file.Paths.get(path, "anchor")).split("\n", -1)
     val (storeDir, vOld, dataOld, dvOld, appOld) =
       (a(0), a(1), a(2), a(3).toLong, a(4))
     val cur = Dml.currentVersion(storeDir)
     if (cur == vOld) return "fresh"
-    def rebuild(): String = {
-      saveIvfIndexForStore(spark, storeDir, path, nlist, trainCap)
-      "rebuilt"
-    }
+    def rebuilt(): String = { rebuild(storeDir); "rebuilt" }
     if (Dml.versionPath(storeDir, cur) != dataOld ||
         Dml.sidecarRows(spark, storeDir, cur, "_dv") != dvOld)
-      return rebuild()
+      return rebuilt()
     // data + vector untouched: classify the append transition. Versions
     // are immutable, so the anchored version's append dir still exists
     // to diff against.
@@ -999,43 +1019,225 @@ object Similarity {
     }
     (oldApp, newApp) match {
       case (Some(o), None) =>
-        if (o.isEmpty) anchorOnly() else rebuild()
+        if (o.isEmpty) anchorOnly() else rebuilt()
       case (o, Some(n)) =>
         val old = o.getOrElse(n.limit(0))
-        if (!old.exceptAll(n).isEmpty) rebuild() // append rows changed
+        if (!old.exceptAll(n).isEmpty) rebuilt() // append rows changed
         else {
           val delta = n.exceptAll(old)
           if (delta.isEmpty) anchorOnly()
           else {
-            // ASSIGN-ONLY: same prep shape as builtIvfIndex, the saved
-            // centroids assign just the delta, codes append in place.
-            // CRASH SAFETY: the append and the anchor write are two
-            // non-atomic effects — a refresh that died between them
-            // leaves the delta committed under a stale anchor, so the
-            // NEXT refresh recomputes the same delta; the anti-join by
-            // neighbor_id (unique per corpus row) drops already-assigned
-            // rows before appending, so a replayed delta appends nothing
-            // and duplicate rows can never occupy top-k slots. Cost: one
-            // id-projected scan of the assigned corpus per refresh —
-            // still O(delta + index ids), never a corpus rewrite.
-            import org.apache.spark.ml.functions.array_to_vector
-            val model = org.apache.spark.ml.clustering.KMeansModel
-              .load(s"$path/model")
-            model.transform(delta
-                .select(col("vec_id").as("neighbor_id"),
-                  toDouble(col("embedding")).as("cv"))
-                .withColumn("features", array_to_vector(col("cv"))))
-              .drop("features")
-              .join(spark.read.parquet(s"$path/assigned")
-                  .select("neighbor_id"),
-                Seq("neighbor_id"), "left_anti")
-              .write.mode("append").parquet(s"$path/assigned")
+            applyDelta(storeDir, delta)
             writeAnchor(spark, storeDir, path, cur)
-            "assigned"
+            deltaLabel
           }
         }
       case (None, None) => anchorOnly()
     }
+  }
+
+  def refreshIvfIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nlist: Int = 16,
+      trainCap: Int = 100000): String =
+    refreshAnchoredIndex(spark, path, deltaLabel = "assigned",
+      rebuild = storeDir =>
+        saveIvfIndexForStore(spark, storeDir, path, nlist, trainCap),
+      applyDelta = (_, delta) => {
+        // ASSIGN-ONLY: same prep shape as builtIvfIndex, the saved
+        // centroids assign just the delta — O(new rows), no retraining,
+        // partition of the space bit-identical; the anti-join is the
+        // classifier's replayed-delta dedup contract
+        import org.apache.spark.ml.functions.array_to_vector
+        val model = org.apache.spark.ml.clustering.KMeansModel
+          .load(s"$path/model")
+        model.transform(delta
+            .select(col("vec_id").as("neighbor_id"),
+              toDouble(col("embedding")).as("cv"))
+            .withColumn("features", array_to_vector(col("cv"))))
+          .drop("features")
+          .join(spark.read.parquet(s"$path/assigned")
+              .select("neighbor_id"),
+            Seq("neighbor_id"), "left_anti")
+          .write.mode("append").parquet(s"$path/assigned")
+      })
+
+  /** Build + save a commit-anchored PQ index over a versioned-store
+    * table at its CURRENT version: the m per-subspace codebook MODELS
+    * (MLlib writer artifacts — the index's identity, loaded back for
+    * encode-only refresh), the encoded corpus as (neighbor_id, codes
+    * array<tinyint>), and the anchor sidecar. The PQ analog of
+    * [[saveIvfIndexForStore]]. */
+  def savePqIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      path: String,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): Unit = {
+    require(ksub > 1 && ksub <= 127, s"ksub=$ksub must fit a tinyint code")
+    val version = Dml.currentVersion(storeDir)
+    val corpus = Dml.readVersion(spark, storeDir, version)
+    val c = ManagedCache.persist(Dedup.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"),
+        toDouble(col("embedding")).as("cv")))
+    val dim = c.select(size(col("cv"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val models =
+      trainPqModels(trainSample(c, c.count(), trainCap), dsub, m, ksub)
+    models.zipWithIndex.foreach { case (mod, j) =>
+      mod.write.overwrite().save(s"$path/sub_$j")
+    }
+    encodePqCodes(models, c, dsub)
+      .select(col("neighbor_id"), packCodes(m).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    writeAnchor(spark, storeDir, path, version)
+  }
+
+  /** The saved sub-models of a PQ index at `path`, ordered by subspace. */
+  private def loadPqModels(
+      path: String): Seq[org.apache.spark.ml.clustering.KMeansModel] = {
+    val m = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.matches("sub_\\d+"))
+    require(m > 0, s"no PQ sub-models under $path")
+    (0 until m).map(j =>
+      org.apache.spark.ml.clustering.KMeansModel.load(s"$path/sub_$j"))
+  }
+
+  /** Refresh a commit-anchored PQ index — [[refreshIvfIndexForStore]]'s
+    * contract with ENCODE-ONLY as the pure-insert path: the SAVED
+    * codebooks (bit-identical on disk — the cells of the product space
+    * never move) encode just the appended rows and the codes append to
+    * the index, O(new rows); anything composition-breaking retrains via
+    * [[savePqIndexForStore]]. Returns "fresh" / "encoded" / "rebuilt". */
+  def refreshPqIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): String =
+    refreshAnchoredIndex(spark, path, deltaLabel = "encoded",
+      rebuild = storeDir =>
+        savePqIndexForStore(spark, storeDir, path, m, ksub, trainCap),
+      applyDelta = (_, delta) => {
+        val models = loadPqModels(path)
+        val c = delta.select(col("vec_id").as("neighbor_id"),
+          toDouble(col("embedding")).as("cv"))
+        val dim = c.select(size(col("cv"))).first().getInt(0)
+        encodePqCodes(models, c, dim / models.size)
+          .select(col("neighbor_id"), packCodes(models.size).as("codes"))
+          .join(spark.read.parquet(s"$path/codes").select("neighbor_id"),
+            Seq("neighbor_id"), "left_anti")
+          .write.mode("append").parquet(s"$path/codes")
+      })
+
+  /** Query a SAVED PQ index ([[savePqIndexForStore]]) without touching
+    * the corpus: reconstruct from codes-at-rest through the loaded
+    * codebooks and rank — the serving path of the anchored lifecycle. */
+  def pqIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      path: String,
+      k: Int): DataFrame = {
+    val codebooks = loadPqModels(path)
+      .map(_.clusterCenters.map(_.toArray)).toArray
+    pqAdcTopK(queries, spark.read.parquet(s"$path/codes"), codebooks, k)
+  }
+
+  /** Build + save a commit-anchored IVF+PQ index: coarse quantizer at
+    * `coarse/`, the m sub-codebook models, the index table as
+    * (list_id, neighbor_id, codes) — cells AND codes assigned in one
+    * scan — and the anchor. The FAISS-IVFADC composition under the same
+    * lifecycle as the other two. */
+  def saveIvfPqIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      path: String,
+      nlist: Int = 16,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(ksub > 1 && ksub <= 127, s"ksub=$ksub must fit a tinyint code")
+    val version = Dml.currentVersion(storeDir)
+    val corpus = Dml.readVersion(spark, storeDir, version)
+    val c = ManagedCache.persist(Dedup.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"),
+        toDouble(col("embedding")).as("cv")))
+    val dim = c.select(size(col("cv"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val train = trainSample(c, c.count(), trainCap)
+    val coarse = new KMeans()
+      .setK(nlist).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(train.withColumn("features", array_to_vector(col("cv"))))
+    coarse.write.overwrite().save(s"$path/coarse")
+    val models = trainPqModels(train, dsub, m, ksub)
+    models.zipWithIndex.foreach { case (mod, j) =>
+      mod.write.overwrite().save(s"$path/sub_$j")
+    }
+    encodePqCodes(models,
+      coarse.transform(
+        c.withColumn("features", array_to_vector(col("cv"))))
+        .drop("features"),
+      dsub)
+      .select(col("list_id"), col("neighbor_id"), packCodes(m).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/index")
+    writeAnchor(spark, storeDir, path, version)
+  }
+
+  /** Refresh a commit-anchored IVF+PQ index: pure insert → ASSIGN +
+    * ENCODE only (saved coarse centroids pick the cell, saved codebooks
+    * the codes — both bit-identical on disk), everything else rebuilds.
+    * Returns "fresh" / "encoded" / "rebuilt". */
+  def refreshIvfPqIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nlist: Int = 16,
+      m: Int = 32,
+      ksub: Int = 64,
+      trainCap: Int = 100000): String =
+    refreshAnchoredIndex(spark, path, deltaLabel = "encoded",
+      rebuild = storeDir => saveIvfPqIndexForStore(
+        spark, storeDir, path, nlist, m, ksub, trainCap),
+      applyDelta = (_, delta) => {
+        import org.apache.spark.ml.functions.array_to_vector
+        val coarse = org.apache.spark.ml.clustering.KMeansModel
+          .load(s"$path/coarse")
+        val models = loadPqModels(path)
+        val c = delta.select(col("vec_id").as("neighbor_id"),
+          toDouble(col("embedding")).as("cv"))
+        val dim = c.select(size(col("cv"))).first().getInt(0)
+        encodePqCodes(models,
+          coarse.transform(
+            c.withColumn("features", array_to_vector(col("cv"))))
+            .drop("features"),
+          dim / models.size)
+          .select(col("list_id"), col("neighbor_id"),
+            packCodes(models.size).as("codes"))
+          .join(spark.read.parquet(s"$path/index").select("neighbor_id"),
+            Seq("neighbor_id"), "left_anti")
+          .write.mode("append").parquet(s"$path/index")
+      })
+
+  /** Query a SAVED IVF+PQ index: probe cells through the loaded coarse
+    * quantizer, reconstruct candidates from codes-at-rest, rank. */
+  def ivfPqIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      path: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val coarse = org.apache.spark.ml.clustering.KMeansModel
+      .load(s"$path/coarse")
+    val codebooks = loadPqModels(path)
+      .map(_.clusterCenters.map(_.toArray)).toArray
+    ivfPqAdcTopK(queries, coarse, codebooks,
+      spark.read.parquet(s"$path/index"), k, nprobe)
   }
 
   /** The query stage of [[ivfTopK]] against an already-built (or
@@ -1119,13 +1321,46 @@ object Similarity {
     * the corpus is assigned in ONE scan producing the m-byte codes
     * column. dim must divide evenly by m (fail loudly — silent ragged
     * subspaces would corrupt every code). */
+  /** Fit the m per-subspace codebook models on `train` (must carry cv of
+    * length dsub·m); each model predicts into `__pqc<j>`, the column
+    * names [[encodePqCodes]] and the codes packer agree on. */
+  private def trainPqModels(
+      train: DataFrame, dsub: Int, m: Int, ksub: Int)
+      : Seq[org.apache.spark.ml.clustering.KMeansModel] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    (0 until m).map { j =>
+      new KMeans()
+        .setK(ksub).setSeed(42 + j).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol(s"__pqc$j")
+        .fit(train.withColumn("features",
+          array_to_vector(slice(col("cv"), j * dsub + 1, dsub))))
+    }
+  }
+
+  /** Chain the m sub-code transforms LAZILY over `c` (must carry cv) —
+    * the corpus is encoded in ONE scan producing the m `__pqc<j>`
+    * columns. */
+  private def encodePqCodes(
+      models: Seq[org.apache.spark.ml.clustering.KMeansModel],
+      c: DataFrame, dsub: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    models.zipWithIndex.foldLeft(c) { case (enc, (model, j)) =>
+      model.transform(enc.withColumn("features",
+        array_to_vector(slice(col("cv"), j * dsub + 1, dsub))))
+        .drop("features")
+    }
+  }
+
+  /** The m-byte codes column from the `__pqc<j>` predictions. */
+  private def packCodes(m: Int) =
+    array((0 until m).map(j => col(s"__pqc$j").cast("byte")): _*)
+
   private def builtPqIndex(
       corpus: DataFrame,
       m: Int,
       ksub: Int,
       trainCap: Int): (Array[Array[Array[Double]]], DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(ksub > 1 && ksub <= 127, s"ksub=$ksub must fit a tinyint code")
     val spark = corpus.sparkSession
     val cacheKey = (System.identityHashCode(spark),
@@ -1142,29 +1377,12 @@ object Similarity {
         require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
         val dsub = dim / m
         val n = c.count()
-        val train =
-          if (n <= trainCap) c
-          else {
-            val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
-            c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
-              < thresh)
-          }
-        var enc = c
-        val codebooks = (0 until m).map { j =>
-          val fcol = array_to_vector(
-            slice(col("cv"), j * dsub + 1, dsub))
-          val model = new KMeans()
-            .setK(ksub).setSeed(42 + j).setMaxIter(10)
-            .setFeaturesCol("features").setPredictionCol(s"__pqc$j")
-            .fit(train.withColumn("features", fcol))
-          enc = model.transform(enc.withColumn("features", fcol))
-            .drop("features")
-          model.clusterCenters.map(_.toArray)
-        }.toArray
-        val codes = array((0 until m)
-          .map(j => col(s"__pqc$j").cast("byte")): _*)
+        val models = trainPqModels(trainSample(c, n, trainCap), dsub, m, ksub)
+        val codebooks =
+          models.map(_.clusterCenters.map(_.toArray)).toArray
         (codebooks, ManagedCache.persist(
-          enc.select(col("neighbor_id"), codes.as("codes"))))
+          encodePqCodes(models, c, dsub)
+            .select(col("neighbor_id"), packCodes(m).as("codes"))))
       })
       while (pqIndexes.size > ivfIndexCacheMax) pqIndexes -= pqIndexes.head._1
       (entry._1, ManagedCache.persist(entry._2))
@@ -1189,6 +1407,18 @@ object Similarity {
       ksub: Int = 64,
       trainCap: Int = 100000): DataFrame = {
     val (codebooks, encoded) = builtPqIndex(corpus, m, ksub, trainCap)
+    pqAdcTopK(queries, encoded, codebooks, k)
+  }
+
+  /** The asymmetric-scoring stage shared by [[pqTopK]] and the saved-
+    * index serving path [[pqIndexTopK]]: reconstruct each corpus row
+    * from its codes through the broadcast codebook literal, cosine
+    * against the full-precision queries, partial k-heap rank. */
+  private def pqAdcTopK(
+      queries: DataFrame,
+      encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
     val cbLit = typedlit(
       codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val q = queries.select(col("vec_id").as("query_id"),
@@ -1247,35 +1477,22 @@ object Similarity {
         require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
         val dsub = dim / m
         val n = c.count()
-        val train =
-          if (n <= trainCap) c
-          else {
-            val thresh = (trainCap.toDouble / n * 1000000L).toLong.max(1L)
-            c.filter(pmod(xxhash64(col("neighbor_id")), lit(1000000L))
-              < thresh)
-          }
+        val train = trainSample(c, n, trainCap)
         val coarse = new KMeans()
           .setK(nlist).setSeed(42).setMaxIter(5)
           .setFeaturesCol("features").setPredictionCol("list_id")
           .fit(train.withColumn("features", array_to_vector(col("cv"))))
-        var enc = coarse
-          .transform(c.withColumn("features", array_to_vector(col("cv"))))
-          .drop("features")
-        val codebooks = (0 until m).map { j =>
-          val fcol = array_to_vector(slice(col("cv"), j * dsub + 1, dsub))
-          val model = new KMeans()
-            .setK(ksub).setSeed(42 + j).setMaxIter(10)
-            .setFeaturesCol("features").setPredictionCol(s"__pqc$j")
-            .fit(train.withColumn("features", fcol))
-          enc = model.transform(enc.withColumn("features", fcol))
-            .drop("features")
-          model.clusterCenters.map(_.toArray)
-        }.toArray
-        val codes = array((0 until m)
-          .map(j => col(s"__pqc$j").cast("byte")): _*)
+        val models = trainPqModels(train, dsub, m, ksub)
+        val codebooks =
+          models.map(_.clusterCenters.map(_.toArray)).toArray
+        val enc = encodePqCodes(models,
+          coarse.transform(
+            c.withColumn("features", array_to_vector(col("cv"))))
+            .drop("features"),
+          dsub)
         (coarse, codebooks, ManagedCache.persist(
           enc.select(col("list_id"), col("neighbor_id"),
-            codes.as("codes"))))
+            packCodes(m).as("codes"))))
       })
       while (ivfPqIndexes.size > ivfIndexCacheMax)
         ivfPqIndexes -= ivfPqIndexes.head._1
@@ -1304,6 +1521,18 @@ object Similarity {
       trainCap: Int = 100000): DataFrame = {
     val (coarse, codebooks, index) =
       builtIvfPqIndex(corpus, nlist, m, ksub, trainCap)
+    ivfPqAdcTopK(queries, coarse, codebooks, index, k, nprobe)
+  }
+
+  /** The probe + asymmetric-scoring stage shared by [[ivfPqTopK]] and
+    * the saved-index serving path [[ivfPqIndexTopK]]. */
+  private def ivfPqAdcTopK(
+      queries: DataFrame,
+      coarse: org.apache.spark.ml.clustering.KMeansModel,
+      codebooks: Array[Array[Array[Double]]],
+      index: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
     val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val qProbes = probeCells(queries, coarse, nprobe)
     val scored = index

@@ -809,6 +809,124 @@ object Mv {
     }
   }
 
+  /** What [[adviseFor]] returns: the summary definition that WOULD
+    * serve a declined aggregate — registrable verbatim via [[register]]
+    * (dims, aliased measure expressions) — plus the reason nothing
+    * registered covers it today. `predicate` renders the query's
+    * filters for the partial-summary alternative: the advice lists
+    * filter columns as DIMS (a dim serves ANY literal in that filter
+    * position), but when a filter column's cardinality makes a dim
+    * untenable, registering `where = predicate` pins this exact query
+    * instead. */
+  final case class MvAdvice(
+      dims: Seq[String],
+      measures: Seq[String],
+      predicate: Option[String],
+      reason: String)
+
+  /** WORKLOAD-DRIVEN MV ADVICE — the inverse of the rewrite's declines:
+    * for an aggregate the rule does NOT serve, name the summary
+    * (dims/measures/predicate) that would. The registry knows every
+    * decline reason; this surfaces the "create this MV" loop every
+    * production engine ships (the SQL Server DTA / BigQuery recommender
+    * shape, reduced to this rule's rollup kernel). Returns None when
+    * the plan ALREADY reads a registered summary (nothing to advise) or
+    * the shape is out of the rewrite's reach entirely (no aggregate, a
+    * join tree, FILTER-clause or non-decomposable measures — no summary
+    * this rule could use exists, so advising one would mislead).
+    * Best-effort and read-only: never runs a job, never registers. */
+  def adviseFor(df: DataFrame): Option[MvAdvice] = {
+    import scala.jdk.CollectionConverters._
+    val plan = df.queryExecution.optimizedPlan
+    val mvRootSets =
+      registry.values.asScala.map(d => rootsOf(d.mvRelation)).toSet
+    val leafRels = plan.collectLeaves()
+      .collect { case l: LogicalRelation => l }
+    if (leafRels.exists(l => mvRootSets.contains(rootsOf(l)))) return None
+    val agg = plan.collectFirst { case a: Aggregate => a }
+      .getOrElse(return None)
+    def peel(p: LogicalPlan, fs: Seq[Expression])
+        : Option[(Seq[Expression], LogicalRelation)] = p match {
+      case Filter(c, ch) => peel(ch, fs ++ conjunctsOf(c))
+      case Project(cols, ch)
+          if cols.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(ch, fs)
+      case l: LogicalRelation => Some((fs, l))
+      case _ => None
+    }
+    val (filters, leaf) = peel(agg.child, Nil).getOrElse(return None)
+    // dims: every column the grouping or a filter references — a dim
+    // serves any grouping expression over it and any filter literal
+    val dimNames = (agg.groupingExpressions ++ filters)
+      .flatMap(_.references.map(_.name)).distinct
+    val aes = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aes.isEmpty) return None
+    var distinctDims = Seq.empty[String]
+    // (structural key, rendered text) per advised measure — LinkedHashSet
+    // keeps declaration order and drops duplicates (two avgs over one
+    // child advise the pair once)
+    val measures =
+      scala.collection.mutable.LinkedHashSet[(String, String)]()
+    aes.foreach { ae =>
+      if (ae.filter.nonEmpty) return None // FILTER-clause: unregistrable
+      val af = ae.aggregateFunction
+      if (ae.isDistinct) af match {
+        // count(DISTINCT x) folds when x is a dim — advise the dim
+        case c: Count =>
+          distinctDims ++= c.children.flatMap(_.references.map(_.name))
+        case _ => return None
+      } else af match {
+        case _: Sum | _: Count | _: Min | _: Max =>
+          measures += structKey(af) -> canon(af)
+        case av: Average => // the sum/count measure pair re-derives avg
+          measures += structKey(Sum(av.child)) -> canon(Sum(av.child))
+          measures += structKey(Count(av.child)) -> canon(Count(av.child))
+        case hpp: HyperLogLogPlusPlus => // sketch measure serves the est
+          val h = new HllSketchAgg(hpp.child)
+          measures += structKey(h) -> canon(h)
+        case h: HllSketchAgg =>
+          measures += structKey(h) -> canon(h)
+        case _ => return None
+      }
+    }
+    val dims = (dimNames ++ distinctDims).distinct
+    val leafCols = leaf.output.map(_.name).toSet
+    if (!dims.forall(leafCols) || measures.isEmpty) return None
+    val predicate =
+      Some(filters).filter(_.nonEmpty).map(_.map(canon).mkString(" AND "))
+    val cands = candidatesFor(rootsOf(leaf))
+    val reason =
+      if (cands.isEmpty) "no summary is registered over this base"
+      else {
+        val c = cands.head // the cheapest candidate — what the rule tried
+        val nonDims = dims.filterNot(c.dims)
+        val missMeas = measures.toSeq.collect {
+          case (k, t) if !c.measures.contains(k) => t
+        }
+        val parts = Seq(
+          if (nonDims.nonEmpty)
+            Some(s"${c.name}: ${nonDims.mkString(", ")} not registered " +
+              "as dims")
+          else None,
+          if (missMeas.nonEmpty)
+            Some(s"${c.name}: ${missMeas.mkString("; ")} not registered " +
+              "as measures")
+          else None,
+          if (c.predConjuncts.nonEmpty)
+            Some(s"${c.name} is a partial summary whose defining " +
+              "predicate the query does not restate")
+          else None).flatten
+        if (parts.isEmpty)
+          s"${c.name} covers the shape structurally — the decline is " +
+            "environmental (stale base fingerprint, or a non-bare-" +
+            "column corner); probe the optimized plan"
+        else parts.mkString("; ")
+      }
+    Some(MvAdvice(dims, measures.toSeq.map(_._2), predicate, reason))
+  }
+
   /** Idempotently add [[MvRewrite]] to the session optimizer's
     * user-rule batch. */
   def install(spark: SparkSession): Unit = {
@@ -2100,8 +2218,117 @@ object MvQueries {
       Some("""SELECT count(*) AS n,
              |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              |AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |WHERE s_nationkey < 10""".stripMargin.replace('\n', ' ')))
+             |WHERE s_nationkey < 10""".stripMargin.replace('\n', ' '))),
+
+    // SNOWFLAKE MV FROM PURE SQL: CREATE MATERIALIZED VIEW … FROM fact
+    // JOIN d1 ON … JOIN d2 ON … — the statement form of q74's
+    // programmatic spine. The second join's keys are entirely DIM-side
+    // (supplier ⋈ nation — no fact column), so the chain exercises the
+    // in-scope resolution the single-JOIN form never hit; the summary
+    // registers keyed by the fact-side keys of the whole chain
+    // (l_suppkey). The follow-up plain-SQL two-join aggregate groups by
+    // a second-level dim column and rewrites through the multi-dim
+    // spine with both joins live. sum(l_quantity) pins THIS summary:
+    // q65's programmatic lineitem_by_supp has no quantity sum, so only
+    // the statement-created MV covers and the REQUIRE proves the SQL
+    // path specifically. Hash-gated against the base-table oracle.
+    Q("q77_mv_sql_snowflake",
+      (s, d) => {
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        ctx.execute("DROP MATERIALIZED VIEW IF EXISTS sql_snow_qty")
+        ctx.execute("""CREATE MATERIALIZED VIEW sql_snow_qty AS
+          SELECT l_suppkey, count(1) AS zmv_cnt,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS zmv_qty
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY l_suppkey""")
+        val df = ctx.execute("""SELECT n_name, count(1) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey < 3
+          GROUP BY n_name""")
+        require(scanRootsOf(df).exists(_.contains("mv_sql_snow_qty")),
+          "q77: the statement-created snowflake summary must serve:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT n_name, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS qty
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_regionkey < 3
+             |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // STREAMING MV MAINTENANCE — the ingest-native MV lifecycle: a
+    // file-source stream of lineitem slices drains through foreachBatch
+    // (EventStreams.maintainMv), each micro-batch landing in the
+    // summary's registered base directory and folding the O(delta)
+    // refreshIncremental — two micro-batches here, each fold strictly
+    // positive (the fixture REQUIREs it, so a silent rebuild or no-op
+    // can't pass). The gated result is the rollup THROUGH the rewrite
+    // over the maintained summary; the oracle recomputes the same
+    // aggregate over seed ∪ slice1 ∪ slice2 on the fixture tables, so
+    // the hash gate proves batch-by-batch folds equal the recompute.
+    Q("s40_stream_mv_maintenance",
+      (s, d) => {
+        val baseDir = ensureStreamMv(s, d)
+        val df = s.read.parquet(baseDir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+        require(
+          scanRootsOf(df).exists(_.contains("s40_mv_stream/summary")),
+          "s40: the stream-maintained summary must serve:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""WITH base AS (
+             |SELECT * FROM lineitem WHERE l_orderkey % 97 = 3
+             |UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 89 = 3
+             |UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 83 = 3)
+             |SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS sum_qty FROM base
+             |GROUP BY 1""".stripMargin.replace('\n', ' ')))
   )
+
+  // (session, sfDir) -> the stream-maintained base dir: seed slice
+  // registered, two landing files drained as two micro-batches through
+  // EventStreams.maintainMv, each folding refreshIncremental.
+  private val streamMvFor =
+    scala.collection.mutable.Map[(Int, String), String]()
+  private[graft] def ensureStreamMv(s: SparkSession, d: String): String =
+    oncePer(streamMvFor, s, d) {
+      val root = Dml.work("s40_mv_stream", d)
+      Layouts.deleteDir(s, root)
+      val baseDir = s"$root/base"
+      val li = Tables.t(s, d, "lineitem")
+      li.filter(col("l_orderkey") % 97 === 3).write.parquet(baseDir)
+      Mv.register(s, "lineitem_s40", s.read.parquet(baseDir),
+        dims = Seq("l_returnflag"),
+        aggCols = Seq(
+          count(lit(1)).as("mv_cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("mv_sum_qty")),
+        mvPath = s"$root/summary")
+      // two single-file landings → two micro-batches under
+      // maxFilesPerTrigger=1
+      val landing = s"$root/landing"
+      li.filter(col("l_orderkey") % 89 === 3).repartition(1)
+        .write.parquet(landing)
+      li.filter(col("l_orderkey") % 83 === 3).repartition(1)
+        .write.mode(SaveMode.Append).parquet(landing)
+      val stream = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val folds = EventStreams.maintainMv(
+        stream, baseDir, "lineitem_s40", s"$root/ctl")
+      require(folds.size == 2 && folds.forall(_._1 > 0),
+        s"s40 fixture: expected two strictly positive folds, got $folds")
+      baseDir
+    }
 
   /** Optimized-plan scan roots of `df` — the builder-side REQUIRE probe
     * (the MvSpec helper, shared here so gated entries can refuse to

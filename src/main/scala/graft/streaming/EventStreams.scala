@@ -414,6 +414,68 @@ object EventStreams {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** STREAMING MV MAINTENANCE — foreachBatch drives
+    * [[Mv.refreshIncremental]]'s O(delta) fold so a file-source stream
+    * keeps a registered summary fresh batch-by-batch: each micro-batch
+    * lands in the MV's registered base directory under DETERMINISTIC
+    * file names, then the refresh folds exactly the just-landed files
+    * into the summary. At 100 TB this is the ingest-native MV story —
+    * per batch the work is O(batch) write + O(delta + MV) fold, the
+    * fact is never rescanned, and every dashboard aggregate keeps
+    * reading the summary between batches. Returns the per-batch
+    * (delta files folded, total base files) readouts.
+    *
+    * CRASH REPLAY (foreachBatch is at-least-once): a plain parquet
+    * append would re-append a replayed batch's rows — duplicate base
+    * rows no fold can undo. Two guards compose:
+    *  - the (checkpoint id, batch id) mark protocol of [[upsertedLatest]]
+    *    skips a batch whose fold already committed;
+    *  - inside the unmarked window, the batch stages to an
+    *    overwrite-mode directory and MOVES into the base under
+    *    deterministic `b<batch>_<i>.parquet` names with
+    *    REPLACE_EXISTING — a replay lands on the SAME names, so the
+    *    base never duplicates, and a replaced file whose (len, mtime)
+    *    changed after its fold trips the refresh's rebuild path:
+    *    correct at full cost, never silently wrong. */
+  def maintainMv(
+      stream: DataFrame,
+      baseDir: String,
+      mvName: String,
+      dir: String): Seq[(Int, Int)] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val folds = scala.collection.mutable.Buffer[(Int, Int)]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val chkId = checkpointQueryId(dir)
+        val isReplay = readBatchMark(dir).exists { case (mid, mbatch) =>
+          mid == chkId && mbatch >= id }
+        if (isReplay) {
+          System.err.println(
+            s"[maintainMv] skipping replayed batch $id " +
+              s"(checkpoint $chkId already folded it)")
+        } else {
+          val stage = s"$dir/stage_b$id"
+          batch.write.mode("overwrite").parquet(stage)
+          val parts = new java.io.File(stage).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(baseDir, s"b${id}_$i.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          Layouts.deleteDir(batch.sparkSession, stage)
+          folds += Mv.refreshIncremental(batch.sparkSession, mvName)
+          writeBatchMark(dir, chkId, id)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$dir/_chk")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    folds.toSeq
+  }
+
   /** Streaming exact dedup — the streaming twin of [[Dedup.exactGroups]]
     * (d01) for a document FIREHOSE: keep the first arrival of each distinct
     * content hash, drop later duplicates. `dropDuplicatesWithinWatermark`

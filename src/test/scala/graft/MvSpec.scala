@@ -1275,6 +1275,194 @@ class MvSpec extends SparkSpec {
     assert(badKey.getMessage.contains("exactly one"), badKey.getMessage)
   }
 
+  test("CREATE MATERIALIZED VIEW over a JOIN CHAIN (snowflake): guards " +
+    "hold per level — an unknown second-level key and a second-level " +
+    "dim measure both reject loudly, and the good form registers keyed " +
+    "by the fact-side keys of the whole chain") {
+    Tables.ensureRegistered(spark, sf)
+    val ctx = new ExecutionContext(spark)
+    val badKey2 = intercept[IllegalArgumentException] {
+      ctx.execute("""CREATE MATERIALIZED VIEW bad_snow1 AS
+        SELECT l_suppkey, count(1) AS c
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = no_such_col
+        GROUP BY l_suppkey""")
+    }
+    assert(badKey2.getMessage.contains("exactly one"), badKey2.getMessage)
+    val dimMeasure2 = intercept[IllegalArgumentException] {
+      ctx.execute("""CREATE MATERIALIZED VIEW bad_snow2 AS
+        SELECT l_suppkey, sum(n_regionkey) AS m
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY l_suppkey""")
+    }
+    assert(dimMeasure2.getMessage.contains("fact"), dimMeasure2.getMessage)
+    // a chain whose levels never touch the fact is rejected as keyless
+    val noFact = intercept[IllegalArgumentException] {
+      ctx.execute("""CREATE MATERIALIZED VIEW bad_snow3 AS
+        SELECT count(1) AS c
+        FROM lineitem JOIN nation ON n_regionkey = r_regionkey
+        JOIN region ON r_name = r_name
+        GROUP BY n_name""")
+    }
+    assert(noFact.getMessage.contains("exactly one") ||
+      noFact.getMessage.contains("no ON clause"), noFact.getMessage)
+    ctx.execute("DROP MATERIALIZED VIEW IF EXISTS spec_snow")
+    ctx.execute("""CREATE MATERIALIZED VIEW spec_snow AS
+      SELECT l_suppkey, count(1) AS smv_c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY l_suppkey""")
+    val d = Mv.byName("spec_snow").get
+    assert(d.dimCols == Seq("l_suppkey"),
+      s"snowflake spec must key by the fact-side chain keys: ${d.dimCols}")
+    ctx.execute("DROP MATERIALIZED VIEW spec_snow")
+  }
+
+  test("epoch GC never deletes an UNRELATED registered MV whose directory " +
+    "name reads like this MV's epoch sibling (<mv>_r<digits>)") {
+    val root = Dml.work("mv_gc_owner", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey")
+    li.write.parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+    // victim: its live materialization is literally `<fam>_r2`
+    Mv.register(spark, "gc_victim", base,
+      dims = Seq("l_linestatus"),
+      aggCols = Seq(count(lit(1)).as("vmv_cnt")),
+      mvPath = s"$root/fam_r2")
+    Mv.register(spark, "gc_owner", base,
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("omv_cnt")),
+      mvPath = s"$root/fam")
+    def exists(p: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    assert(Mv.drop(spark, "gc_owner"))
+    assert(!exists(s"$root/fam"), "the owner's own dir must go")
+    assert(exists(s"$root/fam_r2"),
+      "the other MV's live dir must survive the family GC")
+    // and the victim still serves its rewrite from an intact path
+    val probe = spark.read.parquet(baseDir)
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    assert(scanRoots(probe).exists(_.contains("fam_r2")),
+      probe.queryExecution.optimizedPlan.toString)
+    assert(probe.collect().nonEmpty)
+    Mv.drop(spark, "gc_victim")
+  }
+
+  test("MV ADVISOR: adviseFor names the registrable summary for three " +
+    "decline shapes — non-dim filter column, unregistered measure, bare " +
+    "base with no summary — and answers None for a served plan") {
+    MvQueries.ensureMv(spark, sf)
+    val li = Tables.t(spark, sf, "lineitem")
+    // shape 1: a non-dim filter column — the advice lists it as a dim
+    // and the reason names the candidate that declined
+    val a1 = Mv.adviseFor(li.filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))).get
+    assert(a1.dims.contains("l_quantity") &&
+      a1.dims.contains("l_returnflag"), a1.toString)
+    assert(a1.reason.contains("l_quantity") &&
+      a1.reason.contains("not registered as dims"), a1.reason)
+    assert(a1.predicate.exists(_.contains("l_quantity")), a1.toString)
+    // shape 2: an unregistered measure — advised verbatim, reason names it
+    val a2 = Mv.adviseFor(li.groupBy("l_returnflag")
+      .agg(sum(col("l_tax").cast("decimal(18,2)")).as("t"))).get
+    assert(a2.measures.exists(_.contains("l_tax")), a2.toString)
+    assert(a2.reason.contains("not registered as measures"), a2.reason)
+    // shape 3: a base with NO summary — full definition advice, avg
+    // advised as its sum/count pair, count(DISTINCT x) advised as dim x
+    val root = Dml.work("mv_advice", sf)
+    Layouts.deleteDir(spark, root)
+    li.select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.parquet(s"$root/base")
+    val bare = spark.read.parquet(s"$root/base")
+    val a3 = Mv.adviseFor(bare.groupBy("l_returnflag")
+      .agg(avg(col("l_quantity").cast("decimal(18,2)")).as("a"),
+        countDistinct(col("l_linestatus")).as("d"))).get
+    assert(a3.reason == "no summary is registered over this base", a3.reason)
+    assert(a3.dims.toSet == Set("l_returnflag", "l_linestatus"),
+      a3.toString)
+    assert(a3.measures.size == 2 &&
+      a3.measures.exists(_.startsWith("sum(")) &&
+      a3.measures.exists(_.startsWith("count(")), a3.toString)
+    assert(a3.predicate.isEmpty)
+    // the advice is REGISTRABLE VERBATIM and then serves the shape
+    Mv.register(spark, "advised", bare,
+      dims = a3.dims,
+      aggCols = a3.measures.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.functions.expr(m).as(s"amv_$i") },
+      mvPath = s"$root/summary")
+    val served = bare.groupBy("l_returnflag")
+      .agg(avg(col("l_quantity").cast("decimal(18,2)")).as("a"),
+        countDistinct(col("l_linestatus")).as("d"))
+    assert(scanRoots(served).exists(_.contains("mv_advice/summary")),
+      served.queryExecution.optimizedPlan.toString)
+    // a served plan needs no advice
+    assert(Mv.adviseFor(served).isEmpty)
+    Mv.drop(spark, "advised")
+  }
+
+  test("STREAMING MV MAINTENANCE: maintainMv folds each micro-batch into " +
+    "the summary (hash-equal to the batch recompute), a RESTART with the " +
+    "same checkpoint folds only NEW landing files, and a re-run with " +
+    "nothing new folds nothing") {
+    val root = Dml.work("mv_stream_spec", sf)
+    Layouts.deleteDir(spark, root)
+    val baseDir = s"$root/base"
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    li.filter(col("l_orderkey") % 11 === 0).write.parquet(baseDir)
+    Mv.register(spark, "stream_spec_mv", spark.read.parquet(baseDir),
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("mv_cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("mv_q")),
+      mvPath = s"$root/summary")
+    val landing = s"$root/landing"
+    li.filter(col("l_orderkey") % 11 === 1).repartition(1)
+      .write.parquet(landing)
+    li.filter(col("l_orderkey") % 11 === 2).repartition(1)
+      .write.mode("append").parquet(landing)
+    def stream() = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    def run() = EventStreams.maintainMv(
+      stream(), baseDir, "stream_spec_mv", s"$root/ctl")
+    val folds1 = run()
+    assert(folds1.size == 2 && folds1.forall(_._1 > 0),
+      s"two positive folds expected: $folds1")
+    // the maintained summary hash-equals the batch recompute
+    def mvRows() = spark.read
+      .parquet(Mv.byName("stream_spec_mv").get.mvPath)
+      .collect().map(_.toSeq).toSet
+    def recompute() = Mv.withDisabled {
+      spark.read.parquet(baseDir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("mv_cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("mv_q"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(mvRows() == recompute(),
+      "after two micro-batches the summary must equal the recompute")
+    // RESTART with the same checkpoint and nothing new: no folds, no rows
+    val before = mvRows()
+    assert(run().isEmpty, "an already-drained stream must fold nothing")
+    assert(mvRows() == before)
+    // a THIRD landing file appears; the restarted stream folds ONLY it
+    li.filter(col("l_orderkey") % 11 === 3).repartition(1)
+      .write.mode("append").parquet(landing)
+    val folds3 = run()
+    assert(folds3.size == 1 && folds3.head._1 == 1,
+      s"restart must fold exactly the new file: $folds3")
+    assert(mvRows() == recompute(),
+      "after the restart fold the summary must equal the recompute")
+    // and the rewrite serves plain aggregates from the maintained summary
+    val probe = spark.read.parquet(baseDir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(scanRoots(probe).exists(_.contains("summary")),
+      probe.queryExecution.optimizedPlan.toString)
+    Mv.drop(spark, "stream_spec_mv")
+  }
+
   test("superseded refresh epochs are garbage-collected keeping exactly " +
     "one predecessor, and DROP removes the whole directory family") {
     val root = Dml.work("mv_epoch_gc", sf)

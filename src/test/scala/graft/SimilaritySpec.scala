@@ -377,6 +377,10 @@ class SimilaritySpec extends SparkSpec {
       .load(s"$idx/model").clusterCenters.map(_.toArray.toSeq).toSeq
     val centroidsBefore = centroids()
     val buildsBefore = Similarity.ivfIndexBuilds
+    // the anchor as of the save — the stale state the crash-replay arm
+    // below restores
+    val staleAnchorBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "anchor"))
     // PURE-INSERT merge-on-read commit: fresh ids, join keys that can
     // never match a committed row — everything lands in the append
     // sidecar, the data directory never changes
@@ -414,6 +418,19 @@ class SimilaritySpec extends SparkSpec {
     val res = Similarity.ivfQuery(
       emb.filter(col("vec_id") < 5), model, assigned, 5, nprobe = 4)
     assert(res.count() > 0)
+    // CRASH REPLAY: a refresh that died between the delta append and
+    // the anchor write leaves the delta committed under a STALE anchor,
+    // and the next refresh recomputes the same delta. Simulate by
+    // restoring the pre-commit anchor: the re-run classifies "assigned"
+    // again but the neighbor_id dedup must append NOTHING.
+    val anchorP = java.nio.file.Paths.get(idx, "anchor")
+    val rowsAfter = spark.read.parquet(s"$idx/assigned").count()
+    java.nio.file.Files.write(anchorP, staleAnchorBytes)
+    assert(Similarity.refreshIvfIndexForStore(spark, idx, nlist = 16)
+      == "assigned")
+    assert(spark.read.parquet(s"$idx/assigned").count() == rowsAfter,
+      "a replayed refresh must not double-append the delta")
+    assert(centroids() == centroidsBefore)
     // an UPDATE commit grows the deletion vector → rebuild (retrain)
     val upd = emb.filter(col("vec_id") === 3)
       .withColumn("sk", col("vec_id"))
@@ -425,6 +442,131 @@ class SimilaritySpec extends SparkSpec {
       == "rebuilt")
     assert(Similarity.ivfIndexBuilds == buildsBefore + 1,
       "a composition-breaking commit must retrain")
+    assert(rowsAfter > 0)
+    ManagedCache.releaseAll()
+  }
+
+  test("commit-anchored PQ index: pure-insert commit refreshes " +
+    "ENCODE-ONLY (codebooks bit-identical, no retrain), a REPLAYED " +
+    "refresh after a crash between append and anchor write appends " +
+    "nothing, and an update commit rebuilds") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val root = Dml.work("pq_store", sf)
+    Layouts.deleteDir(spark, root)
+    val storeDir = s"$root/store"
+    Dml.delete(emb, storeDir, lit(false))
+    val idx = s"$root/index"
+    Similarity.savePqIndexForStore(spark, storeDir, idx, m = 32, ksub = 16)
+    assert(Similarity.refreshPqIndexForStore(spark, idx, m = 32, ksub = 16)
+      == "fresh")
+    def codebooks() = (0 until 32).map(j =>
+      org.apache.spark.ml.clustering.KMeansModel.load(s"$idx/sub_$j")
+        .clusterCenters.map(_.toArray.toSeq).toSeq)
+    val cbBefore = codebooks()
+    val baseRows = spark.read.parquet(s"$idx/codes").count()
+    val anchorP = java.nio.file.Paths.get(idx, "anchor")
+    val staleAnchor = java.nio.file.Files.readAllBytes(anchorP)
+    // pure-insert MoR commit (the IVF test's construction)
+    val cols = emb.columns.toSeq
+    val src = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("sk", -col("vec_id") - 1)
+    Dml.mergeOnRead(spark, storeDir, src,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> col("t.label")),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    val deltaRows = src.count()
+    assert(Similarity.refreshPqIndexForStore(spark, idx, m = 32, ksub = 16)
+      == "encoded")
+    assert(codebooks() == cbBefore,
+      "encode-only refresh must keep every sub-codebook bit-identical")
+    val afterRows = spark.read.parquet(s"$idx/codes").count()
+    assert(afterRows == baseRows + deltaRows,
+      s"codes must grow by exactly the delta: $baseRows + $deltaRows " +
+        s"!= $afterRows")
+    // CRASH REPLAY: restore the stale anchor — the re-run recomputes the
+    // same delta, classifies "encoded", but the dedup appends nothing
+    java.nio.file.Files.write(anchorP, staleAnchor)
+    assert(Similarity.refreshPqIndexForStore(spark, idx, m = 32, ksub = 16)
+      == "encoded")
+    assert(spark.read.parquet(s"$idx/codes").count() == afterRows,
+      "a replayed refresh must not double-append the delta")
+    assert(codebooks() == cbBefore)
+    // the refreshed index SERVES: top-k from codes-at-rest over base +
+    // appended rows, every neighbor a real corpus id
+    val res = Similarity.pqIndexTopK(spark,
+      emb.filter(col("vec_id") < 5), idx, 5)
+    assert(res.count() > 0)
+    val ids = Dml.readVersion(spark, storeDir, Dml.currentVersion(storeDir))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res.collect().forall(r => ids.contains(r.getLong(1))))
+    // an UPDATE commit grows the vector → rebuild (retrain)
+    val upd = emb.filter(col("vec_id") === 3)
+      .withColumn("sk", col("vec_id"))
+    Dml.mergeOnRead(spark, storeDir, upd,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> (col("t.label") + lit(1))),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshPqIndexForStore(spark, idx, m = 32, ksub = 16)
+      == "rebuilt")
+    ManagedCache.releaseAll()
+  }
+
+  test("commit-anchored IVF+PQ index: pure-insert commit refreshes " +
+    "assign+encode-only (coarse centroids AND sub-codebooks " +
+    "bit-identical), the served answer covers the appended rows, and " +
+    "an update commit rebuilds") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val root = Dml.work("ivfpq_store", sf)
+    Layouts.deleteDir(spark, root)
+    val storeDir = s"$root/store"
+    Dml.delete(emb, storeDir, lit(false))
+    val idx = s"$root/index"
+    Similarity.saveIvfPqIndexForStore(spark, storeDir, idx,
+      nlist = 8, m = 32, ksub = 16)
+    assert(Similarity.refreshIvfPqIndexForStore(spark, idx,
+      nlist = 8, m = 32, ksub = 16) == "fresh")
+    def coarseCentroids() = org.apache.spark.ml.clustering.KMeansModel
+      .load(s"$idx/coarse").clusterCenters.map(_.toArray.toSeq).toSeq
+    def codebooks() = (0 until 32).map(j =>
+      org.apache.spark.ml.clustering.KMeansModel.load(s"$idx/sub_$j")
+        .clusterCenters.map(_.toArray.toSeq).toSeq)
+    val coarseBefore = coarseCentroids()
+    val cbBefore = codebooks()
+    val baseRows = spark.read.parquet(s"$idx/index").count()
+    val cols = emb.columns.toSeq
+    val src = emb.filter(col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+      .withColumn("sk", -col("vec_id") - 1)
+    Dml.mergeOnRead(spark, storeDir, src,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> col("t.label")),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshIvfPqIndexForStore(spark, idx,
+      nlist = 8, m = 32, ksub = 16) == "encoded")
+    assert(coarseCentroids() == coarseBefore && codebooks() == cbBefore,
+      "assign+encode-only refresh must not move any centroid")
+    assert(spark.read.parquet(s"$idx/index").count() ==
+      baseRows + src.count())
+    // the served top-k CAN surface appended rows: query near an
+    // appended vector's original (the appended copy is id+2000000 of an
+    // existing embedding, so it is that query's nearest non-self point)
+    val probeIds = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").limit(3).collect().map(_.getLong(0))
+    val res = Similarity.ivfPqIndexTopK(spark,
+      emb.filter(col("vec_id").isin(probeIds: _*)), idx, 5, nprobe = 4)
+      .collect()
+    assert(res.nonEmpty &&
+      res.exists(_.getLong(1) >= 2000000L),
+      s"appended rows must be servable: ${res.mkString("|")}")
+    val upd = emb.filter(col("vec_id") === 3)
+      .withColumn("sk", col("vec_id"))
+    Dml.mergeOnRead(spark, storeDir, upd,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> (col("t.label") + lit(1))),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshIvfPqIndexForStore(spark, idx,
+      nlist = 8, m = 32, ksub = 16) == "rebuilt")
     ManagedCache.releaseAll()
   }
 
