@@ -829,12 +829,17 @@ object Mv {
     * (dims/measures/predicate) that would. The registry knows every
     * decline reason; this surfaces the "create this MV" loop every
     * production engine ships (the SQL Server DTA / BigQuery recommender
-    * shape, reduced to this rule's rollup kernel). Returns None when
+    * shape, reduced to this rule's rollup kernel). Join trees advise
+    * the FACT-side spec: the fact leaf is identified by the measures'
+    * references (the rewrite's own fact-measures-only soundness rule),
+    * fact-side join keys become dims, and dim-side references impose
+    * nothing (they stay a live join at serve time). Returns None when
     * the plan ALREADY reads a registered summary (nothing to advise) or
-    * the shape is out of the rewrite's reach entirely (no aggregate, a
-    * join tree, FILTER-clause or non-decomposable measures — no summary
-    * this rule could use exists, so advising one would mislead).
-    * Best-effort and read-only: never runs a job, never registers. */
+    * the shape is out of the rewrite's reach entirely (no aggregate,
+    * ambiguous fact, FILTER-clause / dim-side / non-decomposable
+    * measures — no summary this rule could use exists, so advising one
+    * would mislead). Best-effort and read-only: never runs a job,
+    * never registers. */
   def adviseFor(df: DataFrame): Option[MvAdvice] = {
     import scala.jdk.CollectionConverters._
     val plan = df.queryExecution.optimizedPlan
@@ -845,24 +850,54 @@ object Mv {
     if (leafRels.exists(l => mvRootSets.contains(rootsOf(l)))) return None
     val agg = plan.collectFirst { case a: Aggregate => a }
       .getOrElse(return None)
-    def peel(p: LogicalPlan, fs: Seq[Expression])
-        : Option[(Seq[Expression], LogicalRelation)] = p match {
-      case Filter(c, ch) => peel(ch, fs ++ conjunctsOf(c))
-      case Project(cols, ch)
-          if cols.forall(_.isInstanceOf[AttributeReference]) =>
-        peel(ch, fs)
-      case l: LogicalRelation => Some((fs, l))
-      case _ => None
-    }
-    val (filters, leaf) = peel(agg.child, Nil).getOrElse(return None)
-    // dims: every column the grouping or a filter references — a dim
-    // serves any grouping expression over it and any filter literal
-    val dimNames = (agg.groupingExpressions ++ filters)
-      .flatMap(_.references.map(_.name)).distinct
+    // walk Filter/Project/Join scaffolding: (filter conjuncts, join
+    // conditions, leaves) — best-effort, bare-attribute Projects only
+    def walk(p: LogicalPlan): Option[
+        (Seq[Expression], Seq[Expression], Seq[LogicalRelation])] =
+      p match {
+        case Filter(c, ch) =>
+          walk(ch).map { case (f, j, l) => (conjunctsOf(c) ++ f, j, l) }
+        case Project(cols, ch)
+            if cols.forall(_.isInstanceOf[AttributeReference]) =>
+          walk(ch)
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          for {
+            (lf, lj, ll) <- walk(j.left)
+            (rf, rj, rl) <- walk(j.right)
+          } yield (lf ++ rf,
+            j.condition.toSeq.flatMap(conjunctsOf) ++ lj ++ rj, ll ++ rl)
+        case l: LogicalRelation => Some((Nil, Nil, Seq(l)))
+        case _ => None
+      }
+    val (filters, joinConds, walkLeaves) =
+      walk(agg.child).getOrElse(return None)
     val aes = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
-    if (aes.isEmpty) return None
+    if (aes.isEmpty || walkLeaves.isEmpty) return None
+    // the FACT leaf: single-relation queries have it by construction; in
+    // a join tree the measures' references identify it (measures must
+    // aggregate fact columns — the rewrite's own soundness rule), so the
+    // unique leaf the non-distinct aggregates read is the one to
+    // summarize. Ambiguous or absent measure references decline.
+    val measureRefs = aes.filterNot(_.isDistinct)
+      .flatMap(_.references.map(_.exprId)).toSet
+    val leaf =
+      if (walkLeaves.size == 1) walkLeaves.head
+      else walkLeaves.filter(
+        _.output.exists(a => measureRefs(a.exprId))) match {
+        case Seq(one) => one
+        case _ => return None
+      }
+    val factIds = leaf.output.map(_.exprId).toSet
+    // dims of the fact-side spec: every FACT column the grouping, a
+    // filter, or a join condition references — a dim serves any grouping
+    // expression over it, any filter literal, and keys the join; the
+    // dim-side references impose nothing on the summary (they stay a
+    // live join at serve time)
+    val dimNames = (agg.groupingExpressions ++ filters ++ joinConds)
+      .flatMap(_.references).filter(a => factIds(a.exprId))
+      .map(_.name).distinct
     var distinctDims = Seq.empty[String]
     // (structural key, rendered text) per advised measure — LinkedHashSet
     // keeps declaration order and drops duplicates (two avgs over one
@@ -873,29 +908,49 @@ object Mv {
       if (ae.filter.nonEmpty) return None // FILTER-clause: unregistrable
       val af = ae.aggregateFunction
       if (ae.isDistinct) af match {
-        // count(DISTINCT x) folds when x is a dim — advise the dim
+        // count(DISTINCT x) folds when fact-side x is a dim — advise the
+        // dim; dim-side x imposes nothing on the summary
         case c: Count =>
-          distinctDims ++= c.children.flatMap(_.references.map(_.name))
+          distinctDims ++= c.children.flatMap(_.references)
+            .filter(a => factIds(a.exprId)).map(_.name)
         case _ => return None
-      } else af match {
-        case _: Sum | _: Count | _: Min | _: Max =>
-          measures += structKey(af) -> canon(af)
-        case av: Average => // the sum/count measure pair re-derives avg
-          measures += structKey(Sum(av.child)) -> canon(Sum(av.child))
-          measures += structKey(Count(av.child)) -> canon(Count(av.child))
-        case hpp: HyperLogLogPlusPlus => // sketch measure serves the est
-          val h = new HllSketchAgg(hpp.child)
-          measures += structKey(h) -> canon(h)
-        case h: HllSketchAgg =>
-          measures += structKey(h) -> canon(h)
-        case _ => return None
+      } else {
+        // a measure over dim-side (or mixed) columns is join-
+        // multiplicity-sensitive — NO summary this rule could use
+        // serves it, so advising one would mislead
+        if (!ae.references.forall(a => factIds(a.exprId))) return None
+        af match {
+          case _: Sum | _: Count | _: Min | _: Max =>
+            measures += structKey(af) -> canon(af)
+          case av: Average => // the sum/count measure pair re-derives avg
+            measures += structKey(Sum(av.child)) -> canon(Sum(av.child))
+            measures += structKey(Count(av.child)) ->
+              canon(Count(av.child))
+          case hpp: HyperLogLogPlusPlus => // sketch measure serves the est
+            val h = new HllSketchAgg(hpp.child)
+            measures += structKey(h) -> canon(h)
+          case h: HllSketchAgg =>
+            measures += structKey(h) -> canon(h)
+          case _ => return None
+        }
       }
     }
     val dims = (dimNames ++ distinctDims).distinct
-    val leafCols = leaf.output.map(_.name).toSet
-    if (!dims.forall(leafCols) || measures.isEmpty) return None
-    val predicate =
-      Some(filters).filter(_.nonEmpty).map(_.map(canon).mkString(" AND "))
+    if (dims.isEmpty && agg.groupingExpressions.nonEmpty) return None
+    if (measures.isEmpty) return None
+    // predicate: only the fact-referencing conjuncts — dim-side filters
+    // stay live at serve time and constrain nothing here. Bare
+    // isnotnull(attr) conjuncts are dropped: the optimizer infers one
+    // beside every pushed comparison/join key, the attribute is already
+    // advised as a dim (which serves any null-handling), and rendering
+    // optimizer noise as "the predicate to pin" would mislead.
+    val factFilters = filters.filter {
+      case IsNotNull(_: AttributeReference) => false
+      case f => f.references.nonEmpty &&
+        f.references.forall(a => factIds(a.exprId))
+    }
+    val predicate = Some(factFilters).filter(_.nonEmpty)
+      .map(_.map(canon).mkString(" AND "))
     val cands = candidatesFor(rootsOf(leaf))
     val reason =
       if (cands.isEmpty) "no summary is registered over this base"

@@ -1404,6 +1404,56 @@ class MvSpec extends SparkSpec {
     Mv.drop(spark, "advised")
   }
 
+  test("MV ADVISOR on a JOIN shape: the fact side is identified by the " +
+    "measures' references, fact join keys become dims, dim-side refs " +
+    "impose nothing — and the advice registers verbatim, after which " +
+    "the join query rewrites; a dim-side measure answers None") {
+    val root = Dml.work("mv_advice_join", sf)
+    Layouts.deleteDir(spark, root)
+    Tables.t(spark, sf, "lineitem")
+      .select("l_suppkey", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$root/fact")
+    val fact = spark.read.parquet(s"$root/fact")
+    val supp = Tables.t(spark, sf, "supplier")
+    def joinAgg(f: org.apache.spark.sql.DataFrame) = f
+      .join(supp, f("l_suppkey") === supp("s_suppkey"))
+      .filter(col("s_nationkey") < 10)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val a = Mv.adviseFor(joinAgg(fact)).get
+    assert(a.dims == Seq("l_suppkey"),
+      s"only the fact join key is a dim: $a")
+    assert(a.measures.size == 2 && a.reason.contains("no summary"), a)
+    // dim-side filter references must not leak into the predicate
+    assert(a.predicate.isEmpty, a.toString)
+    Mv.register(spark, "advised_join", fact,
+      dims = a.dims,
+      aggCols = a.measures.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.functions.expr(m).as(s"jmv_$i") },
+      mvPath = s"$root/summary")
+    val served = joinAgg(fact)
+    assert(scanRoots(served).exists(_.contains("mv_advice_join/summary")),
+      served.queryExecution.optimizedPlan.toString)
+    assert(Mv.adviseFor(served).isEmpty)
+    // a measure over the OTHER side flips the fact: the advice
+    // summarizes supplier keyed by its join key + grouping column (the
+    // rewrite is side-symmetric — spines() descends either side)
+    val flipped = Mv.adviseFor(fact
+      .join(supp, fact("l_suppkey") === supp("s_suppkey"))
+      .groupBy("s_name").agg(sum(col("s_acctbal")).as("b"))).get
+    assert(flipped.dims.toSet == Set("s_suppkey", "s_name"), flipped)
+    assert(flipped.measures == Seq("sum(s_acctbal)"), flipped)
+    // a MIXED measure (references both sides): no summary can serve —
+    // None, not bad advice
+    assert(Mv.adviseFor(fact
+      .join(supp, fact("l_suppkey") === supp("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("l_extendedprice") * col("s_acctbal")).as("b")))
+      .isEmpty)
+    Mv.drop(spark, "advised_join")
+  }
+
   test("STREAMING MV MAINTENANCE: maintainMv folds each micro-batch into " +
     "the summary (hash-equal to the batch recompute), a RESTART with the " +
     "same checkpoint folds only NEW landing files, and a re-run with " +
