@@ -647,10 +647,24 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      bits: Int = 4): DataFrame = {
-    val c = Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
+      bits: Int = 4): DataFrame =
+    lshQuery(queries, lshBucketedCodes(corpus, bits), k, bits)
+
+  /** The LSH index table: each corpus vector with its sign bucket —
+    * what [[annTopK]] computes inline and [[saveLshIndexForStore]]
+    * persists. Bucketing is a pure function of the vector (deterministic
+    * hash-derived hyperplanes), so codes computed on any subset of rows
+    * equal what a full rebuild would assign to them. */
+  private def lshBucketedCodes(corpus: DataFrame, bits: Int): DataFrame =
+    Dedup.spread(corpus).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"))
       .withColumn("bucket", signBucket(col("cv"), bits))
+
+  /** The query stage shared by [[annTopK]] (codes computed inline) and
+    * [[lshIndexTopK]] (codes-at-rest): multi-probe bucket-equality join,
+    * exact cosine within candidates. */
+  private def lshQuery(
+      queries: DataFrame, codes: DataFrame, k: Int, bits: Int): DataFrame = {
     val probes = array(
       (lit(0L) +: (0 until bits).map(b => lit(1L << b).cast("long"))): _*)
     val q = queries.select(col("vec_id").as("query_id"),
@@ -658,7 +672,7 @@ object Similarity {
       .withColumn("qbucket", signBucket(col("qv"), bits))
       .withColumn("probe", explode(probes))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = codes.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(VectorExpressions.cosineSim(col("qv"), col("cv")), 4))
@@ -1062,6 +1076,63 @@ object Similarity {
             Seq("neighbor_id"), "left_anti")
           .write.mode("append").parquet(s"$path/assigned")
       })
+
+  /** Build + save a commit-anchored LSH index over a versioned-store
+    * table at its CURRENT version: the bucketed corpus as
+    * (neighbor_id, bucket, cv) codes-at-rest, the bit count in `meta`,
+    * and the anchor sidecar. Unlike IVF/PQ there is NO trained model —
+    * the hyperplane set is a deterministic function of the bit index
+    * ([[signBucket]]) — so the index's identity is just `bits`,
+    * "rebuild" is one re-bucketing scan, and the pure-insert path
+    * buckets ONLY the appended rows: determinism makes their buckets
+    * bit-equal to what a full rebuild would assign, O(new rows) by
+    * construction rather than by skipping a retrain. */
+  def saveLshIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      path: String,
+      bits: Int = 4): Unit = {
+    val version = Dml.currentVersion(storeDir)
+    lshBucketedCodes(Dml.readVersion(spark, storeDir, version), bits)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "meta"), bits.toString)
+    writeAnchor(spark, storeDir, path, version)
+  }
+
+  /** Refresh a commit-anchored LSH index ([[refreshIvfIndexForStore]]'s
+    * contract, same classifier): pure-insert commits bucket ONLY the
+    * appended rows (anti-joined by neighbor_id — the crash-replay dedup);
+    * composition-breaking commits re-bucket the corpus. Returns
+    * "fresh" / "bucketed" / "rebuilt". */
+  def refreshLshIndexForStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val bits = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "meta")).trim.toInt
+    refreshAnchoredIndex(spark, path, deltaLabel = "bucketed",
+      rebuild = storeDir =>
+        saveLshIndexForStore(spark, storeDir, path, bits),
+      applyDelta = (_, delta) =>
+        lshBucketedCodes(delta, bits)
+          .join(spark.read.parquet(s"$path/codes").select("neighbor_id"),
+            Seq("neighbor_id"), "left_anti")
+          .write.mode("append").parquet(s"$path/codes"))
+  }
+
+  /** Query a SAVED LSH index ([[saveLshIndexForStore]]) without touching
+    * the corpus: [[annTopK]]'s multi-probe stage against the bucketed
+    * codes-at-rest — the serving path of the anchored lifecycle. */
+  def lshIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      path: String,
+      k: Int): DataFrame = {
+    val bits = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, "meta")).trim.toInt
+    lshQuery(queries, spark.read.parquet(s"$path/codes"), k, bits)
+  }
 
   /** Build + save a commit-anchored PQ index over a versioned-store
     * table at its CURRENT version: the m per-subspace codebook MODELS

@@ -840,7 +840,12 @@ object Mv {
     * measures — no summary this rule could use exists, so advising one
     * would mislead). Best-effort and read-only: never runs a job,
     * never registers. */
-  def adviseFor(df: DataFrame): Option[MvAdvice] = {
+  def adviseFor(df: DataFrame): Option[MvAdvice] =
+    adviseCore(df).map(_._2)
+
+  /** [[adviseFor]] plus the advised base's scan roots — the grouping key
+    * [[adviseWorkload]] merges on. */
+  private def adviseCore(df: DataFrame): Option[(Set[String], MvAdvice)] = {
     import scala.jdk.CollectionConverters._
     val plan = df.queryExecution.optimizedPlan
     val mvRootSets =
@@ -979,7 +984,46 @@ object Mv {
             "column corner); probe the optimized plan"
         else parts.mkString("; ")
       }
-    Some(MvAdvice(dims, measures.toSeq.map(_._2), predicate, reason))
+    Some((rootsOf(leaf),
+      MvAdvice(dims, measures.toSeq.map(_._2), predicate, reason)))
+  }
+
+  /** One merged advice for a group of workload queries sharing a base:
+    * the single summary that serves every query in `serves` (indices
+    * into the workload). */
+  final case class WorkloadAdvice(
+      dims: Seq[String],
+      measures: Seq[String],
+      predicate: Option[String],
+      serves: Seq[Int],
+      base: Seq[String])
+
+  /** Workload-level advice — the recommender's "merge candidate
+    * summaries" step over this rule's rollup kernel: run [[adviseFor]]
+    * across the workload, group advised specs by base relation, and
+    * merge each group into ONE registrable summary. Dims and measures
+    * UNION (more dims make the summary finer-grained but still serve
+    * every coarser grouping over a subset; extra measures cost width,
+    * not rows); the predicate survives only when every query in the
+    * group advises the SAME one — otherwise the merged summary is
+    * full-table, which stays sound because each query's filter columns
+    * are already advised as dims, so its filter applies on summary rows
+    * as the usual dim residual. Queries the rewrite already serves, or
+    * whose shape no summary could serve, contribute nothing. Returned
+    * most-queries-served first. Read-only, never registers. */
+  def adviseWorkload(workload: Seq[DataFrame]): Seq[WorkloadAdvice] = {
+    val advised = workload.zipWithIndex.flatMap { case (df, i) =>
+      adviseCore(df).map { case (roots, a) => (roots, i, a) }
+    }
+    advised.groupBy(_._1).toSeq.map { case (roots, group) =>
+      val preds = group.map(_._3.predicate).distinct
+      WorkloadAdvice(
+        dims = group.flatMap(_._3.dims).distinct,
+        measures = group.flatMap(_._3.measures).distinct,
+        predicate = if (preds.size == 1) preds.head else None,
+        serves = group.map(_._2),
+        base = roots.toSeq.sorted)
+    }.sortBy(w => (-w.serves.size, w.serves.headOption.getOrElse(0)))
   }
 
   /** Idempotently add [[MvRewrite]] to the session optimizer's
@@ -2316,6 +2360,39 @@ object MvQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |WHERE n_regionkey < 3
              |GROUP BY 1""".stripMargin.replace('\n', ' '))),
+
+    // THE REWRITE UNDER PARENT OPERATORS — the dashboard "top groups"
+    // tile: HAVING above the Aggregate, ORDER BY + LIMIT above that.
+    // The rule matches the Aggregate wherever it sits (transformDown)
+    // and the rewritten aggregate PRESERVES the original exprIds, so
+    // the Filter/Sort/Limit parents re-bind without a projection shim;
+    // this gate pins the full shape at the driver-facing surface (the
+    // spec's parent-operator arm covers only a bare Project). ORDER BY
+    // is a total order (l_returnflag is unique per group), so LIMIT 2
+    // is deterministic against the DuckDB oracle.
+    Q("q78_mv_having_topn",
+      (s, d) => {
+        ensureMv(s, d)
+        val df = Tables.t(s, d, "lineitem")
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .filter(col("n") > 100)
+          .orderBy(col("sum_qty").desc, col("l_returnflag"))
+          .limit(2)
+        require(scanRootsOf(df).exists(_.contains("q61_mv")),
+          "q78: the HAVING/ORDER/LIMIT rollup must read the summary:\n" +
+            df.queryExecution.optimizedPlan.toString)
+        df
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |AS sum_qty FROM lineitem WHERE l_linestatus = 'F'
+             |GROUP BY 1 HAVING count(*) > 100
+             |ORDER BY sum_qty DESC, l_returnflag
+             |LIMIT 2""".stripMargin.replace('\n', ' '))),
 
     // STREAMING MV MAINTENANCE — the ingest-native MV lifecycle: a
     // file-source stream of lineitem slices drains through foreachBatch

@@ -1454,6 +1454,68 @@ class MvSpec extends SparkSpec {
     Mv.drop(spark, "advised_join")
   }
 
+  test("MV ADVISOR WORKLOAD: compatible queries over one base merge into " +
+    "ONE advice (dims/measures union, differing predicates collapse to " +
+    "full-table), a second base groups separately, a served query " +
+    "contributes nothing — and the merged advice registers verbatim and " +
+    "then serves EVERY query in its group row-identically") {
+    MvQueries.ensureMv(spark, sf) // registers the lineitem summary (q61)
+    val root = Dml.work("mv_advise_wl", sf)
+    Layouts.deleteDir(spark, root)
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+      .write.parquet(s"$root/base")
+    val bare = spark.read.parquet(s"$root/base")
+    // three advisable shapes over ONE bare base: plain rollup, filtered
+    // count (filter column NOT in q1's grouping), avg over a third column
+    def q1 = bare.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+    def q2 = bare.filter(col("l_linestatus") === "O")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    def q3 = bare.groupBy("l_linestatus")
+      .agg(avg(col("l_extendedprice").cast("decimal(18,2)")).as("a"))
+    // a different base groups separately
+    val supp = Tables.t(spark, sf, "supplier")
+    def q4 = supp.groupBy("s_nationkey").agg(sum(col("s_acctbal")).as("b"))
+    // a query the registered q61 summary ALREADY serves advises nothing
+    def q5 = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    val advs = Mv.adviseWorkload(Seq(q1, q2, q3, q4, q5))
+    assert(advs.size == 2, advs.toString)
+    val a = advs.head
+    assert(a.serves == Seq(0, 1, 2), a.toString)
+    assert(a.dims.toSet == Set("l_returnflag", "l_linestatus"), a.toString)
+    // q2's filter column is a dim, so dropping its predicate stays sound
+    assert(a.predicate.isEmpty,
+      s"differing per-query predicates must merge to full-table: $a")
+    // sum(qty) + count(1) + avg's sum/count pair = 4 merged measures
+    assert(a.measures.size == 4 && a.measures.exists(_.contains("1")),
+      a.toString)
+    assert(advs(1).serves == Seq(3) &&
+      advs(1).measures == Seq("sum(s_acctbal)"), advs(1).toString)
+    // the merged advice REGISTERS VERBATIM and serves all three queries
+    Mv.register(spark, "wl_advised", bare,
+      dims = a.dims,
+      aggCols = a.measures.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.functions.expr(m).as(s"wmv_$i") },
+      mvPath = s"$root/summary")
+    Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3)).foreach {
+      case (nm, mk) =>
+        val served = mk()
+        assert(scanRoots(served)
+          .exists(_.contains("mv_advise_wl/summary")),
+          s"$nm: ${served.queryExecution.optimizedPlan}")
+        val got = served.collect().map(_.toSeq).toSet
+        val want = Mv.withDisabled(mk().collect().map(_.toSeq).toSet)
+        assert(got == want && got.nonEmpty, s"$nm must be row-identical")
+    }
+    // and the advised workload now needs no further advice on that base
+    assert(Mv.adviseWorkload(Seq(q1, q2, q3)).isEmpty)
+    Mv.drop(spark, "wl_advised")
+  }
+
   test("STREAMING MV MAINTENANCE: maintainMv folds each micro-batch into " +
     "the summary (hash-equal to the batch recompute), a RESTART with the " +
     "same checkpoint folds only NEW landing files, and a re-run with " +

@@ -570,6 +570,84 @@ class SimilaritySpec extends SparkSpec {
     ManagedCache.releaseAll()
   }
 
+  test("commit-anchored LSH index: serving from codes-at-rest equals the " +
+    "live annTopK bit-for-bit, a pure-insert commit refreshes BUCKET-ONLY " +
+    "(pre-existing codes untouched, codes equal a from-scratch bucketing), " +
+    "a replayed refresh appends nothing, and an update commit rebuilds") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val root = Dml.work("lsh_store", sf)
+    Layouts.deleteDir(spark, root)
+    val storeDir = s"$root/store"
+    Dml.delete(emb, storeDir, lit(false))
+    val idx = s"$root/index"
+    Similarity.saveLshIndexForStore(spark, storeDir, idx, bits = 4)
+    assert(Similarity.refreshLshIndexForStore(spark, idx) == "fresh")
+    // serving path: the saved codes answer EXACTLY what the live
+    // bucketing answers — no trained model exists, so the only degree
+    // of freedom is the deterministic bucket function itself
+    val q = emb.filter(col("vec_id") < 20)
+    val live = Similarity.annTopK(q, emb, 5, bits = 4)
+      .collect().map(_.toSeq).toSet
+    val served = Similarity.lshIndexTopK(spark, q, idx, 5)
+      .collect().map(_.toSeq).toSet
+    assert(served == live && served.nonEmpty)
+    def codeSet() = spark.read.parquet(s"$idx/codes")
+      .select("neighbor_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codesBefore = codeSet()
+    val staleAnchorBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "anchor"))
+    // PURE-INSERT merge-on-read commit (fresh ids, unmatched keys)
+    val cols = emb.columns.toSeq
+    val src = emb.filter(col("vec_id") % 9 === 0)
+      .withColumn("vec_id", col("vec_id") + 3000000L)
+      .withColumn("sk", -col("vec_id") - 1)
+    Dml.mergeOnRead(spark, storeDir, src,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> col("t.label")),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshLshIndexForStore(spark, idx) == "bucketed")
+    val codesAfter = codeSet()
+    assert(codesBefore.subsetOf(codesAfter),
+      "bucket-only refresh must leave pre-existing codes untouched")
+    assert(codesAfter.size == codesBefore.size + src.count(),
+      "codes must grow by exactly the appended rows")
+    // exactness: the refreshed codes equal a from-scratch bucketing of
+    // the CURRENT logical table (determinism makes delta-only bucketing
+    // lossless, not just cheap)
+    val cur = Dml.readVersion(spark, storeDir, Dml.currentVersion(storeDir))
+    val want = cur.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .withColumn("bucket", Similarity.signBucket(col("cv"), 4))
+      .select("neighbor_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(codesAfter == want)
+    // the appended rows are servable: an appended vector is the exact
+    // copy of an existing one, so querying the original surfaces it
+    val probeIds = emb.filter(col("vec_id") % 9 === 0)
+      .select("vec_id").limit(3).collect().map(_.getLong(0))
+    val res = Similarity.lshIndexTopK(spark,
+      emb.filter(col("vec_id").isin(probeIds: _*)), idx, 5).collect()
+    assert(res.nonEmpty && res.exists(_.getLong(1) >= 3000000L),
+      s"appended rows must be servable: ${res.mkString("|")}")
+    // CRASH REPLAY: stale anchor → same delta recomputed, dedup appends
+    // nothing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "anchor"), staleAnchorBytes)
+    assert(Similarity.refreshLshIndexForStore(spark, idx) == "bucketed")
+    assert(codeSet().size == codesAfter.size,
+      "a replayed refresh must not double-append the delta")
+    // an UPDATE commit grows the deletion vector → rebuild
+    val upd = emb.filter(col("vec_id") === 3)
+      .withColumn("sk", col("vec_id"))
+    Dml.mergeOnRead(spark, storeDir, upd,
+      col("t.vec_id") === col("s.sk"),
+      Map("label" -> (col("t.label") + lit(1))),
+      Some(cols), Some(cols.map(c => col(s"s.$c"))))
+    assert(Similarity.refreshLshIndexForStore(spark, idx) == "rebuilt")
+    ManagedCache.releaseAll()
+  }
+
   test("semDedup pairs are an exact-cosine subset of brute force with " +
     "usable recall, and the keep-table resolves min-id per component") {
     val emb = Tables.t(spark, sf, "embeddings")
