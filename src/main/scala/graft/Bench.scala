@@ -119,7 +119,13 @@ object Bench {
       l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
         .write.format("noop").mode("overwrite").save()
     }
+    // SPARK_GRAFT_BENCH_ONLY=name,name restricts the battery for local
+    // bisect reruns (cal still runs — the drift unit must come with the
+    // number); unset — the driver's case — runs the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = QueryCatalog.all.filter(_.bench).map(_.name)
+      .filter(n => only.forall(_(n)))
 
     // ---- TWO-PASS BATTERY, BEST-OF-TWO PER QUERY (r13 verdict item 1) --
     // One battery is not interference-proof: r13's committed artifact
