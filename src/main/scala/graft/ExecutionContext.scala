@@ -145,6 +145,19 @@ class ExecutionContext(
           s"Materialized view: ${ExecutionContext.unquote(name)} " +
             "does not exist")
         spark.emptyDataFrame
+      case ExecutionContext.ShowMvRe() =>
+        import spark.implicits._
+        Mv.status(spark).toDF()
+      case ExecutionContext.AdviseMvRe(selectText) =>
+        // the advisor as a statement: plan (never run) the inner SELECT
+        // through this context, ask the rewrite's inverse for the summary
+        // that would serve it — one row of registrable definition text,
+        // or zero rows when the plan is already served / unservable
+        import spark.implicits._
+        Mv.adviseFor(execute(selectText)).toSeq
+          .map(a => (a.dims.mkString(","), a.measures.mkString("; "),
+            a.predicate.orNull, a.reason))
+          .toDF("dims", "measures", "predicate", "reason")
       case ExecutionContext.CreateIndexRe(unique, ifNot, idxName, tbl, cols) =>
         createIndex(
           Option(idxName).map(ExecutionContext.unquote).filter(_.nonEmpty),
@@ -1015,6 +1028,10 @@ object ExecutionContext {
   }
   private[graft] val RefreshMvRe =
     s"""(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($Ident)\\s*$$""".r
+  private[graft] val ShowMvRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*$""".r
+  private[graft] val AdviseMvRe =
+    """(?is)^\s*ADVISE\s+MATERIALIZED\s+VIEW\s+FOR\s+(.+?)\s*$""".r
   private[graft] val DropMvRe =
     (s"""(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?""" +
       s"""($Ident)\\s*$$""").r

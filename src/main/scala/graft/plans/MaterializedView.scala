@@ -1026,6 +1026,52 @@ object Mv {
     }.sortBy(w => (-w.serves.size, w.serves.headOption.getOrElse(0)))
   }
 
+  /** One SHOW MATERIALIZED VIEWS row. `status` is "fresh" when serving
+    * is possible without a refresh, "stale" otherwise. */
+  final case class MvStatus(
+      name: String,
+      base: String,
+      dims: String,
+      measures: String,
+      predicate: Option[String],
+      summary_rows: Long,
+      epoch: Int,
+      status: String)
+
+  /** Registry readout behind SHOW MATERIALIZED VIEWS — one row per
+    * registered summary, name-sorted. Freshness is METADATA-ONLY (never
+    * scans data, never refreshes): a store-backed summary is fresh iff
+    * the store's version pointer has not moved since registration (a
+    * moved-but-composition-identical commit reads "stale" here — the
+    * conservative direction for a status display; the rewrite-time
+    * classifier still serves it); a file-backed summary re-lists its
+    * base roots and compares the (len, mtime) fingerprint the rewrite
+    * itself uses. A base that can no longer be listed reads "stale". */
+  def status(spark: SparkSession): Seq[MvStatus] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq.sortBy(_.name).map { d =>
+      val fresh = d.storeState match {
+        case Some(st) => Dml.currentVersion(st.storeDir) == st.version
+        case None =>
+          try {
+            val cur = spark.read.parquet(d.baseRoots.toSeq: _*)
+              .queryExecution.analyzed.collectLeaves()
+              .collectFirst { case l: LogicalRelation => l }
+            cur.exists(fingerprintOf(_) == d.baseFilesFp)
+          } catch { case _: Exception => false }
+      }
+      MvStatus(d.name,
+        d.baseRoots.toSeq.sorted.mkString(","),
+        d.dimCols.mkString(","),
+        d.measures.toSeq.sortBy(_._1)
+          .map { case (k, (kind, col)) => s"$col=$kind($k)" }
+          .mkString("; "),
+        Some(d.predConjuncts.toSeq.sorted.mkString(" AND "))
+          .filter(_.nonEmpty),
+        d.mvRows, d.epoch, if (fresh) "fresh" else "stale")
+    }
+  }
+
   /** Idempotently add [[MvRewrite]] to the session optimizer's
     * user-rule batch. */
   def install(spark: SparkSession): Unit = {
@@ -2393,6 +2439,33 @@ object MvQueries {
              |GROUP BY 1 HAVING count(*) > 100
              |ORDER BY sum_qty DESC, l_returnflag
              |LIMIT 2""".stripMargin.replace('\n', ' '))),
+
+    // THE ADVISOR AS A SQL STATEMENT — ADVISE MATERIALIZED VIEW FOR
+    // <select> plans (never runs) the query through the context and
+    // returns the registrable summary definition the rewrite's inverse
+    // names, plus the decline reason against the cheapest registered
+    // candidate. Both lineitem fixtures are pre-registered so the
+    // candidate set — and therefore the reason text — is pinned
+    // regardless of catalog order: the 6-row flag/status summary is
+    // always cheapest, and it declines because l_quantity is not a dim.
+    // The readout is deterministic text → hash-gated against a DuckDB
+    // constant row (the q58 plan-render precedent).
+    Q("q79_mv_sql_advise",
+      (s, d) => {
+        ensureMv(s, d)
+        ensureJoinMv(s, d)
+        val ctx = new ExecutionContext(s).registerTestData(d)
+        val df = ctx.execute("""ADVISE MATERIALIZED VIEW FOR
+          SELECT l_returnflag, count(1) AS n FROM lineitem
+          WHERE l_quantity > 25 GROUP BY l_returnflag""")
+        require(df.count() == 1, "q79: exactly one advice row expected")
+        df
+      },
+      Some("""SELECT 'l_returnflag,l_quantity' AS dims,
+             |'count(1)' AS measures,
+             |'(l_quantity > 25.0D)' AS predicate,
+             |'lineitem_by_flag_status: l_quantity not registered as dims'
+             |AS reason""".stripMargin.replace('\n', ' '))),
 
     // STREAMING MV MAINTENANCE — the ingest-native MV lifecycle: a
     // file-source stream of lineitem slices drains through foreachBatch

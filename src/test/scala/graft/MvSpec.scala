@@ -1516,6 +1516,54 @@ class MvSpec extends SparkSpec {
     Mv.drop(spark, "wl_advised")
   }
 
+  test("SQL SURFACE: SHOW MATERIALIZED VIEWS lists registered summaries " +
+    "with a metadata-only freshness verdict that flips to stale when the " +
+    "base gains a file, and ADVISE MATERIALIZED VIEW FOR <select> " +
+    "returns the registrable definition row (zero rows once served)") {
+    val ctx = new ExecutionContext(spark).registerTestData(sf)
+    val root = Dml.work("mv_sql_status", sf)
+    Layouts.deleteDir(spark, root)
+    Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.parquet(s"$root/base")
+    val bare = spark.read.parquet(s"$root/base")
+    Mv.register(spark, "status_probe", bare,
+      dims = Seq("l_returnflag"),
+      aggCols = Seq(count(lit(1)).as("sp_cnt")),
+      mvPath = s"$root/summary")
+    val rows = ctx.execute("SHOW MATERIALIZED VIEWS").collect()
+    val mine = rows.find(_.getString(0) == "status_probe").get
+    assert(mine.getString(7) == "fresh", mine.toString)
+    assert(mine.getString(2) == "l_returnflag" &&
+      mine.getString(1).contains("mv_sql_status/base"), mine.toString)
+    // the summary-rows column is footer-derived truth
+    assert(mine.getLong(5) == bare.select("l_returnflag").distinct.count())
+    // a base append flips the verdict without any refresh having run
+    bare.limit(10).write.mode("append").parquet(s"$root/base")
+    val after = ctx.execute("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "status_probe").get
+    assert(after.getString(7) == "stale", after.toString)
+    Mv.drop(spark, "status_probe")
+    assert(!ctx.execute("SHOW MATERIALIZED VIEWS").collect()
+      .exists(_.getString(0) == "status_probe"))
+    // ADVISE: a shape the registered q61 summary declines returns the
+    // definition row; the same probe over dims-only is served → 0 rows
+    MvQueries.ensureMv(spark, sf)
+    val adv = ctx.execute("ADVISE MATERIALIZED VIEW FOR " +
+      "SELECT l_returnflag, count(1) AS n FROM lineitem " +
+      "WHERE l_quantity > 25 GROUP BY l_returnflag").collect()
+    assert(adv.length == 1, adv.mkString("|"))
+    info(s"ADVISE row: ${adv(0).toSeq.mkString(" || ")}")
+    assert(adv(0).getString(0).split(",").toSet ==
+      Set("l_returnflag", "l_quantity"), adv(0).toString)
+    assert(adv(0).getString(3).contains("not registered as dims"),
+      adv(0).toString)
+    val servedAdv = ctx.execute("ADVISE MATERIALIZED VIEW FOR " +
+      "SELECT l_returnflag, count(1) AS n FROM lineitem " +
+      "WHERE l_linestatus = 'F' GROUP BY l_returnflag").collect()
+    assert(servedAdv.isEmpty, servedAdv.mkString("|"))
+  }
+
   test("STREAMING MV MAINTENANCE: maintainMv folds each micro-batch into " +
     "the summary (hash-equal to the batch recompute), a RESTART with the " +
     "same checkpoint folds only NEW landing files, and a re-run with " +
