@@ -345,6 +345,149 @@ object StopwordCount {
   }
 }
 
+/** Native per-term occurrence counts — the BM25/keyword-search primitive
+  * (t25/p15): counts[i] = occurrences of words(i) in the token array, one
+  * hash-map probe per token inside codegen. Replaces the corpus-scale
+  * `explode(tokens) → isin-filter → (doc, term) partial agg` pipeline with
+  * pure per-row scan work (guide §2.4 — the counts are per-document, so no
+  * shuffle is fundamentally required to compute them). Value-identical to
+  * the explode+count form: duplicates count, null tokens don't match.
+  * Returns array<long> in `words` order. */
+case class TermCounts(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) if words.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        "term_counts needs a non-empty word list")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"term_counts expects array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "term_counts"
+
+  @transient private lazy val index: java.util.HashMap[
+    org.apache.spark.unsafe.types.UTF8String, Integer] =
+    TermCounts.buildIndex(words)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TermCounts.count(input.asInstanceOf[ArrayData], index, words.size))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = TermCounts.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val idxRef = ctx.addReferenceObj("termIndex", index,
+        classOf[java.util.HashMap[_, _]].getName)
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"${ev.value} = new $gad($helper.count($a, $idxRef, ${words.size}));"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TermCounts = copy(child = newChild)
+}
+
+object TermCounts {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def buildIndex(words: Seq[String])
+      : java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](words.size * 2)
+    words.zipWithIndex.foreach { case (w, i) =>
+      m.put(UTF8String.fromString(w), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Public because generated code calls it. */
+  def count(a: ArrayData,
+      index: java.util.HashMap[UTF8String, Integer], k: Int): Array[Long] = {
+    val out = new Array[Long](k)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val ix = index.get(a.getUTF8String(i))
+        if (ix != null) out(ix.intValue()) += 1L
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Native multiset statistics of a 64-bit gram-hash array — the repetition
+  * signals' (t14) per-document reduction: (top, n, d) = (highest single
+  * value multiplicity, total values, distinct values). The counts are
+  * per-document by definition, so computing them inside the scan removes
+  * the whole explode → (doc, gram) exchange → per-doc re-aggregate → join
+  * pipeline (guide §2.4); state is one open-addressed long map bounded by
+  * the document's own gram count — the same bound the old per-task hash
+  * aggregate paid, now without shuffling a corpus of gram rows. Identical
+  * counts to the explode form for the same hash input (collision behavior
+  * included, since the hashes are the same). */
+case class GramStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_stats expects array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("top", LongType, false),
+      org.apache.spark.sql.types.StructField("n", LongType, false),
+      org.apache.spark.sql.types.StructField("d", LongType, false)))
+
+  override def prettyName: String = "gram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = GramStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.compute($a);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramStats = copy(child = newChild)
+}
+
+object GramStats {
+  /** Public because generated code calls it. */
+  def compute(a: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = a.numElements()
+    val m = new java.util.HashMap[java.lang.Long, Array[Long]](n * 2)
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Long.valueOf(a.getLong(i))
+      var c = m.get(h)
+      if (c == null) { c = Array(0L); m.put(h, c) }
+      c(0) += 1L
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top, n.toLong, m.size.toLong))
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -374,4 +517,14 @@ object TextExpressions {
   /** Column-API entry point for [[StopwordCount]]. */
   def stopwordCount(tokens: Column, words: Seq[String]): Column =
     GraftBridge.column(StopwordCount(GraftBridge.expression(tokens), words))
+
+  /** Column-API entry point for [[TermCounts]]: per-term occurrence counts
+    * (in `words` order) of a token array. */
+  def termCounts(tokens: Column, words: Seq[String]): Column =
+    GraftBridge.column(TermCounts(GraftBridge.expression(tokens), words))
+
+  /** Column-API entry point for [[GramStats]]: (top, n, d) multiset stats
+    * of a gram-hash array (pass [[shingleHashesAll]]). */
+  def gramStats(gramHashes: Column): Column =
+    GraftBridge.column(GramStats(GraftBridge.expression(gramHashes)))
 }

