@@ -289,6 +289,83 @@ case class NormL2(child: Expression)
       newChild: Expression): NormL2 = copy(child = newChild)
 }
 
+/** Native integer dot product over two `array<bigint>` columns — the
+  * quantized-similarity hot path (e12 nearest-centroid, the k-means step):
+  * i1 = Σ aᵢ·bᵢ over the common prefix. The HOF formulation
+  * (`aggregate(zip_with(a, b, _*_), 0L, _+_)`) is interpreted and walks
+  * two lambda trees per element PER CANDIDATE PAIR; this is one fused
+  * primitive loop inside whole-stage codegen. Exact integer math — outputs
+  * identical to the HOF form; null array → null, a null element in the
+  * common prefix → null (the HOF's null fold), length mismatch → common
+  * prefix (zip_with's null padding nulls the fold only when the shorter
+  * side runs out — this engine only ever dots equal-length arrays, and the
+  * prefix rule matches CosineSimilarity's). */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot expects array<bigint> args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_dot"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -304,4 +381,9 @@ object VectorExpressions {
   /** Column-API entry point for [[NormL2]]. */
   def normL2(v: Column): Column =
     GraftBridge.column(NormL2(GraftBridge.expression(v)))
+
+  /** Column-API entry point for [[LongDot]]: Σ aᵢ·bᵢ over array<bigint>. */
+  def longDot(a: Column, b: Column): Column =
+    GraftBridge.column(LongDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -1744,16 +1744,29 @@ object DedupQueries {
           .withColumn("quality", TextFunctions.qualityScore(
             col("clean_text"), TextFunctions.tokens(col("clean_text"))))
           .filter(col("quality") >= 0.82)
-        val kept = scored.groupBy("clean_text")
+        // r17 optimization (guide §2.3, shuffle keys/metadata instead of
+        // payloads): the exact-dedup group key is xxhash64(clean_text)
+        // and the token count is computed BEFORE the exchange, so the
+        // dedup shuffle carries (8-byte key, doc_id, quality, count)
+        // instead of every document's full cleaned text. quality and the
+        // token count are functions of the text (constant per group), so
+        // min() preserves them exactly; results identical up to a 64-bit
+        // collision on distinct texts (the d11/d07 argument — gate
+        // re-verified at sf0.001/0.01/0.1).
+        val kept = scored
+          .select(xxhash64(col("clean_text")).as("__ct"), col("doc_id"),
+            col("quality"),
+            size(TextFunctions.tokens(col("clean_text"))).as("__nt"))
+          .groupBy("__ct")
           .agg(min(col("doc_id")).as("doc_id"),
-            min(col("quality")).as("quality"))
+            min(col("quality")).as("quality"),
+            min(col("__nt")).as("__nt"))
         kept.join(docs.select("doc_id", "lang"), "doc_id")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(sum(col("quality").cast("decimal(18,4)")).cast("double") /
               count(lit(1)), 4).as("avg_quality"),
-            sum(size(TextFunctions.tokens(col("clean_text"))))
-              .as("total_tokens"))
+            sum(col("__nt")).as("total_tokens"))
       },
       Some("""WITH tk AS (SELECT doc_id,
              |string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

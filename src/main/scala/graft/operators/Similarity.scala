@@ -563,14 +563,16 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("qv"), x => x.cast("long")).as("qvl")))
     val cent = labelCentroids(q)
+    // r17 optimization (guide §4): i1/i2 via the native fused-loop
+    // LongDot expression instead of interpreted aggregate/zip_with HOFs —
+    // the per-(vector, candidate-label) dot was walking two lambda trees
+    // per dimension outside codegen. Exact integer math, outputs
+    // bit-identical (same sums).
     val scored = q
-      .withColumn("i2",
-        aggregate(col("qvl"), lit(0L), (a, x) => a + x * x))
+      .withColumn("i2", VectorExpressions.longDot(col("qvl"), col("qvl")))
       .crossJoin(broadcast(cent.select(
         col("label").cast("long").as("cand_label"), col("cs"), col("i3"))))
-      .withColumn("i1", aggregate(
-        zip_with(col("qvl"), col("cs"), (a, b) => a * b),
-        lit(0L), (a, x) => a + x))
+      .withColumn("i1", VectorExpressions.longDot(col("qvl"), col("cs")))
       .withColumn("sim",
         round(when(col("i2") === 0L || col("i3") === 0L, lit(-1.0))
           .otherwise(col("i1").cast("double") /
@@ -612,15 +614,13 @@ object Similarity {
         transform(col("qv"), x => x.cast("long")).as("qvl")))
     val seeds = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("qvl").as("cv"))
-      .withColumn("i3",
-        aggregate(col("cv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("i3", VectorExpressions.longDot(col("cv"), col("cv")))
+    // native LongDot for the per-(vector, seed) integer sums (e12's r17
+    // rewire) — identical exact-integer outputs, fused codegen loop
     val scored = q
-      .withColumn("i2",
-        aggregate(col("qvl"), lit(0L), (a, x) => a + x * x))
+      .withColumn("i2", VectorExpressions.longDot(col("qvl"), col("qvl")))
       .crossJoin(broadcast(seeds))
-      .withColumn("i1", aggregate(
-        zip_with(col("qvl"), col("cv"), (a, b) => a * b),
-        lit(0L), (a, x) => a + x))
+      .withColumn("i1", VectorExpressions.longDot(col("qvl"), col("cv")))
       .withColumn("sim",
         round(when(col("i2") === 0L || col("i3") === 0L, lit(-1.0))
           .otherwise(col("i1").cast("double") /
